@@ -1,0 +1,82 @@
+"""Per-column merge operators for merge-on-read.
+
+Reference semantics: when delta files within a bucket carry the same PK,
+the sorted-stream merger collapses the run through a per-column operator
+(``rust/lakesoul-io/src/physical_plan/merge/sorted/merge_operator.rs:22-50``;
+Scala UDF registration surface ``lakesoul-spark/.../merge/parquet/batch/
+merge_operator/MergeOperator.scala:17-85``):
+
+- ``use_last`` (default)         — newest version's value wins
+- ``use_last_not_null``          — newest non-null value wins
+- ``sum_all``                    — sum of the value across all versions
+- ``sum_last``                   — value of the newest version (within a
+                                   file PKs are unique — the writer sorts
+                                   and per-batch dedups — so the "sum of
+                                   the last run" degenerates to the last
+                                   value)
+- ``joined_all_by_comma`` / ``joined_all_by_semicolon``
+                                 — all non-null values oldest→newest,
+                                   stringified and delimiter-joined
+- ``joined_last_by_comma`` / ``joined_last_by_semicolon``
+                                 — newest non-null value, stringified
+
+Spark-first re-expression: instead of a k-way sorted stream merge, the
+MOR view groups by PK and evaluates each column's operator as a native
+aggregate over the commit-ordered versions — ``max_by`` / ``sum`` /
+``array_sort(collect_list(...))`` — so the whole merge stays inside
+whole-stage codegen with map-side partial aggregation; no Python UDFs.
+
+A column's value only "exists" in versions whose file physically
+contains the column (``file_exist_cols``): the ``has`` expression guards
+every operator, which is what makes join-free multi-stream wide-table
+assembly work (concurrent writers upserting disjoint column sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+MERGE_OP_NAMES = frozenset(
+    {
+        "use_last",
+        "use_last_not_null",
+        "sum_all",
+        "sum_last",
+        "joined_all_by_comma",
+        "joined_all_by_semicolon",
+        "joined_last_by_comma",
+        "joined_last_by_semicolon",
+    }
+)
+
+
+def _joined_all(col: Column, ord_: Column, has: Column, delim: str) -> Column:
+    entries = F.collect_list(
+        F.when(
+            has & col.isNotNull(),
+            F.struct(ord_.alias("o"), col.cast("string").alias("v")),
+        )
+    )
+    return F.array_join(
+        F.transform(F.array_sort(entries), lambda x: x["v"]), delim
+    )
+
+
+def merge_agg_expr(op: str, col: Column, ord_: Column, has: Column) -> Column:
+    """Aggregate expression implementing merge operator ``op`` for one
+    column, over version rows ordered by ``ord_`` (a comparable struct of
+    (commit_seq, file_seq)); ``has`` is true when the row's source file
+    physically contains the column."""
+    if op == "use_last" or op == "sum_last":
+        return F.max_by(col, F.when(has, ord_))
+    if op == "use_last_not_null":
+        return F.max_by(col, F.when(has & col.isNotNull(), ord_))
+    if op == "sum_all":
+        return F.sum(F.when(has, col))
+    if op == "joined_all_by_comma":
+        return _joined_all(col, ord_, has, ",")
+    if op == "joined_all_by_semicolon":
+        return _joined_all(col, ord_, has, ";")
+    if op == "joined_last_by_comma" or op == "joined_last_by_semicolon":
+        return F.max_by(col.cast("string"), F.when(has & col.isNotNull(), ord_))
+    raise ValueError(f"unknown merge operator {op!r}; known: {sorted(MERGE_OP_NAMES)}")

@@ -1,0 +1,166 @@
+"""Bucketed + sorted parquet write pipeline.
+
+Reproduces the reference write path — repartition to
+``HashPartitioning(hash_cols, bucket_num)`` then sort by PK, one file per
+(range partition, bucket) — as declarative Spark:
+
+- bucket id = ``pmod(F.hash(*pk), n)``; ``F.hash`` is murmur3 seed 42,
+  bit-compatible with the reference's Spark-compatible native hash
+  (reference ``rust/lakesoul-io/src/utils/hash/mod.rs:19-24,57``).
+- ``df.repartition(n, *pk)`` makes Spark partition id == bucket id (same
+  murmur3-pmod), so each task writes exactly its bucket — the same
+  physical layout as the reference plan rule
+  ``lakesoul-spark/.../rules/SetPartitionAndOrdering.scala:53-98`` and
+  the native sorted writer
+  ``rust/lakesoul-io/src/writer/async_writer/sort_writer.rs:34-49``.
+- rows are PK-sorted within each file (parquet row-group stats then
+  serve point lookups), and duplicate PKs within one batch collapse via
+  a deterministic last-writer-wins keyed on a pre-shuffle row sequence
+  (mirrors the reference writer's per-batch merge; sequence column
+  mirrors ``rust/lakesoul-io/src/physical_plan/self_incremental_index_column.rs``).
+
+Range partition values are encoded as Hive-style directories (dropped
+from the parquet data, reattached at read from commit metadata), exactly
+like the reference's ``partition_desc`` handling
+(``rust/lakesoul-io/src/config/mod.rs:141-147``).
+
+Scale notes: the only shuffle is the single hash repartition the
+reference also performs; dedup + sort piggyback on it (Catalyst sees the
+clustering is already satisfied, no second exchange). The commit-side
+file listing is O(#files) driver metadata work, never a data read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructType
+
+from lakesoul_spark.meta.store import DATA_DIR, FileOp, TableInfo
+from lakesoul_spark.io.partition import desc_from_dir_components
+
+BUCKET_COL = "__bucket"
+ROW_SEQ_COL = "__row_seq"
+
+
+def table_schema(info: TableInfo) -> StructType:
+    return StructType.fromJson(json.loads(info.schema_json))
+
+
+def data_schema(info: TableInfo) -> StructType:
+    """Schema of columns physically stored in parquet (range cols live
+    in directory names, as in Hive layout)."""
+    rc = set(info.range_partitions)
+    full = table_schema(info)
+    return StructType([f for f in full.fields if f.name not in rc])
+
+
+def _align(df: DataFrame, info: TableInfo) -> DataFrame:
+    """Cast incoming columns to the table schema by name; columns absent
+    from the batch are simply not written (partial-column upsert →
+    ``file_exist_cols``, reference entity.proto:109-110). Unknown
+    columns are rejected."""
+    schema = table_schema(info)
+    types = {f.name: f.dataType for f in schema.fields}
+    unknown = [c for c in df.columns if c not in types]
+    if unknown:
+        raise ValueError(f"columns not in table schema: {unknown}")
+    present = [f.name for f in schema.fields if f.name in set(df.columns)]
+    missing_keys = [c for c in info.range_partitions + info.hash_partitions
+                    if c not in present]
+    if missing_keys:
+        raise ValueError(f"batch is missing partition/PK columns: {missing_keys}")
+    return df.select(*[F.col(c).cast(types[c]).alias(c) for c in present])
+
+
+def write_table_data(
+    df: DataFrame,
+    info: TableInfo,
+    *,
+    dedup: bool = True,
+    max_records_per_file: int | None = None,
+) -> list[FileOp]:
+    """Write one commit's worth of data files; return their FileOps.
+
+    Files land under ``<table>/data/<token>/<range dirs>/__bucket=<i>/``
+    — a unique staging directory per commit, so concurrent writers never
+    collide and a failed job leaves no visible data (files become live
+    only via the metadata commit, reference DelayedCommitProtocol).
+    """
+    df = _align(df, info)
+    present = list(df.columns)
+    rc, pk, n = info.range_partitions, info.hash_partitions, info.hash_bucket_num
+
+    token = uuid.uuid4().hex[:16]
+    out_dir = os.path.join(info.path, DATA_DIR, token)
+
+    if pk:
+        df = df.withColumn(ROW_SEQ_COL, F.monotonically_increasing_id())
+        df = df.repartition(n, *[F.col(c) for c in pk])
+        if dedup:
+            keys = rc + pk
+            others = [c for c in present if c not in keys]
+            if others:
+                aggs = [F.max_by(F.col(c), F.col(ROW_SEQ_COL)).alias(c) for c in others]
+                df = df.groupBy(*keys).agg(*aggs).select(*present)
+            else:
+                df = df.select(*keys).distinct().select(*present)
+        else:
+            df = df.drop(ROW_SEQ_COL)
+        df = df.withColumn(
+            BUCKET_COL, F.pmod(F.hash(*[F.col(c) for c in pk]), F.lit(n))
+        )
+        df = df.sortWithinPartitions(*rc, BUCKET_COL, *pk)
+        part_dirs = rc + [BUCKET_COL]
+    else:
+        part_dirs = list(rc)
+
+    writer = df.write.mode("error")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if part_dirs:
+        writer = writer.partitionBy(*part_dirs)
+    writer.parquet(out_dir)
+
+    return _collect_file_ops(info, out_dir, present)
+
+
+def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list[FileOp]:
+    import pyarrow.parquet as pq
+
+    rc = set(info.range_partitions)
+    exist_cols = [c for c in present if c not in rc]
+    ops: list[FileOp] = []
+    for root, _dirs, files in os.walk(out_dir):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel_to_out = os.path.relpath(full, out_dir)
+            comps = rel_to_out.split(os.sep)[:-1]  # partition dirs
+            bucket = -1
+            range_comps = []
+            for comp in comps:
+                k, _, v = comp.partition("=")
+                if k == BUCKET_COL:
+                    bucket = int(v)
+                else:
+                    range_comps.append(comp)
+            desc = desc_from_dir_components(range_comps)
+            meta = pq.ParquetFile(full).metadata
+            ops.append(
+                FileOp(
+                    op="add",
+                    path=os.path.relpath(full, info.path),
+                    partition_desc=desc,
+                    bucket=bucket,
+                    size=os.path.getsize(full),
+                    num_rows=meta.num_rows,
+                    file_exist_cols=exist_cols,
+                )
+            )
+    ops.sort(key=lambda o: (o.partition_desc, o.bucket, o.path))
+    return ops

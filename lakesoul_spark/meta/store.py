@@ -1,0 +1,391 @@
+"""File-based metadata store: table info + transactional commit log.
+
+Reproduces the semantics of LakeSoul's PostgreSQL metadata layer
+(reference: ``rust/proto/src/entity.proto`` — TableInfo :21-43,
+PartitionInfo :46-65, CommitOp :80-91, DataCommitInfo/DataFileOp :94-131;
+conflict state machine ``lakesoul-common/.../DBManager.java:480-576``)
+as a per-table JSON commit log:
+
+    <table>/_lakesoul_meta/table_info.json
+    <table>/_lakesoul_meta/commits/{seq:020d}.json
+
+Each commit file is created with O_CREAT|O_EXCL, so "first writer wins"
+per sequence number — the same optimistic-concurrency primitive the
+reference gets from PG transactional inserts. On an object store this
+maps to conditional PUT (S3 If-None-Match), so the design carries to a
+1000-executor deployment; commits are O(KB) regardless of data size.
+
+MVCC: a snapshot at version V is the replay of commits [1..V]. Time
+travel resolves a timestamp to the greatest version with
+``timestamp_ms <= ts``. Partition-level pruning happens here, against
+commit metadata — never via filesystem listing (reference prunes via PG,
+``lakesoul-spark/.../lakesoul/PartitionFilter.scala:44-127``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field, asdict
+
+META_DIR = "_lakesoul_meta"
+DATA_DIR = "data"
+# Sentinel for non-range-partitioned tables; reference uses "-5"
+# (lakesoul-common DBUtil.NON_PARTITION_TABLE_PART_DESC).
+NON_PARTITIONED = "-5"
+CDC_CHANGE_COLUMN_PROP = "lakesoul_cdc_change_column"
+
+# Commit ops — reference entity.proto:80-91.
+OP_APPEND = "append"
+OP_MERGE = "merge"          # PK upsert delta
+OP_UPDATE = "update"        # rewrite (add + del)
+OP_DELETE = "delete"        # drop files
+OP_COMPACTION = "compaction"
+
+MAX_COMMIT_ATTEMPTS = 16
+
+
+class CommitConflict(RuntimeError):
+    """Raised when optimistic-concurrency resolution rules abort a commit
+    (reference DBManager.java:557-576: Update aborts on concurrent
+    Update/Compaction of the same partitions)."""
+
+
+@dataclass
+class FileOp:
+    op: str                      # "add" | "del"
+    path: str                    # relative to table root
+    partition_desc: str          # "col=val,col=val" or NON_PARTITIONED
+    bucket: int                  # hash bucket id, -1 for non-PK tables
+    size: int = 0
+    num_rows: int = -1
+    # columns physically present in the file — key to schema evolution and
+    # partial-column upserts (reference entity.proto:109-110 file_exist_cols)
+    file_exist_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CommitInfo:
+    seq: int
+    commit_id: str
+    commit_op: str
+    timestamp_ms: int
+    file_ops: list[FileOp]
+    query_id: str = ""
+    batch_id: int = -1
+    extra: dict = field(default_factory=dict)
+
+    def partitions(self) -> set[str]:
+        return {f.partition_desc for f in self.file_ops}
+
+
+@dataclass
+class TableInfo:
+    table_id: str
+    table_name: str
+    path: str
+    schema_json: str             # Spark StructType JSON
+    range_partitions: list[str]
+    hash_partitions: list[str]   # primary-key columns
+    hash_bucket_num: int
+    properties: dict = field(default_factory=dict)
+    namespace: str = "default"
+    created_at_ms: int = 0
+
+    @property
+    def is_pk_table(self) -> bool:
+        return bool(self.hash_partitions)
+
+    @property
+    def cdc_column(self) -> str | None:
+        return self.properties.get(CDC_CHANGE_COLUMN_PROP)
+
+
+@dataclass
+class FileEntry:
+    """A live data file within a snapshot, with its total-order position.
+
+    MOR ordering invariant (reference DataOperation.scala:133-158): delta
+    streams within a bucket merge oldest→newest commit; within one commit
+    file order is the writer's file sequence (non-overlapping PK ranges).
+    """
+    commit_seq: int
+    file_seq: int
+    path: str
+    partition_desc: str
+    bucket: int
+    file_exist_cols: list[str]
+    commit_op: str
+    size: int = 0
+    num_rows: int = -1
+
+
+@dataclass
+class Snapshot:
+    version: int
+    timestamp_ms: int
+    files: list[FileEntry]
+
+    def partitions(self) -> dict[str, list[FileEntry]]:
+        out: dict[str, list[FileEntry]] = {}
+        for f in self.files:
+            out.setdefault(f.partition_desc, []).append(f)
+        return out
+
+    def max_generations_per_bucket(self) -> int:
+        """Max number of live files sharing one (partition, bucket) — 1
+        means fully compacted (merge-free read)."""
+        counts: dict[tuple[str, int], int] = {}
+        for f in self.files:
+            k = (f.partition_desc, f.bucket)
+            counts[k] = counts.get(k, 0) + 1
+        return max(counts.values(), default=0)
+
+
+def _atomic_write_json(path: str, payload: dict) -> bool:
+    """Create-if-absent JSON write. Returns False if path already exists."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    return True
+
+
+class MetaStore:
+    """Commit log + snapshot resolution for one table directory."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path.rstrip("/")
+        self.meta_dir = os.path.join(self.table_path, META_DIR)
+        self.commits_dir = os.path.join(self.meta_dir, "commits")
+
+    # ---------------------------------------------------------------- info
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "table_info.json"))
+
+    def create_table(self, info: TableInfo) -> None:
+        os.makedirs(self.commits_dir, exist_ok=True)
+        p = os.path.join(self.meta_dir, "table_info.json")
+        info.created_at_ms = info.created_at_ms or int(time.time() * 1000)
+        if not _atomic_write_json(p, asdict(info)):
+            raise FileExistsError(f"table already exists at {self.table_path}")
+
+    def table_info(self) -> TableInfo:
+        with open(os.path.join(self.meta_dir, "table_info.json")) as f:
+            return TableInfo(**json.load(f))
+
+    def update_table_info(self, info: TableInfo) -> None:
+        """Schema evolution / property changes (ALTER TABLE)."""
+        tmp = os.path.join(self.meta_dir, f".table_info.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(asdict(info), f)
+        os.replace(tmp, os.path.join(self.meta_dir, "table_info.json"))
+
+    def drop_table(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.table_path, ignore_errors=True)
+
+    # ------------------------------------------------------------- commits
+
+    def _commit_path(self, seq: int) -> str:
+        return os.path.join(self.commits_dir, f"{seq:020d}.json")
+
+    def head_version(self) -> int:
+        try:
+            names = os.listdir(self.commits_dir)
+        except FileNotFoundError:
+            return 0
+        best = 0
+        for n in names:
+            if n.endswith(".json"):
+                try:
+                    best = max(best, int(n[:-5]))
+                except ValueError:
+                    pass
+        return best
+
+    def read_commit(self, seq: int) -> CommitInfo:
+        with open(self._commit_path(seq)) as f:
+            d = json.load(f)
+        d["file_ops"] = [FileOp(**fo) for fo in d["file_ops"]]
+        return CommitInfo(**d)
+
+    def commits(self, start: int = 1, end: int | None = None) -> list[CommitInfo]:
+        end = end if end is not None else self.head_version()
+        return [self.read_commit(s) for s in range(start, end + 1)]
+
+    def commit(
+        self,
+        commit_op: str,
+        file_ops: list[FileOp],
+        query_id: str = "",
+        batch_id: int = -1,
+        extra: dict | None = None,
+        base_version: int | None = None,
+    ) -> CommitInfo:
+        """Atomically append a commit, resolving conflicts per CommitOp.
+
+        Mirrors DBManager.java:480-576: Append/Merge auto-rebase onto a
+        new head; Update aborts if a concurrent commit touched the same
+        partitions; Compaction rebases over Append/Merge but aborts on
+        concurrent Update/Compaction of the same partitions; Delete
+        behaves like Update.
+        """
+        base = base_version if base_version is not None else self.head_version()
+        my_parts = {fo.partition_desc for fo in file_ops}
+        attempt = 0
+        while attempt < MAX_COMMIT_ATTEMPTS:
+            attempt += 1
+            seq = self.head_version() + 1
+            if seq > base + 1:
+                # someone committed since our snapshot: resolve
+                interleaved = self.commits(base + 1, seq - 1)
+                self._resolve_conflict(commit_op, my_parts, interleaved)
+                base = seq - 1
+            # strictly monotonic commit timestamps: incremental reads and
+            # time travel address commits by timestamp, so two commits in
+            # the same millisecond must still be ordered
+            ts = int(time.time() * 1000)
+            if seq > 1:
+                ts = max(ts, self.read_commit(seq - 1).timestamp_ms + 1)
+            ci = CommitInfo(
+                seq=seq,
+                commit_id=uuid.uuid4().hex,
+                commit_op=commit_op,
+                timestamp_ms=ts,
+                file_ops=file_ops,
+                query_id=query_id,
+                batch_id=batch_id,
+                extra=extra or {},
+            )
+            payload = asdict(ci)
+            if _atomic_write_json(self._commit_path(seq), payload):
+                return ci
+        raise CommitConflict(
+            f"gave up after {MAX_COMMIT_ATTEMPTS} attempts on {self.table_path}"
+        )
+
+    @staticmethod
+    def _resolve_conflict(
+        commit_op: str, my_parts: set[str], interleaved: list[CommitInfo]
+    ) -> None:
+        overlapping = [c for c in interleaved if c.partitions() & my_parts]
+        if commit_op in (OP_APPEND, OP_MERGE):
+            return  # always rebase
+        if commit_op in (OP_UPDATE, OP_DELETE):
+            if overlapping:
+                ops = {c.commit_op for c in overlapping}
+                raise CommitConflict(
+                    f"{commit_op} conflicts with concurrent {ops} on same partitions"
+                )
+            return
+        if commit_op == OP_COMPACTION:
+            bad = {
+                c.commit_op for c in overlapping
+            } & {OP_UPDATE, OP_COMPACTION, OP_DELETE}
+            if bad:
+                raise CommitConflict(
+                    f"compaction conflicts with concurrent {bad} on same partitions"
+                )
+            return
+
+    # ------------------------------------------------------------ snapshots
+
+    def snapshot(
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        partition_descs: set[str] | None = None,
+    ) -> Snapshot:
+        """Resolve the live file set at a version / timestamp.
+
+        ``partition_descs`` prunes the replay to selected partitions —
+        this is the metadata partition pruning path (no FS listing).
+        """
+        head = self.head_version()
+        if version is None:
+            version = head
+        if timestamp_ms is not None:
+            version = 0
+            for c in self.commits(1, head):
+                if c.timestamp_ms <= timestamp_ms:
+                    version = c.seq
+                else:
+                    break
+        version = min(version, head)
+        live: dict[str, FileEntry] = {}
+        ts = 0
+        for c in self.commits(1, version):
+            ts = c.timestamp_ms
+            for i, fo in enumerate(c.file_ops):
+                if partition_descs is not None and fo.partition_desc not in partition_descs:
+                    continue
+                if fo.op == "add":
+                    live[fo.path] = FileEntry(
+                        commit_seq=c.seq,
+                        file_seq=i,
+                        path=fo.path,
+                        partition_desc=fo.partition_desc,
+                        bucket=fo.bucket,
+                        file_exist_cols=fo.file_exist_cols,
+                        commit_op=c.commit_op,
+                        size=fo.size,
+                        num_rows=fo.num_rows,
+                    )
+                elif fo.op == "del":
+                    live.pop(fo.path, None)
+        files = sorted(live.values(), key=lambda f: (f.commit_seq, f.file_seq))
+        return Snapshot(version=version, timestamp_ms=ts, files=files)
+
+    def incremental_files(
+        self, start_ts_ms: int, end_ts_ms: int | None = None
+    ) -> tuple[list[FileEntry], list[CommitInfo]]:
+        """Files added by commits with start < timestamp <= end.
+
+        Incremental-read rules (reference DataOperation.scala:160-240):
+        Compaction commits are skipped — they rewrite existing data, not
+        new rows — unless a compaction is the *first* commit at-or-before
+        ``start`` a reader would need for a from-scratch bootstrap (the
+        bootstrap path goes through ``snapshot()`` instead, so here all
+        compactions are skipped). Update commits *are* included: their
+        added files carry the post-update row images.
+        """
+        out: list[FileEntry] = []
+        cs: list[CommitInfo] = []
+        for c in self.commits(1, self.head_version()):
+            if c.timestamp_ms <= start_ts_ms:
+                continue
+            if end_ts_ms is not None and c.timestamp_ms > end_ts_ms:
+                break
+            if c.commit_op == OP_COMPACTION:
+                continue
+            cs.append(c)
+            for i, fo in enumerate(c.file_ops):
+                if fo.op == "add":
+                    out.append(
+                        FileEntry(
+                            commit_seq=c.seq,
+                            file_seq=i,
+                            path=fo.path,
+                            partition_desc=fo.partition_desc,
+                            bucket=fo.bucket,
+                            file_exist_cols=fo.file_exist_cols,
+                            commit_op=c.commit_op,
+                            size=fo.size,
+                            num_rows=fo.num_rows,
+                        )
+                    )
+        return out, cs
+
+    def has_batch(self, query_id: str, batch_id: int) -> bool:
+        """Streaming idempotence (reference LakeSoulSink.scala:44-48)."""
+        for c in self.commits(1, self.head_version()):
+            if c.query_id == query_id and c.batch_id >= batch_id >= 0:
+                return True
+        return False

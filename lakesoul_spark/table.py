@@ -1,0 +1,501 @@
+"""LakeSoulTable — the user-facing table API.
+
+Mirrors the reference's Python/Scala surface
+(``python/src/lakesoul/spark/tables.py:8-350``,
+``lakesoul-spark/.../tables/LakeSoulTable.scala``): create / write /
+upsert / update / delete / compaction / rollback / vacuum plus
+time-travel (``for_path_snapshot``), incremental
+(``for_path_incremental``) and CDC reads — re-expressed on the
+file-commit-log MetaStore and the declarative write/read pipelines in
+``lakesoul_spark.io``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from lakesoul_spark.io import partition as part_enc
+from lakesoul_spark.io import reader as rdr
+from lakesoul_spark.io.writer import table_schema, write_table_data
+from lakesoul_spark.meta.store import (
+    CDC_CHANGE_COLUMN_PROP,
+    NON_PARTITIONED,
+    OP_APPEND,
+    OP_COMPACTION,
+    OP_DELETE,
+    OP_MERGE,
+    OP_UPDATE,
+    FileOp,
+    MetaStore,
+    TableInfo,
+)
+
+READ_FULL = "fullread"
+READ_SNAPSHOT = "snapshot"
+READ_INCREMENTAL = "incremental"
+
+
+def create_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    table_name: str | None = None,
+    range_partitions: list[str] | None = None,
+    hash_partitions: list[str] | None = None,
+    hash_bucket_num: int = 4,
+    properties: dict | None = None,
+    namespace: str = "default",
+) -> "LakeSoulTable":
+    """Create an empty table (reference CreateTableCommand.scala)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    range_partitions = list(range_partitions or [])
+    hash_partitions = list(hash_partitions or [])
+    names = [f.name for f in schema.fields]
+    for c in range_partitions + hash_partitions:
+        if c not in names:
+            raise ValueError(f"partition column {c!r} not in schema")
+    if set(range_partitions) & set(hash_partitions):
+        raise ValueError("a column cannot be both range and hash partition")
+    info = TableInfo(
+        table_id=uuid.uuid4().hex,
+        table_name=table_name or os.path.basename(path.rstrip("/")),
+        path=os.path.abspath(path),
+        schema_json=json.dumps(schema.jsonValue()),
+        range_partitions=range_partitions,
+        hash_partitions=hash_partitions,
+        hash_bucket_num=hash_bucket_num if hash_partitions else 0,
+        properties=properties or {},
+        namespace=namespace,
+    )
+    MetaStore(info.path).create_table(info)
+    return LakeSoulTable(spark, info.path)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    range_partitions: list[str] | None = None,
+    hash_partitions: list[str] | None = None,
+    hash_bucket_num: int = 4,
+    properties: dict | None = None,
+    replace_where: str | None = None,
+) -> "LakeSoulTable":
+    """``df.write.format("lakesoul")`` equivalent
+    (reference ``WriteIntoTable.scala:74-137``):
+
+    - first write creates the table;
+    - Append is REJECTED on existing PK tables (must ``upsert``,
+      reference :83-84);
+    - Overwrite without ``replace_where`` = *dynamic* partition
+      overwrite — only the range partitions actually written are
+      expired (:110-120);
+    - ``replace_where`` validates that every written row matches the
+      predicate, then replaces exactly the matching partitions (:122-134).
+    """
+    spark = df.sparkSession
+    store = MetaStore(os.path.abspath(path))
+    if not store.exists():
+        create_table(
+            spark,
+            path,
+            df.schema,
+            range_partitions=range_partitions,
+            hash_partitions=hash_partitions,
+            hash_bucket_num=hash_bucket_num,
+            properties=properties,
+        )
+        store = MetaStore(os.path.abspath(path))
+    info = store.table_info()
+
+    if mode == "error" or mode == "errorifexists":
+        if store.head_version() > 0:
+            raise ValueError(f"table {path} already has data")
+        mode = "append"
+
+    if mode == "append":
+        if info.is_pk_table:
+            raise ValueError(
+                "append to a primary-key table is not allowed; use upsert() "
+                "(reference WriteIntoTable.scala:83-84)"
+            )
+        ops = write_table_data(df, info)
+        store.commit(OP_APPEND, ops)
+    elif mode == "overwrite":
+        if replace_where is not None:
+            bad = df.filter(f"NOT ({replace_where})").limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"written data violates replaceWhere predicate {replace_where!r}"
+                )
+        ops = write_table_data(df, info)
+        written_parts = {o.partition_desc for o in ops} or {NON_PARTITIONED}
+        if replace_where is not None:
+            expire_parts = _partitions_matching(
+                spark, info, store, replace_where
+            ) | written_parts
+        else:
+            expire_parts = written_parts
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in store.snapshot().files
+            if f.partition_desc in expire_parts
+        ]
+        store.commit(OP_UPDATE, dels + ops)
+    else:
+        raise ValueError(f"unsupported mode {mode!r}")
+    return LakeSoulTable(spark, info.path)
+
+
+def _partitions_matching(
+    spark: SparkSession, info: TableInfo, store: MetaStore, condition: str
+) -> set[str]:
+    """Evaluate a predicate over range-partition values only (metadata
+    partition pruning — no data scan, reference PartitionFilter.scala).
+    Raises if the predicate references non-partition columns."""
+    descs = sorted({f.partition_desc for f in store.snapshot().files})
+    if not info.range_partitions:
+        return set(descs)
+    full = table_schema(info)
+    types = {f.name: f.dataType for f in full.fields}
+    rows = []
+    for d in descs:
+        vals = part_enc.parse_desc(d)
+        rows.append((d, *[vals.get(c) for c in info.range_partitions]))
+    schema = ", ".join(
+        ["__desc string"] + [f"`{c}` string" for c in info.range_partitions]
+    )
+    pdf = spark.createDataFrame(rows, schema)
+    for c in info.range_partitions:
+        pdf = pdf.withColumn(c, F.col(c).cast(types[c]))
+    return {r["__desc"] for r in pdf.filter(condition).select("__desc").collect()}
+
+
+class LakeSoulTable:
+    """Handle on a LakeSoul-format table (optionally pinned to a
+    snapshot or an incremental window)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        read_type: str = READ_FULL,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        start_ts_ms: int | None = None,
+        end_ts_ms: int | None = None,
+        partition_desc: str | None = None,
+    ):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.store = MetaStore(self.path)
+        if not self.store.exists():
+            raise FileNotFoundError(f"no LakeSoul table at {path}")
+        self.read_type = read_type
+        self.version = version
+        self.timestamp_ms = timestamp_ms
+        self.start_ts_ms = start_ts_ms
+        self.end_ts_ms = end_ts_ms
+        self.partition_desc = partition_desc
+        self._merge_ops: dict[str, str] = {}
+
+    # ------------------------------------------------------------ factories
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str) -> "LakeSoulTable":
+        return cls(spark, path)
+
+    @classmethod
+    def for_path_snapshot(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        version: int | None = None,
+        end_ts_ms: int | None = None,
+        partition_desc: str | None = None,
+    ) -> "LakeSoulTable":
+        """Time travel (reference LakeSoulTable.scala:642-723)."""
+        return cls(
+            spark,
+            path,
+            read_type=READ_SNAPSHOT,
+            version=version,
+            timestamp_ms=end_ts_ms,
+            partition_desc=partition_desc,
+        )
+
+    @classmethod
+    def for_path_incremental(
+        cls,
+        spark: SparkSession,
+        path: str,
+        start_ts_ms: int,
+        end_ts_ms: int | None = None,
+        *,
+        partition_desc: str | None = None,
+    ) -> "LakeSoulTable":
+        return cls(
+            spark,
+            path,
+            read_type=READ_INCREMENTAL,
+            start_ts_ms=start_ts_ms,
+            end_ts_ms=end_ts_ms,
+            partition_desc=partition_desc,
+        )
+
+    # -------------------------------------------------------------- reading
+
+    @property
+    def info(self) -> TableInfo:
+        return self.store.table_info()
+
+    def schema(self) -> StructType:
+        return table_schema(self.info)
+
+    def register_merge_operator(self, column: str, op: str) -> "LakeSoulTable":
+        """Per-column MOR merge operator (reference
+        ``LakeSoulTable.scala:761`` registerMergeOperator)."""
+        from lakesoul_spark.functions.merge_operators import MERGE_OP_NAMES
+
+        if op not in MERGE_OP_NAMES:
+            raise ValueError(f"unknown merge operator {op!r}")
+        self._merge_ops[column] = op
+        return self
+
+    def _partition_filter(self) -> set[str] | None:
+        if self.partition_desc:
+            return {self.partition_desc}
+        return None
+
+    def to_df(self) -> DataFrame:
+        info = self.info
+        if self.read_type == READ_INCREMENTAL:
+            files, _ = self.store.incremental_files(
+                self.start_ts_ms or 0, self.end_ts_ms
+            )
+            pf = self._partition_filter()
+            if pf is not None:
+                files = [f for f in files if f.partition_desc in pf]
+            return rdr.incremental_view(
+                self.spark, info, files, merge_ops=self._merge_ops
+            )
+        snap = self.store.snapshot(
+            version=self.version if self.read_type == READ_SNAPSHOT else None,
+            timestamp_ms=self.timestamp_ms if self.read_type == READ_SNAPSHOT else None,
+            partition_descs=self._partition_filter(),
+        )
+        return rdr.merge_view(
+            self.spark, info, snap, merge_ops=self._merge_ops
+        )
+
+    toDF = to_df
+
+    # -------------------------------------------------------------- writing
+
+    def upsert(self, source: DataFrame) -> None:
+        """PK merge write — the delta-file path (reference
+        ``UpsertCommand.scala:96-144``): repartition+sort+write one delta
+        file per bucket, commit as Merge; readers see it immediately via
+        MOR. Non-PK tables degrade to append (reference upsert requires
+        hash cols, UpsertCommand.scala:65-67 — we allow append for
+        convenience on non-PK)."""
+        info = self.info
+        ops = write_table_data(source, info)
+        self.store.commit(OP_MERGE if info.is_pk_table else OP_APPEND, ops)
+
+    def _rewrite_partitions(
+        self, new_df: DataFrame, parts: set[str], op: str
+    ) -> None:
+        """Copy-on-write: replace all files of ``parts`` with a rewrite."""
+        info = self.info
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in self.store.snapshot(partition_descs=parts).files
+        ]
+        adds = write_table_data(new_df, info, dedup=False) if new_df is not None else []
+        self.store.commit(op, dels + adds)
+
+    def _affected_partitions(self, cond: Column) -> set[str]:
+        info = self.info
+        if not info.range_partitions:
+            return {NON_PARTITIONED}
+        rows = (
+            self.to_df()
+            .filter(cond)
+            .select(*info.range_partitions)
+            .distinct()
+            .collect()
+        )
+        return {
+            part_enc.make_desc(info.range_partitions, [r[c] for c in info.range_partitions])
+            for r in rows
+        }
+
+    def update(self, condition: str | Column, set_exprs: dict[str, str | Column]) -> None:
+        """``UPDATE t SET ... WHERE ...`` copy-on-write (reference
+        ``UpdateCommand.scala:54-145``): affected range partitions are
+        rewritten with ``CASE WHEN cond THEN expr ELSE col END`` per
+        column; untouched partitions' files are untouched metadata-wise."""
+        info = self.info
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        bad = set(set_exprs) & set(info.range_partitions + info.hash_partitions)
+        if bad:
+            raise ValueError(f"cannot UPDATE partition/PK columns: {sorted(bad)}")
+        parts = self._affected_partitions(cond)
+        if not parts:
+            return
+        view = rdr.merge_view(
+            self.spark,
+            info,
+            self.store.snapshot(partition_descs=parts),
+            merge_ops=self._merge_ops,
+            apply_cdc_filter=False,
+        )
+        out = view
+        for c, e in set_exprs.items():
+            e = F.expr(e) if isinstance(e, str) else e
+            out = out.withColumn(c, F.when(cond, e).otherwise(F.col(c)))
+        self._rewrite_partitions(out, parts, OP_UPDATE)
+
+    def delete(self, condition: str | Column | None = None) -> None:
+        """``DELETE FROM t [WHERE ...]`` (reference
+        ``DeleteCommand.scala:48-111``): no condition → expire all files
+        (metadata only); partition-only predicate → expire matching
+        partitions with NO data scan; else rewrite affected partitions
+        keeping ``NOT cond`` rows."""
+        info = self.info
+        if condition is None:
+            dels = [
+                FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+                for f in self.store.snapshot().files
+            ]
+            self.store.commit(OP_DELETE, dels)
+            return
+        cond_str = condition if isinstance(condition, str) else None
+        if cond_str is not None and info.range_partitions:
+            try:
+                parts = _partitions_matching(self.spark, info, self.store, cond_str)
+            except Exception:
+                parts = None
+            if parts is not None:
+                dels = [
+                    FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+                    for f in self.store.snapshot(partition_descs=parts).files
+                ]
+                self.store.commit(OP_DELETE, dels)
+                return
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        parts = self._affected_partitions(cond)
+        if not parts:
+            return
+        view = rdr.merge_view(
+            self.spark,
+            info,
+            self.store.snapshot(partition_descs=parts),
+            merge_ops=self._merge_ops,
+            apply_cdc_filter=False,
+        )
+        keep = view.filter(~cond)
+        self._rewrite_partitions(keep, parts, OP_DELETE)
+
+    # ---------------------------------------------------------- maintenance
+
+    def compaction(self, partition_desc: str | None = None) -> None:
+        """Merge each (partition, bucket)'s delta generations into one
+        file generation (reference ``CompactionCommand.scala:40-120``).
+        CDC tables rewrite ``update``→``insert`` rows and drop
+        ``delete`` rows at compaction (reference
+        ``TransactionalWrite.scala:166-184``) — after which a plain scan
+        with no merge and no CDC filter reproduces the same view."""
+        info = self.info
+        parts = {partition_desc} if partition_desc else None
+        snap = self.store.snapshot(partition_descs=parts)
+        if not snap.files:
+            return
+        view = rdr.merge_view(
+            self.spark, info, snap, merge_ops=self._merge_ops, apply_cdc_filter=False
+        )
+        cdc = info.cdc_column
+        if cdc:
+            view = view.filter(F.col(cdc) != rdr.CDC_DELETE).withColumn(
+                cdc,
+                F.when(F.col(cdc) == rdr.CDC_UPDATE, F.lit(rdr.CDC_INSERT)).otherwise(
+                    F.col(cdc)
+                ),
+            )
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in snap.files
+        ]
+        adds = write_table_data(view, info, dedup=False)
+        self.store.commit(OP_COMPACTION, dels + adds)
+
+    def rollback(self, *, version: int | None = None, timestamp_ms: int | None = None) -> None:
+        """Reset the live file set to an earlier snapshot (reference
+        ``LakeSoulTable.scala:570-585``). Historical files still exist on
+        disk until vacuum, so this is a metadata-only commit."""
+        target = self.store.snapshot(version=version, timestamp_ms=timestamp_ms)
+        current = self.store.snapshot()
+        target_paths = {f.path for f in target.files}
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in current.files
+            if f.path not in target_paths
+        ]
+        current_paths = {f.path for f in current.files}
+        adds = [
+            FileOp(
+                op="add",
+                path=f.path,
+                partition_desc=f.partition_desc,
+                bucket=f.bucket,
+                size=f.size,
+                num_rows=f.num_rows,
+                file_exist_cols=f.file_exist_cols,
+            )
+            for f in target.files
+            if f.path not in current_paths
+        ]
+        self.store.commit(OP_UPDATE, dels + adds)
+
+    def vacuum(self) -> int:
+        """Physically delete data files no longer referenced by the HEAD
+        snapshot (reference cleanup/CleanOldCompaction). Time travel to
+        versions whose files were vacuumed stops working — same contract
+        as the reference's cleanup-old-data."""
+        from lakesoul_spark.meta.store import DATA_DIR
+
+        live = {f.path for f in self.store.snapshot().files}
+        removed = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live and n.endswith(".parquet"):
+                    os.remove(full)
+                    removed += 1
+        return removed
+
+    def drop(self) -> None:
+        self.store.drop_table()
+
+    # ------------------------------------------------------------- metadata
+
+    def versions(self) -> list[dict]:
+        return [
+            {"version": c.seq, "timestamp_ms": c.timestamp_ms, "op": c.commit_op}
+            for c in self.store.commits()
+        ]

@@ -1,0 +1,120 @@
+"""Commit log / snapshot / conflict-rule unit tests (no Spark).
+
+Models the reference suites for the metadata layer: optimistic
+concurrency per DBManager.java:480-576, MVCC snapshots, incremental
+file resolution (DataOperation.scala:160-240).
+"""
+
+import pytest
+
+from lakesoul_spark.meta.store import (
+    NON_PARTITIONED,
+    OP_APPEND,
+    OP_COMPACTION,
+    OP_DELETE,
+    OP_MERGE,
+    OP_UPDATE,
+    CommitConflict,
+    FileOp,
+    MetaStore,
+    TableInfo,
+)
+
+
+def mk_store(tmp_path, **kw):
+    store = MetaStore(str(tmp_path / "t"))
+    info = TableInfo(
+        table_id="tid",
+        table_name="t",
+        path=store.table_path,
+        schema_json="{}",
+        range_partitions=kw.get("range_partitions", []),
+        hash_partitions=kw.get("hash_partitions", []),
+        hash_bucket_num=kw.get("hash_bucket_num", 0),
+    )
+    store.create_table(info)
+    return store
+
+
+def add(path, part=NON_PARTITIONED, bucket=-1):
+    return FileOp(op="add", path=path, partition_desc=part, bucket=bucket)
+
+
+def dele(path, part=NON_PARTITIONED, bucket=-1):
+    return FileOp(op="del", path=path, partition_desc=part, bucket=bucket)
+
+
+def test_create_twice_fails(tmp_path):
+    mk_store(tmp_path)
+    with pytest.raises(FileExistsError):
+        mk_store(tmp_path)
+
+
+def test_commit_and_snapshot_replay(tmp_path):
+    s = mk_store(tmp_path)
+    s.commit(OP_APPEND, [add("data/a.parquet")])
+    s.commit(OP_MERGE, [add("data/b.parquet")])
+    s.commit(OP_UPDATE, [dele("data/a.parquet"), add("data/c.parquet")])
+    snap = s.snapshot()
+    assert snap.version == 3
+    assert [f.path for f in snap.files] == ["data/b.parquet", "data/c.parquet"]
+    # time travel to v1
+    snap1 = s.snapshot(version=1)
+    assert [f.path for f in snap1.files] == ["data/a.parquet"]
+
+
+def test_snapshot_by_timestamp(tmp_path):
+    s = mk_store(tmp_path)
+    c1 = s.commit(OP_APPEND, [add("data/a.parquet")])
+    c2 = s.commit(OP_APPEND, [add("data/b.parquet")])
+    snap = s.snapshot(timestamp_ms=c1.timestamp_ms)
+    assert snap.version >= 1
+    assert "data/a.parquet" in {f.path for f in snap.files}
+    snap_all = s.snapshot(timestamp_ms=c2.timestamp_ms + 10)
+    assert len(snap_all.files) == 2
+
+
+def test_partition_pruned_snapshot(tmp_path):
+    s = mk_store(tmp_path, range_partitions=["d"])
+    s.commit(OP_APPEND, [add("data/a.parquet", "d=1"), add("data/b.parquet", "d=2")])
+    snap = s.snapshot(partition_descs={"d=1"})
+    assert [f.path for f in snap.files] == ["data/a.parquet"]
+
+
+def test_conflict_rules(tmp_path):
+    s = mk_store(tmp_path)
+    base = s.head_version()
+    s.commit(OP_APPEND, [add("data/a.parquet")])
+    # append/merge rebase silently over concurrent commits
+    s.commit(OP_MERGE, [add("data/b.parquet")], base_version=base)
+    # update aborts when a concurrent commit touched the same partition
+    with pytest.raises(CommitConflict):
+        s.commit(OP_UPDATE, [dele("data/a.parquet")], base_version=base)
+    # compaction rebases over append/merge
+    s.commit(OP_COMPACTION, [dele("data/a.parquet"), add("data/c.parquet")], base_version=base)
+    # ...but a second compaction racing the first aborts
+    with pytest.raises(CommitConflict):
+        s.commit(OP_COMPACTION, [dele("data/a.parquet")], base_version=base)
+
+
+def test_incremental_skips_compaction(tmp_path):
+    s = mk_store(tmp_path)
+    c1 = s.commit(OP_APPEND, [add("data/a.parquet")])
+    s.commit(OP_MERGE, [add("data/b.parquet")])
+    s.commit(OP_COMPACTION, [dele("data/a.parquet"), dele("data/b.parquet"), add("data/c.parquet")])
+    c4 = s.commit(OP_MERGE, [add("data/d.parquet")])
+    files, commits = s.incremental_files(c1.timestamp_ms)
+    paths = [f.path for f in files]
+    assert "data/c.parquet" not in paths  # compaction excluded
+    assert "data/b.parquet" in paths and "data/d.parquet" in paths
+    assert {c.seq for c in commits} == {2, 4}
+    assert c4.seq == 4
+
+
+def test_streaming_idempotence(tmp_path):
+    s = mk_store(tmp_path)
+    s.commit(OP_APPEND, [add("data/a.parquet")], query_id="q1", batch_id=3)
+    assert s.has_batch("q1", 3)
+    assert s.has_batch("q1", 2)  # older batch already covered
+    assert not s.has_batch("q1", 4)
+    assert not s.has_batch("q2", 0)

@@ -1,0 +1,332 @@
+"""End-to-end table API tests: create/write/read, upsert + MOR,
+update/delete DML, compaction invariance, time travel, incremental,
+CDC — modeled on the reference suites (UpsertSuiteBase, ReadSuite,
+CompactionSuite, CDCSuite, CompactionDoNotChangeResult)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+import lakesoul_spark as ls
+from lakesoul_spark.table import LakeSoulTable, create_table, write
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def seed_df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+# ------------------------------------------------------------------ basic
+
+
+def test_write_read_non_pk(spark, tmp_table):
+    df = seed_df(spark, [(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    write(df, tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert rows(t.to_df(), "id", "v") == [(1, "a"), (2, "b"), (3, "c")]
+    # append more
+    write(seed_df(spark, [(4, "d")], "id int, v string"), tmp_table)
+    assert len(t.to_df().collect()) == 4
+
+
+def test_write_read_range_partitioned(spark, tmp_table):
+    df = seed_df(spark, [(1, "x", 10), (2, "y", 20), (3, "x", 30)], "id int, p string, v int")
+    write(df, tmp_table, range_partitions=["p"])
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert rows(t.to_df(), "id", "p", "v") == [(1, "x", 10), (2, "y", 20), (3, "x", 30)]
+    # partition pruned read
+    t2 = LakeSoulTable(spark, tmp_table, partition_desc="p=x")
+    assert rows(t2.to_df(), "id") == [(1,), (3,)]
+
+
+def test_append_to_pk_table_rejected(spark, tmp_table):
+    df = seed_df(spark, [(1, "a")], "id int, v string")
+    write(df, tmp_table, hash_partitions=["id"], hash_bucket_num=2, mode="overwrite")
+    with pytest.raises(ValueError, match="upsert"):
+        write(df, tmp_table, mode="append")
+
+
+def test_overwrite_dynamic_partition(spark, tmp_table):
+    df = seed_df(spark, [(1, "x", 1), (2, "y", 2)], "id int, p string, v int")
+    write(df, tmp_table, range_partitions=["p"])
+    # overwrite only partition x
+    write(seed_df(spark, [(9, "x", 9)], "id int, p string, v int"), tmp_table, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert rows(t.to_df(), "id", "p", "v") == [(2, "y", 2), (9, "x", 9)]
+
+
+def test_replace_where_validation(spark, tmp_table):
+    df = seed_df(spark, [(1, "x", 1), (2, "y", 2)], "id int, p string, v int")
+    write(df, tmp_table, range_partitions=["p"])
+    with pytest.raises(ValueError, match="replaceWhere"):
+        write(
+            seed_df(spark, [(9, "y", 9)], "id int, p string, v int"),
+            tmp_table,
+            mode="overwrite",
+            replace_where="p = 'x'",
+        )
+    write(
+        seed_df(spark, [(9, "x", 9)], "id int, p string, v int"),
+        tmp_table,
+        mode="overwrite",
+        replace_where="p = 'x'",
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert rows(t.to_df(), "id", "p", "v") == [(2, "y", 2), (9, "x", 9)]
+
+
+# ----------------------------------------------------------------- upsert
+
+
+def test_upsert_mor_last_writer_wins(spark, tmp_table):
+    base = seed_df(spark, [(i, f"v{i}", i * 10) for i in range(1, 6)], "id int, name string, val int")
+    write(base, tmp_table, mode="overwrite", hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(2, "V2", 999), (6, "v6", 60)], "id int, name string, val int"))
+    got = rows(t.to_df(), "id", "name", "val")
+    assert got == [
+        (1, "v1", 10),
+        (2, "V2", 999),
+        (3, "v3", 30),
+        (4, "v4", 40),
+        (5, "v5", 50),
+        (6, "v6", 60),
+    ]
+
+
+def test_upsert_duplicate_rows_in_one_batch(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, 1)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    # duplicate PKs within one upsert batch: later row (input order) wins
+    dup = spark.createDataFrame([(2, 20), (2, 21), (2, 22)], "id int, v int").coalesce(1)
+    t.upsert(dup)
+    assert rows(t.to_df(), "id", "v") == [(1, 1), (2, 22)]
+
+
+def test_upsert_partial_columns_wide_table(spark, tmp_table):
+    """Multi-stream wide table: writers upsert disjoint column subsets;
+    MOR assembles the wide row via file_exist_cols."""
+    tbl = create_table(
+        spark,
+        tmp_table,
+        "id int, a string, b string, c int",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    tbl.upsert(seed_df(spark, [(1, "a1"), (2, "a2")], "id int, a string"))
+    tbl.upsert(seed_df(spark, [(1, "b1"), (3, "b3")], "id int, b string"))
+    tbl.upsert(seed_df(spark, [(2, 42)], "id int, c int"))
+    got = rows(tbl.to_df(), "id", "a", "b", "c")
+    assert got == [
+        (1, "a1", "b1", None),
+        (2, "a2", None, 42),
+        (3, None, "b3", None),
+    ]
+
+
+def test_upsert_into_range_partitions(spark, tmp_table):
+    df = seed_df(spark, [(1, "x", 1), (2, "y", 2)], "id int, p string, v int")
+    write(df, tmp_table, mode="overwrite", range_partitions=["p"], hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(1, "x", 100), (3, "z", 3)], "id int, p string, v int"))
+    assert rows(t.to_df(), "id", "p", "v") == [(1, "x", 100), (2, "y", 2), (3, "z", 3)]
+
+
+# ---------------------------------------------------------- merge operators
+
+
+def test_merge_operators(spark, tmp_table):
+    tbl = create_table(
+        spark,
+        tmp_table,
+        "id int, s int, lnn string, j string",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    tbl.upsert(seed_df(spark, [(1, 5, "a", "x")], "id int, s int, lnn string, j string"))
+    tbl.upsert(seed_df(spark, [(1, 7, None, "y")], "id int, s int, lnn string, j string"))
+    tbl.upsert(seed_df(spark, [(1, 11, "c", "z")], "id int, s int, lnn string, j string"))
+    t = (
+        LakeSoulTable.for_path(spark, tmp_table)
+        .register_merge_operator("s", "sum_all")
+        .register_merge_operator("lnn", "use_last_not_null")
+        .register_merge_operator("j", "joined_all_by_comma")
+    )
+    assert rows(t.to_df(), "id", "s", "lnn", "j") == [(1, 23, "c", "x,y,z")]
+
+
+# -------------------------------------------------------------- update/delete
+
+
+def test_update(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, 10), (2, 20), (3, 30)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.update("v >= 20", {"v": "v + 1"})
+    assert rows(t.to_df(), "id", "v") == [(1, 10), (2, 21), (3, 31)]
+
+
+def test_delete_data_predicate(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, 10), (2, 20), (3, 30)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.delete("v = 20")
+    assert rows(t.to_df(), "id", "v") == [(1, 10), (3, 30)]
+
+
+def test_delete_partition_metadata_only(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, "x", 1), (2, "y", 2)], "id int, p string, v int"),
+        tmp_table,
+        range_partitions=["p"],
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    head_before = t.store.head_version()
+    t.delete("p = 'x'")
+    assert rows(t.to_df(), "id") == [(2,)]
+    c = t.store.read_commit(head_before + 1)
+    assert all(fo.op == "del" for fo in c.file_ops)  # no rewrite happened
+
+
+def test_delete_all(spark, tmp_table):
+    write(seed_df(spark, [(1, 1)], "id int, v int"), tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.delete()
+    assert t.to_df().count() == 0
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compaction_does_not_change_result(spark, tmp_table):
+    """Reference manual_execute_suites/CompactionDoNotChangeResult.scala."""
+    write(
+        seed_df(spark, [(i, i) for i in range(50)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=3,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    for gen in range(3):
+        t.upsert(seed_df(spark, [(i, i + 100 * (gen + 1)) for i in range(gen, 50, 7)], "id int, v int"))
+    before = rows(t.to_df(), "id", "v")
+    assert t.store.snapshot().max_generations_per_bucket() > 1
+    t.compaction()
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+    after = rows(t.to_df(), "id", "v")
+    assert before == after
+    # vacuum leaves the compacted table intact
+    removed = t.vacuum()
+    assert removed > 0
+    assert rows(t.to_df(), "id", "v") == before
+
+
+# ----------------------------------------------------- time travel / incremental
+
+
+def test_time_travel_and_rollback(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, 1), (2, 2)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(1, 100)], "id int, v int"))
+    t.upsert(seed_df(spark, [(3, 3)], "id int, v int"))
+    v1 = LakeSoulTable.for_path_snapshot(spark, tmp_table, version=1)
+    assert rows(v1.to_df(), "id", "v") == [(1, 1), (2, 2)]
+    v2 = LakeSoulTable.for_path_snapshot(spark, tmp_table, version=2)
+    assert rows(v2.to_df(), "id", "v") == [(1, 100), (2, 2)]
+    t.rollback(version=2)
+    assert rows(t.to_df(), "id", "v") == [(1, 100), (2, 2)]
+
+
+def test_incremental_read(spark, tmp_table):
+    write(
+        seed_df(spark, [(1, 1), (2, 2)], "id int, v int"),
+        tmp_table,
+        mode="overwrite",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    c1 = t.store.read_commit(1)
+    t.upsert(seed_df(spark, [(1, 100), (3, 3)], "id int, v int"))
+    t.upsert(seed_df(spark, [(1, 200)], "id int, v int"))
+    inc = LakeSoulTable.for_path_incremental(spark, tmp_table, c1.timestamp_ms)
+    assert rows(inc.to_df(), "id", "v") == [(1, 200), (3, 3)]
+
+
+# ------------------------------------------------------------------- CDC
+
+
+def test_cdc_semantics(spark, tmp_table):
+    tbl = create_table(
+        spark,
+        tmp_table,
+        "id int, v int, op string",
+        hash_partitions=["id"],
+        hash_bucket_num=2,
+        properties={"lakesoul_cdc_change_column": "op"},
+    )
+    tbl.upsert(seed_df(spark, [(1, 1, "insert"), (2, 2, "insert")], "id int, v int, op string"))
+    tbl.upsert(seed_df(spark, [(1, 10, "update"), (2, 2, "delete"), (3, 3, "insert")], "id int, v int, op string"))
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    # normal read filters final 'delete' state
+    assert rows(t.to_df(), "id", "v", "op") == [(1, 10, "update"), (3, 3, "insert")]
+    # incremental read passes change rows through unfiltered
+    inc = LakeSoulTable.for_path_incremental(spark, tmp_table, t.store.read_commit(1).timestamp_ms)
+    assert rows(inc.to_df(), "id", "v", "op") == [
+        (1, 10, "update"),
+        (2, 2, "delete"),
+        (3, 3, "insert"),
+    ]
+    # compaction rewrites update→insert, drops deletes; result unchanged
+    t.compaction()
+    assert rows(t.to_df(), "id", "v", "op") == [(1, 10, "insert"), (3, 3, "insert")]
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+
+
+# ------------------------------------------------------------ bucket layout
+
+
+def test_bucket_layout_matches_spark_hash(spark, tmp_table):
+    """Files are named per murmur3-seed-42 bucket: pmod(F.hash(pk), n).
+    This is the invariant that makes PK point-lookup bucket pruning valid."""
+    n = 4
+    df = seed_df(spark, [(i, i) for i in range(100)], "id int, v int")
+    write(df, tmp_table, mode="overwrite", hash_partitions=["id"], hash_bucket_num=n)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    expected = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.pmod(F.hash("id"), F.lit(n))).collect()
+    }
+    snap = t.store.snapshot()
+    for f in snap.files:
+        got = spark.read.parquet(os.path.join(tmp_table, f.path)).select("id").collect()
+        for r in got:
+            assert expected[r["id"]] == f.bucket
