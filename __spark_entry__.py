@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Wires the engine's query packs (``lakesoul_spark.queries``) into the
+driver's verify harness:
+
+- ``entry(spark)`` — flagship pricing-summary query (TPC-H Q1 shape)
+  at sf0.001.
+- ``queries()`` — every implemented operator/query from SURVEY.md §2:
+  relational pack (tpch.py), lakehouse-semantics pack (lakehouse.py —
+  upsert/MOR/CDC/time-travel/compaction expressed over the driver's
+  parquet fixtures), training-data pipeline pack (pipeline.py — dedup,
+  similarity, text analysis, multimodal plumbing).
+- ``oracle_sql()`` — exact DuckDB twin per query (omitted only for
+  genuinely non-SQL-expressible ops; driver then does rows-only).
 """
 
 from __future__ import annotations
@@ -13,26 +20,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lakesoul_spark.queries import all_oracles, all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    qs = all_queries()
+    return qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

@@ -1,0 +1,52 @@
+"""Benchmark harness: runs every engine query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query materializes fully through Spark's noop sink (honest
+end-to-end cost: scan → shuffle → result, no driver collect skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakesoul_spark.session import lakesoul_session  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = lakesoul_session(
+        "lakesoul_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB `documents`):
+
+- **exact**: md5 of normalized text, one hash-groupBy — the canonical
+  single-shuffle dedup; min-id survivor policy is deterministic.
+- **n-gram Jaccard (exact near-dup)**: inverted-index self-join on
+  shingles — candidate pairs are only pairs *sharing a shingle*, never
+  the O(n²) cross product; intersection counts come from one groupBy.
+- **MinHash+LSH (approximate near-dup, the scale path)**: k md5-derived
+  min-hashes per document (one shuffle), banded into b buckets; the
+  self-join happens per (band, signature) bucket — cost proportional to
+  colliding candidates, independent of corpus size. Survivors are
+  verified with exact Jaccard, so precision is exact and only recall is
+  probabilistic (P[miss] = (1-t^r)^b).
+- **SimHash**: per-token md5 nibble votes → fixed-width bit fingerprint;
+  Hamming-adjacent fingerprints bucket together for near-dup blocking.
+
+All hashing is md5 (hex strings), so every operator is bit-reproducible
+in any SQL engine — each has an exact DuckDB oracle in
+``lakesoul_spark.queries.pipeline``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lakesoul_spark.operators.text import tokens, word_shingles
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id document per normalized-text hash; report group
+    size. One shuffle (hash groupBy with map-side combine)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "text_hash", "dup_count")
+    )
+
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+    return docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: pairs that share at least one shingle get their
+    intersection counted in one aggregation; set sizes broadcast back.
+    """
+    sh = _shingle_sets(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """k min-hashes per document: h_s(doc) = min over shingles of
+    md5('s|' || shingle). One explode + one groupBy."""
+    sh = _shingle_sets(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    bands = num_hashes / rows_per_band; band key = md5 of the band's
+    concatenated min-hashes. Candidates = pairs sharing ≥1 band key;
+    each candidate is verified with exact shingle Jaccard ≥ threshold,
+    so output precision is exact (recall ≈ 1-(1-t^r)^b)."""
+    assert num_hashes % rows_per_band == 0
+    bands = num_hashes // rows_per_band
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("key"),
+            )
+        )
+    buckets = sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit j votes +tf/-tf by the high bit of the
+    j-th md5 nibble of each token; fingerprint = '1'/'0' string of
+    length ``bits`` (≤32 hex nibbles of md5). Per-token explode + one
+    groupBy; no UDFs."""
+    assert bits <= 32
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    toks = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    toks = toks.withColumn("h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(*list("89abcdef")), F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = F.concat(*[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(bits)])
+    return agg.select("id", fp.alias("simhash"))
+
+
+def embedding_cosine_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold (brute-force
+    self-join — quadratic; for the scale path pre-bucket with
+    ``similarity.ivf_assign`` and join within cells)."""
+    from lakesoul_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

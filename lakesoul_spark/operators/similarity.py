@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference: LakeSoul ships an IVF+RaBitQ ANN index built per
+(partition × bucket) shard with exact re-ranking
+(``python/src/lakesoul/vector_index.py:96-160,263-312``,
+``rust/lakesoul-vector/src/rabitq/``). Spark-first re-expression:
+
+- **brute-force top-k** (the exactness baseline = the reference's
+  ``rerank_by_distance``): cosine via a sequential left-fold
+  (`F.aggregate` over `F.zip_with`) — deterministic, engine-portable
+  IEEE arithmetic, fully codegen'd, no UDFs; top-k per query via a
+  rank window over the (queries × corpus) join. Queries are small →
+  broadcast; corpus scan is embarrassingly parallel.
+- **IVF top-k** (the scale path = reference's nlist=256 IVF): KMeans
+  (MLlib) centroids as coarse cells; each vector is assigned to its
+  cell once; a query probes only its ``nprobe`` nearest cells then
+  exact-ranks within — the corpus side is pruned by the cell join
+  instead of fully scanned. Approximate (same contract as the
+  reference's ANN), so it ships with a rows-only correctness check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over double elements —
+    bit-reproducible in any engine that folds left (init 0.0)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+
+    Plan shape: broadcast(queries) × corpus → per-row fold → rank
+    window partitioned by query id. Ties break by corpus id, so output
+    is fully deterministic."""
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """KMeans coarse quantizer (reference defaults nlist=256 at scale;
+    sized down for small corpora). Returns plain centroid lists so the
+    assignment step is a broadcast expression, not an ML pipeline
+    dependency at read time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter)
+    model = km.fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Indices of the ``nprobe`` nearest centroids (by cosine) as an
+    array — computed as a pure expression over a literal centroid array."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(cosine(vec, c).alias("s"), i.alias("i")),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda x: x["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-pruned approximate top-k: corpus rows join queries only when
+    the corpus row's cell is among the query's ``nprobe`` probed cells.
+    At scale the corpus side is pre-partitioned by cell (write the
+    assignment as a range partition of a LakeSoul table) so a probe
+    reads only matching partitions."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

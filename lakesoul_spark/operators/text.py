@@ -1,0 +1,113 @@
+"""Text-analysis operators: tokenization, shingles, language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions — JVM-side, codegen'd,
+shuffle-free (per-row) — designed to run over a 100 TB `documents`
+table with nothing but map tasks. Formulas are deliberately portable
+ANSI SQL so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(tok_col: Column, n: int) -> Column:
+    """Word n-gram shingles; documents shorter than n tokens collapse to
+    a single whole-document shingle."""
+    idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)))
+    return F.when(F.size(tok_col) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", tok_col))
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count plus a BPE-ish subword estimate: long
+    tokens cost extra units per 4 chars beyond the first 4."""
+    toks = tokens(col)
+    extra = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) - 1) / 4).cast("long"),
+    )
+    return (F.size(toks) + extra).alias("token_est")
+
+
+def occurrence_count(col: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whitespace-delimited token, via the
+    portable pad-and-replace identity (identical in any SQL engine)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+# marker words per language for the n-gram/stopword language-ID
+# heuristic; ties break by list order (deterministic argmax)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of"]),
+    ("de", ["der", "die", "und"]),
+    ("es", ["el", "la", "de"]),
+    ("fr", ["le", "la", "et"]),
+    ("zh", ["zh0", "zh1", "zh2"]),
+]
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    out = []
+    for lang, words in LANG_MARKERS:
+        s = None
+        for w in words:
+            c = occurrence_count(col, w)
+            s = c if s is None else s + c
+        out.append((lang, s))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Deterministic argmax over marker-word counts — earlier language
+    in LANG_MARKERS wins ties; 'und' when no marker appears."""
+    scores = lang_scores(col)
+    expr = None
+    for i, (lang, s) in enumerate(scores):
+        cond = s > 0
+        for j, (_, s2) in enumerate(scores):
+            if j < i:
+                cond = cond & (s > s2)   # must beat every earlier language
+            elif j > i:
+                cond = cond & (s >= s2)  # ties with later languages are ok
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length credit, mean-token-length
+    window, stopword presence — the standard cheap pre-filters of a
+    training-data pipeline. Pure arithmetic → exact SQL oracle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    n_chars = F.length(col)
+    mean_tok = n_chars / n
+    stop = occurrence_count(col, "the") + occurrence_count(col, "a")
+    len_credit = F.least(n / F.lit(64.0), F.lit(1.0))
+    tok_credit = F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0).otherwise(0.5)
+    stop_credit = F.when(stop > 0, 1.0).otherwise(0.6)
+    return F.round(
+        0.4 * len_credit + 0.3 * tok_credit + 0.3 * stop_credit, 6
+    )
+
+
+def doc_fingerprint(col: Column, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint: min md5 over word 5-gram
+    windows (a locality-stable content signature; equal for documents
+    sharing their minimal window)."""
+    sh = word_shingles(tokens(col), n)
+    return F.array_min(F.transform(sh, F.md5))

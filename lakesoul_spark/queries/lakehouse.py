@@ -1,0 +1,322 @@
+"""Lakehouse-semantics query pack: each query drives the LakeSoul table
+format end-to-end (write → upsert/DML/compaction → MOR read) on a temp
+table built from the driver's parquet inputs, with a relational DuckDB
+oracle expressing the expected final state. This is how the reference's
+own ConsistencyCI works (Spark path vs Rust path over the same TPC-H
+data) — here it's our MOR path vs a pure-SQL reconstruction.
+
+Tables are rebuilt per call under /tmp (idempotent; sized by sf_dir).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from lakesoul_spark.queries.tpch import t as _t
+from lakesoul_spark.table import LakeSoulTable, create_table, write
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+# oracle output must not carry raw timestamps → format dates as strings
+_ORDER_SEL_SQL = (
+    "o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority"
+)
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/{name}-{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _fmt_orders(df):
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+# ------------------------------------------------------------- upsert MOR
+
+@_register(
+    "lakehouse_upsert_mor",
+    f"""
+    SELECT {_ORDER_SEL_SQL.replace("o_totalprice AS DOUBLE", "o_totalprice AS DOUBLE")}
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def upsert_mor(spark, sf_dir):
+    """Write orders as a PK table, upsert a modified slice, MOR-read."""
+    path = _tmp("upsert_mor", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    t.upsert(delta)
+    return _fmt_orders(t.to_df())
+
+
+# -------------------------------------------------- partial-column upsert
+
+@_register(
+    "lakehouse_partial_upsert",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def partial_upsert(spark, sf_dir):
+    """Multi-stream wide table: a second writer upserts only
+    (pk, o_orderpriority); MOR merges across heterogeneous file schemas
+    via file_exist_cols."""
+    path = _tmp("partial_upsert", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    slim = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", F.lit("RUSH").alias("o_orderpriority")
+    )
+    t.upsert(slim)
+    return t.to_df().select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+# --------------------------------------------------------- merge operators
+
+@_register(
+    "lakehouse_merge_operators",
+    """
+    WITH even AS (
+      SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+    odd AS (
+      SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+    SELECT COALESCE(even.user_id, odd.user_id) AS user_id,
+           COALESCE(even.v, 0) + COALESCE(odd.v, 0) AS total_value
+    FROM even FULL OUTER JOIN odd ON even.user_id = odd.user_id
+    """,
+)
+def merge_operators(spark, sf_dir):
+    """sum_all merge operator: two delta batches carry per-user partial
+    sums; MOR read folds them with SumAll (reference merge_operator.rs
+    SumAll semantics)."""
+    path = _tmp("merge_ops", sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    tbl = create_table(
+        spark, path, "user_id bigint, total_value double",
+        hash_partitions=["user_id"], hash_bucket_num=4,
+    )
+    for parity in (0, 1):
+        batch = (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
+        )
+        tbl.upsert(batch)
+    t = LakeSoulTable.for_path(spark, path).register_merge_operator("total_value", "sum_all")
+    return t.to_df()
+
+
+# ---------------------------------------------------------------- CDC
+
+@_register(
+    "lakehouse_cdc_read",
+    """
+    SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'redacted' ELSE lang END AS lang,
+           source,
+           CASE WHEN doc_id % 7 = 0 THEN 'update' ELSE 'insert' END AS change_kind
+    FROM documents WHERE doc_id % 5 <> 0
+    """,
+)
+def cdc_read(spark, sf_dir):
+    """CDC table: inserts, then a change batch of updates + deletes;
+    normal read hides delete rows (ProcessCDCTableMergeOnRead)."""
+    path = _tmp("cdc_read", sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "source")
+    tbl = create_table(
+        spark, path, "doc_id bigint, lang string, source string, change_kind string",
+        hash_partitions=["doc_id"], hash_bucket_num=4,
+        properties={"lakesoul_cdc_change_column": "change_kind"},
+    )
+    tbl.upsert(d.withColumn("change_kind", F.lit("insert")))
+    changes = d.filter((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 0)).withColumn(
+        "change_kind",
+        F.when(F.col("doc_id") % 5 == 0, "delete").otherwise("update"),
+    ).withColumn(
+        "lang",
+        F.when(F.col("change_kind") == "update", F.lit("redacted")).otherwise(F.col("lang")),
+    )
+    tbl.upsert(changes)
+    return tbl.to_df()
+
+
+# ------------------------------------------------------------ time travel
+
+@_register(
+    "lakehouse_time_travel",
+    f"SELECT {_ORDER_SEL_SQL} FROM orders WHERE year(o_orderdate) <= 1997",
+)
+def time_travel(spark, sf_dir):
+    """v1 = pre-1998 orders; v2 appends the rest; snapshot(version=1)
+    must reproduce v1 exactly."""
+    path = _tmp("time_travel", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders.filter(F.year("o_orderdate") <= 1997), path, mode="overwrite")
+    write(orders.filter(F.year("o_orderdate") > 1997), path, mode="append")
+    v1 = LakeSoulTable.for_path_snapshot(spark, path, version=1)
+    return _fmt_orders(v1.to_df())
+
+
+# ------------------------------------------------------------- incremental
+
+@_register(
+    "lakehouse_incremental",
+    f"SELECT {_ORDER_SEL_SQL} FROM orders WHERE year(o_orderdate) > 1997",
+)
+def incremental(spark, sf_dir):
+    path = _tmp("incremental", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders.filter(F.year("o_orderdate") <= 1997), path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    ts1 = t.store.read_commit(1).timestamp_ms
+    write(orders.filter(F.year("o_orderdate") > 1997), path, mode="append")
+    inc = LakeSoulTable.for_path_incremental(spark, path, ts1)
+    return _fmt_orders(inc.to_df())
+
+
+# ------------------------------------------------------------- DML + compact
+
+@_register(
+    "lakehouse_update_delete",
+    f"""
+    SELECT {_ORDER_SEL_SQL} FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE NOT (o_orderpriority = '5-LOW' AND o_totalprice < 50000))
+    """,
+)
+def update_delete(spark, sf_dir):
+    path = _tmp("update_delete", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    t.delete("o_orderpriority = '5-LOW' AND o_totalprice < 50000")
+    t.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice * 1.1"})
+    return _fmt_orders(t.to_df())
+
+
+@_register(
+    "lakehouse_compaction",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                  WHEN o_orderkey % 3 = 1 THEN o_totalprice + 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def compaction(spark, sf_dir):
+    """Several upsert generations, then compaction — the compacted
+    single-generation read (shuffle-free plan) must equal the MOR view
+    (reference CompactionDoNotChangeResult)."""
+    path = _tmp("compaction", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 2
+        )
+    )
+    t.compaction()
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+    return _fmt_orders(t.to_df())
+
+
+# ------------------------------------------------- dynamic partition overwrite
+
+@_register(
+    "lakehouse_partition_overwrite",
+    """
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_type <> 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, CAST(value * 0.5 AS DOUBLE) AS value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def partition_overwrite(spark, sf_dir):
+    """Range-partitioned table; overwrite rewrites ONLY the partitions
+    present in the incoming frame (reference WriteIntoTable dynamic
+    overwrite)."""
+    path = _tmp("part_overwrite", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write(ev, path, mode="overwrite", range_partitions=["event_type"])
+    halved = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 0.5
+    )
+    write(halved, path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    return t.to_df().select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )

@@ -1,0 +1,325 @@
+"""Training-data pipeline query pack: deduplication, similarity search,
+text analysis, multimodal plumbing — over the `documents` and
+`embeddings` tables.
+
+Every oracle reproduces the Spark computation exactly (md5-based
+hashing, left-fold float arithmetic), so these are value-hash-checked,
+not just row-counted — except `ann_ivf_topk`, which is approximate by
+contract (KMeans cells) and ships without an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesoul_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared SQL fragments (the oracle-side twin of operators/text.py)
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SHINGLES3 = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+
+def _occ(word: str) -> str:
+    pad = f"concat(' ', lower(text), ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY text_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(docs(spark, sf_dir))
+
+
+# ---------------------------------------------------- exact n-gram jaccard
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SHINGLES3})) AS sh FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+# ----------------------------------------------------------- minhash LSH
+
+def _minhash_oracle(num_hashes: int = 32, rows_per_band: int = 2) -> str:
+    mh_cols = ",\n           ".join(
+        f"min(md5(concat('{s}|', sh))) AS mh{s}" for s in range(num_hashes)
+    )
+    bands = num_hashes // rows_per_band
+    band_rows = ", ".join(
+        "({b}, md5(concat_ws('|', {parts})))".format(
+            b=b,
+            parts=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SHINGLES3})) AS sh FROM documents),
+    sig AS (
+      SELECT id,
+           {mh_cols}
+      FROM sh GROUP BY id),
+    buckets AS (
+      SELECT id, b.band, b.key
+      FROM sig, LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) b),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT c.id_a, c.id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM cand c JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        docs(spark, sf_dir), n=3, num_hashes=32, rows_per_band=2, threshold=0.8
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN substring(md5(tok), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    votes AS (
+      SELECT id,
+           {votes}
+      FROM toks GROUP BY id)
+    SELECT id, {fp} AS simhash FROM votes
+    """
+
+
+@_register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(docs(spark, sf_dir), bits=16)
+
+
+# ------------------------------------------------------ embedding near-dup
+
+_FOLD_COS = """list_reduce(list_transform(generate_series(1, len({a})),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(generate_series(1, len({a})),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(generate_series(1, len({b})),
+                 i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))"""
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_FOLD_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_FOLD_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    return dedup.embedding_cosine_dup_pairs(embs(spark, sf_dir), threshold=0.45)
+
+
+# ------------------------------------------------------------- ANN top-k
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_FOLD_COS.format(a='q.qv', b='c.embedding')} AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk(spark, sf_dir):
+    e = embs(spark, sf_dir)
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+# IVF is approximate by design (KMeans cells) → rows-only check
+@_register("ann_ivf_topk", None)
+def ann_ivf(spark, sf_dir):
+    e = embs(spark, sf_dir).cache()
+    cents = similarity.train_ivf_centroids(e, nlist=8, seed=42)
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), centroids=cents, k=5, nprobe=3
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+@_register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           length(text) AS len_chars,
+           CAST(len({_TOKS}) +
+                list_reduce(list_transform({_TOKS},
+                    tok -> CAST(floor((length(tok) - 1) / 4) AS BIGINT)),
+                    (x, y) -> x + y) AS BIGINT) AS token_est,
+           round(0.4 * least(len({_TOKS}) / 64.0, 1.0)
+               + 0.3 * (CASE WHEN length(text)::DOUBLE / len({_TOKS}) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (CASE WHEN {_occ('the')} + {_occ('a')} > 0
+                        THEN 1.0 ELSE 0.6 END), 6) AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(text.tokens(txt)).alias("n_tokens"),
+        F.length(txt).alias("len_chars"),
+        text.token_count(txt).cast("long").alias("token_est"),
+        text.quality_score(txt).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: " + ".join(_occ(w) for w in words)
+        for lang, words in text.LANG_MARKERS
+    }
+    langs = [lang for lang, _ in text.LANG_MARKERS]
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"({score[lang]}) > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"({score[lang]}) > ({score[other]})")
+            elif j > i:
+                conds.append(f"({score[lang]}) >= ({score[other]})")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+    SELECT doc_id, lang,
+           CASE {' '.join(branches)} ELSE 'und' END AS pred_lang
+    FROM documents
+    """
+
+
+@_register("text_langid", _langid_oracle())
+def text_langid(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_min(list_transform(
+             CASE WHEN len({_TOKS}) >= 5 THEN
+               list_transform(generate_series(1, len({_TOKS}) - 4),
+                              i -> array_to_string(({_TOKS})[i:i+4], ' '))
+             ELSE [array_to_string({_TOKS}, ' ')] END,
+             s -> md5(s))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fp(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    return d.select(
+        "doc_id", text.doc_fingerprint(F.col("text"), n=5).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'text_as_media' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS payload_md5,
+           0 AS feature_dim
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    media = multimodal.pack_media(docs(spark, sf_dir), "doc_id", "text", "text_as_media")
+    return multimodal.extract_features(media)

@@ -1,0 +1,522 @@
+"""Analytic query pack (TPC-H-shaped, adapted to the driver's synthetic
+star schema) — exercises the host-engine relational surface the
+reference delegates to Spark/DataFusion (SURVEY.md §2.5): multi-way
+joins, broadcast dims, semi/anti joins, scalar subqueries, windows,
+rollup, set ops, JSON extraction.
+
+Each QUERIES[name](spark, sf_dir) has an exact ORACLES[name] DuckDB SQL.
+Plans are kept broadcast-friendly: dimension tables (region, nation,
+supplier, part at small SF; customer vs orders) flow through
+``F.broadcast`` hints where a real cluster would want them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the fixture's ts column is timestamp[ns]; read as bigint
+        # epoch-nanos (exact) — the vectorized reader rejects NANOS
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(c: Column) -> Column:
+    """Exact, order-insensitive money sum: double → decimal(18,6) per
+    row, decimal addition, final double."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# SQL-side twin of dsum
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------- q1
+
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------- q3
+
+@_register(
+    "q3_unshipped_revenue",
+    f"""
+    SELECT l_orderkey,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- q4
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------- q5
+
+@_register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------- q6
+
+@_register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# --------------------------------------------------------------------- q9
+
+@_register(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6')} AS profit
+    FROM lineitem JOIN part     ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.6)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("profit"))
+    )
+
+
+# -------------------------------------------------------------------- q10
+
+@_register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------------------- q14
+
+@_register(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * {_dsum("CASE WHEN p_type = 'PROMO' OR p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_revenue"))
+    )
+
+
+# -------------------------------------------------------------------- q18
+
+@_register(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           {_dsum('l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 210)
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q18(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "k")), li.l_orderkey == F.col("k"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+# -------------------------------------------------------------------- q19
+
+@_register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21)
+    c2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30)
+    c3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40)
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# -------------------------------------------------------------------- q22
+
+@_register(
+    "q22_idle_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    avg_bal = pos.collect()[0]["avg_bal"]
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- windows
+
+@_register(
+    "w_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def w_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "rk")
+    )
+
+
+@_register(
+    "w_running_user_value",
+    """
+    SELECT user_id, event_id,
+           SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def w_running_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("user_id", "event_id", F.sum("value").over(w).alias("running_value"))
+
+
+@_register(
+    "w_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+    SELECT user_id, CAST(session_id AS INT) AS session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is bigint epoch-nanos (nanosAsLong) → gap arithmetic is exact
+    # and matches the oracle's INTERVAL comparison on timestamp_ns
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    g = ev.withColumn(
+        "new_session",
+        F.when(gap > 1800 * 1_000_000_000, 1)
+        .when(F.lag(F.col("ts")).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.withColumn("session_id", F.sum("new_session").over(wsum).cast("int"))
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ------------------------------------------------------- rollup / set ops
+
+@_register(
+    "rollup_region_customers",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("bal"))
+    )
+
+
+@_register(
+    "setop_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_repeat(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@_register(
+    "json_event_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -37,6 +37,10 @@ def lakesoul_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver fixtures carry timestamp[ns] parquet columns, which the
+        # vectorized reader rejects; read them as bigint nanos (exact —
+        # ordering and interval arithmetic stay nanosecond-precise)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("LAKESOUL_DRIVER_MEM", "8g"))
     )
