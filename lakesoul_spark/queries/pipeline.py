@@ -184,10 +184,11 @@ _FOLD_COS = """list_reduce(list_transform(generate_series(1, len({a})),
 @_register(
     "dedup_embedding_cosine",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_FOLD_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_FOLD_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+    WITH scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_FOLD_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45
     """,
 )
 def dedup_embedding(spark, sf_dir):
