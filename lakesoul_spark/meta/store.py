@@ -383,6 +383,32 @@ class MetaStore:
                     )
         return out, cs
 
+    def files_in_version_range(self, start_v: int, end_v: int) -> list[FileEntry]:
+        """Files added by commits with start < seq <= end — the unit a
+        streaming micro-batch reads (offset = commit version, reference
+        ``StreamParquetScan.scala:108-136``). Compactions are skipped
+        (rewrites, not new rows), as in incremental reads."""
+        out: list[FileEntry] = []
+        for c in self.commits(start_v + 1, min(end_v, self.head_version())):
+            if c.commit_op == OP_COMPACTION:
+                continue
+            for i, fo in enumerate(c.file_ops):
+                if fo.op == "add":
+                    out.append(
+                        FileEntry(
+                            commit_seq=c.seq,
+                            file_seq=i,
+                            path=fo.path,
+                            partition_desc=fo.partition_desc,
+                            bucket=fo.bucket,
+                            file_exist_cols=fo.file_exist_cols,
+                            commit_op=c.commit_op,
+                            size=fo.size,
+                            num_rows=fo.num_rows,
+                        )
+                    )
+        return out
+
     def has_batch(self, query_id: str, batch_id: int) -> bool:
         """Streaming idempotence (reference LakeSoulSink.scala:44-48)."""
         for c in self.commits(1, self.head_version()):

@@ -320,3 +320,84 @@ def partition_overwrite(spark, sf_dir):
     return t.to_df().select(
         "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
     )
+
+
+# ------------------------------------------------- streaming sink (§2.8)
+
+@_register(
+    "streaming_sink_sum",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_sink_sum(spark, sf_dir):
+    """End-to-end Structured Streaming: stage events as a multi-file
+    parquet stream, run a real micro-batch query (availableNow, one file
+    per trigger) through the foreachBatch sink — each batch upserts
+    per-user partial sums as a Merge commit — then MOR-read with the
+    ``sum_all`` merge operator folding partials across generations.
+    Decimal partial sums make the result independent of how the stream
+    was batched, so the oracle is a plain GROUP BY over the raw events
+    (reference semantics: LakeSoulSink.scala:36-88 + SumAll merge,
+    merge_operator.rs:22-50)."""
+    from lakesoul_spark.streaming import write_stream
+
+    path = _tmp("stream_sink", sf_dir)
+    src = _tmp("stream_sink_src", sf_dir)
+    ck = _tmp("stream_sink_ck", sf_dir)
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    ev.repartition(4).write.parquet(src)
+
+    batch_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    partials = lambda bdf: (  # noqa: E731
+        bdf.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value")
+        )
+    )
+    from lakesoul_spark.streaming.sink import write_batch
+
+    def process(bdf, bid):
+        write_batch(
+            partials(bdf), path, bid, query_id="streaming_sink_sum",
+            hash_partitions=["user_id"], hash_bucket_num=4,
+        )
+
+    q = (
+        batch_src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    t = LakeSoulTable.for_path(spark, path).register_merge_operator(
+        "total_value", "sum_all"
+    )
+    return t.to_df().select(
+        "user_id", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+# ------------------------------------------- PK point lookup (bucket pruning)
+
+@_register(
+    "lakehouse_pk_point_lookup",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM orders WHERE o_orderkey = 4242
+    """,
+)
+def pk_point_lookup(spark, sf_dir):
+    """Point lookup on the PK: reads ONLY the murmur3(seed 42) bucket
+    of the literal (driver-side pruning from commit metadata — no job,
+    no full scan; reference reader.rs:160-180)."""
+    path = _tmp("pk_lookup", sf_dir)
+    write(_orders(spark, sf_dir), path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, path)
+    return _fmt_orders(t.point_lookup(o_orderkey=4242))

@@ -41,6 +41,8 @@ def lakesoul_session(
         # vectorized reader rejects; read them as bigint nanos (exact —
         # ordering and interval arithmetic stay nanosecond-precise)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource filter pushdown (format("lakesoul") pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("LAKESOUL_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,305 @@
+"""``format("lakesoul")`` via the PySpark Python Data Source API.
+
+Batch read — a *bucket-aligned merge scan*, the reference's native scan
+architecture (``MergeParquetScan.scala:376-448``: one input split per
+hash bucket holding ALL of that bucket's delta files, merged inside the
+task — merge files are unsplittable, :285-301):
+
+- ``partitions()`` plans one :class:`InputPartition` per (range
+  partition, bucket); non-PK tables get one per file.
+- ``pushFilters`` prunes range partitions from commit metadata (no FS
+  listing — reference ``PartitionFilter.scala:44-127``) and, for
+  equality on the full PK, prunes to the murmur3(seed 42) bucket of the
+  literal (reference ``rust/lakesoul-io/src/reader.rs:160-180``).
+- ``read()`` merges the bucket's PK-sorted generations with pyarrow and
+  yields Arrow batches (zero-copy into Spark's columnar pipeline).
+
+Streaming read — a real ``spark.readStream.format("lakesoul")``
+micro-batch source: offsets are commit-log versions; each batch plans
+the files committed in ``(start, end]`` — mirroring
+``StreamParquetScan.scala:108-136`` where offsets are commit
+timestamps. CDC rows pass through unfiltered, as in reference
+incremental reads.
+
+Note on scan dispatch (``LakeSoulScanBuilder.scala:104-134``): this
+Python source is one of two batch strategies; ``LakeSoulTable.to_df()``
+is the JVM-native path (vectorized parquet + shuffle MOR) preferred for
+large scans. The Python source exists for API parity, streaming, and
+bucket-aligned reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+CDC_DELETE = "delete"
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _arrow_schema(schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _read_file_merged(paths_with_order, table_schema_json, range_vals,
+                      pk_cols, cdc_col, apply_cdc_filter):
+    """Read one bucket's file generations, merge last-writer-wins, and
+    yield arrow batches matching the table schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    schema = StructType.fromJson(json.loads(table_schema_json))
+    target = _arrow_schema(schema)
+
+    tables = []
+    for path, commit_seq, file_seq in paths_with_order:
+        t = pq.read_table(path)
+        cols, names = [], []
+        for field in target:
+            if field.name in range_vals:
+                v = range_vals[field.name]
+                arr = pa.nulls(t.num_rows, field.type) if v is None else pc.cast(
+                    pa.array([v] * t.num_rows, pa.string()), field.type
+                )
+                cols.append(arr)
+            elif field.name in t.column_names:
+                cols.append(pc.cast(t.column(field.name), field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+            names.append(field.name)
+        tbl = pa.table(dict(zip(names, cols)))
+        if pk_cols:
+            order = pa.array([commit_seq * (1 << 20) + file_seq] * t.num_rows,
+                             pa.int64())
+            tbl = tbl.append_column("__ls_order", order)
+        tables.append(tbl)
+
+    if not tables:
+        return
+    merged = pa.concat_tables(tables)
+    if pk_cols and len(tables) > 1:
+        import pandas as pd  # noqa: F401
+
+        pdf = merged.to_pandas()
+        pdf = pdf.sort_values([*pk_cols, "__ls_order"], kind="stable")
+        pdf = pdf.drop_duplicates(subset=pk_cols, keep="last")
+        merged = pa.Table.from_pandas(pdf, preserve_index=False)
+    if pk_cols:
+        merged = merged.drop_columns("__ls_order")
+    merged = merged.cast(target)
+    if cdc_col and apply_cdc_filter and cdc_col in merged.column_names:
+        import pyarrow.compute as pc2
+
+        merged = merged.filter(pc2.not_equal(merged.column(cdc_col), CDC_DELETE))
+    yield from merged.to_batches(max_chunksize=8192)
+
+
+@dataclass
+class _Split(InputPartition):
+    files: list          # [(abs_path, commit_seq, file_seq)]
+    range_vals: dict     # range col -> string value (None for null)
+    schema_json: str
+    pk_cols: tuple
+    cdc_col: str | None
+    cdc_filter: bool
+
+
+def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
+    """Group a file list into splits: per (partition, bucket) when the
+    table has a PK (merge needs all generations together), per file
+    otherwise."""
+    from lakesoul_spark.io import partition as part_enc
+
+    groups: dict = {}
+    for f in files:
+        key = (f.partition_desc, f.bucket if (group_buckets and info.hash_partitions) else f.path)
+        groups.setdefault(key, []).append(f)
+    splits = []
+    for (desc, _k), fs in sorted(groups.items()):
+        vals = part_enc.parse_desc(desc)
+        range_vals = {c: vals.get(c) for c in info.range_partitions}
+        entries = sorted(
+            ((os.path.join(info.path, f.path), f.commit_seq, f.file_seq) for f in fs),
+            key=lambda x: (x[1], x[2]),
+        )
+        splits.append(
+            _Split(
+                files=entries,
+                range_vals=range_vals,
+                schema_json=info.schema_json,
+                pk_cols=tuple(info.hash_partitions),
+                cdc_col=info.cdc_column,
+                cdc_filter=cdc_filter,
+            )
+        )
+    return splits
+
+
+# ------------------------------------------------------------- batch reader
+
+
+class LakeSoulBatchReader(DataSourceReader):
+    def __init__(self, path: str, options):
+        from lakesoul_spark.meta.store import MetaStore
+
+        self.store = MetaStore(os.path.abspath(path))
+        self.info = self.store.table_info()
+        self.version = options.get("version")
+        self.timestamp_ms = options.get("timestampms")
+        self._part_filter: set[str] | None = None
+        self._bucket_filter: int | None = None
+
+    def pushFilters(self, filters):
+        """Accept equality filters on range-partition columns (metadata
+        pruning) and full-PK equality (bucket pruning); everything else
+        is returned for Spark to evaluate."""
+        from lakesoul_spark.functions.spark_hash import bucket_of
+        from lakesoul_spark.io import partition as part_enc
+
+        info = self.info
+        range_eq: dict[str, list] = {}
+        pk_eq: dict[str, object] = {}
+        unsupported = []
+        for f in filters:
+            col = f.attribute[0] if isinstance(f, (EqualTo, In)) and len(f.attribute) == 1 else None
+            if isinstance(f, EqualTo) and col in info.range_partitions:
+                range_eq.setdefault(col, []).append(f.value)
+            elif isinstance(f, In) and col in info.range_partitions:
+                range_eq.setdefault(col, []).extend(f.value)
+            elif isinstance(f, EqualTo) and col in info.hash_partitions:
+                pk_eq[col] = f.value
+                unsupported.append(f)  # prune files, but let Spark re-check rows
+            else:
+                unsupported.append(f)
+
+        if range_eq:
+            keep = set()
+            for d in self.store.snapshot().partitions():
+                vals = part_enc.parse_desc(d)
+                ok = True
+                for c, wanted in range_eq.items():
+                    if str(vals.get(c)) not in {str(w) for w in wanted}:
+                        ok = False
+                        break
+                if ok:
+                    keep.add(d)
+            self._part_filter = keep
+        if info.hash_partitions and set(pk_eq) == set(info.hash_partitions):
+            from lakesoul_spark.io.writer import table_schema
+
+            types = {f.name: f.dataType.simpleString()
+                     for f in table_schema(self.info).fields}
+            self._bucket_filter = bucket_of(
+                [pk_eq[c] for c in info.hash_partitions],
+                [types[c] for c in info.hash_partitions],
+                info.hash_bucket_num,
+            )
+        return unsupported
+
+    def partitions(self):
+        snap = self.store.snapshot(
+            version=int(self.version) if self.version is not None else None,
+            timestamp_ms=int(self.timestamp_ms) if self.timestamp_ms is not None else None,
+            partition_descs=self._part_filter,
+        )
+        files = snap.files
+        if self._bucket_filter is not None:
+            files = [f for f in files if f.bucket in (self._bucket_filter, -1)]
+        splits = _plan_splits(self.info, files, group_buckets=True, cdc_filter=True)
+        return splits or [_Split([], {}, self.info.schema_json, (), None, True)]
+
+    def read(self, split: _Split):
+        yield from _read_file_merged(
+            split.files, split.schema_json, split.range_vals,
+            list(split.pk_cols), split.cdc_col, split.cdc_filter,
+        )
+
+
+# ------------------------------------------------------------ stream reader
+
+
+class LakeSoulStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the commit log; offset = commit version."""
+
+    def __init__(self, path: str, options):
+        from lakesoul_spark.meta.store import MetaStore
+
+        self.path = os.path.abspath(path)
+        self.store = MetaStore(self.path)
+        self.info = self.store.table_info()
+        self.start_version = int(options.get("startingversion", 0))
+
+    def initialOffset(self):
+        return {"version": self.start_version}
+
+    def latestOffset(self):
+        return {"version": self.store.head_version()}
+
+    def partitions(self, start: dict, end: dict):
+        files = self.store.files_in_version_range(
+            int(start["version"]), int(end["version"])
+        )
+        # per-file splits: incremental reads pass rows through (CDC
+        # changes unfiltered), no cross-generation merge inside a batch
+        return _plan_splits(self.info, files, group_buckets=False, cdc_filter=False)
+
+    def read(self, split: _Split):
+        yield from _read_file_merged(
+            split.files, split.schema_json, split.range_vals,
+            [], split.cdc_col, split.cdc_filter,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+# ---------------------------------------------------------------- resolver
+
+
+class LakeSoulPyDataSource(DataSource):
+    """``spark.read.format("lakesoul").load(path)`` /
+    ``spark.readStream.format("lakesoul").load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakesoul"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("format('lakesoul') requires .load(<table path>)")
+        return p
+
+    def schema(self):
+        from lakesoul_spark.meta.store import MetaStore
+
+        info = MetaStore(os.path.abspath(self._path())).table_info()
+        return StructType.fromJson(json.loads(info.schema_json))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return LakeSoulBatchReader(self._path(), self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return LakeSoulStreamReader(self._path(), self.options)
+
+
+def register(spark) -> None:
+    """Register the 'lakesoul' format on a session (idempotent)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakeSoulPyDataSource)

@@ -125,12 +125,18 @@ def write(
 
     if mode == "append":
         if info.is_pk_table:
-            raise ValueError(
-                "append to a primary-key table is not allowed; use upsert() "
-                "(reference WriteIntoTable.scala:83-84)"
-            )
-        ops = write_table_data(df, info)
-        store.commit(OP_APPEND, ops)
+            if store.head_version() > 0:
+                raise ValueError(
+                    "append to an existing primary-key table is not allowed; "
+                    "use upsert() (reference WriteIntoTable.scala:83-84)"
+                )
+            # initial load of a fresh PK table: a sorted bucketed write
+            # committed as Merge (single generation, MOR-clean)
+            ops = write_table_data(df, info)
+            store.commit(OP_MERGE, ops)
+        else:
+            ops = write_table_data(df, info)
+            store.commit(OP_APPEND, ops)
     elif mode == "overwrite":
         if replace_where is not None:
             bad = df.filter(f"NOT ({replace_where})").limit(1).count()
@@ -301,6 +307,41 @@ class LakeSoulTable:
         )
 
     toDF = to_df
+
+    def point_lookup(self, **pk_values) -> DataFrame:
+        """PK point lookup with bucket pruning: the murmur3(seed 42)
+        bucket of the literal is computed driver-side and only that
+        bucket's files are scanned (reference
+        ``rust/lakesoul-io/src/reader.rs:160-180``,
+        ``utils/hash/mod.rs:19-24``). Within the files, parquet
+        row-group stats on the PK-sorted data prune further."""
+        from lakesoul_spark.functions.spark_hash import bucket_of
+
+        info = self.info
+        if set(pk_values) != set(info.hash_partitions):
+            raise ValueError(
+                f"point_lookup needs exactly the PK columns {info.hash_partitions}"
+            )
+        types = {f.name: f.dataType.simpleString() for f in table_schema(info).fields}
+        b = bucket_of(
+            [pk_values[c] for c in info.hash_partitions],
+            [types[c] for c in info.hash_partitions],
+            info.hash_bucket_num,
+        )
+        snap = self.store.snapshot(partition_descs=self._partition_filter())
+        from lakesoul_spark.meta.store import Snapshot
+
+        pruned = Snapshot(
+            version=snap.version,
+            timestamp_ms=snap.timestamp_ms,
+            files=[f for f in snap.files if f.bucket in (b, -1)],
+        )
+        df = rdr.merge_view(self.spark, info, pruned, merge_ops=self._merge_ops)
+        cond = None
+        for c, v in pk_values.items():
+            e = F.col(c) == F.lit(v)
+            cond = e if cond is None else (cond & e)
+        return df.filter(cond)
 
     # -------------------------------------------------------------- writing
 

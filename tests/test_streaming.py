@@ -1,0 +1,207 @@
+"""Streaming surface tests (SURVEY.md §2.8), modeled on the reference
+LakeSoulSinkSuite / ReadSuite streaming cases:
+
+- sink: append / update / complete modes, PK upsert semantics,
+  (query_id, batch_id) idempotence, NullType rejection;
+- source: readStream over the commit log sees appends incrementally;
+- format("lakesoul") batch read: MOR parity with the view builder,
+  partition pruning, PK point-lookup bucket pruning.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesoul_spark.functions import spark_hash
+from lakesoul_spark.streaming import register, write_batch
+from lakesoul_spark.table import LakeSoulTable, create_table, write
+
+
+@pytest.fixture(scope="module")
+def lakesoul_format(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    return spark
+
+
+def _df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+# ------------------------------------------------------------------- sink
+
+
+def test_sink_append_then_upsert_batches(spark, tmp_table):
+    b0 = _df(spark, [(1, "a"), (2, "b")], "id int, v string")
+    b1 = _df(spark, [(2, "B"), (3, "c")], "id int, v string")
+    assert write_batch(b0, tmp_table, 0, query_id="q1", hash_partitions=["id"])
+    assert write_batch(b1, tmp_table, 1, query_id="q1", hash_partitions=["id"])
+    got = sorted(
+        tuple(r) for r in LakeSoulTable.for_path(spark, tmp_table).to_df().collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_sink_idempotent_replay(spark, tmp_table):
+    b0 = _df(spark, [(1, "a")], "id int, v string")
+    assert write_batch(b0, tmp_table, 0, query_id="q1", hash_partitions=["id"])
+    # replay of batch 0 must be a no-op
+    assert not write_batch(b0, tmp_table, 0, query_id="q1")
+    # a different query id is NOT a duplicate
+    assert write_batch(b0, tmp_table, 0, query_id="q2")
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert len(t.versions()) == 2
+
+
+def test_sink_complete_mode_truncates(spark, tmp_table):
+    write_batch(_df(spark, [(1, "a"), (2, "b")], "id int, v string"),
+                tmp_table, 0, output_mode="complete", query_id="q")
+    write_batch(_df(spark, [(9, "z")], "id int, v string"),
+                tmp_table, 1, output_mode="complete", query_id="q")
+    got = [tuple(r) for r in LakeSoulTable.for_path(spark, tmp_table).to_df().collect()]
+    assert got == [(9, "z")]
+
+
+def test_sink_update_mode_requires_pk(spark, tmp_table):
+    df = _df(spark, [(1, "a")], "id int, v string")
+    with pytest.raises(ValueError, match="update output mode requires"):
+        write_batch(df, tmp_table, 0, output_mode="update")
+
+
+def test_sink_rejects_nulltype(spark, tmp_table):
+    df = _df(spark, [(1, "a")], "id int, v string").withColumn("n", F.lit(None))
+    with pytest.raises(ValueError, match="NullType"):
+        write_batch(df, tmp_table, 0)
+
+
+def test_sink_end_to_end_stream(spark, tmp_table, tmp_path):
+    """rate-limited file stream → foreachBatch sink → MOR read."""
+    from lakesoul_spark.streaming import write_stream
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    base = _df(spark, [(i, i * 10) for i in range(100)], "id int, v int")
+    base.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream(
+        sdf, tmp_table, checkpoint_location=ck,
+        hash_partitions=["id"], hash_bucket_num=2,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert t.to_df().count() == 100
+    # multiple micro-batches committed, each idempotently recorded
+    assert len(t.versions()) >= 2
+
+
+# ----------------------------------------------------------------- source
+
+
+def test_stream_read_sees_appends(lakesoul_format, spark, tmp_table, tmp_path):
+    write(_df(spark, [(1, "a"), (2, "b")], "id int, v string"), tmp_table)
+    write(_df(spark, [(3, "c")], "id int, v string"), tmp_table)
+
+    name = "mem_src_test"
+    q = (
+        spark.readStream.format("lakesoul").load(tmp_table)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(f"select * from {name}").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# --------------------------------------------------------- format batch read
+
+
+def test_format_read_matches_view_builder(lakesoul_format, spark, tmp_table):
+    df = _df(spark, [(i, f"v{i}", i % 3) for i in range(50)], "id int, v string, p int")
+    write(df, tmp_table, range_partitions=["p"], hash_partitions=["id"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(_df(spark, [(7, "UP", 1), (51, "new", 0)], "id int, v string, p int"))
+
+    ds = spark.read.format("lakesoul").load(tmp_table)
+    jvm = t.to_df()
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, jvm.collect()))
+
+
+def test_format_read_partition_pruning(lakesoul_format, spark, tmp_table):
+    df = _df(spark, [(i, i % 4) for i in range(40)], "id int, p int")
+    write(df, tmp_table, range_partitions=["p"])
+    ds = spark.read.format("lakesoul").load(tmp_table).filter(F.col("p") == 2)
+    assert sorted(r["id"] for r in ds.collect()) == [i for i in range(40) if i % 4 == 2]
+
+
+def test_format_read_pk_point_lookup(lakesoul_format, spark, tmp_table):
+    df = _df(spark, [(i, f"v{i}") for i in range(100)], "id int, v string")
+    write(df, tmp_table, hash_partitions=["id"], hash_bucket_num=8)
+    got = (
+        spark.read.format("lakesoul").load(tmp_table)
+        .filter(F.col("id") == 42).collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(42, "v42")]
+
+
+def test_format_read_cdc_filters_deletes(lakesoul_format, spark, tmp_table):
+    create_table(
+        spark, tmp_table, "id int, v string, op string",
+        hash_partitions=["id"],
+        properties={"lakesoul_cdc_change_column": "op"},
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(_df(spark, [(1, "a", "insert"), (2, "b", "insert")],
+                 "id int, v string, op string"))
+    t.upsert(_df(spark, [(1, "a", "delete"), (3, "c", "insert")],
+                 "id int, v string, op string"))
+    ds = spark.read.format("lakesoul").load(tmp_table)
+    assert sorted(r["id"] for r in ds.collect()) == [2, 3]
+
+
+# ------------------------------------------------------------- murmur3
+
+
+def test_spark_hash_parity(spark):
+    import datetime
+
+    rows = [(123, 2**40 + 7, "héllo✓", datetime.date(2024, 5, 17))]
+    df = spark.createDataFrame(rows, "i int, l long, s string, d date")
+    got = df.select(F.hash("i"), F.hash("l"), F.hash("s"), F.hash("d"),
+                    F.hash("i", "l", "s", "d")).collect()[0]
+    vals = [(123, "int"), (2**40 + 7, "bigint"), ("héllo✓", "string"),
+            (datetime.date(2024, 5, 17), "date")]
+    exp = [spark_hash.hash_value(v, t) for v, t in vals]
+    h = 42
+    for v, t in vals:
+        h = spark_hash.hash_value(v, t, h)
+    exp.append(h)
+    assert list(got) == exp
+
+
+def test_bucket_of_matches_writer_layout(spark, tmp_table):
+    """bucket_of() must agree with the physical bucket files the writer
+    produced — this is what makes point-lookup pruning sound."""
+    df = _df(spark, [(i,) for i in range(64)], "id int")
+    write(df, tmp_table, hash_partitions=["id"], hash_bucket_num=8)
+    from lakesoul_spark.meta.store import MetaStore
+
+    store = MetaStore(tmp_table)
+    by_bucket = {}
+    for f in store.snapshot().files:
+        by_bucket.setdefault(f.bucket, []).append(f)
+    import pyarrow.parquet as pq
+    import os
+
+    for b, fs in by_bucket.items():
+        for f in fs:
+            ids = pq.read_table(os.path.join(tmp_table, f.path)).column("id").to_pylist()
+            for i in ids:
+                assert spark_hash.bucket_of([i], ["int"], 8) == b
