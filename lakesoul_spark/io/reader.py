@@ -120,6 +120,30 @@ def scan_files(
             F.element_at(F.col(_FILE_META_PREFIX + "range_vals"), i + 1).cast(types[c]),
         )
 
+    # default-column fill (reference default_column.rs + config
+    # default_column_value): a default applies ONLY to rows from files
+    # that physically lack the column (file_exist_cols) — genuine nulls
+    # in files that carry the column are preserved
+    defaulted = []
+    for c, default in info.column_defaults().items():
+        if c in types and c not in info.range_partitions:
+            missing = ~F.array_contains(F.col(_FILE_META_PREFIX + "exist_cols"), c)
+            df = df.withColumn(
+                c,
+                F.when(missing, F.lit(default).cast(types[c])).otherwise(F.col(c)),
+            )
+            defaulted.append(c)
+    if defaulted:
+        # the injected default makes the column PRESENT in the stream
+        # (reference DefaultColumnStream) — merge operators must see it
+        df = df.withColumn(
+            _FILE_META_PREFIX + "exist_cols",
+            F.array_union(
+                F.col(_FILE_META_PREFIX + "exist_cols"),
+                F.array(*[F.lit(c) for c in defaulted]),
+            ),
+        )
+
     cols = [f.name for f in full.fields]
     if with_meta_cols:
         cols += [

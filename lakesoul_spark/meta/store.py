@@ -102,6 +102,16 @@ class TableInfo:
     def cdc_column(self) -> str | None:
         return self.properties.get(CDC_CHANGE_COLUMN_PROP)
 
+    def column_defaults(self) -> dict[str, str]:
+        """Per-column default fills for files lacking the column
+        (reference ``default_column_value`` config,
+        ``rust/lakesoul-io/src/config/mod.rs:86-87``), stored as table
+        properties ``default.<col>``."""
+        p = "default."
+        return {
+            k[len(p):]: v for k, v in self.properties.items() if k.startswith(p)
+        }
+
 
 @dataclass
 class FileEntry:

@@ -401,3 +401,40 @@ def pk_point_lookup(spark, sf_dir):
           hash_partitions=["o_orderkey"], hash_bucket_num=8)
     t = LakeSoulTable.for_path(spark, path)
     return _fmt_orders(t.point_lookup(o_orderkey=4242))
+
+
+# ------------------------------------------------- schema evolution (ALTER)
+
+@_register(
+    "lakehouse_schema_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'checked' ELSE 'none' END AS audit,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def schema_evolution(spark, sf_dir):
+    """ALTER surface end-to-end (reference alterTableCommands.scala):
+    add a column with a default (old files fill via file_exist_cols),
+    upsert rows carrying the new column, widen a column type — all
+    metadata-only commits; one read serves the mixed-schema files."""
+    path = _tmp("schema_evo", sf_dir)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_totalprice",
+    )
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    t.add_column("audit", "string", default="none")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("audit", F.lit("checked"))
+    )
+    t.alter_column_type("o_custkey", "bigint")
+    return t.to_df().select(
+        "o_orderkey", "o_custkey", "audit",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -451,20 +451,142 @@ class LakeSoulTable:
         keep = view.filter(~cond)
         self._rewrite_partitions(keep, parts, OP_DELETE)
 
+    # ----------------------------------------------------------- DDL / ALTER
+
+    _WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+
+    def add_column(
+        self, name: str, data_type: str, *, default=None, comment: str | None = None
+    ) -> None:
+        """``ALTER TABLE ADD COLUMN`` (reference
+        ``alterTableCommands.scala:48``): metadata-only schema rewrite.
+        Existing files simply lack the column (``file_exist_cols``);
+        reads fill it with null, or ``default`` when given (reference
+        default-column fill, ``default_column.rs``)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        info = self.info
+        schema = table_schema(info)
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        dt = _parse_datatype_string(data_type)
+        meta = {"comment": comment} if comment else {}
+        new_schema = StructType(schema.fields + [StructField(name, dt, True, meta)])
+        info.schema_json = json.dumps(new_schema.jsonValue())
+        if default is not None:
+            info.properties[f"default.{name}"] = str(default)
+        self.store.update_table_info(info)
+
+    def alter_column_type(self, name: str, new_type: str) -> None:
+        """``ALTER TABLE CHANGE COLUMN`` type widening (reference
+        ``alterTableCommands.scala:113-191``): only lossless widenings
+        are allowed; files keep their narrow physical type and reads
+        up-cast (scan supplies the widened schema)."""
+        from pyspark.sql.types import DecimalType, StructField, _parse_datatype_string
+
+        info = self.info
+        schema = table_schema(info)
+        fields = {f.name: f for f in schema.fields}
+        if name not in fields:
+            raise ValueError(f"no such column {name!r}")
+        old, new = fields[name].dataType, _parse_datatype_string(new_type)
+        ok = (old.typeName(), new.typeName()) in self._WIDENINGS
+        if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+            ok = (
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+            )
+        if old == new:
+            ok = True
+        if not ok:
+            raise ValueError(
+                f"cannot change {name!r} from {old.simpleString()} to "
+                f"{new.simpleString()}: not a lossless widening"
+            )
+        new_fields = [
+            StructField(f.name, new if f.name == name else f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+        info.schema_json = json.dumps(StructType(new_fields).jsonValue())
+        self.store.update_table_info(info)
+
+    def drop_column(self, name: str) -> None:
+        """``ALTER TABLE REPLACE COLUMNS`` drop path: metadata-only —
+        files keep the bytes; reads no longer project the column."""
+        info = self.info
+        if name in info.range_partitions + info.hash_partitions:
+            raise ValueError(f"cannot drop partition/PK column {name!r}")
+        schema = table_schema(info)
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column {name!r}")
+        info.schema_json = json.dumps(
+            StructType([f for f in schema.fields if f.name != name]).jsonValue()
+        )
+        info.properties.pop(f"default.{name}", None)
+        self.store.update_table_info(info)
+
+    def set_properties(self, props: dict) -> None:
+        info = self.info
+        info.properties.update({k: str(v) for k, v in props.items()})
+        self.store.update_table_info(info)
+
+    def unset_properties(self, keys: list[str]) -> None:
+        info = self.info
+        for k in keys:
+            info.properties.pop(k, None)
+        self.store.update_table_info(info)
+
     # ---------------------------------------------------------- maintenance
 
-    def compaction(self, partition_desc: str | None = None) -> None:
+    def compaction(
+        self,
+        partition_desc: str | None = None,
+        *,
+        force: bool = True,
+        file_num_limit: int | None = None,
+        new_bucket_num: int | None = None,
+    ) -> None:
         """Merge each (partition, bucket)'s delta generations into one
         file generation (reference ``CompactionCommand.scala:40-120``).
         CDC tables rewrite ``update``→``insert`` rows and drop
         ``delete`` rows at compaction (reference
         ``TransactionalWrite.scala:166-184``) — after which a plain scan
-        with no merge and no CDC filter reproduces the same view."""
+        with no merge and no CDC filter reproduces the same view.
+
+        ``force=False`` + ``file_num_limit=N`` is the leveled trigger
+        (reference ``newCompaction``/``CompactBucketIO.java:41-130``:
+        level-0 file-count threshold): only partitions where some bucket
+        accumulated ≥ N delta generations are compacted, so the
+        maintenance job touches hot partitions and skips quiet ones.
+
+        ``new_bucket_num`` rewrites into a different hash bucket count
+        (reference CompactionCommand "newBucketNum") — the only way the
+        bucket layout of existing data changes."""
         info = self.info
         parts = {partition_desc} if partition_desc else None
         snap = self.store.snapshot(partition_descs=parts)
         if not snap.files:
             return
+        if not force and file_num_limit is not None:
+            gen_count: dict[tuple, int] = {}
+            for f in snap.files:
+                k = (f.partition_desc, f.bucket)
+                gen_count[k] = gen_count.get(k, 0) + 1
+            hot = {d for (d, _b), n in gen_count.items() if n >= file_num_limit}
+            if not hot:
+                return
+            snap = self.store.snapshot(partition_descs=hot)
+        if new_bucket_num is not None and info.is_pk_table:
+            info.hash_bucket_num = new_bucket_num
+            self.store.update_table_info(info)
+            info = self.info
         view = rdr.merge_view(
             self.spark, info, snap, merge_ops=self._merge_ops, apply_cdc_filter=False
         )

@@ -1,0 +1,117 @@
+"""Catalog / namespace / MERGE INTO / leveled-compaction tests
+(reference: LakeSoulCatalog.scala DDL suites, PreprocessTableMergeInto,
+NewCompactionSuite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesoul_spark.catalog import Catalog, merge_into
+from lakesoul_spark.meta.store import MetaStore
+from lakesoul_spark.table import LakeSoulTable, write
+
+
+def _df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "warehouse"))
+
+
+def test_namespace_lifecycle(cat):
+    cat.create_namespace("prod", {"owner": "team"})
+    assert cat.list_namespaces() == ["prod"]
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_namespace("prod")
+    cat.drop_namespace("prod")
+    assert cat.list_namespaces() == []
+
+
+def test_table_lifecycle(cat, spark):
+    cat.create_namespace("prod")
+    cat.create_table(spark, "users", "id int, name string",
+                     namespace="prod", hash_partitions=["id"])
+    assert cat.list_tables("prod") == ["users"]
+    assert cat.table_exists("users", "prod")
+    t = cat.get_table(spark, "prod.users")
+    t.upsert(_df(spark, [(1, "a")], "id int, name string"))
+    assert t.to_df().count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table(spark, "users", "id int", namespace="prod")
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_namespace("prod")
+    cat.drop_table("users", "prod")
+    assert cat.list_tables("prod") == []
+
+
+def test_sql_views(cat, spark):
+    cat.create_namespace("default")
+    cat.create_table(spark, "kv", "k int, v string")
+    cat.get_table(spark, "kv").upsert(_df(spark, [(1, "x"), (2, "y")], "k int, v string"))
+    views = cat.create_sql_views(spark)
+    assert views == ["default_kv"]
+    got = spark.sql("SELECT v FROM default_kv WHERE k = 2").collect()
+    assert [r["v"] for r in got] == ["y"]
+
+
+# ------------------------------------------------------------- MERGE INTO
+
+
+def test_merge_into_is_upsert(spark, tmp_table):
+    write(_df(spark, [(1, "a"), (2, "b")], "id int, v string"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    merge_into(t, _df(spark, [(2, "B"), (3, "c")], "id int, v string"), on=["id"])
+    assert sorted(map(tuple, t.to_df().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_into_restrictions(spark, tmp_table):
+    write(_df(spark, [(1, "a", 1)], "id int, v string, k int"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    src = _df(spark, [(1, "x", 9)], "id int, v string, k int")
+    with pytest.raises(ValueError, match="full PK"):
+        merge_into(t, src, on=["k"])
+    with pytest.raises(ValueError, match="unconditional"):
+        merge_into(t, src, on=["id"], when_matched_update="v = 'x'")
+    # non-PK table rejected
+    nt = str(tmp_table) + "_nopk"
+    write(_df(spark, [(1, "a")], "id int, v string"), nt)
+    with pytest.raises(ValueError, match="primary-key"):
+        merge_into(LakeSoulTable.for_path(spark, nt), src, on=["id"])
+
+
+# ------------------------------------------------- leveled compaction
+
+
+def test_leveled_compaction_trigger(spark, tmp_table):
+    write(_df(spark, [(1, 0)], "id int, v int"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=1)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    for i in range(1, 4):
+        t.upsert(_df(spark, [(1, i)], "id int, v int"))
+    store = MetaStore(tmp_table)
+    gens = len(store.snapshot().files)
+    assert gens == 4
+    # below the trigger: no-op
+    t.compaction(force=False, file_num_limit=10)
+    assert len(store.snapshot().files) == gens
+    # at/above the trigger: compacts to a single generation
+    t.compaction(force=False, file_num_limit=4)
+    assert len(store.snapshot().files) == 1
+    assert [tuple(r) for r in t.to_df().collect()] == [(1, 3)]
+
+
+def test_compaction_new_bucket_num(spark, tmp_table):
+    write(_df(spark, [(i, i) for i in range(50)], "id int, v int"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    before = sorted(map(tuple, t.to_df().collect()))
+    t.compaction(new_bucket_num=8)
+    store = MetaStore(tmp_table)
+    assert store.table_info().hash_bucket_num == 8
+    assert {f.bucket for f in store.snapshot().files} > {0, 1}
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    # point lookup still sound under the new layout
+    assert [r["v"] for r in t.point_lookup(id=17).collect()] == [17]
