@@ -1,0 +1,72 @@
+"""Training-data pipeline operator tests + Kafka ingestion plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from lakesoul_spark.operators import dedup, similarity, text
+from lakesoul_spark.sources.kafka import topic_batch_to_table
+from lakesoul_spark.table import LakeSoulTable
+
+
+def _df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def test_kafka_batch_plumbing(spark, tmp_path):
+    """Kafka record batch (binary value JSON) → typed upsert into an
+    auto-created per-topic table, idempotent on batch replay."""
+    schema = StructType.fromDDL("id int, v string")
+    raw = _df(
+        spark,
+        [(b"k1", b'{"id": 1, "v": "a"}'), (b"k2", b'{"id": 2, "v": "b"}')],
+        "key binary, value binary",
+    )
+    wh = str(tmp_path / "wh")
+    assert topic_batch_to_table(raw, wh, "clicks", 0, schema=schema,
+                               hash_partitions=["id"])
+    # replay of the same batch is skipped
+    assert not topic_batch_to_table(raw, wh, "clicks", 0, schema=schema)
+    t = LakeSoulTable.for_path(spark, f"{wh}/clicks")
+    assert sorted(map(tuple, t.to_df().collect())) == [(1, "a"), (2, "b")]
+
+
+def test_kafka_stream_gated(spark, tmp_path):
+    from lakesoul_spark.sources.kafka import ingest_topics
+
+    with pytest.raises(NotImplementedError, match="Kafka connector"):
+        ingest_topics(spark, "localhost:9092",
+                      {"t": StructType.fromDDL("id int")},
+                      str(tmp_path / "wh"), checkpoint_root=str(tmp_path / "ck"))
+
+
+def test_exact_dedup_keeps_first_by_id(spark):
+    df = _df(spark, [(1, "same"), (2, "same"), (3, "other")],
+             "doc_id long, text string")
+    out = dedup.exact_dedup(df, id_col="doc_id", text_col="text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_deterministic(spark):
+    df = _df(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                     (2, "the quick brown fox jumps over the lazy cat")],
+             "doc_id long, text string")
+    a = dedup.minhash_lsh_pairs(df, id_col="doc_id", text_col="text").collect()
+    b = dedup.minhash_lsh_pairs(df, id_col="doc_id", text_col="text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_brute_force_topk_self_excluded(spark):
+    df = _df(spark, [(i, [float(i), 1.0]) for i in range(5)],
+             "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert len(got) == 2
+    assert all(n != 0 for n, _ in got)
+
+
+def test_token_count_positive(spark):
+    df = _df(spark, [(1, "Hello, wonderful world! This is a test.")],
+             "doc_id long, text string")
+    out = df.select(text.token_count(F.col("text")).alias("n")).collect()
+    assert out[0]["n"] >= 7
