@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from lakesoul_spark.session import lakesoul_session  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -29,6 +31,11 @@ def main() -> None:
         "lakesoul_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+
+    # warm the JVM (codegen, shuffle machinery, parquet footer caches)
+    # so per-query timings measure the query, not first-job startup
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count() \
+        .write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -120,9 +120,14 @@ def minhash_lsh_pairs(
     so output precision is exact (recall ≈ 1-(1-t^r)^b)."""
     assert num_hashes % rows_per_band == 0
     bands = num_hashes // rows_per_band
-    sig = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
-    )
+    # one shingle explode feeds BOTH the signature aggregation and the
+    # candidate verification — cache it instead of recomputing
+    sh = _shingle_sets(docs, id_col, text_col, n).cache()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
     band_cols = []
     for b in range(bands):
         parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -146,10 +151,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    # verify ONLY the LSH candidates (the whole point of banding): attach
+    # each side's shingle set and take the exact set Jaccard — candidate
+    # count is tiny, so this join is broadcast-sized, never all-pairs
+    sets_df = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

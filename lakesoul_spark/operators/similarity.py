@@ -84,19 +84,43 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 10,
+    sample_limit: int = 100_000,
 ) -> list[list[float]]:
-    """KMeans coarse quantizer (reference defaults nlist=256 at scale;
-    sized down for small corpora). Returns plain centroid lists so the
-    assignment step is a broadcast expression, not an ML pipeline
-    dependency at read time."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """KMeans coarse quantizer (reference nlist=256 defaults; its own
+    kernel lives in ``rust/lakesoul-vector/src/rabitq/kmeans.rs``).
 
-    train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter)
-    model = km.fit(train)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    Trains on a bounded sample pulled to the driver and runs a
+    deterministic numpy Lloyd's loop — at 100 TB the sample, not the
+    corpus, bounds the cost (the reference trains per partition×bucket
+    shard the same way). Returns plain centroid lists so assignment is
+    a broadcast expression, not an ML pipeline dependency at read
+    time."""
+    import numpy as np
+
+    pdf = corpus.select(vec_col).limit(sample_limit).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.RandomState(seed)
+    # kmeans++ seeding, deterministic
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, min(nlist, len(x))):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=p)])
+    c = np.asarray(cents)
+    for _ in range(max_iter):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new_c = np.array([
+            x[assign == j].mean(axis=0) if (assign == j).any() else c[j]
+            for j in range(len(c))
+        ])
+        if np.allclose(new_c, c):
+            break
+        c = new_c
+    return [list(map(float, row)) for row in c]
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:

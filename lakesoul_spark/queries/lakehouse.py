@@ -87,7 +87,7 @@ def upsert_mor(spark, sf_dir):
     """Write orders as a PK table, upsert a modified slice, MOR-read."""
     path = _tmp("upsert_mor", sf_dir)
     orders = _orders(spark, sf_dir)
-    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
     t = LakeSoulTable.for_path(spark, path)
     delta = (
         orders.filter(F.col("o_orderkey") % 7 == 0)
@@ -115,7 +115,7 @@ def partial_upsert(spark, sf_dir):
     via file_exist_cols."""
     path = _tmp("partial_upsert", sf_dir)
     orders = _orders(spark, sf_dir)
-    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
     t = LakeSoulTable.for_path(spark, path)
     slim = orders.filter(F.col("o_orderkey") % 11 == 0).select(
         "o_orderkey", F.lit("RUSH").alias("o_orderpriority")
@@ -153,7 +153,7 @@ def merge_operators(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     tbl = create_table(
         spark, path, "user_id bigint, total_value double",
-        hash_partitions=["user_id"], hash_bucket_num=4,
+        hash_partitions=["user_id"], hash_bucket_num=16,
     )
     for parity in (0, 1):
         batch = (
@@ -184,7 +184,7 @@ def cdc_read(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "source")
     tbl = create_table(
         spark, path, "doc_id bigint, lang string, source string, change_kind string",
-        hash_partitions=["doc_id"], hash_bucket_num=4,
+        hash_partitions=["doc_id"], hash_bucket_num=16,
         properties={"lakesoul_cdc_change_column": "change_kind"},
     )
     tbl.upsert(d.withColumn("change_kind", F.lit("insert")))
@@ -248,7 +248,7 @@ def incremental(spark, sf_dir):
 def update_delete(spark, sf_dir):
     path = _tmp("update_delete", sf_dir)
     orders = _orders(spark, sf_dir)
-    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
     t = LakeSoulTable.for_path(spark, path)
     t.delete("o_orderpriority = '5-LOW' AND o_totalprice < 50000")
     t.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice * 1.1"})
@@ -274,7 +274,7 @@ def compaction(spark, sf_dir):
     (reference CompactionDoNotChangeResult)."""
     path = _tmp("compaction", sf_dir)
     orders = _orders(spark, sf_dir)
-    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
     t = LakeSoulTable.for_path(spark, path)
     t.upsert(
         orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
@@ -365,7 +365,7 @@ def streaming_sink_sum(spark, sf_dir):
     def process(bdf, bid):
         write_batch(
             partials(bdf), path, bid, query_id="streaming_sink_sum",
-            hash_partitions=["user_id"], hash_bucket_num=4,
+            hash_partitions=["user_id"], hash_bucket_num=16,
         )
 
     q = (
@@ -426,7 +426,7 @@ def schema_evolution(spark, sf_dir):
         "o_totalprice",
     )
     write(orders, path, mode="overwrite",
-          hash_partitions=["o_orderkey"], hash_bucket_num=4)
+          hash_partitions=["o_orderkey"], hash_bucket_num=16)
     t = LakeSoulTable.for_path(spark, path)
     t.add_column("audit", "string", default="none")
     t.upsert(

@@ -356,6 +356,66 @@ class LakeSoulTable:
         ops = write_table_data(source, info)
         self.store.commit(OP_MERGE if info.is_pk_table else OP_APPEND, ops)
 
+    def upsert_on_join_key(self, source: DataFrame, join_keys: list[str]) -> None:
+        """Upsert rows that arrive keyed by a non-PK join key (reference
+        ``LakeSoulTableOperations.scala:91-112`` upsertOnJoinKey):
+        broadcast-inner-join the delta against the target's
+        (join_keys ++ PK) projection to attach the primary key, then
+        upsert. The delta is the small side — broadcast, no shuffle of
+        the target."""
+        info = self.info
+        pk = info.hash_partitions
+        if not pk:
+            raise ValueError("upsert_on_join_key requires a primary-key table")
+        missing = [k for k in join_keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks join keys {missing}")
+        proj = self.to_df().select(*dict.fromkeys(join_keys + pk))
+        joined = proj.join(F.broadcast(source), join_keys, "inner")
+        self.upsert(joined)
+
+    def join_with_tables_and_upsert(
+        self,
+        source: DataFrame,
+        tables: list["LakeSoulTable"],
+        join_keys: list[list[str]],
+    ) -> None:
+        """Build a wide row without a stream join (reference
+        ``LakeSoulTableOperations.scala:113-166``
+        joinWithTablePathsAndUpsert): broadcast-left_outer-join the
+        delta against each dimension table on that table's key columns,
+        then upsert the enriched result here. Missing dimensions leave
+        nulls — the MOR merge (UseLastNotNull-style) fills them when
+        the other stream arrives."""
+        out = source
+        for t, keys in zip(tables, join_keys):
+            dim = t.to_df()
+            out = out.join(F.broadcast(dim), keys, "left_outer")
+        cols = [f.name for f in table_schema(self.info).fields if f.name in out.columns]
+        self.upsert(out.select(*cols))
+
+    def shard(self, rank: int, world_size: int) -> DataFrame:
+        """Bucket-aware shard for distributed training readers
+        (reference ``python/src/lakesoul/arrow/dataset.py`` rank/
+        world-size sharding over bucket shards): worker ``rank`` reads
+        the buckets ≡ rank (mod world_size) — disjoint, covering, and
+        aligned with the physical layout so each worker scans only its
+        own files."""
+        info = self.info
+        if not info.is_pk_table:
+            raise ValueError("shard() requires a hash-bucketed table")
+        snap = self.store.snapshot(partition_descs=self._partition_filter())
+        from lakesoul_spark.meta.store import Snapshot
+
+        mine = [f for f in snap.files if f.bucket % world_size == rank]
+        pruned = Snapshot(version=snap.version, timestamp_ms=snap.timestamp_ms,
+                          files=mine)
+        return rdr.merge_view(self.spark, info, pruned, merge_ops=self._merge_ops)
+
+    def to_arrow(self):
+        """Whole-table Arrow export (reference PyArrow Dataset path)."""
+        return self.to_df().toArrow()
+
     def _rewrite_partitions(
         self, new_df: DataFrame, parts: set[str], op: str
     ) -> None:

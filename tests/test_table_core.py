@@ -330,3 +330,49 @@ def test_bucket_layout_matches_spark_hash(spark, tmp_table):
         got = spark.read.parquet(os.path.join(tmp_table, f.path)).select("id").collect()
         for r in got:
             assert expected[r["id"]] == f.bucket
+
+
+# ---------------------------------------- join-adjacent upsert machinery
+
+
+def test_upsert_on_join_key(spark, tmp_table):
+    """Delta keyed by a non-PK column gets its PK attached via
+    broadcast join, then upserts (reference upsertOnJoinKey)."""
+    base = seed_df(spark, [(1, "e1", 10), (2, "e2", 20), (3, "e1", 30)],
+                   "id int, ext_key string, v int")
+    write(base, tmp_table, hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    delta = seed_df(spark, [("e1", 99)], "ext_key string, v int")
+    t.upsert_on_join_key(delta, ["ext_key"])
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got == {1: 99, 2: 20, 3: 99}
+
+
+def test_join_with_tables_and_upsert(spark, tmp_table, tmp_path):
+    """Wide-table build without a stream join: enrich a delta from a
+    dimension table, upsert the wide row."""
+    dim_path = str(tmp_path / "dim")
+    write(seed_df(spark, [(1, "north"), (2, "south")], "region_id int, region string"),
+          dim_path, hash_partitions=["region_id"], hash_bucket_num=2)
+    dim = LakeSoulTable.for_path(spark, dim_path)
+
+    write(seed_df(spark, [(10, 1, "north", 5)],
+                  "id int, region_id int, region string, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    delta = seed_df(spark, [(11, 2, 7)], "id int, region_id int, v int")
+    t.join_with_tables_and_upsert(delta, [dim], [["region_id"]])
+    got = sorted(map(tuple, t.to_df().collect()))
+    assert got == [(10, 1, "north", 5), (11, 2, "south", 7)]
+
+
+def test_shard_disjoint_covering(spark, tmp_table):
+    write(seed_df(spark, [(i, i) for i in range(100)], "id int, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    parts = [set(r["id"] for r in t.shard(r_, 4).collect()) for r_ in range(4)]
+    allids = set()
+    for p in parts:
+        assert not (allids & p)  # disjoint
+        allids |= p
+    assert allids == set(range(100))  # covering
