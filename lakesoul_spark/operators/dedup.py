@@ -84,6 +84,30 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from (id, sh) pairs. Hash family: h_s(sh) with
+    s = 4k + j is the j-th 8-hex-char slice of md5('k|'||sh) — one md5
+    yields FOUR independent 32-bit hash values (fixed-width lowercase
+    hex compares like the integer it encodes). The md5s are
+    materialized ONCE per shingle row in a projection (aggregate
+    expressions get no common-subexpression elimination), so the cost
+    is num_hashes/4 md5 calls per shingle. The same family is
+    re-stated verbatim in the DuckDB oracle."""
+    assert num_hashes % 4 == 0
+    proj = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{k}|"), F.col("sh"))).alias(f"h{k}")
+            for k in range(num_hashes // 4)
+        ],
+    )
+    aggs = []
+    for s in range(num_hashes):
+        k, j = divmod(s, 4)
+        aggs.append(F.min(F.substring(F.col(f"h{k}"), 1 + 8 * j, 8)).alias(f"mh{s}"))
+    return proj.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -92,14 +116,8 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """k min-hashes per document: h_s(doc) = min over shingles of
-    md5('s|' || shingle). One explode + one groupBy."""
-    sh = _shingle_sets(docs, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    """k min-hashes per document. One explode + one groupBy."""
+    return _minhash_sig(_shingle_sets(docs, id_col, text_col, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -123,11 +141,7 @@ def minhash_lsh_pairs(
     # one shingle explode feeds BOTH the signature aggregation and the
     # candidate verification — cache it instead of recomputing
     sh = _shingle_sets(docs, id_col, text_col, n).cache()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = _minhash_sig(sh, num_hashes)
     band_cols = []
     for b in range(bands):
         parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]

@@ -153,7 +153,7 @@ def merge_operators(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     tbl = create_table(
         spark, path, "user_id bigint, total_value double",
-        hash_partitions=["user_id"], hash_bucket_num=16,
+        hash_partitions=["user_id"], hash_bucket_num=4,
     )
     for parity in (0, 1):
         batch = (
@@ -365,7 +365,7 @@ def streaming_sink_sum(spark, sf_dir):
     def process(bdf, bid):
         write_batch(
             partials(bdf), path, bid, query_id="streaming_sink_sum",
-            hash_partitions=["user_id"], hash_bucket_num=16,
+            hash_partitions=["user_id"], hash_bucket_num=4,
         )
 
     q = (

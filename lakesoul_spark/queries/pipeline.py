@@ -29,11 +29,17 @@ def _register(name: str, oracle: str | None = None):
 
 
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the fixture is a single small file → one input split; expression-
+    # heavy per-row ops (shingles, fingerprints) would run on one core.
+    # At 100 TB the table arrives in thousands of splits; locally we
+    # restore that parallelism explicitly.
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
 
 
 def embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    par = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
 
 
 # shared SQL fragments (the oracle-side twin of operators/text.py)
@@ -95,8 +101,13 @@ def dedup_jaccard(spark, sf_dir):
 # ----------------------------------------------------------- minhash LSH
 
 def _minhash_oracle(num_hashes: int = 32, rows_per_band: int = 2) -> str:
+    # same hash family as dedup._minhash_exprs: s = 4k + j →
+    # substr(md5('k|'||sh), 1+8j, 8)
     mh_cols = ",\n           ".join(
-        f"min(md5(concat('{s}|', sh))) AS mh{s}" for s in range(num_hashes)
+        "min(substr(md5(concat('{k}|', sh)), {off}, 8)) AS mh{s}".format(
+            k=s // 4, off=1 + 8 * (s % 4), s=s
+        )
+        for s in range(num_hashes)
     )
     bands = num_hashes // rows_per_band
     band_rows = ", ".join(
