@@ -172,6 +172,9 @@ class MetaStore:
         self.table_path = table_path.rstrip("/")
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.commits_dir = os.path.join(self.meta_dir, "commits")
+        # snapshot cache (reference SnapshotManagement per-table cache):
+        # full replay memoized per head version; invalidated by version
+        self._snap_cache: tuple[int, "Snapshot"] | None = None
 
     # ---------------------------------------------------------------- info
 
@@ -329,6 +332,25 @@ class MetaStore:
                 else:
                     break
         version = min(version, head)
+        # HEAD reads (the hot path) come from the memoized full replay;
+        # partition pruning is a filter over it — identical result, file
+        # ops are per-partition
+        if version == head:
+            if self._snap_cache is None or self._snap_cache[0] != head:
+                self._snap_cache = (head, self._replay(head, None))
+            full = self._snap_cache[1]
+            if partition_descs is None:
+                return full
+            return Snapshot(
+                version=full.version,
+                timestamp_ms=full.timestamp_ms,
+                files=[f for f in full.files if f.partition_desc in partition_descs],
+            )
+        return self._replay(version, partition_descs)
+
+    def _replay(
+        self, version: int, partition_descs: set[str] | None
+    ) -> "Snapshot":
         live: dict[str, FileEntry] = {}
         ts = 0
         for c in self.commits(1, version):
