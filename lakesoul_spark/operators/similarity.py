@@ -175,3 +175,110 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# ----------------------------------------------------- persisted IVF index
+
+
+def build_vector_index(
+    table,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> str:
+    """Build a persisted IVF index for a LakeSoul table (reference
+    ``python/src/lakesoul/vector_index.py:96-160`` build_table_vector_
+    index, reduced: coarse quantizer without RaBitQ bit codes — rerank
+    here is exact over raw vectors, matching ``rerank_by_distance``).
+
+    The index IS a LakeSoul table at ``<table>/_vector_index``,
+    range-partitioned by cell id: a probe of ``nprobe`` cells reads
+    only those partitions via commit-metadata pruning — the same
+    "per-shard index + pruned scan" shape the reference builds per
+    (partition × bucket). Centroids live in the index table properties.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    src = table.to_df().select(id_col, vec_col)
+    cents = train_ivf_centroids(src, vec_col=vec_col, nlist=nlist, seed=seed)
+    assigned = src.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
+    )
+    idx_path = f"{table.path}/_vector_index"
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    write(assigned, idx_path, mode="overwrite", range_partitions=["cell"])
+    t = LakeSoulTable.for_path(table.spark, idx_path)
+    t.set_properties({
+        "vector.centroids": _json.dumps(cents),
+        "vector.id_col": id_col,
+        "vector.vec_col": vec_col,
+    })
+    return idx_path
+
+
+def vector_search(
+    table,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN search against a persisted index: nearest ``nprobe`` cells
+    per query are computed from the stored centroids, ONLY those cells'
+    partitions are read (metadata pruning — no full scan), and
+    candidates are exact-reranked by cosine (reference
+    ``rerank_by_distance``, ``inject_vector_search_filter``)."""
+    import json as _json
+
+    import numpy as np
+
+    from lakesoul_spark.io import reader as rdr
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.table import LakeSoulTable
+
+    idx_path = f"{table.path}/_vector_index"
+    idx = LakeSoulTable.for_path(table.spark, idx_path)
+    props = idx.info.properties
+    cents = np.asarray(_json.loads(props["vector.centroids"]))
+    id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
+
+    qrows = queries.select(id_col, vec_col).collect()
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe_cells: set[int] = set()
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        sims = cn @ (qv / np.linalg.norm(qv))
+        probe_cells |= {int(c) for c in np.argsort(-sims)[:nprobe]}
+
+    # metadata partition pruning: read only the probed cells' files
+    store = MetaStore(idx_path)
+    descs = {f"cell={c}" for c in probe_cells}
+    snap = store.snapshot(partition_descs=descs)
+    cand = rdr.merge_view(table.spark, idx.info, snap)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = cand.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

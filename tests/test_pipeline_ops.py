@@ -70,3 +70,32 @@ def test_token_count_positive(spark):
              "doc_id long, text string")
     out = df.select(text.token_count(F.col("text")).alias("n")).collect()
     assert out[0]["n"] >= 7
+
+
+def test_persisted_vector_index_search(spark, tmp_path):
+    """Index build writes a cell-partitioned LakeSoul table; search
+    probes only nprobe cells (metadata pruning) and exact-reranks."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import build_vector_index, vector_search
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    path = str(tmp_path / "vecs")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=8)
+
+    q = _df(spark, rows[:3], "vec_id long, embedding array<float>")
+    got = vector_search(t, q, k=5, nprobe=8)  # probe all cells → exact
+    res = got.collect()
+    assert len(res) == 15
+    # with all cells probed, results equal the brute-force exact top-k
+    from lakesoul_spark.operators.similarity import brute_force_topk
+    exact = brute_force_topk(t.to_df(), q, k=5).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, exact))
+    # a narrow probe returns a subset ranked the same way
+    narrow = vector_search(t, q, k=5, nprobe=2).collect()
+    assert len(narrow) == 15
