@@ -380,13 +380,18 @@ class MetaStore:
     ) -> tuple[list[FileEntry], list[CommitInfo]]:
         """Files added by commits with start < timestamp <= end.
 
-        Incremental-read rules (reference DataOperation.scala:160-240):
-        Compaction commits are skipped — they rewrite existing data, not
-        new rows — unless a compaction is the *first* commit at-or-before
-        ``start`` a reader would need for a from-scratch bootstrap (the
-        bootstrap path goes through ``snapshot()`` instead, so here all
-        compactions are skipped). Update commits *are* included: their
-        added files carry the post-update row images.
+        Incremental-read rules, ported from the reference
+        ``DataOperation.getSinglePartitionIncrementalDataInfos``
+        (DataOperation.scala:213-254):
+
+        - a **Compaction** commit's base (its rewrite of pre-existing
+          data) is excluded — in our model a compaction adds only the
+          compacted base, so the whole commit is skipped;
+        - an **Update** commit strictly inside the range *breaks* the
+          incremental read → the result is the EMPTY file set (the
+          reference returns an empty buffer when ``updated`` trips; a
+          rewritten partition cannot be represented as a row delta) —
+          callers fall back to a snapshot read.
         """
         out: list[FileEntry] = []
         cs: list[CommitInfo] = []
@@ -395,6 +400,10 @@ class MetaStore:
                 continue
             if end_ts_ms is not None and c.timestamp_ms > end_ts_ms:
                 break
+            if c.commit_op == OP_UPDATE:
+                # the reference's base commit (count==1 / at-start) can
+                # never appear here — commits ≤ start are already skipped
+                return [], []
             if c.commit_op == OP_COMPACTION:
                 continue
             cs.append(c)

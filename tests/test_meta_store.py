@@ -118,3 +118,21 @@ def test_streaming_idempotence(tmp_path):
     assert s.has_batch("q1", 2)  # older batch already covered
     assert not s.has_batch("q1", 4)
     assert not s.has_batch("q2", 0)
+
+
+def test_incremental_update_breaks_range(tmp_path):
+    """An Update commit strictly inside the range empties the
+    incremental result (reference DataOperation.scala:228-245: a
+    rewritten partition cannot be represented as a row delta)."""
+    store = mk_store(tmp_path)
+    store.commit(OP_APPEND, [add("f1")])
+    ts1 = store.read_commit(1).timestamp_ms
+    store.commit(OP_APPEND, [add("f2")])
+    store.commit(OP_UPDATE, [dele("f1"), add("f3")])
+    store.commit(OP_APPEND, [add("f4")])
+    files, cs = store.incremental_files(ts1)
+    assert files == [] and cs == []
+    # a range that starts after the update is clean again
+    ts3 = store.read_commit(3).timestamp_ms
+    files, _ = store.incremental_files(ts3)
+    assert [f.path for f in files] == ["f4"]
