@@ -520,3 +520,317 @@ def json_props(spark, sf_dir):
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ----------------------------------------------------- q2-adapted (min-cost)
+
+@_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             {_dsum('l_extendedprice')} AS supply_value
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, MIN(supply_value) AS min_value
+             FROM cost GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey, s.s_name, c.supply_value
+    FROM cost c JOIN best b ON c.l_partkey = b.l_partkey
+                           AND c.supply_value = b.min_value
+         JOIN supplier s ON c.l_suppkey = s.s_suppkey
+         JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_size < 15
+    """,
+)
+def q2_min_cost(spark, sf_dir):
+    """Correlated-min rewrite (the classic q2 shape): per-part minimum
+    supply value via a self-joined aggregate — Catalyst plans both aggs
+    off one shuffle of lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_extendedprice")).alias("supply_value")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("supply_value").alias("min_value")) \
+        .withColumnRenamed("l_partkey", "b_partkey")
+    sup = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return (
+        cost.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                  & (F.col("supply_value") == F.col("min_value")))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(F.col("l_partkey").alias("p_partkey"), "s_name", "supply_value")
+    )
+
+
+# ------------------------------------------------------------- q7 volume
+
+@_register(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name AND year(l_shipdate) BETWEEN 1999 AND 2000
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q7_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate").between(1999, 2000))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------- q8 market share
+
+@_register(
+    "q8_market_share",
+    f"""
+    WITH volumes AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type LIKE '%PROMO%')
+    SELECT o_year,
+           CAST({_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                / {_dsum('volume')} AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").like("%PROMO%"))
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double").alias("volume"),
+            "supp_nation",
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("o_year").agg(
+        (dsum(brazil) / dsum(F.col("volume"))).cast("double").alias("mkt_share")
+    )
+
+
+# -------------------------------------------------------- q11 important stock
+
+@_register(
+    "q11_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, {_dsum('l_extendedprice')} AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, part_value
+    FROM pv WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM pv)
+    """,
+)
+def q11_important(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(dsum(F.col("l_extendedprice")).alias("part_value"))
+    thresh = pv.agg((F.sum("part_value") * 0.0006).alias("th"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("th"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+# ------------------------------------------------------------ q12 late ships
+
+@_register(
+    "q12_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*) AS late_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_late(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")) > 90)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_count"))
+    )
+
+
+# ------------------------------------------------------- q13 cust distribution
+
+@_register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_dist(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ----------------------------------------------------------- q15 top supplier
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem WHERE year(l_shipdate) = 2000
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 2000)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ------------------------------------------------------ q16 supplier variety
+
+@_register(
+    "q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_variety(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------------------------ q17 small-qty revenue
+
+@_register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH avgq AS (
+      SELECT l_partkey AS ap, AVG(l_quantity) * 0.5 AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST({_dsum('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN avgq ON l_partkey = ap
+    WHERE l_quantity < half_avg
+    """,
+)
+def q17_small(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avgq, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).cast("double").alias("avg_yearly"))
+    )
+
+
+# ------------------------------------------------------------ q20 semi chain
+
+@_register(
+    "q20_heavy_suppliers",
+    f"""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, {_dsum('l_quantity')} AS qty
+      FROM lineitem WHERE year(l_shipdate) = 2000
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM pq GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT pq.l_suppkey FROM pq JOIN tot ON pq.l_partkey = tot.l_partkey
+      WHERE pq.qty > 0.5 * tot.total_qty)
+    """,
+)
+def q20_heavy(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 2000)
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(dsum(F.col("l_quantity")).alias("qty"))
+    tot = pq.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    heavy = (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select(F.col("l_suppkey"))
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
