@@ -438,3 +438,75 @@ def schema_evolution(spark, sf_dir):
         "o_orderkey", "o_custkey", "audit",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+# ------------------------------------------------- CDC incremental read
+
+@_register(
+    "lakehouse_cdc_incremental",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 1 THEN 'delete'
+                WHEN o_orderkey % 10 = 2 THEN 'update'
+                ELSE NULL END AS change_kind,
+           CAST(CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    """,
+)
+def cdc_incremental(spark, sf_dir):
+    """Incremental read of a CDC table passes change rows through
+    UNFILTERED — insert/update/delete all visible (reference
+    ProcessCDCTableMergeOnRead.scala:25-27,43-44), unlike the snapshot
+    read which drops deletes."""
+    path = _tmp("cdc_inc", sf_dir)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    tbl = create_table(
+        spark, path, "o_orderkey bigint, change_kind string, o_totalprice double",
+        hash_partitions=["o_orderkey"], hash_bucket_num=16,
+        properties={"lakesoul_cdc_change_column": "change_kind"},
+    )
+    tbl.upsert(orders.withColumn("change_kind", F.lit("insert")))
+    t = LakeSoulTable.for_path(spark, path)
+    ts1 = t.store.read_commit(t.store.head_version()).timestamp_ms
+    changes = (
+        orders.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("change_kind", F.lit("delete"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 2)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("change_kind", F.lit("update"))
+        )
+    )
+    t.upsert(changes)
+    inc = LakeSoulTable.for_path_incremental(spark, path, ts1)
+    return inc.to_df().select(
+        "o_orderkey", "change_kind",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+# ------------------------------------------- event-time tumbling window
+
+@_register(
+    "streaming_tumbling_window",
+    """
+    SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """Event-time tumbling window aggregation (host-engine streaming
+    semantics — the same expression runs under readStream +
+    withWatermark; reference delegates watermarks/windows to the host,
+    SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")  # ts = bigint epoch-nanos
+    return ev.groupBy(
+        F.floor(F.col("ts") / F.lit(3_600_000_000_000)).cast("bigint").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
