@@ -53,25 +53,40 @@ def empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
 
 
 def _file_meta_df(spark: SparkSession, info: TableInfo, files: list[FileEntry]) -> DataFrame:
+    """Tiny per-file frame broadcast against the scan. ``file_exist_cols``
+    is a per-FILE property, so column-presence is precomputed here as one
+    boolean per data column (``__ls_has_<i>`` by field position) — the
+    merge aggregation then reads a flat bool instead of running
+    array_contains per row per column."""
+    value_cols = _merge_value_cols(info)
     rows = []
     for f in files:
         vals = part_enc.parse_desc(f.partition_desc)
+        exist = set(f.file_exist_cols)
         rows.append(
             (
                 os.path.join(info.path, f.path),
                 f.commit_seq,
                 f.file_seq,
                 f.bucket,
-                f.file_exist_cols,
                 [vals.get(c) for c in info.range_partitions],
+                *[c in exist for c in value_cols],
             )
         )
     p = _FILE_META_PREFIX
     schema = (
         f"{p}name string, {p}commit_seq long, {p}file_seq long, "
-        f"{p}bucket long, {p}exist_cols array<string>, {p}range_vals array<string>"
+        f"{p}bucket long, {p}range_vals array<string>"
+        + "".join(f", {p}has_{i} boolean" for i in range(len(value_cols)))
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _merge_value_cols(info: TableInfo) -> list[str]:
+    """Non-key data columns, in table-schema order — the columns merge
+    operators run over."""
+    keys = set(info.range_partitions + info.hash_partitions)
+    return [f.name for f in table_schema(info).fields if f.name not in keys]
 
 
 def scan_files(
@@ -88,6 +103,7 @@ def scan_files(
     ``__ls_exist_cols`` ordering metadata for the merge step.
     """
     full = table_schema(info)
+    value_cols = _merge_value_cols(info)
     if not files:
         df = empty_df(spark, info)
         if with_meta_cols:
@@ -95,11 +111,9 @@ def scan_files(
                 df.withColumn(_FILE_META_PREFIX + "commit_seq", F.lit(0).cast("long"))
                 .withColumn(_FILE_META_PREFIX + "file_seq", F.lit(0).cast("long"))
                 .withColumn(_FILE_META_PREFIX + "bucket", F.lit(-1).cast("long"))
-                .withColumn(
-                    _FILE_META_PREFIX + "exist_cols",
-                    F.lit(None).cast("array<string>"),
-                )
             )
+            for i in range(len(value_cols)):
+                df = df.withColumn(_FILE_META_PREFIX + f"has_{i}", F.lit(True))
         return df
 
     paths = [os.path.join(info.path, f.path) for f in files]
@@ -122,27 +136,19 @@ def scan_files(
 
     # default-column fill (reference default_column.rs + config
     # default_column_value): a default applies ONLY to rows from files
-    # that physically lack the column (file_exist_cols) — genuine nulls
-    # in files that carry the column are preserved
-    defaulted = []
+    # that physically lack the column (per-file has flag) — genuine
+    # nulls in files that carry the column are preserved
+    vidx = {c: i for i, c in enumerate(value_cols)}
     for c, default in info.column_defaults().items():
-        if c in types and c not in info.range_partitions:
-            missing = ~F.array_contains(F.col(_FILE_META_PREFIX + "exist_cols"), c)
+        if c in types and c in vidx:
+            has = F.col(_FILE_META_PREFIX + f"has_{vidx[c]}")
             df = df.withColumn(
                 c,
-                F.when(missing, F.lit(default).cast(types[c])).otherwise(F.col(c)),
+                F.when(~has, F.lit(default).cast(types[c])).otherwise(F.col(c)),
             )
-            defaulted.append(c)
-    if defaulted:
-        # the injected default makes the column PRESENT in the stream
-        # (reference DefaultColumnStream) — merge operators must see it
-        df = df.withColumn(
-            _FILE_META_PREFIX + "exist_cols",
-            F.array_union(
-                F.col(_FILE_META_PREFIX + "exist_cols"),
-                F.array(*[F.lit(c) for c in defaulted]),
-            ),
-        )
+            # the injected default makes the column PRESENT in the
+            # stream (reference DefaultColumnStream) — merge sees it
+            df = df.withColumn(_FILE_META_PREFIX + f"has_{vidx[c]}", F.lit(True))
 
     cols = [f.name for f in full.fields]
     if with_meta_cols:
@@ -150,7 +156,7 @@ def scan_files(
             _FILE_META_PREFIX + "commit_seq",
             _FILE_META_PREFIX + "file_seq",
             _FILE_META_PREFIX + "bucket",
-            _FILE_META_PREFIX + "exist_cols",
+            *[_FILE_META_PREFIX + f"has_{i}" for i in range(len(value_cols))],
         ]
     return df.select(*cols)
 
@@ -180,14 +186,19 @@ def merge_view(
 def _merge_generations(df: DataFrame, info: TableInfo, merge_ops: dict[str, str]) -> DataFrame:
     full = table_schema(info)
     keys = info.range_partitions + info.hash_partitions
-    value_cols = [f.name for f in full.fields if f.name not in set(keys)]
-    ord_ = F.struct(
-        F.col(_FILE_META_PREFIX + "commit_seq").alias("c"),
-        F.col(_FILE_META_PREFIX + "file_seq").alias("f"),
+    value_cols = _merge_value_cols(info)
+    # single comparable version key, built once and reused by every
+    # column's operator (commit_seq and file_seq both fit 20 bits short
+    # of overflow: a bigint beats a struct comparator in codegen)
+    df = df.withColumn(
+        _FILE_META_PREFIX + "ord",
+        F.col(_FILE_META_PREFIX + "commit_seq") * F.lit(1 << 20)
+        + F.col(_FILE_META_PREFIX + "file_seq"),
     )
+    ord_ = F.col(_FILE_META_PREFIX + "ord")
     aggs = []
-    for c in value_cols:
-        has = F.array_contains(F.col(_FILE_META_PREFIX + "exist_cols"), c)
+    for i, c in enumerate(value_cols):
+        has = F.col(_FILE_META_PREFIX + f"has_{i}")
         op = merge_ops.get(c, "use_last")
         aggs.append(merge_agg_expr(op, F.col(c), ord_, has).alias(c))
     if not aggs:
