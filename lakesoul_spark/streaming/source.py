@@ -160,8 +160,12 @@ class LakeSoulBatchReader(DataSourceReader):
 
         self.store = MetaStore(os.path.abspath(path))
         self.info = self.store.table_info()
+        # reference LakeSoulOptions: readtype ∈ fullread/snapshot/
+        # incremental (+ timestamps); snapshot also via version=
+        self.read_type = options.get("readtype", "fullread").lower()
         self.version = options.get("version")
-        self.timestamp_ms = options.get("timestampms")
+        self.timestamp_ms = options.get("timestampms") or options.get("readendtime")
+        self.start_ts_ms = options.get("readstarttime")
         self._part_filter: set[str] | None = None
         self._bucket_filter: int | None = None
 
@@ -213,6 +217,18 @@ class LakeSoulBatchReader(DataSourceReader):
         return unsupported
 
     def partitions(self):
+        if self.read_type == "incremental":
+            # CDC/changes pass through unfiltered, per-file splits
+            files, _ = self.store.incremental_files(
+                int(self.start_ts_ms or 0),
+                int(self.timestamp_ms) if self.timestamp_ms is not None else None,
+            )
+            if self._part_filter is not None:
+                files = [f for f in files if f.partition_desc in self._part_filter]
+            splits = _plan_splits(
+                self.info, files, group_buckets=False, cdc_filter=False
+            )
+            return splits or [_Split([], {}, self.info.schema_json, (), None, False)]
         snap = self.store.snapshot(
             version=int(self.version) if self.version is not None else None,
             timestamp_ms=int(self.timestamp_ms) if self.timestamp_ms is not None else None,

@@ -416,6 +416,28 @@ class LakeSoulTable:
         """Whole-table Arrow export (reference PyArrow Dataset path)."""
         return self.to_df().toArrow()
 
+    def save_as_bucketed(self, name: str, *, sorted_by_pk: bool = True) -> None:
+        """Materialize the MOR view as a Spark *bucketed* catalog table
+        so equal-bucketed joins/aggregations on the PK run with NO
+        shuffle — the documented escape hatch for the reference's
+        bucket-aligned scan (``SetPartitionAndOrdering.scala:53-114``;
+        pure PySpark cannot declare DSv2 output partitioning, SURVEY
+        §7.3). Bucket count and murmur3 hashing match the table layout,
+        so the rewrite is a per-bucket file rewrite, not a reshuffle of
+        meaning."""
+        info = self.info
+        if not info.is_pk_table:
+            raise ValueError("save_as_bucketed requires a primary-key table")
+        w = (
+            self.to_df()
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(info.hash_bucket_num, *info.hash_partitions)
+        )
+        if sorted_by_pk:
+            w = w.sortBy(*info.hash_partitions)
+        w.saveAsTable(name)
+
     def _rewrite_partitions(
         self, new_df: DataFrame, parts: set[str], op: str
     ) -> None:

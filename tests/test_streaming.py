@@ -205,3 +205,41 @@ def test_bucket_of_matches_writer_layout(spark, tmp_table):
             ids = pq.read_table(os.path.join(tmp_table, f.path)).column("id").to_pylist()
             for i in ids:
                 assert spark_hash.bucket_of([i], ["int"], 8) == b
+
+
+def test_format_read_incremental_option(lakesoul_format, spark, tmp_table):
+    """readtype=incremental via format options (reference
+    LakeSoulOptions.readtype), CDC rows unfiltered."""
+    write(_df(spark, [(1, "a")], "id int, v string"), tmp_table)
+    from lakesoul_spark.meta.store import MetaStore
+
+    ts1 = MetaStore(tmp_table).read_commit(1).timestamp_ms
+    write(_df(spark, [(2, "b")], "id int, v string"), tmp_table)
+    got = (
+        spark.read.format("lakesoul")
+        .option("readtype", "incremental")
+        .option("readstarttime", str(ts1))
+        .load(tmp_table)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [(2, "b")]
+
+
+def test_save_as_bucketed_shuffle_free_join(spark, tmp_table, tmp_path):
+    """The bucketBy escape hatch: a self-join of two equally-bucketed
+    materializations plans NO Exchange (reference bucket-aligned
+    shuffle-free join, ShuffleJoinSuite)."""
+    df = _df(spark, [(i, i * 2) for i in range(1000)], "id int, v int")
+    write(df, tmp_table, hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.save_as_bucketed("bj_left")
+    t.save_as_bucketed("bj_right")
+    try:
+        j = spark.table("bj_left").join(spark.table("bj_right"), "id")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
