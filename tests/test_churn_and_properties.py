@@ -1,0 +1,98 @@
+"""Long-chain churn + randomized property tests.
+
+Models the reference's contest workload (write N then many upserts,
+MOR read after — 2.2.0 release blog) and its randomized
+mutate-then-diff scripts (script/benchmark random DDL/DML vs MySQL):
+here the oracle is a plain Python dict applying last-writer-wins.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakesoul_spark.meta.store import MetaStore
+from lakesoul_spark.table import LakeSoulTable, write
+
+
+def _df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def test_mor_read_after_many_uncompacted_upserts(spark, tmp_table):
+    """30 uncompacted upsert generations on one table: the MOR read is
+    still correct, and compaction collapses every bucket to one file
+    without changing the result (reference: MOR read after 100 upsert
+    commits, CompactionDoNotChangeResult)."""
+    n = 500
+    write(_df(spark, [(i, 0) for i in range(n)], "id int, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    expect = {i: 0 for i in range(n)}
+    for gen in range(1, 31):
+        batch = [(i, gen * 1000 + i) for i in range(0, n, gen + 1)]
+        for i, v in batch:
+            expect[i] = v
+        t.upsert(_df(spark, batch, "id int, v int"))
+    store = MetaStore(tmp_table)
+    assert store.head_version() == 31
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got == expect
+    t.compaction()
+    got2 = {r["id"]: r["v"] for r in LakeSoulTable.for_path(spark, tmp_table).to_df().collect()}
+    assert got2 == expect
+    per_bucket = {}
+    for f in store.snapshot().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
+
+
+@pytest.fixture(scope="module")
+def hypo_spark(spark):
+    return spark
+
+
+ops_strategy = st.lists(
+    st.one_of(
+        # upsert: a batch of (pk, value) pairs
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(-100, 100)),
+            min_size=1, max_size=6,
+        ).map(lambda b: ("upsert", b)),
+        # delete a set of pks
+        st.lists(st.integers(0, 15), min_size=1, max_size=4)
+        .map(lambda ks: ("delete", ks)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy)
+def test_random_op_sequences_match_dict_model(hypo_spark, tmp_path_factory, ops):
+    """Any sequence of upsert/delete batches produces exactly the state
+    a last-writer-wins dict produces."""
+    spark = hypo_spark
+    path = str(tmp_path_factory.mktemp("hypo") / "t")
+    write(_df(spark, [(0, 0)], "id int, v int"), path,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    model = {0: 0}
+    for kind, payload in ops:
+        if kind == "upsert":
+            # within one batch, the LAST occurrence of a pk wins
+            # (writer's per-batch dedup is ordered by row sequence)
+            t.upsert(_df(spark, payload, "id int, v int"))
+            for k, v in payload:
+                model[k] = v
+        else:
+            keys = sorted(set(payload))
+            t.delete(f"id in ({','.join(map(str, keys))})")
+            for k in keys:
+                model.pop(k, None)
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got == model
