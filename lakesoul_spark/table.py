@@ -715,6 +715,60 @@ class LakeSoulTable:
         ]
         self.store.commit(OP_UPDATE, dels + adds)
 
+    def drop_partition(self, partition_desc: str) -> None:
+        """Drop one range partition — metadata-only expiry of its files
+        (reference ``LakeSoulTable.scala:550-567`` dropPartition;
+        physical bytes go away at vacuum)."""
+        files = self.store.snapshot(partition_descs={partition_desc}).files
+        if not files:
+            raise ValueError(f"no such partition {partition_desc!r}")
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
+                   bucket=f.bucket)
+            for f in files
+        ]
+        self.store.commit(OP_DELETE, dels)
+
+    def apply_ttl(self, *, now_ms: int | None = None) -> dict:
+        """Run the TTL maintenance pass driven by table properties
+        (reference ``partition.ttl`` / ``compaction.ttl`` /
+        ``onlySaveOnceCompaction``, LakeSoulTable.scala:525-548):
+
+        - ``partition.ttl`` (days): range partitions whose NEWEST commit
+          is older are dropped;
+        - ``compaction.ttl`` (days): partitions whose newest commit is
+          older and that still hold >1 generation are compacted.
+
+        Returns ``{"dropped": [...], "compacted": [...]}``."""
+        info = self.info
+        now_ms = now_ms or int(time.time() * 1000)
+        p_ttl = info.properties.get("partition.ttl")
+        c_ttl = info.properties.get("compaction.ttl")
+        newest: dict[str, int] = {}
+        gens: dict[str, int] = {}
+        for f in self.store.snapshot().files:
+            c = self.store.read_commit(f.commit_seq)
+            newest[f.partition_desc] = max(
+                newest.get(f.partition_desc, 0), c.timestamp_ms
+            )
+            key = (f.partition_desc, f.bucket)
+            gens[key] = gens.get(key, 0) + 1
+        out = {"dropped": [], "compacted": []}
+        if p_ttl is not None:
+            cutoff = now_ms - float(p_ttl) * 86_400_000
+            for desc, ts in newest.items():
+                if ts < cutoff and desc != NON_PARTITIONED:
+                    self.drop_partition(desc)
+                    out["dropped"].append(desc)
+        if c_ttl is not None:
+            cutoff = now_ms - float(c_ttl) * 86_400_000
+            multi = {d for (d, _b), n in gens.items() if n > 1}
+            for desc, ts in newest.items():
+                if ts < cutoff and desc in multi and desc not in out["dropped"]:
+                    self.compaction(desc if desc != NON_PARTITIONED else None)
+                    out["compacted"].append(desc)
+        return out
+
     def vacuum(self) -> int:
         """Physically delete data files no longer referenced by the HEAD
         snapshot (reference cleanup/CleanOldCompaction). Time travel to

@@ -376,3 +376,32 @@ def test_shard_disjoint_covering(spark, tmp_table):
         assert not (allids & p)  # disjoint
         allids |= p
     assert allids == set(range(100))  # covering
+
+
+def test_drop_partition_and_ttl(spark, tmp_table):
+    df = seed_df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+                 "id int, p string, v int")
+    write(df, tmp_table, range_partitions=["p"])
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.drop_partition("p=b")
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 3]
+    with pytest.raises(ValueError, match="no such partition"):
+        t.drop_partition("p=zzz")
+    # TTL: everything is older than a cutoff far in the future
+    t.set_properties({"partition.ttl": "1"})
+    res = t.apply_ttl(now_ms=10**15)
+    assert res["dropped"] == ["p=a"]
+    assert t.to_df().count() == 0
+
+
+def test_compaction_ttl(spark, tmp_table):
+    write(seed_df(spark, [(1, 1)], "id int, v int"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=1)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(1, 2)], "id int, v int"))
+    t.set_properties({"compaction.ttl": "0"})
+    res = t.apply_ttl(now_ms=10**15)
+    assert res["compacted"]
+    from lakesoul_spark.meta.store import MetaStore
+    assert len(MetaStore(tmp_table).snapshot().files) == 1
+    assert [tuple(r) for r in t.to_df().collect()] == [(1, 2)]
