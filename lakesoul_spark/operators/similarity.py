@@ -78,30 +78,16 @@ def brute_force_topk(
     )
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    *,
-    vec_col: str = "embedding",
-    nlist: int = 16,
-    seed: int = 42,
-    max_iter: int = 10,
-    sample_limit: int = 100_000,
-) -> list[list[float]]:
-    """KMeans coarse quantizer (reference nlist=256 defaults; its own
-    kernel lives in ``rust/lakesoul-vector/src/rabitq/kmeans.rs``).
-
-    Trains on a bounded sample pulled to the driver and runs a
-    deterministic numpy Lloyd's loop — at 100 TB the sample, not the
-    corpus, bounds the cost (the reference trains per partition×bucket
-    shard the same way). Returns plain centroid lists so assignment is
-    a broadcast expression, not an ML pipeline dependency at read
-    time."""
+def kmeans_lloyd(x, nlist: int, seed: int = 42, max_iter: int = 10) -> list[list[float]]:
+    """Deterministic numpy Lloyd's loop with kmeans++ seeding: same
+    input array + seed → bit-identical centroids on any host. Pure
+    function so the DuckDB oracle side can reproduce the exact
+    quantizer from the same sample (reference kernel:
+    ``rust/lakesoul-vector/src/rabitq/kmeans.rs``)."""
     import numpy as np
 
-    pdf = corpus.select(vec_col).limit(sample_limit).toPandas()
-    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    x = np.asarray(x, dtype=np.float64)
     rng = np.random.RandomState(seed)
-    # kmeans++ seeding, deterministic
     cents = [x[rng.randint(len(x))]]
     for _ in range(1, min(nlist, len(x))):
         d2 = np.min(
@@ -121,6 +107,38 @@ def train_ivf_centroids(
             break
         c = new_c
     return [list(map(float, row)) for row in c]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_limit: int = 100_000,
+    sort_col: str | None = None,
+) -> list[list[float]]:
+    """KMeans coarse quantizer (reference nlist=256 defaults; its own
+    kernel lives in ``rust/lakesoul-vector/src/rabitq/kmeans.rs``).
+
+    Trains on a bounded sample pulled to the driver and runs a
+    deterministic numpy Lloyd's loop — at 100 TB the sample, not the
+    corpus, bounds the cost (the reference trains per partition×bucket
+    shard the same way). Returns plain centroid lists so assignment is
+    a broadcast expression, not an ML pipeline dependency at read
+    time. Pass ``sort_col`` to make the sample order (hence the
+    centroids) a pure function of the data, independent of partition
+    layout — Spark's orderBy+limit plans as a TakeOrdered (per-partition
+    top-N + merge), so this stays cheap at scale."""
+    import numpy as np
+
+    sample = corpus.select(*( [sort_col] if sort_col and sort_col != vec_col else [] ), vec_col)
+    if sort_col:
+        sample = sample.orderBy(sort_col)
+    pdf = sample.limit(sample_limit).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return kmeans_lloyd(x, nlist, seed=seed, max_iter=max_iter)
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:

@@ -99,3 +99,18 @@ def test_persisted_vector_index_search(spark, tmp_path):
     # a narrow probe returns a subset ranked the same way
     narrow = vector_search(t, q, k=5, nprobe=2).collect()
     assert len(narrow) == 15
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """ANN contract check (reference validates its ANN against exact
+    rerank, python/src/lakesoul/vector_index.py:263-312): IVF top-k
+    must recover >=90% of the exact cosine top-k neighbors."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = e.filter(F.col("vec_id") < 8)
+    cents = similarity.train_ivf_centroids(e, nlist=16, seed=42, sort_col="vec_id")
+    ivf = similarity.ivf_topk(e, q, centroids=cents, k=5, nprobe=8)
+    exact = similarity.brute_force_topk(e, q, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
