@@ -210,53 +210,134 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     return agg.select("id", fp.alias("simhash"))
 
 
+def _norm_rows(vals):
+    """Stack an iterable of array-cells into an L2-normalized float64
+    matrix."""
+    import numpy as np
+
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+    if m.size:
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m
+
+
 def embedding_cosine_dup_pairs(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    num_chunks: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs by cosine ≥ threshold.
+    """EXACT embedding near-dup pairs by cosine ≥ threshold, fully
+    distributed: no driver materialization anywhere.
 
-    Vectorized path: the corpus matrix is L2-normalized once and
-    broadcast; each Arrow batch of the distributed side scores against
-    it with one float64 GEMM inside ``mapInPandas`` (~100× the
-    per-pair higher-order-function fold). The comparison and the
-    emitted score both use the 6-dp rounded cosine so the decision is
-    insensitive to summation-order ulps across engines.
+    Block-nested-loop over id-hash chunks — the classic distributed
+    all-pairs. The corpus is salted into C chunks; each row is
+    replicated to every chunk-pair group it participates in (side A to
+    (c, j≥c), side B to (i≤c, c) — C+1 copies per row), and each
+    (i, j) group scores its two chunk matrices with ONE float64 GEMM
+    inside ``applyInPandas``. Task memory is bounded by two chunks,
+    never the corpus; compute is the inherent O(n²) of the exact
+    operator. The comparison and the emitted score both use the 6-dp
+    rounded cosine so the decision is insensitive to summation-order
+    ulps across engines.
 
-    Scale note: all-pairs is quadratic by definition — at 100 TB you
-    block first (``dedup_minhash_lsh`` / IVF cells) and run this exact
-    kernel within blocks; the broadcast side is then one block, not
-    the corpus."""
+    Scale note: at 100 TB you don't run exact all-pairs — you block
+    first (``embedding_cosine_blocked_pairs`` / ``dedup_minhash_lsh``)
+    and keep this kernel as the within-block scorer."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(m)
-
-    def gen(batches):
-        bm, bi = b_mat.value, b_ids.value
-        for batch in batches:
-            a = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
-            )
-            if a.size == 0:
-                continue
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            ai = batch[id_col].to_numpy()
-            s = np.round(a @ bm.T, 6)
-            ia, ib = np.nonzero((s >= threshold) & (ai[:, None] < bi[None, :]))
-            yield pd.DataFrame(
-                {"id_a": ai[ia], "id_b": bi[ib], "cos": s[ia, ib]}
-            )
-
-    return emb.select(id_col, vec_col).repartition(32).mapInPandas(
-        gen, "id_a bigint, id_b bigint, cos double"
+    C = num_chunks or min(32, emb.sparkSession.sparkContext.defaultParallelism)
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(C)).cast("int").alias("_c"),
     )
+    groups = F.array_union(
+        F.transform(
+            F.sequence(F.col("_c"), F.lit(C - 1)),
+            lambda j: F.struct(F.col("_c").alias("gi"), j.alias("gj")),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("_c")),
+            lambda i: F.struct(i.alias("gi"), F.col("_c").alias("gj")),
+        ),
+    )
+    exploded = (
+        base.withColumn("g", F.explode(groups))
+        .select("_id", "_v", "_c", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        if gi == gj:
+            ids = pdf["_id"].to_numpy()
+            m = _norm_rows(pdf["_v"])
+            s = np.round(m @ m.T, 6)
+            ia, ib = np.nonzero((s >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": s[ia, ib]})
+        a, b = pdf[pdf["_c"] == gi], pdf[pdf["_c"] == gj]
+        ai, bi = a["_id"].to_numpy(), b["_id"].to_numpy()
+        ma, mb = _norm_rows(a["_v"]), _norm_rows(b["_v"])
+        if not (ma.size and mb.size):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        s = np.round(ma @ mb.T, 6)
+        ia, ib = np.nonzero(s >= threshold)
+        lo = np.minimum(ai[ia], bi[ib])
+        hi = np.maximum(ai[ia], bi[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": s[ia, ib]})
+
+    return exploded.groupBy("gi", "gj").applyInPandas(
+        score, "id_a bigint, id_b bigint, cos double"
+    )
+
+
+def embedding_cosine_blocked_pairs(
+    emb: DataFrame,
+    *,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_assign: int = 2,
+) -> DataFrame:
+    """IVF-cell-blocked embedding near-dup — the 100 TB code path.
+
+    Each vector is assigned to its ``n_assign`` nearest IVF cells
+    (multi-assign recovers most near-boundary pairs); candidate pairs
+    are only pairs sharing a cell, scored with the same per-block GEMM
+    kernel inside ``applyInPandas``. Cost ∝ Σ cell² instead of n²;
+    task memory is one cell's matrix. Centroids come from
+    ``similarity.train_ivf_centroids`` (deterministic seeded kmeans),
+    so the blocking itself is SQL-expressible and the operator carries
+    a full value-hash oracle despite being approximate-by-blocking
+    (reference shape: per-shard index, vector_index.py:96-160)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakesoul_spark.operators.similarity import _nearest_cells
+
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, n_assign)
+        ).alias("cell"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        m = _norm_rows(pdf["_v"])
+        s = np.round(m @ m.T, 6)
+        ia, ib = np.nonzero((s >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": s[ia, ib]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        score, "id_a bigint, id_b bigint, cos double"
+    )
+    # a pair sharing two cells is emitted twice with the same rounded
+    # score — collapse to one row (min guards the astronomically-rare
+    # case of a last-ulp rounding split between two GEMM shapes)
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))

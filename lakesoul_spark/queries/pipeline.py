@@ -193,6 +193,42 @@ _FOLD_COS = """list_reduce(list_transform(generate_series(1, len({a})),
                  i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))"""
 
 
+_CENTROID_CACHE: dict = {}
+
+
+def _oracle_centroids(nlist: int = 16, seed: int = 42) -> list[list[float]] | None:
+    """Centroids for oracle SQL literals: retrain the identical seeded
+    kmeans on the identically-ordered sample the Spark queries use.
+    The driver's oracle pass runs at sf0.01 (contract in the brief);
+    override with ``SPARK_GRAFT_ORACLE_SF_DIR`` for local runs."""
+    import os
+
+    import duckdb
+
+    from lakesoul_spark.operators.similarity import kmeans_lloyd
+
+    key = (nlist, seed)
+    if key not in _CENTROID_CACHE:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        path = f"{sf_dir}/embeddings.parquet"
+        if not os.path.exists(path):
+            _CENTROID_CACHE[key] = None
+        else:
+            rows = duckdb.connect().execute(
+                f"SELECT embedding FROM read_parquet('{path}') "
+                "ORDER BY vec_id LIMIT 100000"
+            ).fetchall()
+            _CENTROID_CACHE[key] = kmeans_lloyd([r[0] for r in rows], nlist, seed=seed)
+    return _CENTROID_CACHE[key]
+
+
+def _cells_values_sql(cents: list[list[float]]) -> str:
+    return ", ".join(
+        "({i}, [{v}])".format(i=i, v=", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+
+
 @_register(
     "dedup_embedding_cosine",
     f"""
@@ -205,6 +241,54 @@ _FOLD_COS = """list_reduce(list_transform(generate_series(1, len({a})),
 )
 def dedup_embedding(spark, sf_dir):
     return dedup.embedding_cosine_dup_pairs(embs(spark, sf_dir), threshold=0.45)
+
+
+def _blocked_dedup_oracle(nlist: int = 16, n_assign: int = 3,
+                          threshold: float = 0.45, seed: int = 42) -> str | None:
+    """DuckDB twin of the IVF-cell-blocked near-dup: same centroid
+    literals as the ANN oracle, same multi-assign blocking (rn <=
+    n_assign), exact fold-cosine on the candidate pairs."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
+        return None
+    vals = _cells_values_sql(cents)
+    return f"""
+    WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    qa AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c),
+    assigned AS (SELECT vec_id, cell FROM qa WHERE rn <= {n_assign}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round({_FOLD_COS.format(a='ea.embedding', b='eb.embedding')}, 6) AS cos
+      FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+           JOIN embeddings eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+try:
+    _BLOCKED_SQL = _blocked_dedup_oracle()
+except Exception:
+    _BLOCKED_SQL = None
+
+
+@_register("dedup_embedding_blocked", _BLOCKED_SQL)
+def dedup_embedding_blocked(spark, sf_dir):
+    """The 100 TB embedding-dedup path: IVF-cell blocking (multi-assign)
+    + per-cell GEMM — cost ∝ Σ cell², task memory = one cell."""
+    e = embs(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(e, nlist=16, seed=42, sort_col="vec_id")
+    return dedup.embedding_cosine_blocked_pairs(
+        e, centroids=cents, threshold=0.45, n_assign=3
+    )
 
 
 # ------------------------------------------------------------- ANN top-k
@@ -240,29 +324,11 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 8, k: int = 5, seed: int = 42) ->
     reproduces cell assignment (argmax cosine, ties → higher cell),
     probe selection (top-nprobe cells) and within-cell exact rerank —
     a full value-hash check of an ANN operator (reference validates ANN
-    against exact rerank, ``python/src/lakesoul/vector_index.py:263-312``).
-
-    The driver's oracle pass runs at sf0.01 (contract in the brief), so
-    the sample is read from that fixture; override with
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` for local runs at another sf."""
-    import os
-
-    import duckdb
-
-    from lakesoul_spark.operators.similarity import kmeans_lloyd
-
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    path = f"{sf_dir}/embeddings.parquet"
-    if not os.path.exists(path):
+    against exact rerank, ``python/src/lakesoul/vector_index.py:263-312``)."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
         return None
-    rows = duckdb.connect().execute(
-        f"SELECT embedding FROM read_parquet('{path}') ORDER BY vec_id LIMIT 100000"
-    ).fetchall()
-    cents = kmeans_lloyd([r[0] for r in rows], nlist, seed=seed)
-    vals = ", ".join(
-        "({i}, [{v}])".format(i=i, v=", ".join(repr(float(x)) for x in c))
-        for i, c in enumerate(cents)
-    )
+    vals = _cells_values_sql(cents)
     return f"""
     WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
     ca AS (
