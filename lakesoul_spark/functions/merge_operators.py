@@ -50,6 +50,38 @@ MERGE_OP_NAMES = frozenset(
 )
 
 
+# User-defined merge operators (reference MergeOperator.scala:17-85 +
+# ExtractMergeOperator.scala:20-47: an arbitrary MergeOperator[T] class
+# registered as a named UDF). Spark-first re-expression: the extension
+# point is an AGGREGATE-EXPRESSION BUILDER ``(col, ord_, has) -> Column``
+# rather than a row-at-a-time class, so custom merges run as codegen'd
+# hash aggregates exactly like the builtins. ``ord_`` is the comparable
+# version struct (commit_seq, file_seq); ``has`` guards versions whose
+# file physically contains the column (file_exist_cols semantics). A
+# genuinely imperative merge can still aggregate via collect_list +
+# a pandas UDF inside the builder.
+_CUSTOM_OPS: dict = {}
+
+
+def register_merge_operator(name: str, builder) -> None:
+    """Register ``builder(col, ord_, has) -> Column`` under ``name`` for
+    use anywhere a builtin merge-operator name is accepted."""
+    if not callable(builder):
+        raise TypeError("merge operator builder must be callable")
+    if name in MERGE_OP_NAMES:
+        raise ValueError(f"{name!r} is a builtin merge operator")
+    _CUSTOM_OPS[name] = builder
+
+
+def collect_versions(col: Column, ord_: Column, has: Column) -> Column:
+    """Helper for custom builders: non-null values oldest→newest as an
+    array (the raw material of the reference's MergeOperator.mergeData)."""
+    entries = F.collect_list(
+        F.when(has & col.isNotNull(), F.struct(ord_.alias("o"), col.alias("v")))
+    )
+    return F.transform(F.array_sort(entries), lambda x: x["v"])
+
+
 def _joined_all(col: Column, ord_: Column, has: Column, delim: str) -> Column:
     entries = F.collect_list(
         F.when(
@@ -79,4 +111,9 @@ def merge_agg_expr(op: str, col: Column, ord_: Column, has: Column) -> Column:
         return _joined_all(col, ord_, has, ";")
     if op == "joined_last_by_comma" or op == "joined_last_by_semicolon":
         return F.max_by(col.cast("string"), F.when(has & col.isNotNull(), ord_))
-    raise ValueError(f"unknown merge operator {op!r}; known: {sorted(MERGE_OP_NAMES)}")
+    if op in _CUSTOM_OPS:
+        return _CUSTOM_OPS[op](col, ord_, has)
+    raise ValueError(
+        f"unknown merge operator {op!r}; known: "
+        f"{sorted(MERGE_OP_NAMES | _CUSTOM_OPS.keys())}"
+    )

@@ -166,6 +166,53 @@ def merge_operators(spark, sf_dir):
     return t.to_df()
 
 
+# ------------------------------------------------ custom merge operator
+
+@_register(
+    "lakehouse_custom_merge_op",
+    """
+    WITH even AS (
+      SELECT user_id, concat('p0:', COUNT(*)) AS tag
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+    odd AS (
+      SELECT user_id, concat('p1:', COUNT(*)) AS tag
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           CASE WHEN e.tag IS NOT NULL AND o.tag IS NOT NULL
+                THEN concat(e.tag, '|', o.tag)
+                ELSE COALESCE(e.tag, o.tag) END AS tags
+    FROM even e FULL OUTER JOIN odd o ON e.user_id = o.user_id
+    """,
+)
+def custom_merge_op(spark, sf_dir):
+    """User-defined merge operator (reference MergeOperator.scala:17-85,
+    exercised by MergeOperatorSuite): a custom pipe-joiner registered as
+    a builder callable folds each user's per-batch tags oldest→newest
+    across MOR generations — same extension point, but the custom merge
+    runs as a codegen'd aggregate, not a row-at-a-time class."""
+    from lakesoul_spark.functions.merge_operators import collect_versions
+
+    path = _tmp("custom_merge", sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    tbl = create_table(
+        spark, path, "user_id bigint, tags string",
+        hash_partitions=["user_id"], hash_bucket_num=4,
+    )
+    for parity in (0, 1):
+        batch = (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id")
+            .agg(F.concat(F.lit(f"p{parity}:"), F.count(F.lit(1))).alias("tags"))
+        )
+        tbl.upsert(batch)
+
+    def pipe_join(col, ord_, has):
+        return F.array_join(collect_versions(col, ord_, has), "|")
+
+    t = LakeSoulTable.for_path(spark, path).register_merge_operator("tags", pipe_join)
+    return t.to_df()
+
+
 # ---------------------------------------------------------------- CDC
 
 @_register(

@@ -270,12 +270,23 @@ class LakeSoulTable:
     def schema(self) -> StructType:
         return table_schema(self.info)
 
-    def register_merge_operator(self, column: str, op: str) -> "LakeSoulTable":
+    def register_merge_operator(self, column: str, op) -> "LakeSoulTable":
         """Per-column MOR merge operator (reference
-        ``LakeSoulTable.scala:761`` registerMergeOperator)."""
-        from lakesoul_spark.functions.merge_operators import MERGE_OP_NAMES
+        ``LakeSoulTable.scala:761`` registerMergeOperator). ``op`` is a
+        builtin name, a name registered via
+        ``functions.merge_operators.register_merge_operator``, or a
+        bare builder callable ``(col, ord_, has) -> Column`` (the
+        user-defined extension point, reference
+        ``MergeOperator.scala:17-85``) — auto-registered under a
+        derived name."""
+        from lakesoul_spark.functions import merge_operators as mo
 
-        if op not in MERGE_OP_NAMES:
+        if callable(op):
+            name = f"_udf_{getattr(op, '__name__', 'op')}_{id(op):x}"
+            mo._CUSTOM_OPS.setdefault(name, op)
+            self._merge_ops[column] = name
+            return self
+        if op not in mo.MERGE_OP_NAMES and op not in mo._CUSTOM_OPS:
             raise ValueError(f"unknown merge operator {op!r}")
         self._merge_ops[column] = op
         return self

@@ -166,6 +166,50 @@ def test_merge_operators(spark, tmp_table):
     assert rows(t.to_df(), "id", "s", "lnn", "j") == [(1, 23, "c", "x,y,z")]
 
 
+def test_custom_merge_operator(spark, tmp_table):
+    """User-defined operator registered as a builder callable and by
+    name (ported MergeOperatorSuite shape: custom concat-with-prefix)."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.functions.merge_operators import (
+        collect_versions,
+        register_merge_operator,
+    )
+
+    tbl = create_table(
+        spark, tmp_table, "id int, tag string",
+        hash_partitions=["id"], hash_bucket_num=2,
+    )
+    tbl.upsert(seed_df(spark, [(1, "a"), (2, "q")], "id int, tag string"))
+    tbl.upsert(seed_df(spark, [(1, "b")], "id int, tag string"))
+    tbl.upsert(seed_df(spark, [(1, None)], "id int, tag string"))
+
+    def prefix_concat(col, ord_, has):
+        return F.concat(
+            F.lit("all:"), F.array_join(collect_versions(col, ord_, has), "+")
+        )
+
+    t = LakeSoulTable.for_path(spark, tmp_table).register_merge_operator(
+        "tag", prefix_concat
+    )
+    assert rows(t.to_df(), "id", "tag") == [(1, "all:a+b"), (2, "all:q")]
+
+    register_merge_operator("prefix_concat_named", prefix_concat)
+    t2 = LakeSoulTable.for_path(spark, tmp_table).register_merge_operator(
+        "tag", "prefix_concat_named"
+    )
+    assert rows(t2.to_df(), "id", "tag") == [(1, "all:a+b"), (2, "all:q")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="builtin"):
+        register_merge_operator("sum_all", prefix_concat)
+    with _pytest.raises(ValueError, match="unknown merge operator"):
+        LakeSoulTable.for_path(spark, tmp_table).register_merge_operator(
+            "tag", "never_registered"
+        )
+
+
 # -------------------------------------------------------------- update/delete
 
 
