@@ -95,6 +95,7 @@ def scan_files(
     files: list[FileEntry],
     *,
     with_meta_cols: bool = False,
+    with_file_name: bool = False,
 ) -> DataFrame:
     """Steps 1-3: one parquet scan + broadcast file-metadata attach.
 
@@ -106,6 +107,8 @@ def scan_files(
     value_cols = _merge_value_cols(info)
     if not files:
         df = empty_df(spark, info)
+        if with_file_name:
+            df = df.withColumn(_FILE_META_PREFIX + "name", F.lit(None).cast("string"))
         if with_meta_cols:
             df = (
                 df.withColumn(_FILE_META_PREFIX + "commit_seq", F.lit(0).cast("long"))
@@ -151,6 +154,8 @@ def scan_files(
             df = df.withColumn(_FILE_META_PREFIX + f"has_{vidx[c]}", F.lit(True))
 
     cols = [f.name for f in full.fields]
+    if with_file_name:
+        cols.append(_FILE_META_PREFIX + "name")
     if with_meta_cols:
         cols += [
             _FILE_META_PREFIX + "commit_seq",

@@ -449,17 +449,46 @@ class LakeSoulTable:
             w = w.sortBy(*info.hash_partitions)
         w.saveAsTable(name)
 
+    def _rewrite_files(self, new_df: DataFrame, files, op: str) -> None:
+        """Copy-on-write: replace exactly ``files`` with a rewrite."""
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in files
+        ]
+        adds = write_table_data(new_df, self.info, dedup=False) if new_df is not None else []
+        self.store.commit(op, dels + adds)
+
     def _rewrite_partitions(
         self, new_df: DataFrame, parts: set[str], op: str
     ) -> None:
         """Copy-on-write: replace all files of ``parts`` with a rewrite."""
-        info = self.info
-        dels = [
-            FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
-            for f in self.store.snapshot(partition_descs=parts).files
+        self._rewrite_files(
+            new_df, self.store.snapshot(partition_descs=parts).files, op
+        )
+
+    def _touched_files(self, cond: Column, parts: set[str]) -> list:
+        """File-granularity candidate set for non-PK DML (reference
+        ``UpdateCommand.scala:86-95``): scan the affected partitions
+        with per-row file identity and keep only files that contain a
+        matching row. PK tables never reach here — the reference's own
+        comment notes input_file_name is wrong under the merge reader,
+        so hash-partitioned tables rewrite candidate files instead."""
+        import os as _os
+
+        snap = self.store.snapshot(partition_descs=parts)
+        view = rdr.scan_files(self.spark, self.info, snap.files, with_file_name=True)
+        hit = {
+            r[0]
+            for r in view.filter(cond)
+            .select(rdr._FILE_META_PREFIX + "name")
+            .distinct()
+            .collect()
+        }
+        return [
+            f
+            for f in snap.files
+            if _os.path.join(self.info.path, f.path) in hit
         ]
-        adds = write_table_data(new_df, info, dedup=False) if new_df is not None else []
-        self.store.commit(op, dels + adds)
 
     def _affected_partitions(self, cond: Column) -> set[str]:
         info = self.info
@@ -479,9 +508,12 @@ class LakeSoulTable:
 
     def update(self, condition: str | Column, set_exprs: dict[str, str | Column]) -> None:
         """``UPDATE t SET ... WHERE ...`` copy-on-write (reference
-        ``UpdateCommand.scala:54-145``): affected range partitions are
-        rewritten with ``CASE WHEN cond THEN expr ELSE col END`` per
-        column; untouched partitions' files are untouched metadata-wise."""
+        ``UpdateCommand.scala:54-145``): non-PK tables rewrite ONLY the
+        files containing a matching row (per-row file identity — Case 3
+        file-granularity); PK tables rewrite the affected partitions'
+        candidate files, matching the reference's own fallback (its
+        comment: input_file_name is wrong under the merge reader,
+        ``UpdateCommand.scala:85-95``)."""
         info = self.info
         cond = F.expr(condition) if isinstance(condition, str) else condition
         bad = set(set_exprs) & set(info.range_partitions + info.hash_partitions)
@@ -490,6 +522,20 @@ class LakeSoulTable:
         parts = self._affected_partitions(cond)
         if not parts:
             return
+
+        def apply_set(df):
+            for c, e in set_exprs.items():
+                ex = F.expr(e) if isinstance(e, str) else e
+                df = df.withColumn(c, F.when(cond, ex).otherwise(F.col(c)))
+            return df
+
+        if not info.is_pk_table:
+            touched = self._touched_files(cond, parts)
+            if not touched:
+                return
+            base = rdr.scan_files(self.spark, info, touched)
+            self._rewrite_files(apply_set(base), touched, OP_UPDATE)
+            return
         view = rdr.merge_view(
             self.spark,
             info,
@@ -497,11 +543,7 @@ class LakeSoulTable:
             merge_ops=self._merge_ops,
             apply_cdc_filter=False,
         )
-        out = view
-        for c, e in set_exprs.items():
-            e = F.expr(e) if isinstance(e, str) else e
-            out = out.withColumn(c, F.when(cond, e).otherwise(F.col(c)))
-        self._rewrite_partitions(out, parts, OP_UPDATE)
+        self._rewrite_partitions(apply_set(view), parts, OP_UPDATE)
 
     def delete(self, condition: str | Column | None = None) -> None:
         """``DELETE FROM t [WHERE ...]`` (reference
@@ -533,6 +575,16 @@ class LakeSoulTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         parts = self._affected_partitions(cond)
         if not parts:
+            return
+        if not info.is_pk_table:
+            # file granularity (reference DeleteCommand.scala:48-111):
+            # only files holding a matching row are rewritten; siblings
+            # in the same partition keep their paths
+            touched = self._touched_files(cond, parts)
+            if not touched:
+                return
+            keep = rdr.scan_files(self.spark, info, touched).filter(~cond)
+            self._rewrite_files(keep, touched, OP_DELETE)
             return
         view = rdr.merge_view(
             self.spark,

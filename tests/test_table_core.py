@@ -449,3 +449,36 @@ def test_compaction_ttl(spark, tmp_table):
     from lakesoul_spark.meta.store import MetaStore
     assert len(MetaStore(tmp_table).snapshot().files) == 1
     assert [tuple(r) for r in t.to_df().collect()] == [(1, 2)]
+
+
+def test_update_delete_file_granularity(spark, tmp_table):
+    """Non-PK DML rewrites ONLY files containing a matching row
+    (reference UpdateCommand Case 3 / DeleteCommand file granularity):
+    sibling files of the same partition keep their original paths."""
+    from lakesoul_spark.meta.store import MetaStore
+
+    write(seed_df(spark, [(1, "p1", 10), (2, "p2", 20)], "id int, p string, v int"),
+          tmp_table, mode="overwrite", range_partitions=["p"])
+    write(seed_df(spark, [(3, "p1", 30), (4, "p2", 40)], "id int, p string, v int"),
+          tmp_table, mode="append")
+    store = MetaStore(tmp_table)
+    before = {f.path for f in store.snapshot().files}
+    assert len(before) >= 4  # 2 partitions x 2 writes
+
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.update("id = 3", {"v": "v + 1"})
+    store2 = MetaStore(tmp_table)
+    after = {f.path for f in store2.snapshot().files}
+    # only the one file holding id=3 was replaced
+    assert len(before - after) == 1
+    assert len(after - before) == 1
+    assert rows(t.to_df(), "id", "v") == [(1, 10), (2, 20), (3, 31), (4, 40)]
+
+    t.delete("id = 2")
+    store3 = MetaStore(tmp_table)
+    final = {f.path for f in store3.snapshot().files}
+    # the id=2 file was dropped/rewritten; id=1/id=4 files untouched
+    untouched = after & final
+    assert len(after - final) == 1
+    assert rows(t.to_df(), "id", "v") == [(1, 10), (3, 31), (4, 40)]
+    assert len(untouched) == 3
