@@ -45,6 +45,12 @@ OP_DELETE = "delete"        # drop files
 OP_COMPACTION = "compaction"
 
 MAX_COMMIT_ATTEMPTS = 16
+# Roll up a checkpoint every K commits: snapshot resolution, head
+# discovery, and streaming idempotence checks then read O(K) files
+# instead of O(#commits) — the file-log analog of the reference's
+# indexed PG metadata (DBManager.java). Long-running streaming queries
+# (1 commit/batch for a year) stay O(K) per batch.
+CHECKPOINT_INTERVAL = 32
 
 
 class CommitConflict(RuntimeError):
@@ -168,13 +174,16 @@ def _atomic_write_json(path: str, payload: dict) -> bool:
 class MetaStore:
     """Commit log + snapshot resolution for one table directory."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, checkpoint_interval: int = CHECKPOINT_INTERVAL):
         self.table_path = table_path.rstrip("/")
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.commits_dir = os.path.join(self.meta_dir, "commits")
+        self.checkpoint_interval = checkpoint_interval
         # snapshot cache (reference SnapshotManagement per-table cache):
         # full replay memoized per head version; invalidated by version
         self._snap_cache: tuple[int, "Snapshot"] | None = None
+        self._head_cache = 0
+        self._cp_cache: tuple[int, dict] | None = None
 
     # ---------------------------------------------------------------- info
 
@@ -210,18 +219,94 @@ class MetaStore:
         return os.path.join(self.commits_dir, f"{seq:020d}.json")
 
     def head_version(self) -> int:
+        """Probe forward from the last known position (cached head or
+        newest checkpoint) — O(new commits), never a full dir listing.
+        Sequence numbers are contiguous by construction (seq = head+1
+        under O_EXCL), so the first missing file is the frontier."""
+        n = self._head_cache or self.latest_checkpoint_seq()
+        if n and not os.path.exists(self._commit_path(n)):
+            n = 0  # stale cache (table dropped/recreated)
+        while os.path.exists(self._commit_path(n + 1)):
+            n += 1
+        self._head_cache = n
+        return n
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _checkpoint_path(self, seq: int) -> str:
+        return os.path.join(self.meta_dir, f"checkpoint.{seq:020d}.json")
+
+    def latest_checkpoint_seq(self, max_seq: int | None = None) -> int:
+        """Newest checkpoint ≤ max_seq. One listing of the meta dir,
+        which holds #commits/K checkpoint entries, not #commits."""
         try:
-            names = os.listdir(self.commits_dir)
+            names = os.listdir(self.meta_dir)
         except FileNotFoundError:
             return 0
         best = 0
         for n in names:
-            if n.endswith(".json"):
+            if n.startswith("checkpoint.") and n.endswith(".json"):
                 try:
-                    best = max(best, int(n[:-5]))
+                    s = int(n[len("checkpoint."):-5])
                 except ValueError:
-                    pass
+                    continue
+                if (max_seq is None or s <= max_seq) and s > best:
+                    best = s
         return best
+
+    def _read_checkpoint(self, seq: int) -> dict:
+        if self._cp_cache is not None and self._cp_cache[0] == seq:
+            return self._cp_cache[1]
+        with open(self._checkpoint_path(seq)) as f:
+            payload = json.load(f)
+        self._cp_cache = (seq, payload)
+        return payload
+
+    def _maybe_checkpoint(self, seq: int) -> None:
+        """Roll up ``checkpoint.{seq}.json`` when seq hits the interval.
+        Built from the previous checkpoint + tail (never a full replay);
+        purely an optimization — failure never fails the commit."""
+        k = self.checkpoint_interval
+        if not k or seq % k:
+            return
+        try:
+            prev = self.latest_checkpoint_seq(max_seq=seq - 1)
+            live: dict[str, dict] = {}
+            qb: dict[str, int] = {}
+            ts = 0
+            if prev:
+                p = self._read_checkpoint(prev)
+                live = {f["path"]: dict(f) for f in p["files"]}
+                qb = dict(p.get("query_batches", {}))
+                ts = p["timestamp_ms"]
+            for c in self.commits(prev + 1, seq):
+                ts = c.timestamp_ms
+                if c.query_id:
+                    qb[c.query_id] = max(qb.get(c.query_id, -1), c.batch_id)
+                for i, fo in enumerate(c.file_ops):
+                    if fo.op == "add":
+                        live[fo.path] = dict(
+                            commit_seq=c.seq,
+                            file_seq=i,
+                            path=fo.path,
+                            partition_desc=fo.partition_desc,
+                            bucket=fo.bucket,
+                            file_exist_cols=fo.file_exist_cols,
+                            commit_op=c.commit_op,
+                            size=fo.size,
+                            num_rows=fo.num_rows,
+                        )
+                    elif fo.op == "del":
+                        live.pop(fo.path, None)
+            payload = {
+                "seq": seq,
+                "timestamp_ms": ts,
+                "files": list(live.values()),
+                "query_batches": qb,
+            }
+            _atomic_write_json(self._checkpoint_path(seq), payload)
+        except Exception:
+            pass
 
     def read_commit(self, seq: int) -> CommitInfo:
         with open(self._commit_path(seq)) as f:
@@ -279,6 +364,8 @@ class MetaStore:
             )
             payload = asdict(ci)
             if _atomic_write_json(self._commit_path(seq), payload):
+                self._head_cache = max(self._head_cache, seq)
+                self._maybe_checkpoint(seq)
                 return ci
         raise CommitConflict(
             f"gave up after {MAX_COMMIT_ATTEMPTS} attempts on {self.table_path}"
@@ -325,12 +412,7 @@ class MetaStore:
         if version is None:
             version = head
         if timestamp_ms is not None:
-            version = 0
-            for c in self.commits(1, head):
-                if c.timestamp_ms <= timestamp_ms:
-                    version = c.seq
-                else:
-                    break
+            version = self.version_at_timestamp(timestamp_ms, head)
         version = min(version, head)
         # HEAD reads (the hot path) come from the memoized full replay;
         # partition pruning is a filter over it — identical result, file
@@ -348,12 +430,35 @@ class MetaStore:
             )
         return self._replay(version, partition_descs)
 
+    def version_at_timestamp(self, timestamp_ms: int, head: int | None = None) -> int:
+        """Greatest version with commit timestamp ≤ ts. Commit
+        timestamps are strictly monotonic (enforced at commit), so this
+        is a binary search over commit files — O(log n) reads."""
+        head = head if head is not None else self.head_version()
+        lo, hi, ans = 1, head, 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.read_commit(mid).timestamp_ms <= timestamp_ms:
+                ans = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return ans
+
     def _replay(
         self, version: int, partition_descs: set[str] | None
     ) -> "Snapshot":
         live: dict[str, FileEntry] = {}
         ts = 0
-        for c in self.commits(1, version):
+        cp = self.latest_checkpoint_seq(max_seq=version)
+        if cp:
+            p = self._read_checkpoint(cp)
+            ts = p["timestamp_ms"]
+            for fd in p["files"]:
+                if partition_descs is not None and fd["partition_desc"] not in partition_descs:
+                    continue
+                live[fd["path"]] = FileEntry(**fd)
+        for c in self.commits(cp + 1, version):
             ts = c.timestamp_ms
             for i, fo in enumerate(c.file_ops):
                 if partition_descs is not None and fo.partition_desc not in partition_descs:
@@ -395,7 +500,10 @@ class MetaStore:
         """
         out: list[FileEntry] = []
         cs: list[CommitInfo] = []
-        for c in self.commits(1, self.head_version()):
+        head = self.head_version()
+        # timestamps are monotonic: binary-search past the <= start prefix
+        first = self.version_at_timestamp(start_ts_ms, head) + 1
+        for c in self.commits(first, head):
             if c.timestamp_ms <= start_ts_ms:
                 continue
             if end_ts_ms is not None and c.timestamp_ms > end_ts_ms:
@@ -451,8 +559,19 @@ class MetaStore:
         return out
 
     def has_batch(self, query_id: str, batch_id: int) -> bool:
-        """Streaming idempotence (reference LakeSoulSink.scala:44-48)."""
-        for c in self.commits(1, self.head_version()):
-            if c.query_id == query_id and c.batch_id >= batch_id >= 0:
+        """Streaming idempotence (reference LakeSoulSink.scala:44-48).
+        O(tail): the per-query max batch id is rolled up into each
+        checkpoint, so only commits since the newest checkpoint are
+        scanned — a year-long streaming query stays O(K) per batch."""
+        if batch_id < 0:
+            return False
+        head = self.head_version()
+        cp = self.latest_checkpoint_seq(max_seq=head)
+        if cp:
+            qb = self._read_checkpoint(cp).get("query_batches", {})
+            if qb.get(query_id, -1) >= batch_id:
+                return True
+        for c in self.commits(cp + 1, head):
+            if c.query_id == query_id and c.batch_id >= batch_id:
                 return True
         return False

@@ -356,16 +356,51 @@ class LakeSoulTable:
 
     # -------------------------------------------------------------- writing
 
-    def upsert(self, source: DataFrame) -> None:
+    def upsert(self, source: DataFrame, *, schema_auto_migrate: bool | None = None) -> None:
         """PK merge write — the delta-file path (reference
         ``UpsertCommand.scala:96-144``): repartition+sort+write one delta
         file per bucket, commit as Merge; readers see it immediately via
         MOR. Non-PK tables degrade to append (reference upsert requires
         hash cols, UpsertCommand.scala:65-67 — we allow append for
-        convenience on non-PK)."""
+        convenience on non-PK).
+
+        ``schema_auto_migrate`` (reference ``SCHEMA_AUTO_MIGRATE`` conf,
+        ``UpsertCommand.scala:60-93``): when on, source columns absent
+        from the table schema WIDEN the schema (metadata-only commit)
+        before the write; old files fill null via file_exist_cols. Off
+        (default): unknown columns are rejected. Also enabled per-table
+        via property ``lakesoul.schema.autoMigrate=true``."""
         info = self.info
+        if schema_auto_migrate is None:
+            schema_auto_migrate = (
+                info.properties.get("lakesoul.schema.autoMigrate", "false").lower()
+                == "true"
+            )
+        if schema_auto_migrate:
+            self._migrate_schema(source)
+            info = self.info
         ops = write_table_data(source, info)
         self.store.commit(OP_MERGE if info.is_pk_table else OP_APPEND, ops)
+
+    def _migrate_schema(self, source: DataFrame) -> None:
+        """Append source-only columns to the table schema (nullable),
+        preserving source order — reference updateMetadata on upsert."""
+        from pyspark.sql.types import StructField, StructType
+
+        info = self.info
+        schema = table_schema(info)
+        names = {f.name for f in schema.fields}
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in names
+        ]
+        if not new_fields:
+            return
+        info.schema_json = json.dumps(
+            StructType(schema.fields + new_fields).jsonValue()
+        )
+        self.store.update_table_info(info)
 
     def upsert_on_join_key(self, source: DataFrame, join_keys: list[str]) -> None:
         """Upsert rows that arrive keyed by a non-PK join key (reference

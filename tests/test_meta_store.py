@@ -136,3 +136,69 @@ def test_incremental_update_breaks_range(tmp_path):
     ts3 = store.read_commit(3).timestamp_ms
     files, _ = store.incremental_files(ts3)
     assert [f.path for f in files] == ["f4"]
+
+
+def test_checkpoint_bounds_metadata_reads(tmp_path):
+    """1,000 commits: a FRESH store resolves head/snapshot/has_batch by
+    reading O(checkpoint interval) commit files, not O(#commits) — the
+    file-log analog of the reference's indexed PG metadata
+    (DBManager.java). Correctness: checkpointed replay == full replay."""
+    store = mk_store(tmp_path)
+    n = 1000
+    for i in range(n):
+        store.commit(
+            OP_APPEND, [add(f"data/f{i}.parquet")],
+            query_id="qA", batch_id=i,
+        )
+    # drop one early file via a later commit so the rollup must apply dels
+    store.commit(
+        OP_APPEND,
+        [FileOp(op="del", path="data/f0.parquet",
+                partition_desc=NON_PARTITIONED, bucket=-1)],
+    )
+
+    fresh = MetaStore(store.table_path)
+    reads = {"n": 0}
+    orig = MetaStore.read_commit
+
+    def counting(self, seq):
+        reads["n"] += 1
+        return orig(self, seq)
+
+    MetaStore.read_commit = counting
+    try:
+        head = fresh.head_version()
+        snap = fresh.snapshot()
+        assert fresh.has_batch("qA", n - 1)
+        assert not fresh.has_batch("qA", n)
+    finally:
+        MetaStore.read_commit = orig
+    assert head == n + 1
+    assert len(snap.files) == n - 1
+    assert reads["n"] <= 3 * fresh.checkpoint_interval
+
+    # checkpointed replay must equal a checkpoint-free full replay
+    bare = MetaStore(store.table_path)
+    bare.latest_checkpoint_seq = lambda max_seq=None: 0
+    assert {f.path for f in bare.snapshot().files} == {f.path for f in snap.files}
+    assert {(f.path, f.commit_seq) for f in bare.snapshot().files} == {
+        (f.path, f.commit_seq) for f in snap.files
+    }
+
+
+def test_checkpoint_time_travel_and_timestamp_resolution(tmp_path):
+    """Binary-search timestamp resolution + checkpointed historical
+    replay agree with the naive definitions."""
+    store = mk_store(tmp_path)
+    for i in range(100):
+        store.commit(OP_APPEND, [add(f"data/f{i}.parquet")])
+    c50 = store.read_commit(50)
+    assert store.version_at_timestamp(c50.timestamp_ms) == 50
+    assert store.version_at_timestamp(c50.timestamp_ms - 1) == 49
+    assert store.version_at_timestamp(store.read_commit(100).timestamp_ms + 10) == 100
+    assert store.version_at_timestamp(store.read_commit(1).timestamp_ms - 10) == 0
+    # historical snapshot through a checkpoint boundary (interval 32)
+    snap = store.snapshot(version=50)
+    assert len(snap.files) == 50
+    snap33 = store.snapshot(version=33)
+    assert len(snap33.files) == 33

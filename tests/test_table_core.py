@@ -482,3 +482,30 @@ def test_update_delete_file_granularity(spark, tmp_table):
     assert len(after - final) == 1
     assert rows(t.to_df(), "id", "v") == [(1, 10), (3, 31), (4, 40)]
     assert len(untouched) == 3
+
+
+def test_upsert_schema_auto_migrate(spark, tmp_table):
+    """Ported UpsertCommand.scala:60-93 semantics: with auto-migrate the
+    table schema widens to carry source-only columns; without it the
+    unknown column is rejected."""
+    write(seed_df(spark, [(1, 10), (2, 20)], "id int, v int"), tmp_table,
+          mode="overwrite", hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    extra = seed_df(spark, [(2, 21, "x"), (3, 30, "y")], "id int, v int, note string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.upsert(extra)
+    t.upsert(extra, schema_auto_migrate=True)
+    assert [f.name for f in t.schema().fields] == ["id", "v", "note"]
+    assert rows(t.to_df(), "id", "v", "note") == [
+        (1, 10, None), (2, 21, "x"), (3, 30, "y")]
+
+    # table property turns it on without the kwarg
+    t.set_properties({"lakesoul.schema.autoMigrate": "true"})
+    t2 = LakeSoulTable.for_path(spark, tmp_table)
+    t2.upsert(seed_df(spark, [(4, 40, "z", 1.5)],
+                      "id int, v int, note string, score double"))
+    assert [f.name for f in t2.schema().fields] == ["id", "v", "note", "score"]
+    assert rows(t2.to_df(), "id", "score") == [
+        (1, None), (2, None), (3, None), (4, 1.5)]
