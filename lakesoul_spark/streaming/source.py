@@ -56,57 +56,107 @@ def _arrow_schema(schema: StructType):
     return to_arrow_schema(schema)
 
 
+def _pk_key(tbl, pk_cols):
+    """Composite match key for index_in: the bare column for a single
+    PK, else a collision-safe string concat (length-prefixed values)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(pk_cols) == 1:
+        return tbl.column(pk_cols[0])
+    parts = []
+    for c in pk_cols:
+        s = pc.cast(tbl.column(c), pa.string())
+        s = pc.fill_null(s, "\x00")
+        parts.append(pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(s), pa.string()), s, ":"
+        ))
+    return pc.binary_join_element_wise(*parts, "|")
+
+
 def _read_file_merged(paths_with_order, table_schema_json, range_vals,
-                      pk_cols, cdc_col, apply_cdc_filter):
-    """Read one bucket's file generations, merge last-writer-wins, and
-    yield arrow batches matching the table schema."""
+                      pk_cols, cdc_col, apply_cdc_filter, defaults=None):
+    """Read one bucket's file generations and merge them arrow-natively,
+    resolving EACH COLUMN independently: a column's value comes from the
+    newest generation whose file physically contains it
+    (``file_exist_cols``), matching ``_merge_generations`` use_last
+    semantics — partial-column upserts read identically via
+    ``format("lakesoul")`` and ``to_df()``. Sequential fold over
+    generations (oldest→newest, one vectorized index_in + if_else per
+    generation), never pandas: memory is the bucket's arrow columns,
+    not python rows."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     schema = StructType.fromJson(json.loads(table_schema_json))
     target = _arrow_schema(schema)
+    defaults = defaults or {}
 
-    tables = []
-    for path, commit_seq, file_seq in paths_with_order:
-        t = pq.read_table(path)
-        cols, names = [], []
+    def normalize(t):
+        """Full-schema table + the set of columns it physically carries
+        (default-filled columns count as present, as in scan_files)."""
+        cols, names, present = [], [], set()
         for field in target:
             if field.name in range_vals:
                 v = range_vals[field.name]
                 arr = pa.nulls(t.num_rows, field.type) if v is None else pc.cast(
                     pa.array([v] * t.num_rows, pa.string()), field.type
                 )
-                cols.append(arr)
+                present.add(field.name)
             elif field.name in t.column_names:
-                cols.append(pc.cast(t.column(field.name), field.type))
+                arr = pc.cast(t.column(field.name), field.type)
+                present.add(field.name)
+            elif field.name in defaults:
+                arr = pc.cast(
+                    pa.array([defaults[field.name]] * t.num_rows, pa.string()),
+                    field.type,
+                )
+                present.add(field.name)
             else:
-                cols.append(pa.nulls(t.num_rows, field.type))
+                arr = pa.nulls(t.num_rows, field.type)
+            cols.append(arr)
             names.append(field.name)
-        tbl = pa.table(dict(zip(names, cols)))
-        if pk_cols:
-            order = pa.array([commit_seq * (1 << 20) + file_seq] * t.num_rows,
-                             pa.int64())
-            tbl = tbl.append_column("__ls_order", order)
-        tables.append(tbl)
+        return pa.table(dict(zip(names, cols))), present
 
-    if not tables:
+    gens = [
+        (normalize(pq.read_table(path)), commit_seq, file_seq)
+        for path, commit_seq, file_seq in sorted(
+            paths_with_order, key=lambda x: (x[1], x[2])
+        )
+    ]
+    if not gens:
         return
-    merged = pa.concat_tables(tables)
-    if pk_cols and len(tables) > 1:
-        import pandas as pd  # noqa: F401
 
-        pdf = merged.to_pandas()
-        pdf = pdf.sort_values([*pk_cols, "__ls_order"], kind="stable")
-        pdf = pdf.drop_duplicates(subset=pk_cols, keep="last")
-        merged = pa.Table.from_pandas(pdf, preserve_index=False)
-    if pk_cols:
-        merged = merged.drop_columns("__ls_order")
-    merged = merged.cast(target)
+    if not pk_cols or len(gens) == 1:
+        merged = pa.concat_tables([g[0][0] for g in gens]).cast(target)
+    else:
+        (merged, _), *rest = [g[0] for g in gens]
+        value_cols = [
+            f.name for f in target
+            if f.name not in pk_cols and f.name not in range_vals
+        ]
+        def as_arr(k):
+            return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+        for gt, present in rest:
+            key_r, key_g = _pk_key(merged, pk_cols), _pk_key(gt, pk_cols)
+            pos = pc.index_in(key_r, as_arr(key_g))
+            hit = pc.is_valid(pos)
+            cols = {c: merged.column(c) for c in merged.column_names}
+            for c in value_cols:
+                if c in present:  # newer generation carries the column
+                    taken = pc.take(gt.column(c), pos)
+                    cols[c] = pc.if_else(hit, taken, merged.column(c))
+            updated = pa.table(cols)
+            # PKs new in this generation append after existing rows
+            fresh = gt.filter(
+                pc.is_null(pc.index_in(key_g, as_arr(key_r)))
+            )
+            merged = pa.concat_tables([updated, fresh]).cast(target)
+
     if cdc_col and apply_cdc_filter and cdc_col in merged.column_names:
-        import pyarrow.compute as pc2
-
-        merged = merged.filter(pc2.not_equal(merged.column(cdc_col), CDC_DELETE))
+        merged = merged.filter(pc.not_equal(merged.column(cdc_col), CDC_DELETE))
     yield from merged.to_batches(max_chunksize=8192)
 
 
@@ -118,6 +168,7 @@ class _Split(InputPartition):
     pk_cols: tuple
     cdc_col: str | None
     cdc_filter: bool
+    defaults: dict = None
 
 
 def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
@@ -146,6 +197,7 @@ def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
                 pk_cols=tuple(info.hash_partitions),
                 cdc_col=info.cdc_column,
                 cdc_filter=cdc_filter,
+                defaults=info.column_defaults(),
             )
         )
     return splits
@@ -244,6 +296,7 @@ class LakeSoulBatchReader(DataSourceReader):
         yield from _read_file_merged(
             split.files, split.schema_json, split.range_vals,
             list(split.pk_cols), split.cdc_col, split.cdc_filter,
+            defaults=split.defaults,
         )
 
 
@@ -279,6 +332,7 @@ class LakeSoulStreamReader(DataSourceStreamReader):
         yield from _read_file_merged(
             split.files, split.schema_json, split.range_vals,
             [], split.cdc_col, split.cdc_filter,
+            defaults=split.defaults,
         )
 
     def commit(self, end: dict) -> None:
