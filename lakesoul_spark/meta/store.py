@@ -70,6 +70,14 @@ class FileOp:
     # columns physically present in the file — key to schema evolution and
     # partial-column upserts (reference entity.proto:109-110 file_exist_cols)
     file_exist_cols: list[str] = field(default_factory=list)
+    # compaction level (reference CompactBucketIO COMPACT_DIR levels);
+    # fresh writes are level 0
+    level: int = 0
+    # MOR-order override [commit_seq, file_seq]: a leveled compaction
+    # merges a CONTIGUOUS RUN of generations into one file, which must
+    # keep the run's position in the merge order — it inherits the
+    # newest input's order key instead of the rewrite commit's seq
+    order_key: list | None = None
 
 
 @dataclass
@@ -136,6 +144,23 @@ class FileEntry:
     commit_op: str
     size: int = 0
     num_rows: int = -1
+    level: int = 0
+
+
+def _file_entry(c: "CommitInfo", i: int, fo: FileOp) -> FileEntry:
+    cs, fs = tuple(fo.order_key) if fo.order_key else (c.seq, i)
+    return FileEntry(
+        commit_seq=cs,
+        file_seq=fs,
+        path=fo.path,
+        partition_desc=fo.partition_desc,
+        bucket=fo.bucket,
+        file_exist_cols=fo.file_exist_cols,
+        commit_op=c.commit_op,
+        size=fo.size,
+        num_rows=fo.num_rows,
+        level=fo.level,
+    )
 
 
 @dataclass
@@ -285,17 +310,7 @@ class MetaStore:
                     qb[c.query_id] = max(qb.get(c.query_id, -1), c.batch_id)
                 for i, fo in enumerate(c.file_ops):
                     if fo.op == "add":
-                        live[fo.path] = dict(
-                            commit_seq=c.seq,
-                            file_seq=i,
-                            path=fo.path,
-                            partition_desc=fo.partition_desc,
-                            bucket=fo.bucket,
-                            file_exist_cols=fo.file_exist_cols,
-                            commit_op=c.commit_op,
-                            size=fo.size,
-                            num_rows=fo.num_rows,
-                        )
+                        live[fo.path] = asdict(_file_entry(c, i, fo))
                     elif fo.op == "del":
                         live.pop(fo.path, None)
             payload = {
@@ -464,17 +479,7 @@ class MetaStore:
                 if partition_descs is not None and fo.partition_desc not in partition_descs:
                     continue
                 if fo.op == "add":
-                    live[fo.path] = FileEntry(
-                        commit_seq=c.seq,
-                        file_seq=i,
-                        path=fo.path,
-                        partition_desc=fo.partition_desc,
-                        bucket=fo.bucket,
-                        file_exist_cols=fo.file_exist_cols,
-                        commit_op=c.commit_op,
-                        size=fo.size,
-                        num_rows=fo.num_rows,
-                    )
+                    live[fo.path] = _file_entry(c, i, fo)
                 elif fo.op == "del":
                     live.pop(fo.path, None)
         files = sorted(live.values(), key=lambda f: (f.commit_seq, f.file_seq))
@@ -517,19 +522,7 @@ class MetaStore:
             cs.append(c)
             for i, fo in enumerate(c.file_ops):
                 if fo.op == "add":
-                    out.append(
-                        FileEntry(
-                            commit_seq=c.seq,
-                            file_seq=i,
-                            path=fo.path,
-                            partition_desc=fo.partition_desc,
-                            bucket=fo.bucket,
-                            file_exist_cols=fo.file_exist_cols,
-                            commit_op=c.commit_op,
-                            size=fo.size,
-                            num_rows=fo.num_rows,
-                        )
-                    )
+                    out.append(_file_entry(c, i, fo))
         return out, cs
 
     def files_in_version_range(self, start_v: int, end_v: int) -> list[FileEntry]:
@@ -543,19 +536,7 @@ class MetaStore:
                 continue
             for i, fo in enumerate(c.file_ops):
                 if fo.op == "add":
-                    out.append(
-                        FileEntry(
-                            commit_seq=c.seq,
-                            file_seq=i,
-                            path=fo.path,
-                            partition_desc=fo.partition_desc,
-                            bucket=fo.bucket,
-                            file_exist_cols=fo.file_exist_cols,
-                            commit_op=c.commit_op,
-                            size=fo.size,
-                            num_rows=fo.num_rows,
-                        )
-                    )
+                    out.append(_file_entry(c, i, fo))
         return out
 
     def has_batch(self, query_id: str, batch_id: int) -> bool:

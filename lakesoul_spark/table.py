@@ -785,6 +785,101 @@ class LakeSoulTable:
         adds = write_table_data(view, info, dedup=False)
         self.store.commit(OP_COMPACTION, dels + adds)
 
+    def leveled_compaction(
+        self,
+        partition_desc: str | None = None,
+        *,
+        l0_file_num_limit: int = 4,
+        level_file_num_limit: int = 8,
+        max_bytes_for_level_base: int = 256 << 20,
+        level_multiplier: int = 10,
+        max_level: int = 4,
+    ) -> dict:
+        """Size-tiered leveled compaction (reference
+        ``CompactBucketIO.java:109-130,240-270`` needCompaction: a level
+        compacts when its file count ≥ the level limit OR its bytes ≥
+        ``maxBytesForLevelBase × multiplier^(level-1)``; compacted
+        output cascades one level up, so small hot levels merge often
+        while a large cold base is left alone — reduced here to one
+        multiplier instead of the reference's low/high pair).
+
+        Fresh writes are level 0. Merging a level folds a CONTIGUOUS
+        RUN of generations with use_last/file_exist_cols semantics
+        (associative, so nesting is safe — the builtins compose:
+        sum_all partials stay partials, joins concatenate in order);
+        the output file inherits the newest input's MOR order key
+        (``FileOp.order_key``) so un-compacted newer deltas still win.
+        CDC rewrite (update→insert, drop deletes) only happens in full
+        ``compaction()`` — a partial run must keep change rows.
+
+        Returns {(partition, bucket, level): merged_file_count} for
+        observability. One Spark job per output level, covering every
+        (partition, bucket) that tripped that level's trigger."""
+        from lakesoul_spark.meta.store import Snapshot
+
+        info = self.info
+        parts = {partition_desc} if partition_desc else None
+        snap = self.store.snapshot(partition_descs=parts)
+        groups: dict[tuple, list] = {}
+        for f in snap.files:
+            groups.setdefault((f.partition_desc, f.bucket), []).append(f)
+
+        def budget(level: int) -> int:
+            return int(max_bytes_for_level_base * (level_multiplier ** (level - 1)))
+
+        # plan: (desc, bucket) -> (run files, out_level)
+        plans: dict[tuple, tuple[list, int]] = {}
+        report: dict[tuple, int] = {}
+        for key, fs in groups.items():
+            by_level: dict[int, list] = {}
+            for f in fs:
+                by_level.setdefault(f.level, []).append(f)
+            l0 = by_level.get(0, [])
+            if len(l0) >= l0_file_num_limit or sum(f.size for f in l0) >= budget(1):
+                run, out = l0, 1
+            else:
+                run, out = None, 0
+                for lv in sorted(k for k in by_level if k > 0):
+                    lf = by_level[lv]
+                    if len(lf) >= level_file_num_limit or (
+                        sum(f.size for f in lf) >= budget(lv) and len(lf) > 1
+                    ):
+                        run, out = lf, min(lv + 1, max_level)
+                        break
+            if run and len(run) > 1:
+                plans[key] = (run, out)
+                report[(key[0], key[1], out)] = len(run)
+
+        # one commit per output level: merge every planned run headed to
+        # that level in a single Spark job (buckets partition the PKs,
+        # so a combined view is per-bucket correct)
+        for out_level in sorted({out for _run, out in plans.values()}):
+            batch = {k: run for k, (run, o) in plans.items() if o == out_level}
+            files = [f for run in batch.values() for f in run]
+            pseudo = Snapshot(version=snap.version, timestamp_ms=snap.timestamp_ms,
+                              files=files)
+            view = rdr.merge_view(
+                self.spark, info, pseudo,
+                merge_ops=self._merge_ops, apply_cdc_filter=False,
+            )
+            order = {
+                k: max((f.commit_seq, f.file_seq) for f in run)
+                for k, run in batch.items()
+            }
+            dels = [
+                FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
+                       bucket=f.bucket)
+                for f in files
+            ]
+            adds = write_table_data(view, info, dedup=False)
+            for a in adds:
+                a.level = out_level
+                ok = order.get((a.partition_desc, a.bucket))
+                if ok is not None:
+                    a.order_key = list(ok)
+            self.store.commit(OP_COMPACTION, dels + adds)
+        return report
+
     def rollback(self, *, version: int | None = None, timestamp_ms: int | None = None) -> None:
         """Reset the live file set to an earlier snapshot (reference
         ``LakeSoulTable.scala:570-585``). Historical files still exist on

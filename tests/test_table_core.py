@@ -509,3 +509,51 @@ def test_upsert_schema_auto_migrate(spark, tmp_table):
     assert [f.name for f in t2.schema().fields] == ["id", "v", "note", "score"]
     assert rows(t2.to_df(), "id", "score") == [
         (1, None), (2, None), (3, None), (4, 1.5)]
+
+
+def test_leveled_compaction(spark, tmp_table):
+    """Reference CompactBucketIO byte/count cascade: hot L0 merges into
+    L1 when the count trips; the L1 base is LEFT ALONE until its own
+    byte budget trips; MOR ordering survives partial merges (newer
+    deltas still win over the compacted run)."""
+    from lakesoul_spark.meta.store import MetaStore
+
+    write(seed_df(spark, [(i, 0) for i in range(8)], "id int, v int"),
+          tmp_table, mode="overwrite", hash_partitions=["id"], hash_bucket_num=1)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    for gen in range(1, 4):
+        t.upsert(seed_df(spark, [(i, gen) for i in range(0, 8, gen + 1)],
+                         "id int, v int"))
+    # 4 L0 generations -> trigger at l0_file_num_limit=4
+    rep = t.leveled_compaction(l0_file_num_limit=4)
+    assert rep and all(lv == 1 for (_d, _b, lv) in rep)
+    snap = MetaStore(tmp_table).snapshot()
+    assert {f.level for f in snap.files} == {1}
+    assert len(snap.files) == 1
+    base_path = snap.files[0].path
+    expect = sorted(map(tuple, t.to_df().collect()))
+
+    # newer deltas on top of the compacted base: base must NOT win
+    t.upsert(seed_df(spark, [(0, 99), (7, 99)], "id int, v int"))
+    got = dict((r[0], r[1]) for r in t.to_df().collect())
+    assert got[0] == 99 and got[7] == 99
+
+    # quiet L0 (1 file) and under-budget L1: nothing compacts
+    assert t.leveled_compaction(l0_file_num_limit=4) == {}
+    snap2 = MetaStore(tmp_table).snapshot()
+    assert base_path in {f.path for f in snap2.files}  # cold base untouched
+
+    # byte trigger: tiny budget forces the L1 base (now joined by
+    # nothing) to stay single-file, but 3 more upserts cascade L0->L1,
+    # then the two L1 files trip the 1-byte budget and merge to L2
+    for gen in range(3):
+        t.upsert(seed_df(spark, [(1, 100 + gen)], "id int, v int"))
+    t.leveled_compaction(l0_file_num_limit=4)  # 4 L0 files -> second L1 file
+    levels = sorted(f.level for f in MetaStore(tmp_table).snapshot().files)
+    assert levels == [1, 1]
+    rep2 = t.leveled_compaction(max_bytes_for_level_base=1)
+    assert rep2 and all(lv == 2 for (_d, _b, lv) in rep2)
+    snap3 = MetaStore(tmp_table).snapshot()
+    assert [f.level for f in snap3.files] == [2]
+    final = dict((r[0], r[1]) for r in t.to_df().collect())
+    assert final[0] == 99 and final[7] == 99 and final[1] == 102
