@@ -528,11 +528,18 @@ class MetaStore:
     def files_in_version_range(self, start_v: int, end_v: int) -> list[FileEntry]:
         """Files added by commits with start < seq <= end — the unit a
         streaming micro-batch reads (offset = commit version, reference
-        ``StreamParquetScan.scala:108-136``). Compactions are skipped
-        (rewrites, not new rows), as in incremental reads."""
+        ``StreamParquetScan.scala:108-136``). Rewrite commits are
+        skipped, consistently with ``incremental_files``: compactions
+        re-state old rows, and UPDATE/DELETE rewrite commits re-add
+        every surviving row of the touched files — emitting those would
+        re-deliver the whole file set as duplicates (reference
+        ``DataOperation.scala:225-228`` aborts incremental reads on
+        Update for the same reason). A stream therefore sees
+        append/merge deltas only; after a rewrite, consumers needing
+        the new values re-sync from a snapshot."""
         out: list[FileEntry] = []
         for c in self.commits(start_v + 1, min(end_v, self.head_version())):
-            if c.commit_op == OP_COMPACTION:
+            if c.commit_op in (OP_COMPACTION, OP_UPDATE, OP_DELETE):
                 continue
             for i, fo in enumerate(c.file_ops):
                 if fo.op == "add":

@@ -115,8 +115,20 @@ def write_stream(
 
     ``trigger`` is passed through to ``DataStreamWriter.trigger`` (e.g.
     ``{"availableNow": True}`` or ``{"processingTime": "30 seconds"}``).
-    """
-    qid = query_id or f"lakesoul-{os.path.basename(os.path.abspath(path))}"
+
+    Idempotence keys on a PER-START unique id (reference
+    ``LakeSoulSink.scala:46`` keys on the Spark queryId, unique per
+    query): batch ids are scoped to one checkpoint lineage, so a
+    path-derived id would make a fresh query on the same table (batch
+    ids restarting at 0) silently drop every batch as a "duplicate".
+    Within one run the id is stable across failure/retry of a batch,
+    which is the dedup that matters; a restart from the same checkpoint
+    resumes at the next batch id, so cross-run dedup is not required
+    for exactly-once. Pass ``query_id`` explicitly to ALSO dedup across
+    restarts of the same logical query."""
+    import uuid as _uuid
+
+    qid = query_id or f"lakesoul-run-{_uuid.uuid4().hex}"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         write_batch(
@@ -129,6 +141,7 @@ def write_stream(
             hash_partitions=hash_partitions,
             hash_bucket_num=hash_bucket_num,
         )
+
 
     writer = (
         sdf.writeStream.foreachBatch(process)

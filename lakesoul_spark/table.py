@@ -750,6 +750,16 @@ class LakeSoulTable:
         (reference CompactionCommand "newBucketNum") — the only way the
         bucket layout of existing data changes."""
         info = self.info
+        if new_bucket_num is not None and (partition_desc is not None or not force):
+            # a partial rewrite into a new bucket count would leave other
+            # partitions bucketed by the OLD count while table_info claims
+            # the new one — point_lookup / pushFilters bucket pruning would
+            # then silently miss rows. The bucket count may only change
+            # when the compaction covers the whole table.
+            raise ValueError(
+                "new_bucket_num requires a full-table compaction "
+                "(partition_desc=None, force=True)"
+            )
         parts = {partition_desc} if partition_desc else None
         snap = self.store.snapshot(partition_descs=parts)
         if not snap.files:
@@ -962,21 +972,35 @@ class LakeSoulTable:
                     out["compacted"].append(desc)
         return out
 
-    def vacuum(self) -> int:
+    def vacuum(self, *, retention_ms: int = 3_600_000) -> int:
         """Physically delete data files no longer referenced by the HEAD
         snapshot (reference cleanup/CleanOldCompaction). Time travel to
         versions whose files were vacuumed stops working — same contract
-        as the reference's cleanup-old-data."""
+        as the reference's cleanup-old-data.
+
+        Only files older than ``retention_ms`` (mtime; default 1h) are
+        removed: a concurrent writer stages files under ``data/<token>/``
+        BEFORE its metadata commit, so an unguarded vacuum could delete
+        files an imminent commit will reference (the reference applies
+        an age threshold the same way). ``retention_ms=0`` forces
+        immediate cleanup — only safe with no concurrent writers."""
+        import time as _time
+
         from lakesoul_spark.meta.store import DATA_DIR
 
         live = {f.path for f in self.store.snapshot().files}
+        cutoff = _time.time() - retention_ms / 1000.0
         removed = 0
         data_root = os.path.join(self.path, DATA_DIR)
         for root, _dirs, names in os.walk(data_root):
             for n in names:
                 full = os.path.join(root, n)
                 rel = os.path.relpath(full, self.path)
-                if rel not in live and n.endswith(".parquet"):
+                if (
+                    rel not in live
+                    and n.endswith(".parquet")
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.remove(full)
                     removed += 1
         return removed

@@ -281,8 +281,11 @@ def test_compaction_does_not_change_result(spark, tmp_table):
     assert t.store.snapshot().max_generations_per_bucket() == 1
     after = rows(t.to_df(), "id", "v")
     assert before == after
-    # vacuum leaves the compacted table intact
-    removed = t.vacuum()
+    # within the retention window nothing is deleted (staged files of a
+    # concurrent in-flight writer must survive, ADVICE r1)
+    assert t.vacuum() == 0
+    # past the window the dead generations go away, table intact
+    removed = t.vacuum(retention_ms=0)
     assert removed > 0
     assert rows(t.to_df(), "id", "v") == before
 
