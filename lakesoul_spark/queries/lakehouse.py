@@ -98,6 +98,37 @@ def upsert_mor(spark, sf_dir):
     return _fmt_orders(t.to_df())
 
 
+@_register(
+    "lakehouse_upsert_cow",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def upsert_cow(spark, sf_dir):
+    """Non-delta upsert (reference UpsertCommand.scala:125-143,
+    canUseDeltaFile=false): full-outer COW rewrite instead of a delta
+    file — same visible table as the MOR path, but the post-upsert read
+    needs no merge (one generation per bucket, asserted)."""
+    path = _tmp("upsert_cow", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
+    t = LakeSoulTable.for_path(spark, path)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    t.upsert(delta, cow=True)
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+    return _fmt_orders(t.to_df())
+
+
 # -------------------------------------------------- partial-column upsert
 
 @_register(

@@ -356,7 +356,13 @@ class LakeSoulTable:
 
     # -------------------------------------------------------------- writing
 
-    def upsert(self, source: DataFrame, *, schema_auto_migrate: bool | None = None) -> None:
+    def upsert(
+        self,
+        source: DataFrame,
+        *,
+        schema_auto_migrate: bool | None = None,
+        cow: bool = False,
+    ) -> None:
         """PK merge write — the delta-file path (reference
         ``UpsertCommand.scala:96-144``): repartition+sort+write one delta
         file per bucket, commit as Merge; readers see it immediately via
@@ -369,7 +375,17 @@ class LakeSoulTable:
         from the table schema WIDEN the schema (metadata-only commit)
         before the write; old files fill null via file_exist_cols. Off
         (default): unknown columns are rejected. Also enabled per-table
-        via property ``lakesoul.schema.autoMigrate=true``."""
+        via property ``lakesoul.schema.autoMigrate=true``.
+
+        ``cow=True`` runs the NON-DELTA path (reference
+        ``UpsertCommand.scala:103-143``, ``canUseDeltaFile=false``):
+        full-outer-join the source against the merged target of the
+        affected range partitions, resolve repeated columns with
+        ``coalesce(source, target)``, and REWRITE those partitions'
+        files as an Update commit — the read side then needs no merge
+        (one generation). Note the reference's own semantic difference:
+        on the COW path a NULL in the source does not overwrite the
+        target (coalesce), while the delta path's use_last would."""
         info = self.info
         if schema_auto_migrate is None:
             schema_auto_migrate = (
@@ -379,8 +395,46 @@ class LakeSoulTable:
         if schema_auto_migrate:
             self._migrate_schema(source)
             info = self.info
+        if cow:
+            self._upsert_cow(source)
+            return
         ops = write_table_data(source, info)
         self.store.commit(OP_MERGE if info.is_pk_table else OP_APPEND, ops)
+
+    def _upsert_cow(self, source: DataFrame) -> None:
+        from lakesoul_spark.io.writer import _align
+
+        info = self.info
+        if not info.is_pk_table:
+            raise ValueError("cow upsert requires a primary-key table")
+        src = _align(source, info)
+        if info.range_partitions:
+            vals = src.select(*info.range_partitions).distinct().collect()
+            parts = {
+                part_enc.make_desc(
+                    info.range_partitions, [r[c] for c in info.range_partitions]
+                )
+                for r in vals
+            }
+        else:
+            parts = {NON_PARTITIONED}
+        snap = self.store.snapshot(partition_descs=parts)
+        target = rdr.merge_view(
+            self.spark, info, snap, merge_ops=self._merge_ops, apply_cdc_filter=False
+        )
+        keys = info.range_partitions + info.hash_partitions
+        s_cols = set(src.columns)
+        joined = target.join(src, keys, "full")
+        sel = []
+        for f in table_schema(info).fields:
+            c = f.name
+            if c in keys:
+                sel.append(F.col(c))
+            elif c in s_cols:
+                sel.append(F.coalesce(src[c], target[c]).alias(c))
+            else:
+                sel.append(target[c].alias(c))
+        self._rewrite_files(joined.select(*sel), snap.files, OP_UPDATE)
 
     def _migrate_schema(self, source: DataFrame) -> None:
         """Append source-only columns to the table schema (nullable),

@@ -142,3 +142,45 @@ def test_many_upserts_then_compaction_equivalence(spark, tmp_table):
         k = (f.partition_desc, f.bucket)
         per_bucket[k] = per_bucket.get(k, 0) + 1
     assert all(v == 1 for v in per_bucket.values())
+
+
+def test_cow_upsert_matches_delta_upsert(spark, tmp_path):
+    """Reference UpsertCommand.scala:125-143 non-delta path: the COW
+    full-outer rewrite must produce the same table as the delta path
+    (non-null sources), and leave ONE generation per bucket."""
+    from pyspark.sql import functions as F
+
+    base = [(i, f"s{i}", i * 10) for i in range(40)]
+    delta = [(i, f"S{i}", i * 100) for i in range(0, 40, 3)] + [
+        (100 + i, f"n{i}", -i) for i in range(5)]
+
+    results = {}
+    for mode in ("delta", "cow"):
+        path = str(tmp_path / mode)
+        write(_df(spark, base, "id int, s string, v int"), path,
+              mode="overwrite", hash_partitions=["id"], hash_bucket_num=4)
+        t = LakeSoulTable.for_path(spark, path)
+        t.upsert(_df(spark, delta, "id int, s string, v int"), cow=(mode == "cow"))
+        results[mode] = sorted(map(tuple, t.to_df().collect()))
+        gens = t.store.snapshot().max_generations_per_bucket()
+        assert gens == (1 if mode == "cow" else 2), (mode, gens)
+    assert results["cow"] == results["delta"]
+
+
+def test_cow_upsert_partial_columns_range_partitioned(spark, tmp_path):
+    """COW partial-column upsert keeps untouched columns and rewrites
+    only the range partitions present in the source."""
+    path = str(tmp_path / "t")
+    write(_df(spark, [(1, "a", "x", 1), (2, "a", "y", 2), (3, "b", "z", 3)],
+              "id int, p string, s string, v int"),
+          path, mode="overwrite", range_partitions=["p"],
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    before_b = {f.path for f in t.store.snapshot(partition_descs={"p=b"}).files}
+    t.upsert(_df(spark, [(1, "a", 100), (4, "a", 400)], "id int, p string, v int"),
+             cow=True)
+    got = sorted(map(tuple, t.to_df().collect()))
+    assert got == [(1, "a", "x", 100), (2, "a", "y", 2),
+                   (3, "b", "z", 3), (4, "a", None, 400)]
+    after_b = {f.path for f in t.store.snapshot(partition_descs={"p=b"}).files}
+    assert before_b == after_b  # untouched partition keeps its files
