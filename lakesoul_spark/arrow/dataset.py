@@ -1,0 +1,135 @@
+"""Spark-free PyArrow reader for training pipelines.
+
+Re-expresses the reference's external-engine reader surface
+(``python/src/lakesoul/arrow/dataset.py:43-366`` Dataset +
+``python/src/lakesoul/torch/dataset.py`` / HuggingFace / Ray wrappers):
+a training worker opens the table straight from commit-log metadata —
+no SparkSession, no JVM — and iterates arrow batches of its shard.
+
+- Sharding is bucket-aligned for PK tables (worker ``rank`` reads
+  splits ``rank, rank+world_size, ...`` — disjoint and covering, the
+  reference's ``_filter_scan_partitions`` contract), so each worker
+  touches only its own files.
+- Each split is one (range partition, bucket): the worker merges that
+  bucket's delta generations with the same arrow-native per-column
+  merge the ``format("lakesoul")`` source uses (file_exist_cols-aware
+  use_last) — MOR semantics without Spark.
+- 100 TB shape: metadata is O(#files) JSON, data access is the
+  worker's shard only; nothing is centralized beyond the commit log.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+
+class LakeSoulArrowDataset:
+    """Iterate a LakeSoul table as arrow batches, optionally sharded.
+
+    ``partitions`` filters range partitions by value, e.g.
+    ``{"p": "a"}`` (reference scan_config.partitions).
+    """
+
+    def __init__(
+        self,
+        table_path: str,
+        *,
+        rank: int | None = None,
+        world_size: int | None = None,
+        partitions: dict | None = None,
+        batch_size: int = 8192,
+    ):
+        from lakesoul_spark.meta.store import MetaStore
+
+        if (rank is None) != (world_size is None):
+            raise ValueError("rank and world_size must be given together")
+        if rank is not None and not (0 <= rank < world_size):
+            raise ValueError(f"rank {rank} out of range for world_size {world_size}")
+        self.table_path = os.path.abspath(table_path)
+        self.store = MetaStore(self.table_path)
+        self.info = self.store.table_info()
+        self.rank, self.world_size = rank, world_size
+        self.batch_size = batch_size
+        self._partitions = partitions or {}
+
+    # ------------------------------------------------------------- planning
+
+    def _splits(self):
+        from lakesoul_spark.io import partition as part_enc
+        from lakesoul_spark.streaming.source import _plan_splits
+
+        snap = self.store.snapshot()
+        files = snap.files
+        if self._partitions:
+            want = {k: str(v) for k, v in self._partitions.items()}
+            files = [
+                f for f in files
+                if all(
+                    str(part_enc.parse_desc(f.partition_desc).get(k)) == v
+                    for k, v in want.items()
+                )
+            ]
+        splits = _plan_splits(self.info, files, group_buckets=True, cdc_filter=True)
+        if self.rank is not None:
+            splits = splits[self.rank::self.world_size]
+        return splits
+
+    # -------------------------------------------------------------- reading
+
+    def schema(self):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        from lakesoul_spark.streaming.source import _arrow_schema
+
+        return _arrow_schema(StructType.fromJson(json.loads(self.info.schema_json)))
+
+    def to_batches(self) -> Iterator:
+        """Arrow RecordBatches of this worker's shard, MOR-merged."""
+        from lakesoul_spark.streaming.source import _read_file_merged
+
+        for sp in self._splits():
+            yield from _read_file_merged(
+                sp.files, sp.schema_json, sp.range_vals,
+                list(sp.pk_cols), sp.cdc_col, sp.cdc_filter,
+                defaults=sp.defaults,
+            )
+
+    def to_table(self):
+        import pyarrow as pa
+
+        batches = list(self.to_batches())
+        if not batches:
+            return self.schema().empty_table()
+        return pa.Table.from_batches(batches)
+
+    def count_rows(self) -> int:
+        return sum(b.num_rows for b in self.to_batches())
+
+    def __iter__(self):
+        """Row dicts — the shape the reference's torch IterableDataset
+        yields per worker."""
+        for batch in self.to_batches():
+            yield from batch.to_pylist()
+
+    def to_torch(self):
+        """torch.utils.data.IterableDataset over this shard (reference
+        ``python/src/lakesoul/torch/dataset.py``). Gated: torch is not
+        bundled in this environment."""
+        try:
+            import torch.utils.data as tud
+        except ImportError as e:  # pragma: no cover - torch absent here
+            raise NotImplementedError(
+                "torch is not installed; to_torch() wraps this dataset "
+                "in a torch IterableDataset when it is"
+            ) from e
+
+        outer = self
+
+        class _Iterable(tud.IterableDataset):  # pragma: no cover
+            def __iter__(self):
+                return iter(outer)
+
+        return _Iterable()

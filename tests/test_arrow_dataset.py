@@ -1,0 +1,57 @@
+"""Spark-free arrow reader: shard disjointness/coverage + MOR parity."""
+
+import pyarrow as pa
+
+from lakesoul_spark.arrow import LakeSoulArrowDataset
+from lakesoul_spark.table import LakeSoulTable, write
+
+
+def _df(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def _build(spark, path):
+    write(_df(spark, [(i, f"s{i}", i) for i in range(64)], "id int, s string, v int"),
+          path, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(_df(spark, [(i, 1000 + i) for i in range(0, 64, 5)], "id int, v int"))
+    return t
+
+
+def test_arrow_dataset_matches_mor_view(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _build(spark, path)
+    expect = sorted(map(tuple, t.to_df().collect()))
+    got = sorted(
+        (r["id"], r["s"], r["v"]) for r in LakeSoulArrowDataset(path)
+    )
+    assert got == expect
+
+
+def test_arrow_dataset_shards_disjoint_covering(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _build(spark, path)
+    world = 3
+    shards = [
+        {(r["id"], r["v"]) for r in LakeSoulArrowDataset(path, rank=i, world_size=world)}
+        for i in range(world)
+    ]
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not (shards[i] & shards[j])
+    union = set().union(*shards)
+    assert union == {(r[0], r[2]) for r in map(tuple, t.to_df().collect())}
+    assert sum(
+        LakeSoulArrowDataset(path, rank=i, world_size=world).count_rows()
+        for i in range(world)
+    ) == 64
+
+
+def test_arrow_dataset_partition_filter_and_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write(_df(spark, [(1, "a", 1), (2, "b", 2), (3, "a", 3)],
+              "id int, p string, v int"),
+          path, mode="overwrite", range_partitions=["p"])
+    tbl = LakeSoulArrowDataset(path, partitions={"p": "a"}).to_table()
+    assert isinstance(tbl, pa.Table)
+    assert sorted(tbl.column("id").to_pylist()) == [1, 3]
