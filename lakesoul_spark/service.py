@@ -1,0 +1,120 @@
+"""Compaction service daemon.
+
+Re-expresses the reference's standalone compaction service
+(``lakesoul-spark/.../compaction/CompactionTask.scala:20-120``: a
+long-running job that LISTENs on the PG ``lakesoul_compaction_notify``
+channel and compacts a table partition whenever a commit notification
+trips the file-count/size triggers) without PostgreSQL: the commit log
+IS the event source. Each round polls head versions — an O(1) probe
+per table thanks to commit-log checkpoints — and runs the leveled
+trigger for tables that advanced since the last round, plus optional
+TTL and vacuum maintenance.
+
+Scale notes: the service runs ONE Spark job per tripped output level
+per table (see ``leveled_compaction``), touching only tripped buckets;
+quiet tables cost one stat() per round. The reference's
+``threadpool.size`` concurrency maps to running several service
+instances over disjoint table sets — commits are optimistic, so a
+stray overlap aborts safely (CommitConflict) instead of corrupting.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+class CompactionService:
+    """Poll-driven maintenance daemon over a set of LakeSoul tables.
+
+    ``tables`` is an explicit list of table paths; or pass ``warehouse``
+    to discover every directory holding a ``_lakesoul_meta`` (one level
+    deep, the catalog layout)."""
+
+    def __init__(
+        self,
+        spark,
+        *,
+        tables: list[str] | None = None,
+        warehouse: str | None = None,
+        l0_file_num_limit: int = 4,
+        level_file_num_limit: int = 8,
+        max_bytes_for_level_base: int = 256 << 20,
+        apply_ttl: bool = False,
+        vacuum_retention_ms: int | None = None,
+    ):
+        if (tables is None) == (warehouse is None):
+            raise ValueError("pass exactly one of tables= or warehouse=")
+        self.spark = spark
+        self._tables = [os.path.abspath(t) for t in tables] if tables else None
+        self.warehouse = os.path.abspath(warehouse) if warehouse else None
+        self.l0_file_num_limit = l0_file_num_limit
+        self.level_file_num_limit = level_file_num_limit
+        self.max_bytes_for_level_base = max_bytes_for_level_base
+        self.apply_ttl = apply_ttl
+        self.vacuum_retention_ms = vacuum_retention_ms
+        self._last_seen: dict[str, int] = {}
+
+    def discover(self) -> list[str]:
+        from lakesoul_spark.meta.store import META_DIR
+
+        if self._tables is not None:
+            return self._tables
+        out = []
+        try:
+            names = sorted(os.listdir(self.warehouse))
+        except FileNotFoundError:
+            return out
+        for n in names:
+            p = os.path.join(self.warehouse, n)
+            if os.path.isdir(os.path.join(p, META_DIR)):
+                out.append(p)
+        return out
+
+    def run_once(self) -> dict:
+        """One maintenance round; returns {table_path: report} for
+        tables that did work (the notification-processing loop body of
+        the reference Listener, CompactionTask.scala:70-120)."""
+        from lakesoul_spark.meta.store import CommitConflict, MetaStore
+        from lakesoul_spark.table import LakeSoulTable
+
+        done: dict[str, dict] = {}
+        for path in self.discover():
+            store = MetaStore(path)
+            head = store.head_version()
+            if head == self._last_seen.get(path):
+                continue  # no commits since last round — skip entirely
+            t = LakeSoulTable.for_path(self.spark, path)
+            report: dict = {}
+            try:
+                merged = t.leveled_compaction(
+                    l0_file_num_limit=self.l0_file_num_limit,
+                    level_file_num_limit=self.level_file_num_limit,
+                    max_bytes_for_level_base=self.max_bytes_for_level_base,
+                )
+                if merged:
+                    report["compacted"] = {
+                        f"{d}/b{b}->L{lv}": n for (d, b, lv), n in merged.items()
+                    }
+                if self.apply_ttl:
+                    report["ttl"] = t.apply_ttl()
+                if self.vacuum_retention_ms is not None:
+                    report["vacuumed"] = t.vacuum(
+                        retention_ms=self.vacuum_retention_ms
+                    )
+            except CommitConflict:
+                continue  # another writer/service got there first; retry next round
+            self._last_seen[path] = store.head_version()
+            if report:
+                done[path] = report
+        return done
+
+    def serve(self, *, interval_s: float = 30.0, max_rounds: int | None = None) -> int:
+        """Run rounds forever (or ``max_rounds``); returns rounds run."""
+        rounds = 0
+        while max_rounds is None or rounds < max_rounds:
+            self.run_once()
+            rounds += 1
+            if max_rounds is None or rounds < max_rounds:
+                time.sleep(interval_s)
+        return rounds
