@@ -351,6 +351,68 @@ def q19(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------------------- q21
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN fo ON fo.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY),
+    l1 AS (
+      SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = lt.l_orderkey AND l2.l_suppkey <> lt.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = lt.l_orderkey AND l3.l_suppkey <> lt.l_suppkey))
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY s_name, n_name
+    """,
+)
+def q21(spark, sf_dir):
+    """Suppliers who were the ONLY late supplier on a finished
+    multi-supplier order (TPC-H q21 adapted: the fixture has no
+    l_receiptdate/l_commitdate, so "late" = shipped >60 days after the
+    order date). Exercises EXISTS -> left_semi and NOT EXISTS ->
+    left_anti with correlated inequality conditions; dims broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(fo, li["l_orderkey"] == fo["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", F.col("l_suppkey").alias("s2")).distinct()
+    cand = late.alias("lt").join(
+        pairs.alias("p2"),
+        (F.col("lt.l_orderkey") == F.col("p2.l_orderkey"))
+        & (F.col("lt.l_suppkey") != F.col("p2.s2")),
+        "left_semi",
+    )
+    solo = cand.join(
+        late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")),
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        solo.join(F.broadcast(sup), solo["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # -------------------------------------------------------------------- q22
 
 @_register(
