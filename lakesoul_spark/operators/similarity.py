@@ -198,6 +198,49 @@ def ivf_topk(
 # ----------------------------------------------------- persisted IVF index
 
 
+def _residual_sign_codes(vec: Column, centroids: list[list[float]], cell: Column) -> list[Column]:
+    """RaBitQ-style 1-bit-per-dim quantization of the residual
+    (reference ``rust/lakesoul-vector/src/rabitq/``, reduced: sign bits
+    without the learned rotation): bit i = [v_i > c_i] for the row's
+    own cell centroid, packed into 32-bit words inside bigints. Pure
+    codegen expressions — exact (doubles stay < 2^53)."""
+    dim = len(centroids[0])
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    own = F.element_at(cents, cell + 1)
+    bits = F.zip_with(
+        _to_double(vec), own, lambda x, y: (x > y).cast("double")
+    )
+    words = []
+    for w in range(0, dim, 32):
+        part = F.slice(bits, w + 1, min(32, dim - w))
+        packed = F.aggregate(
+            F.zip_with(
+                part,
+                F.transform(F.sequence(F.lit(0), F.lit(min(32, dim - w) - 1)),
+                            lambda i: F.pow(F.lit(2.0), i.cast("double"))),
+                lambda b, p: b * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+        words.append(packed.alias(f"code{w // 32}"))
+    return words
+
+
+def _np_sign_code(v, cent) -> list[int]:
+    """Driver-side twin of :func:`_residual_sign_codes` for queries."""
+    import numpy as np
+
+    bits = (np.asarray(v, dtype=np.float64) > np.asarray(cent)).astype(np.int64)
+    out = []
+    for w in range(0, len(bits), 32):
+        part = bits[w:w + 32]
+        out.append(int((part * (1 << np.arange(len(part), dtype=np.int64))).sum()))
+    return out
+
+
 def build_vector_index(
     table,
     *,
@@ -207,9 +250,11 @@ def build_vector_index(
     seed: int = 42,
 ) -> str:
     """Build a persisted IVF index for a LakeSoul table (reference
-    ``python/src/lakesoul/vector_index.py:96-160`` build_table_vector_
-    index, reduced: coarse quantizer without RaBitQ bit codes — rerank
-    here is exact over raw vectors, matching ``rerank_by_distance``).
+    ``python/src/lakesoul/vector_index.py:96-160``
+    build_table_vector_index): coarse quantizer + RaBitQ-style 1-bit
+    residual codes (sign bits, without the learned rotation); search
+    can Hamming-prefilter on the codes before the exact rerank
+    (``rerank_by_distance``).
 
     The index IS a LakeSoul table at ``<table>/_vector_index``,
     range-partitioned by cell id: a probe of ``nprobe`` cells reads
@@ -224,9 +269,14 @@ def build_vector_index(
     from lakesoul_spark.table import LakeSoulTable, write
 
     src = table.to_df().select(id_col, vec_col)
-    cents = train_ivf_centroids(src, vec_col=vec_col, nlist=nlist, seed=seed)
+    cents = train_ivf_centroids(
+        src, vec_col=vec_col, nlist=nlist, seed=seed, sort_col=id_col
+    )
     assigned = src.withColumn(
         "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
+    )
+    assigned = assigned.select(
+        "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
     )
     idx_path = f"{table.path}/_vector_index"
     import shutil
@@ -238,6 +288,7 @@ def build_vector_index(
         "vector.centroids": _json.dumps(cents),
         "vector.id_col": id_col,
         "vector.vec_col": vec_col,
+        "vector.code_words": str((len(cents[0]) + 31) // 32),
     })
     return idx_path
 
@@ -249,12 +300,21 @@ def vector_search(
     k: int = 5,
     nprobe: int = 4,
     exclude_self: bool = True,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ANN search against a persisted index: nearest ``nprobe`` cells
     per query are computed from the stored centroids, ONLY those cells'
     partitions are read (metadata pruning — no full scan), and
     candidates are exact-reranked by cosine (reference
-    ``rerank_by_distance``, ``inject_vector_search_filter``)."""
+    ``rerank_by_distance``, ``inject_vector_search_filter``).
+
+    ``rerank=R`` enables the RaBitQ-style fast path: candidates are
+    first ranked per (query, cell) by Hamming distance between the
+    stored 1-bit residual codes and the query's code for that cell
+    (``bit_count(xor)`` — codegen over 16 bytes/vector instead of the
+    full vector), and only the best R go through the exact cosine.
+    At 100 TB the exact fold touches R rows per probe instead of the
+    whole cell."""
     import json as _json
 
     import numpy as np
@@ -268,14 +328,20 @@ def vector_search(
     props = idx.info.properties
     cents = np.asarray(_json.loads(props["vector.centroids"]))
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
+    words = int(props.get("vector.code_words", 0))
 
     qrows = queries.select(id_col, vec_col).collect()
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     probe_cells: set[int] = set()
+    q_probe_rows = []  # (query_id, cell, [codes...]) per probed cell
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
         sims = cn @ (qv / np.linalg.norm(qv))
-        probe_cells |= {int(c) for c in np.argsort(-sims)[:nprobe]}
+        for c in np.argsort(-sims)[:nprobe]:
+            probe_cells.add(int(c))
+            q_probe_rows.append(
+                (r[id_col], int(c), *_np_sign_code(qv, cents[int(c)]))
+            )
 
     # metadata partition pruning: read only the probed cells' files
     store = MetaStore(idx_path)
@@ -283,14 +349,46 @@ def vector_search(
     snap = store.snapshot(partition_descs=descs)
     cand = rdr.merge_view(table.spark, idx.info, snap)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    joined = cand.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).join(F.broadcast(q), F.lit(True))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    if rerank is not None and words:
+        # join candidates to (query, cell) probes: a candidate is only
+        # scored for queries probing ITS cell — then Hamming-prefilter
+        qcode_cols = ", ".join(f"qcode{w} long" for w in range(words))
+        qdf = table.spark.createDataFrame(
+            q_probe_rows, f"query_id long, cell int, {qcode_cols}"
+        )
+        joined = cand.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "cell",
+            *[f"code{w}" for w in range(words)],
+        ).join(F.broadcast(qdf), "cell")
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        hamming = sum(
+            F.bit_count(F.col(f"code{w}").bitwiseXOR(F.col(f"qcode{w}")))
+            for w in range(words)
+        )
+        wh = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id").asc()
+        )
+        joined = (
+            joined.withColumn("hamming", hamming)
+            .withColumn("hrank", F.row_number().over(wh))
+            .filter(F.col("hrank") <= rerank)
+        )
+        qv_map = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        joined = joined.join(F.broadcast(qv_map), "query_id")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        joined = cand.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ).join(F.broadcast(q), F.lit(True))
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -100,6 +100,19 @@ def test_persisted_vector_index_search(spark, tmp_path):
     narrow = vector_search(t, q, k=5, nprobe=2).collect()
     assert len(narrow) == 15
 
+    # RaBitQ-style path: with rerank >= cell size the Hamming prefilter
+    # is lossless -> identical to the exact probe result
+    coded = vector_search(t, q, k=5, nprobe=8, rerank=200).collect()
+    assert sorted(map(tuple, coded)) == sorted(map(tuple, exact))
+    # tight rerank budget still recovers most of the exact top-k
+    fast = vector_search(t, q, k=5, nprobe=8, rerank=25)
+    got_fast = {(r.query_id, r.neighbor_id) for r in fast.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(got_fast & want) / len(want) >= 0.6
+    # the stored index physically carries the packed sign codes
+    idx = LakeSoulTable.for_path(spark, f"{path}/_vector_index")
+    assert "code0" in idx.to_df().columns  # dim 8 -> one 32-bit word
+
 
 def test_ivf_recall_vs_brute_force(spark):
     """ANN contract check (reference validates its ANN against exact
