@@ -433,9 +433,12 @@ def q22(spark, sf_dir):
     pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
     )
-    avg_bal = pos.collect()[0]["avg_bal"]
+    # scalar subquery stays IN the plan (crossJoin of a broadcast
+    # 1-row frame) — no driver collect, the 100x-safe idiom
     return (
-        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
