@@ -319,7 +319,15 @@ class MetaStore:
                 "files": list(live.values()),
                 "query_batches": qb,
             }
-            _atomic_write_json(self._checkpoint_path(seq), payload)
+            # tmp + rename so concurrent readers never observe a
+            # partially-written checkpoint; two racers produce
+            # IDENTICAL content (pure function of commits 1..seq), so
+            # an overwrite is harmless
+            final = self._checkpoint_path(seq)
+            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, final)
         except Exception:
             pass
 
