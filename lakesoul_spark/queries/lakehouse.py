@@ -369,6 +369,40 @@ def compaction(spark, sf_dir):
     return _fmt_orders(t.to_df())
 
 
+@_register(
+    "lakehouse_leveled_compaction",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 3
+                  WHEN o_orderkey % 3 = 0 THEN o_totalprice + 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def leveled_compaction_q(spark, sf_dir):
+    """Byte/count level cascade (reference CompactBucketIO): four L0
+    generations merge into L1 while the newest delta stays — MOR
+    ordering must survive the partial merge (newer deltas win over the
+    compacted run), then a second trigger cascades to L2."""
+    path = _tmp("leveled", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(orders.filter(F.col("o_orderkey") % 3 == 0)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    t.upsert(orders.filter(F.col("o_orderkey") % 3 == 0)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 2))
+    rep = t.leveled_compaction(l0_file_num_limit=3)
+    assert rep, "3 L0 generations must trip the trigger"
+    # newer delta on top of the compacted base: must win at read
+    t.upsert(orders.filter(F.col("o_orderkey") % 2 == 0)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 3))
+    return _fmt_orders(t.to_df())
+
+
 # ------------------------------------------------- dynamic partition overwrite
 
 @_register(

@@ -378,6 +378,93 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+def _index_search_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
+                         k: int = 5, seed: int = 42) -> str | None:
+    """DuckDB twin of the persisted-index + RaBitQ-prefilter search:
+    same centroid literals, cell assignment and probe selection as the
+    IVF oracle; the Hamming prefilter needs no bit packing in SQL — it
+    is the count of dims where the candidate's and query's residual
+    signs disagree (packing is a bijection, so the distance is
+    identical)."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
+        return None
+    vals = _cells_values_sql(cents)
+    dim = len(cents[0])
+    ham = f"""list_sum(list_transform(generate_series(1, {dim}),
+        i -> CASE WHEN (CAST(co.embedding[i] AS DOUBLE) > c.cv[i])
+                  <> (CAST(p.qv[i] AS DOUBLE) > c.cv[i]) THEN 1 ELSE 0 END))"""
+    return f"""
+    WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    ca AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c),
+    corpus AS (SELECT vec_id, embedding, cell FROM ca WHERE rn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qv, cell FROM qa WHERE rn <= {nprobe}),
+    hammed AS (
+      SELECT p.query_id, p.qv, co.vec_id AS neighbor_id, co.embedding,
+             {ham} AS hamming
+      FROM corpus co JOIN probes p ON co.cell = p.cell
+           JOIN cells c ON c.cell = co.cell
+      WHERE co.vec_id <> p.query_id),
+    pre AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS hrank
+      FROM hammed),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_COS.format(a='qv', b='embedding')} AS cos
+      FROM pre WHERE hrank <= {rerank}),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+try:
+    _INDEX_SQL = _index_search_oracle()
+except Exception:
+    _INDEX_SQL = None
+
+
+@_register("ann_index_search", _INDEX_SQL)
+def ann_index_search(spark, sf_dir):
+    """Persisted IVF index + RaBitQ-style Hamming prefilter, end to
+    end: write the embeddings as a LakeSoul table, build the
+    cell-partitioned index (1-bit residual codes), probe 8 cells via
+    commit-metadata pruning, Hamming-prefilter to 64 candidates per
+    query, exact-rerank to top-5."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.operators.similarity import build_vector_index, vector_search
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/ann_index-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=16)
+    return vector_search(
+        t, e.filter(F.col("vec_id") < 8), k=5, nprobe=8, rerank=64
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 @_register(
