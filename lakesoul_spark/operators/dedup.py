@@ -341,3 +341,76 @@ def embedding_cosine_blocked_pairs(
     # score — collapse to one row (min guards the astronomically-rare
     # case of a last-ulp rounding split between two GEMM shapes)
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over near-dup pairs → cluster assignment
+    (the step after pair generation in a dedup pipeline: every doc in a
+    component keeps the component's min id as ``cluster_id``; the
+    canonical survivor is the row with ``doc_id == cluster_id``).
+
+    Distributed label propagation (the GraphFrames/GraphX CC shape):
+    each round every node adopts the min label among itself and its
+    neighbors — one join + one aggregate per round, O(diameter) rounds
+    (near-dup components are shallow in practice). No driver-side graph;
+    state is a (node, label) frame repartitioned by node.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", "cluster_id")).alias(
+                    "new_label"
+                ),
+                "cluster_id",
+            )
+            .cache()
+        )
+        changed = updated.filter(F.col("new_label") != F.col("cluster_id")).count()
+        labels = updated.select(
+            "id", F.col("new_label").alias("cluster_id")
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-data mixing
+    ("take 30% of lang=en, 100% of lang=fr, ..."): a row is kept iff
+    the first 8 hex chars of ``md5(seed|id)`` — a uniform 32-bit draw,
+    reproducible in any engine — fall under the stratum's fraction.
+    Pure expressions (no RNG state, no sampling operator), so the
+    selection is stable across retries, partitionings, and engines —
+    the property a 100 TB pipeline needs for resumable runs."""
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    frac = F.lit(default_fraction)
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.filter(draw < (frac * F.lit(float(1 << 32))).cast("long"))

@@ -99,6 +99,62 @@ def dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+# ------------------------------------------------- near-dup clustering (CC)
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pair set → connected components → cluster assignment
+    (the survivor-selection step of a dedup pipeline). Spark side is
+    distributed min-label propagation (one join+aggregate per round,
+    O(diameter) rounds); the oracle is the transitive closure as a
+    recursive CTE — min reachable id per node."""
+    pairs = dedup.ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
+# -------------------------------------------------- stratified sampling
+
+_SAMPLE_FRACS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def _sample_oracle() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_FRACS.items())
+    )
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(concat('42|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          < CAST((CASE {branches} ELSE 0.0 END) * 4294967296.0 AS BIGINT)
+    """
+
+
+@_register("pipeline_stratified_sample", _sample_oracle())
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic training-data mixing: per-language keep fractions
+    driven by an md5 32-bit draw on the doc id — identical selection in
+    any engine, stable across retries/partitionings (what a resumable
+    100 TB pipeline needs; Spark's sample() is neither)."""
+    d = docs(spark, sf_dir).select("doc_id", "lang")
+    return dedup.stratified_sample(
+        d, id_col="doc_id", strata_col="lang", fractions=_SAMPLE_FRACS, seed=42
+    )
+
+
 # ----------------------------------------------------------- minhash LSH
 
 def _minhash_oracle(num_hashes: int = 32, rows_per_band: int = 2) -> str:

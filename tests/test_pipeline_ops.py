@@ -158,3 +158,26 @@ def test_embedding_dedup_no_driver_collect():
 
     src = inspect.getsource(dedup.embedding_cosine_dup_pairs)
     assert "toPandas" not in src and "collect()" not in src
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain a-b-c plus isolated pair d-e: two components, min-id
+    labels; converges past one hop (transitivity)."""
+    pairs = _df(spark, [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_stratified_sample_deterministic(spark):
+    df = _df(spark, [(i, "en" if i % 2 else "de") for i in range(400)],
+             "doc_id long, lang string")
+    kw = dict(id_col="doc_id", strata_col="lang",
+              fractions={"en": 0.3, "de": 1.0}, seed=42)
+    a = {r.doc_id for r in dedup.stratified_sample(df, **kw).collect()}
+    b = {r.doc_id for r in dedup.stratified_sample(df.repartition(7), **kw).collect()}
+    assert a == b  # partitioning-independent
+    de = {i for i in a if i % 2 == 0}
+    en = {i for i in a if i % 2 == 1}
+    assert len(de) == 200          # fraction 1.0 keeps everything
+    assert 20 <= len(en) <= 100    # ~30% of 200, md5-uniform
