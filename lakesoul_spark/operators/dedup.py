@@ -414,3 +414,31 @@ def stratified_sample(
     for value, p in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
     return df.filter(draw < (frac * F.lit(float(1 << 32))).cast("long"))
+
+
+def ngram_overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: (left doc, right doc) pairs
+    sharing ≥ ``min_shared`` word n-grams — e.g. training corpus vs
+    eval set. Same inverted-index shape as the Jaccard dedup: the join
+    touches only co-occurring shingles, never the cross product, and
+    the overlap count is one aggregation."""
+    a = _shingle_sets(left, id_col, text_col, n).select(
+        F.col("id").alias("left_id"), "sh"
+    )
+    b = _shingle_sets(right, id_col, text_col, n).select(
+        F.col("id").alias("right_id"), "sh"
+    )
+    return (
+        a.join(b, "sh")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -111,3 +111,29 @@ def doc_fingerprint(col: Column, n: int = 5) -> Column:
     sharing their minimal window)."""
     sh = word_shingles(tokens(col), n)
     return F.array_min(F.transform(sh, F.md5))
+
+
+# PII patterns: deliberately simple, deterministic regexes (a real
+# pipeline swaps in model-based NER; the Spark-side shape — pure
+# regexp_replace expressions, no UDF — is what matters at 100 TB).
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email first so later rules never see the user@host text
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 16-digit card-like runs (with optional space/dash groups)
+    (r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    # US-ish SSN
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # phone-like runs: optional +country, 9-12 digits with separators
+    (r"(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}[ -]?\d{0,4}\b", "<PHONE>"),
+    # IPv4
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Chained regexp_replace redaction — stays inside codegen; rule
+    order is part of the contract (email before phone, etc.)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

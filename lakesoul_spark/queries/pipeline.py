@@ -601,6 +601,68 @@ def text_fp(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- PII scrubbing
+
+_PII_ORACLE = r"""
+    SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(concat(text, ' reach user', CAST(doc_id AS VARCHAR), '@mail.example.com ph +1 555-123-4567 ssn 123-45-6789 ip 192.168.1.77 card 4111 1111 1111 1111'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b(?:\d[ -]?){15}\d\b', '<CARD>', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), '(?:\+\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}[ -]?\d{0,4}\b', '<PHONE>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5 FROM documents
+    """
+
+
+@_register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark, sf_dir):
+    """Regex PII redaction (email/card/SSN/phone/IP) as chained
+    regexp_replace — pure codegen, no UDF. The fixture text carries no
+    PII, so a deterministic per-doc PII suffix is appended first; the
+    oracle applies the IDENTICAL rules via RE2, proving the redaction
+    is engine-portable. Output is the md5 of the scrubbed text."""
+    d = docs(spark, sf_dir)
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ph +1 555-123-4567 ssn 123-45-6789 "
+              "ip 192.168.1.77 card 4111 1111 1111 1111"),
+    )
+    return d.select(
+        "doc_id", F.md5(text.scrub_pii(salted)).alias("scrubbed_md5")
+    )
+
+
+# ------------------------------------------- benchmark contamination
+
+_SH5 = (
+    f"CASE WHEN len({_TOKS}) >= 5 THEN "
+    f"list_transform(generate_series(1, len({_TOKS}) - 4), "
+    f"i -> array_to_string(({_TOKS})[i:i+4], ' ')) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+
+@_register(
+    "pipeline_contamination",
+    f"""
+    WITH tr AS (
+      SELECT doc_id AS left_id, unnest(list_distinct({_SH5})) AS sh
+      FROM documents WHERE doc_id % 10 <> 0),
+    ev AS (
+      SELECT doc_id AS right_id, unnest(list_distinct({_SH5})) AS sh
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT left_id, right_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (sh)
+    GROUP BY left_id, right_id
+    """,
+)
+def pipeline_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination: which training docs share 5-gram
+    spans with the held-out split (doc_id % 10 == 0)? Inverted-index
+    join — only co-occurring shingles meet, never the cross product."""
+    d = docs(spark, sf_dir)
+    return dedup.ngram_overlap_pairs(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 @_register(

@@ -181,3 +181,24 @@ def test_stratified_sample_deterministic(spark):
     en = {i for i in a if i % 2 == 1}
     assert len(de) == 200          # fraction 1.0 keeps everything
     assert 20 <= len(en) <= 100    # ~30% of 200, md5-uniform
+
+
+def test_scrub_pii_redacts_known_shapes(spark):
+    df = _df(spark, [(1, "mail a.b+c@x.co.uk call 555-123-4567 "
+                         "ssn 123-45-6789 from 10.0.0.1")],
+             "doc_id long, text string")
+    out = df.select(text.scrub_pii(F.col("text")).alias("s")).collect()[0].s
+    assert "<EMAIL>" in out and "<PHONE>" in out
+    assert "<SSN>" in out and "<IP>" in out
+    assert "@" not in out and "10.0.0.1" not in out
+
+
+def test_ngram_overlap_pairs(spark):
+    train = _df(spark, [(1, "the quick brown fox jumps over the lazy dog today"),
+                        (2, "completely unrelated text with different words here")],
+                "doc_id long, text string")
+    ev = _df(spark, [(10, "quick brown fox jumps over the lazy cat sometimes")],
+             "doc_id long, text string")
+    got = dedup.ngram_overlap_pairs(train, ev, n=5).collect()
+    assert [(r.left_id, r.right_id) for r in got] == [(1, 10)]
+    assert got[0].n_shared >= 1
