@@ -53,14 +53,20 @@ def hypo_spark(spark):
 
 ops_strategy = st.lists(
     st.one_of(
-        # upsert: a batch of (pk, value) pairs
-        st.lists(
-            st.tuples(st.integers(0, 15), st.integers(-100, 100)),
-            min_size=1, max_size=6,
-        ).map(lambda b: ("upsert", b)),
+        # upsert: a batch of (pk, value) pairs; cow flag picks the
+        # delta path or the full-outer COW rewrite path
+        st.tuples(
+            st.lists(
+                st.tuples(st.integers(0, 15), st.integers(-100, 100)),
+                min_size=1, max_size=6,
+            ),
+            st.booleans(),
+        ).map(lambda bc: ("upsert", bc)),
         # delete a set of pks
         st.lists(st.integers(0, 15), min_size=1, max_size=4)
         .map(lambda ks: ("delete", ks)),
+        # maintenance: full or leveled compaction (result-invariant)
+        st.sampled_from(["full", "leveled"]).map(lambda m: ("compact", m)),
     ),
     min_size=1,
     max_size=6,
@@ -86,13 +92,20 @@ def test_random_op_sequences_match_dict_model(hypo_spark, tmp_path_factory, ops)
         if kind == "upsert":
             # within one batch, the LAST occurrence of a pk wins
             # (writer's per-batch dedup is ordered by row sequence)
-            t.upsert(_df(spark, payload, "id int, v int"))
-            for k, v in payload:
+            batch, cow = payload
+            t.upsert(_df(spark, batch, "id int, v int"), cow=cow)
+            for k, v in batch:
                 model[k] = v
-        else:
+        elif kind == "delete":
             keys = sorted(set(payload))
             t.delete(f"id in ({','.join(map(str, keys))})")
             for k in keys:
                 model.pop(k, None)
+        else:  # maintenance must never change the visible state
+            if payload == "full":
+                t.compaction()
+            else:
+                t.leveled_compaction(l0_file_num_limit=2,
+                                     level_file_num_limit=2)
     got = {r["id"]: r["v"] for r in t.to_df().collect()}
     assert got == model
