@@ -355,14 +355,20 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
     (near-dup components are shallow in practice). No driver-side graph;
     state is a (node, label) frame repartitioned by node.
     """
+    # materialize the (symmetrized) edge set ONCE — every round joins
+    # against it; localCheckpoint also cuts the (possibly expensive)
+    # pair-generation lineage out of the loop
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "cluster_id", F.col("id")
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
     )
     while True:
         neigh = (
@@ -370,6 +376,9 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # one job per round: materialize next labels (checkpoint cuts
+        # lineage so round N doesn't replay rounds 1..N-1), then the
+        # convergence check is a cheap count over the materialized frame
         updated = (
             labels.join(neigh, "id", "left")
             .select(
@@ -379,12 +388,10 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
                 ),
                 "cluster_id",
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_label") != F.col("cluster_id")).count()
-        labels = updated.select(
-            "id", F.col("new_label").alias("cluster_id")
-        )
+        labels = updated.select("id", F.col("new_label").alias("cluster_id"))
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
