@@ -60,28 +60,71 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     Inverted-index join: pairs that share at least one shingle get their
     intersection counted in one aggregation; set sizes broadcast back.
-    """
+
+    ``max_shingle_doc_freq``: skew guard for the 100 TB run — shingles
+    appearing in more than N documents are dropped from the *candidate
+    index* (a shingle in d docs yields d² join rows; stopword shingles
+    like "of the and" dominate the shuffle while contributing almost no
+    discriminative power). Candidate generation becomes approximate
+    (a pair whose ONLY shared shingles are ultra-frequent is missed),
+    but the Jaccard of surviving pairs stays exact: intersection and
+    sizes still count every shingle. Default None = fully exact."""
     sh = _shingle_sets(docs, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if max_shingle_doc_freq is None:
+        # fully exact: candidate generation and intersection counting
+        # are the same self-join
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        out = (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        return out
+    # skew-guarded: ONLY the doc-frequency-capped index feeds the
+    # quadratic join; surviving candidates get exact set-intersection
+    # verification (same shape as the minhash verifier)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_doc_freq)
+        .select("sh")
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    idx = sh.join(rare, "sh")
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets_df = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:

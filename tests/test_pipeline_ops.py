@@ -202,3 +202,24 @@ def test_ngram_overlap_pairs(spark):
     got = dedup.ngram_overlap_pairs(train, ev, n=5).collect()
     assert [(r.left_id, r.right_id) for r in got] == [(1, 10)]
     assert got[0].n_shared >= 1
+
+
+def test_jaccard_doc_freq_cutoff(spark):
+    """Skew guard: with the cutoff, near-identical pairs still verify
+    with their EXACT jaccard; pure-stopword overlap pairs drop out of
+    candidate generation."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+    ] + [(10 + i, f"common words everywhere {i}") for i in range(10)]
+    df = _df(spark, rows, "doc_id long, text string")
+    exact = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                       max_shingle_doc_freq=5)
+    e = sorted(map(tuple, exact.collect()))
+    c = sorted(map(tuple, capped.collect()))
+    assert (1, 2) in {(a, b) for a, b, _ in c}
+    # surviving pairs carry identical (exact) jaccard values
+    em = {(a, b): j for a, b, j in e}
+    for a, b, j in c:
+        assert em[(a, b)] == j
