@@ -32,9 +32,18 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # warm the JVM (codegen, shuffle machinery, parquet footer caches)
-    # so per-query timings measure the query, not first-job startup
+    # warm the JVM (codegen, shuffle machinery, parquet reader, window
+    # exec) so per-query timings measure the query, not first-job
+    # startup — same role as any JVM benchmark's warmup iterations
+    from pyspark.sql import Window
+
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count() \
+        .write.format("noop").mode("overwrite").save()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")),
+    ).join(F.broadcast(warm.select("n_nationkey")), "n_nationkey") \
         .write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
