@@ -137,3 +137,54 @@ def scrub_pii(col: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def repetition_stats(col: Column) -> list[Column]:
+    """Gopher/C4-style repetition + composition signals, as pure
+    expressions (one projection, no shuffle):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (line-level boilerplate detector),
+    - ``mean_word_len``: mean token length in chars,
+    - ``symbol_word_ratio``: non-alphanumeric-and-non-space chars per
+      token,
+    - ``top_token_frac``: occurrences of the most frequent token over
+      all tokens (degenerate-repetition detector).
+    """
+    lines = F.split(col, r"\n")
+    n_lines = F.size(lines)
+    toks = tokens(col)
+    n_toks = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    # max token frequency via sort + run-length fold — O(n log n) per
+    # row, not the O(n^2) distinct-x-count nested loop
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    top_tf = run["best"]
+    return [
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines))) / n_lines, 6
+        ).alias("dup_line_frac"),
+        F.round(total_chars / n_toks, 6).alias("mean_word_len"),
+        F.round(symbols / n_toks, 6).alias("symbol_word_ratio"),
+        F.round(top_tf / n_toks, 6).alias("top_token_frac"),
+    ]

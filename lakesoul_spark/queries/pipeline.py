@@ -601,6 +601,34 @@ def text_fp(spark, sf_dir):
     )
 
 
+# ------------------------------------------- quality / repetition flags
+
+_QUALITY_ORACLE = rf"""
+    SELECT doc_id,
+           round((len(lines) - len(list_distinct(lines)))
+                 / len(lines), 6) AS dup_line_frac,
+           round(list_sum(list_transform({_TOKS}, t -> length(t)))
+                 / len({_TOKS}), 6) AS mean_word_len,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / len({_TOKS}), 6) AS symbol_word_ratio,
+           round(list_max(list_transform(list_distinct({_TOKS}),
+                     t -> len(list_filter({_TOKS}, x -> x = t))))
+                 / len({_TOKS}), 6) AS top_token_frac
+    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents)
+    """
+
+
+@_register("text_quality_flags", _QUALITY_ORACLE)
+def text_quality_flags(spark, sf_dir):
+    """Gopher/C4-style repetition + composition filters (dup-line
+    fraction, mean word length, symbol ratio, max token frequency) as
+    one expression-only projection; the max-frequency uses a sort +
+    run-length fold, O(n log n) per row."""
+    d = docs(spark, sf_dir)
+    return d.select("doc_id", *text.repetition_stats(F.col("text")))
+
+
 # ---------------------------------------------------------- PII scrubbing
 
 _PII_ORACLE = r"""

@@ -223,3 +223,13 @@ def test_jaccard_doc_freq_cutoff(spark):
     em = {(a, b): j for a, b, j in e}
     for a, b, j in c:
         assert em[(a, b)] == j
+
+
+def test_repetition_stats_values(spark):
+    df = _df(spark, [(1, "a a a b\nx y\nx y")], "doc_id long, text string")
+    r = df.select(*text.repetition_stats(F.col("text"))).collect()[0]
+    # 3 lines, one duplicate ("x y") -> 1/3
+    assert abs(r.dup_line_frac - round(1 / 3, 6)) < 1e-9
+    # 8 tokens, token "a" occurs 3x
+    assert abs(r.top_token_frac - round(3 / 8, 6)) < 1e-9
+    assert r.mean_word_len == 1.0
