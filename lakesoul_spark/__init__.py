@@ -23,8 +23,9 @@ builder, and the metadata-driven planning (partition + bucket pruning).
 from lakesoul_spark.table import LakeSoulTable, create_table, write
 from lakesoul_spark.meta.store import MetaStore, TableInfo
 from lakesoul_spark.session import lakesoul_session
+from lakesoul_spark.service import CompactionService
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "LakeSoulTable",
@@ -33,4 +34,5 @@ __all__ = [
     "MetaStore",
     "TableInfo",
     "lakesoul_session",
+    "CompactionService",
 ]
