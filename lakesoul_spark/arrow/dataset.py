@@ -133,3 +133,30 @@ class LakeSoulArrowDataset:
                 return iter(outer)
 
         return _Iterable()
+
+    def to_hf(self):
+        """HuggingFace ``datasets.Dataset`` over this shard (reference
+        ``python/src/lakesoul/huggingface/``). Gated: the datasets
+        library is not bundled in this environment."""
+        try:
+            import datasets
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "the 'datasets' library is not installed; to_hf() wraps "
+                "to_table() in datasets.Dataset.from_parquet-equivalent "
+                "when it is"
+            ) from e
+        return datasets.Dataset(self.to_table())  # pragma: no cover
+
+    def to_ray(self):
+        """Ray Data dataset over this shard (reference
+        ``python/src/lakesoul/ray/``). Gated: ray is not bundled in
+        this environment."""
+        try:
+            import ray
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "ray is not installed; to_ray() wraps to_batches() in "
+                "ray.data.from_arrow when it is"
+            ) from e
+        return ray.data.from_arrow(self.to_table())  # pragma: no cover

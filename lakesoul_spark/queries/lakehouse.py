@@ -197,6 +197,34 @@ def merge_operators(spark, sf_dir):
     return t.to_df()
 
 
+@_register(
+    "lakehouse_merge_into",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def merge_into_q(spark, sf_dir):
+    """MERGE INTO surface (reference PreprocessTableMergeInto.scala:
+    20-92): equality-on-PK + unconditional UPDATE SET * / INSERT * is
+    rewritten to an upsert; anything else is rejected."""
+    from lakesoul_spark.catalog import merge_into
+
+    path = _tmp("merge_into", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite", hash_partitions=["o_orderkey"], hash_bucket_num=16)
+    t = LakeSoulTable.for_path(spark, path)
+    src = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5
+    )
+    merge_into(t, src, on=["o_orderkey"])
+    return _fmt_orders(t.to_df())
+
+
 # ------------------------------------------------ custom merge operator
 
 @_register(

@@ -55,3 +55,15 @@ def test_arrow_dataset_partition_filter_and_table(spark, tmp_path):
     tbl = LakeSoulArrowDataset(path, partitions={"p": "a"}).to_table()
     assert isinstance(tbl, pa.Table)
     assert sorted(tbl.column("id").to_pylist()) == [1, 3]
+
+
+def test_gated_framework_wrappers(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(1, 1)], "id int, v int"), path,
+          mode="overwrite", hash_partitions=["id"], hash_bucket_num=1)
+    ds = LakeSoulArrowDataset(path)
+    for fn in (ds.to_torch, ds.to_hf, ds.to_ray):
+        with pytest.raises(NotImplementedError):
+            fn()
