@@ -119,6 +119,13 @@ def write_table_data(
         part_dirs = list(rc)
 
     writer = df.write.mode("error")
+    # file rolling: explicit arg, else per-table property (reference
+    # max_file_size, rust/lakesoul-io/src/config/mod.rs:103-105) — at
+    # 100 TB a hot (partition, bucket) must split files, not tasks
+    if max_records_per_file is None:
+        prop = info.properties.get("lakesoul.maxRecordsPerFile")
+        if prop:
+            max_records_per_file = int(prop)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if part_dirs:
@@ -129,38 +136,49 @@ def write_table_data(
 
 
 def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list[FileOp]:
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     rc = set(info.range_partitions)
     exist_cols = [c for c in present if c not in rc]
-    ops: list[FileOp] = []
+    paths: list[str] = []
     for root, _dirs, files in os.walk(out_dir):
         for name in sorted(files):
-            if not name.endswith(".parquet"):
-                continue
-            full = os.path.join(root, name)
-            rel_to_out = os.path.relpath(full, out_dir)
-            comps = rel_to_out.split(os.sep)[:-1]  # partition dirs
-            bucket = -1
-            range_comps = []
-            for comp in comps:
-                k, _, v = comp.partition("=")
-                if k == BUCKET_COL:
-                    bucket = int(v)
-                else:
-                    range_comps.append(comp)
-            desc = desc_from_dir_components(range_comps)
-            meta = pq.ParquetFile(full).metadata
-            ops.append(
-                FileOp(
-                    op="add",
-                    path=os.path.relpath(full, info.path),
-                    partition_desc=desc,
-                    bucket=bucket,
-                    size=os.path.getsize(full),
-                    num_rows=meta.num_rows,
-                    file_exist_cols=exist_cols,
-                )
-            )
+            if name.endswith(".parquet"):
+                paths.append(os.path.join(root, name))
+
+    def make_op(full: str) -> FileOp:
+        rel_to_out = os.path.relpath(full, out_dir)
+        comps = rel_to_out.split(os.sep)[:-1]  # partition dirs
+        bucket = -1
+        range_comps = []
+        for comp in comps:
+            k, _, v = comp.partition("=")
+            if k == BUCKET_COL:
+                bucket = int(v)
+            else:
+                range_comps.append(comp)
+        desc = desc_from_dir_components(range_comps)
+        meta = pq.ParquetFile(full).metadata
+        return FileOp(
+            op="add",
+            path=os.path.relpath(full, info.path),
+            partition_desc=desc,
+            bucket=bucket,
+            size=os.path.getsize(full),
+            num_rows=meta.num_rows,
+            file_exist_cols=exist_cols,
+        )
+
+    # footer reads are independent IO — a commit of thousands of files
+    # should not pay them serially on the driver (the reference collects
+    # file stats from the write tasks; here a thread pool suffices
+    # because each read is one footer, not data)
+    if len(paths) > 8:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            ops = list(pool.map(make_op, paths))
+    else:
+        ops = [make_op(p) for p in paths]
     ops.sort(key=lambda o: (o.partition_desc, o.bucket, o.path))
     return ops

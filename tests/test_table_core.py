@@ -560,3 +560,25 @@ def test_leveled_compaction(spark, tmp_table):
     assert [f.level for f in snap3.files] == [2]
     final = dict((r[0], r[1]) for r in t.to_df().collect())
     assert final[0] == 99 and final[7] == 99 and final[1] == 102
+
+
+def test_max_records_per_file_property(spark, tmp_table):
+    """Per-table file rolling (reference max_file_size): a hot bucket
+    splits into multiple files; MOR ordering still holds because files
+    of one sorted write carry non-overlapping PK ranges."""
+    from lakesoul_spark.meta.store import MetaStore
+
+    tbl = create_table(
+        spark, tmp_table, "id int, v int",
+        hash_partitions=["id"], hash_bucket_num=1,
+        properties={"lakesoul.maxRecordsPerFile": "50"},
+    )
+    tbl.upsert(seed_df(spark, [(i, i) for i in range(200)], "id int, v int"))
+    files = MetaStore(tmp_table).snapshot().files
+    assert len(files) >= 4  # 200 rows / 50 per file
+    assert sum(f.num_rows for f in files) == 200
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert t.to_df().count() == 200
+    t.upsert(seed_df(spark, [(5, 999)], "id int, v int"))
+    got = {r[0]: r[1] for r in t.to_df().collect()}
+    assert got[5] == 999 and len(got) == 200
