@@ -75,3 +75,72 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, media_type string, "
+    "width int, height int, duration_ms int"
+)
+
+FRAME_SCHEMA = "media_id long, frame_index int, frame_md5 string"
+
+
+def resize_media(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize stage: 1:1 binary→binary map with updated metadata. The
+    pixel work is STUBBED (no PIL in this container: the fake "resized"
+    payload is the md5 digest cycled to exactly width*height*3 bytes,
+    deterministic in the input); the Spark-side shape — Arrow-batched
+    binary in/out, metadata columns rewritten, map-only stage — is the
+    real contract a PIL-backed implementation drops into."""
+    import hashlib
+
+    import pandas as pd
+
+    n_bytes = width * height * 3
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            digests = [hashlib.md5(p).digest() for p in pdf["payload"]]
+            out = pdf.copy()
+            out["payload"] = [
+                (d * (n_bytes // len(d) + 1))[:n_bytes] for d in digests
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int) -> DataFrame:
+    """Frame-sampling stage: 1:N fan-out through ``mapInPandas`` (one
+    input video row → ceil(duration/every_ms) frame rows) — the batch
+    shape a real ffmpeg-backed sampler uses. The frame DECODE is
+    stubbed deterministically (frame_md5 = md5(payload_md5 ':' idx)),
+    which keeps the fan-out itself fully value-checkable by a SQL
+    oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if dur is None or pd.isna(dur):
+                    continue
+                pmd5 = hashlib.md5(payload).hexdigest()
+                n = (int(dur) + every_ms - 1) // every_ms
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    md5s.append(
+                        hashlib.md5(f"{pmd5}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_md5": md5s}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

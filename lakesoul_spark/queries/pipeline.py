@@ -694,6 +694,31 @@ def pipeline_contamination(spark, sf_dir):
 # ------------------------------------------------------------- multimodal
 
 @_register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, md5(text) AS pmd5,
+             octet_length(encode(text)) AS duration_ms
+      FROM documents)
+    SELECT media_id, CAST(i AS INTEGER) AS frame_index,
+           md5(concat(pmd5, ':', CAST(i AS VARCHAR))) AS frame_md5
+    FROM media, LATERAL (
+      SELECT unnest(generate_series(0,
+          (duration_ms + 499) // 500 - 1)) AS i) f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """1:N frame-sampling fan-out through mapInPandas: one "video" row
+    (documents text as payload, duration = byte length in ms) emits
+    ceil(duration/500) frame rows; the deterministic frame stub keeps
+    the fan-out value-checkable in SQL."""
+    media = multimodal.pack_media(
+        docs(spark, sf_dir), "doc_id", "text", "video"
+    ).withColumn("duration_ms", F.length(F.col("payload")).cast("int"))
+    return multimodal.sample_frames(media, every_ms=500)
+
+
+@_register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id, 'text_as_media' AS media_type,

@@ -233,3 +233,25 @@ def test_repetition_stats_values(spark):
     # 8 tokens, token "a" occurs 3x
     assert abs(r.top_token_frac - round(3 / 8, 6)) < 1e-9
     assert r.mean_word_len == 1.0
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from lakesoul_spark.operators import multimodal as mm
+
+    df = _df(spark, [(1, "x" * 1200), (2, "y" * 100)], "doc_id long, text string")
+    media = mm.pack_media(df, "doc_id", "text", "video").withColumn(
+        "duration_ms", F.length(F.col("payload")).cast("int")
+    )
+    rs = mm.resize_media(media, width=4, height=2).collect()
+    assert all(len(r.payload) == 4 * 2 * 3 for r in rs)
+    assert all((r.width, r.height) == (4, 2) for r in rs)
+    # determinism: same input -> same fake pixels
+    rs2 = mm.resize_media(media, width=4, height=2).collect()
+    assert sorted(r.payload for r in rs) == sorted(r.payload for r in rs2)
+
+    frames = mm.sample_frames(media, every_ms=500).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_index)
+    assert sorted(per[1]) == [0, 1, 2]   # ceil(1200/500)
+    assert sorted(per[2]) == [0]         # ceil(100/500)
