@@ -39,6 +39,8 @@ class LakeSoulArrowDataset:
         world_size: int | None = None,
         partitions: dict | None = None,
         batch_size: int = 8192,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
     ):
         from lakesoul_spark.meta.store import MetaStore
 
@@ -52,6 +54,11 @@ class LakeSoulArrowDataset:
         self.rank, self.world_size = rank, world_size
         self.batch_size = batch_size
         self._partitions = partitions or {}
+        # pin a snapshot for reproducible training runs: every worker
+        # reading the same (version | timestamp) sees the same bytes
+        # even while writers keep committing
+        self.version = version
+        self.timestamp_ms = timestamp_ms
 
     # ------------------------------------------------------------- planning
 
@@ -59,7 +66,9 @@ class LakeSoulArrowDataset:
         from lakesoul_spark.io import partition as part_enc
         from lakesoul_spark.streaming.source import _plan_splits
 
-        snap = self.store.snapshot()
+        snap = self.store.snapshot(
+            version=self.version, timestamp_ms=self.timestamp_ms
+        )
         files = snap.files
         if self._partitions:
             want = {k: str(v) for k, v in self._partitions.items()}

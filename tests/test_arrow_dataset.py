@@ -67,3 +67,18 @@ def test_gated_framework_wrappers(spark, tmp_path):
     for fn in (ds.to_torch, ds.to_hf, ds.to_ray):
         with pytest.raises(NotImplementedError):
             fn()
+
+
+def test_arrow_dataset_snapshot_pinning(spark, tmp_path):
+    """A training run pinned to a version keeps reading the same rows
+    while writers keep committing."""
+    path = str(tmp_path / "t")
+    t = _build(spark, path)
+    v = t.store.head_version()
+    pinned = LakeSoulArrowDataset(path, version=v)
+    before = sorted((r["id"], r["v"]) for r in pinned)
+    t.upsert(_df(spark, [(0, -1), (999, -1)], "id int, v int"))
+    after = sorted((r["id"], r["v"]) for r in LakeSoulArrowDataset(path, version=v))
+    assert after == before
+    head = sorted((r["id"], r["v"]) for r in LakeSoulArrowDataset(path))
+    assert head != before

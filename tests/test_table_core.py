@@ -582,3 +582,20 @@ def test_max_records_per_file_property(spark, tmp_table):
     t.upsert(seed_df(spark, [(5, 999)], "id int, v int"))
     got = {r[0]: r[1] for r in t.to_df().collect()}
     assert got[5] == 999 and len(got) == 200
+
+
+def test_compacted_read_plan_shuffle_free(spark, tmp_table):
+    """Plan-shape regression guard: after full compaction a snapshot
+    read has NO Exchange hashpartitioning (single generation -> merge
+    aggregate skipped; only the broadcast metadata attach remains)."""
+    write(seed_df(spark, [(i, i) for i in range(100)], "id int, v int"),
+          tmp_table, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(1, -1)], "id int, v int"))
+    merged_plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in merged_plan  # MOR needs the agg
+    t.compaction()
+    plan = LakeSoulTable.for_path(spark, tmp_table).to_df() \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan  # tiny metadata attach only
