@@ -125,7 +125,18 @@ def write_table_data(
     if max_records_per_file is None:
         prop = info.properties.get("lakesoul.maxRecordsPerFile")
         if prop:
-            max_records_per_file = int(prop)
+            try:
+                max_records_per_file = int(prop)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "table property 'lakesoul.maxRecordsPerFile' must be an "
+                    f"integer, got {prop!r}"
+                ) from None
+            if max_records_per_file <= 0:
+                raise ValueError(
+                    "table property 'lakesoul.maxRecordsPerFile' must be "
+                    f"positive, got {prop!r}"
+                )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if part_dirs:

@@ -59,6 +59,14 @@ class CommitConflict(RuntimeError):
     Update/Compaction of the same partitions)."""
 
 
+class DataRewriteError(RuntimeError):
+    """An incremental/streaming read hit an UPDATE/DELETE rewrite commit
+    whose change cannot be expressed as a row delta (reference
+    ``DataOperation.scala:225-228`` aborts the incremental read). The
+    consumer should re-sync from a snapshot, or opt into skipping
+    rewrites with ``failOnDataLoss=false``."""
+
+
 @dataclass
 class FileOp:
     op: str                      # "add" | "del"
@@ -533,21 +541,39 @@ class MetaStore:
                     out.append(_file_entry(c, i, fo))
         return out, cs
 
-    def files_in_version_range(self, start_v: int, end_v: int) -> list[FileEntry]:
+    def files_in_version_range(
+        self, start_v: int, end_v: int, *, on_rewrite: str = "skip"
+    ) -> list[FileEntry]:
         """Files added by commits with start < seq <= end — the unit a
         streaming micro-batch reads (offset = commit version, reference
-        ``StreamParquetScan.scala:108-136``). Rewrite commits are
-        skipped, consistently with ``incremental_files``: compactions
-        re-state old rows, and UPDATE/DELETE rewrite commits re-add
-        every surviving row of the touched files — emitting those would
-        re-deliver the whole file set as duplicates (reference
-        ``DataOperation.scala:225-228`` aborts incremental reads on
-        Update for the same reason). A stream therefore sees
-        append/merge deltas only; after a rewrite, consumers needing
-        the new values re-sync from a snapshot."""
+        ``StreamParquetScan.scala:108-136``). Compaction commits are
+        always skipped (they re-state old rows, never new data).
+
+        UPDATE/DELETE rewrite commits cannot be represented as a row
+        delta — they re-add every surviving row of the touched files,
+        so emitting them would re-deliver the whole file set as
+        duplicates, while skipping them silently loses the change
+        (reference ``DataOperation.scala:225-228`` aborts incremental
+        reads on Update for the same reason). ``on_rewrite`` decides:
+
+        - ``"fail"`` — raise :class:`DataRewriteError` naming the
+          commit, so the consumer knows to re-sync from a snapshot;
+        - ``"skip"`` — old behavior: append/merge deltas only, the
+          rewrite is silently invisible to the stream."""
+        if on_rewrite not in ("fail", "skip"):
+            raise ValueError(f"on_rewrite must be 'fail' or 'skip', got {on_rewrite!r}")
         out: list[FileEntry] = []
         for c in self.commits(start_v + 1, min(end_v, self.head_version())):
-            if c.commit_op in (OP_COMPACTION, OP_UPDATE, OP_DELETE):
+            if c.commit_op in (OP_UPDATE, OP_DELETE):
+                if on_rewrite == "fail":
+                    raise DataRewriteError(
+                        f"commit seq={c.seq} is a {c.commit_op} rewrite: the "
+                        "change cannot be delivered as a row delta. Re-sync "
+                        "from a snapshot, or read with "
+                        "failOnDataLoss=false to skip rewrites."
+                    )
+                continue
+            if c.commit_op == OP_COMPACTION:
                 continue
             for i, fo in enumerate(c.file_ops):
                 if fo.op == "add":

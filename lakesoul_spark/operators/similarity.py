@@ -301,6 +301,8 @@ def vector_search(
     nprobe: int = 4,
     exclude_self: bool = True,
     rerank: int | None = None,
+    assign: str = "auto",
+    driver_assign_limit: int = 1024,
 ) -> DataFrame:
     """ANN search against a persisted index: nearest ``nprobe`` cells
     per query are computed from the stored centroids, ONLY those cells'
@@ -314,7 +316,24 @@ def vector_search(
     (``bit_count(xor)`` — codegen over 16 bytes/vector instead of the
     full vector), and only the best R go through the exact cosine.
     At 100 TB the exact fold touches R rows per probe instead of the
-    whole cell."""
+    whole cell.
+
+    ``assign`` picks how query→cell probes are computed:
+
+    - ``"driver"`` — collect the queries and assign with numpy. Fastest
+      for an interactive handful of queries, but cost is O(#queries) on
+      the driver.
+    - ``"expression"`` — :func:`_nearest_cells` + the sign-code
+      expressions run distributed over the queries DataFrame; the
+      driver only collects the DISTINCT probed cell ids (bounded by
+      nlist) for partition pruning. The 100 TB path when the query set
+      is itself a table.
+    - ``"auto"`` (default) — driver path iff the query set has at most
+      ``driver_assign_limit`` rows (probed with a cheap limit+count).
+
+    Both paths produce identical results: the expression twins
+    (:func:`_nearest_cells`, :func:`_residual_sign_codes`) compute the
+    same cosine ranking and exact bit-packing as the numpy code."""
     import json as _json
 
     import numpy as np
@@ -326,22 +345,49 @@ def vector_search(
     idx_path = f"{table.path}/_vector_index"
     idx = LakeSoulTable.for_path(table.spark, idx_path)
     props = idx.info.properties
-    cents = np.asarray(_json.loads(props["vector.centroids"]))
+    cents_list = _json.loads(props["vector.centroids"])
+    cents = np.asarray(cents_list)
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
     words = int(props.get("vector.code_words", 0))
 
-    qrows = queries.select(id_col, vec_col).collect()
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    probe_cells: set[int] = set()
-    q_probe_rows = []  # (query_id, cell, [codes...]) per probed cell
-    for r in qrows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        sims = cn @ (qv / np.linalg.norm(qv))
-        for c in np.argsort(-sims)[:nprobe]:
-            probe_cells.add(int(c))
-            q_probe_rows.append(
-                (r[id_col], int(c), *_np_sign_code(qv, cents[int(c)]))
+    if assign not in ("auto", "driver", "expression"):
+        raise ValueError(f"assign must be auto|driver|expression, got {assign!r}")
+    if assign == "auto":
+        n = queries.limit(driver_assign_limit + 1).count()
+        assign = "driver" if n <= driver_assign_limit else "expression"
+
+    qdf = None  # (query_id, cell[, qv][, qcode*]) — one row per probe
+    if assign == "driver":
+        qrows = queries.select(id_col, vec_col).collect()
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        probe_cells: set[int] = set()
+        q_probe_rows = []  # (query_id, cell, [codes...]) per probed cell
+        for r in qrows:
+            qv = np.asarray(r[vec_col], dtype=np.float64)
+            sims = cn @ (qv / np.linalg.norm(qv))
+            for c in np.argsort(-sims)[:nprobe]:
+                probe_cells.add(int(c))
+                q_probe_rows.append(
+                    (r[id_col], int(c), *_np_sign_code(qv, cents[int(c)]))
+                )
+    else:
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), cents_list, nprobe)
+            ).alias("cell"),
+        ).withColumn("cell", F.col("cell").cast("int"))
+        if rerank is not None and words:
+            qdf = qdf.select(
+                "query_id", "qv", "cell",
+                *[c.alias(f"qcode{w}") for w, c in enumerate(
+                    _residual_sign_codes(F.col("qv"), cents_list, F.col("cell"))
+                )],
             )
+        qdf = qdf.cache()
+        # distinct probed cells: bounded by nlist, tiny driver payload
+        probe_cells = {r["cell"] for r in qdf.select("cell").distinct().collect()}
 
     # metadata partition pruning: read only the probed cells' files
     store = MetaStore(idx_path)
@@ -352,16 +398,21 @@ def vector_search(
     if rerank is not None and words:
         # join candidates to (query, cell) probes: a candidate is only
         # scored for queries probing ITS cell — then Hamming-prefilter
-        qcode_cols = ", ".join(f"qcode{w} long" for w in range(words))
-        qdf = table.spark.createDataFrame(
-            q_probe_rows, f"query_id long, cell int, {qcode_cols}"
-        )
+        if assign == "driver":
+            # probe-frame schema follows the indexed id column's type
+            # (vector.id_col may be any type, not just bigint)
+            qid_type = queries.schema[id_col].dataType.simpleString()
+            qcode_cols = ", ".join(f"qcode{w} long" for w in range(words))
+            qdf = table.spark.createDataFrame(
+                q_probe_rows, f"query_id {qid_type}, cell int, {qcode_cols}"
+            )
+            qdf = F.broadcast(qdf)
         joined = cand.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             "cell",
             *[f"code{w}" for w in range(words)],
-        ).join(F.broadcast(qdf), "cell")
+        ).join(qdf, "cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
         hamming = sum(
@@ -376,17 +427,32 @@ def vector_search(
             .withColumn("hrank", F.row_number().over(wh))
             .filter(F.col("hrank") <= rerank)
         )
-        qv_map = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-        joined = joined.join(F.broadcast(qv_map), "query_id")
+        if assign == "driver":
+            qv_map = queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            joined = joined.join(F.broadcast(qv_map), "query_id")
     else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        # exact rerank of every candidate in the query's probed cells
+        # (same per-query cell restriction as ivf_topk and the rerank
+        # path — a candidate is only scored for queries probing ITS cell)
+        if assign == "driver":
+            qid_type = queries.schema[id_col].dataType.simpleString()
+            probe = table.spark.createDataFrame(
+                [(r[0], r[1]) for r in q_probe_rows],
+                f"query_id {qid_type}, cell int",
+            )
+            qv_map = queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            q = F.broadcast(probe.join(qv_map, "query_id"))
+        else:
+            q = qdf.select("query_id", "qv", "cell")
         joined = cand.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ).join(F.broadcast(q), F.lit(True))
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "cell",
+        ).join(q, "cell").drop("cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(

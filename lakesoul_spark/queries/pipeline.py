@@ -16,10 +16,13 @@ from pyspark.sql import functions as F
 from lakesoul_spark.operators import dedup, multimodal, similarity, text
 
 QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings OR zero-arg callables returning SQL|None —
+# callables defer fixture-dependent work (kmeans over parquet) from
+# import time to oracle_sql() resolution time (all_oracles()).
+ORACLES: dict = {}
 
 
-def _register(name: str, oracle: str | None = None):
+def _register(name: str, oracle=None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -96,7 +99,13 @@ _JACCARD_ORACLE = f"""
 
 @_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.8)
+    # skew guard ON: shingles in >50 docs never feed the quadratic
+    # candidate join (stopword-shingle skew is fatal at 100 TB). The
+    # fixtures' max shingle doc-freq is 7 (sf0.01) / 25 (sf0.1), so the
+    # result — and the oracle hash — is identical to the exact path.
+    return dedup.ngram_jaccard_pairs(
+        docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_doc_freq=50
+    )
 
 
 # ------------------------------------------------- near-dup clustering (CC)
@@ -122,7 +131,9 @@ def dedup_clusters(spark, sf_dir):
     distributed min-label propagation (one join+aggregate per round,
     O(diameter) rounds); the oracle is the transitive closure as a
     recursive CTE — min reachable id per node."""
-    pairs = dedup.ngram_jaccard_pairs(docs(spark, sf_dir), n=3, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs(spark, sf_dir), n=3, threshold=0.8, max_shingle_doc_freq=50
+    )
     return dedup.duplicate_clusters(pairs)
 
 
@@ -263,9 +274,9 @@ def _oracle_centroids(nlist: int = 16, seed: int = 42) -> list[list[float]] | No
 
     from lakesoul_spark.operators.similarity import kmeans_lloyd
 
-    key = (nlist, seed)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = (sf_dir, nlist, seed)
     if key not in _CENTROID_CACHE:
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
         path = f"{sf_dir}/embeddings.parquet"
         if not os.path.exists(path):
             _CENTROID_CACHE[key] = None
@@ -330,13 +341,7 @@ def _blocked_dedup_oracle(nlist: int = 16, n_assign: int = 3,
     """
 
 
-try:
-    _BLOCKED_SQL = _blocked_dedup_oracle()
-except Exception:
-    _BLOCKED_SQL = None
-
-
-@_register("dedup_embedding_blocked", _BLOCKED_SQL)
+@_register("dedup_embedding_blocked", _blocked_dedup_oracle)
 def dedup_embedding_blocked(spark, sf_dir):
     """The 100 TB embedding-dedup path: IVF-cell blocking (multi-assign)
     + per-cell GEMM — cost ∝ Σ cell², task memory = one cell."""
@@ -416,13 +421,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 8, k: int = 5, seed: int = 42) ->
     """
 
 
-try:
-    _IVF_SQL = _ivf_oracle()
-except Exception:  # fixture absent (e.g. docs build) → rows-only check
-    _IVF_SQL = None
-
-
-@_register("ann_ivf_topk", _IVF_SQL)
+@_register("ann_ivf_topk", _ivf_oracle)
 def ann_ivf(spark, sf_dir):
     e = embs(spark, sf_dir).cache()
     # nlist=16/nprobe=8 holds recall@5 >= 0.9 on the gaussian fixture
@@ -490,13 +489,7 @@ def _index_search_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
     """
 
 
-try:
-    _INDEX_SQL = _index_search_oracle()
-except Exception:
-    _INDEX_SQL = None
-
-
-@_register("ann_index_search", _INDEX_SQL)
+@_register("ann_index_search", _index_search_oracle)
 def ann_index_search(spark, sf_dir):
     """Persisted IVF index + RaBitQ-style Hamming prefilter, end to
     end: write the embeddings as a LakeSoul table, build the

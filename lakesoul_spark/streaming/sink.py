@@ -37,6 +37,19 @@ from lakesoul_spark.meta.store import (
 _MODES = ("append", "complete", "update")
 
 
+def default_query_id(checkpoint_location: str) -> str:
+    """Stable idempotence key for one checkpoint lineage.
+
+    The reference sink keys on Spark's streaming query id
+    (``StreamExecution.QUERY_ID_KEY``), which lives in the checkpoint
+    and survives restarts; hashing the resolved checkpoint path gives
+    the same property without reaching into Spark internals."""
+    import hashlib
+
+    key = os.path.abspath(checkpoint_location)
+    return "lakesoul-ckpt-" + hashlib.sha256(key.encode()).hexdigest()[:24]
+
+
 def write_batch(
     df: DataFrame,
     path: str,
@@ -116,19 +129,19 @@ def write_stream(
     ``trigger`` is passed through to ``DataStreamWriter.trigger`` (e.g.
     ``{"availableNow": True}`` or ``{"processingTime": "30 seconds"}``).
 
-    Idempotence keys on a PER-START unique id (reference
-    ``LakeSoulSink.scala:46`` keys on the Spark queryId, unique per
-    query): batch ids are scoped to one checkpoint lineage, so a
-    path-derived id would make a fresh query on the same table (batch
-    ids restarting at 0) silently drop every batch as a "duplicate".
-    Within one run the id is stable across failure/retry of a batch,
-    which is the dedup that matters; a restart from the same checkpoint
-    resumes at the next batch id, so cross-run dedup is not required
-    for exactly-once. Pass ``query_id`` explicitly to ALSO dedup across
-    restarts of the same logical query."""
-    import uuid as _uuid
-
-    qid = query_id or f"lakesoul-run-{_uuid.uuid4().hex}"
+    Idempotence keys on the CHECKPOINT LINEAGE (reference
+    ``LakeSoulSink.scala:46`` keys on the Spark queryId, which is
+    persisted in the checkpoint and stable across restarts): batch ids
+    are scoped to one checkpoint, so deriving the id from
+    ``checkpoint_location`` is stable across restarts of the same
+    logical query and unique per lineage. This closes the at-least-once
+    replay window: a batch committed to the table but not yet recorded
+    in the streaming checkpoint is replayed after a crash-restart with
+    the SAME qid, so ``has_batch`` sees it and skips the double write.
+    A fresh query (new checkpoint dir) gets a fresh qid, so its batch
+    ids restarting at 0 are never misread as duplicates. Pass
+    ``query_id`` explicitly to override."""
+    qid = query_id or default_query_id(checkpoint_location)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         write_batch(

@@ -74,28 +74,14 @@ def _pk_key(tbl, pk_cols):
     return pc.binary_join_element_wise(*parts, "|")
 
 
-def _read_file_merged(paths_with_order, table_schema_json, range_vals,
-                      pk_cols, cdc_col, apply_cdc_filter, defaults=None):
-    """Read one bucket's file generations and merge them arrow-natively,
-    resolving EACH COLUMN independently: a column's value comes from the
-    newest generation whose file physically contains it
-    (``file_exist_cols``), matching ``_merge_generations`` use_last
-    semantics — partial-column upserts read identically via
-    ``format("lakesoul")`` and ``to_df()``. Sequential fold over
-    generations (oldest→newest, one vectorized index_in + if_else per
-    generation), never pandas: memory is the bucket's arrow columns,
-    not python rows."""
+def _normalizer(target, range_vals, defaults):
+    """Build a closure projecting a raw arrow table onto the full table
+    schema, plus the set of columns it physically carries
+    (default-filled columns count as present, as in scan_files)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    schema = StructType.fromJson(json.loads(table_schema_json))
-    target = _arrow_schema(schema)
-    defaults = defaults or {}
 
     def normalize(t):
-        """Full-schema table + the set of columns it physically carries
-        (default-filled columns count as present, as in scan_files)."""
         cols, names, present = [], [], set()
         for field in target:
             if field.name in range_vals:
@@ -119,45 +105,172 @@ def _read_file_merged(paths_with_order, table_schema_json, range_vals,
             names.append(field.name)
         return pa.table(dict(zip(names, cols))), present
 
-    gens = [
-        (normalize(pq.read_table(path)), commit_seq, file_seq)
-        for path, commit_seq, file_seq in sorted(
-            paths_with_order, key=lambda x: (x[1], x[2])
-        )
+    return normalize
+
+
+def _le_boundary_mask(tbl, pk_cols, boundary):
+    """Vectorized lexicographic ``(pk…) <= boundary`` with nulls
+    ordered smallest (Spark's asc-nulls-first, the write sort order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    less = pa.array([False] * n, pa.bool_())
+    eq_prefix = pa.array([True] * n, pa.bool_())
+    for c, b in zip(pk_cols, boundary):
+        col = tbl.column(c)
+        col_null = pc.is_null(col)
+        if b is None:
+            lt_i = pa.array([False] * n, pa.bool_())       # nothing < null
+            eq_i = col_null
+        else:
+            bs = pa.scalar(b, type=col.type)
+            lt_i = pc.or_(col_null, pc.fill_null(pc.less(col, bs), False))
+            eq_i = pc.fill_null(pc.equal(col, bs), False)
+        less = pc.or_(less, pc.and_(eq_prefix, lt_i))
+        eq_prefix = pc.and_(eq_prefix, eq_i)
+    return pc.or_(less, eq_prefix)
+
+
+class _GenCursor:
+    """Streaming cursor over one PK-sorted file generation: holds at
+    most one normalized arrow batch at a time."""
+
+    def __init__(self, path, normalize, pk_cols, batch_rows):
+        import pyarrow.parquet as pq
+
+        self._iter = pq.ParquetFile(path).iter_batches(batch_size=batch_rows)
+        self._normalize = normalize
+        self._pk_cols = pk_cols
+        self.cur = None            # normalized non-empty table, or None=EOF
+        self.present = None
+        self._advance()
+
+    def _advance(self):
+        import pyarrow as pa
+
+        for raw in self._iter:
+            if raw.num_rows:
+                self.cur, self.present = self._normalize(
+                    pa.Table.from_batches([raw])
+                )
+                return
+        self.cur = None
+
+    def last_key(self):
+        row = self.cur.slice(self.cur.num_rows - 1, 1)
+        return tuple(row.column(c)[0].as_py() for c in self._pk_cols)
+
+    def take_upto(self, boundary):
+        """Rows of the current batch with key <= boundary; refills the
+        cursor when the batch is fully consumed. Later batches start
+        strictly above this batch's last key (PKs are unique within a
+        sorted file), so no row <= boundary is ever left behind."""
+        import pyarrow.compute as pc
+
+        mask = _le_boundary_mask(self.cur, self._pk_cols, boundary)
+        n_take = pc.sum(pc.cast(mask, "int64")).as_py() or 0
+        if n_take == 0:
+            return None
+        taken = self.cur.slice(0, n_take)       # sorted ⇒ mask is a prefix
+        if n_take == self.cur.num_rows:
+            self._advance()
+        else:
+            self.cur = self.cur.slice(n_take)
+        return taken
+
+
+def _fold_window(window, target, pk_cols, range_vals):
+    """Column-level merge of one PK-aligned window: a column's value
+    comes from the newest generation whose file physically contains it
+    (``file_exist_cols``), matching ``_merge_generations`` use_last
+    semantics. One vectorized index_in + if_else per generation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (merged, _), *rest = window
+    value_cols = [
+        f.name for f in target
+        if f.name not in pk_cols and f.name not in range_vals
     ]
-    if not gens:
+
+    def as_arr(k):
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+    for gt, present in rest:
+        key_r, key_g = _pk_key(merged, pk_cols), _pk_key(gt, pk_cols)
+        pos = pc.index_in(key_r, as_arr(key_g))
+        hit = pc.is_valid(pos)
+        cols = {c: merged.column(c) for c in merged.column_names}
+        for c in value_cols:
+            if c in present:  # newer generation carries the column
+                taken = pc.take(gt.column(c), pos)
+                cols[c] = pc.if_else(hit, taken, merged.column(c))
+        updated = pa.table(cols)
+        # PKs new in this generation append after existing rows
+        fresh = gt.filter(pc.is_null(pc.index_in(key_g, as_arr(key_r))))
+        merged = pa.concat_tables([updated, fresh]).cast(target)
+    return merged
+
+
+def _read_file_merged(paths_with_order, table_schema_json, range_vals,
+                      pk_cols, cdc_col, apply_cdc_filter, defaults=None,
+                      batch_rows=8192):
+    """Read one bucket's file generations and merge them arrow-natively
+    as a STREAMING windowed k-way merge (reference
+    ``sorted_stream_merger.rs:1-44``): every generation is PK-sorted at
+    write, so each round picks boundary = min over open cursors of the
+    current batch's last key, slices every cursor at that boundary (all
+    occurrences of any PK <= boundary are provably inside the window),
+    folds just the window column-by-column, and yields. Peak task
+    memory is O(generations x batch_rows), never the whole bucket."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = StructType.fromJson(json.loads(table_schema_json))
+    target = _arrow_schema(schema)
+    normalize = _normalizer(target, range_vals, defaults or {})
+
+    def finish(tbl):
+        if cdc_col and apply_cdc_filter and cdc_col in tbl.column_names:
+            tbl = tbl.filter(pc.not_equal(tbl.column(cdc_col), CDC_DELETE))
+        yield from tbl.to_batches(max_chunksize=batch_rows)
+
+    files = sorted(paths_with_order, key=lambda x: (x[1], x[2]))
+    if not files:
         return
 
-    if not pk_cols or len(gens) == 1:
-        merged = pa.concat_tables([g[0][0] for g in gens]).cast(target)
-    else:
-        (merged, _), *rest = [g[0] for g in gens]
-        value_cols = [
-            f.name for f in target
-            if f.name not in pk_cols and f.name not in range_vals
-        ]
-        def as_arr(k):
-            return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+    if not pk_cols or len(files) == 1:
+        # no cross-generation merge: stream file batches straight through
+        import pyarrow.parquet as pq
 
-        for gt, present in rest:
-            key_r, key_g = _pk_key(merged, pk_cols), _pk_key(gt, pk_cols)
-            pos = pc.index_in(key_r, as_arr(key_g))
-            hit = pc.is_valid(pos)
-            cols = {c: merged.column(c) for c in merged.column_names}
-            for c in value_cols:
-                if c in present:  # newer generation carries the column
-                    taken = pc.take(gt.column(c), pos)
-                    cols[c] = pc.if_else(hit, taken, merged.column(c))
-            updated = pa.table(cols)
-            # PKs new in this generation append after existing rows
-            fresh = gt.filter(
-                pc.is_null(pc.index_in(key_g, as_arr(key_r)))
-            )
-            merged = pa.concat_tables([updated, fresh]).cast(target)
+        for path, _cs, _fs in files:
+            for raw in pq.ParquetFile(path).iter_batches(batch_size=batch_rows):
+                tbl, _ = normalize(pa.Table.from_batches([raw]))
+                yield from finish(tbl.cast(target))
+        return
 
-    if cdc_col and apply_cdc_filter and cdc_col in merged.column_names:
-        merged = merged.filter(pc.not_equal(merged.column(cdc_col), CDC_DELETE))
-    yield from merged.to_batches(max_chunksize=8192)
+    def nulls_first(key):
+        # python can't compare None with values; order null smallest
+        return tuple((v is not None, v) if v is not None else (False, 0)
+                     for v in key)
+
+    cursors = [_GenCursor(p, normalize, pk_cols, batch_rows) for p, _, _ in files]
+    while True:
+        active = [c for c in cursors if c.cur is not None]
+        if not active:
+            return
+        boundary = min((c.last_key() for c in active), key=nulls_first)
+        window = []
+        for c in cursors:
+            if c.cur is None:
+                continue
+            taken = c.take_upto(boundary)
+            if taken is not None:
+                window.append((taken, c.present))
+        merged = _fold_window(window, target, pk_cols, range_vals) \
+            if len(window) > 1 else window[0][0].cast(target)
+        yield from finish(merged)
 
 
 @dataclass
@@ -304,7 +417,15 @@ class LakeSoulBatchReader(DataSourceReader):
 
 
 class LakeSoulStreamReader(DataSourceStreamReader):
-    """Micro-batch source over the commit log; offset = commit version."""
+    """Micro-batch source over the commit log; offset = commit version.
+
+    ``failOnDataLoss`` (default true, Kafka-source naming): an
+    UPDATE/DELETE rewrite commit in a batch's version range raises
+    :class:`~lakesoul_spark.meta.store.DataRewriteError` — the change
+    cannot be delivered as a row delta, and silently skipping it would
+    leave downstream copies stale (reference ``DataOperation.scala:
+    225-228`` aborts incremental reads at an Update boundary). Set
+    ``.option("failOnDataLoss", "false")`` to skip rewrites instead."""
 
     def __init__(self, path: str, options):
         from lakesoul_spark.meta.store import MetaStore
@@ -313,6 +434,8 @@ class LakeSoulStreamReader(DataSourceStreamReader):
         self.store = MetaStore(self.path)
         self.info = self.store.table_info()
         self.start_version = int(options.get("startingversion", 0))
+        fail = str(options.get("failondataloss", "true")).lower()
+        self.on_rewrite = "skip" if fail in ("false", "0", "no") else "fail"
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -322,7 +445,8 @@ class LakeSoulStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files = self.store.files_in_version_range(
-            int(start["version"]), int(end["version"])
+            int(start["version"]), int(end["version"]),
+            on_rewrite=self.on_rewrite,
         )
         # per-file splits: incremental reads pass rows through (CDC
         # changes unfiltered), no cross-generation merge inside a batch

@@ -114,6 +114,36 @@ def test_persisted_vector_index_search(spark, tmp_path):
     assert "code0" in idx.to_df().columns  # dim 8 -> one 32-bit word
 
 
+def test_vector_search_expression_assign_matches_driver(spark, tmp_path):
+    """The distributed query→cell assignment (``assign="expression"``:
+    _nearest_cells + sign-code expressions over the queries DataFrame)
+    must reproduce the driver-collected numpy path exactly — same
+    probes, same Hamming codes, same final ranking — so a huge query
+    table can skip the driver collect without changing results."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import build_vector_index, vector_search
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(150)]
+    path = str(tmp_path / "vecs")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=6)
+
+    q = _df(spark, rows[:10], "vec_id long, embedding array<float>")
+    for kwargs in ({}, {"rerank": 40}):
+        d = vector_search(t, q, k=5, nprobe=3, assign="driver", **kwargs)
+        e = vector_search(t, q, k=5, nprobe=3, assign="expression", **kwargs)
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, e.collect())), kwargs
+    # auto routes small sets to the driver path, large limits to expression
+    small = vector_search(t, q, k=5, nprobe=3, driver_assign_limit=2)
+    assert sorted((r.query_id, r.rank) for r in small.collect()) == \
+        sorted((r.query_id, r.rank) for r in d.collect())
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """ANN contract check (reference validates its ANN against exact
     rerank, python/src/lakesoul/vector_index.py:263-312): IVF top-k
@@ -223,6 +253,23 @@ def test_jaccard_doc_freq_cutoff(spark):
     em = {(a, b): j for a, b, j in e}
     for a, b, j in c:
         assert em[(a, b)] == j
+
+    # the guard shrinks CANDIDATE GENERATION, not just the output: the
+    # 10 boilerplate docs share the "common words everywhere" shingle
+    # (doc-freq 10 > cap 5), so their C(10,2)=45 join rows vanish
+    def n_candidates(cap):
+        sh = dedup._shingle_sets(df, "doc_id", "text", 3)
+        if cap is not None:
+            keep = (sh.groupBy("sh").count()
+                    .filter(F.col("count") <= cap).select("sh"))
+            sh = sh.join(keep, "sh")
+        return (sh.alias("a")
+                .join(sh.alias("b"),
+                      (F.col("a.sh") == F.col("b.sh"))
+                      & (F.col("a.id") < F.col("b.id")))
+                .select("a.id", "b.id").distinct().count())
+
+    assert n_candidates(5) < n_candidates(None)
 
 
 def test_repetition_stats_values(spark):

@@ -57,6 +57,10 @@ def main() -> int:
 
     import os
 
+    # fixture-dependent oracles (ANN centroid literals) must train on
+    # the SAME sf_dir the Spark queries run against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from lakesoul_spark.session import lakesoul_session
 
