@@ -157,6 +157,20 @@ class LakeSoulArrowDataset:
             ) from e
         return datasets.Dataset(self.to_table())  # pragma: no cover
 
+    def to_daft(self):
+        """Daft DataFrame over this shard (reference
+        ``python/src/lakesoul/daft/__init__.py`` read_lakesoul wraps
+        the arrow scan in ``daft.from_arrow``). Gated: daft is not
+        bundled in this environment."""
+        try:
+            import daft
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "daft is not installed; to_daft() wraps to_table() in "
+                "daft.from_arrow when it is"
+            ) from e
+        return daft.from_arrow(self.to_table())  # pragma: no cover
+
     def to_ray(self):
         """Ray Data dataset over this shard (reference
         ``python/src/lakesoul/ray/``). Gated: ray is not bundled in

@@ -52,6 +52,12 @@ MAX_COMMIT_ATTEMPTS = 16
 # (1 commit/batch for a year) stay O(K) per batch.
 CHECKPOINT_INTERVAL = 32
 
+# checkpoints kept after a new rollup lands; older ones are pruned so
+# the meta dir stays O(keep), not O(#commits / interval). Deleting an
+# old checkpoint never loses information — snapshots older than the
+# oldest kept checkpoint replay from the (fully retained) commit log.
+CHECKPOINT_KEEP = 4
+
 
 class CommitConflict(RuntimeError):
     """Raised when optimistic-concurrency resolution rules abort a commit
@@ -207,11 +213,13 @@ def _atomic_write_json(path: str, payload: dict) -> bool:
 class MetaStore:
     """Commit log + snapshot resolution for one table directory."""
 
-    def __init__(self, table_path: str, checkpoint_interval: int = CHECKPOINT_INTERVAL):
+    def __init__(self, table_path: str, checkpoint_interval: int = CHECKPOINT_INTERVAL,
+                 checkpoint_keep: int = CHECKPOINT_KEEP):
         self.table_path = table_path.rstrip("/")
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.commits_dir = os.path.join(self.meta_dir, "commits")
         self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_keep = checkpoint_keep
         # snapshot cache (reference SnapshotManagement per-table cache):
         # full replay memoized per head version; invalidated by version
         self._snap_cache: tuple[int, "Snapshot"] | None = None
@@ -336,8 +344,29 @@ class MetaStore:
             with open(tmp, "w") as f:
                 json.dump(payload, f)
             os.replace(tmp, final)
+            self._prune_checkpoints()
         except Exception:
             pass
+
+    def _prune_checkpoints(self) -> None:
+        """Keep the newest ``checkpoint_keep`` rollups; drop the rest.
+        Time travel below the oldest kept checkpoint still works — it
+        replays the commit log (retained until vacuum) from seq 1."""
+        keep = self.checkpoint_keep
+        if not keep or keep < 1:
+            return
+        seqs = []
+        for n in os.listdir(self.meta_dir):
+            if n.startswith("checkpoint.") and n.endswith(".json"):
+                try:
+                    seqs.append(int(n[len("checkpoint."):-5]))
+                except ValueError:
+                    continue
+        for s in sorted(seqs)[:-keep]:
+            try:
+                os.remove(self._checkpoint_path(s))
+            except OSError:
+                pass
 
     def read_commit(self, seq: int) -> CommitInfo:
         with open(self._commit_path(seq)) as f:

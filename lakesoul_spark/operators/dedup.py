@@ -386,7 +386,7 @@ def embedding_cosine_blocked_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
-def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, *, checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs → cluster assignment
     (the step after pair generation in a dedup pipeline: every doc in a
     component keeps the component's min id as ``cluster_id``; the
@@ -397,21 +397,32 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
     neighbors — one join + one aggregate per round, O(diameter) rounds
     (near-dup components are shallow in practice). No driver-side graph;
     state is a (node, label) frame repartitioned by node.
+
+    Durability: by default rounds are cut with ``localCheckpoint()`` —
+    fastest, but the blocks live on executors and die with them. On a
+    real cluster pass ``checkpoint_dir`` (an HDFS/S3 path): rounds then
+    use reliable ``checkpoint()``, so an executor loss costs a re-read,
+    not a full recompute of every round so far.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None \
+            else df.localCheckpoint()
+
     # materialize the (symmetrized) edge set ONCE — every round joins
-    # against it; localCheckpoint also cuts the (possibly expensive)
+    # against it; the checkpoint also cuts the (possibly expensive)
     # pair-generation lineage out of the loop
-    edges = (
+    edges = cut(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = cut(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
     )
     while True:
         neigh = (
@@ -422,7 +433,7 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
         # one job per round: materialize next labels (checkpoint cuts
         # lineage so round N doesn't replay rounds 1..N-1), then the
         # convergence check is a cheap count over the materialized frame
-        updated = (
+        updated = cut(
             labels.join(neigh, "id", "left")
             .select(
                 "id",
@@ -431,7 +442,6 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
                 ),
                 "cluster_id",
             )
-            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_label") != F.col("cluster_id")).count()
         labels = updated.select("id", F.col("new_label").alias("cluster_id"))

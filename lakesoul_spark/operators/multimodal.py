@@ -43,10 +43,21 @@ def pack_media(df: DataFrame, id_col: str, data_col: str, media_type: str) -> Da
     )
 
 
+def _pil():
+    """Optional real image decode: PIL when installed, else None. Kept
+    a function (not a module-level import) so executors re-resolve it
+    in their own environment."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_stub(payload: bytes, media_type: str) -> dict:
-    """STUB decode. Real deployments replace this with PIL / torchaudio /
-    ffmpeg frame sampling; the container has no media libs, so features
-    are deterministic functions of the bytes (md5, length)."""
+    """STUB decode: features are deterministic functions of the bytes
+    (md5, length). The real path (:func:`decode_media`) is used when
+    PIL is installed AND the payload actually decodes."""
     import hashlib
 
     return {
@@ -54,6 +65,29 @@ def decode_stub(payload: bytes, media_type: str) -> dict:
         "payload_md5": hashlib.md5(payload).hexdigest(),
         "feature_dim": 0,
     }
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode features for one payload: real pixel metadata via PIL for
+    images when the library exists and the bytes parse as an image;
+    otherwise the deterministic stub. Non-image payloads (and every
+    payload in this PIL-less container) take the stub path, so
+    oracle-checked fixtures hash identically with or without PIL."""
+    image_mod = _pil()
+    if image_mod is not None and media_type == "image":
+        import io
+
+        try:
+            with image_mod.open(io.BytesIO(payload)) as img:
+                feats = decode_stub(payload, media_type)
+                # real decode: feature_dim = per-pixel channels x pixels
+                feats["feature_dim"] = (
+                    len(img.getbands()) * img.width * img.height
+                )
+                return feats
+        except Exception:
+            pass  # undecodable bytes → stub
+    return decode_stub(payload, media_type)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -66,7 +100,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             feats = [
-                decode_stub(p, t)
+                decode_media(p, t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             out = pd.DataFrame(feats)
@@ -86,25 +120,38 @@ FRAME_SCHEMA = "media_id long, frame_index int, frame_md5 string"
 
 
 def resize_media(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Resize stage: 1:1 binary→binary map with updated metadata. The
-    pixel work is STUBBED (no PIL in this container: the fake "resized"
-    payload is the md5 digest cycled to exactly width*height*3 bytes,
-    deterministic in the input); the Spark-side shape — Arrow-batched
-    binary in/out, metadata columns rewritten, map-only stage — is the
-    real contract a PIL-backed implementation drops into."""
+    """Resize stage: 1:1 binary→binary map with updated metadata.
+
+    When PIL is installed and a payload decodes as an image, the resize
+    is REAL (bilinear to width×height, RGB bytes out). Otherwise —
+    including every payload in this PIL-less container and any
+    undecodable bytes — the deterministic stub runs: the fake "resized"
+    payload is the md5 digest cycled to exactly width*height*3 bytes.
+    Either way the Spark-side contract is identical: Arrow-batched
+    binary in/out, metadata columns rewritten, map-only stage."""
     import hashlib
 
     import pandas as pd
 
     n_bytes = width * height * 3
 
+    def one(payload: bytes) -> bytes:
+        image_mod = _pil()
+        if image_mod is not None:
+            import io
+
+            try:
+                with image_mod.open(io.BytesIO(payload)) as img:
+                    return img.convert("RGB").resize((width, height)).tobytes()
+            except Exception:
+                pass
+        d = hashlib.md5(payload).digest()
+        return (d * (n_bytes // len(d) + 1))[:n_bytes]
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            digests = [hashlib.md5(p).digest() for p in pdf["payload"]]
             out = pdf.copy()
-            out["payload"] = [
-                (d * (n_bytes // len(d) + 1))[:n_bytes] for d in digests
-            ]
+            out["payload"] = [one(p) for p in pdf["payload"]]
             out["width"] = width
             out["height"] = height
             yield out

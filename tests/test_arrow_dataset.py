@@ -64,7 +64,7 @@ def test_gated_framework_wrappers(spark, tmp_path):
     write(_df(spark, [(1, 1)], "id int, v int"), path,
           mode="overwrite", hash_partitions=["id"], hash_bucket_num=1)
     ds = LakeSoulArrowDataset(path)
-    for fn in (ds.to_torch, ds.to_hf, ds.to_ray):
+    for fn in (ds.to_torch, ds.to_hf, ds.to_ray, ds.to_daft):
         with pytest.raises(NotImplementedError):
             fn()
 

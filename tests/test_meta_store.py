@@ -186,6 +186,30 @@ def test_checkpoint_bounds_metadata_reads(tmp_path):
     }
 
 
+def test_checkpoint_retention_bounds_meta_dir(tmp_path):
+    """100+ checkpoint intervals: old rollups are pruned to the newest
+    ``checkpoint_keep``, so the meta dir stays O(keep) while head and
+    snapshot resolution keep working — and a snapshot BELOW the oldest
+    kept checkpoint still replays correctly from the commit log."""
+    import os
+
+    store = mk_store(tmp_path)
+    n = 110 * store.checkpoint_interval  # 110 rollup opportunities
+    for i in range(n):
+        store.commit(OP_APPEND, [add(f"data/f{i}.parquet")])
+
+    cps = [f for f in os.listdir(store.meta_dir) if f.startswith("checkpoint.")]
+    assert len(cps) == store.checkpoint_keep
+    # meta dir itself is bounded: table_info + commits dir + kept rollups
+    assert len(os.listdir(store.meta_dir)) <= store.checkpoint_keep + 2
+
+    fresh = MetaStore(store.table_path)
+    assert fresh.head_version() == n
+    assert len(fresh.snapshot().files) == n
+    # deep time travel (seq 5 — far below the oldest kept checkpoint)
+    assert len(fresh.snapshot(version=5).files) == 5
+
+
 def test_checkpoint_time_travel_and_timestamp_resolution(tmp_path):
     """Binary-search timestamp resolution + checkpointed historical
     replay agree with the naive definitions."""

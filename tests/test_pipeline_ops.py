@@ -199,6 +199,19 @@ def test_duplicate_clusters_components(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
 
 
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """On a real cluster, ``checkpoint_dir`` swaps localCheckpoint for
+    reliable checkpoint() — same labels, durable round state."""
+    pairs = _df(spark, [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup.duplicate_clusters(
+               pairs, checkpoint_dir=ckdir).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+    import os
+    assert os.listdir(ckdir)  # round state actually persisted there
+
+
 def test_stratified_sample_deterministic(spark):
     df = _df(spark, [(i, "en" if i % 2 else "de") for i in range(400)],
              "doc_id long, lang string")
@@ -302,3 +315,43 @@ def test_resize_and_frame_sample_plumbing(spark):
         per.setdefault(r.media_id, []).append(r.frame_index)
     assert sorted(per[1]) == [0, 1, 2]   # ceil(1200/500)
     assert sorted(per[2]) == [0]         # ceil(100/500)
+
+
+def test_decode_stub_path_is_pil_independent():
+    """Undecodable payloads take the deterministic stub path whether or
+    not PIL is installed — the oracle-checked fixtures (text bytes) must
+    hash identically in both environments."""
+    from lakesoul_spark.operators import multimodal as mm
+
+    payload = b"definitely not an image"
+    assert mm.decode_media(payload, "image") == mm.decode_stub(payload, "image")
+    assert mm.decode_media(payload, "video") == mm.decode_stub(payload, "video")
+
+
+def test_real_pil_decode_and_resize(spark):
+    """Gated: with PIL installed, images decode for real — feature_dim
+    carries pixel count and resize produces actual RGB bytes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from lakesoul_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 6), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feats = mm.decode_media(png, "image")
+    assert feats["feature_dim"] == 3 * 10 * 6
+    assert feats["byte_len"] == len(png)
+
+    media = spark.createDataFrame(
+        [(1, png, "image", None, None, None)], mm.MEDIA_SCHEMA
+    )
+    out = mm.resize_media(media, width=4, height=2).collect()[0]
+    assert (out.width, out.height) == (4, 2)
+    assert len(out.payload) == 4 * 2 * 3
+    assert bytes(out.payload) == Image.open(
+        io.BytesIO(png)
+    ).convert("RGB").resize((4, 2)).tobytes()
