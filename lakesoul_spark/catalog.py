@@ -154,6 +154,248 @@ class Catalog:
             out.append(view)
         return out
 
+    def sql(self, spark: SparkSession, statement: str) -> DataFrame | None:
+        """SQL entry point covering the reference catalog's statement
+        surface (``LakeSoulCatalog.scala:129-352`` + the command rules)
+        without a JVM catalog plugin — LakeSoul DDL/DML statements are
+        parsed here and routed to the table API; everything else
+        (SELECT, VALUES, …) runs on ``spark.sql`` with every catalog
+        table registered as a temp view (default-namespace tables under
+        their bare name, others as ``<ns>_<table>``).
+
+        Supported statements (same grammar the reference test suites
+        use, e.g. ``DDLSuite.scala:66-95``, ``PrimaryKeyFilterEval
+        .scala:68``)::
+
+            CREATE TABLE [IF NOT EXISTS] [ns.]t (a LONG, b STRING)
+                USING lakesoul [PARTITIONED BY (p)] [LOCATION '/path']
+                [TBLPROPERTIES('hashPartitions'='a','hashBucketNum'='4',
+                               'lakesoul_cdc_change_column'='kind', …)]
+            DROP TABLE [IF EXISTS] [ns.]t
+            TRUNCATE TABLE [ns.]t
+            INSERT INTO [ns.]t <query>
+            INSERT OVERWRITE [TABLE] [ns.]t <query>
+            UPDATE [ns.]t SET a = <expr>[, …] [WHERE <cond>]
+            DELETE FROM [ns.]t [WHERE <cond>]
+            MERGE INTO [ns.]t [AS] x USING <table | (query)> [AS] y
+                ON <pk equality> WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+            SHOW TABLES [IN ns]
+
+        Returns a DataFrame for queries / SHOW TABLES, else None.
+        """
+        stmt = statement.strip().rstrip(";").strip()
+        head = re.match(r"(\w+)\s+(\w+)?", stmt)
+        verb = (head.group(1) if head else "").upper()
+        verb2 = (head.group(2) or "" if head else "").upper()
+
+        if verb == "CREATE" and verb2 == "TABLE":
+            return self._sql_create_table(spark, stmt)
+        if verb == "DROP" and verb2 == "TABLE":
+            m = _rx(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(2))
+            if not self.table_exists(name, ns):
+                if m.group(1):
+                    return None
+                raise ValueError(f"no such table {ns}.{name}")
+            self.drop_table(name, ns)
+            return None
+        if verb == "TRUNCATE":
+            m = _rx(r"TRUNCATE\s+TABLE\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            # truncate = unconditional delete (metadata-only fast path)
+            self.get_table(spark, name, ns).delete(None)
+            return None
+        if verb == "INSERT":
+            m = _rx(
+                r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$",
+                stmt,
+            )
+            ns, name = self._split_name(m.group(2))
+            t = self.get_table(spark, name, ns)
+            src = self.sql(spark, m.group(3))
+            # SQL INSERT matches columns by POSITION against the table
+            # schema (an INSERT of VALUES has synthetic colN names)
+            target_cols = [f.name for f in t.schema().fields]
+            if len(src.columns) != len(target_cols):
+                raise ValueError(
+                    f"INSERT column count {len(src.columns)} != table "
+                    f"column count {len(target_cols)}"
+                )
+            src = src.toDF(*target_cols)
+            from lakesoul_spark.table import write as _write
+            _write(src, t.path,
+                   mode="append" if m.group(1).upper() == "INTO" else "overwrite")
+            return None
+        if verb == "UPDATE":
+            m = _rx(r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", stmt)
+            ns, name = self._split_name(m.group(1))
+            sets = {}
+            for part in _split_top(m.group(2)):
+                col, _, expr = part.partition("=")
+                if not expr:
+                    raise ValueError(f"bad SET clause {part!r}")
+                sets[col.strip()] = expr.strip()
+            cond = m.group(3) or "true"
+            self.get_table(spark, name, ns).update(cond, sets)
+            return None
+        if verb == "DELETE":
+            m = _rx(r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", stmt)
+            ns, name = self._split_name(m.group(1))
+            self.get_table(spark, name, ns).delete(m.group(2))
+            return None
+        if verb == "MERGE":
+            return self._sql_merge(spark, stmt)
+        if verb == "SHOW" and verb2 == "TABLES":
+            m = _rx(r"SHOW\s+TABLES(?:\s+IN\s+(\w+))?$", stmt)
+            ns = m.group(1) or "default"
+            return spark.createDataFrame(
+                [(ns, n) for n in self.list_tables(ns)] or [],
+                "namespace string, tableName string",
+            )
+
+        # relational fallback: expose the lake as temp views, delegate
+        for ns in self.list_namespaces():
+            for name in self.list_tables(ns):
+                view = name if ns == "default" else f"{ns}_{name}"
+                self.get_table(spark, name, ns).to_df() \
+                    .createOrReplaceTempView(view)
+        return spark.sql(stmt)
+
+    # ------------------------------------------------------- SQL internals
+
+    def _split_name(self, qualified: str) -> tuple[str, str]:
+        if "." in qualified:
+            ns, name = qualified.split(".", 1)
+            return ns, name
+        return "default", qualified
+
+    def _sql_create_table(self, spark: SparkSession, stmt: str):
+        m = _rx(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"\((?P<cols>.*?)\)\s*USING\s+lakesoul\b(?P<rest>.*)$",
+            stmt,
+        )
+        ns, name = self._split_name(m.group(2))
+        rest = m.group("rest")
+        if not self.namespace_exists(ns) and ns != "default":
+            raise ValueError(f"no such namespace {ns!r}")
+        if self.table_exists(name, ns):
+            if m.group(1):
+                return None
+            raise ValueError(f"table {ns}.{name} already exists")
+
+        from pyspark.sql.types import StructType
+        schema = StructType.fromDDL(m.group("cols"))
+
+        range_partitions: list[str] = []
+        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.I)
+        if pm:
+            range_partitions = [c.strip().strip("`") for c in pm.group(1).split(",")]
+        location = None
+        lm = re.search(r"LOCATION\s+'([^']*)'", rest, re.I)
+        if lm:
+            location = lm.group(1)
+        props: dict[str, str] = {}
+        tm = re.search(r"TBLPROPERTIES\s*\((.*)\)", rest, re.I | re.S)
+        if tm:
+            for part in _split_top(tm.group(1)):
+                km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
+                if not km:
+                    raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
+                props[km.group(1)] = km.group(2)
+        # reference option names (PrimaryKeyFilterEval.scala:68):
+        # hashPartitions is comma-separated, hashBucketNum an int
+        hash_partitions = [
+            c.strip() for c in props.pop("hashPartitions", "").split(",")
+            if c.strip()
+        ]
+        try:
+            hash_bucket_num = int(props.pop("hashBucketNum", "4"))
+        except ValueError as e:
+            raise ValueError("hashBucketNum must be an integer") from e
+
+        self.create_table(
+            spark, name, schema, namespace=ns, path=location,
+            range_partitions=range_partitions,
+            hash_partitions=hash_partitions,
+            hash_bucket_num=hash_bucket_num,
+            properties=props,
+        )
+        return None
+
+    def _sql_merge(self, spark: SparkSession, stmt: str):
+        m = _rx(
+            r"MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"USING\s+(\(.*\)|[\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"ON\s+(.*?)\s+"
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            stmt,
+        )
+        ns, name = self._split_name(m.group(1))
+        target = self.get_table(spark, name, ns)
+        src_ref = m.group(3)
+        if src_ref.startswith("("):
+            source = self.sql(spark, src_ref[1:-1])
+        else:
+            sns, sname = self._split_name(src_ref)
+            if self.table_exists(sname, sns):
+                source = self.get_table(spark, sname, sns).to_df()
+            else:
+                source = self.sql(spark, f"SELECT * FROM {src_ref}")
+        # ON must be AND-ed equalities over the full PK (reference
+        # PreprocessTableMergeInto.scala:34-92); aliases are stripped
+        on_cols = []
+        for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.I):
+            em = re.match(
+                r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", clause
+            )
+            if not em:
+                raise ValueError(
+                    f"MERGE ON clause must be PK equality, got {clause!r}"
+                )
+            lcol = em.group(1).rsplit(".", 1)[-1]
+            rcol = em.group(2).rsplit(".", 1)[-1]
+            if lcol != rcol:
+                raise ValueError(
+                    f"MERGE ON equality must name the same column on "
+                    f"both sides, got {clause!r}"
+                )
+            on_cols.append(lcol)
+        merge_into(target, source, on_cols)
+        return None
+
+
+def _rx(pattern: str, stmt: str) -> "re.Match":
+    m = re.match(pattern, stmt, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse statement: {stmt[:120]!r}")
+    return m
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren/quote depth 0 (SET lists, TBLPROPERTIES)."""
+    out, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf and "".join(buf).strip():
+        out.append("".join(buf))
+    return [p.strip() for p in out]
+
 
 def merge_into(
     target: LakeSoulTable,

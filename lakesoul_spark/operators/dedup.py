@@ -96,14 +96,27 @@ def ngram_jaccard_pairs(
         return out
     # skew-guarded: ONLY the doc-frequency-capped index feeds the
     # quadratic join; surviving candidates get exact set-intersection
-    # verification (same shape as the minhash verifier)
-    rare = (
+    # verification (same shape as the minhash verifier).
+    #
+    # Shuffle shape (this runs on every corpus, so stay close to the
+    # exact path's cost):
+    #   1. doc-freq by map-side-combined groupBy over the shingles; the
+    #      HOT shingles (df > cap) are few by construction (at most
+    #      |index|/cap), so the guard is an anti-join against them —
+    #      AQE turns it into a broadcast, no reshuffle of the index,
+    #   2. capped self-join for candidates (join rows ∝ Σ_rare df² —
+    #      bounded by cap × |index|, never a stopword blowup),
+    #   3. exact verification against per-doc shingle SETS (one
+    #      map-side-combined collect_set, |docs| rows out): counts
+    #      every shared shingle — frequent ones included — so the
+    #      Jaccard of surviving pairs stays exact.
+    hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_doc_freq)
+        .filter(F.col("df") > max_shingle_doc_freq)
         .select("sh")
     )
-    idx = sh.join(rare, "sh")
+    idx = sh.join(hot, "sh", "left_anti")
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

@@ -650,3 +650,50 @@ def tumbling_window(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------- SQL dispatcher
+@_register(
+    "lakehouse_sql_surface",
+    f"""
+    SELECT {_ORDER_SEL_SQL} FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE NOT o_orderpriority = '1-URGENT')
+    """,
+)
+def sql_surface(spark, sf_dir):
+    """The reference's SQL statement surface end-to-end — CREATE TABLE
+    ... USING lakesoul, INSERT INTO, DELETE, UPDATE, MERGE INTO, SELECT
+    — through the PySpark dispatcher (``Catalog.sql``; reference
+    ``LakeSoulCatalog.scala`` + command rules). The MERGE flips every
+    10th order to status 'R' via an upsert source built with plain SQL."""
+    from lakesoul_spark.catalog import Catalog
+
+    root = _tmp("sql_surface", sf_dir)
+    cat = Catalog(root)
+    _fmt_orders(_orders(spark, sf_dir)).createOrReplaceTempView("src_orders")
+    cat.sql(spark, """
+        CREATE TABLE sqlo (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING)
+        USING lakesoul
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='16')
+    """)
+    cat.sql(spark, "INSERT INTO sqlo SELECT * FROM src_orders")
+    cat.sql(spark, "DELETE FROM sqlo WHERE o_orderpriority = '1-URGENT'")
+    cat.sql(spark, "UPDATE sqlo SET o_totalprice = o_totalprice * 1.05 "
+                   "WHERE o_orderstatus = 'O'")
+    cat.sql(spark, """
+        MERGE INTO sqlo USING (
+            SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM sqlo WHERE o_orderkey % 10 = 0) s
+        ON sqlo.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    return cat.sql(spark, "SELECT * FROM sqlo")

@@ -115,3 +115,91 @@ def test_compaction_new_bucket_num(spark, tmp_table):
     assert sorted(map(tuple, t.to_df().collect())) == before
     # point lookup still sound under the new layout
     assert [r["v"] for r in t.point_lookup(id=17).collect()] == [17]
+
+
+# --------------------------------------------------------- SQL dispatcher
+
+
+def test_sql_create_insert_select(cat, spark):
+    """CREATE TABLE ... USING lakesoul + INSERT + SELECT through the
+    SQL entry point (reference DDLSuite.scala:66-95 statement shapes)."""
+    cat.sql(spark, """
+        CREATE TABLE users (id BIGINT, name STRING, city STRING)
+        USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    assert cat.table_exists("users")
+    info = cat.get_table(spark, "users").info
+    assert info.hash_partitions == ["id"] and info.hash_bucket_num == 2
+
+    # IF NOT EXISTS is a no-op; plain re-create raises
+    cat.sql(spark, "CREATE TABLE IF NOT EXISTS users (id BIGINT) USING lakesoul")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "CREATE TABLE users (id BIGINT) USING lakesoul")
+
+    cat.sql(spark, "INSERT INTO users VALUES (1, 'ann', 'oslo'), (2, 'bo', 'rio')")
+    got = cat.sql(spark, "SELECT id, city FROM users ORDER BY id").collect()
+    assert [tuple(r) for r in got] == [(1, "oslo"), (2, "rio")]
+
+    shown = cat.sql(spark, "SHOW TABLES").collect()
+    assert [(r.namespace, r.tableName) for r in shown] == [("default", "users")]
+
+
+def test_sql_update_delete_merge(cat, spark):
+    cat.sql(spark, """
+        CREATE TABLE t (id BIGINT, v BIGINT)
+        USING lakesoul TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    cat.sql(spark, "UPDATE t SET v = v + 1 WHERE id <= 2")
+    assert {(r.id, r.v) for r in cat.sql(spark, "SELECT * FROM t").collect()} \
+        == {(1, 11), (2, 21), (3, 30)}
+    cat.sql(spark, "DELETE FROM t WHERE id = 3")
+    cat.sql(spark, """
+        MERGE INTO t USING (SELECT * FROM VALUES (2, 99), (4, 40) AS s(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert {(r.id, r.v) for r in cat.sql(spark, "SELECT * FROM t").collect()} \
+        == {(1, 11), (2, 99), (4, 40)}
+    # non-PK-equality ON clause rejected (PreprocessTableMergeInto)
+    with pytest.raises(ValueError, match="equality"):
+        cat.sql(spark, """
+            MERGE INTO t USING t AS s ON t.id < s.id
+            WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        """)
+
+
+def test_sql_partitioned_location_cdc_and_drop(cat, spark, tmp_path):
+    loc = str(tmp_path / "ext_events")
+    cat.sql(spark, f"""
+        CREATE TABLE events (ts BIGINT, kind STRING, p STRING)
+        USING lakesoul PARTITIONED BY (p) LOCATION '{loc}'
+        TBLPROPERTIES('lakesoul_cdc_change_column'='kind')
+    """)
+    info = cat.get_table(spark, "events").info
+    assert info.range_partitions == ["p"]
+    assert info.path == loc
+    assert info.cdc_column == "kind"
+
+    cat.sql(spark, "INSERT INTO events VALUES (1, 'insert', 'a'), (2, 'insert', 'b')")
+    cat.sql(spark, "TRUNCATE TABLE events")
+    assert cat.sql(spark, "SELECT * FROM events").count() == 0
+    cat.sql(spark, "DROP TABLE IF EXISTS missing")   # no-op
+    cat.sql(spark, "DROP TABLE events")
+    assert not cat.table_exists("events")
+
+
+def test_sql_namespaced_tables(cat, spark):
+    cat.create_namespace("prod")
+    cat.sql(spark, """
+        CREATE TABLE prod.users (id BIGINT, n STRING) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='1')
+    """)
+    cat.sql(spark, "INSERT INTO prod.users VALUES (7, 'x')")
+    # non-default namespaces surface as <ns>_<table> views
+    got = cat.sql(spark, "SELECT n FROM prod_users WHERE id = 7").collect()
+    assert [r.n for r in got] == ["x"]
+    shown = cat.sql(spark, "SHOW TABLES IN prod").collect()
+    assert [(r.namespace, r.tableName) for r in shown] == [("prod", "users")]
