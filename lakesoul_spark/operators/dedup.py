@@ -47,10 +47,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work (regexp tokenization) runs wide.
+
+    A small input (one parquet file → one split) would tokenize on a
+    single core; repartitioning a few thousand rows costs nothing. At
+    scale the scan already has ≥ defaultParallelism splits and this is
+    a no-op — no shuffle is added on the 100 TB path."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
     sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
-    return docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+    return _widen(docs).select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -75,8 +86,27 @@ def ngram_jaccard_pairs(
     (a pair whose ONLY shared shingles are ultra-frequent is missed),
     but the Jaccard of surviving pairs stays exact: intersection and
     sizes still count every shingle. Default None = fully exact."""
-    sh = _shingle_sets(docs, id_col, text_col, n).cache()
+    # NOT cached: the self-join's two identical scan→tokenize→explode
+    # subtrees collapse into one ReusedExchange, and recomputing the
+    # (wide, map-only) shingle stage for the size/doc-freq aggregates
+    # is cheaper than building + reading a columnar InMemoryRelation of
+    # exploded strings (measured 4× slower with the cache at sf0.1)
+    sh = _shingle_sets(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    hot = None
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_doc_freq)
+            .select("sh")
+            .cache()
+        )
+        if hot.isEmpty():
+            # nothing is hot: the guard is provably a no-op, so run the
+            # exact single-self-join plan instead of paying the
+            # rare+hot completion machinery for zero pruning
+            max_shingle_doc_freq = None
     if max_shingle_doc_freq is None:
         # fully exact: candidate generation and intersection counting
         # are the same self-join
@@ -95,46 +125,51 @@ def ngram_jaccard_pairs(
         )
         return out
     # skew-guarded: ONLY the doc-frequency-capped index feeds the
-    # quadratic join; surviving candidates get exact set-intersection
-    # verification (same shape as the minhash verifier).
+    # quadratic join; the intersection stays EXACT arithmetically —
+    # |A∩B| = shared rare shingles (counted by the capped join) +
+    # shared HOT shingles (counted per surviving candidate pair).
     #
-    # Shuffle shape (this runs on every corpus, so stay close to the
-    # exact path's cost):
-    #   1. doc-freq by map-side-combined groupBy over the shingles; the
-    #      HOT shingles (df > cap) are few by construction (at most
-    #      |index|/cap), so the guard is an anti-join against them —
-    #      AQE turns it into a broadcast, no reshuffle of the index,
-    #   2. capped self-join for candidates (join rows ∝ Σ_rare df² —
-    #      bounded by cap × |index|, never a stopword blowup),
-    #   3. exact verification against per-doc shingle SETS (one
-    #      map-side-combined collect_set, |docs| rows out): counts
-    #      every shared shingle — frequent ones included — so the
-    #      Jaccard of surviving pairs stays exact.
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_shingle_doc_freq)
-        .select("sh")
-    )
+    # Shuffle shape (this runs on every corpus, so it must cost the
+    # same as the exact path when nothing is hot):
+    #   1. doc-freq by map-side-combined groupBy; hot shingles
+    #      (df > cap) number at most |index|/cap, so the anti-join is
+    #      broadcastable (AQE) — the index is not reshuffled,
+    #   2. capped self-join + pair-count aggregation — identical plan
+    #      to the exact path, but join rows ∝ Σ_rare df² ≤ cap×|index|,
+    #      never a stopword blowup,
+    #   3. hot-shingle completion: candidates (already few) joined to
+    #      the per-doc HOT postings (Σ_hot df rows — linear, the d²
+    #      expansion never happens) to count shared hot shingles.
+    # A pair whose ONLY shared shingles are hot is missed (documented
+    # approximation); every surviving pair's Jaccard is exact.
     idx = sh.join(hot, "sh", "left_anti")
-    cand = (
+    # cached: consumed twice below (hot completion + final result); an
+    # uncached plan would run the quadratic join twice. Size is one row
+    # per candidate pair — the small end of the funnel.
+    inter_rare = (
         idx.alias("a")
         .join(idx.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_rare"))
+        .cache()
     )
-    sets_df = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
-    a = sets_df.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sets_df.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
-    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    hot_post = sh.join(hot, "sh", "left_semi")
+    inter_hot = (
+        inter_rare.select("id_a", "id_b")
+        .join(hot_post.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(hot_post.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_hot"))
+    )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("inter", inter)
+        inter_rare.join(inter_hot, ["id_a", "id_b"], "left")
         .withColumn(
-            "jaccard",
-            F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+            "inter",
+            F.col("inter_rare") + F.coalesce(F.col("inter_hot"), F.lit(0)),
         )
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -195,8 +230,11 @@ def minhash_lsh_pairs(
     assert num_hashes % rows_per_band == 0
     bands = num_hashes // rows_per_band
     # one shingle explode feeds BOTH the signature aggregation and the
-    # candidate verification — cache it instead of recomputing
-    sh = _shingle_sets(docs, id_col, text_col, n).cache()
+    # candidate verification; recomputing the wide map-only stage is
+    # cheaper than a columnar cache of exploded strings (see
+    # ngram_jaccard_pairs) — the consumers' exchanges differ, so a
+    # cache would not even enable exchange reuse
+    sh = _shingle_sets(docs, id_col, text_col, n)
     sig = _minhash_sig(sh, num_hashes)
     band_cols = []
     for b in range(bands):
@@ -248,7 +286,7 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     length ``bits`` (≤32 hex nibbles of md5). Per-token explode + one
     groupBy; no UDFs."""
     assert bits <= 32
-    toks = docs.select(
+    toks = _widen(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     toks = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))

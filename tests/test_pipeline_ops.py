@@ -31,6 +31,43 @@ def test_kafka_batch_plumbing(spark, tmp_path):
     assert sorted(map(tuple, t.to_df().collect())) == [(1, "a"), (2, "b")]
 
 
+def test_kafka_record_stream_demux(spark, tmp_path):
+    """Connector-free streaming ingestion: a Kafka-shaped record stream
+    (topic/value) demuxed per topic into auto-created tables — the same
+    foreachBatch body ingest_topics runs against a real broker."""
+    from lakesoul_spark.sources.kafka import ingest_record_stream
+
+    src = str(tmp_path / "records")
+    rec = _df(
+        spark,
+        [("clicks", b'{"id": 1, "v": "a"}'),
+         ("clicks", b'{"id": 2, "v": "b"}'),
+         ("views", b'{"uid": 7, "n": 3}'),
+         ("orphan", b"{}")],  # undeclared topic: ignored
+        "topic string, value binary",
+    )
+    rec.write.parquet(src)
+    q = ingest_record_stream(
+        spark.readStream.schema(rec.schema).parquet(src),
+        {"clicks": StructType.fromDDL("id int, v string"),
+         "views": StructType.fromDDL("uid int, n int")},
+        str(tmp_path / "wh"),
+        checkpoint_location=str(tmp_path / "ck"),
+        hash_partitions={"clicks": ["id"]},
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    clicks = LakeSoulTable.for_path(spark, str(tmp_path / "wh/clicks"))
+    views = LakeSoulTable.for_path(spark, str(tmp_path / "wh/views"))
+    assert sorted(map(tuple, clicks.to_df().collect())) == [(1, "a"), (2, "b")]
+    assert [tuple(r) for r in views.to_df().collect()] == [(7, 3)]
+    assert clicks.info.hash_partitions == ["id"]
+    from lakesoul_spark.meta.store import MetaStore
+    assert not (tmp_path / "wh" / "orphan").exists()
+    # replaying batch 0 by hand is a no-op (idempotence key survives)
+    assert MetaStore(str(tmp_path / "wh/clicks")).has_batch("kafka-clicks", 0)
+
+
 def test_kafka_stream_gated(spark, tmp_path):
     from lakesoul_spark.sources.kafka import ingest_topics
 
