@@ -43,15 +43,21 @@ def pack_media(df: DataFrame, id_col: str, data_col: str, media_type: str) -> Da
     )
 
 
+_PIL_PROBE: list = []  # [] = unprobed, [None] = absent, [module] = present
+
+
 def _pil():
-    """Optional real image decode: PIL when installed, else None. Kept
-    a function (not a module-level import) so executors re-resolve it
-    in their own environment."""
-    try:
-        from PIL import Image
-        return Image
-    except ImportError:
-        return None
+    """Optional real image decode: PIL when installed, else None.
+    Resolved lazily (executors probe their own environment) but cached
+    per process — a FAILED import is not cached in sys.modules, so an
+    uncached probe would re-walk sys.path for every payload."""
+    if not _PIL_PROBE:
+        try:
+            from PIL import Image
+            _PIL_PROBE.append(Image)
+        except ImportError:
+            _PIL_PROBE.append(None)
+    return _PIL_PROBE[0]
 
 
 def decode_stub(payload: bytes, media_type: str) -> dict:
