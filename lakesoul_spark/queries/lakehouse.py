@@ -652,6 +652,169 @@ def tumbling_window(spark, sf_dir):
     )
 
 
+# ----------------------------------------- custom stateful streaming ops
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark, n: int):
+    """Pin the state-store partition count for one streaming query.
+
+    Stateful operators shuffle to ``spark.sql.shuffle.partitions`` and
+    commit that many state files per micro-batch; for a 150-key replay
+    the default 32 is pure filesystem overhead. The value is baked into
+    the query's (fresh) checkpoint, so scoping it to the stream start
+    doesn't affect other queries."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _stage_ordered_stream(df, order_col, src, n_slices=3, extra_slices=()):
+    """Stage ``df`` as sequential parquet files sorted by ``order_col``
+    (fixed-fraction range cuts), then pin strictly increasing mtimes so
+    the file streaming source (which orders by modification time)
+    replays them as in-order micro-batches. ``extra_slices`` are
+    appended last (e.g. watermark-advancing sentinels)."""
+    import glob as _glob
+
+    # numeric twin of the order column so range cuts are arithmetic
+    # (timestamps slice on epoch micros)
+    is_ts = df.schema[order_col].dataType.typeName() == "timestamp"
+    ord_expr = F.unix_micros(F.col(order_col)) if is_ts else F.col(order_col)
+    lo, hi = df.agg(F.min(ord_expr), F.max(ord_expr)).first()
+    cuts = [lo + (hi - lo) * i // n_slices for i in range(n_slices + 1)]
+    cuts[-1] = hi + 1
+    # coalesce-then-sortWithinPartitions: one narrow task per slice
+    # (no range-exchange sampling pass — each slice is one file anyway)
+    slices = [
+        df.filter((ord_expr >= a) & (ord_expr < b))
+        .coalesce(1).sortWithinPartitions(order_col)
+        for a, b in zip(cuts, cuts[1:])
+    ] + list(extra_slices)
+    seen: set = set()
+    for i, sl in enumerate(slices):
+        sl.write.mode("append").parquet(src)
+        cur = set(_glob.glob(f"{src}/*.parquet"))
+        for f in sorted(cur - seen):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        seen = cur
+
+
+@_register(
+    "streaming_stateful_dedup",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stateful_dedup(spark, sf_dir):
+    """Streaming first-event-per-key dedup as a CUSTOM STATEFUL
+    operator (applyInPandasWithState, state = one marker per key):
+    events replayed as event_id-ordered micro-batches; only each user's
+    first event passes. The ordered replay makes the result the global
+    arg-min per user — exactly the batch oracle."""
+    from lakesoul_spark.streaming.stateful import first_event_per_key
+
+    src = _tmp("stateful_dedup_src", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    _stage_ordered_stream(ev, "event_id", src, n_slices=2)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = first_event_per_key(sdf, ["user_id"], order_col="event_id")
+    with _state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName("stateful_dedup")
+            .option("checkpointLocation", _tmp("stateful_dedup_ck", sf_dir))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    return spark.table("stateful_dedup").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+@_register(
+    "streaming_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL OR
+                       ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stateful_sessionize(spark, sf_dir):
+    """Event-time session windows as a CUSTOM STATEFUL operator
+    (applyInPandasWithState + EventTimeTimeout, state = the one open
+    session per key): ts-ordered micro-batch replay; sessions close on
+    an in-stream gap > 30 min or when the watermark passes
+    session_end + gap (two far-future sentinel batches drain the last
+    open sessions — sentinel key filtered from the result). Matches the
+    batch gaps-and-islands rewrite row-for-row."""
+    from lakesoul_spark.streaming.stateful import sessionize
+
+    src = _tmp("sessionize_src", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # integer division: double `/` on epoch-nanos (~1.7e18) exceeds
+        # the 52-bit mantissa and shifts some microseconds by one
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    )
+    # one far-future sentinel: its batch advances the watermark, and
+    # Spark's automatic no-data batch then fires the pending
+    # EventTimeTimeouts that drain every still-open session
+    far = [
+        ev.sparkSession.createDataFrame(
+            [(-1, -1, __import__("datetime").datetime(2100, 1, 1))],
+            ev.schema,
+        )
+    ]
+    _stage_ordered_stream(ev, "ts", src, n_slices=2, extra_slices=far)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = sessionize(sdf, ["user_id"], ts_col="ts", gap_ms=1_800_000)
+    with _state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName("stateful_sessions")
+            .option("checkpointLocation", _tmp("sessionize_ck", sf_dir))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table("stateful_sessions")
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------- SQL dispatcher
 @_register(
     "lakehouse_sql_surface",

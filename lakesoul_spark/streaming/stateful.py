@@ -1,0 +1,177 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference delegates event-time/stateful stream processing to the
+host engine (SURVEY §2.8: watermarks/session windows are "host-engine
+features"); these are the two stateful operators a training-data
+ingestion stream actually needs, built the idiomatic Spark way — state
+is per-key, Arrow-batched, and bounded, so the operators hold on a
+1000-executor cluster:
+
+- :func:`first_event_per_key` — streaming dedup: pass through only the
+  first event seen per key (state = one marker row per key, O(#keys),
+  optional processing-time TTL for unbounded key spaces).
+- :func:`sessionize` — event-time sessionization with a gap timeout:
+  closed sessions are emitted as soon as the watermark passes
+  ``session_end + gap`` (state = one open session per key).
+
+Both run per-key chunks through pandas, never materialize a whole
+partition, and emit append-mode output, so downstream sinks (including
+the LakeSoul foreachBatch sink) consume them like any other stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def first_event_per_key(
+    sdf: DataFrame,
+    key_cols: list[str],
+    *,
+    order_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming dedup: emit each key's first event, drop the rest.
+
+    "First" = the minimum ``order_col`` row of the first micro-batch in
+    which the key appears (if the source delivers batches in
+    ``order_col`` order — e.g. sorted files with maxFilesPerTrigger —
+    this is the global arg-min and the operator is deterministic and
+    SQL-oracle-checkable).
+
+    State per key is a single marker (no payload), so total state is
+    O(distinct keys). For unbounded key spaces pass ``ttl_ms``: markers
+    expire after that much processing time and a key recurring later is
+    treated as new — the standard bounded-state trade-off.
+    """
+    out_schema = sdf.schema
+    cols = list(sdf.columns)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf[order_col].idxmin()]]
+            if first is None or cand[order_col].iloc[0] < first[order_col].iloc[0]:
+                first = cand
+        if not state.exists and first is not None:
+            state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield first[cols]
+        elif state.exists and ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # refresh the TTL
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_SCHEMA = (
+    "session_start timestamp, session_end timestamp, n_events bigint"
+)
+
+
+def sessionize(
+    sdf: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Event-time session windows with a ``gap_ms`` inactivity timeout.
+
+    Input must carry a watermark on ``ts_col`` (``withWatermark``).
+    Events of one key whose timestamps are within ``gap_ms`` of each
+    other belong to one session; a session closes — and is emitted as
+    ``key..., session_start, session_end, n_events`` — when either a
+    later in-batch event of the same key starts a new session, or the
+    watermark passes ``session_end + gap_ms`` (EventTimeTimeout).
+
+    State per key = the single open session (start, end, count): O(keys)
+    bounded state regardless of stream length. Semantics match the
+    batch gaps-and-islands rewrite when per-key events arrive in
+    event-time order across batches (guaranteed by the watermark +
+    time-ordered sources; same contract as Spark's built-in
+    ``session_window``).
+    """
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sdf.schema
+        if f.name in key_cols
+    )
+    out_schema = f"{key_fields}, {SESSION_SCHEMA}"
+    gap = pd.Timedelta(milliseconds=gap_ms)
+
+    def emit(key, sessions) -> pd.DataFrame:
+        starts, ends, ns = zip(*sessions)
+        out = pd.DataFrame(
+            {"session_start": list(starts), "session_end": list(ends),
+             "n_events": list(ns)}
+        )
+        for name, val in reversed(list(zip(key_cols, key))):
+            out.insert(0, name, val)
+        return out
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit(key, [(pd.Timestamp(start, unit="us"),
+                              pd.Timestamp(end, unit="us"), n)])
+            return
+        parts = [pdf[ts_col] for pdf in pdfs]
+        if not parts:
+            return
+        ts = pd.concat(parts, ignore_index=True).sort_values(ignore_index=True)
+        if len(ts) == 0:
+            return
+        # vectorized gaps-and-islands over the batch (no per-event loop)
+        grp = ts.groupby(ts.diff().gt(gap).cumsum())
+        sessions = list(
+            zip(grp.first(), grp.last(), grp.size().astype(int))
+        )
+        if state.exists:
+            s0, e0, n0 = state.get
+            s0 = pd.Timestamp(s0, unit="us")
+            e0 = pd.Timestamp(e0, unit="us")
+            st, en, nn = sessions[0]
+            if st - e0 <= gap:  # first island continues the open session
+                sessions[0] = (min(s0, st), max(e0, en), n0 + nn)
+            else:
+                sessions.insert(0, (s0, e0, n0))
+        *closed, open_s = sessions
+        # persist the open session; timestamps stored as epoch
+        # microseconds (state schema is long-typed for fidelity)
+        state.update((open_s[0].value // 1000, open_s[1].value // 1000,
+                      int(open_s[2])))
+        state.setTimeoutTimestamp(open_s[1].value // 1_000_000 + gap_ms)
+        if closed:
+            yield emit(key, closed)
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        out_schema,
+        "start long, end long, n bigint",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

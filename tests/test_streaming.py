@@ -363,3 +363,69 @@ def test_format_read_no_pandas_in_merge_path():
 
     body = inspect.getsource(src._read_file_merged)
     assert "to_pandas" not in body and "from_pandas" not in body
+
+
+# -------------------------------------------------------- stateful operators
+
+def test_stateful_first_event_per_key(spark, tmp_path):
+    """Streaming dedup via applyInPandasWithState: only each user's
+    first event (min event_id, batches delivered in order) passes."""
+    from lakesoul_spark.streaming.stateful import first_event_per_key
+
+    src = str(tmp_path / "src")
+    rows = [(i, i % 3, f"e{i}") for i in range(30)]  # users 0,1,2
+    df = _df(spark, rows, "event_id long, user_id int, payload string")
+    # three sorted slices -> three in-order micro-batches
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        _df(spark, rows[lo:hi], df.schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = first_event_per_key(sdf, ["user_id"], order_col="event_id")
+    q = (out.writeStream.format("memory").queryName("first_ev")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("first_ev").collect()))
+    assert got == [(0, 0, "e0"), (1, 1, "e1"), (2, 2, "e2")]
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """Event-time sessions with a 10 s gap: in-batch splits AND
+    watermark-timeout closes both emit; the sentinel key that advances
+    the watermark is filterable."""
+    import datetime as dt
+
+    from lakesoul_spark.streaming.stateful import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    src = str(tmp_path / "src")
+    schema = "user_id int, ts timestamp"
+    # user 1: events at 0,5,8 (one session), then 30,31 (second session)
+    # user 2: single event at 3
+    batches = [
+        [(1, s(0)), (1, s(5)), (2, s(3))],
+        [(1, s(8))],
+        [(1, s(30)), (1, s(31))],
+        [(99, s(1000))],   # sentinel 1: pushes watermark once processed
+        [(99, s(2000))],   # sentinel 2: batch in which timeouts fire
+    ]
+    for b in batches:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src)
+           .withWatermark("ts", "0 seconds"))
+    out = sessionize(sdf, ["user_id"], ts_col="ts", gap_ms=10_000)
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions").collect() if r.user_id != 99
+    )
+    assert got == [
+        (1, s(0), s(8), 3),
+        (1, s(30), s(31), 2),
+        (2, s(3), s(3), 1),
+    ]
