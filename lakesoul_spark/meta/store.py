@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import uuid
 from dataclasses import dataclass, field, asdict
@@ -200,14 +201,25 @@ class Snapshot:
 
 
 def _atomic_write_json(path: str, payload: dict) -> bool:
-    """Create-if-absent JSON write. Returns False if path already exists."""
+    """Create-if-absent JSON write. Returns False if path already exists.
+
+    The payload is written to a private temp file first and LINKED into
+    place, so the destination appears atomically with its full content —
+    a plain O_CREAT|O_EXCL + write would expose a zero-byte commit to
+    concurrent readers between the two syscalls (observed as a real race
+    under writer contention). A hard link is the POSIX analog of the
+    conditional PUT this maps to on object stores: either the name is
+    claimed with the whole content, or the call loses cleanly."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(payload, f)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 class MetaStore:
@@ -427,6 +439,11 @@ class MetaStore:
                 self._head_cache = max(self._head_cache, seq)
                 self._maybe_checkpoint(seq)
                 return ci
+            # lost the create-if-absent race: jittered linear backoff so
+            # N writers hammering one table serialize instead of
+            # spinning (starvation guard — same role as DBManager's
+            # bounded retry loop)
+            time.sleep(random.uniform(0, 0.005 * attempt))
         raise CommitConflict(
             f"gave up after {MAX_COMMIT_ATTEMPTS} attempts on {self.table_path}"
         )

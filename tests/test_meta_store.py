@@ -226,3 +226,40 @@ def test_checkpoint_time_travel_and_timestamp_resolution(tmp_path):
     assert len(snap.files) == 50
     snap33 = store.snapshot(version=33)
     assert len(snap33.files) == 33
+
+
+def test_concurrent_writers_all_land(tmp_path):
+    """8 threads x 4 Merge commits race on one table through SEPARATE
+    MetaStore instances: the atomic create-if-absent protocol must land
+    all 32 commits exactly once, in a gap-free sequence, with every
+    file visible in the final snapshot (reference DBManager.java
+    optimistic retry under real contention, not just replayed
+    conflicts)."""
+    import threading
+
+    s = mk_store(tmp_path)
+    errs = []
+
+    def worker(w):
+        try:
+            st = MetaStore(s.table_path)
+            for i in range(4):
+                st.commit(OP_MERGE, [add(f"data/w{w}-{i}.parquet")])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    fresh = MetaStore(s.table_path)
+    commits = fresh.commits()
+    assert [c.seq for c in commits] == list(range(1, 33))
+    assert len({c.commit_id for c in commits}) == 32
+    # strictly monotonic timestamps (incremental reads address by ts)
+    ts = [c.timestamp_ms for c in commits]
+    assert all(a < b for a, b in zip(ts, ts[1:]))
+    paths = {f.path for f in fresh.snapshot().files}
+    assert paths == {f"data/w{w}-{i}.parquet" for w in range(8) for i in range(4)}
