@@ -68,11 +68,13 @@ class Catalog:
         return os.path.exists(os.path.join(self._ns_dir(ns), _NS_FILE))
 
     def list_namespaces(self) -> list[str]:
-        out = []
-        for n in sorted(os.listdir(self.root)):
+        # "default" is implicit (usable without CREATE NAMESPACE), so it
+        # always lists — same as SHOW NAMESPACES in a Spark catalog
+        out = {"default"}
+        for n in os.listdir(self.root):
             if os.path.exists(os.path.join(self.root, n, _NS_FILE)):
-                out.append(n)
-        return out
+                out.add(n)
+        return sorted(out)
 
     def drop_namespace(self, ns: str, *, cascade: bool = False) -> None:
         import shutil
@@ -180,6 +182,13 @@ class Catalog:
             MERGE INTO [ns.]t [AS] x USING <table | (query)> [AS] y
                 ON <pk equality> WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *
+            ALTER TABLE [ns.]t ADD COLUMNS (c TYPE[, …])
+            ALTER TABLE [ns.]t ALTER COLUMN c TYPE <type>
+            ALTER TABLE [ns.]t SET TBLPROPERTIES('k'='v'[, …])
+            ALTER TABLE [ns.]t UNSET TBLPROPERTIES('k'[, …])
+            CREATE NAMESPACE [IF NOT EXISTS] ns
+            DROP NAMESPACE [IF EXISTS] ns [CASCADE]
+            SHOW NAMESPACES
             SHOW TABLES [IN ns]
 
         Returns a DataFrame for queries / SHOW TABLES, else None.
@@ -246,6 +255,28 @@ class Catalog:
             return None
         if verb == "MERGE":
             return self._sql_merge(spark, stmt)
+        if verb == "ALTER" and verb2 == "TABLE":
+            return self._sql_alter_table(spark, stmt)
+        if verb == "CREATE" and verb2 in ("NAMESPACE", "DATABASE"):
+            m = _rx(r"CREATE\s+(?:NAMESPACE|DATABASE)\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$", stmt)
+            if self.namespace_exists(m.group(2)):
+                if m.group(1):
+                    return None
+                raise ValueError(f"namespace {m.group(2)} already exists")
+            self.create_namespace(m.group(2))
+            return None
+        if verb == "DROP" and verb2 in ("NAMESPACE", "DATABASE"):
+            m = _rx(r"DROP\s+(?:NAMESPACE|DATABASE)\s+(IF\s+EXISTS\s+)?(\w+)(\s+CASCADE)?$", stmt)
+            if not self.namespace_exists(m.group(2)):
+                if m.group(1):
+                    return None
+                raise ValueError(f"no such namespace {m.group(2)}")
+            self.drop_namespace(m.group(2), cascade=bool(m.group(3)))
+            return None
+        if verb == "SHOW" and verb2 in ("NAMESPACES", "DATABASES"):
+            return spark.createDataFrame(
+                [(n,) for n in self.list_namespaces()] or [], "namespace string"
+            )
         if verb == "SHOW" and verb2 == "TABLES":
             m = _rx(r"SHOW\s+TABLES(?:\s+IN\s+(\w+))?$", stmt)
             ns = m.group(1) or "default"
@@ -254,15 +285,53 @@ class Catalog:
                 "namespace string, tableName string",
             )
 
-        # relational fallback: expose the lake as temp views, delegate
+        # relational fallback: expose the lake as temp views, delegate.
+        # Temp views cannot be dot-qualified, so qualified references
+        # (`ns.table`) are rewritten to the `<ns>_<table>` view name.
         for ns in self.list_namespaces():
             for name in self.list_tables(ns):
                 view = name if ns == "default" else f"{ns}_{name}"
                 self.get_table(spark, name, ns).to_df() \
                     .createOrReplaceTempView(view)
+                if ns != "default":
+                    stmt = re.sub(
+                        rf"\b{re.escape(ns)}\.{re.escape(name)}\b", view, stmt
+                    )
         return spark.sql(stmt)
 
     # ------------------------------------------------------- SQL internals
+
+    def _sql_alter_table(self, spark: SparkSession, stmt: str):
+        """``ALTER TABLE`` surface (reference
+        ``alterTableCommands.scala:48,75,113,337``): ADD COLUMN(S),
+        ALTER/CHANGE COLUMN ... TYPE, SET/UNSET TBLPROPERTIES."""
+        m = _rx(r"ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", stmt)
+        ns, name = self._split_name(m.group(1))
+        t = self.get_table(spark, name, ns)
+        rest = m.group(2).strip()
+        up = rest.upper()
+        if up.startswith("ADD COLUMN"):
+            am = _rx(r"ADD\s+COLUMNS?\s*\((.*)\)$", rest)
+            for coldef in _split_top(am.group(1)):
+                cname, _, ctype = coldef.strip().partition(" ")
+                if not ctype:
+                    raise ValueError(f"bad column definition {coldef!r}")
+                t.add_column(cname.strip(), ctype.strip())
+            return None
+        if up.startswith(("ALTER COLUMN", "CHANGE COLUMN")):
+            am = _rx(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()\s,]+)$", rest)
+            t.alter_column_type(am.group(1), am.group(2).strip())
+            return None
+        if up.startswith("SET TBLPROPERTIES"):
+            am = _rx(r"SET\s+TBLPROPERTIES\s*\((.*)\)$", rest)
+            t.set_properties(_parse_props(am.group(1)))
+            return None
+        if up.startswith("UNSET TBLPROPERTIES"):
+            am = _rx(r"UNSET\s+TBLPROPERTIES\s*\((.*)\)$", rest)
+            keys = [p.strip().strip("'\"") for p in _split_top(am.group(1))]
+            t.unset_properties(keys)
+            return None
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
 
     def _split_name(self, qualified: str) -> tuple[str, str]:
         if "." in qualified:
@@ -299,11 +368,7 @@ class Catalog:
         props: dict[str, str] = {}
         tm = re.search(r"TBLPROPERTIES\s*\((.*)\)", rest, re.I | re.S)
         if tm:
-            for part in _split_top(tm.group(1)):
-                km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
-                if not km:
-                    raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
-                props[km.group(1)] = km.group(2)
+            props = _parse_props(tm.group(1))
         # reference option names (PrimaryKeyFilterEval.scala:68):
         # hashPartitions is comma-separated, hashBucketNum an int
         hash_partitions = [
@@ -372,6 +437,17 @@ def _rx(pattern: str, stmt: str) -> "re.Match":
     if not m:
         raise ValueError(f"cannot parse statement: {stmt[:120]!r}")
     return m
+
+
+def _parse_props(body: str) -> dict[str, str]:
+    """Parse a ``'k'='v'[, ...]`` TBLPROPERTIES body."""
+    props: dict[str, str] = {}
+    for part in _split_top(body):
+        km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", part)
+        if not km:
+            raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
+        props[km.group(1)] = km.group(2)
+    return props
 
 
 def _split_top(s: str) -> list[str]:

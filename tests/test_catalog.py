@@ -21,11 +21,11 @@ def cat(tmp_path):
 
 def test_namespace_lifecycle(cat):
     cat.create_namespace("prod", {"owner": "team"})
-    assert cat.list_namespaces() == ["prod"]
+    assert cat.list_namespaces() == ["default", "prod"]
     with pytest.raises(ValueError, match="already exists"):
         cat.create_namespace("prod")
     cat.drop_namespace("prod")
-    assert cat.list_namespaces() == []
+    assert cat.list_namespaces() == ["default"]
 
 
 def test_table_lifecycle(cat, spark):
@@ -203,3 +203,39 @@ def test_sql_namespaced_tables(cat, spark):
     assert [r.n for r in got] == ["x"]
     shown = cat.sql(spark, "SHOW TABLES IN prod").collect()
     assert [(r.namespace, r.tableName) for r in shown] == [("prod", "users")]
+
+
+def test_sql_alter_table_surface(cat, spark, tmp_path):
+    cat.sql(spark, f"""
+        CREATE TABLE t2 (id BIGINT, v STRING) USING lakesoul
+        LOCATION '{tmp_path / "t2"}'
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO t2 VALUES (1, 'a')")
+    cat.sql(spark, "ALTER TABLE t2 ADD COLUMNS (score DOUBLE, tag STRING)")
+    t = cat.get_table(spark, "t2")
+    assert [f.name for f in t.schema().fields] == ["id", "v", "score", "tag"]
+    # existing rows read the new columns as null (file_exist_cols fill)
+    row = cat.sql(spark, "SELECT score, tag FROM t2 WHERE id = 1").collect()[0]
+    assert row.score is None and row.tag is None
+    cat.sql(spark, "ALTER TABLE t2 ALTER COLUMN id TYPE BIGINT")
+    cat.sql(spark, "ALTER TABLE t2 SET TBLPROPERTIES('owner'='me','x'='1')")
+    assert cat.get_table(spark, "t2").info.properties["owner"] == "me"
+    cat.sql(spark, "ALTER TABLE t2 UNSET TBLPROPERTIES('x')")
+    assert "x" not in cat.get_table(spark, "t2").info.properties
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        cat.sql(spark, "ALTER TABLE t2 RENAME TO t3")
+
+
+def test_sql_namespace_statements(cat, spark):
+    cat.sql(spark, "CREATE NAMESPACE staging")
+    cat.sql(spark, "CREATE NAMESPACE IF NOT EXISTS staging")  # no-op
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "CREATE NAMESPACE staging")
+    ns = [r.namespace for r in cat.sql(spark, "SHOW NAMESPACES").collect()]
+    assert "staging" in ns and "default" in ns
+    cat.sql(spark, "DROP NAMESPACE staging")
+    assert "staging" not in cat.list_namespaces()
+    cat.sql(spark, "DROP NAMESPACE IF EXISTS staging")  # no-op
+    with pytest.raises(ValueError, match="no such namespace"):
+        cat.sql(spark, "DROP NAMESPACE staging")
