@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lakesoul_spark.operators import dedup, multimodal, similarity, text
+from lakesoul_spark.operators import dedup, multimodal, similarity, text, training
 
 QUERIES: dict = {}
 # values are SQL strings OR zero-arg callables returning SQL|None —
@@ -724,3 +724,142 @@ def multimodal_frame_sample(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = multimodal.pack_media(docs(spark, sf_dir), "doc_id", "text", "text_as_media")
     return multimodal.extract_features(media)
+
+
+# --------------------------------------------- training-set assembly
+
+# DuckDB twin of text.token_count (same formula as text_stats)
+_TOKEST = (
+    f"CAST(len({_TOKS}) + "
+    f"list_reduce(list_transform({_TOKS}, "
+    f"tok -> CAST(floor((length(tok) - 1) / 4) AS BIGINT)), "
+    f"(x, y) -> x + y) AS BIGINT)"
+)
+
+
+def _draw(seed: int, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of training.uniform_draw."""
+    return (
+        f"CAST(('0x' || substring(md5(concat('{seed}|', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+
+
+@_register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS id, {_TOKEST} AS tok,
+             {_draw(42)} % 16 AS stream,
+             {_draw(43)} AS ord
+      FROM documents),
+    c AS (
+      SELECT stream, tok,
+             SUM(tok) OVER (PARTITION BY stream ORDER BY ord, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM d)
+    SELECT stream, CAST(floor((cum - tok) / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+           round(least(CAST(SUM(tok) AS BIGINT) / 512.0, 1.0), 6) AS fill_ratio
+    FROM c GROUP BY stream, seq_id
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Context-window sequence packing: deal docs into 16 independent
+    hash streams, pseudo-randomly order within stream, assign each doc
+    to the 512-token window its running offset starts in. One shuffle
+    (the stream partition); no global sort — stream count is the
+    parallelism knob at 100 TB."""
+    return training.pack_sequences(
+        docs(spark, sf_dir), budget=512, num_streams=16, seed=42
+    )
+
+
+@_register(
+    "pipeline_shuffle_shards",
+    f"""
+    SELECT {_draw(42)} % 32 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_TOKEST}) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY shard
+    """,
+)
+def pipeline_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + shard split for training export:
+    shard = md5-draw(doc_id) mod 32 — reproducible across engines and
+    retries, uniform regardless of id clustering."""
+    return training.shuffle_shards(docs(spark, sf_dir), num_shards=32, seed=42)
+
+
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "zh": 0.2}
+
+
+def _mix_oracle() -> str:
+    in_list = ", ".join(f"'{k}'" for k in sorted(_MIX_WEIGHTS))
+    case = " ".join(
+        f"WHEN lang = '{k}' THEN CAST({v} AS DOUBLE)"
+        for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n, CASE {case} END AS w
+      FROM documents WHERE lang IN ({in_list}) GROUP BY lang),
+    t AS (SELECT MIN(n / w) AS t FROM c),
+    r AS (SELECT lang, w * t.t / n AS rate FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {_draw(42)} < CAST(rate * 4294967296.0 AS BIGINT)
+    """
+
+
+@_register("pipeline_weighted_mix", _mix_oracle())
+def pipeline_weighted_mix(spark, sf_dir):
+    """Mixture-targeted downsampling: keep the LARGEST corpus matching
+    weights en/de/zh = .5/.3/.2 without upsampling (the binding
+    stratum keeps 100%). Rates derive from corpus counts inside the
+    plan (aggregate -> one-row broadcast); selection is the md5 draw —
+    nothing collects, everything reproducible."""
+    return training.weighted_mix(
+        docs(spark, sf_dir), id_col="doc_id", strata_col="lang",
+        weights=_MIX_WEIGHTS, seed=42,
+    )
+
+
+@_register(
+    "text_vocab_topk",
+    f"""
+    WITH t AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents)
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT id) AS df
+    FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by term frequency (+document
+    frequency), deterministic tie-break by token. Explode + hash agg
+    (map-side combined) + distributed TakeOrdered."""
+    return training.vocab_topk(docs(spark, sf_dir), k=50)
+
+
+@_register(
+    "dedup_ngram_coverage",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SH5})) AS sh FROM documents),
+    f AS (SELECT sh, COUNT(*) AS dfreq FROM sh GROUP BY sh)
+    SELECT id AS doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_shingles,
+           round(CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS dup_frac
+    FROM sh JOIN f USING (sh) GROUP BY id
+    """,
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    """Per-document duplicate 5-gram coverage (RefinedWeb-style "how
+    much of this doc exists elsewhere"): fraction of a doc's distinct
+    shingles with corpus doc-frequency >= 2. Inverted-index join —
+    two hash aggs + one shuffle, no pairs."""
+    return training.ngram_dup_coverage(docs(spark, sf_dir), n=5)
