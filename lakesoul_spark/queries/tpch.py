@@ -30,9 +30,20 @@ def _register(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the fixture's ts column is timestamp[ns]; read as bigint
-        # epoch-nanos (exact) — the vectorized reader rejects NANOS
+        # normalize the fixture's ts to bigint epoch-nanos whatever the
+        # parquet physical type: timestamp[ns] fixtures arrive as long
+        # via nanosAsLong (the vectorized reader rejects NANOS), while
+        # timestamp[us/ms] fixtures arrive as TIMESTAMP_NTZ and convert
+        # exactly (session TZ is pinned UTC). Every downstream query and
+        # DuckDB oracle (epoch_ns) does exact integer ns arithmetic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if df.schema["ts"].dataType.typeName().startswith("timestamp"):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
