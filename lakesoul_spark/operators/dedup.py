@@ -93,20 +93,6 @@ def ngram_jaccard_pairs(
     # exploded strings (measured 4× slower with the cache at sf0.1)
     sh = _shingle_sets(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    hot = None
-    if max_shingle_doc_freq is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_doc_freq)
-            .select("sh")
-            .cache()
-        )
-        if hot.isEmpty():
-            # nothing is hot: the guard is provably a no-op, so run the
-            # exact single-self-join plan instead of paying the
-            # rare+hot completion machinery for zero pruning
-            max_shingle_doc_freq = None
     if max_shingle_doc_freq is None:
         # fully exact: candidate generation and intersection counting
         # are the same self-join
@@ -129,11 +115,11 @@ def ngram_jaccard_pairs(
     # |A∩B| = shared rare shingles (counted by the capped join) +
     # shared HOT shingles (counted per surviving candidate pair).
     #
-    # Shuffle shape (this runs on every corpus, so it must cost the
-    # same as the exact path when nothing is hot):
+    # Shuffle shape (this runs on every corpus, so it must cost about
+    # the same as the exact path when nothing is hot):
     #   1. doc-freq by map-side-combined groupBy; hot shingles
     #      (df > cap) number at most |index|/cap, so the anti-join is
-    #      broadcastable (AQE) — the index is not reshuffled,
+    #      a broadcast — the index is not reshuffled,
     #   2. capped self-join + pair-count aggregation — identical plan
     #      to the exact path, but join rows ∝ Σ_rare df² ≤ cap×|index|,
     #      never a stopword blowup,
@@ -142,7 +128,17 @@ def ngram_jaccard_pairs(
     #      expansion never happens) to count shared hot shingles.
     # A pair whose ONLY shared shingles are hot is missed (documented
     # approximation); every surviving pair's Jaccard is exact.
-    idx = sh.join(hot, "sh", "left_anti")
+    # ONE declarative plan, no driver-side probe: an earlier version
+    # materialized `hot` eagerly (cache + isEmpty) to short-circuit to
+    # the exact plan when nothing is hot — two driver-blocking actions
+    # that cost more than the empty-broadcast machinery they saved.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_doc_freq)
+        .select("sh")
+    )
+    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
     # cached: consumed twice below (hot completion + final result); an
     # uncached plan would run the quadratic join twice. Size is one row
     # per candidate pair — the small end of the funnel.
@@ -153,7 +149,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter_rare"))
         .cache()
     )
-    hot_post = sh.join(hot, "sh", "left_semi")
+    hot_post = sh.join(F.broadcast(hot), "sh", "left_semi")
     inter_hot = (
         inter_rare.select("id_a", "id_b")
         .join(hot_post.select(F.col("id").alias("id_a"), "sh"), "id_a")
