@@ -1,0 +1,166 @@
+"""Per-file column statistics: collection (write side) and file
+skipping (read side).
+
+The reference keeps per-file min/max in its PG metadata and prunes
+scans there (DataOperation + the native reader's row-group pruning);
+here stats ride the commit log in each ``FileOp`` and scans drop
+files BEFORE Spark ever schedules a task for them. At 100 TB this is
+the difference between "open a million parquet footers to discover
+nothing matches" and one driver-side dict pass over commit metadata.
+
+Correctness contract (why pruning is group-wise on PK tables):
+a MOR read merges all live generations of a (partition, bucket);
+the merged value of a column is one of the generation values
+(``use_last``), so a predicate can only be satisfied if SOME file in
+the group could satisfy it — the group's UNION bounds decide. Pruning
+a single generation out of a group would resurface older rows (the
+newer file that superseded them is gone), so groups are kept or
+dropped WHOLE. Non-PK tables have no cross-file semantics and prune
+per file. Stats pruning is advisory: rows are always re-checked by
+the engine above (Spark re-evaluates every pushed filter), and a file
+or column without stats is simply kept.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+# ops understood by the pruner; "in" takes a list/tuple value
+OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def encode_stat_value(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a stats value.
+    Returns None for types whose encoding would not preserve order
+    (bytes, Decimal) — the column is then skipped for that file."""
+    if isinstance(v, bool) or v is None:
+        return None  # booleans are useless bounds; None = no stat
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO order == chronological order
+    return None
+
+
+def file_stats(pq_meta, cols: list[str]) -> dict | None:
+    """Aggregate parquet footer row-group statistics into per-column
+    ``[min, max]`` bounds for ``cols``. A column is included only when
+    EVERY row group carries exact min/max for it (parquet truncated
+    binary stats remain valid bounds and are fine)."""
+    names = {pq_meta.schema.column(j).name: j
+             for j in range(pq_meta.num_columns)}
+    out = {}
+    for c in cols:
+        j = names.get(c)
+        if j is None:
+            continue
+        mn = mx = None
+        ok = True
+        for i in range(pq_meta.num_row_groups):
+            st = pq_meta.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = encode_stat_value(st.min), encode_stat_value(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        if ok and mn is not None:
+            out[c] = [mn, mx]
+    return out or None
+
+
+def _satisfiable(op: str, value, lo, hi) -> bool:
+    """Can ``col <op> value`` hold for some v in [lo, hi]? Errs toward
+    True (keep the file) on any type mismatch."""
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+    except TypeError:
+        return True
+    return True
+
+
+def group_bounds(files) -> dict:
+    """UNION [min, max] per column over a merge group; a column missing
+    stats in ANY member is unusable for the group (no valid bound)."""
+    bounds: dict = {}
+    dead: set = set()
+    for i, f in enumerate(files):
+        st = f.stats or {}
+        for c in list(bounds) if i else []:
+            if c not in st:
+                dead.add(c)
+        if i == 0:
+            for c, (lo, hi) in st.items():
+                bounds[c] = [lo, hi]
+        else:
+            for c, (lo, hi) in st.items():
+                if c in dead:
+                    continue
+                if c in bounds:
+                    b = bounds[c]
+                    b[0] = lo if lo < b[0] else b[0]
+                    b[1] = hi if hi > b[1] else b[1]
+                else:
+                    dead.add(c)  # absent from an earlier file
+    return {c: b for c, b in bounds.items() if c not in dead}
+
+
+def normalize_pred_value(v):
+    """Filter literals normalized into the stats encoding domain."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def prune_files(files, preds, *, group_wise: bool):
+    """Drop files whose stats prove no row can satisfy ALL of ``preds``
+    (list of ``(col, op, value)``). ``group_wise=True`` keeps/drops
+    whole (partition_desc, bucket) merge groups using union bounds
+    (required on PK tables, see module docstring); ``False`` prunes
+    per file. Files/columns without stats are always kept."""
+    norm = []
+    for col, op, value in preds:
+        if op not in OPS:
+            raise ValueError(f"unsupported stats-prune op {op!r}")
+        if op == "in":
+            value = [normalize_pred_value(v) for v in value]
+        else:
+            value = normalize_pred_value(value)
+        if value is None or (op == "in" and not value):
+            continue
+        norm.append((col, op, value))
+    if not norm:
+        return files
+
+    def keep(bounds: dict) -> bool:
+        for col, op, value in norm:
+            if col in bounds:
+                lo, hi = bounds[col]
+                if not _satisfiable(op, value, lo, hi):
+                    return False
+        return True
+
+    if not group_wise:
+        return [f for f in files if keep(group_bounds([f]))]
+    groups: dict = {}
+    for f in files:
+        groups.setdefault((f.partition_desc, f.bucket), []).append(f)
+    out = []
+    for fs in groups.values():
+        if keep(group_bounds(fs)):
+            out.extend(fs)
+    return out

@@ -146,13 +146,29 @@ def write_table_data(
     return _collect_file_ops(info, out_dir, present)
 
 
+def _stats_cols(info: TableInfo, exist_cols: list[str]) -> list[str]:
+    """Columns whose [min,max] are recorded per file: the PK (serves
+    point-lookup and range pruning on the write sort order) plus any
+    ``lakesoul.statsColumns`` property columns (comma-separated)."""
+    cols = list(info.hash_partitions)
+    prop = info.properties.get("lakesoul.statsColumns")
+    if prop:
+        cols += [c.strip() for c in str(prop).split(",") if c.strip()]
+    seen: set = set()
+    return [c for c in cols
+            if c in exist_cols and not (c in seen or seen.add(c))]
+
+
 def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list[FileOp]:
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
+    from lakesoul_spark.io.stats import file_stats
+
     rc = set(info.range_partitions)
     exist_cols = [c for c in present if c not in rc]
+    stat_cols = _stats_cols(info, exist_cols)
     paths: list[str] = []
     for root, _dirs, files in os.walk(out_dir):
         for name in sorted(files):
@@ -180,6 +196,8 @@ def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list
             size=os.path.getsize(full),
             num_rows=meta.num_rows,
             file_exist_cols=exist_cols,
+            # same footer read as num_rows — stats cost nothing extra
+            stats=file_stats(meta, stat_cols) if stat_cols else None,
         )
 
     # footer reads are independent IO — a commit of thousands of files

@@ -93,6 +93,10 @@ class FileOp:
     # keep the run's position in the merge order — it inherits the
     # newest input's order key instead of the rewrite commit's seq
     order_key: list | None = None
+    # per-column [min, max] bounds (PK cols + lakesoul.statsColumns),
+    # aggregated from parquet footers at commit time — scans skip files
+    # from metadata alone (reference keeps these in PG; io/stats.py)
+    stats: dict | None = None
 
 
 @dataclass
@@ -160,6 +164,7 @@ class FileEntry:
     size: int = 0
     num_rows: int = -1
     level: int = 0
+    stats: dict | None = None
 
 
 def _file_entry(c: "CommitInfo", i: int, fo: FileOp) -> FileEntry:
@@ -175,6 +180,7 @@ def _file_entry(c: "CommitInfo", i: int, fo: FileOp) -> FileEntry:
         size=fo.size,
         num_rows=fo.num_rows,
         level=fo.level,
+        stats=fo.stats,
     )
 
 

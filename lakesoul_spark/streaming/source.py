@@ -39,8 +39,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -333,27 +337,42 @@ class LakeSoulBatchReader(DataSourceReader):
         self.start_ts_ms = options.get("readstarttime")
         self._part_filter: set[str] | None = None
         self._bucket_filter: int | None = None
+        self._stats_preds: list[tuple] = []
 
     def pushFilters(self, filters):
         """Accept equality filters on range-partition columns (metadata
-        pruning) and full-PK equality (bucket pruning); everything else
-        is returned for Spark to evaluate."""
+        pruning), full-PK equality (bucket pruning), and comparisons on
+        stats-covered columns (file skipping from commit metadata —
+        ``io/stats.py``); everything except partition equality is also
+        returned for Spark to re-check rows."""
         from lakesoul_spark.functions.spark_hash import bucket_of
         from lakesoul_spark.io import partition as part_enc
+
+        _CMP = {GreaterThan: ">", GreaterThanOrEqual: ">=",
+                LessThan: "<", LessThanOrEqual: "<=", EqualTo: "="}
 
         info = self.info
         range_eq: dict[str, list] = {}
         pk_eq: dict[str, object] = {}
         unsupported = []
         for f in filters:
-            col = f.attribute[0] if isinstance(f, (EqualTo, In)) and len(f.attribute) == 1 else None
+            col = (f.attribute[0]
+                   if isinstance(f, tuple(_CMP) + (In,)) and len(f.attribute) == 1
+                   else None)
             if isinstance(f, EqualTo) and col in info.range_partitions:
                 range_eq.setdefault(col, []).append(f.value)
             elif isinstance(f, In) and col in info.range_partitions:
                 range_eq.setdefault(col, []).extend(f.value)
             elif isinstance(f, EqualTo) and col in info.hash_partitions:
                 pk_eq[col] = f.value
+                self._stats_preds.append((col, "=", f.value))
                 unsupported.append(f)  # prune files, but let Spark re-check rows
+            elif col is not None and isinstance(f, tuple(_CMP)):
+                self._stats_preds.append((col, _CMP[type(f)], f.value))
+                unsupported.append(f)
+            elif col is not None and isinstance(f, In):
+                self._stats_preds.append((col, "in", list(f.value)))
+                unsupported.append(f)
             else:
                 unsupported.append(f)
 
@@ -402,6 +421,16 @@ class LakeSoulBatchReader(DataSourceReader):
         files = snap.files
         if self._bucket_filter is not None:
             files = [f for f in files if f.bucket in (self._bucket_filter, -1)]
+        if self._stats_preds:
+            from lakesoul_spark.io.stats import prune_files
+
+            # group-wise on PK tables: a merge group is kept or dropped
+            # WHOLE via union bounds — pruning one generation out of a
+            # group would resurface the older rows it superseded
+            files = prune_files(
+                files, self._stats_preds,
+                group_wise=bool(self.info.hash_partitions),
+            )
         splits = _plan_splits(self.info, files, group_buckets=True, cdc_filter=True)
         return splits or [_Split([], {}, self.info.schema_json, (), None, True)]
 

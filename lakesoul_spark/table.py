@@ -296,7 +296,17 @@ class LakeSoulTable:
             return {self.partition_desc}
         return None
 
-    def to_df(self) -> DataFrame:
+    def to_df(self, file_filters: list | None = None) -> DataFrame:
+        """Snapshot/incremental view. ``file_filters`` — optional list
+        of ``(column, op, value)`` with op in ``=,<,<=,>,>=,in`` —
+        prunes data files from COMMIT METADATA via their per-file
+        [min,max] stats (``io/stats.py``) before Spark schedules a
+        single task, then applies the same predicate to the rows (so
+        the result equals ``to_df().filter(...)``). On PK tables the
+        pruning is merge-group-wise (union bounds — dropping one
+        generation would resurface superseded rows), and it is skipped
+        when custom merge operators are registered (a sum can satisfy
+        a predicate no single generation does)."""
         info = self.info
         if self.read_type == READ_INCREMENTAL:
             files, _ = self.store.incremental_files(
@@ -305,17 +315,56 @@ class LakeSoulTable:
             pf = self._partition_filter()
             if pf is not None:
                 files = [f for f in files if f.partition_desc in pf]
-            return rdr.incremental_view(
-                self.spark, info, files, merge_ops=self._merge_ops
+            return self._row_filter(
+                rdr.incremental_view(
+                    self.spark, info, files, merge_ops=self._merge_ops
+                ),
+                file_filters,
             )
         snap = self.store.snapshot(
             version=self.version if self.read_type == READ_SNAPSHOT else None,
             timestamp_ms=self.timestamp_ms if self.read_type == READ_SNAPSHOT else None,
             partition_descs=self._partition_filter(),
         )
-        return rdr.merge_view(
-            self.spark, info, snap, merge_ops=self._merge_ops
+        if file_filters and not self._merge_ops:
+            from lakesoul_spark.io.stats import prune_files
+            from lakesoul_spark.meta.store import Snapshot
+
+            snap = Snapshot(
+                version=snap.version,
+                timestamp_ms=snap.timestamp_ms,
+                files=prune_files(
+                    snap.files, file_filters,
+                    group_wise=bool(info.hash_partitions),
+                ),
+            )
+        return self._row_filter(
+            rdr.merge_view(self.spark, info, snap, merge_ops=self._merge_ops),
+            file_filters,
         )
+
+    @staticmethod
+    def _row_filter(df: DataFrame, file_filters: list | None) -> DataFrame:
+        if not file_filters:
+            return df
+        cond = None
+        for col, op, value in file_filters:
+            if op == "in":
+                e = F.col(col).isin(*value)
+            elif op == "=":
+                e = F.col(col) == F.lit(value)
+            elif op == "<":
+                e = F.col(col) < F.lit(value)
+            elif op == "<=":
+                e = F.col(col) <= F.lit(value)
+            elif op == ">":
+                e = F.col(col) > F.lit(value)
+            elif op == ">=":
+                e = F.col(col) >= F.lit(value)
+            else:
+                raise ValueError(f"unsupported file_filters op {op!r}")
+            cond = e if cond is None else (cond & e)
+        return df.filter(cond)
 
     toDF = to_df
 
@@ -340,12 +389,22 @@ class LakeSoulTable:
             info.hash_bucket_num,
         )
         snap = self.store.snapshot(partition_descs=self._partition_filter())
+        from lakesoul_spark.io.stats import prune_files
         from lakesoul_spark.meta.store import Snapshot
 
+        files = [f for f in snap.files if f.bucket in (b, -1)]
+        if not self._merge_ops:
+            # within the bucket, per-file PK [min,max] stats (written
+            # sorted) prune merge groups whose union bounds exclude
+            # the key — group-wise, same contract as to_df
+            files = prune_files(
+                files, [(c, "=", v) for c, v in pk_values.items()],
+                group_wise=True,
+            )
         pruned = Snapshot(
             version=snap.version,
             timestamp_ms=snap.timestamp_ms,
-            files=[f for f in snap.files if f.bucket in (b, -1)],
+            files=files,
         )
         df = rdr.merge_view(self.spark, info, pruned, merge_ops=self._merge_ops)
         cond = None

@@ -1,0 +1,160 @@
+"""Per-file column stats: collection at commit time, scan-time file
+skipping (metadata-only), and the merge-group correctness contract."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakesoul_spark.io.stats import group_bounds, prune_files
+from lakesoul_spark.meta.store import MetaStore
+from lakesoul_spark.table import LakeSoulTable, write
+
+
+def _mk(spark, path, rows, pk=("k",), props=None, bucket_num=2):
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    write(
+        df, path, mode="overwrite",
+        hash_partitions=list(pk), hash_bucket_num=bucket_num,
+        properties=props or {},
+    )
+    return LakeSoulTable.for_path(spark, path)
+
+
+def test_stats_collected_on_write(spark, tmp_table):
+    _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i}") for i in range(20)],
+        props={"lakesoul.statsColumns": "v,s"},
+    )
+    snap = MetaStore(tmp_table).snapshot()
+    assert snap.files
+    for f in snap.files:
+        assert f.stats and "k" in f.stats and "v" in f.stats and "s" in f.stats
+        lo, hi = f.stats["v"]
+        assert 0 <= lo <= hi <= 190
+    # union over all buckets covers the whole domain
+    b = group_bounds(snap.files) if len(snap.files) == 1 else None
+    all_lo = min(f.stats["v"][0] for f in snap.files)
+    all_hi = max(f.stats["v"][1] for f in snap.files)
+    assert (all_lo, all_hi) == (0, 190)
+
+
+def test_datasource_scan_prunes_files(spark, tmp_table):
+    # one range partition column would conflate partition pruning with
+    # stats pruning; use a plain PK table and filter on a stats column
+    _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i}") for i in range(40)],
+        props={"lakesoul.statsColumns": "v"},
+        bucket_num=4,
+    )
+    from pyspark.sql.datasource import GreaterThan
+
+    from lakesoul_spark.streaming.source import LakeSoulBatchReader
+
+    rd = LakeSoulBatchReader(tmp_table, {})
+    n_all = len(rd.partitions())
+    rd2 = LakeSoulBatchReader(tmp_table, {})
+    rd2.pushFilters([GreaterThan(("v",), 10_000)])  # beyond every bound
+    assert len(rd2.partitions()) < n_all
+
+    # results still correct end-to-end (Spark re-checks rows)
+    from lakesoul_spark.streaming.source import register
+
+    register(spark)
+    got = (
+        spark.read.format("lakesoul").load(tmp_table)
+        .filter(F.col("v") > 250).select("k", "v").collect()
+    )
+    assert sorted((r.k, r.v) for r in got) == [(i, i * 10) for i in range(26, 40)]
+
+
+def test_group_wise_pruning_never_resurfaces_stale_rows(spark, tmp_table):
+    """THE correctness case: gen2 supersedes a row with a value the
+    filter rejects. Per-file pruning would drop gen2 (its bounds miss
+    the predicate) and leave gen1's stale row visible; group-wise
+    union-bounds pruning keeps or drops the generations together."""
+    t = _mk(
+        spark, tmp_table, [(1, 100, "a"), (2, 200, "b")],
+        props={"lakesoul.statsColumns": "v"}, bucket_num=1,
+    )
+    t.upsert(spark.createDataFrame([(1, 5, "a2")], "k long, v long, s string"))
+
+    # merged view: k=1 -> v=5 (fails v>50), k=2 -> v=200 (passes)
+    got = t.to_df(file_filters=[("v", ">", 50)]).select("k", "v").collect()
+    assert sorted((r.k, r.v) for r in got) == [(2, 200)]
+
+    # the same through the DataSource scan path
+    from lakesoul_spark.streaming.source import register
+
+    register(spark)
+    got2 = (
+        spark.read.format("lakesoul").load(tmp_table)
+        .filter(F.col("v") > 50).select("k", "v").collect()
+    )
+    assert sorted((r.k, r.v) for r in got2) == [(2, 200)]
+
+    # and the unit-level demonstration that per-file WOULD be wrong:
+    snap = MetaStore(tmp_table).snapshot()
+    per_file = prune_files(snap.files, [("v", ">", 50)], group_wise=False)
+    kept_paths = {f.path for f in per_file}
+    assert any(f.path not in kept_paths for f in snap.files), \
+        "per-file pruning should drop the low-v generation (the trap)"
+
+
+def test_to_df_file_filters_match_plain_filter(spark, tmp_table):
+    t = _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i % 7}") for i in range(50)],
+        props={"lakesoul.statsColumns": "v,s"}, bucket_num=4,
+    )
+    want = sorted(
+        (r.k, r.v) for r in
+        t.to_df().filter((F.col("v") >= 100) & (F.col("v") < 300))
+        .select("k", "v").collect()
+    )
+    got = sorted(
+        (r.k, r.v) for r in
+        t.to_df(file_filters=[("v", ">=", 100), ("v", "<", 300)])
+        .select("k", "v").collect()
+    )
+    assert got == want and len(got) == 20
+
+
+def test_point_lookup_with_stats(spark, tmp_table):
+    t = _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i}") for i in range(30)],
+        bucket_num=4,
+    )
+    got = t.point_lookup(k=17).select("k", "v").collect()
+    assert [(r.k, r.v) for r in got] == [(17, 170)]
+    # a key outside every file's PK range prunes to zero rows
+    assert t.point_lookup(k=10_000).count() == 0
+
+
+def test_prune_keeps_files_without_stats():
+    """Old commits (pre-stats) and stat-less columns never prune."""
+    from lakesoul_spark.meta.store import FileEntry
+
+    f = FileEntry(
+        commit_seq=1, file_seq=0, path="p", partition_desc="-5",
+        bucket=0, file_exist_cols=["k", "v"], commit_op="AppendCommit",
+    )
+    assert prune_files([f], [("v", ">", 100)], group_wise=False) == [f]
+
+
+def test_group_bounds_drops_cols_missing_in_any_member():
+    """Schema evolution: a generation lacking the column (default-fill
+    path) makes the column unusable for the whole group."""
+    from lakesoul_spark.meta.store import FileEntry
+
+    def fe(path, stats):
+        return FileEntry(
+            commit_seq=1, file_seq=0, path=path, partition_desc="-5",
+            bucket=0, file_exist_cols=["k"], commit_op="MergeCommit",
+            stats=stats,
+        )
+
+    a = fe("a", {"k": [0, 10], "v": [5, 9]})
+    b = fe("b", {"k": [5, 20]})
+    assert group_bounds([a, b]) == {"k": [0, 20]}
