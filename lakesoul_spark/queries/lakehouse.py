@@ -543,6 +543,39 @@ def pk_point_lookup(spark, sf_dir):
     return _fmt_orders(t.point_lookup(o_orderkey=4242))
 
 
+# ------------------------------------------- stats skipping (file pruning)
+
+@_register(
+    "lakehouse_stats_skipping",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    WHERE o_totalprice > 150000
+    """,
+)
+def stats_skipping(spark, sf_dir):
+    """Per-file [min,max] stats file skipping (io/stats.py; reference
+    keeps these in PG metadata). Includes the resurface trap: the
+    upsert drives some keys BELOW the predicate, so per-file pruning
+    would drop the new generation and resurface the old high-priced
+    rows — merge-group-wise union bounds keep the answer exact."""
+    path = _tmp("stats_skip", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=16,
+          properties={"lakesoul.statsColumns": "o_totalprice"})
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    return _fmt_orders(t.to_df(file_filters=[("o_totalprice", ">", 150000.0)]))
+
+
 # ------------------------------------------------- schema evolution (ALTER)
 
 @_register(
