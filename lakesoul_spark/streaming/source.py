@@ -323,6 +323,64 @@ def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
 # ------------------------------------------------------------- batch reader
 
 
+def _part_casters(info) -> dict:
+    """Per-range-column parser from the desc's string encoding back to
+    a comparable Python value. Columns without an order-safe parse are
+    absent (their predicates then never prune — rows are re-checked)."""
+    import datetime
+    import decimal
+    import json
+
+    _BY_TYPE = {
+        "byte": int, "short": int, "integer": int, "long": int,
+        "float": float, "double": float,
+        "string": str,
+        "date": datetime.date.fromisoformat,
+        # str(datetime) uses a space separator; fromisoformat accepts it
+        "timestamp": datetime.datetime.fromisoformat,
+        "timestamp_ntz": datetime.datetime.fromisoformat,
+    }
+    casters = {}
+    for f in json.loads(info.schema_json)["fields"]:
+        typ = f["type"]
+        if not isinstance(typ, str):
+            continue
+        if typ.startswith("decimal"):
+            casters[f["name"]] = decimal.Decimal
+        elif typ in _BY_TYPE:
+            casters[f["name"]] = _BY_TYPE[typ]
+    return casters
+
+
+def _desc_matches_cmp(vals: dict, preds: list, casters: dict) -> bool:
+    """Exact per-partition predicate check: the partition value is one
+    point, so ``val <op> literal`` decides the whole partition. Errs
+    toward keep (True) on nulls, missing casters, or parse failures."""
+    import datetime
+    import decimal
+
+    for col, op, lit in preds:
+        sval = vals.get(col)
+        cast = casters.get(col)
+        if sval is None or cast is None:
+            continue
+        try:
+            v = cast(sval)
+            if isinstance(lit, datetime.datetime) and isinstance(v, datetime.date) \
+                    and not isinstance(v, datetime.datetime):
+                v = datetime.datetime(v.year, v.month, v.day)
+            elif isinstance(v, decimal.Decimal) and isinstance(lit, float):
+                lit = decimal.Decimal(str(lit))
+            ok = ((op == "=" and v == lit) or (op == "<" and v < lit)
+                  or (op == "<=" and v <= lit) or (op == ">" and v > lit)
+                  or (op == ">=" and v >= lit))
+        except (ValueError, TypeError, ArithmeticError):
+            continue
+        if not ok:
+            return False
+    return True
+
+
 class LakeSoulBatchReader(DataSourceReader):
     def __init__(self, path: str, options):
         from lakesoul_spark.meta.store import MetaStore
@@ -341,10 +399,12 @@ class LakeSoulBatchReader(DataSourceReader):
 
     def pushFilters(self, filters):
         """Accept equality filters on range-partition columns (metadata
-        pruning), full-PK equality (bucket pruning), and comparisons on
-        stats-covered columns (file skipping from commit metadata —
-        ``io/stats.py``); everything except partition equality is also
-        returned for Spark to re-check rows."""
+        pruning), comparisons on range-partition columns (typed desc
+        pruning — a partition value is a single point, so the predicate
+        is decided per partition), full-PK equality (bucket pruning),
+        and comparisons on stats-covered columns (file skipping from
+        commit metadata — ``io/stats.py``); everything except partition
+        equality is also returned for Spark to re-check rows."""
         from lakesoul_spark.functions.spark_hash import bucket_of
         from lakesoul_spark.io import partition as part_enc
 
@@ -353,6 +413,7 @@ class LakeSoulBatchReader(DataSourceReader):
 
         info = self.info
         range_eq: dict[str, list] = {}
+        range_cmp: list[tuple] = []
         pk_eq: dict[str, object] = {}
         unsupported = []
         for f in filters:
@@ -363,6 +424,10 @@ class LakeSoulBatchReader(DataSourceReader):
                 range_eq.setdefault(col, []).append(f.value)
             elif isinstance(f, In) and col in info.range_partitions:
                 range_eq.setdefault(col, []).extend(f.value)
+            elif (col in info.range_partitions
+                  and isinstance(f, tuple(_CMP))):
+                range_cmp.append((col, _CMP[type(f)], f.value))
+                unsupported.append(f)  # prune descs; rows re-checked
             elif isinstance(f, EqualTo) and col in info.hash_partitions:
                 pk_eq[col] = f.value
                 self._stats_preds.append((col, "=", f.value))
@@ -376,7 +441,8 @@ class LakeSoulBatchReader(DataSourceReader):
             else:
                 unsupported.append(f)
 
-        if range_eq:
+        if range_eq or range_cmp:
+            casters = _part_casters(self.info) if range_cmp else {}
             keep = set()
             for d in self.store.snapshot().partitions():
                 vals = part_enc.parse_desc(d)
@@ -385,6 +451,8 @@ class LakeSoulBatchReader(DataSourceReader):
                     if str(vals.get(c)) not in {str(w) for w in wanted}:
                         ok = False
                         break
+                if ok and range_cmp:
+                    ok = _desc_matches_cmp(vals, range_cmp, casters)
                 if ok:
                     keep.add(d)
             self._part_filter = keep

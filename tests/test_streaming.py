@@ -230,6 +230,47 @@ def test_format_read_partition_pruning(lakesoul_format, spark, tmp_table):
     assert sorted(r["id"] for r in ds.collect()) == [i for i in range(40) if i % 4 == 2]
 
 
+def test_format_read_range_predicate_partition_pruning(
+    lakesoul_format, spark, tmp_table
+):
+    """Comparisons on range-partition columns prune partitions at the
+    TYPED value (int 9 < 10 even though '9' > '10' as strings), and
+    date ranges prune by calendar order."""
+    df = _df(spark, [(i, i % 12) for i in range(120)], "id int, p int")
+    write(df, tmp_table, range_partitions=["p"])
+
+    from lakesoul_spark.streaming.source import LakeSoulBatchReader
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rd = LakeSoulBatchReader(tmp_table, {})
+    rd.pushFilters([GreaterThanOrEqual(("p",), 10)])
+    assert rd._part_filter is not None and len(rd._part_filter) == 2  # p=10,11
+
+    got = (
+        spark.read.format("lakesoul").load(tmp_table)
+        .filter(F.col("p") >= 10).collect()
+    )
+    assert sorted(r["id"] for r in got) == [i for i in range(120) if i % 12 >= 10]
+
+    # date-typed partition column
+    import datetime
+
+    path2 = tmp_table + "-dates"
+    df2 = spark.createDataFrame(
+        [(i, datetime.date(2024, 1 + i % 6, 1)) for i in range(60)],
+        "id int, d date",
+    )
+    write(df2, path2, range_partitions=["d"])
+    rd2 = LakeSoulBatchReader(path2, {})
+    rd2.pushFilters([GreaterThanOrEqual(("d",), datetime.date(2024, 5, 1))])
+    assert rd2._part_filter is not None and len(rd2._part_filter) == 2  # May, June
+    got2 = (
+        spark.read.format("lakesoul").load(path2)
+        .filter(F.col("d") >= datetime.date(2024, 5, 1)).collect()
+    )
+    assert sorted(r["id"] for r in got2) == [i for i in range(60) if i % 6 >= 4]
+
+
 def test_format_read_pk_point_lookup(lakesoul_format, spark, tmp_table):
     df = _df(spark, [(i, f"v{i}") for i in range(100)], "id int, v string")
     write(df, tmp_table, hash_partitions=["id"], hash_bucket_num=8)
