@@ -45,6 +45,17 @@ def main() -> None:
         F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey")),
     ).join(F.broadcast(warm.select("n_nationkey")), "n_nationkey") \
         .write.format("noop").mode("overwrite").save()
+    # sort-merge join + unordered count window (the heavy-join pipeline
+    # queries hit these execs first otherwise — SMJ codegen alone is
+    # multiple seconds of one-time janino work)
+    wj = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 997).alias("k")
+    )
+    wj.alias("a").hint("merge").join(wj.alias("b"), "k") \
+        .groupBy("k").count() \
+        .write.format("noop").mode("overwrite").save()
+    wj.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k"))) \
+        .write.format("noop").mode("overwrite").save()
 
     # warm the Python workers (fork + Arrow pipe setup) — the first
     # pandas-UDF query would otherwise absorb ~3 s of worker startup

