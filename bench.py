@@ -93,6 +93,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # queries are self-contained; caches they pinned are dead weight
+        # for the rest of the run (GC pressure → noisy late timings)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

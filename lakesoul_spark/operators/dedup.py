@@ -140,15 +140,15 @@ def ngram_jaccard_pairs(
         "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
     idx = shd.filter(F.col("df") <= max_shingle_doc_freq).select("id", "sh")
-    # cached: consumed twice below (hot completion + final result); an
-    # uncached plan would run the quadratic join twice. Size is one row
-    # per candidate pair — the small end of the funnel.
+    # consumed twice below (hot completion + final result) but NOT
+    # cached: both consumers sit on the same pair-aggregate exchange,
+    # so the expensive stages run once via ReusedExchange, and skipping
+    # the InMemoryRelation build measures faster at sf0.1.
     inter_rare = (
         idx.alias("a")
         .join(idx.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter_rare"))
-        .cache()
     )
     hot_post = shd.filter(F.col("df") > max_shingle_doc_freq).select("id", "sh")
     inter_hot = (

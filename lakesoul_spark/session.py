@@ -44,7 +44,9 @@ def lakesoul_session(
         # Python DataSource filter pushdown (format("lakesoul") pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("LAKESOUL_DRIVER_MEM", "8g"))
+        # local[N] runs every task thread in the driver JVM — size the
+        # heap for N concurrent tasks, not for a thin cluster driver
+        .config("spark.driver.memory", os.environ.get("LAKESOUL_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
