@@ -217,3 +217,77 @@ def ngram_dup_coverage(
             "dup_frac", F.round(F.col("dup_shingles") / F.col("n_shingles"), 6)
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for retrieval/embedding training: each
+    document's token stream is cut into windows of ``chunk_tokens``
+    starting every ``stride`` tokens (overlap = chunk_tokens - stride),
+    the standard prep before embedding long documents. Returns the 1:N
+    fan-out ``(doc_id, chunk_id, chunk_text, n_tokens)`` with
+    ``chunk_id`` the 0-based window index.
+
+    Map-only at any scale: the window starts are generated per row with
+    ``sequence`` and exploded — no shuffle, no UDF, no state. Windows
+    that would start at/after the end of a document are never emitted;
+    the final window is short rather than padded (padding policy
+    belongs to the consumer)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    d = d.select(
+        id_col,
+        "__toks",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens))
+    return (
+        d.filter(F.col("__start") < F.size("__toks"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_per_group: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb/C4-style per-domain
+    limit): keep at most ``max_per_group`` rows per ``group_col``,
+    selected by the deterministic md5 draw (ties by id) so the kept
+    set is reproducible in any engine and stable across retries.
+
+    One shuffle (the window's partition by group). A pathologically
+    hot group serializes its own partition's sort; at 100 TB pre-cap
+    hot groups with an approximate count-min pass, or rely on the
+    window sort spilling — correctness is unaffected either way."""
+    w = Window.partitionBy(group_col).orderBy(
+        uniform_draw(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_group)
+        .select(id_col, group_col)
+    )

@@ -863,3 +863,49 @@ def dedup_ngram_coverage(spark, sf_dir):
     shingles with corpus doc-frequency >= 2. Inverted-index join —
     two hash aggs + one shuffle, no pairs."""
     return training.ngram_dup_coverage(docs(spark, sf_dir), n=5)
+
+
+@_register(
+    "pipeline_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks, CAST(g.i / 24 AS BIGINT) AS chunk_id, g.i AS start
+      FROM t, UNNEST(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS g(i))
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ')
+               AS chunk_text,
+           CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens
+    FROM s WHERE start < len(toks)
+    """,
+)
+def pipeline_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (32-token windows every 24 tokens) —
+    the retrieval/embedding-training prep step. Map-only 1:N fan-out:
+    window starts generated per row with `sequence` + posexplode, no
+    shuffle, no UDF."""
+    return training.chunk_documents(
+        docs(spark, sf_dir), chunk_tokens=32, stride=24
+    )
+
+
+@_register(
+    "pipeline_source_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_draw(42)}, doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+)
+def pipeline_source_cap(spark, sf_dir):
+    """Per-source document cap (RefinedWeb-style per-domain limit):
+    keep 10 docs per source by the deterministic md5 draw. One
+    shuffle (window partition by source); selection reproducible in
+    any engine."""
+    return training.cap_per_group(
+        docs(spark, sf_dir), group_col="source", max_per_group=10, seed=42
+    )

@@ -105,3 +105,56 @@ def test_ngram_dup_coverage(spark):
     assert out[1].dup_shingles == 1 and out[2].dup_shingles == 1
     assert out[1].n_shingles == 5  # 9 tokens → 5 windows
     assert out[1].dup_frac == pytest.approx(0.2)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    d = _docs(spark, n=20)
+    out = training.chunk_documents(d, chunk_tokens=5, stride=3).collect()
+    src = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(src)
+    for doc_id, chunks in by_doc.items():
+        toks = src[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        # chunk ids are dense from 0; starts advance by the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        covered = []
+        for c in chunks:
+            start = c.chunk_id * 3
+            want = toks[start:start + 5]
+            assert c.chunk_text.split(" ") == want
+            assert c.n_tokens == len(want) > 0
+            covered.extend(range(start, start + c.n_tokens))
+        # every token position is covered at least once
+        assert set(covered) == set(range(len(toks)))
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = training.chunk_documents(d, chunk_tokens=10, stride=8).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "a b" and out[0].n_tokens == 2
+
+
+def test_cap_per_group(spark):
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = training.cap_per_group(
+        d, group_col="source", max_per_group=7, seed=1
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 7 for v in by_g.values()) and len(by_g) == 3
+    # deterministic across invocations
+    out2 = training.cap_per_group(
+        d, group_col="source", max_per_group=7, seed=1
+    ).collect()
+    assert {(r.doc_id, r.source) for r in out} == {(r.doc_id, r.source) for r in out2}
+    # groups under the cap pass through whole
+    small = training.cap_per_group(
+        d, group_col="source", max_per_group=100, seed=1
+    ).count()
+    assert small == 90
