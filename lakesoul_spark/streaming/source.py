@@ -394,15 +394,16 @@ class LakeSoulBatchReader(DataSourceReader):
         self.timestamp_ms = options.get("timestampms") or options.get("readendtime")
         self.start_ts_ms = options.get("readstarttime")
         self._part_filter: set[str] | None = None
-        self._bucket_filter: int | None = None
+        self._bucket_filter: set[int] | None = None
         self._stats_preds: list[tuple] = []
 
     def pushFilters(self, filters):
         """Accept equality filters on range-partition columns (metadata
         pruning), comparisons on range-partition columns (typed desc
         pruning — a partition value is a single point, so the predicate
-        is decided per partition), full-PK equality (bucket pruning),
-        and comparisons on stats-covered columns (file skipping from
+        is decided per partition), full-PK equality and single-col-PK
+        IN lists (bucket-set pruning), and comparisons on
+        stats-covered columns (file skipping from
         commit metadata — ``io/stats.py``); everything except partition
         equality is also returned for Spark to re-check rows."""
         from lakesoul_spark.functions.spark_hash import bucket_of
@@ -415,6 +416,7 @@ class LakeSoulBatchReader(DataSourceReader):
         range_eq: dict[str, list] = {}
         range_cmp: list[tuple] = []
         pk_eq: dict[str, object] = {}
+        pk_in: list | None = None
         unsupported = []
         for f in filters:
             col = (f.attribute[0]
@@ -432,6 +434,13 @@ class LakeSoulBatchReader(DataSourceReader):
                 pk_eq[col] = f.value
                 self._stats_preds.append((col, "=", f.value))
                 unsupported.append(f)  # prune files, but let Spark re-check rows
+            elif (isinstance(f, In) and len(info.hash_partitions) == 1
+                  and col == info.hash_partitions[0]):
+                vals = list(f.value)
+                pk_in = vals if pk_in is None else \
+                    [v for v in pk_in if v in set(vals)]
+                self._stats_preds.append((col, "in", vals))
+                unsupported.append(f)
             elif col is not None and isinstance(f, tuple(_CMP)):
                 self._stats_preds.append((col, _CMP[type(f)], f.value))
                 unsupported.append(f)
@@ -456,16 +465,29 @@ class LakeSoulBatchReader(DataSourceReader):
                 if ok:
                     keep.add(d)
             self._part_filter = keep
-        if info.hash_partitions and set(pk_eq) == set(info.hash_partitions):
+        if info.hash_partitions and (
+            set(pk_eq) == set(info.hash_partitions) or pk_in is not None
+        ):
             from lakesoul_spark.io.writer import table_schema
 
             types = {f.name: f.dataType.simpleString()
                      for f in table_schema(self.info).fields}
-            self._bucket_filter = bucket_of(
-                [pk_eq[c] for c in info.hash_partitions],
-                [types[c] for c in info.hash_partitions],
-                info.hash_bucket_num,
-            )
+            buckets: set[int] | None = None
+            if set(pk_eq) == set(info.hash_partitions):
+                buckets = {bucket_of(
+                    [pk_eq[c] for c in info.hash_partitions],
+                    [types[c] for c in info.hash_partitions],
+                    info.hash_bucket_num,
+                )}
+            if pk_in is not None:
+                # single-col PK IN (...) → the union of the values'
+                # buckets; intersect with an equality-derived bucket
+                pk_col = info.hash_partitions[0]
+                in_buckets = {bucket_of(
+                    [v], [types[pk_col]], info.hash_bucket_num,
+                ) for v in pk_in}
+                buckets = in_buckets if buckets is None else (buckets & in_buckets)
+            self._bucket_filter = buckets
         return unsupported
 
     def partitions(self):
@@ -488,7 +510,8 @@ class LakeSoulBatchReader(DataSourceReader):
         )
         files = snap.files
         if self._bucket_filter is not None:
-            files = [f for f in files if f.bucket in (self._bucket_filter, -1)]
+            files = [f for f in files
+                     if f.bucket in self._bucket_filter or f.bucket == -1]
         if self._stats_preds:
             from lakesoul_spark.io.stats import prune_files
 

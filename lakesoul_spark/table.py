@@ -300,8 +300,10 @@ class LakeSoulTable:
         """Snapshot/incremental view. ``file_filters`` — optional list
         of ``(column, op, value)`` with op in ``=,<,<=,>,>=,in`` —
         prunes data files from COMMIT METADATA via their per-file
-        [min,max] stats (``io/stats.py``) before Spark schedules a
-        single task, then applies the same predicate to the rows (so
+        [min,max] stats (``io/stats.py``), and partitions via the
+        typed desc check when the column is a range-partition column,
+        before Spark schedules a single task, then applies the same
+        predicate to the rows (so
         the result equals ``to_df().filter(...)``). On PK tables the
         pruning is merge-group-wise (union bounds — dropping one
         generation would resurface superseded rows), and it is skipped
@@ -330,11 +332,29 @@ class LakeSoulTable:
             from lakesoul_spark.io.stats import prune_files
             from lakesoul_spark.meta.store import Snapshot
 
+            files = snap.files
+            part_preds = [p for p in file_filters
+                          if p[0] in info.range_partitions and p[1] != "in"]
+            if part_preds:
+                from lakesoul_spark.io import partition as part_enc
+                from lakesoul_spark.streaming.source import (
+                    _desc_matches_cmp,
+                    _part_casters,
+                )
+
+                casters = _part_casters(info)
+                keep = {
+                    d for d in {f.partition_desc for f in files}
+                    if _desc_matches_cmp(
+                        part_enc.parse_desc(d), part_preds, casters
+                    )
+                }
+                files = [f for f in files if f.partition_desc in keep]
             snap = Snapshot(
                 version=snap.version,
                 timestamp_ms=snap.timestamp_ms,
                 files=prune_files(
-                    snap.files, file_filters,
+                    files, file_filters,
                     group_wise=bool(info.hash_partitions),
                 ),
             )

@@ -158,3 +158,44 @@ def test_group_bounds_drops_cols_missing_in_any_member():
     a = fe("a", {"k": [0, 10], "v": [5, 9]})
     b = fe("b", {"k": [5, 20]})
     assert group_bounds([a, b]) == {"k": [0, 20]}
+
+
+def test_datasource_pk_in_bucket_set_pruning(spark, tmp_table):
+    """IN over a single-column PK prunes to the union of the values'
+    buckets (the multi-key point lookup)."""
+    _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i}") for i in range(64)],
+        bucket_num=8,
+    )
+    from pyspark.sql.datasource import In
+
+    from lakesoul_spark.streaming.source import LakeSoulBatchReader, register
+
+    rd_all = LakeSoulBatchReader(tmp_table, {})
+    n_all = len(rd_all.partitions())
+    rd = LakeSoulBatchReader(tmp_table, {})
+    rd.pushFilters([In(("k",), (3, 17))])
+    assert rd._bucket_filter is not None and 1 <= len(rd._bucket_filter) <= 2
+    assert len(rd.partitions()) < n_all
+
+    register(spark)
+    got = (
+        spark.read.format("lakesoul").load(tmp_table)
+        .filter(F.col("k").isin(3, 17)).select("k", "v").collect()
+    )
+    assert sorted((r.k, r.v) for r in got) == [(3, 30), (17, 170)]
+
+
+def test_to_df_file_filters_prune_partitions(spark, tmp_table):
+    """file_filters on a range-partition column prune partition descs
+    (typed), and results equal the plain filter."""
+    df = spark.createDataFrame(
+        [(i, i % 12, i * 10) for i in range(120)], "id long, p int, v long"
+    )
+    write(df, tmp_table, mode="overwrite", range_partitions=["p"])
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    got = sorted(
+        r.id for r in t.to_df(file_filters=[("p", ">=", 10)]).collect()
+    )
+    assert got == [i for i in range(120) if i % 12 >= 10]
