@@ -38,6 +38,7 @@ class LakeSoulArrowDataset:
         rank: int | None = None,
         world_size: int | None = None,
         partitions: dict | None = None,
+        filters: list | None = None,
         batch_size: int = 8192,
         version: int | None = None,
         timestamp_ms: int | None = None,
@@ -54,6 +55,13 @@ class LakeSoulArrowDataset:
         self.rank, self.world_size = rank, world_size
         self.batch_size = batch_size
         self._partitions = partitions or {}
+        # ``filters``: list of (column, op, value), op in =,<,<=,>,>=,in
+        # — same contract as LakeSoulTable.to_df(file_filters=...).
+        # Merge groups are pruned from commit-log stats (io/stats.py,
+        # group-wise on PK tables) AND rows are re-checked after the
+        # MOR merge, so the result equals reading everything and
+        # filtering — a training worker just skips the dead shard work.
+        self._filters = list(filters or [])
         # pin a snapshot for reproducible training runs: every worker
         # reading the same (version | timestamp) sees the same bytes
         # even while writers keep committing
@@ -79,6 +87,29 @@ class LakeSoulArrowDataset:
                     for k, v in want.items()
                 )
             ]
+        if self._filters:
+            from lakesoul_spark.io.stats import prune_files
+            from lakesoul_spark.streaming.source import (
+                _desc_matches_cmp,
+                _part_casters,
+            )
+
+            part_preds = [p for p in self._filters
+                          if p[0] in self.info.range_partitions
+                          and p[1] != "in"]
+            if part_preds:
+                casters = _part_casters(self.info)
+                keep = {
+                    d for d in {f.partition_desc for f in files}
+                    if _desc_matches_cmp(
+                        part_enc.parse_desc(d), part_preds, casters
+                    )
+                }
+                files = [f for f in files if f.partition_desc in keep]
+            files = prune_files(
+                files, self._filters,
+                group_wise=bool(self.info.hash_partitions),
+            )
         splits = _plan_splits(self.info, files, group_buckets=True, cdc_filter=True)
         if self.rank is not None:
             splits = splits[self.rank::self.world_size]
@@ -95,16 +126,49 @@ class LakeSoulArrowDataset:
 
         return _arrow_schema(StructType.fromJson(json.loads(self.info.schema_json)))
 
+    def _row_filter(self, batch):
+        """Re-check ``filters`` on a merged batch (stats pruning is
+        advisory; SQL null semantics — null comparisons drop the row)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = None
+        for col, op, value in self._filters:
+            if col not in batch.schema.names:
+                continue
+            arr = batch.column(col)
+            if op == "=":
+                m = pc.equal(arr, value)
+            elif op == "<":
+                m = pc.less(arr, value)
+            elif op == "<=":
+                m = pc.less_equal(arr, value)
+            elif op == ">":
+                m = pc.greater(arr, value)
+            elif op == ">=":
+                m = pc.greater_equal(arr, value)
+            elif op == "in":
+                m = pc.is_in(arr, value_set=pa.array(list(value)))
+            else:
+                raise ValueError(f"unsupported filters op {op!r}")
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        return batch if mask is None else batch.filter(mask)
+
     def to_batches(self) -> Iterator:
         """Arrow RecordBatches of this worker's shard, MOR-merged."""
         from lakesoul_spark.streaming.source import _read_file_merged
 
         for sp in self._splits():
-            yield from _read_file_merged(
+            for batch in _read_file_merged(
                 sp.files, sp.schema_json, sp.range_vals,
                 list(sp.pk_cols), sp.cdc_col, sp.cdc_filter,
                 defaults=sp.defaults,
-            )
+            ):
+                if self._filters:
+                    batch = self._row_filter(batch)
+                    if batch.num_rows == 0:
+                        continue
+                yield batch
 
     def to_table(self):
         import pyarrow as pa

@@ -82,3 +82,40 @@ def test_arrow_dataset_snapshot_pinning(spark, tmp_path):
     assert after == before
     head = sorted((r["id"], r["v"]) for r in LakeSoulArrowDataset(path))
     assert head != before
+
+
+def test_arrow_dataset_stats_filters(spark, tmp_path):
+    """filters= prunes merge groups from commit stats AND re-checks
+    rows — result equals read-everything-then-filter, including the
+    generation-resurface trap (upsert drives v below the predicate)."""
+    path = str(tmp_path / "t")
+    write(
+        _df(spark, [(i, f"s{i}", i * 10) for i in range(40)],
+            "id int, s string, v int"),
+        path, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4,
+        properties={"lakesoul.statsColumns": "v"},
+    )
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(_df(spark, [(7, 1), (9, 1)], "id int, v int"))  # below the cut
+
+    got = sorted(
+        (r["id"], r["v"])
+        for r in LakeSoulArrowDataset(path, filters=[("v", ">", 250)])
+    )
+    want = sorted(
+        (r.id, r.v) for r in t.to_df().filter("v > 250").collect()
+    )
+    assert got == want and (7, 70) not in got and (9, 90) not in got
+
+    # 'in' op + sharding compose
+    world = 2
+    rows = set()
+    for rank in range(world):
+        rows |= {
+            (r["id"], r["v"])
+            for r in LakeSoulArrowDataset(
+                path, rank=rank, world_size=world,
+                filters=[("id", "in", [3, 7, 11])],
+            )
+        }
+    assert rows == {(3, 30), (7, 1), (11, 110)}
