@@ -199,3 +199,96 @@ def test_to_df_file_filters_prune_partitions(spark, tmp_table):
         r.id for r in t.to_df(file_filters=[("p", ">=", 10)]).collect()
     )
     assert got == [i for i in range(120) if i % 12 >= 10]
+
+
+# ------------------------------------------------------------ properties
+
+def _matches(op, value, r):
+    return {
+        "=": r == value, "<": r < value, "<=": r <= value,
+        ">": r > value, ">=": r >= value,
+    }[op] if op != "in" else r in value
+
+
+def _fe(path, group, seq, vals):
+    from lakesoul_spark.meta.store import FileEntry
+
+    return FileEntry(
+        commit_seq=seq, file_seq=0, path=path, partition_desc="-5",
+        bucket=group, file_exist_cols=["k", "v"], commit_op="MergeCommit",
+        stats={"v": [min(vals), max(vals)]} if vals else None,
+    )
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def test_prune_never_drops_a_file_with_a_matching_row(data):
+        """Soundness (per-file mode): any file containing a row that
+        satisfies the predicate survives pruning, for every op and
+        random [min,max]-consistent contents."""
+        from lakesoul_spark.io.stats import prune_files
+
+        files, rows_by_path = [], {}
+        for i in range(data.draw(st.integers(1, 8))):
+            vals = data.draw(
+                st.lists(st.integers(-50, 50), min_size=1, max_size=12)
+            )
+            files.append(_fe(f"f{i}", 0, 1, vals))
+            rows_by_path[f"f{i}"] = vals
+        op = data.draw(st.sampled_from(["=", "<", "<=", ">", ">=", "in"]))
+        value = (
+            data.draw(st.lists(st.integers(-60, 60), min_size=1, max_size=5))
+            if op == "in" else data.draw(st.integers(-60, 60))
+        )
+        kept = {
+            f.path
+            for f in prune_files(files, [("v", op, value)], group_wise=False)
+        }
+        for f in files:
+            if any(_matches(op, value, r) for r in rows_by_path[f.path]):
+                assert f.path in kept
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def test_group_prune_never_drops_a_matching_merged_row(data):
+        """Soundness (group-wise mode, the MOR contract): if the MERGED
+        view of a (partition,bucket) group — newest generation wins per
+        key — contains a matching row, the whole group survives."""
+        from lakesoul_spark.io.stats import prune_files
+
+        n_groups = data.draw(st.integers(1, 3))
+        files, contents = [], {}   # path -> {key: v}
+        fid = 0
+        for g in range(n_groups):
+            for seq in range(1, data.draw(st.integers(2, 4))):
+                kv = data.draw(
+                    st.dictionaries(
+                        st.integers(0, 6), st.integers(-50, 50),
+                        min_size=1, max_size=5,
+                    )
+                )
+                files.append(_fe(f"f{fid}", g, seq, list(kv.values())))
+                contents[f"f{fid}"] = (g, seq, kv)
+                fid += 1
+        op = data.draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+        value = data.draw(st.integers(-60, 60))
+        kept_groups = {
+            f.bucket
+            for f in prune_files(files, [("v", op, value)], group_wise=True)
+        }
+        for g in range(n_groups):
+            merged: dict = {}
+            for path, (gg, seq, kv) in sorted(
+                contents.items(), key=lambda x: x[1][1]
+            ):
+                if gg == g:
+                    merged.update(kv)       # newest seq wins per key
+            if any(_matches(op, value, v) for v in merged.values()):
+                assert g in kept_groups, (
+                    f"group {g} merged={merged} pred=v{op}{value}"
+                )
+except ImportError:  # pragma: no cover - hypothesis always bundled here
+    pass
