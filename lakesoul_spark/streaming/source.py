@@ -545,7 +545,24 @@ class LakeSoulStreamReader(DataSourceStreamReader):
     cannot be delivered as a row delta, and silently skipping it would
     leave downstream copies stale (reference ``DataOperation.scala:
     225-228`` aborts incremental reads at an Update boundary). Set
-    ``.option("failOnDataLoss", "false")`` to skip rewrites instead."""
+    ``.option("failOnDataLoss", "false")`` to skip rewrites instead.
+
+    ``maxVersionsPerTrigger`` (admission control, the Kafka
+    ``maxOffsetsPerTrigger`` analog): bound how many commit versions a
+    micro-batch may span, so a stream that falls behind catches up in
+    bounded batches — each batch's task count and memory stay a
+    function of the limit, not of how long the stream was down.
+
+    Scope: the cap applies from the SECOND planned batch onward. Spark
+    asks for the latest offset before revealing any stream position
+    (``latestOffset`` precedes ``initialOffset``/``partitions``, and
+    the Python DS API has no admission control or committed-offset
+    visibility), so capping the very first answer relative to a
+    guessed position could return an offset BELOW a restarted query's
+    checkpoint — Spark would then re-plan already-consumed versions as
+    duplicates. The first batch is therefore uncapped; every
+    subsequent batch is bounded by the floor learned from the planned
+    range (``partitions``) or ``initialOffset``."""
 
     def __init__(self, path: str, options):
         from lakesoul_spark.meta.store import MetaStore
@@ -556,14 +573,31 @@ class LakeSoulStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingversion", 0))
         fail = str(options.get("failondataloss", "true")).lower()
         self.on_rewrite = "skip" if fail in ("false", "0", "no") else "fail"
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        self._floor: int | None = None
 
     def initialOffset(self):
+        # only called when no checkpoint exists — a trustworthy floor
+        if self._floor is None:
+            self._floor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self):
-        return {"version": self.store.head_version()}
+        head = self.store.head_version()
+        if self.max_versions is not None and self._floor is not None:
+            head = min(head, self._floor + self.max_versions)
+            self._floor = max(self._floor, head)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # every planned batch (including WAL replay on restart) reveals
+        # the true stream position — learn/advance the cap floor here
+        pos = max(int(start["version"]), int(end["version"]))
+        if self._floor is None or pos > self._floor:
+            self._floor = pos
         files = self.store.files_in_version_range(
             int(start["version"]), int(end["version"]),
             on_rewrite=self.on_rewrite,

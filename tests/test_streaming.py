@@ -141,6 +141,58 @@ def test_stream_read_sees_appends(lakesoul_format, spark, tmp_table, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_stream_read_max_versions_per_trigger(
+    lakesoul_format, spark, tmp_table, tmp_path
+):
+    """Data completeness under the cap, and the reader's offset
+    protocol in Spark's real call order (latestOffset BEFORE
+    initialOffset): first batch uncapped, then ≤ cap per trigger,
+    offsets never regress."""
+    for i in range(5):
+        write(_df(spark, [(i, f"v{i}")], "id int, v string"), tmp_table)
+
+    name = "mem_src_cap"
+    q = (
+        spark.readStream.format("lakesoul")
+        .option("maxVersionsPerTrigger", "2").load(tmp_table)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckcap"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.id, r.v) for r in spark.sql(f"select * from {name}").collect())
+    assert got == [(i, f"v{i}") for i in range(5)]
+
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.streaming.source import LakeSoulStreamReader
+
+    head = MetaStore(tmp_table).head_version()
+
+    # fresh start, Spark's call order: the first latestOffset has no
+    # floor (uncapped — capping it could regress a restarted query's
+    # checkpoint), then the cap engages per trigger
+    rd = LakeSoulStreamReader(tmp_table, {"maxversionspertrigger": "2"})
+    first = rd.latestOffset()["version"]
+    assert first == head
+    rd.initialOffset()
+    rd.partitions({"version": 0}, {"version": first})
+    for _ in range(3):
+        write(_df(spark, [(9, "z")], "id int, v string"), tmp_table)
+    end = rd.latestOffset()["version"]
+    assert end == head + 2  # 3 new commits, capped at 2
+    rd.partitions({"version": first}, {"version": end})
+    end2 = rd.latestOffset()["version"]
+    assert end2 == head + 3 and end2 > end
+
+    # restart with a WAL-replayed batch: floor learned from partitions,
+    # cap applies immediately afterward
+    rd2 = LakeSoulStreamReader(tmp_table, {"maxversionspertrigger": "1"})
+    rd2.partitions({"version": 2}, {"version": 3})  # replayed batch
+    for _ in range(2):
+        write(_df(spark, [(8, "y")], "id int, v string"), tmp_table)
+    assert rd2.latestOffset()["version"] == 4  # floor 3 + cap 1
+
+
 def test_stream_read_rewrite_fails_by_default(spark, tmp_table):
     """A stream over a table that gets UPDATEd must not silently skip
     the rewrite (reference DataOperation.scala:225-228 aborts the
