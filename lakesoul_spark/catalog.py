@@ -340,6 +340,13 @@ class Catalog:
         return "default", qualified
 
     def _sql_create_table(self, spark: SparkSession, stmt: str):
+        ctas = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+            r"USING\s+lakesoul\b(?P<rest>.*?)\s+AS\s+(?P<q>SELECT\b.*)$",
+            stmt, re.I | re.S,
+        )
+        if ctas:
+            return self._sql_ctas(spark, ctas)
         m = _rx(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
             r"\((?P<cols>.*?)\)\s*USING\s+lakesoul\b(?P<rest>.*)$",
@@ -387,6 +394,52 @@ class Catalog:
             hash_bucket_num=hash_bucket_num,
             properties=props,
         )
+        return None
+
+    def _sql_ctas(self, spark: SparkSession, m):
+        """CREATE TABLE ... USING lakesoul [PARTITIONED BY (...)]
+        [LOCATION ...] [TBLPROPERTIES(...)] AS SELECT ... — schema from
+        the query, then one bucketed write of its result."""
+        ns, name = self._split_name(m.group(2))
+        if not self.namespace_exists(ns) and ns != "default":
+            raise ValueError(f"no such namespace {ns!r}")
+        if self.table_exists(name, ns):
+            if m.group(1):
+                return None
+            raise ValueError(f"table {ns}.{name} already exists")
+        rest = m.group("rest")
+        df = self.sql(spark, m.group("q"))
+
+        range_partitions: list[str] = []
+        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.I)
+        if pm:
+            range_partitions = [c.strip().strip("`") for c in pm.group(1).split(",")]
+        location = None
+        lm = re.search(r"LOCATION\s+'([^']*)'", rest, re.I)
+        if lm:
+            location = lm.group(1)
+        props: dict[str, str] = {}
+        tm = re.search(r"TBLPROPERTIES\s*\((.*?)\)", rest, re.I | re.S)
+        if tm:
+            props = _parse_props(tm.group(1))
+        hash_partitions = [
+            c.strip() for c in props.pop("hashPartitions", "").split(",")
+            if c.strip()
+        ]
+        try:
+            hash_bucket_num = int(props.pop("hashBucketNum", "4"))
+        except ValueError as e:
+            raise ValueError("hashBucketNum must be an integer") from e
+
+        t = self.create_table(
+            spark, name, df.schema, namespace=ns, path=location,
+            range_partitions=range_partitions,
+            hash_partitions=hash_partitions,
+            hash_bucket_num=hash_bucket_num,
+            properties=props,
+        )
+        from lakesoul_spark.table import write as _write
+        _write(df, t.path, mode="overwrite")
         return None
 
     def _sql_merge(self, spark: SparkSession, stmt: str):

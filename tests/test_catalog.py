@@ -239,3 +239,42 @@ def test_sql_namespace_statements(cat, spark):
     cat.sql(spark, "DROP NAMESPACE IF EXISTS staging")  # no-op
     with pytest.raises(ValueError, match="no such namespace"):
         cat.sql(spark, "DROP NAMESPACE staging")
+
+
+def test_sql_ctas(cat, spark):
+    """CREATE TABLE ... USING lakesoul AS SELECT: schema from the
+    query, data written through the bucketed writer, PK/partition
+    options honored."""
+    cat.sql(spark, """
+        CREATE TABLE src (id BIGINT, grp STRING, v BIGINT) USING lakesoul
+    """)
+    cat.sql(spark, "INSERT INTO src VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+
+    cat.sql(spark, """
+        CREATE TABLE agg USING lakesoul
+        TBLPROPERTIES('hashPartitions'='grp','hashBucketNum'='2')
+        AS SELECT grp, SUM(v) AS total FROM src GROUP BY grp
+    """)
+    info = cat.get_table(spark, "agg").info
+    assert info.hash_partitions == ["grp"] and info.hash_bucket_num == 2
+    got = cat.sql(spark, "SELECT grp, total FROM agg ORDER BY grp").collect()
+    assert [tuple(r) for r in got] == [("a", 40), ("b", 20)]
+    # PK semantics live on the new table: upsert overwrites by key
+    cat.get_table(spark, "agg").upsert(
+        spark.createDataFrame([("a", 99)], "grp string, total bigint")
+    )
+    got2 = cat.sql(spark, "SELECT grp, total FROM agg ORDER BY grp").collect()
+    assert [tuple(r) for r in got2] == [("a", 99), ("b", 20)]
+
+    # IF NOT EXISTS no-op; plain duplicate raises
+    cat.sql(spark, "CREATE TABLE IF NOT EXISTS agg USING lakesoul AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "CREATE TABLE agg USING lakesoul AS SELECT 1 AS x")
+
+    # range-partitioned CTAS
+    cat.sql(spark, """
+        CREATE TABLE by_grp USING lakesoul PARTITIONED BY (grp)
+        AS SELECT id, grp FROM src
+    """)
+    assert cat.get_table(spark, "by_grp").info.range_partitions == ["grp"]
+    assert cat.sql(spark, "SELECT count(*) AS n FROM by_grp").collect()[0].n == 3
