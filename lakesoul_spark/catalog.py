@@ -169,6 +169,7 @@ class Catalog:
         use, e.g. ``DDLSuite.scala:66-95``, ``PrimaryKeyFilterEval
         .scala:68``)::
 
+            CREATE TABLE [IF NOT EXISTS] [ns.]t USING lakesoul … AS SELECT …
             CREATE TABLE [IF NOT EXISTS] [ns.]t (a LONG, b STRING)
                 USING lakesoul [PARTITIONED BY (p)] [LOCATION '/path']
                 [TBLPROPERTIES('hashPartitions'='a','hashBucketNum'='4',
