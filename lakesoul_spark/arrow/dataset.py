@@ -96,7 +96,7 @@ class LakeSoulArrowDataset:
 
             part_preds = [p for p in self._filters
                           if p[0] in self.info.range_partitions
-                          and p[1] != "in"]
+                          ]
             if part_preds:
                 casters = _part_casters(self.info)
                 keep = {

@@ -359,6 +359,16 @@ def _desc_matches_cmp(vals: dict, preds: list, casters: dict) -> bool:
     import datetime
     import decimal
 
+    def _cmp(op, v, lit):
+        if isinstance(lit, datetime.datetime) and isinstance(v, datetime.date) \
+                and not isinstance(v, datetime.datetime):
+            v = datetime.datetime(v.year, v.month, v.day)
+        elif isinstance(v, decimal.Decimal) and isinstance(lit, float):
+            lit = decimal.Decimal(str(lit))
+        return ((op == "=" and v == lit) or (op == "<" and v < lit)
+                or (op == "<=" and v <= lit) or (op == ">" and v > lit)
+                or (op == ">=" and v >= lit))
+
     for col, op, lit in preds:
         sval = vals.get(col)
         cast = casters.get(col)
@@ -366,14 +376,8 @@ def _desc_matches_cmp(vals: dict, preds: list, casters: dict) -> bool:
             continue
         try:
             v = cast(sval)
-            if isinstance(lit, datetime.datetime) and isinstance(v, datetime.date) \
-                    and not isinstance(v, datetime.datetime):
-                v = datetime.datetime(v.year, v.month, v.day)
-            elif isinstance(v, decimal.Decimal) and isinstance(lit, float):
-                lit = decimal.Decimal(str(lit))
-            ok = ((op == "=" and v == lit) or (op == "<" and v < lit)
-                  or (op == "<=" and v <= lit) or (op == ">" and v > lit)
-                  or (op == ">=" and v >= lit))
+            ok = (any(_cmp("=", v, x) for x in lit) if op == "in"
+                  else _cmp(op, v, lit))
         except (ValueError, TypeError, ArithmeticError):
             continue
         if not ok:

@@ -334,7 +334,7 @@ class LakeSoulTable:
 
             files = snap.files
             part_preds = [p for p in file_filters
-                          if p[0] in info.range_partitions and p[1] != "in"]
+                          if p[0] in info.range_partitions ]
             if part_preds:
                 from lakesoul_spark.io import partition as part_enc
                 from lakesoul_spark.streaming.source import (
@@ -394,7 +394,12 @@ class LakeSoulTable:
         bucket's files are scanned (reference
         ``rust/lakesoul-io/src/reader.rs:160-180``,
         ``utils/hash/mod.rs:19-24``). Within the files, parquet
-        row-group stats on the PK-sorted data prune further."""
+        row-group stats on the PK-sorted data prune further.
+
+        Multi-key: pass a list/tuple/set per PK column to look up
+        several keys in one scan of the union of their buckets (on a
+        composite PK the value lists zip positionally into key
+        tuples)."""
         from lakesoul_spark.functions.spark_hash import bucket_of
 
         info = self.info
@@ -402,35 +407,59 @@ class LakeSoulTable:
             raise ValueError(
                 f"point_lookup needs exactly the PK columns {info.hash_partitions}"
             )
+        multi = any(isinstance(v, (list, tuple, set)) for v in pk_values.values())
+        if multi:
+            lists = []
+            n = None
+            for c in info.hash_partitions:
+                v = pk_values[c]
+                v = list(v) if isinstance(v, (list, tuple, set)) else [v]
+                if n is None:
+                    n = len(v)
+                elif len(v) not in (1, n):
+                    raise ValueError(
+                        "multi-key point_lookup needs equal-length value "
+                        "lists per PK column"
+                    )
+                lists.append(v)
+            n = n or 1
+            keys = [tuple(v[i] if len(v) > 1 else v[0] for v in lists)
+                    for i in range(n)]
+        else:
+            keys = [tuple(pk_values[c] for c in info.hash_partitions)]
         types = {f.name: f.dataType.simpleString() for f in table_schema(info).fields}
-        b = bucket_of(
-            [pk_values[c] for c in info.hash_partitions],
-            [types[c] for c in info.hash_partitions],
-            info.hash_bucket_num,
-        )
+        pk_types = [types[c] for c in info.hash_partitions]
+        buckets = {
+            bucket_of(list(k), pk_types, info.hash_bucket_num) for k in keys
+        }
         snap = self.store.snapshot(partition_descs=self._partition_filter())
         from lakesoul_spark.io.stats import prune_files
         from lakesoul_spark.meta.store import Snapshot
 
-        files = [f for f in snap.files if f.bucket in (b, -1)]
+        files = [f for f in snap.files if f.bucket in buckets or f.bucket == -1]
         if not self._merge_ops:
-            # within the bucket, per-file PK [min,max] stats (written
+            # within the buckets, per-file PK [min,max] stats (written
             # sorted) prune merge groups whose union bounds exclude
-            # the key — group-wise, same contract as to_df
-            files = prune_files(
-                files, [(c, "=", v) for c, v in pk_values.items()],
-                group_wise=True,
-            )
+            # every key — group-wise, same contract as to_df
+            preds = [
+                (c, "in", [k[i] for k in keys])
+                for i, c in enumerate(info.hash_partitions)
+            ]
+            files = prune_files(files, preds, group_wise=True)
         pruned = Snapshot(
             version=snap.version,
             timestamp_ms=snap.timestamp_ms,
             files=files,
         )
         df = rdr.merge_view(self.spark, info, pruned, merge_ops=self._merge_ops)
+        # exact key-tuple match (NOT the per-column cross product)
         cond = None
-        for c, v in pk_values.items():
-            e = F.col(c) == F.lit(v)
-            cond = e if cond is None else (cond & e)
+        for k in keys:
+            kc = None
+            for i, c in enumerate(info.hash_partitions):
+                e = F.col(c) == F.lit(k[i])
+                kc = e if kc is None else (kc & e)
+            cond = kc if cond is None else (cond | kc)
         return df.filter(cond)
 
     # -------------------------------------------------------------- writing

@@ -292,3 +292,33 @@ try:
                 )
 except ImportError:  # pragma: no cover - hypothesis always bundled here
     pass
+
+
+def test_point_lookup_multi_key(spark, tmp_table):
+    t = _mk(
+        spark, tmp_table,
+        [(i, i * 10, f"s{i}") for i in range(40)],
+        bucket_num=8,
+    )
+    got = sorted(
+        (r.k, r.v) for r in t.point_lookup(k=[3, 17, 29]).collect()
+    )
+    assert got == [(3, 30), (17, 170), (29, 290)]
+    # misses prune to zero; single-key path unchanged
+    assert t.point_lookup(k=[100_000, 200_000]).count() == 0
+    assert [(r.k, r.v) for r in t.point_lookup(k=17).collect()] == [(17, 170)]
+
+
+def test_point_lookup_multi_key_composite_pk(spark, tmp_table):
+    df = spark.createDataFrame(
+        [(i % 5, i, i * 10) for i in range(50)], "a long, b long, v long"
+    )
+    write(df, tmp_table, mode="overwrite",
+          hash_partitions=["a", "b"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    # exact tuples only — (0,10) and (1,6), NOT the cross product (0,6)/(1,10)
+    got = sorted(
+        (r.a, r.b, r.v)
+        for r in t.point_lookup(a=[0, 1], b=[10, 6]).collect()
+    )
+    assert got == [(0, 10, 100), (1, 6, 60)]
