@@ -191,6 +191,8 @@ class Catalog:
             DROP NAMESPACE [IF EXISTS] ns [CASCADE]
             SHOW NAMESPACES
             SHOW TABLES [IN ns]
+            DESCRIBE [TABLE] [EXTENDED] [ns.]t
+            SHOW CREATE TABLE [ns.]t
 
         Returns a DataFrame for queries / SHOW TABLES, else None.
         """
@@ -285,6 +287,48 @@ class Catalog:
                 [(ns, n) for n in self.list_tables(ns)] or [],
                 "namespace string, tableName string",
             )
+        if verb in ("DESCRIBE", "DESC") and verb2 != "HISTORY":
+            m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            info = self.get_table(spark, name, ns).info
+            from lakesoul_spark.io.writer import table_schema as _ts
+
+            rows = [(f.name, f.dataType.simpleString(),
+                     "range" if f.name in info.range_partitions
+                     else "hash" if f.name in info.hash_partitions else "")
+                    for f in _ts(info).fields]
+            if "EXTENDED" in stmt.upper():
+                rows += [
+                    ("", "", ""),
+                    ("# location", info.path, ""),
+                    ("# hash_bucket_num", str(info.hash_bucket_num), ""),
+                    ("# properties", json.dumps(info.properties, sort_keys=True), ""),
+                ]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, partition string"
+            )
+        if verb == "SHOW" and verb2 == "CREATE":
+            m = _rx(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            info = self.get_table(spark, name, ns).info
+            from lakesoul_spark.io.writer import table_schema as _ts
+
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in _ts(info).fields
+            )
+            ddl = f"CREATE TABLE {ns}.{name} (\n  {cols})\nUSING lakesoul"
+            if info.range_partitions:
+                ddl += f"\nPARTITIONED BY ({', '.join(info.range_partitions)})"
+            props = dict(info.properties)
+            if info.hash_partitions:
+                props["hashPartitions"] = ",".join(info.hash_partitions)
+                props["hashBucketNum"] = str(info.hash_bucket_num)
+            if props:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+                ddl += f"\nTBLPROPERTIES({kv})"
+            ddl += f"\nLOCATION '{info.path}'"
+            return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
         # relational fallback: expose the lake as temp views, delegate.
         # Temp views cannot be dot-qualified, so qualified references

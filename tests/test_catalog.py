@@ -278,3 +278,28 @@ def test_sql_ctas(cat, spark):
     """)
     assert cat.get_table(spark, "by_grp").info.range_partitions == ["grp"]
     assert cat.sql(spark, "SELECT count(*) AS n FROM by_grp").collect()[0].n == 3
+
+
+def test_sql_describe_and_show_create(cat, spark):
+    cat.sql(spark, """
+        CREATE TABLE dt (id BIGINT, p STRING, v DOUBLE) USING lakesoul
+        PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2','x'='y')
+    """)
+    desc = {r.col_name: (r.data_type, r.partition)
+            for r in cat.sql(spark, "DESCRIBE dt").collect()}
+    assert desc["id"] == ("bigint", "hash")
+    assert desc["p"] == ("string", "range")
+    assert desc["v"] == ("double", "")
+    ext = cat.sql(spark, "DESCRIBE EXTENDED dt").collect()
+    assert any(r.col_name == "# hash_bucket_num" and r.data_type == "2" for r in ext)
+
+    ddl = cat.sql(spark, "SHOW CREATE TABLE dt").collect()[0].createtab_stmt
+    assert "USING lakesoul" in ddl and "PARTITIONED BY (p)" in ddl
+    assert "'hashPartitions'='id'" in ddl and "'x'='y'" in ddl
+    # the emitted DDL round-trips through the dispatcher
+    ddl2 = ddl.replace("TABLE default.dt", "TABLE dt2").replace(
+        "LOCATION", "-- LOCATION")
+    cat.sql(spark, ddl2.split("-- LOCATION")[0])
+    assert cat.table_exists("dt2")
+    assert cat.get_table(spark, "dt2").info.hash_partitions == ["id"]
