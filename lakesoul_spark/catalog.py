@@ -287,6 +287,10 @@ class Catalog:
                 [(ns, n) for n in self.list_tables(ns)] or [],
                 "namespace string, tableName string",
             )
+        if verb in ("DESCRIBE", "DESC") and verb2 == "HISTORY":
+            m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            return self.get_table(spark, name, ns).history()
         if verb in ("DESCRIBE", "DESC") and verb2 != "HISTORY":
             m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?([\w.]+)$", stmt)
             ns, name = self._split_name(m.group(1))

@@ -1177,3 +1177,28 @@ class LakeSoulTable:
             {"version": c.seq, "timestamp_ms": c.timestamp_ms, "op": c.commit_op}
             for c in self.store.commits()
         ]
+
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame (the DESCRIBE HISTORY shape):
+        one row per commit with version, timestamp, operation, file
+        add/del counts, bytes added, and the partitions touched.
+        Driver-side over commit metadata only — no data files read."""
+        rows = []
+        for c in self.store.commits():
+            adds = [f for f in c.file_ops if f.op == "add"]
+            dels = [f for f in c.file_ops if f.op == "del"]
+            rows.append((
+                c.seq,
+                c.timestamp_ms,
+                c.commit_op,
+                len(adds),
+                len(dels),
+                int(sum(f.size for f in adds)),
+                sorted({f.partition_desc for f in c.file_ops}),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "files_added long, files_removed long, bytes_added long, "
+            "partitions array<string>",
+        )

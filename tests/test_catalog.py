@@ -303,3 +303,19 @@ def test_sql_describe_and_show_create(cat, spark):
     cat.sql(spark, ddl2.split("-- LOCATION")[0])
     assert cat.table_exists("dt2")
     assert cat.get_table(spark, "dt2").info.hash_partitions == ["id"]
+
+
+def test_sql_describe_history(cat, spark):
+    cat.sql(spark, """
+        CREATE TABLE h (id BIGINT, v BIGINT) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO h VALUES (1, 10), (2, 20)")
+    t = cat.get_table(spark, "h")
+    t.upsert(spark.createDataFrame([(1, 99)], "id bigint, v bigint"))
+    t.compaction(force=True)
+    hist = cat.sql(spark, "DESCRIBE HISTORY h").orderBy("version").collect()
+    assert [r.operation for r in hist] == ["merge", "merge", "compaction"]
+    assert hist[0].files_added > 0 and hist[0].files_removed == 0
+    assert hist[-1].files_removed > 0  # compaction expires the inputs
+    assert all(r.bytes_added >= 0 for r in hist)
