@@ -543,6 +543,38 @@ def pk_point_lookup(spark, sf_dir):
     return _fmt_orders(t.point_lookup(o_orderkey=4242))
 
 
+@_register(
+    "lakehouse_multikey_lookup",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey IN (4242, 4243) THEN 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    WHERE o_orderkey IN (4242, 4243, 7, 1184, 4000)
+    """,
+)
+def multikey_lookup(spark, sf_dir):
+    """Multi-key point lookup: one scan of the UNION of the keys'
+    murmur3 buckets (driver-side bucket-set pruning + group-wise
+    stats IN pruning inside them), MOR-merged so the upserted
+    generation wins for the touched keys."""
+    path = _tmp("mk_lookup", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(
+        orders.filter(F.col("o_orderkey").isin(4242, 4243))
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    return _fmt_orders(
+        t.point_lookup(o_orderkey=[4242, 4243, 7, 1184, 4000])
+    )
+
+
 # ------------------------------------------- stats skipping (file pruning)
 
 @_register(
