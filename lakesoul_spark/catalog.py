@@ -192,7 +192,11 @@ class Catalog:
             SHOW NAMESPACES
             SHOW TABLES [IN ns]
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
+            DESCRIBE HISTORY [ns.]t
             SHOW CREATE TABLE [ns.]t
+            OPTIMIZE [ns.]t [LEVELED]
+            VACUUM [ns.]t [RETAIN n HOURS]
+            RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
 
         Returns a DataFrame for queries / SHOW TABLES, else None.
         """
@@ -287,6 +291,31 @@ class Catalog:
                 [(ns, n) for n in self.list_tables(ns)] or [],
                 "namespace string, tableName string",
             )
+        if verb == "OPTIMIZE":
+            m = _rx(r"OPTIMIZE\s+([\w.]+)(?:\s+LEVELED)?$", stmt)
+            ns, name = self._split_name(m.group(1))
+            t = self.get_table(spark, name, ns)
+            if stmt.upper().endswith("LEVELED"):
+                t.leveled_compaction()
+            else:
+                t.compaction(force=True)
+            return None
+        if verb == "VACUUM":
+            m = _rx(r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?$", stmt)
+            ns, name = self._split_name(m.group(1))
+            hours = int(m.group(2)) if m.group(2) else 1
+            self.get_table(spark, name, ns).vacuum(
+                retention_ms=hours * 3_600_000
+            )
+            return None
+        if verb == "RESTORE":
+            m = _rx(
+                r"RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)$",
+                stmt,
+            )
+            ns, name = self._split_name(m.group(1))
+            self.get_table(spark, name, ns).rollback(version=int(m.group(2)))
+            return None
         if verb in ("DESCRIBE", "DESC") and verb2 == "HISTORY":
             m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.]+)$", stmt)
             ns, name = self._split_name(m.group(1))

@@ -319,3 +319,32 @@ def test_sql_describe_history(cat, spark):
     assert hist[0].files_added > 0 and hist[0].files_removed == 0
     assert hist[-1].files_removed > 0  # compaction expires the inputs
     assert all(r.bytes_added >= 0 for r in hist)
+
+
+def test_sql_maintenance_verbs(cat, spark):
+    """OPTIMIZE / VACUUM / RESTORE through the dispatcher."""
+    from lakesoul_spark.meta.store import MetaStore
+
+    cat.sql(spark, """
+        CREATE TABLE mt (id BIGINT, v BIGINT) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO mt VALUES (1, 10), (2, 20)")
+    t = cat.get_table(spark, "mt")
+    t.upsert(spark.createDataFrame([(1, 99)], "id bigint, v bigint"))
+    v_before_opt = MetaStore(t.path).head_version()
+
+    cat.sql(spark, "OPTIMIZE mt")
+    assert [r.operation for r in t.history().collect()][-1] == "compaction"
+    got = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM mt").collect())
+    assert got == [(1, 99), (2, 20)]
+
+    # restore to the pre-upsert version; the old value comes back
+    cat.sql(spark, "RESTORE mt TO VERSION 1")
+    got2 = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM mt").collect())
+    assert got2 == [(1, 10), (2, 20)]
+
+    # vacuum with 0-hour retention drops unreferenced files; data intact
+    cat.sql(spark, "VACUUM mt RETAIN 0 HOURS")
+    got3 = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM mt").collect())
+    assert got3 == [(1, 10), (2, 20)]
