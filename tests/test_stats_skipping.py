@@ -322,3 +322,61 @@ def test_point_lookup_multi_key_composite_pk(spark, tmp_table):
         for r in t.point_lookup(a=[0, 1], b=[10, 6]).collect()
     )
     assert got == [(0, 10, 100), (1, 6, 60)]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def test_desc_pruning_matches_brute_force_eval(data):
+        """Soundness+exactness of the typed partition-desc check: for
+        random int/date/string partition values round-tripped through
+        the desc string encoding, _desc_matches_cmp agrees with direct
+        Python evaluation of the predicate on the original value."""
+        import datetime
+        import json
+
+        from lakesoul_spark.streaming.source import (
+            _desc_matches_cmp,
+            _part_casters,
+        )
+
+        kind = data.draw(st.sampled_from(["long", "date", "string"]))
+        if kind == "long":
+            v = data.draw(st.integers(-1000, 1000))
+            lit = data.draw(st.integers(-1000, 1000))
+            typ = "long"
+        elif kind == "date":
+            v = datetime.date(2020, 1, 1) + datetime.timedelta(
+                days=data.draw(st.integers(0, 1500))
+            )
+            lit = datetime.date(2020, 1, 1) + datetime.timedelta(
+                days=data.draw(st.integers(0, 1500))
+            )
+            typ = "date"
+        else:
+            v = data.draw(st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=8))
+            lit = data.draw(st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=8))
+            typ = "string"
+        op = data.draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+
+        class _Info:
+            schema_json = json.dumps(
+                {"type": "struct",
+                 "fields": [{"name": "p", "type": typ,
+                             "nullable": True, "metadata": {}}]}
+            )
+
+        casters = _part_casters(_Info())
+        # the desc stores str(v) — same encoding the writer produces
+        got = _desc_matches_cmp({"p": str(v)}, [("p", op, lit)], casters)
+        want = {"=": v == lit, "<": v < lit, "<=": v <= lit,
+                ">": v > lit, ">=": v >= lit}[op]
+        assert got == want, f"{kind} {v!r} {op} {lit!r}"
+except ImportError:  # pragma: no cover
+    pass
