@@ -62,6 +62,22 @@ class LakeSoulArrowDataset:
         # MOR merge, so the result equals reading everything and
         # filtering — a training worker just skips the dead shard work.
         self._filters = list(filters or [])
+        if self._filters:
+            # unknown filter columns must fail LOUDLY here, not silently
+            # yield unfiltered data at batch time (to_df raises on an
+            # unresolved column; this reader keeps that contract)
+            import json as _json
+
+            known = {
+                f["name"]
+                for f in _json.loads(self.info.schema_json)["fields"]
+            }
+            bad = [c for c, _op, _v in self._filters if c not in known]
+            if bad:
+                raise ValueError(
+                    f"unknown filter column(s) {bad} — table columns are "
+                    f"{sorted(known)}"
+                )
         # pin a snapshot for reproducible training runs: every worker
         # reading the same (version | timestamp) sees the same bytes
         # even while writers keep committing

@@ -244,15 +244,20 @@ class Catalog:
                    mode="append" if m.group(1).upper() == "INTO" else "overwrite")
             return None
         if verb == "UPDATE":
-            m = _rx(r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", stmt)
+            # the WHERE split must ignore 'WHERE' inside string literals
+            # (a lazy regex would cut `SET note = 'a WHERE b'` in half)
+            m = _rx(r"UPDATE\s+([\w.]+)\s+SET\s+(.*)$", stmt)
             ns, name = self._split_name(m.group(1))
+            body = m.group(2)
+            wi = _find_top_keyword(body, "WHERE")
+            sets_str = body[:wi] if wi >= 0 else body
+            cond = body[wi + 5:].strip() if wi >= 0 else "true"
             sets = {}
-            for part in _split_top(m.group(2)):
+            for part in _split_top(sets_str):
                 col, _, expr = part.partition("=")
                 if not expr:
                     raise ValueError(f"bad SET clause {part!r}")
                 sets[col.strip()] = expr.strip()
-            cond = m.group(3) or "true"
             self.get_table(spark, name, ns).update(cond, sets)
             return None
         if verb == "DELETE":
@@ -292,10 +297,12 @@ class Catalog:
                 "namespace string, tableName string",
             )
         if verb == "OPTIMIZE":
-            m = _rx(r"OPTIMIZE\s+([\w.]+)(?:\s+LEVELED)?$", stmt)
+            # LEVELED must be captured as its own group: a table named
+            # `my_leveled` would otherwise trip a suffix check
+            m = _rx(r"OPTIMIZE\s+([\w.]+)(\s+LEVELED)?$", stmt)
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
-            if stmt.upper().endswith("LEVELED"):
+            if m.group(2):
                 t.leveled_compaction()
             else:
                 t.compaction(force=True)
@@ -321,8 +328,11 @@ class Catalog:
             ns, name = self._split_name(m.group(1))
             return self.get_table(spark, name, ns).history()
         if verb in ("DESCRIBE", "DESC") and verb2 != "HISTORY":
-            m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?([\w.]+)$", stmt)
-            ns, name = self._split_name(m.group(1))
+            # EXTENDED is a captured keyword, not a substring test — a
+            # table whose NAME contains "extended" must not trigger it
+            m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(EXTENDED\s+)?([\w.]+)$", stmt)
+            extended = bool(m.group(1))
+            ns, name = self._split_name(m.group(2))
             info = self.get_table(spark, name, ns).info
             from lakesoul_spark.io.writer import table_schema as _ts
 
@@ -330,7 +340,7 @@ class Catalog:
                      "range" if f.name in info.range_partitions
                      else "hash" if f.name in info.hash_partitions else "")
                     for f in _ts(info).fields]
-            if "EXTENDED" in stmt.upper():
+            if extended:
                 rows += [
                     ("", "", ""),
                     ("# location", info.path, ""),
@@ -579,6 +589,32 @@ def _parse_props(body: str) -> dict[str, str]:
             raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
         props[km.group(1)] = km.group(2)
     return props
+
+
+def _find_top_keyword(s: str, keyword: str) -> int:
+    """Index of the first word-bounded, case-insensitive ``keyword``
+    occurring OUTSIDE quotes and parens, or -1."""
+    kw = keyword.upper()
+    depth, quote = 0, None
+    n = len(s)
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and s[i:i + len(kw)].upper() == kw:
+            before = s[i - 1] if i else " "
+            j = i + len(kw)
+            after = s[j] if j < n else " "
+            if (not (before.isalnum() or before == "_")
+                    and not (after.isalnum() or after == "_")):
+                return i
+    return -1
 
 
 def _split_top(s: str) -> list[str]:

@@ -29,6 +29,18 @@ import datetime
 OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+def _naive_utc(dt: datetime.datetime) -> datetime.datetime:
+    """Collapse tz-aware datetimes to naive UTC so stats bounds and
+    predicate literals live in ONE comparison domain. Spark writes
+    parquet TIMESTAMP adjusted-to-UTC, so pyarrow footer stats come
+    back tz-aware while pushed filter literals are naive; encoding
+    the former with a '+00:00' suffix would make an equal-instant
+    lower bound compare as lo > value and prune a matching file."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def encode_stat_value(v):
     """JSON-safe, ORDER-PRESERVING encoding of a stats value.
     Returns None for types whose encoding would not preserve order
@@ -37,8 +49,10 @@ def encode_stat_value(v):
         return None  # booleans are useless bounds; None = no stat
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()  # ISO order == chronological order
+    if isinstance(v, datetime.datetime):
+        return _naive_utc(v).isoformat()  # ISO order == chronological
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return None
 
 
@@ -120,8 +134,11 @@ def group_bounds(files) -> dict:
 
 
 def normalize_pred_value(v):
-    """Filter literals normalized into the stats encoding domain."""
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    """Filter literals normalized into the stats encoding domain
+    (same naive-UTC collapse as :func:`encode_stat_value`)."""
+    if isinstance(v, datetime.datetime):
+        return _naive_utc(v).isoformat()
+    if isinstance(v, (datetime.date,)):
         return v.isoformat()
     return v
 

@@ -141,7 +141,22 @@ def write_table_data(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if part_dirs:
         writer = writer.partitionBy(*part_dirs)
-    writer.parquet(out_dir)
+    # Spark's default INT96 timestamp encoding carries NO footer
+    # min/max — stats skipping and row-group pushdown on timestamp
+    # columns would silently never fire. Write modern TIMESTAMP_MICROS
+    # (the reference writes Arrow timestamp[us] natively); scoped so a
+    # user session's own conf is untouched afterwards.
+    spark = df.sparkSession
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(_TS_KEY, None)
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(out_dir)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prev_ts)
 
     return _collect_file_ops(info, out_dir, present)
 

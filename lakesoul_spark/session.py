@@ -37,6 +37,9 @@ def lakesoul_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) has no footer stats: timestamp
+        # columns would never stats-prune or row-group-skip
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # driver fixtures carry timestamp[ns] parquet columns, which the
         # vectorized reader rejects; read them as bigint nanos (exact —
         # ordering and interval arithmetic stay nanosecond-precise)

@@ -407,13 +407,26 @@ class LakeSoulTable:
             raise ValueError(
                 f"point_lookup needs exactly the PK columns {info.hash_partitions}"
             )
-        multi = any(isinstance(v, (list, tuple, set)) for v in pk_values.values())
+        multi = any(isinstance(v, (list, tuple, set, frozenset))
+                    for v in pk_values.values())
         if multi:
             lists = []
             n = None
             for c in info.hash_partitions:
                 v = pk_values[c]
-                v = list(v) if isinstance(v, (list, tuple, set)) else [v]
+                # sets are unordered: on a composite PK they would zip
+                # into key tuples nondeterministically — require an
+                # ordered sequence there (sets stay fine for 1-col PKs,
+                # where each element is a complete key on its own)
+                if (isinstance(v, (set, frozenset)) and len(v) > 1
+                        and len(info.hash_partitions) > 1):
+                    raise ValueError(
+                        f"multi-key point_lookup on a composite PK needs an "
+                        f"ordered list/tuple for column {c!r}, not a set "
+                        f"(set iteration order would pair values across "
+                        f"columns arbitrarily)"
+                    )
+                v = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 if n is None:
                     n = len(v)
                 elif len(v) not in (1, n):

@@ -119,3 +119,14 @@ def test_arrow_dataset_stats_filters(spark, tmp_path):
             )
         }
     assert rows == {(3, 30), (7, 1), (11, 110)}
+
+
+def test_arrow_dataset_unknown_filter_column_raises(spark, tmp_path):
+    """A misspelled filter column fails at construction instead of
+    silently yielding unfiltered data (ADVICE r3)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _build(spark, path)
+    with pytest.raises(ValueError, match="unknown filter column"):
+        LakeSoulArrowDataset(path, filters=[("nope", ">", 1)])

@@ -348,3 +348,98 @@ def test_sql_maintenance_verbs(cat, spark):
     cat.sql(spark, "VACUUM mt RETAIN 0 HOURS")
     got3 = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM mt").collect())
     assert got3 == [(1, 10), (2, 20)]
+
+
+def test_sql_keyword_like_table_names(cat, spark):
+    """Keyword-suffixed/containing names must not trip dispatch
+    heuristics (ADVICE r3): OPTIMIZE on `my_leveled` runs a FULL
+    compaction; DESCRIBE on `extended_stats` emits no extended rows."""
+    cat.sql(spark, """
+        CREATE TABLE my_leveled (id BIGINT, v BIGINT) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO my_leveled VALUES (1, 10), (2, 20)")
+    t = cat.get_table(spark, "my_leveled")
+    t.upsert(spark.createDataFrame([(1, 99)], "id bigint, v bigint"))
+    cat.sql(spark, "OPTIMIZE my_leveled")
+    ops = [r.operation for r in t.history().collect()]
+    assert ops[-1] == "compaction"  # full, not leveled_compaction
+
+    cat.sql(spark, """
+        CREATE TABLE extended_stats (id BIGINT, v BIGINT) USING lakesoul
+    """)
+    rows = cat.sql(spark, "DESCRIBE extended_stats").collect()
+    assert all(not r.col_name.startswith("#") for r in rows)
+    rows_ext = cat.sql(spark, "DESCRIBE EXTENDED extended_stats").collect()
+    assert any(r.col_name == "# location" for r in rows_ext)
+
+
+def test_sql_quoted_values_in_set_and_where(cat, spark):
+    """Quote-aware statement handling: commas/keywords/equals inside
+    string literals survive UPDATE SET / WHERE / TBLPROPERTIES."""
+    cat.sql(spark, """
+        CREATE TABLE qt (id BIGINT, note STRING, tag STRING) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2',
+                      'comment'='a, (b), c')
+    """)
+    assert cat.get_table(spark, "qt").info.properties["comment"] == "a, (b), c"
+    cat.sql(spark, "INSERT INTO qt VALUES (1, 'x', 'u'), (2, 'y', 'u')")
+    cat.sql(spark, "UPDATE qt SET note = 'a, b = c(d' WHERE id = 1")
+    got = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM qt").collect())
+    assert got == [(1, "a, b = c(d", "u"), (2, "y", "u")]
+    # WHERE containing a comma-and-keyword string literal
+    cat.sql(spark, "DELETE FROM qt WHERE note = 'a, b = c(d'")
+    assert cat.sql(spark, "SELECT * FROM qt").collect()[0].id == 2
+    # multi-assignment SET where one value holds a comma and the other
+    # a nested '=' inside a function call
+    cat.sql(spark,
+            "UPDATE qt SET note = 'p, q', tag = concat(tag, 'k=v')")
+    got2 = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM qt").collect())
+    assert got2 == [(2, "p, q", "uk=v")]
+
+
+def test_sql_where_keyword_inside_literal(cat, spark):
+    """'WHERE' inside a string literal must not terminate the SET list."""
+    cat.sql(spark, """
+        CREATE TABLE wt (id BIGINT, note STRING) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO wt VALUES (1, 'x'), (2, 'y')")
+    cat.sql(spark, "UPDATE wt SET note = 'a WHERE b'")
+    got = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM wt").collect())
+    assert got == [(1, "a WHERE b"), (2, "a WHERE b")]
+    cat.sql(spark, "UPDATE wt SET note = 'p WHERE q' WHERE id = 2")
+    got2 = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM wt").collect())
+    assert got2 == [(1, "a WHERE b"), (2, "p WHERE q")]
+
+
+def test_split_top_fuzz():
+    """Property: _split_top on k='v' pairs with arbitrary quoted values
+    (commas, parens, keywords, equals) always reassembles losslessly."""
+    from lakesoul_spark.catalog import _find_top_keyword, _split_top
+
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        return
+
+    val = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                               exclude_characters="'\""),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(val, val), min_size=1, max_size=5))
+    def check(pairs):
+        body = ", ".join(f"'k{i}{a}'='{b}'" for i, (a, b) in enumerate(pairs))
+        parts = _split_top(body)
+        assert len(parts) == len(pairs), (body, parts)
+        for part, (i, (a, b)) in zip(parts, enumerate(pairs)):
+            assert part == f"'k{i}{a}'='{b}'"
+        # a WHERE inside any quoted value is never found at top level
+        if any("WHERE" in f"{a}{b}".upper() for a, b in pairs):
+            probe = f"x = '{pairs[0][0]} WHERE {pairs[0][1]}'"
+            assert _find_top_keyword(probe, "WHERE") == -1
+
+    check()

@@ -380,3 +380,72 @@ try:
         assert got == want, f"{kind} {v!r} {op} {lit!r}"
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_timestamp_stats_tz_normalization():
+    """tz-aware footer stats vs naive predicate literals compare in ONE
+    domain (ADVICE r3): an '=' at a file's min bound must NOT prune."""
+    import datetime
+
+    from lakesoul_spark.io.stats import (
+        encode_stat_value,
+        normalize_pred_value,
+    )
+
+    naive = datetime.datetime(2020, 1, 1, 5, 0, 0)
+    aware = naive.replace(tzinfo=datetime.timezone.utc)
+    # same instant → same encoding, regardless of awareness
+    assert encode_stat_value(aware) == encode_stat_value(naive)
+    assert normalize_pred_value(aware) == normalize_pred_value(naive)
+    assert encode_stat_value(aware) == normalize_pred_value(naive)
+    # non-UTC zones collapse to the UTC instant
+    est = naive.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=-5)))
+    assert encode_stat_value(est) == encode_stat_value(
+        datetime.datetime(2020, 1, 1, 10, 0, 0)
+    )
+
+    class _F:
+        partition_desc = "-5"
+        bucket = 0
+        stats = {"ts": [encode_stat_value(aware),
+                        encode_stat_value(aware + datetime.timedelta(hours=1))]}
+
+    kept = prune_files([_F()], [("ts", "=", naive)], group_wise=False)
+    assert kept, "equal-instant min bound must not prune the file"
+    kept = prune_files([_F()], [("ts", "<=", naive)], group_wise=False)
+    assert kept
+
+
+def test_timestamp_stats_skipping_end_to_end(spark, tmp_table):
+    """Timestamp stats column: filter at the exact min boundary of a
+    file returns its rows (would silently vanish before the tz fix)."""
+    import datetime
+
+    base = datetime.datetime(2021, 6, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(minutes=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    write(df, tmp_table, mode="overwrite",
+          hash_partitions=["k"], hash_bucket_num=2,
+          properties={"lakesoul.statsColumns": "ts"})
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    snap = MetaStore(tmp_table).snapshot()
+    assert any(f.stats and "ts" in f.stats for f in snap.files)
+    got = t.to_df(file_filters=[("ts", "=", base)]).collect()
+    assert [(r.k, r.ts) for r in got] == [(0, base)]
+    got = t.to_df(file_filters=[("ts", "<=", base)]).collect()
+    assert [(r.k, r.ts) for r in got] == [(0, base)]
+
+
+def test_point_lookup_composite_pk_rejects_sets(spark, tmp_table):
+    """Sets are unordered — on a composite PK they would pair values
+    across columns arbitrarily (ADVICE r3). Single-col PK sets stay OK."""
+    df = spark.createDataFrame(
+        [(i % 5, i, i * 10) for i in range(50)], "a long, b long, v long"
+    )
+    write(df, tmp_table, mode="overwrite",
+          hash_partitions=["a", "b"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="ordered list/tuple"):
+        t.point_lookup(a={0, 1}, b=[10, 6])
+    # 1-element sets carry no ordering ambiguity
+    assert t.point_lookup(a={0}, b={10}).count() == 1
