@@ -3,6 +3,11 @@
 
 Each query materializes fully through Spark's noop sink (honest
 end-to-end cost: scan → shuffle → result, no driver collect skew).
+
+``--repeat N`` (or $SPARK_GRAFT_BENCH_REPEAT) runs every query N times
+and reports the per-query MEDIAN — single samples on this shared box
+are noisy up to ±2×, so regressions should be judged on medians. The
+JSON then carries ``"repeat": N, "stat": "median"``.
 """
 
 from __future__ import annotations
@@ -86,25 +91,45 @@ def main() -> None:
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # queries are self-contained; caches they pinned are dead weight
-        # for the rest of the run (GC pressure → noisy late timings)
-        spark.catalog.clearCache()
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    else:
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    # --median is accepted for explicitness; median is always the stat
+    # reported when repeat > 1
 
+    import statistics
+
+    qs = entrymod.queries()
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _rep in range(max(1, repeat)):
+        for name, fn in qs.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            print(f"# {name}: {dt}s", file=sys.stderr)
+            # queries are self-contained; caches they pinned are dead
+            # weight for the rest of the run (GC pressure → noisy late
+            # timings)
+            spark.catalog.clearCache()
+
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if repeat > 1:
+        out["repeat"] = repeat
+        out["stat"] = "median"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -376,16 +376,43 @@ class Catalog:
         # relational fallback: expose the lake as temp views, delegate.
         # Temp views cannot be dot-qualified, so qualified references
         # (`ns.table`) are rewritten to the `<ns>_<table>` view name.
+        # LAZY: only tables the statement textually references are
+        # resolved — with hundreds of catalog tables, registering all
+        # of them would cost hundreds of snapshot resolutions per
+        # statement. A name match inside a string literal registers one
+        # extra view (harmless); a genuine reference always matches
+        # (word-bounded scan, backticks are non-word chars). Safety
+        # net: if Spark still reports an unresolved relation, register
+        # everything once and retry.
+        stmt = self._register_referenced(spark, stmt)
+        try:
+            return spark.sql(stmt)
+        except Exception as e:  # pragma: no cover - safety net
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+                raise
+            stmt = self._register_referenced(spark, stmt, register_all=True)
+            return spark.sql(stmt)
+
+    def _register_referenced(
+        self, spark: SparkSession, stmt: str, *, register_all: bool = False
+    ) -> str:
+        """Create temp views for the catalog tables ``stmt`` references
+        (all of them when ``register_all``); returns the statement with
+        dot-qualified names rewritten to their view names."""
         for ns in self.list_namespaces():
             for name in self.list_tables(ns):
                 view = name if ns == "default" else f"{ns}_{name}"
+                qualified = rf"\b{re.escape(ns)}\.{re.escape(name)}\b"
+                referenced = register_all or re.search(
+                    qualified, stmt, re.I
+                ) or re.search(rf"\b{re.escape(view)}\b", stmt, re.I)
+                if not referenced:
+                    continue
                 self.get_table(spark, name, ns).to_df() \
                     .createOrReplaceTempView(view)
                 if ns != "default":
-                    stmt = re.sub(
-                        rf"\b{re.escape(ns)}\.{re.escape(name)}\b", view, stmt
-                    )
-        return spark.sql(stmt)
+                    stmt = re.sub(qualified, view, stmt, flags=re.I)
+        return stmt
 
     # ------------------------------------------------------- SQL internals
 

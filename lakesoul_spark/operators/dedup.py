@@ -434,7 +434,12 @@ def embedding_cosine_blocked_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
-def duplicate_clusters(pairs: DataFrame, *, checkpoint_dir: str | None = None) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    checkpoint_dir: str | None = None,
+    materialize_edges: bool = True,
+) -> DataFrame:
     """Connected components over near-dup pairs → cluster assignment
     (the step after pair generation in a dedup pipeline: every doc in a
     component keeps the component's min id as ``cluster_id``; the
@@ -461,12 +466,17 @@ def duplicate_clusters(pairs: DataFrame, *, checkpoint_dir: str | None = None) -
 
     # materialize the (symmetrized) edge set ONCE — every round joins
     # against it; the checkpoint also cuts the (possibly expensive)
-    # pair-generation lineage out of the loop
-    edges = cut(
+    # pair-generation lineage out of the loop. ``materialize_edges=
+    # False`` keeps the edge lineage lazy instead (every round then
+    # recomputes pair generation — only sensible when pair-gen is
+    # trivial and the component diameter is 1-2 rounds).
+    edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .distinct()
     )
+    if materialize_edges:
+        edges = cut(edges)
     labels = cut(
         edges.select(F.col("a").alias("id"))
         .distinct()

@@ -60,6 +60,21 @@ def _pil():
     return _PIL_PROBE[0]
 
 
+_AV_PROBE: list = []  # same caching contract as _PIL_PROBE
+
+
+def _av():
+    """Optional real video decode: PyAV (ffmpeg bindings) when
+    installed, else None — the video twin of the PIL gate."""
+    if not _AV_PROBE:
+        try:
+            import av
+            _AV_PROBE.append(av)
+        except ImportError:
+            _AV_PROBE.append(None)
+    return _AV_PROBE[0]
+
+
 def decode_stub(payload: bytes, media_type: str) -> dict:
     """STUB decode: features are deterministic functions of the bytes
     (md5, length). The real path (:func:`decode_media`) is used when
@@ -165,23 +180,62 @@ def resize_media(media: DataFrame, *, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _real_frames(payload: bytes, every_ms: int, av_mod) -> list[str] | None:
+    """Decode ``payload`` with PyAV and return the md5 of the RGB bytes
+    of one frame per ``every_ms`` of media time; None when the bytes do
+    not open as a video (→ caller falls back to the stub)."""
+    import hashlib
+    import io
+
+    try:
+        with av_mod.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            out: list[str] = []
+            next_ts = 0.0
+            for frame in container.decode(stream):
+                t_ms = float(frame.time or 0.0) * 1000.0
+                if t_ms + 1e-6 >= next_ts:
+                    rgb = frame.to_ndarray(format="rgb24")
+                    out.append(hashlib.md5(rgb.tobytes()).hexdigest())
+                    next_ts += every_ms
+            return out or None
+    except Exception:
+        return None
+
+
 def sample_frames(media: DataFrame, *, every_ms: int) -> DataFrame:
     """Frame-sampling stage: 1:N fan-out through ``mapInPandas`` (one
     input video row → ceil(duration/every_ms) frame rows) — the batch
-    shape a real ffmpeg-backed sampler uses. The frame DECODE is
-    stubbed deterministically (frame_md5 = md5(payload_md5 ':' idx)),
-    which keeps the fan-out itself fully value-checkable by a SQL
-    oracle."""
+    shape a real ffmpeg-backed sampler uses.
+
+    When PyAV (ffmpeg bindings) is installed AND the payload opens as a
+    video, frames are REALLY decoded — one per ``every_ms`` of media
+    time, ``frame_md5`` = md5 of the frame's RGB bytes (mirror of the
+    PIL gate in :func:`decode_media`). Otherwise — every payload in
+    this av-less container, and any undecodable bytes — the
+    deterministic stub runs (frame_md5 = md5(payload_md5 ':' idx) over
+    the metadata duration), which keeps the fan-out fully
+    value-checkable by a SQL oracle on stub fixtures."""
     import hashlib
 
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        av_mod = _av()
         for pdf in batches:
             ids, idxs, md5s = [], [], []
-            for mid, payload, dur in zip(
-                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            for mid, payload, mtype, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"],
+                pdf["duration_ms"],
             ):
+                if av_mod is not None and mtype == "video":
+                    real = _real_frames(payload, every_ms, av_mod)
+                    if real is not None:
+                        for i, h in enumerate(real):
+                            ids.append(mid)
+                            idxs.append(i)
+                            md5s.append(h)
+                        continue
                 if dur is None or pd.isna(dur):
                     continue
                 pmd5 = hashlib.md5(payload).hexdigest()

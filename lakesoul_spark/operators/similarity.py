@@ -319,28 +319,19 @@ def build_vector_index(
 
     from pyspark.sql import functions as F
 
+    from lakesoul_spark.meta.store import MetaStore
     from lakesoul_spark.table import LakeSoulTable, write
 
+    # the base-table version this index reflects, recorded BEFORE the
+    # snapshot read (conservative: a commit racing the build gets
+    # re-processed by the next refresh, never lost)
+    base_head = MetaStore(table.path).head_version()
     src = table.to_df().select(id_col, vec_col)
     cents = train_ivf_centroids(
         src, vec_col=vec_col, nlist=nlist, seed=seed, sort_col=id_col
     )
-    assigned = src.withColumn(
-        "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
-    )
+    assigned = _index_rows(src, cents, vec_col, rotation_seed)
     words = (len(cents[0]) + 31) // 32
-    if rotation_seed is None:
-        # axis-aligned sign bits: pure codegen, SQL-oracle-checkable
-        assigned = assigned.select(
-            "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
-        )
-    else:
-        # full RaBitQ recipe: rotate the residual before quantizing
-        # (build-time numpy pass; the stored codes are what search uses)
-        rot = _rotation_matrix(len(cents[0]), rotation_seed)
-        assigned = _add_rotated_codes(
-            assigned, vec_col, cents, rot, words=words
-        )
     idx_path = f"{table.path}/_vector_index"
     import shutil
 
@@ -352,11 +343,167 @@ def build_vector_index(
         "vector.id_col": id_col,
         "vector.vec_col": vec_col,
         "vector.code_words": str(words),
+        "vector.base_version": str(base_head),
     }
     if rotation_seed is not None:
         props["vector.rotation_seed"] = str(rotation_seed)
     t.set_properties(props)
     return idx_path
+
+
+def _index_rows(src: DataFrame, cents, vec_col: str, rotation_seed: int | None) -> DataFrame:
+    """(id, vec) rows → index rows: cell assignment + packed residual
+    sign codes (shared by full build and incremental refresh)."""
+    assigned = src.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
+    )
+    words = (len(cents[0]) + 31) // 32
+    if rotation_seed is None:
+        # axis-aligned sign bits: pure codegen, SQL-oracle-checkable
+        return assigned.select(
+            "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
+        )
+    # full RaBitQ recipe: rotate the residual before quantizing
+    # (build-time numpy pass; the stored codes are what search uses)
+    rot = _rotation_matrix(len(cents[0]), rotation_seed)
+    return _add_rotated_codes(assigned, vec_col, cents, rot, words=words)
+
+
+def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
+    """Incrementally maintain the persisted index after base-table
+    commits (reference builds per-shard so new data rebuilds one shard,
+    not the world — ``python/src/lakesoul/vector_index.py:96-160``;
+    here the unit is the kmeans cell partition).
+
+    Mechanics: the ids changed since ``vector.base_version`` come from
+    the delta files of the commits in between (no base-table scan);
+    their CURRENT vectors come from a semi-join against the MOR view;
+    affected cells = the ids' old cells (column-pruned id→cell index
+    scan) ∪ their new cells. Only those cells' partitions are
+    rewritten — unchanged rows kept via anti-join, changed ids'
+    fresh rows unioned in — through one dynamic-partition-overwrite
+    commit; cells left empty are dropped with a metadata-only
+    partition delete. Untouched cell partitions get NO new commit.
+
+    The coarse quantizer is NOT retrained (same contract as the
+    reference: the shard index is rebuilt under the existing recipe;
+    re-train by calling :func:`build_vector_index` periodically when
+    drift accumulates).
+
+    UPDATE/DELETE rewrite commits on the base table cannot be read as
+    a row delta; ``on_rewrite="rebuild"`` (default) falls back to a
+    full rebuild with the STORED centroids/settings, ``"fail"``
+    raises. CDC delete rows need no special case: the changed id
+    vanishes from the MOR view, so its index entries are anti-joined
+    away.
+
+    Returns ``{"mode": "noop"|"incremental"|"rebuild",
+    "changed_ids": n, "affected_cells": [...]}``.
+    """
+    import json as _json
+
+    from lakesoul_spark.io import reader as rdr
+    from lakesoul_spark.meta.store import DataRewriteError, MetaStore
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    if on_rewrite not in ("rebuild", "fail"):
+        raise ValueError(f"on_rewrite must be 'rebuild' or 'fail', got {on_rewrite!r}")
+    spark = table.spark
+    idx_path = f"{table.path}/_vector_index"
+    idx = LakeSoulTable.for_path(spark, idx_path)
+    props = idx.info.properties
+    cents_list = _json.loads(props["vector.centroids"])
+    id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
+    rot_seed = props.get("vector.rotation_seed")
+    rot_seed = int(rot_seed) if rot_seed is not None else None
+    base_v = int(props["vector.base_version"])
+
+    base_store = MetaStore(table.path)
+    head = base_store.head_version()
+    if head <= base_v:
+        return {"mode": "noop", "changed_ids": 0, "affected_cells": []}
+
+    def _full_rebuild() -> dict:
+        nlist = len(cents_list)
+        build_vector_index(
+            table, id_col=id_col, vec_col=vec_col, nlist=nlist,
+            rotation_seed=rot_seed,
+        )
+        return {"mode": "rebuild", "changed_ids": -1, "affected_cells": []}
+
+    try:
+        delta_files = base_store.files_in_version_range(
+            base_v, head, on_rewrite="fail"
+        )
+    except DataRewriteError:
+        if on_rewrite == "fail":
+            raise
+        return _full_rebuild()
+
+    import os as _os
+
+    paths = [_os.path.join(table.path, f.path) for f in delta_files]
+    if not paths:
+        # e.g. only compaction commits since the build — nothing changed
+        idx.set_properties({"vector.base_version": str(head)})
+        return {"mode": "noop", "changed_ids": 0, "affected_cells": []}
+    changed_ids = (
+        spark.read.parquet(*paths).select(id_col).distinct()
+    ).cache()
+    n_changed = changed_ids.count()
+
+    # old cells: column-pruned (id, cell) scan of the index, the one
+    # O(index) step (2 narrow columns; the reference's per-shard build
+    # avoids it by sharding on base partition×bucket instead of cell)
+    old_cells = {
+        r["cell"]
+        for r in idx.to_df().select(id_col, "cell")
+        .join(changed_ids, id_col, "semi")
+        .select("cell").distinct().collect()
+    }
+    # fresh rows: current MOR values of the changed ids (a CDC-deleted
+    # or rewritten-away id simply yields no row here)
+    fresh_src = (
+        table.to_df().select(id_col, vec_col)
+        .join(changed_ids, id_col, "semi")
+    )
+    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed).cache()
+    new_cells = {r["cell"] for r in fresh.select("cell").distinct().collect()}
+    affected = sorted(old_cells | new_cells)
+    if not affected:
+        changed_ids.unpersist()
+        idx.set_properties({"vector.base_version": str(head)})
+        return {"mode": "noop", "changed_ids": n_changed, "affected_cells": []}
+
+    # rebuild ONLY the affected cells' partitions: survivors + fresh
+    snap = MetaStore(idx_path).snapshot(
+        partition_descs={f"cell={c}" for c in affected}
+    )
+    survivors = (
+        rdr.merge_view(spark, idx.info, snap)
+        .join(changed_ids, id_col, "anti")
+    )
+    content = survivors.select(*fresh.columns).unionByName(fresh)
+    written = {r["cell"] for r in content.select("cell").distinct().collect()}
+    if written:
+        write(
+            content.filter(F.col("cell").isin(*[int(c) for c in written])),
+            idx_path, mode="overwrite",
+        )  # dynamic partition overwrite: expires only written partitions
+    empty = set(affected) - written
+    if empty:
+        # every row of these cells was a changed id that moved away —
+        # metadata-only partition delete
+        cond = " OR ".join(f"cell = {int(c)}" for c in sorted(empty))
+        idx.delete(cond)
+    changed_ids.unpersist()
+    fresh.unpersist()
+    idx.set_properties({"vector.base_version": str(head)})
+    return {
+        "mode": "incremental",
+        "changed_ids": n_changed,
+        "affected_cells": affected,
+    }
 
 
 def vector_search(

@@ -15,10 +15,12 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a prefix of this dict).  Lakehouse/streaming mutation queries come
-# first in round 3 so they get externally-verified rows; the TPC-H pack that
-# rotates out of the window was driver-green in rounds 1 and 2.
-_MODULE_ORDER = (lakehouse, pipeline, tpch)
+# verifies a prefix of this dict).  Round 4 rotates the TPC-H/relational pack
+# (driver-green in r1/r2, out of window in r3) back to the front so it gets
+# re-verified against the current reader/writer, followed by the lakehouse
+# pack (whose write path changed this round: TIMESTAMP_MICROS).  The pipeline
+# pack rotates out after its green r3 rows.  Keep alternating per round.
+_MODULE_ORDER = (tpch, lakehouse, pipeline)
 
 
 def all_queries():

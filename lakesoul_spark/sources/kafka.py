@@ -131,10 +131,16 @@ def ingest_topics(
     """Start one streaming query per topic. Requires the Kafka
     connector on the classpath (spark-sql-kafka-0-10)."""
     if not _kafka_available(spark):
+        import pyspark
+
+        scala = "2.13"  # Spark 4.x ships Scala 2.13 only
         raise NotImplementedError(
-            "Kafka connector (spark-sql-kafka-0-10) is not on the "
-            "classpath in this environment; use topic_batch_to_table "
-            "for the batch-side plumbing"
+            "Kafka connector is not on the classpath; start the session "
+            "with spark.jars.packages="
+            f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__} "
+            "(or pass the same coordinate to --packages). Without it, "
+            "topic_batch_to_table / ingest_record_stream cover the "
+            "broker-free plumbing."
         )
     queries = []
     for topic, schema in topics.items():

@@ -35,52 +35,115 @@ def first_event_per_key(
     *,
     order_col: str,
     ttl_ms: int | None = None,
+    settle_ms: int | None = None,
 ) -> DataFrame:
     """Streaming dedup: emit each key's first event, drop the rest.
 
-    "First" = the minimum ``order_col`` row of the first micro-batch in
-    which the key appears (if the source delivers batches in
-    ``order_col`` order — e.g. sorted files with maxFilesPerTrigger —
-    this is the global arg-min and the operator is deterministic and
-    SQL-oracle-checkable).
+    **Fast path (default, ``settle_ms=None``)**: "first" = the minimum
+    ``order_col`` row of the first micro-batch in which the key appears
+    (if the source delivers batches in ``order_col`` order — e.g.
+    sorted files with maxFilesPerTrigger — this is the global arg-min
+    and the operator is deterministic and SQL-oracle-checkable). With
+    OUT-OF-ORDER delivery across batches the winner is batch-dependent:
+    a smaller ``order_col`` arriving in a LATER batch loses.
 
-    State per key is a single marker (no payload), so total state is
-    O(distinct keys). For unbounded key spaces pass ``ttl_ms``: markers
-    expire after that much processing time and a key recurring later is
-    treated as new — the standard bounded-state trade-off.
+    **Strict mode (``settle_ms=N``)**: the candidate min-order event is
+    HELD in state for a settle window of N ms of processing time; any
+    smaller-order event arriving within the window (each arrival
+    resets it) replaces the candidate, and the winner is emitted only
+    when the window expires quietly. Late events bounded by the settle
+    window can no longer flip the result — emission latency is the
+    price. State per key grows by the one held row.
+
+    State per key is a single marker (fast path: no payload), so total
+    state is O(distinct keys). For unbounded key spaces pass
+    ``ttl_ms``: markers expire after that much processing time and a
+    key recurring later is treated as new — the standard bounded-state
+    trade-off.
     """
     out_schema = sdf.schema
     cols = list(sdf.columns)
 
-    def fn(
+    if settle_ms is None:
+        def fn(
+            key, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.hasTimedOut:
+                state.remove()
+                return
+            first = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                cand = pdf.loc[[pdf[order_col].idxmin()]]
+                if first is None or cand[order_col].iloc[0] < first[order_col].iloc[0]:
+                    first = cand
+            if not state.exists and first is not None:
+                state.update((True,))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)
+                yield first[cols]
+            elif state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # refresh the TTL
+
+        return sdf.groupBy(*key_cols).applyInPandasWithState(
+            fn,
+            out_schema,
+            "seen boolean",
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout,
+        )
+
+    # strict mode: state = (emitted, held candidate row). The held row
+    # rides as a pickled one-row frame in a binary column — the state
+    # schema stays key-agnostic and the payload round-trips all types.
+    import pickle
+
+    def fn_strict(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            state.remove()
+            emitted, payload = state.get
+            if emitted:
+                state.remove()  # ttl expired on an already-emitted key
+                return
+            # settle window expired quietly → the held candidate wins
+            state.update((True, b""))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pickle.loads(payload)[cols]
             return
-        first = None
+        best = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             cand = pdf.loc[[pdf[order_col].idxmin()]]
-            if first is None or cand[order_col].iloc[0] < first[order_col].iloc[0]:
-                first = cand
-        if not state.exists and first is not None:
-            state.update((True,))
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
-            yield first[cols]
-        elif state.exists and ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)  # refresh the TTL
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        if best is None:
+            return
+        if state.exists:
+            emitted, payload = state.get
+            if emitted:
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)  # refresh the TTL
+                return
+            held = pickle.loads(payload)
+            if best[order_col].iloc[0] < held[order_col].iloc[0]:
+                payload = pickle.dumps(best)
+            state.update((False, payload))
+        else:
+            state.update((False, pickle.dumps(best)))
+        state.setTimeoutDuration(settle_ms)
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
-        fn,
+        fn_strict,
         out_schema,
-        "seen boolean",
+        "emitted boolean, payload binary",
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -522,3 +522,55 @@ def test_stateful_sessionize(spark, tmp_path):
         (1, s(30), s(31), 2),
         (2, s(3), s(3), 1),
     ]
+
+
+def test_stateful_first_event_strict_mode(spark, tmp_path):
+    """Strict mode holds the candidate for a settle window: a smaller
+    order_col delivered in a LATER batch still wins (the fast path, by
+    documented contract, would emit the first batch's row and drop the
+    late true-first)."""
+    import time
+
+    from lakesoul_spark.streaming.stateful import first_event_per_key
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, user_id int, payload string"
+    df1 = _df(spark, [(5, 0, "late-loser")], schema)
+    df1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)  # file-source batch order follows modification time
+    _df(spark, [(3, 0, "true-first")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (spark.readStream.schema(df1.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = first_event_per_key(sdf, ["user_id"], order_col="event_id",
+                              settle_ms=4000)
+    q = (out.writeStream.format("memory").queryName("strict_ev")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("strict_ev").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert [tuple(r) for r in rows] == [(3, 0, "true-first")], rows
+        # the emission marker persists: nothing else ever comes out
+        time.sleep(3)
+        assert spark.table("strict_ev").count() == 1
+    finally:
+        q.stop()
+
+    # fast path on the same data: the first batch wins (documented
+    # order-sensitivity — this is exactly what strict mode fixes)
+    sdf2 = (spark.readStream.schema(df1.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+    fast = first_event_per_key(sdf2, ["user_id"], order_col="event_id")
+    q2 = (fast.writeStream.format("memory").queryName("fast_ev")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert [tuple(r) for r in spark.table("fast_ev").collect()] \
+        == [(5, 0, "late-loser")]
