@@ -47,6 +47,81 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4-style global chunk-level dedup: split every document into
+    consecutive ``chunk_words``-token chunks, keep each distinct chunk
+    only at its FIRST corpus occurrence (min (doc_id, chunk_idx)), and
+    reassemble documents from their surviving chunks.
+
+    Output: (doc_id, n_chunks, kept_chunks, clean_text) — every input
+    document survives, possibly with an empty ``clean_text``.
+
+    Scale design: chunking is map-only (array slice expressions, no
+    explode-then-regroup for tokenization); the winner per chunk is a
+    hash AGGREGATION (map-side combine collapses hot chunks — a window
+    over partitionBy(chunk) would sort every occurrence of a viral
+    chunk into one task), then one shuffle join back on the md5 chunk
+    key and one groupBy(doc) to reassemble. Three shuffles total, all
+    on uniform md5/id keys.
+
+    Reference analog: LakeSoul delegates corpus-prep transforms to the
+    host engine (README.md:31-39 positions it under AI data pipelines);
+    this is the engine-side operator a 100 TB text pipeline needs.
+    """
+    w = int(chunk_words)
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = F.ceil(F.size("_arr") / F.lit(float(w))).cast("int")
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"), arr.alias("_arr")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice("_arr", i * w + 1, w)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("chunk_key", F.md5("chunk"))
+
+    winners = chunks.groupBy("chunk_key").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    ).select(
+        "chunk_key",
+        F.col("w.doc_id").alias("w_doc"),
+        F.col("w.chunk_idx").alias("w_idx"),
+    )
+
+    flagged = chunks.join(winners, "chunk_key").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("w_doc"))
+        & (F.col("chunk_idx") == F.col("w_idx")),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_idx", "kept", "chunk"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(ordered, lambda x: x["kept"]),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "kept_chunks", "clean_text")
+    )
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Ensure CPU-bound per-row work (regexp tokenization) runs wide.
 

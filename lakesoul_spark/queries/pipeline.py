@@ -80,6 +80,38 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs(spark, sf_dir))
 
 
+@_register(
+    "dedup_chunk_global",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_idx,
+             array_to_string(arr[g.i*10+1 : g.i*10+10], ' ') AS chunk
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(ceil(len(arr)/10.0) AS BIGINT) - 1)) AS i) g),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) = 1 AS kept
+      FROM chunks)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                    FILTER (WHERE kept), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_chunk_global(spark, sf_dir):
+    """C4-style global chunk dedup: each distinct 10-token chunk
+    survives only at its first corpus occurrence; documents are
+    reassembled from surviving chunks. Winner selection is a hash
+    aggregation (skew-safe), not a window."""
+    return dedup.chunk_dedup(docs(spark, sf_dir), chunk_words=10)
+
+
 # ---------------------------------------------------- exact n-gram jaccard
 
 _JACCARD_ORACLE = f"""
@@ -731,6 +763,34 @@ def multimodal_frame_sample(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = multimodal.pack_media(docs(spark, sf_dir), "doc_id", "text", "text_as_media")
     return multimodal.extract_features(media)
+
+
+@_register(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(2 AS INTEGER) AS sample_width,
+           CAST(n_chars % 400 + 50 AS BIGINT) AS n_frames,
+           CAST((n_chars % 400 + 50) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 1000 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode, end to end: synthesize a deterministic WAV
+    payload per document (mono 16-bit square wave, frames = n_chars
+    derived, amplitude = doc_id % 1000), then decode it with the
+    stdlib ``wave`` module and compute RMS from the PCM samples with
+    numpy. The square wave makes RMS exactly the amplitude, so the
+    whole real decode+DSP path is value-hash-checked by the oracle.
+    Map-only (two Arrow-batched stages), zero shuffles."""
+    d = docs(spark, sf_dir).select("doc_id", "n_chars")
+    media = multimodal.pack_wav(
+        d, "doc_id", F.col("n_chars") % 400 + 50, F.col("doc_id") % 1000
+    )
+    return multimodal.extract_audio_features(media)
 
 
 # --------------------------------------------- training-set assembly

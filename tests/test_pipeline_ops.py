@@ -131,6 +131,47 @@ def test_exact_dedup_keeps_first_by_id(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
 
 
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Global chunk dedup: a chunk repeated across (and within) docs
+    survives only at its min-(doc_id, chunk_idx) occurrence; every doc
+    survives reassembly, even fully-deduplicated ones."""
+    df = _df(
+        spark,
+        [
+            (1, "a b c x y z"),          # chunks: "a b c", "x y z"
+            (2, "a b c q r s"),          # "a b c" removed (doc 1 wins)
+            (3, "x y z x y z"),          # both chunks removed
+            (4, "fresh words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(df, chunk_words=3).collect()
+    }
+    assert len(out) == 4
+    assert out[1].clean_text == "a b c x y z"
+    assert (out[1].n_chunks, out[1].kept_chunks) == (2, 2)
+    assert out[2].clean_text == "q r s"
+    assert (out[2].n_chunks, out[2].kept_chunks) == (2, 1)
+    # doc 3: first "x y z" already owned by doc 1, second is a
+    # within-doc repeat — both go, the row stays
+    assert out[3].clean_text == ""
+    assert (out[3].n_chunks, out[3].kept_chunks) == (2, 0)
+    assert out[4].clean_text == "fresh words here"
+
+    # short tail: 4 tokens -> chunks of 3 then 1
+    tail = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(
+            _df(spark, [(9, "p q r tail")], "doc_id long, text string"),
+            chunk_words=3,
+        ).collect()
+    }
+    assert tail[9].clean_text == "p q r tail"
+    assert tail[9].n_chunks == 2
+
+
 def test_minhash_deterministic(spark):
     df = _df(spark, [(1, "the quick brown fox jumps over the lazy dog"),
                      (2, "the quick brown fox jumps over the lazy cat")],
@@ -410,6 +451,60 @@ def test_decode_stub_path_is_pil_independent():
     payload = b"definitely not an image"
     assert mm.decode_media(payload, "image") == mm.decode_stub(payload, "image")
     assert mm.decode_media(payload, "video") == mm.decode_stub(payload, "video")
+
+
+def test_wav_decode_round_trip():
+    """Audio decode is REAL (stdlib wave, no optional gate): a
+    synthesized square-wave WAV round-trips header metadata exactly and
+    RMS equals the amplitude; non-WAV bytes return None."""
+    from lakesoul_spark.operators import multimodal as mm
+
+    wav = mm.synthesize_wav(123, 700, sample_rate=8000)
+    feats = mm.decode_audio(wav)
+    assert feats == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "sample_width": 2,
+        "n_frames": 123,
+        "duration_ms": 123 * 1000 // 8000,
+        "rms": 700.0,
+    }
+    assert mm.decode_audio(b"not a riff header") is None
+    # empty signal: metadata decodes, rms undefined -> None
+    empty = mm.synthesize_wav(0, 5)
+    assert mm.decode_audio(empty)["rms"] is None
+
+
+def test_audio_features_pipeline(spark):
+    """pack_wav -> extract_audio_features over Spark: real decode per
+    row, null features (not dropped rows) for undecodable payloads."""
+    from lakesoul_spark.operators import multimodal as mm
+
+    df = _df(
+        spark,
+        [(1, 80, 10), (2, 160, 999), (3, 41, 0)],
+        "doc_id long, frames long, amp long",
+    )
+    media = mm.pack_wav(df, "doc_id", F.col("frames"), F.col("amp"))
+    out = {r.media_id: r for r in mm.extract_audio_features(media).collect()}
+    assert out[1].n_frames == 80 and out[1].rms == 10.0
+    assert out[2].n_frames == 160 and out[2].rms == 999.0
+    assert out[3].rms == 0.0
+    assert all(out[i].sample_rate == 8000 for i in out)
+
+    # corrupt one payload: row survives with null features
+    import pandas as pd
+
+    def corrupt(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [b"junk"] * len(pdf)
+            yield pdf
+
+    bad = media.mapInPandas(corrupt, mm.MEDIA_SCHEMA)
+    rows = mm.extract_audio_features(bad).collect()
+    assert len(rows) == 3
+    assert all(r.sample_rate is None and r.rms is None for r in rows)
 
 
 def test_real_pil_decode_and_resize(spark):
