@@ -191,6 +191,8 @@ class Catalog:
             DROP NAMESPACE [IF EXISTS] ns [CASCADE]
             SHOW NAMESPACES
             SHOW TABLES [IN ns]
+            SHOW PARTITIONS [ns.]t
+            SHOW TBLPROPERTIES [ns.]t [('key')]
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
             DESCRIBE HISTORY [ns.]t
             SHOW CREATE TABLE [ns.]t
@@ -198,9 +200,15 @@ class Catalog:
             VACUUM [ns.]t [RETAIN n HOURS]
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
 
-        Returns a DataFrame for queries / SHOW TABLES, else None.
+        Identifiers may be backtick-quoted (```ns`.`t```); backticks
+        around word-character identifiers are stripped (outside string
+        literals) before dispatch, mirroring how Spark's parser
+        normalizes them. Returns a DataFrame for queries / SHOW
+        TABLES, else None. For ``;``-separated scripts use
+        :meth:`sql_script`.
         """
         stmt = statement.strip().rstrip(";").strip()
+        stmt = _strip_backticks(stmt)
         head = re.match(r"(\w+)\s+(\w+)?", stmt)
         verb = (head.group(1) if head else "").upper()
         verb2 = (head.group(2) or "" if head else "").upper()
@@ -295,6 +303,35 @@ class Catalog:
             return spark.createDataFrame(
                 [(ns, n) for n in self.list_tables(ns)] or [],
                 "namespace string, tableName string",
+            )
+        if verb == "SHOW" and verb2 == "PARTITIONS":
+            m = _rx(r"SHOW\s+PARTITIONS\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            t = self.get_table(spark, name, ns)
+            from lakesoul_spark.meta.store import NON_PARTITIONED
+
+            descs = sorted(
+                {f.partition_desc for f in t.store.snapshot().files}
+                - {NON_PARTITIONED}
+            )
+            return spark.createDataFrame(
+                [(d,) for d in descs] or [], "partition string"
+            )
+        if verb == "SHOW" and verb2 == "TBLPROPERTIES":
+            m = _rx(
+                r"SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+                r"(?:\s*\(\s*'([^']*)'\s*\))?$",
+                stmt,
+            )
+            ns, name = self._split_name(m.group(1))
+            props = dict(self.get_table(spark, name, ns).info.properties)
+            if m.group(2) is not None:
+                key = m.group(2)
+                rows = [(key, props.get(key))]
+            else:
+                rows = sorted(props.items())
+            return spark.createDataFrame(
+                rows or [], "key string, value string"
             )
         if verb == "OPTIMIZE":
             # LEVELED must be captured as its own group: a table named
@@ -392,6 +429,18 @@ class Catalog:
                 raise
             stmt = self._register_referenced(spark, stmt, register_all=True)
             return spark.sql(stmt)
+
+    def sql_script(self, spark: SparkSession, script: str) -> list:
+        """Run a ``;``-separated multi-statement script through
+        :meth:`sql`, splitting on semicolons OUTSIDE string literals
+        (a ``';'`` inside a literal does not end a statement — the
+        trap the reference avoids by using Spark's ANTLR parser,
+        ``LakeSoulSqlExtensions.g4``). Returns the per-statement
+        results in order (None for non-query statements)."""
+        return [
+            self.sql(spark, s)
+            for s in _split_statements(script)
+        ]
 
     def _register_referenced(
         self, spark: SparkSession, stmt: str, *, register_all: bool = False
@@ -616,6 +665,63 @@ def _parse_props(body: str) -> dict[str, str]:
             raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
         props[km.group(1)] = km.group(2)
     return props
+
+
+def _strip_backticks(stmt: str) -> str:
+    """Strip backticks around word-character identifiers, skipping
+    string literals ('' / ""). ```ns`.`t``` becomes ``ns.t``; a
+    backtick inside a quoted literal is untouched. Identifiers whose
+    quoted form contains non-word characters are left quoted (the
+    downstream name validation rejects them with a clear error)."""
+    out: list[str] = []
+    quote = None
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in "'\"":
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "`":
+            j = stmt.find("`", i + 1)
+            body = stmt[i + 1:j] if j > i else ""
+            if j > i and re.fullmatch(r"\w+", body):
+                out.append(body)
+                i = j + 1
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on ``;`` outside quotes; drops empty parts."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote = None
+    for ch in script:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _find_top_keyword(s: str, keyword: str) -> int:

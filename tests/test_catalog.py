@@ -475,3 +475,59 @@ def test_sql_fallback_is_lazy(cat, spark, monkeypatch):
     calls.clear()
     cat.sql(spark, "SELECT a.v FROM lz0 a JOIN other.lzx b ON a.id = b.id")
     assert {p.rsplit("/", 1)[-1] for p in set(calls)} == {"lz0", "lzx"}
+
+
+def test_sql_backtick_identifiers(cat, spark):
+    """Backtick-quoted identifiers parse in every dispatcher verb;
+    backticks inside string literals are untouched."""
+    cat.sql(spark, "CREATE TABLE `bt` (id INT, note STRING) USING lakesoul "
+                   "TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')")
+    cat.sql(spark, "INSERT INTO `bt` VALUES (1, 'x'), (2, 'y')")
+    cat.sql(spark, "UPDATE `bt` SET `note` = 'has `tick` inside' WHERE `id` = 1")
+    rows = {r.id: r.note for r in cat.sql(spark, "SELECT * FROM `bt`").collect()}
+    assert rows[1] == "has `tick` inside" and rows[2] == "y"
+    cat.create_namespace("qns")
+    cat.sql(spark, "CREATE TABLE `qns`.`t2` (id INT) USING lakesoul")
+    assert cat.table_exists("t2", "qns")
+    got = cat.sql(spark, "DESCRIBE `qns`.`t2`").collect()
+    assert [r.col_name for r in got] == ["id"]
+    cat.sql(spark, "DROP TABLE `qns`.`t2`")
+    assert not cat.table_exists("t2", "qns")
+
+
+def test_sql_script_multi_statement(cat, spark):
+    """;-separated scripts run statement by statement; a semicolon
+    inside a string literal does not split."""
+    out = cat.sql_script(spark, """
+        CREATE TABLE sc (id INT, note STRING) USING lakesoul
+            TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2');
+        INSERT INTO sc VALUES (1, 'a;b');
+        UPDATE sc SET note = 'x;y' WHERE id = 1;
+        SELECT id, note FROM sc;
+    """)
+    assert out[0] is None and out[1] is None and out[2] is None
+    assert [tuple(r) for r in out[3].collect()] == [(1, "x;y")]
+
+
+def test_sql_show_partitions_and_tblproperties(cat, spark):
+    cat.sql(spark, "CREATE TABLE sp (id INT, region STRING, v INT) "
+                   "USING lakesoul PARTITIONED BY (region) "
+                   "TBLPROPERTIES('hashPartitions'='id',"
+                   "'hashBucketNum'='2','owner'='data-eng')")
+    cat.sql(spark, "INSERT INTO sp VALUES "
+                   "(1, 'eu', 10), (2, 'us', 20), (3, 'eu', 30)")
+    parts = [r.partition for r in cat.sql(spark, "SHOW PARTITIONS sp").collect()]
+    assert parts == ["region=eu", "region=us"]
+
+    props = {r.key: r.value for r in
+             cat.sql(spark, "SHOW TBLPROPERTIES sp").collect()}
+    assert props.get("owner") == "data-eng"
+    one = cat.sql(spark, "SHOW TBLPROPERTIES sp ('owner')").collect()
+    assert [tuple(r) for r in one] == [("owner", "data-eng")]
+    missing = cat.sql(spark, "SHOW TBLPROPERTIES sp ('nope')").collect()
+    assert [tuple(r) for r in missing] == [("nope", None)]
+
+    # non-partitioned table: empty listing, not the sentinel desc
+    cat.sql(spark, "CREATE TABLE sp2 (id INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO sp2 VALUES (1)")
+    assert cat.sql(spark, "SHOW PARTITIONS sp2").count() == 0
