@@ -196,6 +196,9 @@ class Catalog:
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
             DESCRIBE HISTORY [ns.]t
             SHOW CREATE TABLE [ns.]t
+            SELECT … FROM [ns.]t VERSION AS OF n
+            SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
+            SELECT … FROM table_changes('[ns.]t', startV [, endV])
             OPTIMIZE [ns.]t [LEVELED]
             VACUUM [ns.]t [RETAIN n HOURS]
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
@@ -421,6 +424,8 @@ class Catalog:
         # (word-bounded scan, backticks are non-word chars). Safety
         # net: if Spark still reports an unresolved relation, register
         # everything once and retry.
+        stmt = self._register_table_changes(spark, stmt)
+        stmt = self._register_time_travel(spark, stmt)
         stmt = self._register_referenced(spark, stmt)
         try:
             return spark.sql(stmt)
@@ -429,6 +434,101 @@ class Catalog:
                 raise
             stmt = self._register_referenced(spark, stmt, register_all=True)
             return spark.sql(stmt)
+
+    _TC_RE = re.compile(
+        r"table_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+        re.I,
+    )
+
+    def _register_table_changes(self, spark: SparkSession, stmt: str) -> str:
+        """Rewrite ``table_changes('t', startV [, endV])`` (the Delta
+        CDF table-valued function shape) into a registered incremental-
+        read view: rows committed in versions [startV, endV] — CDC
+        tables yield their change rows unfiltered, like the reference's
+        ``readtype=incremental`` CDC passthrough. Version bounds are
+        mapped to the commit timestamps the incremental reader keys on
+        (ms resolution, same caveat as every timestamp-based
+        incremental read here)."""
+        out, pos = [], 0
+        for m in self._TC_RE.finditer(stmt):
+            if not _outside_quotes(stmt, m.start()):
+                continue
+            ns, name = self._split_name(m.group(1))
+            if not self.table_exists(name, ns):
+                raise ValueError(f"no such table {ns}.{name}")
+            path = self._registry(ns)[name]
+            start_v = int(m.group(2))
+            end_v = int(m.group(3)) if m.group(3) is not None else None
+            t = LakeSoulTable.for_path(spark, path)
+            # inclusive version range -> (start_ts, end_ts] timestamps.
+            # Commit seqs start at 1 (version 0 = the empty table), so
+            # start_v <= 1 means "everything": predate the first commit.
+            if start_v >= 2:
+                start_ts = t.store.read_commit(start_v - 1).timestamp_ms
+            elif t.store.head_version() >= 1:
+                start_ts = t.store.read_commit(1).timestamp_ms - 1
+            else:
+                start_ts = 0
+            end_ts = (
+                t.store.read_commit(end_v).timestamp_ms
+                if end_v is not None
+                else None
+            )
+            prefix = name if ns == "default" else f"{ns}_{name}"
+            view = f"{prefix}__changes_{start_v}_{end_v if end_v is not None else 'head'}"
+            LakeSoulTable.for_path_incremental(
+                spark, path, start_ts, end_ts
+            ).to_df().createOrReplaceTempView(view)
+            out.append(stmt[pos:m.start()] + view)
+            pos = m.end()
+        out.append(stmt[pos:])
+        return "".join(out)
+
+    _TT_RE = re.compile(
+        r"([\w.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)", re.I
+    )
+
+    def _register_time_travel(self, spark: SparkSession, stmt: str) -> str:
+        """Rewrite ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ts``
+        references (Spark's DSv2 time-travel grammar; reference
+        readtype=snapshot, ``LakeSoulTable.scala:642-723``) into
+        registered snapshot temp views. ``ts`` is epoch millis or an
+        ISO datetime string (naive = UTC). Matches inside string
+        literals are left alone."""
+        out, pos = [], 0
+        for m in self._TT_RE.finditer(stmt):
+            if not _outside_quotes(stmt, m.start()):
+                continue
+            ns, name = self._split_name(m.group(1))
+            if not self.table_exists(name, ns):
+                continue
+            path = self._registry(ns)[name]
+            lit = m.group(3)
+            prefix = name if ns == "default" else f"{ns}_{name}"
+            if m.group(2).upper() == "VERSION":
+                version = int(lit)
+                view = f"{prefix}__v{version}"
+                t = LakeSoulTable.for_path_snapshot(
+                    spark, path, version=version
+                )
+            else:
+                raw = lit.strip("'").strip()
+                if raw.isdigit():
+                    ms = int(raw)
+                else:
+                    from datetime import datetime, timezone
+
+                    dt = datetime.fromisoformat(raw)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    ms = int(dt.timestamp() * 1000)
+                view = f"{prefix}__ts{ms}"
+                t = LakeSoulTable.for_path_snapshot(spark, path, end_ts_ms=ms)
+            t.to_df().createOrReplaceTempView(view)
+            out.append(stmt[pos:m.start()] + view)
+            pos = m.end()
+        out.append(stmt[pos:])
+        return "".join(out)
 
     def sql_script(self, spark: SparkSession, script: str) -> list:
         """Run a ``;``-separated multi-statement script through
@@ -665,6 +765,19 @@ def _parse_props(body: str) -> dict[str, str]:
             raise ValueError(f"bad TBLPROPERTIES entry {part!r}")
         props[km.group(1)] = km.group(2)
     return props
+
+
+def _outside_quotes(s: str, idx: int) -> bool:
+    """True when position ``idx`` is not inside a ''/"" literal."""
+    quote = None
+    for i in range(idx):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+    return quote is None
 
 
 def _strip_backticks(stmt: str) -> str:

@@ -553,6 +553,104 @@ def ann_index_search(spark, sf_dir):
     )
 
 
+def _index_refresh_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
+                          k: int = 5, seed: int = 42) -> str | None:
+    """DuckDB twin of ``ann_index_refresh``: the corpus after the
+    upsert is embeddings with vec_id % 7 == 3 reversed; centroids are
+    the BUILD-time quantizer (trained on the original corpus — refresh
+    reuses stored centroids by contract), all else identical to
+    ``_index_search_oracle``."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
+        return None
+    vals = _cells_values_sql(cents)
+    dim = len(cents[0])
+    ham = f"""list_sum(list_transform(generate_series(1, {dim}),
+        i -> CASE WHEN (CAST(co.embedding[i] AS DOUBLE) > c.cv[i])
+                  <> (CAST(p.qv[i] AS DOUBLE) > c.cv[i]) THEN 1 ELSE 0 END))"""
+    return f"""
+    WITH m AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    ca AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM m e CROSS JOIN cells c),
+    corpus AS (SELECT vec_id, embedding, cell FROM ca WHERE rn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM m e CROSS JOIN cells c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qv, cell FROM qa WHERE rn <= {nprobe}),
+    hammed AS (
+      SELECT p.query_id, p.qv, co.vec_id AS neighbor_id, co.embedding,
+             {ham} AS hamming
+      FROM corpus co JOIN probes p ON co.cell = p.cell
+           JOIN cells c ON c.cell = co.cell
+      WHERE co.vec_id <> p.query_id),
+    pre AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS hrank
+      FROM hammed),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_COS.format(a='qv', b='embedding')} AS cos
+      FROM pre WHERE hrank <= {rerank}),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_index_refresh", _index_refresh_oracle)
+def ann_index_refresh(spark, sf_dir):
+    """Incremental index maintenance, end to end: build the persisted
+    IVF index, upsert modified vectors for ~1/7 of ids (reversed
+    embeddings — a deterministic change DuckDB can replay), refresh
+    ONLY the affected cells (no full rebuild — asserted), then search
+    with the refreshed index. Matching the oracle proves the
+    incrementally-maintained index equals one built from scratch over
+    the current corpus (same stored quantizer)."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.operators.similarity import (
+        build_vector_index,
+        refresh_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/ann_refresh-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=16)
+    delta = e.filter(F.col("vec_id") % 7 == 3).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    t.upsert(delta)
+    info = refresh_vector_index(t)
+    assert info["mode"] == "incremental", info
+    queries = t.to_df().filter(F.col("vec_id") < 8)
+    return vector_search(t, queries, k=5, nprobe=8, rerank=64)
+
+
 # ----------------------------------------------------------- text analysis
 
 @_register(

@@ -531,3 +531,70 @@ def test_sql_show_partitions_and_tblproperties(cat, spark):
     cat.sql(spark, "CREATE TABLE sp2 (id INT) USING lakesoul")
     cat.sql(spark, "INSERT INTO sp2 VALUES (1)")
     assert cat.sql(spark, "SHOW PARTITIONS sp2").count() == 0
+
+
+def test_sql_time_travel(cat, spark):
+    """FROM t VERSION AS OF n / TIMESTAMP AS OF ts resolve snapshot
+    views through the dispatcher; literals inside strings are ignored."""
+    cat.sql(spark, "CREATE TABLE tt (id INT, v INT) USING lakesoul "
+                   "TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')")
+    cat.sql(spark, "INSERT INTO tt VALUES (1, 10), (2, 20)")
+    t = cat.get_table(spark, "tt")
+    v0 = t.store.head_version()
+    ts0 = t.store.snapshot().timestamp_ms
+    import time as _time
+
+    _time.sleep(0.01)  # ts0 must be strictly before the next commit
+    t.upsert(spark.createDataFrame([(1, 99), (3, 30)], "id int, v int"))
+
+    now_ = {r.id: r.v for r in cat.sql(spark, "SELECT * FROM tt").collect()}
+    assert now_ == {1: 99, 2: 20, 3: 30}
+    old = {r.id: r.v for r in
+           cat.sql(spark, f"SELECT * FROM tt VERSION AS OF {v0}").collect()}
+    assert old == {1: 10, 2: 20}
+    bytime = {r.id: r.v for r in
+              cat.sql(spark, f"SELECT * FROM tt TIMESTAMP AS OF {ts0}").collect()}
+    assert bytime == {1: 10, 2: 20}
+
+    # joining current vs old through one statement
+    diff = cat.sql(spark, f"""
+        SELECT a.id, a.v AS v_now, b.v AS v_then
+        FROM tt a JOIN tt VERSION AS OF {v0} b ON a.id = b.id
+        WHERE a.v <> b.v
+    """).collect()
+    assert [tuple(r) for r in diff] == [(1, 99, 10)]
+
+    # the phrase inside a string literal is data, not grammar
+    lit = cat.sql(spark, "SELECT 'tt VERSION AS OF 0' AS s").collect()
+    assert lit[0].s == "tt VERSION AS OF 0"
+
+
+def test_sql_table_changes(cat, spark):
+    """table_changes('t', s[, e]) resolves incremental reads: rows from
+    commits s..e inclusive; CDC tables pass change rows through."""
+    import time as _time
+
+    cat.sql(spark, "CREATE TABLE ch (id INT, v INT) USING lakesoul "
+                   "TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')")
+    cat.sql(spark, "INSERT INTO ch VALUES (1, 10)")       # v1
+    _time.sleep(0.01)
+    t = cat.get_table(spark, "ch")
+    t.upsert(spark.createDataFrame([(2, 20)], "id int, v int"))   # v2
+    _time.sleep(0.01)
+    t.upsert(spark.createDataFrame([(3, 30)], "id int, v int"))   # v3
+
+    head = t.store.head_version()
+    # changes since (and including) the last commit
+    last = {r.id for r in cat.sql(
+        spark, f"SELECT * FROM table_changes('ch', {head})").collect()}
+    assert last == {3}
+    mid = {r.id for r in cat.sql(
+        spark,
+        f"SELECT * FROM table_changes('ch', {head - 1}, {head - 1})"
+    ).collect()}
+    assert mid == {2}
+    all_ = {r.id for r in cat.sql(
+        spark, "SELECT * FROM table_changes('ch', 1)").collect()}
+    assert all_ == {1, 2, 3}
+    with pytest.raises(ValueError, match="no such table"):
+        cat.sql(spark, "SELECT * FROM table_changes('nope', 1)")
