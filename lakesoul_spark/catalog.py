@@ -22,7 +22,7 @@ import os
 import re
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lakesoul_spark.table import LakeSoulTable, create_table as _create_table
 
@@ -176,8 +176,8 @@ class Catalog:
                                'lakesoul_cdc_change_column'='kind', …)]
             DROP TABLE [IF EXISTS] [ns.]t
             TRUNCATE TABLE [ns.]t
-            INSERT INTO [ns.]t <query>
-            INSERT OVERWRITE [TABLE] [ns.]t <query>
+            INSERT INTO [ns.]t [PARTITION (p=v, …)] [(col, …)] <query>
+            INSERT OVERWRITE [TABLE] [ns.]t [PARTITION (p=v, …)] <query>
             UPDATE [ns.]t SET a = <expr>[, …] [WHERE <cond>]
             DELETE FROM [ns.]t [WHERE <cond>]
             MERGE INTO [ns.]t [AS] x USING <table | (query)> [AS] y
@@ -234,26 +234,7 @@ class Catalog:
             self.get_table(spark, name, ns).delete(None)
             return None
         if verb == "INSERT":
-            m = _rx(
-                r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+(.*)$",
-                stmt,
-            )
-            ns, name = self._split_name(m.group(2))
-            t = self.get_table(spark, name, ns)
-            src = self.sql(spark, m.group(3))
-            # SQL INSERT matches columns by POSITION against the table
-            # schema (an INSERT of VALUES has synthetic colN names)
-            target_cols = [f.name for f in t.schema().fields]
-            if len(src.columns) != len(target_cols):
-                raise ValueError(
-                    f"INSERT column count {len(src.columns)} != table "
-                    f"column count {len(target_cols)}"
-                )
-            src = src.toDF(*target_cols)
-            from lakesoul_spark.table import write as _write
-            _write(src, t.path,
-                   mode="append" if m.group(1).upper() == "INTO" else "overwrite")
-            return None
+            return self._sql_insert(spark, stmt)
         if verb == "UPDATE":
             # the WHERE split must ignore 'WHERE' inside string literals
             # (a lazy regex would cut `SET note = 'a WHERE b'` in half)
@@ -564,6 +545,95 @@ class Catalog:
         return stmt
 
     # ------------------------------------------------------- SQL internals
+
+    def _sql_insert(self, spark: SparkSession, stmt: str):
+        """``INSERT INTO | OVERWRITE [TABLE] t [PARTITION (p=v, …)]
+        [(col list)] <query>``. Without a column list, columns match by
+        POSITION against the table schema (a VALUES source has
+        synthetic colN names). With one, the query's output maps to the
+        named columns and unnamed table columns are filled with NULL.
+        A static PARTITION spec adds its constant values as columns;
+        with OVERWRITE it becomes ``replace_where`` on exactly that
+        partition (reference ``WriteIntoTable.scala:122-134``)."""
+        m = _rx(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+            r"(?:PARTITION\s*\(([^)]*)\)\s*)?"
+            r"(?:\(([^)]*)\)\s*)?(.*)$",
+            stmt,
+        )
+        ns, name = self._split_name(m.group(2))
+        t = self.get_table(spark, name, ns)
+        part_spec, col_list, query = m.group(3), m.group(4), m.group(5)
+        # "(SELECT …)" after the table name is a parenthesized source,
+        # not a column list
+        if col_list is not None and re.match(
+            r"\s*(SELECT|VALUES|WITH)\b", col_list, re.I
+        ):
+            query = f"({col_list}) {query}".strip()
+            col_list = None
+
+        statics: dict[str, str] = {}
+        if part_spec:
+            for kv in _split_top(part_spec):
+                k, _, v = kv.partition("=")
+                if not v:
+                    raise ValueError(f"bad PARTITION entry {kv!r}")
+                statics[k.strip()] = v.strip().strip("'\"")
+
+        src = self.sql(spark, query)
+        target_fields = {f.name: f for f in t.schema().fields}
+        target_cols = [f.name for f in t.schema().fields]
+        if col_list is not None:
+            named = [c.strip() for c in _split_top(col_list)]
+            unknown = [c for c in named if c not in target_fields]
+            if unknown:
+                raise ValueError(f"INSERT columns not in table: {unknown}")
+            if len(src.columns) != len(named):
+                raise ValueError(
+                    f"INSERT column list has {len(named)} columns but "
+                    f"query produced {len(src.columns)}"
+                )
+            src = src.toDF(*named)
+            for c in target_cols:
+                if c in named:
+                    continue
+                if c in statics:
+                    src = src.withColumn(
+                        c, F.lit(statics[c]).cast(target_fields[c].dataType)
+                    )
+                else:
+                    src = src.withColumn(
+                        c, F.lit(None).cast(target_fields[c].dataType)
+                    )
+            src = src.select(*target_cols)
+        else:
+            expect = [c for c in target_cols if c not in statics]
+            if len(src.columns) != len(expect):
+                raise ValueError(
+                    f"INSERT column count {len(src.columns)} != expected "
+                    f"{len(expect)}"
+                )
+            src = src.toDF(*expect)
+            for c, v in statics.items():
+                src = src.withColumn(
+                    c, F.lit(v).cast(target_fields[c].dataType)
+                )
+            src = src.select(*target_cols)
+
+        from lakesoul_spark.table import write as _write
+
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        replace_where = None
+        if overwrite and statics:
+            replace_where = " AND ".join(
+                f"{k} = '{v}'" for k, v in sorted(statics.items())
+            )
+        _write(
+            src, t.path,
+            mode="overwrite" if overwrite else "append",
+            replace_where=replace_where,
+        )
+        return None
 
     def _sql_alter_table(self, spark: SparkSession, stmt: str):
         """``ALTER TABLE`` surface (reference

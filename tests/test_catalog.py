@@ -598,3 +598,41 @@ def test_sql_table_changes(cat, spark):
     assert all_ == {1, 2, 3}
     with pytest.raises(ValueError, match="no such table"):
         cat.sql(spark, "SELECT * FROM table_changes('nope', 1)")
+
+
+def test_sql_insert_column_list_and_partition(cat, spark):
+    """INSERT with explicit column lists and static PARTITION specs:
+    named columns map by position, unnamed fill NULL, OVERWRITE
+    PARTITION replaces exactly that partition."""
+    cat.sql(spark, "CREATE TABLE ins (id INT, v INT, note STRING, p STRING) "
+                   "USING lakesoul PARTITIONED BY (p)")
+    cat.sql(spark, "INSERT INTO ins PARTITION (p='a') (id, v) "
+                   "VALUES (1, 10), (2, 20)")
+    cat.sql(spark, "INSERT INTO ins (id, v, note, p) "
+                   "VALUES (3, 30, 'n3', 'b')")
+    got = {r.id: (r.v, r.note, r.p) for r in
+           cat.sql(spark, "SELECT * FROM ins").collect()}
+    assert got == {1: (10, None, "a"), 2: (20, None, "a"), 3: (30, "n3", "b")}
+
+    # static partition without a column list: query supplies the rest
+    cat.sql(spark, "INSERT INTO ins PARTITION (p='c') "
+                   "VALUES (4, 40, 'n4')")
+    assert cat.sql(spark, "SELECT note FROM ins WHERE p = 'c'").collect()[0].note == "n4"
+
+    # OVERWRITE PARTITION replaces only that partition
+    cat.sql(spark, "INSERT OVERWRITE ins PARTITION (p='a') (id, v) VALUES (9, 90)")
+    left = {(r.id, r.p) for r in cat.sql(spark, "SELECT id, p FROM ins").collect()}
+    assert left == {(9, "a"), (3, "b"), (4, "c")}
+
+    # unknown column / arity mismatches raise
+    with pytest.raises(ValueError, match="not in table"):
+        cat.sql(spark, "INSERT INTO ins (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="column list has"):
+        cat.sql(spark, "INSERT INTO ins (id, v) VALUES (1)")
+
+    # parenthesized subquery source still parses (not a column list)
+    cat.sql(spark, "CREATE TABLE ins2 (id INT, v INT, note STRING, p STRING) "
+                   "USING lakesoul")
+    cat.sql(spark, "INSERT INTO ins2 (SELECT id, sum(v), min(note), min(p) "
+                   "FROM ins GROUP BY id)")
+    assert cat.sql(spark, "SELECT count(*) AS c FROM ins2").collect()[0].c == 3

@@ -761,3 +761,45 @@ def test_real_av_frame_sample(spark):
     pmd5 = hashlib.md5(payload).hexdigest()
     stub0 = hashlib.md5(f"{pmd5}:0".encode()).hexdigest()
     assert all(r.frame_md5 != stub0 for r in rows)
+
+
+def test_chunk_dedup_properties(spark):
+    """Invariants on random corpora: (1) global kept-chunk count equals
+    the number of DISTINCT chunks; (2) every doc survives; (3) a
+    corpus with all-unique chunks round-trips text unchanged."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    docs_strategy = st.lists(
+        st.lists(words, min_size=1, max_size=9).map(" ".join),
+        min_size=1, max_size=8,
+    )
+
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=docs_strategy)
+    def check(texts):
+        df = _df(
+            spark, list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = dedup.chunk_dedup(df, chunk_words=3).collect()
+        assert len(out) == len(texts)
+        # expected distinct chunk count computed independently
+        def chunks_of(t):
+            toks = t.split()
+            return [" ".join(toks[i:i + 3]) for i in range(0, len(toks), 3)]
+        all_chunks = [c for t in texts for c in chunks_of(t)]
+        assert sum(r.kept_chunks for r in out) == len(set(all_chunks))
+        assert sum(r.n_chunks for r in out) == len(all_chunks)
+
+    check()
+
+    # all-unique corpus: reassembly is the identity
+    uniq = ["u%d v%d w%d x%d" % (i, i, i, i) for i in range(5)]
+    df = _df(spark, list(enumerate(uniq)), "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in dedup.chunk_dedup(df, chunk_words=3).collect()}
+    assert out == dict(enumerate(uniq))
