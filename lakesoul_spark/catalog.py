@@ -201,6 +201,7 @@ class Catalog:
             SELECT … FROM table_changes('[ns.]t', startV [, endV])
             OPTIMIZE [ns.]t [LEVELED]
             VACUUM [ns.]t [RETAIN n HOURS]
+            CHECK TABLE [ns.]t
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
 
         Identifiers may be backtick-quoted (```ns`.`t```); backticks
@@ -336,6 +337,10 @@ class Catalog:
                 retention_ms=hours * 3_600_000
             )
             return None
+        if verb == "CHECK":
+            m = _rx(r"CHECK\s+TABLE\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            return self.get_table(spark, name, ns).fsck()
         if verb == "RESTORE":
             m = _rx(
                 r"RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)$",

@@ -1180,6 +1180,61 @@ class LakeSoulTable:
                     removed += 1
         return removed
 
+    def fsck(self, *, check_sizes: bool = True) -> DataFrame:
+        """Metadata ↔ filesystem consistency check (the operational
+        twin of the reference's cleanup tooling). Returns one row per
+        issue — empty means consistent:
+
+        - ``missing_file``: referenced by the HEAD snapshot but absent
+          on disk (data loss — reads WILL fail);
+        - ``size_mismatch``: on-disk size differs from the committed
+          size (torn/overwritten file);
+        - ``orphan_file``: a parquet under ``data/`` never referenced
+          by ANY commit (a failed job's staging leftovers — safe to
+          vacuum). Files referenced only by non-HEAD versions are NOT
+          flagged: they serve time travel until vacuumed.
+
+        Driver-side O(#files) listing + commit-log replay; an explicit
+        maintenance call, not a read-path cost."""
+        from lakesoul_spark.meta.store import DATA_DIR
+
+        issues: list[tuple[str, str, str]] = []
+        snap = self.store.snapshot()
+        ever_added: set[str] = set()
+        for c in self.store.commits():
+            for op in c.file_ops:
+                if op.op == "add":
+                    ever_added.add(op.path)
+        for f in snap.files:
+            full = os.path.join(self.path, f.path)
+            if not os.path.exists(full):
+                issues.append(
+                    ("missing_file", f.path,
+                     f"referenced by HEAD snapshot v{snap.version}")
+                )
+            elif check_sizes and f.size:
+                actual = os.path.getsize(full)
+                if actual != f.size:
+                    issues.append(
+                        ("size_mismatch", f.path,
+                         f"committed={f.size} on_disk={actual}")
+                    )
+        data_root = os.path.join(self.path, DATA_DIR)
+        if os.path.isdir(data_root):
+            for root, _dirs, names in os.walk(data_root):
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, n), self.path)
+                    if rel not in ever_added:
+                        issues.append(
+                            ("orphan_file", rel,
+                             "never referenced by any commit")
+                        )
+        return self.spark.createDataFrame(
+            issues or [], "issue string, path string, detail string"
+        )
+
     def drop(self) -> None:
         self.store.drop_table()
 

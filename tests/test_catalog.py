@@ -636,3 +636,9 @@ def test_sql_insert_column_list_and_partition(cat, spark):
     cat.sql(spark, "INSERT INTO ins2 (SELECT id, sum(v), min(note), min(p) "
                    "FROM ins GROUP BY id)")
     assert cat.sql(spark, "SELECT count(*) AS c FROM ins2").collect()[0].c == 3
+
+
+def test_sql_check_table(cat, spark):
+    cat.sql(spark, "CREATE TABLE chk (id INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO chk VALUES (1), (2)")
+    assert cat.sql(spark, "CHECK TABLE chk").count() == 0

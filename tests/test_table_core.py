@@ -599,3 +599,41 @@ def test_compacted_read_plan_shuffle_free(spark, tmp_table):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan  # tiny metadata attach only
+
+
+def test_fsck_detects_inconsistencies(spark, tmp_table):
+    """fsck: clean table reports nothing; a deleted live file, a
+    truncated file, and an orphaned staging parquet are each flagged;
+    expired-but-time-travelable files are NOT flagged."""
+    import os
+
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    write(spark.createDataFrame([(i, i) for i in range(20)], "id int, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(spark.createDataFrame([(1, 99)], "id int, v int"))
+    assert t.fsck().count() == 0
+
+    # expired (non-HEAD) files from compaction are fine
+    t.compaction(force=True)
+    assert t.fsck().count() == 0
+
+    files = sorted(f.path for f in t.store.snapshot().files)
+    # truncate one live file, remove another
+    full0 = os.path.join(str(tmp_table), files[0])
+    with open(full0, "r+b") as fh:
+        fh.truncate(10)
+    full1 = os.path.join(str(tmp_table), files[1])
+    os.remove(full1)
+    # and plant an orphan staging file
+    orphan_dir = os.path.join(str(tmp_table), "data", "deadbeef00000000")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"junk")
+
+    issues = {(r.issue, r.path) for r in t.fsck().collect()}
+    kinds = {k for k, _ in issues}
+    assert kinds == {"missing_file", "size_mismatch", "orphan_file"}
+    assert ("size_mismatch", files[0]) in issues
+    assert ("missing_file", files[1]) in issues
