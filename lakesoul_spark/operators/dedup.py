@@ -283,6 +283,108 @@ def minhash_signatures(
     return _minhash_sig(_shingle_sets(docs, id_col, text_col, n), num_hashes)
 
 
+def _lsh_buckets(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) bucket rows from a signature frame — band key =
+    md5 of the band's concatenated min-hashes."""
+    bands = num_hashes // rows_per_band
+    band_cols = []
+    for b in range(bands):
+        parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("key"),
+            )
+        )
+    return sig.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingest dedup: classify every NEW document against an
+    EXISTING corpus — ``exact`` (normalized-text hash match), ``near``
+    (MinHash-LSH candidate verified by exact shingle Jaccard ≥
+    threshold), or ``novel``. Output: (doc_id, status, match_id,
+    jaccard) — ``match_id`` is the lowest-id corpus match (exact wins
+    over near; jaccard = 1.0 for exact), every new doc gets a row.
+
+    This is the daily-ingest shape at 100 TB: the new batch is small,
+    the corpus huge. The corpus is touched by ONE shingle explode +
+    signature aggregation (identical cost to self-LSH); candidates are
+    banded bucket joins (new × corpus restricted to shared band keys,
+    never all-pairs), and the best-match choice is a hash aggregation
+    (min struct), not a window."""
+    nh = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    )
+    ch = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    )
+    exact = nh.join(ch, "h").groupBy("id").agg(F.min("cid").alias("exact_id"))
+
+    sh_n = _shingle_sets(new_docs, id_col, text_col, n)
+    sh_c = _shingle_sets(corpus, id_col, text_col, n)
+    bn = _lsh_buckets(_minhash_sig(sh_n, num_hashes), num_hashes, rows_per_band)
+    bc = _lsh_buckets(_minhash_sig(sh_c, num_hashes), num_hashes, rows_per_band)
+    cand = (
+        bn.join(bc.select(F.col("id").alias("cid"), "band", "key"),
+                ["band", "key"])
+        .select("id", "cid")
+        .distinct()
+    )
+    sets_n = sh_n.groupBy("id").agg(F.collect_set("sh").alias("shs_n"))
+    sets_c = sh_c.groupBy("id").agg(F.collect_set("sh").alias("shs_c")) \
+        .withColumnRenamed("id", "cid")
+    inter = F.size(F.array_intersect(F.col("shs_n"), F.col("shs_c")))
+    near = (
+        cand.join(sets_n, "id")
+        .join(sets_c, "cid")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("shs_n") + F.size("shs_c") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id")
+        .agg(F.min(F.struct("cid", "jaccard")).alias("m"))
+        .select(
+            "id",
+            F.col("m.cid").alias("near_id"),
+            F.round("m.jaccard", 6).alias("near_jaccard"),
+        )
+    )
+    base = new_docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+            F.when(F.col("exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_jaccard"))
+            .alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -308,18 +410,7 @@ def minhash_lsh_pairs(
     # cache would not even enable exchange reuse
     sh = _shingle_sets(docs, id_col, text_col, n)
     sig = _minhash_sig(sh, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("key"),
-            )
-        )
-    buckets = sig.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _lsh_buckets(sig, num_hashes, rows_per_band)
     cand = (
         buckets.alias("a")
         .join(

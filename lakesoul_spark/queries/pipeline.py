@@ -253,6 +253,93 @@ def _minhash_oracle(num_hashes: int = 32, rows_per_band: int = 2) -> str:
     """
 
 
+def _ingest_oracle(num_hashes: int = 32, rows_per_band: int = 2,
+                   threshold: float = 0.8) -> str:
+    """DuckDB twin of ``dedup_incremental_ingest``: same hash family
+    and banding as the LSH oracle, split into new (doc_id%5=0) vs
+    corpus sides; best near match = min corpus id (window)."""
+    mh_cols = ",\n           ".join(
+        "min(substr(md5(concat('{k}|', sh)), {off}, 8)) AS mh{s}".format(
+            k=s // 4, off=1 + 8 * (s % 4), s=s
+        )
+        for s in range(num_hashes)
+    )
+    bands = num_hashes // rows_per_band
+    band_rows = ", ".join(
+        "({b}, md5(concat_ws('|', {parts})))".format(
+            b=b,
+            parts=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    exact AS (
+      SELECT n.doc_id AS id, min(c.doc_id) AS exact_id
+      FROM newd n JOIN corp c ON {norm.replace('text', 'n.text')} =
+                                 {norm.replace('text', 'c.text')}
+      GROUP BY n.doc_id),
+    sh_n AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SHINGLES3})) AS sh FROM newd),
+    sh_c AS (
+      SELECT doc_id AS id, unnest(list_distinct({_SHINGLES3})) AS sh FROM corp),
+    sig_n AS (SELECT id,
+           {mh_cols}
+      FROM sh_n GROUP BY id),
+    sig_c AS (SELECT id,
+           {mh_cols}
+      FROM sh_c GROUP BY id),
+    bn AS (SELECT id, b.band, b.key FROM sig_n,
+           LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) b),
+    bc AS (SELECT id, b.band, b.key FROM sig_c,
+           LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) b),
+    cand AS (
+      SELECT DISTINCT a.id AS id, b.id AS cid
+      FROM bn a JOIN bc b ON a.band = b.band AND a.key = b.key),
+    sz_n AS (SELECT id, COUNT(*) AS sz FROM sh_n GROUP BY id),
+    sz_c AS (SELECT id, COUNT(*) AS sz FROM sh_c GROUP BY id),
+    inter AS (
+      SELECT a.id AS id, b.id AS cid, COUNT(*) AS i
+      FROM sh_n a JOIN sh_c b ON a.sh = b.sh GROUP BY a.id, b.id),
+    near0 AS (
+      SELECT c.id, c.cid,
+             i::DOUBLE / (sn.sz + sc.sz - i) AS jaccard
+      FROM cand c JOIN inter ON inter.id = c.id AND inter.cid = c.cid
+           JOIN sz_n sn ON sn.id = c.id JOIN sz_c sc ON sc.id = c.cid
+      WHERE i::DOUBLE / (sn.sz + sc.sz - i) >= {threshold}),
+    near AS (
+      SELECT id, cid AS near_id, round(jaccard, 6) AS near_jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cid) AS rn
+            FROM near0) WHERE rn = 1)
+    SELECT n.doc_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN nr.near_id IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status,
+           coalesce(e.exact_id, nr.near_id) AS match_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 1.0
+                ELSE nr.near_jaccard END AS jaccard
+    FROM newd n LEFT JOIN exact e ON e.id = n.doc_id
+         LEFT JOIN near nr ON nr.id = n.doc_id
+    """
+
+
+@_register("dedup_incremental_ingest", _ingest_oracle())
+def dedup_incremental_ingest(spark, sf_dir):
+    """Daily-ingest dedup: documents with doc_id % 5 == 0 arrive as the
+    new batch and are classified against the rest of the corpus as
+    exact / near (LSH + exact-Jaccard verify) / novel."""
+    d = docs(spark, sf_dir)
+    return dedup.dedup_against_corpus(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        n=3, num_hashes=32, rows_per_band=2, threshold=0.8,
+    )
+
+
 @_register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(

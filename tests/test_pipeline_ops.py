@@ -803,3 +803,38 @@ def test_chunk_dedup_properties(spark):
     out = {r.doc_id: r.clean_text
            for r in dedup.chunk_dedup(df, chunk_words=3).collect()}
     assert out == dict(enumerate(uniq))
+
+
+def test_dedup_against_corpus(spark):
+    """Incremental-ingest classification: exact beats near, near
+    requires Jaccard >= threshold vs a corpus doc, else novel; every
+    new doc gets exactly one row."""
+    corpus = _df(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),  # dup in corpus
+            (12, "completely different content lives here today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = _df(
+        spark,
+        [
+            (100, "The quick  brown fox jumps over the lazy dog"),  # exact (normalized)
+            (101, "the quick brown fox jumps over the lazy cat"),   # near
+            (102, "nothing like anything in the corpus at all"),    # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_against_corpus(
+            new, corpus, threshold=0.5
+        ).collect()
+    }
+    assert len(out) == 3
+    assert (out[100].status, out[100].match_id, out[100].jaccard) == ("exact", 10, 1.0)
+    assert out[101].status == "near" and out[101].match_id == 10
+    assert 0.5 <= out[101].jaccard < 1.0
+    assert (out[102].status, out[102].match_id, out[102].jaccard) == ("novel", None, None)
