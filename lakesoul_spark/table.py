@@ -1065,12 +1065,25 @@ class LakeSoulTable:
             self.store.commit(OP_COMPACTION, dels + adds)
         return report
 
-    def rollback(self, *, version: int | None = None, timestamp_ms: int | None = None) -> None:
+    def rollback(
+        self,
+        *,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        partition_desc: str | None = None,
+    ) -> None:
         """Reset the live file set to an earlier snapshot (reference
         ``LakeSoulTable.scala:570-585``). Historical files still exist on
-        disk until vacuum, so this is a metadata-only commit."""
-        target = self.store.snapshot(version=version, timestamp_ms=timestamp_ms)
-        current = self.store.snapshot()
+        disk until vacuum, so this is a metadata-only commit.
+
+        ``partition_desc`` scopes the reset to ONE range partition
+        (reference ``rollbackPartition``) — other partitions keep their
+        current files."""
+        descs = {partition_desc} if partition_desc is not None else None
+        target = self.store.snapshot(
+            version=version, timestamp_ms=timestamp_ms, partition_descs=descs
+        )
+        current = self.store.snapshot(partition_descs=descs)
         target_paths = {f.path for f in target.files}
         dels = [
             FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)

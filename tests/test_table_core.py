@@ -637,3 +637,24 @@ def test_fsck_detects_inconsistencies(spark, tmp_table):
     assert kinds == {"missing_file", "size_mismatch", "orphan_file"}
     assert ("size_mismatch", files[0]) in issues
     assert ("missing_file", files[1]) in issues
+
+
+def test_partition_scoped_rollback(spark, tmp_table):
+    """rollback(partition_desc=...) resets ONE range partition to the
+    earlier snapshot and leaves the rest at HEAD (reference
+    rollbackPartition)."""
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id int, p string, v int"
+    )
+    write(df, tmp_table, range_partitions=["p"],
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    v1 = t.store.head_version()
+    t.upsert(spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 21)], "id int, p string, v int"))
+    t.rollback(version=v1, partition_desc="p=a")
+    got = {(r.p, r.v) for r in t.to_df().collect()}
+    # p=a rolled back to 10; p=b keeps the upsert
+    assert got == {("a", 10), ("b", 21)}
