@@ -141,6 +141,88 @@ def train_ivf_centroids(
     return kmeans_lloyd(x, nlist, seed=seed, max_iter=max_iter)
 
 
+def pca_fit(x, k: int) -> tuple[list[list[float]], list[float]]:
+    """Deterministic PCA on an in-memory sample: returns (components
+    [k][dim] by descending eigenvalue, mean [dim]). Sign-fixed so each
+    component's largest-magnitude element is positive — the
+    factorization is unique, which lets the DuckDB oracle re-derive
+    identical components from the same sample. Pure function (same
+    contract as :func:`kmeans_lloyd`)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / len(x)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return (
+        [list(map(float, row)) for row in comps],
+        list(map(float, mu)),
+    )
+
+
+def train_pca(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_limit: int = 100_000,
+    sort_col: str | None = None,
+) -> tuple[list[list[float]], list[float]]:
+    """PCA components from a bounded driver-side sample — the
+    embedding-compression step a 100 TB pipeline runs before indexing
+    (project 768→128 dims, then IVF). Like
+    :func:`train_ivf_centroids`, the sample (not the corpus) bounds
+    driver cost, and ``sort_col`` makes the result a pure function of
+    the data independent of partition layout."""
+    import numpy as np
+
+    sample = corpus.select(
+        *([sort_col] if sort_col and sort_col != vec_col else []), vec_col
+    )
+    if sort_col:
+        sample = sample.orderBy(sort_col)
+    pdf = sample.limit(sample_limit).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return pca_fit(x, k)
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project every vector onto the PCA components:
+    ``proj[j] = Σ_i (v_i - mean_i) * comp_j_i`` as a sequential left
+    fold over doubles — bit-identical to DuckDB's ``list_reduce``, so
+    the projection is value-hash oracle-checkable. Map-only stage,
+    zero shuffles; components ride the plan as literals (same pattern
+    as the IVF centroid assignment)."""
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        _to_double(F.col(vec_col)), mean_arr, lambda x, m: x - m
+    )
+    cols = []
+    for j, comp in enumerate(components):
+        comp_arr = F.array(*[F.lit(float(c)) for c in comp])
+        s = F.aggregate(
+            F.zip_with(centered, comp_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(s, round_to).alias(f"pc{j}"))
+    return df.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Indices of the ``nprobe`` nearest centroids (by cosine) as an
     array — computed as a pure expression over a literal centroid array."""

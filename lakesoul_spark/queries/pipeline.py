@@ -640,6 +640,76 @@ def ann_index_search(spark, sf_dir):
     )
 
 
+_PCA_CACHE: dict = {}
+
+
+def _oracle_pca(k: int = 8):
+    """PCA (components, mean) for oracle literals: refit the identical
+    deterministic PCA on the identically-ordered sample the Spark
+    query uses (same contract as ``_oracle_centroids``)."""
+    import os
+
+    import duckdb
+
+    from lakesoul_spark.operators.similarity import pca_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = (sf_dir, k)
+    if key not in _PCA_CACHE:
+        path = f"{sf_dir}/embeddings.parquet"
+        if not os.path.exists(path):
+            _PCA_CACHE[key] = (None, None)
+        else:
+            rows = duckdb.connect().execute(
+                f"SELECT embedding FROM read_parquet('{path}') "
+                "ORDER BY vec_id LIMIT 100000"
+            ).fetchall()
+            _PCA_CACHE[key] = pca_fit([r[0] for r in rows], k)
+    return _PCA_CACHE[key]
+
+
+def _pca_oracle(k: int = 8) -> str | None:
+    comps, mean = _oracle_pca(k)
+    if comps is None:
+        return None
+    dim = len(mean)
+    mean_lit = "[" + ",".join(repr(m) for m in mean) + "]"
+    pcs = ",\n           ".join(
+        "round(list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(embedding[i] AS DOUBLE) - ({mean})[i]) * ({comp})[i]), "
+        "(a, b) -> a + b), 6) AS pc{j}".format(
+            dim=dim, mean=mean_lit,
+            comp="[" + ",".join(repr(c) for c in comp) + "]", j=j,
+        )
+        for j, comp in enumerate(comps)
+    )
+    proj = "[" + ", ".join(f"pc{j}" for j in range(k)) + "]"
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+           {pcs}
+      FROM embeddings)
+    SELECT vec_id, {proj} AS proj FROM p
+    """
+
+
+@_register("embedding_pca_project", _pca_oracle)
+def embedding_pca_project(spark, sf_dir):
+    """Embedding compression before indexing: fit PCA on the ordered
+    driver-side sample (pure deterministic numpy — the oracle refits
+    identically), then project every vector 64→8 dims as a map-only
+    left-fold expression. The whole train+project path is
+    value-hash-checked."""
+    from lakesoul_spark.operators.similarity import (
+        project_embeddings,
+        train_pca,
+    )
+
+    e = embs(spark, sf_dir)
+    comps, mean = train_pca(e, k=8, sort_col="vec_id")
+    return project_embeddings(e, comps, mean)
+
+
 def _index_refresh_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
                           k: int = 5, seed: int = 42) -> str | None:
     """DuckDB twin of ``ann_index_refresh``: the corpus after the

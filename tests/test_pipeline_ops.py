@@ -838,3 +838,34 @@ def test_dedup_against_corpus(spark):
     assert out[101].status == "near" and out[101].match_id == 10
     assert 0.5 <= out[101].jaccard < 1.0
     assert (out[102].status, out[102].match_id, out[102].jaccard) == ("novel", None, None)
+
+
+def test_pca_fit_and_project(spark):
+    """pca_fit: orthonormal sign-fixed components in descending
+    variance order, deterministic; project_embeddings matches a numpy
+    projection of the same data."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import pca_fit, project_embeddings
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: variance concentrated on a known direction
+    base = rng.standard_normal((200, 6))
+    base[:, 0] *= 10.0
+    comps, mean = pca_fit(base, 3)
+    C = np.asarray(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)     # orthonormal
+    assert abs(C[0][0]) > 0.99                            # dominant axis found
+    assert C[0][np.argmax(np.abs(C[0]))] > 0              # sign-fixed
+    assert (comps, mean) == pca_fit(base, 3)              # deterministic
+
+    df = _df(
+        spark,
+        [(i, [float(v) for v in row]) for i, row in enumerate(base[:20])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.proj
+           for r in project_embeddings(df, comps, mean).collect()}
+    want = (base[:20] - np.asarray(mean)) @ C.T
+    for i in range(20):
+        assert np.allclose(got[i], np.round(want[i], 6), atol=1e-6)
