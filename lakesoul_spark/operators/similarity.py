@@ -199,14 +199,17 @@ def project_embeddings(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 6,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Project every vector onto the PCA components:
     ``proj[j] = Σ_i (v_i - mean_i) * comp_j_i`` as a sequential left
     fold over doubles — bit-identical to DuckDB's ``list_reduce``, so
     the projection is value-hash oracle-checkable. Map-only stage,
     zero shuffles; components ride the plan as literals (same pattern
-    as the IVF centroid assignment)."""
+    as the IVF centroid assignment). ``round_to=None`` keeps the raw
+    doubles (for compositions that keep computing on the projection —
+    e.g. PCA → IVF — where a mid-pipeline round would complicate the
+    oracle twin)."""
     mean_arr = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(
         _to_double(F.col(vec_col)), mean_arr, lambda x, m: x - m
@@ -219,7 +222,9 @@ def project_embeddings(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(s, round_to).alias(f"pc{j}"))
+        if round_to is not None:
+            s = F.round(s, round_to)
+        cols.append(s.alias(f"pc{j}"))
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
 
 

@@ -710,6 +710,121 @@ def embedding_pca_project(spark, sf_dir):
     return project_embeddings(e, comps, mean)
 
 
+def _pca_left_fold_project(rows, comps, mean):
+    """Python twin of ``project_embeddings(round_to=None)``: the SAME
+    sequential left-fold sum order, so the doubles are bit-identical
+    to Spark's ``aggregate`` fold (numpy matmul would differ in the
+    last ulp and could flip a kmeans boundary assignment)."""
+    out = []
+    for v in rows:
+        pv = []
+        for comp in comps:
+            acc = 0.0
+            for x, m, c in zip(v, mean, comp):
+                acc += (float(x) - m) * c
+            pv.append(acc)
+        out.append(pv)
+    return out
+
+
+def _pca_ivf_oracle(pk: int = 8, nlist: int = 16, nprobe: int = 8,
+                    k: int = 5, seed: int = 42) -> str | None:
+    """DuckDB twin of ``ann_pca_ivf_topk``: recompute the projection
+    with the identical left fold, retrain the identical kmeans on the
+    projected sample, then the standard IVF oracle over the projected
+    vectors (computed in SQL by the same fold with PCA literals)."""
+    import os
+
+    import duckdb
+
+    from lakesoul_spark.operators.similarity import kmeans_lloyd
+
+    comps, mean = _oracle_pca(pk)
+    if comps is None:
+        return None
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 100000"
+    ).fetchall()
+    proj = _pca_left_fold_project([r[0] for r in rows], comps, mean)
+    cents = kmeans_lloyd(proj, nlist, seed=seed)
+    vals = _cells_values_sql(cents)
+    dim = len(mean)
+    mean_lit = "[" + ",".join(repr(m) for m in mean) + "]"
+    pcs = ",\n           ".join(
+        "list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(embedding[i] AS DOUBLE) - ({mean})[i]) * ({comp})[i]), "
+        "(a, b) -> a + b) AS pc{j}".format(
+            dim=dim, mean=mean_lit,
+            comp="[" + ",".join(repr(c) for c in comp) + "]", j=j,
+        )
+        for j, comp in enumerate(comps)
+    )
+    plist = "[" + ", ".join(f"pc{j}" for j in range(pk)) + "]"
+    return f"""
+    WITH pr AS (
+      SELECT vec_id,
+           {pcs}
+      FROM embeddings),
+    p AS (SELECT vec_id, {plist} AS pv FROM pr),
+    cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    ca AS (
+      SELECT e.vec_id, e.pv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.pv', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM p e CROSS JOIN cells c),
+    corpus AS (SELECT vec_id, pv, cell FROM ca WHERE rn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.pv AS qv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.pv', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM p e CROSS JOIN cells c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qv, cell FROM qa WHERE rn <= {nprobe}),
+    joined AS (
+      SELECT pb.query_id, co.vec_id AS neighbor_id,
+             {_FOLD_COS.format(a='pb.qv', b='co.pv')} AS cos
+      FROM corpus co JOIN probes pb ON co.cell = pb.cell
+      WHERE co.vec_id <> pb.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM joined)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_pca_ivf_topk", _pca_ivf_oracle)
+def ann_pca_ivf(spark, sf_dir):
+    """Composition the 100 TB path actually runs on wide embeddings:
+    PCA-compress 64→8 dims (map-only fold projection), train the IVF
+    quantizer in the COMPRESSED space, then probe + rank there — the
+    join moves 8-double vectors instead of 64-float ones. Fully
+    value-hash-checked end to end (projection folds, kmeans, probes,
+    ranking)."""
+    from lakesoul_spark.operators.similarity import (
+        ivf_topk,
+        project_embeddings,
+        train_ivf_centroids,
+        train_pca,
+    )
+
+    e = embs(spark, sf_dir)
+    comps, mean = train_pca(e, k=8, sort_col="vec_id")
+    proj = project_embeddings(e, comps, mean, round_to=None)
+    cents = train_ivf_centroids(
+        proj, vec_col="proj", nlist=16, seed=42, sort_col="vec_id"
+    )
+    return ivf_topk(
+        proj, proj.filter(F.col("vec_id") < 8),
+        centroids=cents, k=5, nprobe=8, vec_col="proj",
+    )
+
+
 def _index_refresh_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
                           k: int = 5, seed: int = 42) -> str | None:
     """DuckDB twin of ``ann_index_refresh``: the corpus after the
