@@ -454,6 +454,13 @@ class Catalog:
             start_v = int(m.group(2))
             end_v = int(m.group(3)) if m.group(3) is not None else None
             t = LakeSoulTable.for_path(spark, path)
+            head = t.store.head_version()
+            for v, label in ((start_v, "start"), (end_v, "end")):
+                if v is not None and v > head:
+                    raise ValueError(
+                        f"table_changes: {label} version {v} is beyond "
+                        f"{ns}.{name}'s head version {head}"
+                    )
             # inclusive version range -> (start_ts, end_ts] timestamps.
             # Commit seqs start at 1 (version 0 = the empty table), so
             # start_v <= 1 means "everything": predate the first commit.

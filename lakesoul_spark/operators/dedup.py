@@ -75,7 +75,11 @@ def chunk_dedup(
     this is the engine-side operator a 100 TB text pipeline needs.
     """
     w = int(chunk_words)
-    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # null text = empty doc (split(null) would yield size -1, and
+    # sequence(0, -2) silently counts DOWN — the trap this guards)
+    arr = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     n_chunks = F.ceil(F.size("_arr") / F.lit(float(w))).cast("int")
     chunks = docs.select(
         F.col(id_col).alias("doc_id"), arr.alias("_arr")

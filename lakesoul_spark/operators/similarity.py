@@ -151,6 +151,7 @@ def pca_fit(x, k: int) -> tuple[list[list[float]], list[float]]:
     import numpy as np
 
     x = np.asarray(x, dtype=np.float64)
+    k = min(int(k), x.shape[1])
     mu = x.mean(axis=0)
     xc = x - mu
     cov = (xc.T @ xc) / len(x)

@@ -815,7 +815,9 @@ def ann_pca_ivf(spark, sf_dir):
 
     e = embs(spark, sf_dir)
     comps, mean = train_pca(e, k=8, sort_col="vec_id")
-    proj = project_embeddings(e, comps, mean, round_to=None)
+    # three consumers (kmeans sample, corpus side, query side) — cache
+    # the narrow 8-double projection instead of folding 64 dims thrice
+    proj = project_embeddings(e, comps, mean, round_to=None).cache()
     cents = train_ivf_centroids(
         proj, vec_col="proj", nlist=16, seed=42, sort_col="vec_id"
     )

@@ -706,3 +706,10 @@ def test_sql_vacuum_dry_run(cat, spark):
     assert removed == dry[0].files_to_delete
     assert t.to_df().collect()[0].v == 2
     assert len(t.store.snapshot().files) == n_before
+
+
+def test_sql_table_changes_version_beyond_head(cat, spark):
+    cat.sql(spark, "CREATE TABLE bh (id INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO bh VALUES (1)")
+    with pytest.raises(ValueError, match="beyond"):
+        cat.sql(spark, "SELECT * FROM table_changes('bh', 99)")

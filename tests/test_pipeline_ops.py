@@ -869,3 +869,25 @@ def test_pca_fit_and_project(spark):
     want = (base[:20] - np.asarray(mean)) @ C.T
     for i in range(20):
         assert np.allclose(got[i], np.round(want[i], 6), atol=1e-6)
+
+
+def test_chunk_dedup_null_text_is_empty_doc(spark):
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(
+            _df(spark, [(1, "a b c"), (2, None)], "doc_id long, text string"),
+            chunk_words=3,
+        ).collect()
+    }
+    assert len(out) == 2
+    assert out[1].clean_text == "a b c"
+    assert out[2].n_chunks == 1 and out[2].clean_text == ""
+
+
+def test_pca_k_clamped_to_dim():
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import pca_fit
+
+    comps, mean = pca_fit(np.random.RandomState(0).standard_normal((30, 4)), 10)
+    assert len(comps) == 4 and len(mean) == 4
