@@ -202,6 +202,7 @@ class Catalog:
             OPTIMIZE [ns.]t [LEVELED]
             VACUUM [ns.]t [RETAIN n HOURS] [DRY RUN]
             CHECK TABLE [ns.]t
+            CONVERT TO LAKESOUL '/path/to/parquet' [AS [ns.]t]
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
 
         Identifiers may be backtick-quoted (```ns`.`t```); backticks
@@ -343,6 +344,29 @@ class Catalog:
             if m.group(3):
                 return spark.createDataFrame(
                     [(n,)], "files_to_delete bigint"
+                )
+            return None
+        if verb == "CONVERT":
+            m = _rx(
+                r"CONVERT\s+TO\s+LAKESOUL\s+'([^']+)'"
+                r"(?:\s+AS\s+([\w.]+))?$",
+                stmt,
+            )
+            from lakesoul_spark.table import convert_to_lakesoul
+
+            t = convert_to_lakesoul(spark, m.group(1))
+            if m.group(2):
+                ns, name = self._split_name(m.group(2))
+                if not self.namespace_exists(ns) and ns != "default":
+                    raise ValueError(f"no such namespace {ns!r}")
+                if self.table_exists(name, ns):
+                    raise ValueError(f"table {ns}.{name} already exists")
+                if ns == "default" and not self.namespace_exists("default"):
+                    self.create_namespace("default")
+                reg = self._registry(ns)
+                reg[name] = t.path
+                _write_json(
+                    os.path.join(self._ns_dir(ns), _TABLES_FILE), reg
                 )
             return None
         if verb == "CHECK":

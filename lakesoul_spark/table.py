@@ -80,6 +80,103 @@ def create_table(
     return LakeSoulTable(spark, info.path)
 
 
+def convert_to_lakesoul(
+    spark: SparkSession,
+    path: str,
+    *,
+    range_partitions: list[str] | None = None,
+    properties: dict | None = None,
+    table_name: str | None = None,
+) -> "LakeSoulTable":
+    """Register an existing plain-parquet directory (flat, or
+    Hive-partitioned ``col=val`` dirs as Spark's ``partitionBy``
+    writes) as a LakeSoul table IN PLACE — no data rewrite, one Append
+    commit referencing the files where they sit (Delta's CONVERT TO
+    DELTA shape). From then on the full surface works over it: ACID
+    appends, UPDATE/DELETE, time travel from the conversion point,
+    compaction, SQL.
+
+    The converted table is append-only (no primary key): a PK/bucket
+    layout requires physically re-bucketing the data — do that by
+    writing into a new PK table. Schema (incl. partition column types)
+    is Spark's parquet inference; partition columns are range
+    partitions, reattached at read from partition metadata exactly as
+    with native writes. Per-file footer reads run in a thread pool —
+    conversion cost is one footer per file, no data IO.
+    """
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakesoul_spark.io.partition import desc_from_dir_components
+
+    path = os.path.abspath(path)
+    if MetaStore(path).exists():
+        raise ValueError(f"{path} is already a LakeSoul table")
+    if not os.path.isdir(path):
+        raise ValueError(f"{path} is not a directory")
+
+    files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                files.append(os.path.join(root, n))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+
+    # partition columns from the directory layout (ordered as nested)
+    discovered: list[str] = []
+    for comp in os.path.relpath(files[0], path).split(os.sep)[:-1]:
+        k, eq, _ = comp.partition("=")
+        if eq:
+            discovered.append(k)
+    if range_partitions is None:
+        range_partitions = discovered
+    elif list(range_partitions) != discovered:
+        raise ValueError(
+            f"range_partitions {list(range_partitions)} does not match "
+            f"the directory layout {discovered}"
+        )
+
+    df = spark.read.parquet(path)
+    schema = df.schema
+
+    def make_op(full: str) -> FileOp:
+        comps = os.path.relpath(full, path).split(os.sep)[:-1]
+        range_comps = [c for c in comps if "=" in c]
+        meta = pq.ParquetFile(full).metadata
+        return FileOp(
+            op="add",
+            path=os.path.relpath(full, path),
+            partition_desc=desc_from_dir_components(range_comps),
+            bucket=-1,
+            size=os.path.getsize(full),
+            num_rows=meta.num_rows,
+            file_exist_cols=[
+                schema_field
+                for schema_field in [f.name for f in schema.fields]
+                if schema_field in set(meta.schema.to_arrow_schema().names)
+            ],
+        )
+
+    if len(files) > 8:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            ops = list(pool.map(make_op, files))
+    else:
+        ops = [make_op(p) for p in files]
+    ops.sort(key=lambda o: (o.partition_desc, o.path))
+
+    create_table(
+        spark, path, schema,
+        table_name=table_name,
+        range_partitions=list(range_partitions),
+        properties=properties,
+    )
+    store = MetaStore(path)
+    store.commit(OP_APPEND, ops)
+    return LakeSoulTable.for_path(spark, path)
+
+
 def write(
     df: DataFrame,
     path: str,

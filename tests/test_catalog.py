@@ -713,3 +713,14 @@ def test_sql_table_changes_version_beyond_head(cat, spark):
     cat.sql(spark, "INSERT INTO bh VALUES (1)")
     with pytest.raises(ValueError, match="beyond"):
         cat.sql(spark, "SELECT * FROM table_changes('bh', 99)")
+
+
+def test_sql_convert_to_lakesoul(cat, spark, tmp_path):
+    src = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string") \
+        .write.parquet(src)
+    cat.sql(spark, f"CONVERT TO LAKESOUL '{src}' AS legacy")
+    assert cat.table_exists("legacy")
+    got = {(r.id, r.v) for r in cat.sql(spark, "SELECT * FROM legacy").collect()}
+    assert got == {(1, "x"), (2, "y")}
+    assert cat.sql(spark, "CHECK TABLE legacy").count() == 0

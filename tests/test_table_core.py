@@ -658,3 +658,54 @@ def test_partition_scoped_rollback(spark, tmp_table):
     got = {(r.p, r.v) for r in t.to_df().collect()}
     # p=a rolled back to 10; p=b keeps the upsert
     assert got == {("a", 10), ("b", 21)}
+
+
+def test_convert_to_lakesoul(spark, tmp_path):
+    """CONVERT: an existing Hive-partitioned parquet directory becomes
+    a table in place — no rewrite, full surface afterwards."""
+    import os
+
+    from lakesoul_spark.table import LakeSoulTable, convert_to_lakesoul
+
+    src = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, "eu" if i % 2 else "us", float(i)) for i in range(40)],
+        "id int, region string, v double",
+    )
+    df.write.partitionBy("region").parquet(src)
+    before_files = {
+        os.path.join(r, n)
+        for r, _, ns in os.walk(src) for n in ns if n.endswith(".parquet")
+    }
+
+    t = convert_to_lakesoul(spark, src)
+    assert t.info.range_partitions == ["region"]
+    assert t.info.hash_partitions == []
+    # data identical, partition column reattached
+    got = {(r.id, r.region, r.v) for r in t.to_df().collect()}
+    assert got == {(i, "eu" if i % 2 else "us", float(i)) for i in range(40)}
+    # no rewrite happened
+    after_files = {
+        os.path.join(r, n)
+        for r, _, ns in os.walk(src) for n in ns if n.endswith(".parquet")
+    }
+    assert before_files == after_files
+    assert t.fsck().count() == 0
+
+    # the full surface works post-conversion
+    v1 = t.store.head_version()
+    from lakesoul_spark.table import write
+    write(spark.createDataFrame([(100, "eu", 1.5)], "id int, region string, v double"),
+          src, mode="append")
+    assert t.to_df().count() == 41
+    t.update("id = 100", {"v": "9.9"})
+    assert t.point_lookup is not None  # API present (no PK -> unused)
+    old = LakeSoulTable.for_path_snapshot(spark, src, version=v1)
+    assert old.to_df().count() == 40
+
+    # double conversion and bad layouts are rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already a LakeSoul table"):
+        convert_to_lakesoul(spark, src)
+    with _pytest.raises(ValueError, match="not a directory"):
+        convert_to_lakesoul(spark, str(tmp_path / "nope2"))
