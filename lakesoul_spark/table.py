@@ -103,6 +103,13 @@ def convert_to_lakesoul(
     partitions, reattached at read from partition metadata exactly as
     with native writes. Per-file footer reads run in a thread pool —
     conversion cost is one footer per file, no data IO.
+
+    Ownership note: ``vacuum`` deletes only under ``data/`` (files this
+    engine wrote), so converted source files are NEVER physically
+    removed even after DML expires them — deliberately, since a legacy
+    layout may still be read by other jobs. Compact to migrate the
+    live rows into engine-owned files, then retire the originals
+    out-of-band.
     """
     import pyarrow.parquet as pq
     from concurrent.futures import ThreadPoolExecutor
