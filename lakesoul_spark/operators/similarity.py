@@ -441,20 +441,87 @@ def build_vector_index(
 
 def _index_rows(src: DataFrame, cents, vec_col: str, rotation_seed: int | None) -> DataFrame:
     """(id, vec) rows → index rows: cell assignment + packed residual
-    sign codes (shared by full build and incremental refresh)."""
+    sign codes + RaBitQ estimator scalars (shared by full build and
+    incremental refresh).
+
+    The three per-vector scalars make the paper's unbiased inner-
+    product estimator available at search time (RaBitQ, SIGMOD'24 —
+    reference kernel ``rust/lakesoul-vector/src/rabitq/``):
+
+    - ``resid_norm``  = ‖o − c‖
+    - ``c_dot_resid`` = ⟨c, o − c⟩
+    - ``code_dot``    = ⟨x̄, x⟩ where x = (o−c)/‖o−c‖ and x̄ is the
+      quantized unit vector ((2b−1)/√d). For sign codes of r (possibly
+      rotated to r'), ⟨x̄, x⟩ = Σ|r'_i| / (√d·‖r‖) — a closed form, no
+      bit unpacking at build.
+    """
+    import math
+
+    dim = len(cents[0])
     assigned = src.withColumn(
         "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
     )
-    words = (len(cents[0]) + 31) // 32
+    words = (dim + 31) // 32
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    own = F.element_at(cents_arr, F.col("cell") + 1)
+    resid = F.zip_with(_to_double(F.col(vec_col)), own, lambda x, c: x - c)
+    resid_norm = F.sqrt(F.aggregate(
+        F.transform(resid, lambda r: r * r), F.lit(0.0), lambda a, x: a + x
+    ))
+    c_dot_resid = F.aggregate(
+        F.zip_with(own, resid, lambda c, r: c * r),
+        F.lit(0.0), lambda a, x: a + x,
+    )
     if rotation_seed is None:
+        abs_sum = F.aggregate(
+            F.transform(resid, F.abs), F.lit(0.0), lambda a, x: a + x
+        )
         # axis-aligned sign bits: pure codegen, SQL-oracle-checkable
-        return assigned.select(
+        out = assigned.select(
             "*", *_residual_sign_codes(F.col(vec_col), cents, F.col("cell"))
+        ).withColumn("resid_norm", resid_norm) \
+         .withColumn("c_dot_resid", c_dot_resid)
+        return out.withColumn(
+            "code_dot",
+            F.when(
+                F.col("resid_norm") > 0,
+                abs_sum / (F.lit(math.sqrt(dim)) * F.col("resid_norm")),
+            ).otherwise(F.lit(0.0)),
         )
     # full RaBitQ recipe: rotate the residual before quantizing
-    # (build-time numpy pass; the stored codes are what search uses)
-    rot = _rotation_matrix(len(cents[0]), rotation_seed)
-    return _add_rotated_codes(assigned, vec_col, cents, rot, words=words)
+    # (build-time numpy pass; the stored codes are what search uses).
+    # Rotation preserves resid_norm/c_dot_resid; code_dot uses |r'|.
+    rot = _rotation_matrix(dim, rotation_seed)
+    with_codes = _add_rotated_codes(assigned, vec_col, cents, rot, words=words)
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    R = np.asarray(rot, dtype=np.float64)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in with_codes.schema]
+        + ["resid_norm double", "c_dot_resid double", "code_dot double"]
+    )
+
+    def add_scalars(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cown = C[pdf["cell"].to_numpy()]
+            r = V - cown
+            norms = np.sqrt((r * r).sum(axis=1))
+            out = pdf.copy()
+            out["resid_norm"] = norms
+            out["c_dot_resid"] = (cown * r).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cd = np.abs(r @ R.T).sum(axis=1) / (np.sqrt(len(C[0])) * norms)
+            out["code_dot"] = np.where(norms > 0, cd, 0.0)
+            yield out
+
+    return with_codes.mapInPandas(add_scalars, out_schema)
 
 
 def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
@@ -604,6 +671,7 @@ def vector_search(
     rerank: int | None = None,
     assign: str = "auto",
     driver_assign_limit: int = 1024,
+    rank: str = "hamming",
 ) -> DataFrame:
     """ANN search against a persisted index: nearest ``nprobe`` cells
     per query are computed from the stored centroids, ONLY those cells'
@@ -634,7 +702,24 @@ def vector_search(
 
     Both paths produce identical results: the expression twins
     (:func:`_nearest_cells`, :func:`_residual_sign_codes`) compute the
-    same cosine ranking and exact bit-packing as the numpy code."""
+    same cosine ranking and exact bit-packing as the numpy code.
+
+    ``rank`` picks how candidates are ORDERED before the exact rerank
+    (only the pre-rerank candidate choice differs — the exact cosine
+    re-scores whatever survives):
+
+    - ``"hamming"`` (default) — XOR+popcount of the 1-bit codes; the
+      cheapest signal, and SQL-oracle-checkable.
+    - ``"estimator"`` — RaBitQ's unbiased inner-product estimator
+      (SIGMOD'24; reference kernel ``rust/lakesoul-vector/src/rabitq/``):
+      est⟨x,q⟩ = ⟨x̄,q_r⟩/⟨x̄,x⟩ from the stored codes plus the
+      per-vector scalars (resid_norm/c_dot_resid/code_dot) written at
+      build time, assembled into an estimated cosine. Norm-aware, so
+      it ranks candidates Hamming cannot separate; costs a d-step
+      fold per candidate instead of popcount (the packed-SIMD
+      fastscan kernel has no SQL analog — documented reduction).
+      Requires an index built by this version (scalar columns);
+      rotation-seeded indexes need ``assign="driver"``."""
     import json as _json
 
     import numpy as np
@@ -659,9 +744,25 @@ def vector_search(
 
     if assign not in ("auto", "driver", "expression"):
         raise ValueError(f"assign must be auto|driver|expression, got {assign!r}")
+    if rank not in ("hamming", "estimator"):
+        raise ValueError(f"rank must be hamming|estimator, got {rank!r}")
+    if rank == "estimator":
+        from lakesoul_spark.io.writer import table_schema as _ts
+
+        if "resid_norm" not in {f.name for f in _ts(idx.info).fields}:
+            raise ValueError(
+                "rank='estimator' needs the estimator scalar columns — "
+                "rebuild the index with build_vector_index()"
+            )
     if assign == "auto":
         n = queries.limit(driver_assign_limit + 1).count()
         assign = "driver" if n <= driver_assign_limit else "expression"
+    if rank == "estimator" and rot is not None and assign == "expression":
+        raise ValueError(
+            "rank='estimator' on a rotation-seeded index requires "
+            "assign='driver' (the rotated query residual is a numpy "
+            "matmul, not a codegen expression)"
+        )
 
     qdf = None  # (query_id, cell[, qv][, qcode*]) — one row per probe
     if assign == "driver":
@@ -669,6 +770,7 @@ def vector_search(
         cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         probe_cells: set[int] = set()
         q_probe_rows = []  # (query_id, cell, [codes...]) per probed cell
+        q_probe_pairs = []  # (query_id, qv ndarray, cell) for estimator
         for r in qrows:
             qv = np.asarray(r[vec_col], dtype=np.float64)
             sims = cn @ (qv / np.linalg.norm(qv))
@@ -678,6 +780,7 @@ def vector_search(
                     (r[id_col], int(c),
                      *_np_sign_code(qv, cents[int(c)], rot))
                 )
+                q_probe_pairs.append((r[id_col], qv, int(c)))
     else:
         qdf = queries.select(
             F.col(id_col).alias("query_id"),
@@ -709,7 +812,106 @@ def vector_search(
     snap = store.snapshot(partition_descs=descs)
     cand = rdr.merge_view(table.spark, idx.info, snap)
 
-    if rerank is not None and words:
+    if rerank is not None and words and rank == "estimator":
+        import math as _math
+
+        dim = len(cents_list[0])
+        if assign == "driver":
+            rows = []
+            for qid, qv, c in q_probe_pairs:
+                cown = cents[c]
+                qr = (rot @ (qv - cown)) if rot is not None else (qv - cown)
+                rows.append((
+                    qid, c, [float(x) for x in qr],
+                    float(np.dot(qv, cown)),
+                    float(qr.sum()),
+                    float(np.linalg.norm(qv)),
+                    float(np.dot(cown, cown)),
+                ))
+            qid_type = queries.schema[id_col].dataType.simpleString()
+            est_qdf = table.spark.createDataFrame(
+                rows,
+                f"query_id {qid_type}, cell int, qr array<double>, "
+                "q_dot_c double, qsum double, q_norm double, "
+                "cell_norm2 double",
+            )
+            est_qdf = F.broadcast(est_qdf)
+        else:
+            cents_arr = F.array(*[
+                F.array(*[F.lit(float(x)) for x in c]) for c in cents_list
+            ])
+            own = F.element_at(cents_arr, F.col("cell") + 1)
+            qvd = _to_double(F.col("qv"))
+            qr = F.zip_with(qvd, own, lambda x, c: x - c)
+            est_qdf = qdf.select(
+                "query_id", "qv", "cell",
+                qr.alias("qr"),
+                F.aggregate(
+                    F.zip_with(qvd, own, lambda a, b: a * b),
+                    F.lit(0.0), lambda a, x: a + x,
+                ).alias("q_dot_c"),
+                F.aggregate(qr, F.lit(0.0), lambda a, x: a + x).alias("qsum"),
+                F.sqrt(F.aggregate(
+                    F.transform(qvd, lambda v: v * v),
+                    F.lit(0.0), lambda a, x: a + x,
+                )).alias("q_norm"),
+                F.aggregate(
+                    F.transform(own, lambda v: v * v),
+                    F.lit(0.0), lambda a, x: a + x,
+                ).alias("cell_norm2"),
+            )
+        joined = cand.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "cell", "resid_norm", "c_dot_resid", "code_dot",
+            *[f"code{w}" for w in range(words)],
+        ).join(est_qdf, "cell")
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        # ⟨x̄, q_r⟩ needs the bit-masked sum of q_r — unpack the packed
+        # words arithmetically (words < 2^32 are exact doubles; a
+        # packed-SIMD fastscan kernel has no SQL analog)
+        codes_arr = F.array(*[
+            F.col(f"code{w}").cast("double") for w in range(words)
+        ])
+
+        def _term(acc, i):
+            word = F.element_at(codes_arr, F.floor(i / 32).cast("int") + 1)
+            bit = F.floor(
+                word / F.pow(F.lit(2.0), (i % 32).cast("double"))
+            ) % 2
+            return acc + bit * F.element_at(F.col("qr"), i.cast("int") + 1)
+
+        qsel = F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), _term
+        )
+        est_xq = (F.lit(2.0) * qsel - F.col("qsum")) / F.lit(_math.sqrt(dim))
+        est_rip = F.when(
+            (F.col("resid_norm") > 0) & (F.col("code_dot") > 0),
+            F.col("resid_norm") * est_xq / F.col("code_dot"),
+        ).otherwise(F.lit(0.0))
+        est_dot = est_rip + F.col("q_dot_c") + F.col("c_dot_resid")
+        o_norm = F.sqrt(
+            F.col("cell_norm2") + 2 * F.col("c_dot_resid")
+            + F.col("resid_norm") * F.col("resid_norm")
+        )
+        est_cos = F.when(
+            o_norm > 0, est_dot / (F.col("q_norm") * o_norm)
+        ).otherwise(F.lit(-1.0))
+        wh = Window.partitionBy("query_id").orderBy(
+            F.col("est_cos").desc(), F.col("neighbor_id").asc()
+        )
+        joined = (
+            joined.withColumn("est_cos", est_cos)
+            .withColumn("hrank", F.row_number().over(wh))
+            .filter(F.col("hrank") <= rerank)
+        )
+        if assign == "driver":
+            qv_map = queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            joined = joined.join(F.broadcast(qv_map), "query_id")
+    elif rerank is not None and words:
         # join candidates to (query, cell) probes: a candidate is only
         # scored for queries probing ITS cell — then Hamming-prefilter
         if assign == "driver":

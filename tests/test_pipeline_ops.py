@@ -891,3 +891,65 @@ def test_pca_k_clamped_to_dim():
 
     comps, mean = pca_fit(np.random.RandomState(0).standard_normal((30, 4)), 10)
     assert len(comps) == 4 and len(mean) == 4
+
+
+def test_vector_search_estimator_rank(spark, tmp_path):
+    """RaBitQ estimator candidate ranking: lossless when rerank covers
+    every candidate, at least as good as Hamming under a tight budget,
+    identical between driver and expression assignment, and guarded on
+    indexes without the scalar columns."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        brute_force_topk,
+        build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    path = str(tmp_path / "vecs_est")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=8)
+    q = _df(spark, rows[:8], "vec_id long, embedding array<float>")
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(t.to_df(), q, k=5).collect()}
+
+    # rerank >= corpus: estimator ordering cannot lose anything
+    full = vector_search(t, q, k=5, nprobe=8, rerank=300, rank="estimator")
+    assert {(r.query_id, r.neighbor_id) for r in full.collect()} == exact
+
+    # tight budget: norm-aware estimator >= Hamming recall (with slack)
+    def recall(res):
+        got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(got & exact) / len(exact)
+
+    r_est = recall(vector_search(t, q, k=5, nprobe=8, rerank=16,
+                                 rank="estimator"))
+    r_ham = recall(vector_search(t, q, k=5, nprobe=8, rerank=16))
+    assert r_est >= r_ham - 0.05
+    assert r_est >= 0.6
+
+    # driver and expression paths agree
+    d = vector_search(t, q, k=5, nprobe=4, rerank=20, rank="estimator",
+                      assign="driver").collect()
+    e = vector_search(t, q, k=5, nprobe=4, rerank=20, rank="estimator",
+                      assign="expression").collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, e))
+
+    with pytest.raises(ValueError, match="hamming|estimator"):
+        vector_search(t, q, k=5, rerank=10, rank="bogus")
+
+    # rotation-seeded index: expression assignment is rejected, driver
+    # works and stays lossless at full rerank
+    build_vector_index(t, nlist=8, rotation_seed=3)
+    rot_full = vector_search(t, q, k=5, nprobe=8, rerank=300,
+                             rank="estimator", assign="driver")
+    assert {(r.query_id, r.neighbor_id) for r in rot_full.collect()} == exact
+    with pytest.raises(ValueError, match="driver"):
+        vector_search(t, q, k=5, nprobe=8, rerank=10,
+                      rank="estimator", assign="expression")
