@@ -559,6 +559,123 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+def _index_estimator_oracle(nlist: int = 16, nprobe: int = 8,
+                            rerank: int = 32, k: int = 5,
+                            seed: int = 42) -> str | None:
+    """DuckDB twin of the RaBitQ-ESTIMATOR-ranked index search: every
+    quantity (stored build-time scalars, query-side constants, the
+    bit-masked qsel sum) is re-derived from embeddings + centroid
+    literals with the same left-fold arithmetic, so the estimated
+    cosine — and therefore the candidate choice — is bit-identical."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
+        return None
+    vals = _cells_values_sql(cents)
+    dim = len(cents[0])
+    sd = repr(float(dim) ** 0.5)
+
+    def fold(expr: str) -> str:
+        return (f"list_reduce(list_transform(generate_series(1, {dim}), "
+                f"i -> {expr}), (a, b) -> a + b)")
+
+    r_i = "(CAST(co.embedding[i] AS DOUBLE) - c.cv[i])"
+    qr_i = "(CAST(p.qv[i] AS DOUBLE) - c.cv[i])"
+    scalars = f"""
+      sqrt({fold(f"{r_i} * {r_i}")}) AS resid_norm,
+      {fold(f"c.cv[i] * {r_i}")} AS c_dot_resid,
+      {fold(f"abs({r_i})")} AS abs_sum,
+      {fold(f"CASE WHEN {r_i} > 0 THEN {qr_i} ELSE 0.0 END")} AS qsel,
+      {fold(qr_i)} AS qsum,
+      sqrt({fold("CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)")}) AS q_norm,
+      {fold("CAST(p.qv[i] AS DOUBLE) * c.cv[i]")} AS q_dot_c,
+      {fold("c.cv[i] * c.cv[i]")} AS cell_norm2
+    """
+    return f"""
+    WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    ca AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c),
+    corpus AS (SELECT vec_id, embedding, cell FROM ca WHERE rn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qv, cell FROM qa WHERE rn <= {nprobe}),
+    est0 AS (
+      SELECT p.query_id, p.qv, co.vec_id AS neighbor_id, co.embedding,
+             {scalars}
+      FROM corpus co JOIN probes p ON co.cell = p.cell
+           JOIN cells c ON c.cell = co.cell
+      WHERE co.vec_id <> p.query_id),
+    est AS (
+      SELECT query_id, qv, neighbor_id, embedding,
+             CASE WHEN sqrt(cell_norm2 + 2*c_dot_resid
+                            + resid_norm*resid_norm) > 0
+                  THEN (CASE WHEN resid_norm > 0
+                              AND abs_sum / ({sd} * resid_norm) > 0
+                             THEN resid_norm * ((2.0*qsel - qsum) / {sd})
+                                  / (abs_sum / ({sd} * resid_norm))
+                             ELSE 0.0 END
+                        + q_dot_c + c_dot_resid)
+                       / (q_norm * sqrt(cell_norm2 + 2*c_dot_resid
+                                        + resid_norm*resid_norm))
+                  ELSE -1.0 END AS est_cos
+      FROM est0),
+    pre AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY est_cos DESC, neighbor_id) AS hrank
+      FROM est),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_FOLD_COS.format(a='qv', b='embedding')} AS cos
+      FROM pre WHERE hrank <= {rerank}),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_index_estimator", _index_estimator_oracle)
+def ann_index_estimator(spark, sf_dir):
+    """Persisted-index search ranked by the RaBitQ unbiased estimator
+    (norm-aware, vs raw Hamming): build, probe 8 cells, keep the best
+    32 candidates per query BY ESTIMATED COSINE, exact-rerank to
+    top-5. The oracle re-derives every stored scalar and the masked
+    qsel sum with identical fold arithmetic — the estimator itself is
+    value-hash-checked, not just its recall."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.operators.similarity import (
+        build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/ann_est-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=16)
+    return vector_search(
+        t, e.filter(F.col("vec_id") < 8), k=5, nprobe=8, rerank=32,
+        rank="estimator",
+    )
+
+
 def _index_search_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
                          k: int = 5, seed: int = 42) -> str | None:
     """DuckDB twin of the persisted-index + RaBitQ-prefilter search:
