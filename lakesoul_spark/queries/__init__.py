@@ -20,6 +20,12 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # re-verified against the current reader/writer, followed by the lakehouse
 # pack (whose write path changed this round: TIMESTAMP_MICROS).  The pipeline
 # pack rotates out after its green r3 rows.  Keep alternating per round.
+#
+# ROUND-5 NOTE: rotate `pipeline` to the FRONT — it now holds seven queries
+# that have never had a driver row (dedup_chunk_global, dedup_incremental_
+# ingest, multimodal_audio_features, ann_index_refresh, ann_index_estimator,
+# embedding_pca_project, ann_pca_ivf_topk; all locally hash-verified vs
+# DuckDB in r4), then lakehouse, with tpch rotating out after its green r4.
 _MODULE_ORDER = (tpch, lakehouse, pipeline)
 
 

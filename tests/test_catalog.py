@@ -724,3 +724,73 @@ def test_sql_convert_to_lakesoul(cat, spark, tmp_path):
     got = {(r.id, r.v) for r in cat.sql(spark, "SELECT * FROM legacy").collect()}
     assert got == {(1, "x"), (2, "y")}
     assert cat.sql(spark, "CHECK TABLE legacy").count() == 0
+
+
+def test_sql_explain_passthrough(cat, spark):
+    """EXPLAIN falls through to spark.sql with referenced tables
+    registered — users can inspect plans through the dispatcher."""
+    cat.sql(spark, "CREATE TABLE ex (id INT, v INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO ex VALUES (1, 2)")
+    plan = cat.sql(spark, "EXPLAIN SELECT v FROM ex WHERE id = 1").collect()
+    assert "Scan" in plan[0][0] or "Physical" in plan[0][0]
+
+
+def test_dedup_against_corpus_property(spark):
+    """Property: the classifier partitions every new doc into exactly
+    one status, exact matches agree with an independent normalized-hash
+    recomputation, and novel docs share no >=threshold Jaccard with any
+    corpus doc."""
+    import hashlib
+    import itertools
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lakesoul_spark.operators import dedup
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = st.lists(words, min_size=3, max_size=8).map(" ".join)
+
+    def norm_hash(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(new=st.lists(texts, min_size=1, max_size=4),
+           corp=st.lists(texts, min_size=1, max_size=5))
+    def check(new, corp):
+        new_df = spark.createDataFrame(
+            list(enumerate(new)), "doc_id long, text string")
+        corp_df = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(corp)],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in dedup.dedup_against_corpus(
+            new_df, corp_df, threshold=0.8).collect()}
+        assert sorted(out) == list(range(len(new)))
+        corp_hashes = {norm_hash(t) for t in corp}
+        for i, t in enumerate(new):
+            r = out[i]
+            if norm_hash(t) in corp_hashes:
+                assert r.status == "exact" and r.jaccard == 1.0
+            elif r.status == "novel":
+                # no corpus doc reaches the threshold
+                s = shingles(t)
+                for ct in corp:
+                    cs = shingles(ct)
+                    j = len(s & cs) / len(s | cs)
+                    assert j < 0.8, (t, ct, j)
+            else:
+                assert r.status == "near" and r.jaccard >= 0.8
+
+    check()
