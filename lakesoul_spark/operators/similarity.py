@@ -622,7 +622,15 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         table.to_df().select(id_col, vec_col)
         .join(changed_ids, id_col, "semi")
     )
-    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed).cache()
+    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed)
+    # forward-compat: an index built before the estimator scalars has a
+    # narrower schema — refresh must keep writing ITS schema (rebuild
+    # to adopt the new columns), not fail the write alignment
+    from lakesoul_spark.io.writer import table_schema as _ts
+
+    idx_cols = [f.name for f in _ts(idx.info).fields]
+    fresh = fresh.select(*[c for c in fresh.columns if c in set(idx_cols)])
+    fresh = fresh.cache()
     new_cells = {r["cell"] for r in fresh.select("cell").distinct().collect()}
     affected = sorted(old_cells | new_cells)
     if not affected:

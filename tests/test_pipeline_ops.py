@@ -953,3 +953,51 @@ def test_vector_search_estimator_rank(spark, tmp_path):
     with pytest.raises(ValueError, match="driver"):
         vector_search(t, q, k=5, nprobe=8, rerank=10,
                       rank="estimator", assign="expression")
+
+
+def test_refresh_on_pre_estimator_index(spark, tmp_path):
+    """An index built BEFORE the estimator scalar columns existed must
+    still refresh incrementally: fresh rows are projected onto the
+    stored index schema instead of failing write alignment."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        build_vector_index,
+        refresh_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    path = str(tmp_path / "vecs_old")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=4)
+
+    # simulate a pre-estimator index: drop the scalar columns from the
+    # index table's schema AND its data
+    idx = LakeSoulTable.for_path(spark, f"{path}/_vector_index")
+    narrow_df = idx.to_df().drop("resid_norm", "c_dot_resid", "code_dot")
+    narrow_schema = narrow_df.schema
+    narrow_rows = narrow_df.collect()  # materialize BEFORE the rmtree
+    props = dict(idx.info.properties)
+    import shutil
+
+    shutil.rmtree(f"{path}/_vector_index")
+    write(spark.createDataFrame(narrow_rows, narrow_schema),
+          f"{path}/_vector_index", mode="overwrite",
+          range_partitions=["cell"])
+    LakeSoulTable.for_path(spark, f"{path}/_vector_index").set_properties(props)
+
+    t.upsert(_df(spark, [(1, [float(x) for x in rng.randn(8)])],
+                 "vec_id long, embedding array<float>"))
+    info = refresh_vector_index(t)
+    assert info["mode"] == "incremental"
+    # search still works on the narrow schema (hamming path)
+    q = _df(spark, rows[:2], "vec_id long, embedding array<float>")
+    assert vector_search(t, q, k=3, nprobe=4, rerank=50).count() == 6
+    # estimator path correctly refuses the narrow index
+    with pytest.raises(ValueError, match="rebuild the index"):
+        vector_search(t, q, k=3, rerank=10, rank="estimator")
