@@ -191,6 +191,7 @@ class Catalog:
             DROP NAMESPACE [IF EXISTS] ns [CASCADE]
             SHOW NAMESPACES
             SHOW TABLES [IN ns]
+            SHOW COLUMNS IN|FROM [ns.]t
             SHOW PARTITIONS [ns.]t
             SHOW TBLPROPERTIES [ns.]t [('key')]
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
@@ -289,6 +290,15 @@ class Catalog:
             return spark.createDataFrame(
                 [(ns, n) for n in self.list_tables(ns)] or [],
                 "namespace string, tableName string",
+            )
+        if verb == "SHOW" and verb2 == "COLUMNS":
+            m = _rx(r"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+([\w.]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            from lakesoul_spark.io.writer import table_schema as _ts
+
+            info = self.get_table(spark, name, ns).info
+            return spark.createDataFrame(
+                [(f.name,) for f in _ts(info).fields], "col_name string"
             )
         if verb == "SHOW" and verb2 == "PARTITIONS":
             m = _rx(r"SHOW\s+PARTITIONS\s+([\w.]+)$", stmt)

@@ -794,3 +794,13 @@ def test_dedup_against_corpus_property(spark):
                 assert r.status == "near" and r.jaccard >= 0.8
 
     check()
+
+
+def test_sql_show_columns(cat, spark):
+    cat.sql(spark, "CREATE TABLE sc2 (id INT, v STRING, p STRING) "
+                   "USING lakesoul PARTITIONED BY (p)")
+    cols = [r.col_name for r in
+            cat.sql(spark, "SHOW COLUMNS IN sc2").collect()]
+    assert cols == ["id", "v", "p"]
+    assert [r.col_name for r in
+            cat.sql(spark, "SHOW COLUMNS FROM sc2").collect()] == cols
