@@ -15,18 +15,19 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a prefix of this dict).  Round 4 rotates the TPC-H/relational pack
-# (driver-green in r1/r2, out of window in r3) back to the front so it gets
-# re-verified against the current reader/writer, followed by the lakehouse
-# pack (whose write path changed this round: TIMESTAMP_MICROS).  The pipeline
-# pack rotates out after its green r3 rows.  Keep alternating per round.
+# verifies a prefix of this dict).  Round 5 rotates the pipeline pack to the
+# FRONT: it holds the seven queries added in r4 that have never had a driver
+# row (dedup_chunk_global, dedup_incremental_ingest, multimodal_audio_
+# features, ann_index_refresh, ann_index_estimator, embedding_pca_project,
+# ann_pca_ivf_topk — all locally hash-verified vs DuckDB), all within the
+# 50-query prefix (pipeline=33 + first 17 of lakehouse).  TPC-H rotates out
+# after its green r4 window.  Keep alternating per round so no query goes
+# more than two rounds without a driver row.
 #
-# ROUND-5 NOTE: rotate `pipeline` to the FRONT — it now holds seven queries
-# that have never had a driver row (dedup_chunk_global, dedup_incremental_
-# ingest, multimodal_audio_features, ann_index_refresh, ann_index_estimator,
-# embedding_pca_project, ann_pca_ivf_topk; all locally hash-verified vs
-# DuckDB in r4), then lakehouse, with tpch rotating out after its green r4.
-_MODULE_ORDER = (tpch, lakehouse, pipeline)
+# ROUND-6 NOTE: rotate `tpch` back ahead of `pipeline` (e.g. (lakehouse,
+# tpch, pipeline)) so the relational pack and the tail of lakehouse get
+# re-verified after this round's reader/writer changes.
+_MODULE_ORDER = (pipeline, lakehouse, tpch)
 
 
 def all_queries():
