@@ -364,13 +364,21 @@ class Catalog:
             )
             from lakesoul_spark.table import convert_to_lakesoul
 
-            t = convert_to_lakesoul(spark, m.group(1))
+            # Validate the AS target BEFORE converting: the conversion
+            # commits a metastore in-place and cannot be retried, so a
+            # bad namespace / taken name must fail while the directory
+            # is still untouched.
+            target = None
             if m.group(2):
                 ns, name = self._split_name(m.group(2))
                 if not self.namespace_exists(ns) and ns != "default":
                     raise ValueError(f"no such namespace {ns!r}")
                 if self.table_exists(name, ns):
                     raise ValueError(f"table {ns}.{name} already exists")
+                target = (ns, name)
+            t = convert_to_lakesoul(spark, m.group(1))
+            if target is not None:
+                ns, name = target
                 if ns == "default" and not self.namespace_exists("default"):
                     self.create_namespace("default")
                 reg = self._registry(ns)
@@ -473,10 +481,10 @@ class Catalog:
         CDF table-valued function shape) into a registered incremental-
         read view: rows committed in versions [startV, endV] — CDC
         tables yield their change rows unfiltered, like the reference's
-        ``readtype=incremental`` CDC passthrough. Version bounds are
-        mapped to the commit timestamps the incremental reader keys on
-        (ms resolution, same caveat as every timestamp-based
-        incremental read here)."""
+        ``readtype=incremental`` CDC passthrough. Version bounds filter
+        by exact commit seq (``incremental_files_by_version``), never
+        round-tripped through ms timestamps — two commits landing in
+        the same millisecond still resolve to the right row set."""
         out, pos = [], 0
         for m in self._TC_RE.finditer(stmt):
             if not _outside_quotes(stmt, m.start()):
@@ -495,24 +503,10 @@ class Catalog:
                         f"table_changes: {label} version {v} is beyond "
                         f"{ns}.{name}'s head version {head}"
                     )
-            # inclusive version range -> (start_ts, end_ts] timestamps.
-            # Commit seqs start at 1 (version 0 = the empty table), so
-            # start_v <= 1 means "everything": predate the first commit.
-            if start_v >= 2:
-                start_ts = t.store.read_commit(start_v - 1).timestamp_ms
-            elif t.store.head_version() >= 1:
-                start_ts = t.store.read_commit(1).timestamp_ms - 1
-            else:
-                start_ts = 0
-            end_ts = (
-                t.store.read_commit(end_v).timestamp_ms
-                if end_v is not None
-                else None
-            )
             prefix = name if ns == "default" else f"{ns}_{name}"
             view = f"{prefix}__changes_{start_v}_{end_v if end_v is not None else 'head'}"
-            LakeSoulTable.for_path_incremental(
-                spark, path, start_ts, end_ts
+            LakeSoulTable.for_path_incremental_versions(
+                spark, path, start_v, end_v
             ).to_df().createOrReplaceTempView(view)
             out.append(stmt[pos:m.start()] + view)
             pos = m.end()
@@ -626,6 +620,9 @@ class Catalog:
             query = f"({col_list}) {query}".strip()
             col_list = None
 
+        target_fields = {f.name: f for f in t.schema().fields}
+        target_cols = [f.name for f in t.schema().fields]
+
         statics: dict[str, str] = {}
         if part_spec:
             for kv in _split_top(part_spec):
@@ -633,15 +630,25 @@ class Catalog:
                 if not v:
                     raise ValueError(f"bad PARTITION entry {kv!r}")
                 statics[k.strip()] = v.strip().strip("'\"")
+            bad = [k for k in statics if k not in target_fields]
+            if bad:
+                raise ValueError(
+                    f"PARTITION columns not in table {ns}.{name}: {bad}"
+                )
 
         src = self.sql(spark, query)
-        target_fields = {f.name: f for f in t.schema().fields}
-        target_cols = [f.name for f in t.schema().fields]
         if col_list is not None:
             named = [c.strip() for c in _split_top(col_list)]
             unknown = [c for c in named if c not in target_fields]
             if unknown:
                 raise ValueError(f"INSERT columns not in table: {unknown}")
+            both = [c for c in named if c in statics]
+            if both:
+                raise ValueError(
+                    "columns appear in both the INSERT column list and "
+                    f"the PARTITION spec: {both} — a static partition "
+                    "value cannot also come from the query"
+                )
             if len(src.columns) != len(named):
                 raise ValueError(
                     f"INSERT column list has {len(named)} columns but "
@@ -904,12 +911,37 @@ def _outside_quotes(s: str, idx: int) -> bool:
     return quote is None
 
 
+# SQL reserved words (ANSI/Spark) whose backticks must SURVIVE
+# normalization: stripping them changes the meaning of passthrough
+# statements (``SELECT `order` FROM t`` would stop parsing). Keeping
+# the quotes is always safe for Spark; the word-bounded reference scan
+# in _register_referenced still matches inside backticks.
+_RESERVED_WORDS = frozenset(
+    w.upper() for w in """
+    all alter and any as at authorization between both by case cast
+    check collate column commit constraint create cross current
+    current_date current_time current_timestamp current_user delete
+    desc describe distinct drop else end escape except exists external
+    extract false fetch filter for foreign from full function global
+    grant group grouping having in inner insert intersect interval
+    into is join leading left like local natural not null of offset
+    on only or order out outer overlaps partition position primary
+    references revoke right rollback rollup row rows select session_user
+    set some start table tablesample then time to trailing true
+    truncate union unique unknown update user using values when where
+    window with
+    """.split()
+)
+
+
 def _strip_backticks(stmt: str) -> str:
     """Strip backticks around word-character identifiers, skipping
     string literals ('' / ""). ```ns`.`t``` becomes ``ns.t``; a
     backtick inside a quoted literal is untouched. Identifiers whose
     quoted form contains non-word characters are left quoted (the
-    downstream name validation rejects them with a clear error)."""
+    downstream name validation rejects them with a clear error), and
+    so are SQL reserved words (``SELECT `order` FROM t`` must keep
+    its quoting or the passthrough statement changes meaning)."""
     out: list[str] = []
     quote = None
     i, n = 0, len(stmt)
@@ -927,7 +959,11 @@ def _strip_backticks(stmt: str) -> str:
         elif ch == "`":
             j = stmt.find("`", i + 1)
             body = stmt[i + 1:j] if j > i else ""
-            if j > i and re.fullmatch(r"\w+", body):
+            if (
+                j > i
+                and re.fullmatch(r"\w+", body)
+                and body.upper() not in _RESERVED_WORDS
+            ):
                 out.append(body)
                 i = j + 1
             else:

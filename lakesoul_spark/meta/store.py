@@ -593,6 +593,32 @@ class MetaStore:
                     out.append(_file_entry(c, i, fo))
         return out, cs
 
+    def incremental_files_by_version(
+        self, start_v: int, end_v: int | None = None
+    ) -> tuple[list["FileEntry"], list["CommitInfo"]]:
+        """Files added by commits with start_v <= seq <= end_v — the
+        version-exact twin of :meth:`incremental_files`. Version bounds
+        come straight from commit seqs, so two commits landing in the
+        same millisecond (which makes a timestamp round-trip ambiguous)
+        still resolve exactly. Same rules as the timestamp variant:
+        Compaction commits are skipped; an Update commit inside the
+        range breaks the read (empty result — a rewritten partition
+        cannot be represented as a row delta)."""
+        out: list[FileEntry] = []
+        cs: list[CommitInfo] = []
+        head = self.head_version()
+        last = head if end_v is None else min(end_v, head)
+        for c in self.commits(max(start_v, 1), last):
+            if c.commit_op == OP_UPDATE:
+                return [], []
+            if c.commit_op == OP_COMPACTION:
+                continue
+            cs.append(c)
+            for i, fo in enumerate(c.file_ops):
+                if fo.op == "add":
+                    out.append(_file_entry(c, i, fo))
+        return out, cs
+
     def files_in_version_range(
         self, start_v: int, end_v: int, *, on_rewrite: str = "skip"
     ) -> list[FileEntry]:

@@ -762,6 +762,22 @@ def vector_search(
                 "rank='estimator' needs the estimator scalar columns — "
                 "rebuild the index with build_vector_index()"
             )
+        # estimator ranking only happens on the code-prefilter path;
+        # without rerank bounds or packed codes the call would silently
+        # fall through to exact-rerank-all (hamming-free), which is NOT
+        # what the caller asked for — make the incompatibility explicit
+        if rerank is None:
+            raise ValueError(
+                "rank='estimator' requires rerank=<n> (the estimator "
+                "ranks the code-prefiltered candidate set; rerank=None "
+                "means exact ranking of all candidates)"
+            )
+        if not words:
+            raise ValueError(
+                "rank='estimator' requires an index built with packed "
+                "codes (code_words > 0) — rebuild with "
+                "build_vector_index(code_bits=...)"
+            )
     if assign == "auto":
         n = queries.limit(driver_assign_limit + 1).count()
         assign = "driver" if n <= driver_assign_limit else "expression"

@@ -305,6 +305,8 @@ class LakeSoulTable:
         timestamp_ms: int | None = None,
         start_ts_ms: int | None = None,
         end_ts_ms: int | None = None,
+        start_version: int | None = None,
+        end_version: int | None = None,
         partition_desc: str | None = None,
     ):
         self.spark = spark
@@ -317,6 +319,8 @@ class LakeSoulTable:
         self.timestamp_ms = timestamp_ms
         self.start_ts_ms = start_ts_ms
         self.end_ts_ms = end_ts_ms
+        self.start_version = start_version
+        self.end_version = end_version
         self.partition_desc = partition_desc
         self._merge_ops: dict[str, str] = {}
 
@@ -362,6 +366,30 @@ class LakeSoulTable:
             read_type=READ_INCREMENTAL,
             start_ts_ms=start_ts_ms,
             end_ts_ms=end_ts_ms,
+            partition_desc=partition_desc,
+        )
+
+    @classmethod
+    def for_path_incremental_versions(
+        cls,
+        spark: SparkSession,
+        path: str,
+        start_version: int,
+        end_version: int | None = None,
+        *,
+        partition_desc: str | None = None,
+    ) -> "LakeSoulTable":
+        """Version-exact incremental window: rows committed by seqs in
+        [start_version, end_version]. Unlike the timestamp variant this
+        never round-trips versions through ms timestamps, so adjacent
+        commits sharing a millisecond still resolve exactly (the CDF
+        ``table_changes`` contract)."""
+        return cls(
+            spark,
+            path,
+            read_type=READ_INCREMENTAL,
+            start_version=start_version,
+            end_version=end_version,
             partition_desc=partition_desc,
         )
 
@@ -415,9 +443,14 @@ class LakeSoulTable:
         a predicate no single generation does)."""
         info = self.info
         if self.read_type == READ_INCREMENTAL:
-            files, _ = self.store.incremental_files(
-                self.start_ts_ms or 0, self.end_ts_ms
-            )
+            if self.start_version is not None:
+                files, _ = self.store.incremental_files_by_version(
+                    self.start_version, self.end_version
+                )
+            else:
+                files, _ = self.store.incremental_files(
+                    self.start_ts_ms or 0, self.end_ts_ms
+                )
             pf = self._partition_filter()
             if pf is not None:
                 files = [f for f in files if f.partition_desc in pf]

@@ -804,3 +804,94 @@ def test_sql_show_columns(cat, spark):
     assert cols == ["id", "v", "p"]
     assert [r.col_name for r in
             cat.sql(spark, "SHOW COLUMNS FROM sc2").collect()] == cols
+
+
+# ---------------------------------------------------- round-5 ADVICE fixes
+
+
+def test_strip_backticks_keeps_reserved_words():
+    """Backticks around SQL reserved words must SURVIVE normalization:
+    stripping them changes the meaning of passthrough statements
+    (``SELECT `order` FROM t`` would stop parsing)."""
+    from lakesoul_spark.catalog import _strip_backticks
+
+    assert _strip_backticks("`order`") == "`order`"
+    assert _strip_backticks("SELECT `from`, `tbl` FROM x") == \
+        "SELECT `from`, tbl FROM x"
+    # still the identity inside string literals
+    assert _strip_backticks("'`order`'") == "'`order`'"
+
+
+def test_sql_reserved_word_identifier_passthrough(cat, spark):
+    """A passthrough SELECT quoting a reserved-word column keeps its
+    backticks and executes (regression: _strip_backticks used to
+    rewrite it to the bare keyword)."""
+    spark.createDataFrame([(1, 5), (2, 7)]).toDF("id", "order") \
+        .createOrReplaceTempView("rsv")
+    got = cat.sql(spark, "SELECT `order` FROM rsv WHERE id = 2").collect()
+    assert [r["order"] for r in got] == [7]
+
+
+def test_sql_convert_validates_target_first(cat, spark, tmp_path):
+    """CONVERT TO LAKESOUL … AS bad-target must fail BEFORE the
+    directory is converted, so the corrected statement can be
+    retried."""
+    src = str(tmp_path / "legacy_v")
+    spark.createDataFrame([(1, "x")], "id int, v string").write.parquet(src)
+    with pytest.raises(ValueError, match="no such namespace"):
+        cat.sql(spark, f"CONVERT TO LAKESOUL '{src}' AS nope.t")
+    assert not MetaStore(src).exists()   # untouched
+    cat.sql(spark, "CREATE TABLE taken (id INT) USING lakesoul")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, f"CONVERT TO LAKESOUL '{src}' AS taken")
+    assert not MetaStore(src).exists()   # still untouched
+    cat.sql(spark, f"CONVERT TO LAKESOUL '{src}' AS legacy_v")
+    assert cat.table_exists("legacy_v")
+
+
+def test_sql_table_changes_version_exact_same_ms(cat, spark):
+    """table_changes filters by exact commit seq, not timestamps:
+    commits doctored to share one millisecond still resolve to the
+    right row set."""
+    import json as _json
+
+    cat.sql(spark, "CREATE TABLE chms (id INT, v INT) USING lakesoul "
+                   "TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='1')")
+    t = cat.get_table(spark, "chms")
+    for i in (1, 2, 3):
+        t.upsert(spark.createDataFrame([(i, i * 10)], "id int, v int"))
+    head = t.store.head_version()
+    # force every commit onto the SAME millisecond on disk
+    ts = t.store.read_commit(1).timestamp_ms
+    for seq in range(1, head + 1):
+        p = t.store._commit_path(seq)
+        with open(p) as f:
+            payload = _json.load(f)
+        payload["timestamp_ms"] = ts
+        with open(p, "w") as f:
+            _json.dump(payload, f)
+    fresh = Catalog(cat.root)
+    mid = {r.id for r in fresh.sql(
+        spark, f"SELECT * FROM table_changes('chms', {head - 1}, {head - 1})"
+    ).collect()}
+    assert mid == {2}
+    last = {r.id for r in fresh.sql(
+        spark, f"SELECT * FROM table_changes('chms', {head})").collect()}
+    assert last == {3}
+
+
+def test_sql_insert_partition_spec_validation(cat, spark):
+    """PARTITION specs naming unknown columns fail with a descriptive
+    error on BOTH paths; a column in both the column list and the
+    PARTITION spec is rejected (the query value would silently
+    override the static)."""
+    cat.sql(spark, "CREATE TABLE insv (id INT, v INT, p STRING) "
+                   "USING lakesoul PARTITIONED BY (p)")
+    with pytest.raises(ValueError, match="PARTITION columns not in table"):
+        cat.sql(spark, "INSERT INTO insv PARTITION (nope='a') (id, v) "
+                       "VALUES (1, 1)")
+    with pytest.raises(ValueError, match="PARTITION columns not in table"):
+        cat.sql(spark, "INSERT INTO insv PARTITION (nope='a') VALUES (1, 1)")
+    with pytest.raises(ValueError, match="both the INSERT column list"):
+        cat.sql(spark, "INSERT INTO insv PARTITION (p='a') (id, v, p) "
+                       "VALUES (1, 1, 'b')")

@@ -944,6 +944,11 @@ def test_vector_search_estimator_rank(spark, tmp_path):
     with pytest.raises(ValueError, match="hamming|estimator"):
         vector_search(t, q, k=5, rerank=10, rank="bogus")
 
+    # rank='estimator' without a rerank budget would silently fall
+    # through to exact-rerank-all — must be an explicit error instead
+    with pytest.raises(ValueError, match="rerank"):
+        vector_search(t, q, k=5, nprobe=8, rerank=None, rank="estimator")
+
     # rotation-seeded index: expression assignment is rejected, driver
     # works and stays lossless at full rerank
     build_vector_index(t, nlist=8, rotation_seed=3)
