@@ -335,6 +335,68 @@ def _np_sign_code(v, cent, rotation=None) -> list[int]:
     return out
 
 
+def _byte_luts(qr):
+    """256-entry lookup tables of masked partial sums of ``qr``, one
+    per code BYTE: ``lut[b][v] = sum(qr[8b+j] for set bits j of v)``,
+    accumulated in ascending bit order starting from 0.0 — the exact
+    IEEE left-fold order the DuckDB oracle's nested byte fold uses, so
+    ``qsel = sum_b lut[b][byte_b]`` is bit-identical to folding over
+    every dimension. Turns the estimator's per-candidate cost from an
+    O(d) interpreted fold into O(d/8) codegen array lookups (the SQL
+    analog of RaBitQ's nibble-LUT fastscan,
+    ``rust/lakesoul-vector/src/rabitq/fastscan.rs``)."""
+    import numpy as np
+
+    d = len(qr)
+    luts = []
+    for b in range(0, d, 8):
+        seg = qr[b:b + 8]
+        lut = np.zeros(256)
+        for v in range(1, 256):
+            h = v.bit_length() - 1  # highest set bit: added LAST,
+            if h < len(seg):        # keeping ascending-index fold order
+                lut[v] = lut[v & ~(1 << h)] + seg[h]
+            else:
+                lut[v] = lut[v & ~(1 << h)]
+        luts.append(lut)
+    return luts
+
+
+def _lut_expr_cols(qr_col: Column, dim: int) -> list[Column]:
+    """Expression twin of :func:`_byte_luts`: per-byte 256-entry LUT
+    arrays built from a ``qr`` array column. O(256*8) interpreted work
+    PER PROBE ROW (queries x nprobe, tiny) so the per-candidate path
+    stays codegen."""
+    def _entry(bi: int, nbits: int):
+        # single-arg closure: pyspark maps the callback's arity onto
+        # the SQL lambda's, so captured constants must not be params
+        def entry(v):
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(nbits - 1)),
+                F.lit(0.0),
+                # v >> j & 1 arithmetically: shiftright needs a literal
+                # shift count, but j is a lambda variable. Exact for
+                # v < 256 (small ints in doubles).
+                lambda acc, j: acc + F.when(
+                    F.floor(
+                        v.cast("double") / F.pow(F.lit(2.0), j.cast("double"))
+                    ).cast("long") % 2 == 1,
+                    F.element_at(qr_col, (j + F.lit(bi + 1)).cast("int")),
+                ).otherwise(F.lit(0.0)),
+            )
+
+        return entry
+
+    cols = []
+    for b in range(0, dim, 8):
+        cols.append(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)), _entry(b, min(8, dim - b))
+            ).alias(f"lut{b // 8}")
+        )
+    return cols
+
+
 def _rotation_matrix(dim: int, seed: int):
     """Deterministic random orthogonal matrix (QR of a seeded Gaussian,
     sign-fixed so the factorization is unique) — the reference's RaBitQ
@@ -723,9 +785,12 @@ def vector_search(
       est⟨x,q⟩ = ⟨x̄,q_r⟩/⟨x̄,x⟩ from the stored codes plus the
       per-vector scalars (resid_norm/c_dot_resid/code_dot) written at
       build time, assembled into an estimated cosine. Norm-aware, so
-      it ranks candidates Hamming cannot separate; costs a d-step
-      fold per candidate instead of popcount (the packed-SIMD
-      fastscan kernel has no SQL analog — documented reduction).
+      it ranks candidates Hamming cannot separate. The masked sum
+      ⟨x̄,q_r⟩ is computed with per-byte 256-entry lookup tables
+      precomputed per (query, cell) probe (:func:`_byte_luts`) — each
+      candidate pays d/8 codegen array lookups, the SQL analog of the
+      reference's LUT fastscan kernel
+      (``rust/lakesoul-vector/src/rabitq/fastscan.rs``).
       Requires an index built by this version (scalar columns);
       rotation-seeded indexes need ``assign="driver"``."""
     import json as _json
@@ -840,22 +905,26 @@ def vector_search(
         import math as _math
 
         dim = len(cents_list[0])
+        nbytes = (dim + 7) // 8
+        lut_names = [f"lut{b}" for b in range(nbytes)]
         if assign == "driver":
             rows = []
             for qid, qv, c in q_probe_pairs:
                 cown = cents[c]
                 qr = (rot @ (qv - cown)) if rot is not None else (qv - cown)
                 rows.append((
-                    qid, c, [float(x) for x in qr],
+                    qid, c,
+                    *[[float(x) for x in lut] for lut in _byte_luts(qr)],
                     float(np.dot(qv, cown)),
                     float(qr.sum()),
                     float(np.linalg.norm(qv)),
                     float(np.dot(cown, cown)),
                 ))
             qid_type = queries.schema[id_col].dataType.simpleString()
+            lut_schema = ", ".join(f"{n} array<double>" for n in lut_names)
             est_qdf = table.spark.createDataFrame(
                 rows,
-                f"query_id {qid_type}, cell int, qr array<double>, "
+                f"query_id {qid_type}, cell int, {lut_schema}, "
                 "q_dot_c double, qsum double, q_norm double, "
                 "cell_norm2 double",
             )
@@ -868,8 +937,7 @@ def vector_search(
             qvd = _to_double(F.col("qv"))
             qr = F.zip_with(qvd, own, lambda x, c: x - c)
             est_qdf = qdf.select(
-                "query_id", "qv", "cell",
-                qr.alias("qr"),
+                "query_id", "qv", "cell", qr.alias("qr"),
                 F.aggregate(
                     F.zip_with(qvd, own, lambda a, b: a * b),
                     F.lit(0.0), lambda a, x: a + x,
@@ -883,6 +951,10 @@ def vector_search(
                     F.transform(own, lambda v: v * v),
                     F.lit(0.0), lambda a, x: a + x,
                 ).alias("cell_norm2"),
+            ).select(
+                "query_id", "qv", "cell",
+                *_lut_expr_cols(F.col("qr"), dim),
+                "q_dot_c", "qsum", "q_norm", "cell_norm2",
             )
         joined = cand.select(
             F.col(id_col).alias("neighbor_id"),
@@ -892,23 +964,24 @@ def vector_search(
         ).join(est_qdf, "cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-        # ⟨x̄, q_r⟩ needs the bit-masked sum of q_r — unpack the packed
-        # words arithmetically (words < 2^32 are exact doubles; a
-        # packed-SIMD fastscan kernel has no SQL analog)
-        codes_arr = F.array(*[
-            F.col(f"code{w}").cast("double") for w in range(words)
-        ])
-
-        def _term(acc, i):
-            word = F.element_at(codes_arr, F.floor(i / 32).cast("int") + 1)
-            bit = F.floor(
-                word / F.pow(F.lit(2.0), (i % 32).cast("double"))
-            ) % 2
-            return acc + bit * F.element_at(F.col("qr"), i.cast("int") + 1)
-
-        qsel = F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), _term
-        )
+        # ⟨x̄, q_r⟩ via per-byte LUTs: each candidate pays nbytes
+        # integer shifts + array lookups (codegen) instead of a d-step
+        # interpreted fold — the SQL analog of RaBitQ's LUT fastscan
+        # (reference ``rust/lakesoul-vector/src/rabitq/fastscan.rs``).
+        # Sum order (bytes ascending, bits ascending inside a byte)
+        # matches the oracle's nested fold bit-for-bit.
+        terms = []
+        for b in range(nbytes):
+            w, sh = b // 4, (b % 4) * 8
+            byte_val = (
+                F.shiftright(F.col(f"code{w}"), sh)
+                .bitwiseAND(F.lit(255))
+                .cast("int")
+            )
+            terms.append(F.element_at(F.col(f"lut{b}"), byte_val + 1))
+        qsel = terms[0]
+        for tcol in terms[1:]:
+            qsel = qsel + tcol
         est_xq = (F.lit(2.0) * qsel - F.col("qsum")) / F.lit(_math.sqrt(dim))
         est_rip = F.when(
             (F.col("resid_norm") > 0) & (F.col("code_dot") > 0),

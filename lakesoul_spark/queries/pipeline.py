@@ -565,13 +565,17 @@ def _index_estimator_oracle(nlist: int = 16, nprobe: int = 8,
     """DuckDB twin of the RaBitQ-ESTIMATOR-ranked index search: every
     quantity (stored build-time scalars, query-side constants, the
     bit-masked qsel sum) is re-derived from embeddings + centroid
-    literals with the same left-fold arithmetic, so the estimated
-    cosine — and therefore the candidate choice — is bit-identical."""
+    literals with the same fold arithmetic. qsel uses the SAME
+    byte-grouped nested fold the Spark side's per-byte LUT lookup
+    realizes (bytes ascending, bits ascending within a byte), so the
+    estimated cosine — and therefore the candidate choice — is
+    bit-identical."""
     cents = _oracle_centroids(nlist, seed)
     if cents is None:
         return None
     vals = _cells_values_sql(cents)
     dim = len(cents[0])
+    nbytes = (dim + 7) // 8
     sd = repr(float(dim) ** 0.5)
 
     def fold(expr: str) -> str:
@@ -580,11 +584,20 @@ def _index_estimator_oracle(nlist: int = 16, nprobe: int = 8,
 
     r_i = "(CAST(co.embedding[i] AS DOUBLE) - c.cv[i])"
     qr_i = "(CAST(p.qv[i] AS DOUBLE) - c.cv[i])"
+    bi = "(b*8+j)"
+    r_bj = f"(CAST(co.embedding[{bi}] AS DOUBLE) - c.cv[{bi}])"
+    qr_bj = f"(CAST(p.qv[{bi}] AS DOUBLE) - c.cv[{bi}])"
+    qsel = (
+        f"list_reduce(list_transform(generate_series(0, {nbytes - 1}), b -> "
+        f"list_reduce(list_transform(generate_series(1, 8), j -> "
+        f"CASE WHEN {bi} <= {dim} AND {r_bj} > 0 THEN {qr_bj} "
+        f"ELSE 0.0 END), (a, x) -> a + x)), (a, x) -> a + x)"
+    )
     scalars = f"""
       sqrt({fold(f"{r_i} * {r_i}")}) AS resid_norm,
       {fold(f"c.cv[i] * {r_i}")} AS c_dot_resid,
       {fold(f"abs({r_i})")} AS abs_sum,
-      {fold(f"CASE WHEN {r_i} > 0 THEN {qr_i} ELSE 0.0 END")} AS qsel,
+      {qsel} AS qsel,
       {fold(qr_i)} AS qsum,
       sqrt({fold("CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)")}) AS q_norm,
       {fold("CAST(p.qv[i] AS DOUBLE) * c.cv[i]")} AS q_dot_c,
