@@ -451,6 +451,7 @@ def build_vector_index(
     nlist: int = 16,
     seed: int = 42,
     rotation_seed: int | None = None,
+    hash_bucket_num: int = 4,
 ) -> str:
     """Build a persisted IVF index for a LakeSoul table (reference
     ``python/src/lakesoul/vector_index.py:96-160``
@@ -464,6 +465,12 @@ def build_vector_index(
     only those partitions via commit-metadata pruning — the same
     "per-shard index + pruned scan" shape the reference builds per
     (partition × bucket). Centroids live in the index table properties.
+
+    The vector id is the table's PRIMARY KEY (``hash_bucket_num``
+    murmur3 buckets inside each cell partition): incremental refresh
+    can then discover the changed ids' OLD cells by reading only their
+    buckets' files — O(changed ids' buckets), not O(index) — with the
+    same bucket-pruned machinery as ``point_lookup``.
     """
     import json as _json
 
@@ -486,7 +493,10 @@ def build_vector_index(
     import shutil
 
     shutil.rmtree(idx_path, ignore_errors=True)
-    write(assigned, idx_path, mode="overwrite", range_partitions=["cell"])
+    write(
+        assigned, idx_path, mode="overwrite", range_partitions=["cell"],
+        hash_partitions=[id_col], hash_bucket_num=hash_bucket_num,
+    )
     t = LakeSoulTable.for_path(table.spark, idx_path)
     props = {
         "vector.centroids": _json.dumps(cents),
@@ -595,8 +605,11 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     Mechanics: the ids changed since ``vector.base_version`` come from
     the delta files of the commits in between (no base-table scan);
     their CURRENT vectors come from a semi-join against the MOR view;
-    affected cells = the ids' old cells (column-pruned id→cell index
-    scan) ∪ their new cells. Only those cells' partitions are
+    affected cells = the ids' old cells ∪ their new cells. Old-cell
+    discovery reads ONLY the changed ids' murmur3 buckets of the
+    id-PK'd index table (O(changed), bucket-pruned like
+    ``point_lookup``; pre-PK legacy indexes fall back to a
+    column-pruned full (id, cell) scan). Only those cells' partitions are
     rewritten — unchanged rows kept via anti-join, changed ids'
     fresh rows unioned in — through one dynamic-partition-overwrite
     commit; cells left empty are dropped with a metadata-only
@@ -669,12 +682,45 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     ).cache()
     n_changed = changed_ids.count()
 
-    # old cells: column-pruned (id, cell) scan of the index, the one
-    # O(index) step (2 narrow columns; the reference's per-shard build
-    # avoids it by sharding on base partition×bucket instead of cell)
+    # old cells: which cells did the changed ids USED to live in?
+    # The index's PK is the vector id, so the answer lives in the
+    # changed ids' murmur3 buckets only — prune to those buckets'
+    # files (O(changed ids' buckets), not O(index)). Bucket ids are
+    # computed distributed (pmod(hash) is the writer's own bucket
+    # expression, io/writer.py:114); the driver payload is the
+    # DISTINCT bucket set, bounded by hash_bucket_num.
+    idx_info = idx.info
+    idx_snap = MetaStore(idx_path).snapshot()
+    n_idx_files = len(idx_snap.files)
+    if idx_info.hash_partitions:
+        from lakesoul_spark.meta.store import Snapshot as _Snapshot
+
+        n_b = idx_info.hash_bucket_num
+        buckets = {
+            r["b"]
+            for r in changed_ids.select(
+                F.pmod(F.hash(id_col), F.lit(n_b)).alias("b")
+            ).distinct().collect()
+        }
+        scan_files = [
+            f for f in idx_snap.files if f.bucket in buckets or f.bucket == -1
+        ]
+        old_src = rdr.merge_view(
+            spark, idx_info,
+            _Snapshot(
+                version=idx_snap.version,
+                timestamp_ms=idx_snap.timestamp_ms,
+                files=scan_files,
+            ),
+        )
+    else:
+        # legacy index without a PK: column-pruned full (id, cell) scan
+        scan_files = idx_snap.files
+        old_src = idx.to_df()
+    n_scanned = len(scan_files)
     old_cells = {
         r["cell"]
-        for r in idx.to_df().select(id_col, "cell")
+        for r in old_src.select(id_col, "cell")
         .join(changed_ids, id_col, "semi")
         .select("cell").distinct().collect()
     }
@@ -728,6 +774,8 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         "mode": "incremental",
         "changed_ids": n_changed,
         "affected_cells": affected,
+        "discovery_files_scanned": n_scanned,
+        "index_files_total": n_idx_files,
     }
 
 

@@ -622,10 +622,21 @@ def test_incremental_vector_index_refresh(spark, tmp_path):
         (301, [float(x) for x in rng.randn(8)]),  # brand-new id
     ]
     t.upsert(_df(spark, changed, "vec_id long, embedding array<float>"))
+    pre_files = idx_store.snapshot().files
     out = refresh_vector_index(t)
     assert out["mode"] == "incremental" and out["changed_ids"] == 3
     affected = set(out["affected_cells"])
     assert affected, out
+
+    # old-cell discovery is bucket-pruned: it reads EXACTLY the changed
+    # ids' murmur3 buckets' files of the id-PK'd index (O(changed)),
+    # strictly fewer than the whole index
+    from lakesoul_spark.functions.spark_hash import bucket_of
+
+    bks = {bucket_of([i], ["bigint"], 4) for i in (5, 17, 301)}
+    want = len([f for f in pre_files if f.bucket in bks or f.bucket == -1])
+    assert out["discovery_files_scanned"] == want, (out, bks)
+    assert out["discovery_files_scanned"] < out["index_files_total"], out
 
     # only affected cells' partitions got new commits
     touched = set()
