@@ -207,37 +207,48 @@ class Snapshot:
 
 
 def _atomic_write_json(path: str, payload: dict) -> bool:
-    """Create-if-absent JSON write. Returns False if path already exists.
+    """Create-if-absent JSON write via the local backend (kept for
+    callers outside MetaStore; the store itself goes through its
+    pluggable ``io``)."""
+    from lakesoul_spark.meta.store_io import LocalStoreIO
 
-    The payload is written to a private temp file first and LINKED into
-    place, so the destination appears atomically with its full content —
-    a plain O_CREAT|O_EXCL + write would expose a zero-byte commit to
-    concurrent readers between the two syscalls (observed as a real race
-    under writer contention). A hard link is the POSIX analog of the
-    conditional PUT this maps to on object stores: either the name is
-    claimed with the whole content, or the call loses cleanly."""
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    try:
-        os.link(tmp, path)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return LocalStoreIO().put_if_absent(
+        path, json.dumps(payload).encode()
+    )
+
+
+# process-default IO backend: tests swap this for the S3-semantics
+# double so every MetaStore created inside the test (including ones
+# the code under test constructs itself) shares one object store
+_DEFAULT_IO = None
+
+
+def default_store_io():
+    global _DEFAULT_IO
+    if _DEFAULT_IO is None:
+        from lakesoul_spark.meta.store_io import LocalStoreIO
+
+        _DEFAULT_IO = LocalStoreIO()
+    return _DEFAULT_IO
 
 
 class MetaStore:
-    """Commit log + snapshot resolution for one table directory."""
+    """Commit log + snapshot resolution for one table directory.
+
+    All metadata reads/writes go through a pluggable byte-level
+    backend (``io``, see :mod:`lakesoul_spark.meta.store_io`): the
+    protocol needs only conditional create, atomic whole-object
+    replace, and consistent list/read — POSIX link/rename locally,
+    conditional PUT + LIST on an object store."""
 
     def __init__(self, table_path: str, checkpoint_interval: int = CHECKPOINT_INTERVAL,
-                 checkpoint_keep: int = CHECKPOINT_KEEP):
+                 checkpoint_keep: int = CHECKPOINT_KEEP, io=None):
         self.table_path = table_path.rstrip("/")
         self.meta_dir = os.path.join(self.table_path, META_DIR)
         self.commits_dir = os.path.join(self.meta_dir, "commits")
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_keep = checkpoint_keep
+        self.io = io if io is not None else default_store_io()
         # snapshot cache (reference SnapshotManagement per-table cache):
         # full replay memoized per head version; invalidated by version
         self._snap_cache: tuple[int, "Snapshot"] | None = None
@@ -247,30 +258,28 @@ class MetaStore:
     # ---------------------------------------------------------------- info
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.meta_dir, "table_info.json"))
+        return self.io.exists(os.path.join(self.meta_dir, "table_info.json"))
 
     def create_table(self, info: TableInfo) -> None:
-        os.makedirs(self.commits_dir, exist_ok=True)
+        self.io.makedirs(self.commits_dir)
         p = os.path.join(self.meta_dir, "table_info.json")
         info.created_at_ms = info.created_at_ms or int(time.time() * 1000)
-        if not _atomic_write_json(p, asdict(info)):
+        if not self.io.put_if_absent(p, json.dumps(asdict(info)).encode()):
             raise FileExistsError(f"table already exists at {self.table_path}")
 
     def table_info(self) -> TableInfo:
-        with open(os.path.join(self.meta_dir, "table_info.json")) as f:
-            return TableInfo(**json.load(f))
+        raw = self.io.read_bytes(os.path.join(self.meta_dir, "table_info.json"))
+        return TableInfo(**json.loads(raw))
 
     def update_table_info(self, info: TableInfo) -> None:
         """Schema evolution / property changes (ALTER TABLE)."""
-        tmp = os.path.join(self.meta_dir, f".table_info.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(asdict(info), f)
-        os.replace(tmp, os.path.join(self.meta_dir, "table_info.json"))
+        self.io.put(
+            os.path.join(self.meta_dir, "table_info.json"),
+            json.dumps(asdict(info)).encode(),
+        )
 
     def drop_table(self) -> None:
-        import shutil
-
-        shutil.rmtree(self.table_path, ignore_errors=True)
+        self.io.rmtree(self.table_path)
 
     # ------------------------------------------------------------- commits
 
@@ -283,9 +292,9 @@ class MetaStore:
         Sequence numbers are contiguous by construction (seq = head+1
         under O_EXCL), so the first missing file is the frontier."""
         n = self._head_cache or self.latest_checkpoint_seq()
-        if n and not os.path.exists(self._commit_path(n)):
+        if n and not self.io.exists(self._commit_path(n)):
             n = 0  # stale cache (table dropped/recreated)
-        while os.path.exists(self._commit_path(n + 1)):
+        while self.io.exists(self._commit_path(n + 1)):
             n += 1
         self._head_cache = n
         return n
@@ -298,10 +307,7 @@ class MetaStore:
     def latest_checkpoint_seq(self, max_seq: int | None = None) -> int:
         """Newest checkpoint ≤ max_seq. One listing of the meta dir,
         which holds #commits/K checkpoint entries, not #commits."""
-        try:
-            names = os.listdir(self.meta_dir)
-        except FileNotFoundError:
-            return 0
+        names = self.io.list_names(self.meta_dir)
         best = 0
         for n in names:
             if n.startswith("checkpoint.") and n.endswith(".json"):
@@ -316,8 +322,7 @@ class MetaStore:
     def _read_checkpoint(self, seq: int) -> dict:
         if self._cp_cache is not None and self._cp_cache[0] == seq:
             return self._cp_cache[1]
-        with open(self._checkpoint_path(seq)) as f:
-            payload = json.load(f)
+        payload = json.loads(self.io.read_bytes(self._checkpoint_path(seq)))
         self._cp_cache = (seq, payload)
         return payload
 
@@ -353,15 +358,11 @@ class MetaStore:
                 "files": list(live.values()),
                 "query_batches": qb,
             }
-            # tmp + rename so concurrent readers never observe a
-            # partially-written checkpoint; two racers produce
-            # IDENTICAL content (pure function of commits 1..seq), so
-            # an overwrite is harmless
-            final = self._checkpoint_path(seq)
-            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(payload, f)
-            os.replace(tmp, final)
+            # atomic whole-object put: concurrent readers never
+            # observe a partially-written checkpoint; two racers
+            # produce IDENTICAL content (pure function of commits
+            # 1..seq), so an overwrite is harmless
+            self.io.put(self._checkpoint_path(seq), json.dumps(payload).encode())
             self._prune_checkpoints()
         except Exception:
             pass
@@ -374,21 +375,17 @@ class MetaStore:
         if not keep or keep < 1:
             return
         seqs = []
-        for n in os.listdir(self.meta_dir):
+        for n in self.io.list_names(self.meta_dir):
             if n.startswith("checkpoint.") and n.endswith(".json"):
                 try:
                     seqs.append(int(n[len("checkpoint."):-5]))
                 except ValueError:
                     continue
         for s in sorted(seqs)[:-keep]:
-            try:
-                os.remove(self._checkpoint_path(s))
-            except OSError:
-                pass
+            self.io.remove(self._checkpoint_path(s))
 
     def read_commit(self, seq: int) -> CommitInfo:
-        with open(self._commit_path(seq)) as f:
-            d = json.load(f)
+        d = json.loads(self.io.read_bytes(self._commit_path(seq)))
         d["file_ops"] = [FileOp(**fo) for fo in d["file_ops"]]
         return CommitInfo(**d)
 
@@ -441,7 +438,9 @@ class MetaStore:
                 extra=extra or {},
             )
             payload = asdict(ci)
-            if _atomic_write_json(self._commit_path(seq), payload):
+            if self.io.put_if_absent(
+                self._commit_path(seq), json.dumps(payload).encode()
+            ):
                 self._head_cache = max(self._head_cache, seq)
                 self._maybe_checkpoint(seq)
                 return ci

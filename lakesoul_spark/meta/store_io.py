@@ -1,0 +1,254 @@
+"""Pluggable byte-level IO backends for the metadata commit log.
+
+The MetaStore's correctness rests on exactly three storage primitives
+(reference mapping: ``rust/lakesoul-io/src/object_store.rs`` wraps the
+same three behind the ``object_store`` crate; the commit protocol
+``DelayedCommitProtocol.scala`` relies on the rename/PUT atomicity of
+whichever store backs the table):
+
+1. **conditional create** (``put_if_absent``): claim a name with its
+   full content, or lose cleanly — POSIX ``link(2)``, S3
+   ``PutObject + If-None-Match:*``;
+2. **atomic whole-object replace** (``put``): readers see either the
+   old or the new content, never a torn write — POSIX ``rename(2)``,
+   any object-store PUT;
+3. **list + read-after-write consistency** (``list_names`` /
+   ``read_bytes``): a successful write is visible to subsequent reads
+   and listings (S3 has been strongly consistent since 2020).
+
+Everything else in the store (checkpoint rollups, head probing,
+pruning) is built from these. Backends:
+
+- :class:`LocalStoreIO` — POSIX filesystem (default; link/rename).
+- :class:`MemoryObjectStoreIO` — in-memory S3-semantics test double:
+  a flat key→bytes map, NO directories, NO rename, NO link; writes
+  are atomic whole-object PUTs and the conditional create is an
+  If-None-Match PUT (compare-and-claim under one lock, the atomicity
+  the real service provides server-side). The conflict-rule suite
+  runs against this to prove the protocol never silently depends on
+  POSIX-only behavior.
+- :class:`FsspecStoreIO` — adapter over any ``fsspec`` filesystem
+  (import-gated; fsspec is optional). Conditional create uses
+  exclusive-create mode where the filesystem supports it.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+
+
+class StoreIO:
+    """Interface. Paths are plain strings; directory arguments may not
+    exist as objects on flat stores (list by prefix instead)."""
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data`` iff absent.
+        Returns False (without writing) when the name is taken."""
+        raise NotImplementedError
+
+    def put(self, path: str, data: bytes) -> None:
+        """Atomic whole-object overwrite (last writer wins)."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, dirpath: str) -> list[str]:
+        """Base names of objects directly under ``dirpath``; [] when
+        nothing is there."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        """Delete; missing object is not an error (S3 DELETE shape)."""
+        raise NotImplementedError
+
+    def rmtree(self, prefix: str) -> None:
+        """Delete every object under ``prefix``."""
+        raise NotImplementedError
+
+    def makedirs(self, dirpath: str) -> None:
+        """Create directories where the store has them; no-op on flat
+        object stores."""
+        raise NotImplementedError
+
+
+class LocalStoreIO(StoreIO):
+    """POSIX backend: conditional create via hard link (the payload is
+    written to a private temp file and linked into place, so the
+    destination appears atomically with its full content — a plain
+    O_CREAT|O_EXCL + write would expose a zero-byte commit to
+    concurrent readers between the two syscalls), replace via
+    rename."""
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def put(self, path: str, data: bytes) -> None:
+        tmp = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_names(self, dirpath: str) -> list[str]:
+        try:
+            return os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    def rmtree(self, prefix: str) -> None:
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
+
+    def makedirs(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+
+
+class MemoryObjectStoreIO(StoreIO):
+    """S3-semantics test double: flat key space, atomic PUTs, strong
+    read-after-write and list-after-write consistency, conditional
+    create as an If-None-Match PUT. No directories, rename, or link
+    exist — code paths that would need them fail here, which is the
+    point of running the conflict suite against this backend."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _key(path: str) -> str:
+        return path.rstrip("/")
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[self._key(path)]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        # the lock models the SERVER-side atomicity of a conditional
+        # PUT: the existence check and the write are one operation
+        with self._lock:
+            k = self._key(path)
+            if k in self._objects:
+                return False
+            self._objects[k] = bytes(data)
+            return True
+
+    def put(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[self._key(path)] = bytes(data)
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            return self._key(path) in self._objects
+
+    def list_names(self, dirpath: str) -> list[str]:
+        prefix = self._key(dirpath) + "/"
+        with self._lock:
+            out = set()
+            for k in self._objects:
+                if k.startswith(prefix):
+                    out.add(k[len(prefix):].split("/", 1)[0])
+            return sorted(out)
+
+    def remove(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(self._key(path), None)
+
+    def rmtree(self, prefix: str) -> None:
+        p = self._key(prefix) + "/"
+        with self._lock:
+            for k in [k for k in self._objects if k.startswith(p) or k == self._key(prefix)]:
+                del self._objects[k]
+
+    def makedirs(self, dirpath: str) -> None:
+        pass  # flat namespace
+
+
+class FsspecStoreIO(StoreIO):
+    """Adapter over an ``fsspec`` AbstractFileSystem (optional
+    dependency — construction raises ImportError when fsspec is
+    missing). Conditional create uses exclusive-create open mode;
+    filesystems without atomic exclusive create (plain s3 without
+    If-None-Match support) should be wrapped by a backend that does,
+    or use a DynamoDB/metadata-service lock — documented limitation,
+    mirroring the reference's choice of a transactional PG metastore
+    over raw S3."""
+
+    def __init__(self, fs=None, protocol: str = "file"):
+        if fs is None:
+            import fsspec  # raises ImportError when absent
+
+            fs = fsspec.filesystem(protocol)
+        self.fs = fs
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        try:
+            with self.fs.open(path, "xb") as f:
+                f.write(data)
+            return True
+        except FileExistsError:
+            return False
+
+    def put(self, path: str, data: bytes) -> None:
+        with self.fs.open(path, "wb") as f:
+            f.write(data)
+
+    def exists(self, path: str) -> bool:
+        return bool(self.fs.exists(path))
+
+    def list_names(self, dirpath: str) -> list[str]:
+        try:
+            return [p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs.ls(dirpath, detail=False)]
+        except FileNotFoundError:
+            return []
+
+    def remove(self, path: str) -> None:
+        try:
+            self.fs.rm_file(path)
+        except FileNotFoundError:
+            pass
+
+    def rmtree(self, prefix: str) -> None:
+        try:
+            self.fs.rm(prefix, recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def makedirs(self, dirpath: str) -> None:
+        self.fs.makedirs(dirpath, exist_ok=True)

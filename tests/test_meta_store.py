@@ -21,6 +21,24 @@ from lakesoul_spark.meta.store import (
 )
 
 
+@pytest.fixture(autouse=True, params=["local", "object-store"])
+def meta_backend(request, monkeypatch):
+    """Run the ENTIRE metadata suite on both IO backends: the POSIX
+    default (link/rename) and the in-memory S3-semantics double
+    (conditional PUT + atomic whole-object writes, no directories or
+    rename) — proving the commit protocol's conflict rules never
+    silently depend on POSIX-only behavior."""
+    import lakesoul_spark.meta.store as store_mod
+
+    if request.param == "object-store":
+        from lakesoul_spark.meta.store_io import MemoryObjectStoreIO
+
+        monkeypatch.setattr(store_mod, "_DEFAULT_IO", MemoryObjectStoreIO())
+    else:
+        monkeypatch.setattr(store_mod, "_DEFAULT_IO", None)
+    return request.param
+
+
 def mk_store(tmp_path, **kw):
     store = MetaStore(str(tmp_path / "t"))
     info = TableInfo(
@@ -191,17 +209,16 @@ def test_checkpoint_retention_bounds_meta_dir(tmp_path):
     ``checkpoint_keep``, so the meta dir stays O(keep) while head and
     snapshot resolution keep working — and a snapshot BELOW the oldest
     kept checkpoint still replays correctly from the commit log."""
-    import os
-
     store = mk_store(tmp_path)
     n = 110 * store.checkpoint_interval  # 110 rollup opportunities
     for i in range(n):
         store.commit(OP_APPEND, [add(f"data/f{i}.parquet")])
 
-    cps = [f for f in os.listdir(store.meta_dir) if f.startswith("checkpoint.")]
+    names = store.io.list_names(store.meta_dir)
+    cps = [f for f in names if f.startswith("checkpoint.")]
     assert len(cps) == store.checkpoint_keep
     # meta dir itself is bounded: table_info + commits dir + kept rollups
-    assert len(os.listdir(store.meta_dir)) <= store.checkpoint_keep + 2
+    assert len(names) <= store.checkpoint_keep + 2
 
     fresh = MetaStore(store.table_path)
     assert fresh.head_version() == n
