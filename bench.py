@@ -95,7 +95,9 @@ def main() -> None:
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     else:
-        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+        # default 3: per-query timings are medians-of-3, so one GC pause
+        # or JIT warmup blip can't masquerade as a real regression
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     # --median is accepted for explicitness; median is always the stat
     # reported when repeat > 1
 

@@ -183,8 +183,14 @@ class Catalog:
             MERGE INTO [ns.]t [AS] x USING <table | (query)> [AS] y
                 ON <pk equality> WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *
-            ALTER TABLE [ns.]t ADD COLUMNS (c TYPE[, …])
+            ALTER TABLE [ns.]t ADD COLUMNS (c TYPE [COMMENT 'c']
+                [FIRST | AFTER x][, …])
             ALTER TABLE [ns.]t ALTER COLUMN c TYPE <type>
+            ALTER TABLE [ns.]t ALTER COLUMN c COMMENT '<comment>'
+            ALTER TABLE [ns.]t ALTER COLUMN c FIRST | AFTER x
+            ALTER TABLE [ns.]t CHANGE [COLUMN] c c TYPE
+                [COMMENT 'c'] [FIRST | AFTER x]
+            ALTER TABLE [ns.]t REPLACE COLUMNS (c TYPE [COMMENT 'c'][, …])
             ALTER TABLE [ns.]t SET TBLPROPERTIES('k'='v'[, …])
             ALTER TABLE [ns.]t UNSET TBLPROPERTIES('k'[, …])
             CREATE NAMESPACE [IF NOT EXISTS] ns
@@ -414,17 +420,21 @@ class Catalog:
 
             rows = [(f.name, f.dataType.simpleString(),
                      "range" if f.name in info.range_partitions
-                     else "hash" if f.name in info.hash_partitions else "")
+                     else "hash" if f.name in info.hash_partitions else "",
+                     f.metadata.get("comment", ""))
                     for f in _ts(info).fields]
             if extended:
                 rows += [
-                    ("", "", ""),
-                    ("# location", info.path, ""),
-                    ("# hash_bucket_num", str(info.hash_bucket_num), ""),
-                    ("# properties", json.dumps(info.properties, sort_keys=True), ""),
+                    ("", "", "", ""),
+                    ("# location", info.path, "", ""),
+                    ("# hash_bucket_num", str(info.hash_bucket_num), "", ""),
+                    ("# properties",
+                     json.dumps(info.properties, sort_keys=True), "", ""),
                 ]
             return spark.createDataFrame(
-                rows, "col_name string, data_type string, partition string"
+                rows,
+                "col_name string, data_type string, partition string, "
+                "comment string",
             )
         if verb == "SHOW" and verb2 == "CREATE":
             m = _rx(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)$", stmt)
@@ -698,8 +708,9 @@ class Catalog:
 
     def _sql_alter_table(self, spark: SparkSession, stmt: str):
         """``ALTER TABLE`` surface (reference
-        ``alterTableCommands.scala:48,75,113,337``): ADD COLUMN(S),
-        ALTER/CHANGE COLUMN ... TYPE, SET/UNSET TBLPROPERTIES."""
+        ``alterTableCommands.scala:48,113,191,337``): ADD COLUMN(S) with
+        COMMENT/FIRST/AFTER, ALTER/CHANGE COLUMN TYPE/COMMENT/position,
+        REPLACE COLUMNS, SET/UNSET TBLPROPERTIES."""
         m = _rx(r"ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", stmt)
         ns, name = self._split_name(m.group(1))
         t = self.get_table(spark, name, ns)
@@ -708,14 +719,66 @@ class Catalog:
         if up.startswith("ADD COLUMN"):
             am = _rx(r"ADD\s+COLUMNS?\s*\((.*)\)$", rest)
             for coldef in _split_top(am.group(1)):
-                cname, _, ctype = coldef.strip().partition(" ")
-                if not ctype:
-                    raise ValueError(f"bad column definition {coldef!r}")
-                t.add_column(cname.strip(), ctype.strip())
+                cname, ctype, comment, first, after = _parse_coldef(coldef)
+                t.add_column(cname, ctype, comment=comment,
+                             first=first, after=after)
             return None
-        if up.startswith(("ALTER COLUMN", "CHANGE COLUMN")):
-            am = _rx(r"(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()\s,]+)$", rest)
-            t.alter_column_type(am.group(1), am.group(2).strip())
+        if up.startswith("REPLACE COLUMNS"):
+            am = _rx(r"REPLACE\s+COLUMNS\s*\((.*)\)$", rest)
+            cols = []
+            for coldef in _split_top(am.group(1)):
+                cname, ctype, comment, first, after = _parse_coldef(coldef)
+                if first or after:
+                    raise ValueError(
+                        "FIRST/AFTER is meaningless in REPLACE COLUMNS: "
+                        "the list order IS the new schema order"
+                    )
+                cols.append((cname, ctype, comment))
+            t.replace_columns(cols)
+            return None
+        if up.startswith(("ALTER COLUMN", "CHANGE COLUMN", "CHANGE ")):
+            am = _rx(
+                r"(?:ALTER|CHANGE)\s+(?:COLUMN\s+)?(\w+)\s+(.*)$", rest
+            )
+            cname, clause = am.group(1), am.group(2).strip()
+            cup = clause.upper()
+            if cup.startswith("TYPE "):
+                t.alter_column_type(cname, clause[5:].strip())
+                return None
+            if cup.startswith("COMMENT "):
+                cm = _rx(r"COMMENT\s+'((?:[^']|'')*)'$", clause)
+                t.change_column(cname, comment=cm.group(1).replace("''", "'"))
+                return None
+            if cup == "FIRST":
+                t.change_column(cname, first=True)
+                return None
+            if cup.startswith("AFTER "):
+                t.change_column(cname, after=clause[6:].strip().strip("`"))
+                return None
+            # reference CHANGE syntax: old_name new_name type [COMMENT c]
+            # [FIRST|AFTER x] — renames rejected (verifyColumnChange), so
+            # new_name must equal old_name
+            cm = _rx(
+                r"(\w+)\s+([\w()<>,\s]+?)"
+                r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?"
+                r"(?:\s+(FIRST)|\s+AFTER\s+(\w+))?$",
+                clause,
+            )
+            if cm.group(1) != cname:
+                raise ValueError(
+                    f"cannot rename column {cname!r} to {cm.group(1)!r}: "
+                    "ALTER TABLE CHANGE COLUMN does not support renames"
+                )
+            new_type = cm.group(2).strip()
+            cur = {f.name: f for f in t.schema().fields}
+            if cname in cur and cur[cname].dataType.simpleString() != \
+                    new_type.lower().replace(" ", ""):
+                t.alter_column_type(cname, new_type)
+            comment = cm.group(3).replace("''", "'") if cm.group(3) else None
+            t.change_column(
+                cname, comment=comment,
+                first=bool(cm.group(4)), after=cm.group(5),
+            )
             return None
         if up.startswith("SET TBLPROPERTIES"):
             am = _rx(r"SET\s+TBLPROPERTIES\s*\((.*)\)$", rest)
@@ -1021,6 +1084,23 @@ def _find_top_keyword(s: str, keyword: str) -> int:
                     and not (after.isalnum() or after == "_")):
                 return i
     return -1
+
+
+def _parse_coldef(coldef: str) -> tuple[str, str, str | None, bool, str | None]:
+    """Parse one ``name type [COMMENT 'c'] [FIRST | AFTER x]`` column
+    definition (reference ADD COLUMNS grammar,
+    ``alterTableCommands.scala:106-117``). Returns
+    (name, type, comment, first, after)."""
+    m = _rx(
+        r"(`?\w+`?)\s+([\w()<>,\s]+?)"
+        r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?"
+        r"(?:\s+(FIRST)|\s+AFTER\s+(`?\w+`?))?\s*$",
+        coldef.strip(),
+    )
+    comment = m.group(3).replace("''", "'") if m.group(3) is not None else None
+    after = m.group(5).strip("`") if m.group(5) else None
+    return (m.group(1).strip("`"), m.group(2).strip(), comment,
+            bool(m.group(4)), after)
 
 
 def _split_top(s: str) -> list[str]:

@@ -452,6 +452,7 @@ def build_vector_index(
     seed: int = 42,
     rotation_seed: int | None = None,
     hash_bucket_num: int = 4,
+    total_bits: int = 1,
 ) -> str:
     """Build a persisted IVF index for a LakeSoul table (reference
     ``python/src/lakesoul/vector_index.py:96-160``
@@ -482,12 +483,14 @@ def build_vector_index(
     # the base-table version this index reflects, recorded BEFORE the
     # snapshot read (conservative: a commit racing the build gets
     # re-processed by the next refresh, never lost)
+    if not 1 <= total_bits <= 8:
+        raise ValueError(f"total_bits must be in [1, 8], got {total_bits}")
     base_head = MetaStore(table.path).head_version()
     src = table.to_df().select(id_col, vec_col)
     cents = train_ivf_centroids(
         src, vec_col=vec_col, nlist=nlist, seed=seed, sort_col=id_col
     )
-    assigned = _index_rows(src, cents, vec_col, rotation_seed)
+    assigned = _index_rows(src, cents, vec_col, rotation_seed, total_bits)
     words = (len(cents[0]) + 31) // 32
     idx_path = f"{table.path}/_vector_index"
     import shutil
@@ -505,13 +508,99 @@ def build_vector_index(
         "vector.code_words": str(words),
         "vector.base_version": str(base_head),
     }
+    if total_bits > 1:
+        props["vector.total_bits"] = str(total_bits)
     if rotation_seed is not None:
         props["vector.rotation_seed"] = str(rotation_seed)
     t.set_properties(props)
     return idx_path
 
 
-def _index_rows(src: DataFrame, cents, vec_col: str, rotation_seed: int | None) -> DataFrame:
+def _multibit_index_rows(
+    assigned: DataFrame, cents, vec_col: str, rotation_seed: int | None,
+    total_bits: int,
+) -> DataFrame:
+    """Multi-bit RaBitQ codes (reference ``quantize_with_centroid``,
+    ``rust/lakesoul-vector/src/rabitq/quantizer.rs:110-235``; the
+    reference defaults to ``total_bits=7``): per-dim code
+    c_i = round(r_i/Δ − cb) ∈ [0, 2^B−1] on the symmetric half-integer
+    grid u_i = c_i + cb, cb = −(2^(B−1) − 0.5), Δ = max|r_i|/(2^(B−1)−0.5),
+    plus the least-squares scale ``delta`` = ⟨r,u⟩/⟨u,u⟩ (the reference's
+    ``delta`` factor). Bit plane B−1 of c is exactly the sign plane
+    ([r_i ≥ 0]) and is stored in the same ``code{w}`` columns the 1-bit
+    index uses (Hamming prefilter keeps working); extension planes
+    p < B−1 land in ``exc{p}_{w}``. Search estimates
+    ⟨r, q_r⟩ ≈ delta·(Σ_p 2^p·S_p + cb·Σq_r) where each plane sum S_p
+    reuses the byte-LUT fastscan — O(B·d/8) per candidate."""
+    import numpy as np
+
+    dim = len(cents[0])
+    words = (dim + 31) // 32
+    exb = total_bits - 1
+    cb = -(2.0 ** exb - 0.5)
+    C = np.asarray(cents, dtype=np.float64)
+    R = (
+        np.asarray(_rotation_matrix(dim, rotation_seed), dtype=np.float64)
+        if rotation_seed is not None else None
+    )
+    code_cols = [f"code{w}" for w in range(words)]
+    ex_cols = [f"exc{p}_{w}" for p in range(exb) for w in range(words)]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in assigned.schema]
+        + [f"{c} long" for c in code_cols + ex_cols]
+        + ["resid_norm double", "c_dot_resid double", "code_dot double",
+           "delta double"]
+    )
+    weights = [
+        (1 << np.arange(min(32, dim - w * 32), dtype=np.int64))
+        for w in range(words)
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cown = C[pdf["cell"].to_numpy()]
+            r = V - cown
+            rr = r @ R.T if R is not None else r
+            mx = np.abs(rr).max(axis=1)
+            step = np.where(mx > 0, mx / (2.0 ** exb - 0.5), 1.0)
+            c = np.rint(rr / step[:, None] - cb).astype(np.int64)
+            np.clip(c, 0, (1 << total_bits) - 1, out=c)
+            u = c + cb
+            uu = (u * u).sum(axis=1)
+            ru = (rr * u).sum(axis=1)
+            norms = np.sqrt((r * r).sum(axis=1))
+            out = pdf.copy()
+            for p in range(total_bits):
+                bits = (c >> p) & 1
+                for w in range(words):
+                    packed = bits[:, w * 32:(w + 1) * 32] @ weights[w]
+                    name = (
+                        f"code{w}" if p == exb else f"exc{p}_{w}"
+                    )
+                    out[name] = packed
+            out["resid_norm"] = norms
+            out["c_dot_resid"] = (cown * r).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cd = np.abs(rr).sum(axis=1) / (np.sqrt(dim) * norms)
+            out["code_dot"] = np.where(norms > 0, cd, 0.0)
+            # step folded into delta: reconstruction is (delta·u_i) in
+            # ORIGINAL residual units, so search needs no per-row step
+            out["delta"] = np.where(uu > 0, step * ru / (step * uu), 0.0)
+            yield out[
+                list(pdf.columns) + code_cols + ex_cols
+                + ["resid_norm", "c_dot_resid", "code_dot", "delta"]
+            ]
+
+    return assigned.mapInPandas(run, out_schema)
+
+
+def _index_rows(
+    src: DataFrame, cents, vec_col: str, rotation_seed: int | None,
+    total_bits: int = 1,
+) -> DataFrame:
     """(id, vec) rows → index rows: cell assignment + packed residual
     sign codes + RaBitQ estimator scalars (shared by full build and
     incremental refresh).
@@ -533,6 +622,10 @@ def _index_rows(src: DataFrame, cents, vec_col: str, rotation_seed: int | None) 
     assigned = src.withColumn(
         "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
     )
+    if total_bits > 1:
+        return _multibit_index_rows(
+            assigned, cents, vec_col, rotation_seed, total_bits
+        )
     words = (dim + 31) // 32
     cents_arr = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in cents
@@ -646,6 +739,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
     rot_seed = props.get("vector.rotation_seed")
     rot_seed = int(rot_seed) if rot_seed is not None else None
+    idx_bits = int(props.get("vector.total_bits", "1"))
     base_v = int(props["vector.base_version"])
 
     base_store = MetaStore(table.path)
@@ -657,7 +751,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         nlist = len(cents_list)
         build_vector_index(
             table, id_col=id_col, vec_col=vec_col, nlist=nlist,
-            rotation_seed=rot_seed,
+            rotation_seed=rot_seed, total_bits=idx_bits,
         )
         return {"mode": "rebuild", "changed_ids": -1, "affected_cells": []}
 
@@ -730,7 +824,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         table.to_df().select(id_col, vec_col)
         .join(changed_ids, id_col, "semi")
     )
-    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed)
+    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed, idx_bits)
     # forward-compat: an index built before the estimator scalars has a
     # narrower schema — refresh must keep writing ITS schema (rebuild
     # to adopt the new columns), not fail the write alignment
@@ -856,6 +950,7 @@ def vector_search(
     cents = np.asarray(cents_list)
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
     words = int(props.get("vector.code_words", 0))
+    idx_bits = int(props.get("vector.total_bits", "1"))
     rot_seed = props.get("vector.rotation_seed")
     rot = (
         _rotation_matrix(len(cents_list[0]), int(rot_seed))
@@ -1004,37 +1099,64 @@ def vector_search(
                 *_lut_expr_cols(F.col("qr"), dim),
                 "q_dot_c", "qsum", "q_norm", "cell_norm2",
             )
+        extra_cols = []
+        if idx_bits > 1:
+            extra_cols = ["delta"] + [
+                f"exc{p}_{w}"
+                for p in range(idx_bits - 1) for w in range(words)
+            ]
         joined = cand.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             "cell", "resid_norm", "c_dot_resid", "code_dot",
             *[f"code{w}" for w in range(words)],
+            *extra_cols,
         ).join(est_qdf, "cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+
         # ⟨x̄, q_r⟩ via per-byte LUTs: each candidate pays nbytes
         # integer shifts + array lookups (codegen) instead of a d-step
         # interpreted fold — the SQL analog of RaBitQ's LUT fastscan
         # (reference ``rust/lakesoul-vector/src/rabitq/fastscan.rs``).
         # Sum order (bytes ascending, bits ascending inside a byte)
         # matches the oracle's nested fold bit-for-bit.
-        terms = []
-        for b in range(nbytes):
-            w, sh = b // 4, (b % 4) * 8
-            byte_val = (
-                F.shiftright(F.col(f"code{w}"), sh)
-                .bitwiseAND(F.lit(255))
-                .cast("int")
-            )
-            terms.append(F.element_at(F.col(f"lut{b}"), byte_val + 1))
-        qsel = terms[0]
-        for tcol in terms[1:]:
-            qsel = qsel + tcol
-        est_xq = (F.lit(2.0) * qsel - F.col("qsum")) / F.lit(_math.sqrt(dim))
-        est_rip = F.when(
-            (F.col("resid_norm") > 0) & (F.col("code_dot") > 0),
-            F.col("resid_norm") * est_xq / F.col("code_dot"),
-        ).otherwise(F.lit(0.0))
+        def _plane_sum(prefix: str):
+            terms = []
+            for b in range(nbytes):
+                w, sh = b // 4, (b % 4) * 8
+                byte_val = (
+                    F.shiftright(F.col(f"{prefix}{w}"), sh)
+                    .bitwiseAND(F.lit(255))
+                    .cast("int")
+                )
+                terms.append(F.element_at(F.col(f"lut{b}"), byte_val + 1))
+            s = terms[0]
+            for tcol in terms[1:]:
+                s = s + tcol
+            return s
+
+        qsel = _plane_sum("code")
+        if idx_bits > 1:
+            # multi-bit codes (reference total_bits>1, quantizer.rs):
+            # Σ c_i·q_r,i = Σ_p 2^p·S_p — the sign plane is bit B−1,
+            # extension planes reuse the SAME per-byte LUTs; the stored
+            # least-squares ``delta`` scales the grid estimate back to
+            # residual units. O(B·d/8) per candidate.
+            exb = idx_bits - 1
+            cbq = -(2.0 ** exb - 0.5)
+            s_total = qsel * F.lit(float(1 << exb))
+            for p in range(exb):
+                s_total = s_total + _plane_sum(f"exc{p}_") * F.lit(float(1 << p))
+            est_rip = F.col("delta") * (s_total + F.lit(cbq) * F.col("qsum"))
+        else:
+            est_xq = (
+                F.lit(2.0) * qsel - F.col("qsum")
+            ) / F.lit(_math.sqrt(dim))
+            est_rip = F.when(
+                (F.col("resid_norm") > 0) & (F.col("code_dot") > 0),
+                F.col("resid_norm") * est_xq / F.col("code_dot"),
+            ).otherwise(F.lit(0.0))
         est_dot = est_rip + F.col("q_dot_c") + F.col("c_dot_resid")
         o_norm = F.sqrt(
             F.col("cell_norm2") + 2 * F.col("c_dot_resid")

@@ -953,14 +953,35 @@ class LakeSoulTable:
         ("date", "timestamp"),
     }
 
+    @staticmethod
+    def _place(fields: list, field, *, first: bool = False,
+               after: str | None = None) -> list:
+        """Insert ``field`` into ``fields`` at a requested position
+        (reference ``alterTableCommands.scala:240-277`` reorderFieldList):
+        FIRST → index 0, AFTER x → right after x, neither → append."""
+        if first and after:
+            raise ValueError("cannot combine FIRST with AFTER")
+        rest = [f for f in fields if f.name != field.name]
+        if first:
+            return [field] + rest
+        if after is not None:
+            idx = next((i for i, f in enumerate(rest) if f.name == after), None)
+            if idx is None:
+                raise ValueError(f"AFTER column {after!r} not in schema")
+            return rest[: idx + 1] + [field] + rest[idx + 1:]
+        return rest + [field]
+
     def add_column(
-        self, name: str, data_type: str, *, default=None, comment: str | None = None
+        self, name: str, data_type: str, *, default=None,
+        comment: str | None = None, first: bool = False,
+        after: str | None = None,
     ) -> None:
         """``ALTER TABLE ADD COLUMN`` (reference
-        ``alterTableCommands.scala:48``): metadata-only schema rewrite.
-        Existing files simply lack the column (``file_exist_cols``);
-        reads fill it with null, or ``default`` when given (reference
-        default-column fill, ``default_column.rs``)."""
+        ``alterTableCommands.scala:48,117-163``): metadata-only schema
+        rewrite, with optional FIRST / AFTER x placement. Existing files
+        simply lack the column (``file_exist_cols``); reads fill it with
+        null, or ``default`` when given (reference default-column fill,
+        ``default_column.rs``)."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         info = self.info
@@ -969,10 +990,105 @@ class LakeSoulTable:
             raise ValueError(f"column {name!r} already exists")
         dt = _parse_datatype_string(data_type)
         meta = {"comment": comment} if comment else {}
-        new_schema = StructType(schema.fields + [StructField(name, dt, True, meta)])
-        info.schema_json = json.dumps(new_schema.jsonValue())
+        fields = self._place(
+            list(schema.fields), StructField(name, dt, True, meta),
+            first=first, after=after,
+        )
+        info.schema_json = json.dumps(StructType(fields).jsonValue())
         if default is not None:
             info.properties[f"default.{name}"] = str(default)
+        self.store.update_table_info(info)
+
+    def change_column(
+        self, name: str, *, new_type: str | None = None,
+        comment: str | None = None, first: bool = False,
+        after: str | None = None,
+    ) -> None:
+        """``ALTER TABLE ALTER/CHANGE COLUMN`` comment / position /
+        widening (reference ``AlterTableChangeColumnCommand``,
+        ``alterTableCommands.scala:191-327``): renames are rejected by the
+        reference's verifyColumnChange, so the surface is comment updates,
+        FIRST / AFTER x reorders, and lossless type widenings — all
+        metadata-only commits."""
+        from pyspark.sql.types import StructField
+
+        info = self.info
+        schema = table_schema(info)
+        fields = {f.name: f for f in schema.fields}
+        if name not in fields:
+            raise ValueError(f"no such column {name!r}")
+        if new_type is not None:
+            self.alter_column_type(name, new_type)
+            info = self.info
+            schema = table_schema(info)
+        old = next(f for f in schema.fields if f.name == name)
+        meta = dict(old.metadata)
+        if comment is not None:
+            meta["comment"] = comment
+        field = StructField(old.name, old.dataType, old.nullable, meta)
+        new_fields = [field if f.name == name else f for f in schema.fields]
+        if first or after is not None:
+            new_fields = self._place(new_fields, field, first=first, after=after)
+        info.schema_json = json.dumps(StructType(new_fields).jsonValue())
+        self.store.update_table_info(info)
+
+    def replace_columns(
+        self, columns: list[tuple[str, str] | tuple[str, str, str | None]]
+    ) -> None:
+        """``ALTER TABLE REPLACE COLUMNS (col type [COMMENT c], …)``
+        (reference ``AlterTableReplaceColumnsCommand``,
+        ``alterTableCommands.scala:330-368``): the list IS the new schema
+        — existing columns keep their data by name and may be reordered,
+        re-commented, or losslessly widened; omitted columns are dropped
+        (never a PK / partition column); unknown names are added as new
+        nullable columns. One metadata-only commit."""
+        from pyspark.sql.types import (
+            DecimalType, StructField, _parse_datatype_string,
+        )
+
+        info = self.info
+        schema = table_schema(info)
+        old = {f.name: f for f in schema.fields}
+        new_names = [c[0] for c in columns]
+        if len(set(new_names)) != len(new_names):
+            raise ValueError("duplicate column in REPLACE COLUMNS")
+        for protected in info.range_partitions + info.hash_partitions:
+            if protected not in new_names:
+                raise ValueError(
+                    f"REPLACE COLUMNS cannot drop partition/PK column "
+                    f"{protected!r}"
+                )
+        fields = []
+        for col in columns:
+            name, type_str = col[0], col[1]
+            comment = col[2] if len(col) > 2 else None
+            dt = _parse_datatype_string(type_str)
+            if name in old:
+                prev = old[name]
+                ok = prev.dataType == dt or (
+                    prev.dataType.typeName(), dt.typeName()
+                ) in self._WIDENINGS
+                if (isinstance(prev.dataType, DecimalType)
+                        and isinstance(dt, DecimalType)):
+                    ok = (dt.scale >= prev.dataType.scale
+                          and dt.precision - dt.scale
+                          >= prev.dataType.precision - prev.dataType.scale)
+                if not ok:
+                    raise ValueError(
+                        f"REPLACE COLUMNS cannot change {name!r} from "
+                        f"{prev.dataType.simpleString()} to "
+                        f"{dt.simpleString()}: not a lossless widening"
+                    )
+                meta = dict(prev.metadata)
+                if comment is not None:
+                    meta["comment"] = comment
+                fields.append(StructField(name, dt, prev.nullable, meta))
+            else:
+                meta = {"comment": comment} if comment else {}
+                fields.append(StructField(name, dt, True, meta))
+        for dropped in set(old) - set(new_names):
+            info.properties.pop(f"default.{dropped}", None)
+        info.schema_json = json.dumps(StructType(fields).jsonValue())
         self.store.update_table_info(info)
 
     def alter_column_type(self, name: str, new_type: str) -> None:

@@ -109,3 +109,67 @@ def test_random_op_sequences_match_dict_model(hypo_spark, tmp_path_factory, ops)
                                      level_file_num_limit=2)
     got = {r["id"]: r["v"] for r in t.to_df().collect()}
     assert got == model
+
+
+def test_hot_bucket_100_generations_plan_and_walltime(spark, tmp_table):
+    """Skew churn: ONE murmur3 bucket accumulates 100 upsert generations
+    (the reference's published "−15% after 100 upserts" shape,
+    BASELINE.md) while the other buckets stay at generation 1. The MOR
+    read must stay correct, and its plan must stay a SINGLE hash
+    aggregation over one scan — generations are merged by groupBy, not
+    stacked per-generation unions/joins, so read degradation is bounded
+    by rows-in-bucket, not by commit count. Prints the measured MOR vs
+    compacted walltime ratio."""
+    import time
+
+    from lakesoul_spark.functions.spark_hash import bucket_of
+
+    n, n_buckets = 2000, 4
+    write(_df(spark, [(i, 0) for i in range(n)], "id int, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=n_buckets)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    hot = [i for i in range(n) if bucket_of([i], ["int"], n_buckets) == 0]
+    assert len(hot) > 100  # murmur3 spreads ids about evenly
+    expect = {i: 0 for i in range(n)}
+    for gen in range(1, 101):
+        batch = [(i, gen) for i in hot[gen % 7::11]]  # varying hot subset
+        for i, v in batch:
+            expect[i] = v
+        t.upsert(_df(spark, batch, "id int, v int"))
+
+    store = MetaStore(tmp_table)
+    snap = store.snapshot()
+    gens = {}
+    for f in snap.files:
+        gens[f.bucket] = gens.get(f.bucket, 0) + 1
+    assert max(gens.values()) == 101          # the hot bucket
+    assert sorted(gens.values())[:3] == [1, 1, 1]  # cold buckets untouched
+
+    view = t.to_df()
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    # one aggregation (a partial+final pair of ONE logical agg) over ONE
+    # file scan: no per-generation unions, no shuffle joins — the only
+    # join is the broadcast file-metadata attach
+    assert plan.count("HashAggregate") <= 2
+    assert "Union" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("FileScan parquet") == 1
+
+    t0 = time.time()
+    got = {r["id"]: r["v"] for r in view.collect()}
+    mor_s = time.time() - t0
+    assert got == expect
+
+    t.compaction()
+    tc = LakeSoulTable.for_path(spark, tmp_table)
+    t0 = time.time()
+    got2 = {r["id"]: r["v"] for r in tc.to_df().collect()}
+    compact_s = time.time() - t0
+    assert got2 == expect
+    print(f"\nMOR-over-100-generations vs compacted walltime: "
+          f"{mor_s:.2f}s vs {compact_s:.2f}s "
+          f"(ratio {mor_s / max(compact_s, 1e-9):.2f}x)")
+    # bounded degradation: reading 100 uncompacted generations of one
+    # bucket must not be an order of magnitude off the compacted read
+    assert mor_s < 20 * max(compact_s, 0.05)

@@ -1017,3 +1017,94 @@ def test_refresh_on_pre_estimator_index(spark, tmp_path):
     # estimator path correctly refuses the narrow index
     with pytest.raises(ValueError, match="rebuild the index"):
         vector_search(t, q, k=3, rerank=10, rank="estimator")
+
+
+def test_vector_search_multibit_recall(spark, tmp_path):
+    """Multi-bit RaBitQ codes (reference total_bits default 7,
+    rust/lakesoul-vector/src/rabitq/quantizer.rs): under a tight rerank
+    budget the multi-bit estimator must recover ≥0.95 recall@5 on the
+    sf0.01 embeddings fixture where the 1-bit estimator is documented
+    at ~0.83, and agree between driver and expression assignment."""
+    from lakesoul_spark.operators.similarity import (
+        brute_force_topk,
+        build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    path = str(tmp_path / "vecs_mb")
+    write(src, path, hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    q = src.limit(16)
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(t.to_df(), q, k=5).collect()}
+
+    def recall(res):
+        got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(got & exact) / len(exact)
+
+    build_vector_index(t, nlist=8, total_bits=7)
+    r_mb = recall(vector_search(t, q, k=5, nprobe=8, rerank=32,
+                                rank="estimator"))
+    assert r_mb >= 0.95, f"multi-bit recall@5 {r_mb} < 0.95"
+
+    # driver and expression paths agree on the multi-bit index
+    d = vector_search(t, q, k=5, nprobe=4, rerank=20, rank="estimator",
+                      assign="driver").collect()
+    e = vector_search(t, q, k=5, nprobe=4, rerank=20, rank="estimator",
+                      assign="expression").collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, e))
+
+    # Hamming prefilter still works on the multi-bit index (sign plane
+    # is stored in the same code{w} columns; 0.5 is what plain Hamming
+    # scores on this fixture with a 1-bit index too — measured, not a
+    # regression of the multi-bit build)
+    r_ham = recall(vector_search(t, q, k=5, nprobe=8, rerank=32))
+    assert r_ham >= 0.4
+
+    # the 1-bit default stays unchanged (oracle-checkable path)
+    build_vector_index(t, nlist=8)
+    r_1b = recall(vector_search(t, q, k=5, nprobe=8, rerank=32,
+                                rank="estimator"))
+    assert r_mb >= r_1b
+
+
+def test_multibit_index_incremental_refresh(spark, tmp_path):
+    """Incremental refresh of a multi-bit index writes the multi-bit
+    schema (ex-planes + delta) for fresh rows — refreshed entries rank
+    with the same estimator math as originally-built ones."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        build_vector_index,
+        refresh_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    path = str(tmp_path / "vecs_mbr")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    build_vector_index(t, nlist=4, total_bits=5)
+
+    moved = [(3, [float(x) for x in rng.randn(16)]),
+             (201, [float(x) for x in rng.randn(16)])]
+    t.upsert(_df(spark, moved, "vec_id long, embedding array<float>"))
+    out = refresh_vector_index(t)
+    assert out["mode"] == "incremental"
+
+    idx = LakeSoulTable.for_path(spark, f"{path}/_vector_index")
+    cols = set(idx.to_df().columns)
+    assert "delta" in cols and "exc0_0" in cols
+    # refreshed ids are searchable through the estimator path
+    q = _df(spark, moved, "vec_id long, embedding array<float>")
+    res = vector_search(t, q, k=3, nprobe=4, rerank=16, rank="estimator",
+                        exclude_self=False)
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    assert (3, 3) in got and (201, 201) in got

@@ -91,3 +91,116 @@ def test_set_unset_properties(spark, tmp_table):
     assert t.info.properties["compaction.ttl"] == "7d"
     t.unset_properties(["compaction.ttl"])
     assert "compaction.ttl" not in t.info.properties
+
+
+# ---------------------------------------------------------------- positions
+# reference AlterTableAddColumnsCommand / AlterTableChangeColumnCommand
+# (alterTableCommands.scala:113-163,191-327): FIRST / AFTER placement,
+# comment updates, and REPLACE COLUMNS whole-schema rewrites are
+# metadata-only commits.
+
+
+def test_add_column_first_and_after(spark, tmp_table):
+    write(_df(spark, [(1, "a")], "id int, v string"), tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.add_column("lead", "int", first=True)
+    t.add_column("mid", "int", after="id")
+    assert t.to_df().columns == ["lead", "id", "mid", "v"]
+    with pytest.raises(ValueError, match="AFTER column"):
+        t.add_column("bad", "int", after="nope")
+    with pytest.raises(ValueError, match="FIRST with AFTER"):
+        t.add_column("bad", "int", first=True, after="id")
+
+
+def test_change_column_comment_and_position(spark, tmp_table):
+    write(_df(spark, [(1, "a", 5)], "id int, v string, x int"), tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.change_column("x", comment="the x", first=True)
+    assert t.to_df().columns == ["x", "id", "v"]
+    t.change_column("v", after="x")
+    assert t.to_df().columns == ["x", "v", "id"]
+    fields = {f.name: f for f in t.schema().fields}
+    assert fields["x"].metadata["comment"] == "the x"
+    # data survives reorders — reads are name-resolved
+    assert [tuple(r) for r in t.to_df().collect()] == [(5, "a", 1)]
+
+
+def test_change_column_type_plus_comment(spark, tmp_table):
+    write(_df(spark, [(1, 10)], "id int, v int"), tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.change_column("v", new_type="bigint", comment="widened")
+    fields = {f.name: f for f in t.schema().fields}
+    assert fields["v"].dataType.simpleString() == "bigint"
+    assert fields["v"].metadata["comment"] == "widened"
+    assert [tuple(r) for r in t.to_df().collect()] == [(1, 10)]
+
+
+def test_replace_columns_reorder_widen_drop_add(spark, tmp_table):
+    write(_df(spark, [(1, "a", 5)], "id int, v string, x int"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    # reorder, widen x, drop v, add fresh
+    t.replace_columns([
+        ("x", "bigint", "widened x"),
+        ("id", "int", None),
+        ("fresh", "string", "brand new"),
+    ])
+    assert t.to_df().columns == ["x", "id", "fresh"]
+    assert [tuple(r) for r in t.to_df().collect()] == [(5, 1, None)]
+    fields = {f.name: f for f in t.schema().fields}
+    assert fields["x"].metadata["comment"] == "widened x"
+    assert fields["fresh"].metadata["comment"] == "brand new"
+
+
+def test_replace_columns_guards(spark, tmp_table):
+    write(_df(spark, [(1, "a")], "id int, v string"), tmp_table,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="partition/PK"):
+        t.replace_columns([("v", "string")])
+    with pytest.raises(ValueError, match="lossless widening"):
+        t.replace_columns([("id", "int"), ("v", "int")])
+    with pytest.raises(ValueError, match="duplicate column"):
+        t.replace_columns([("id", "int"), ("v", "string"), ("v", "string")])
+
+
+def test_sql_alter_column_surface(spark, tmp_path):
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.sql(spark, "CREATE TABLE at (id INT, v STRING, x INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO at VALUES (1, 'a', 5)")
+    cat.sql(spark, "ALTER TABLE at ALTER COLUMN x COMMENT 'it''s x'")
+    cat.sql(spark, "ALTER TABLE at ALTER COLUMN x FIRST")
+    cat.sql(spark, "ALTER TABLE at ALTER COLUMN v AFTER x")
+    desc = {r.col_name: r for r in cat.sql(spark, "DESCRIBE at").collect()}
+    assert desc["x"].comment == "it's x"
+    assert [r.col_name for r in cat.sql(spark, "DESCRIBE at").collect()] == \
+        ["x", "v", "id"]
+    cat.sql(spark, "ALTER TABLE at CHANGE COLUMN v v string COMMENT 'vv' AFTER id")
+    desc = {r.col_name: r for r in cat.sql(spark, "DESCRIBE at").collect()}
+    assert desc["v"].comment == "vv"
+    assert [r.col_name for r in cat.sql(spark, "DESCRIBE at").collect()] == \
+        ["x", "id", "v"]
+    with pytest.raises(ValueError, match="rename"):
+        cat.sql(spark, "ALTER TABLE at CHANGE COLUMN v w string")
+    cat.sql(spark, """
+        ALTER TABLE at ADD COLUMNS (
+            a INT COMMENT 'first col' FIRST,
+            b BIGINT AFTER id
+        )
+    """)
+    assert [r.col_name for r in cat.sql(spark, "DESCRIBE at").collect()] == \
+        ["a", "x", "id", "b", "v"]
+    cat.sql(spark, """
+        ALTER TABLE at REPLACE COLUMNS (
+            id INT COMMENT 'key', v STRING, x BIGINT
+        )
+    """)
+    rows = cat.sql(spark, "DESCRIBE at").collect()
+    assert [r.col_name for r in rows] == ["id", "v", "x"]
+    desc = {r.col_name: r for r in rows}
+    assert desc["id"].comment == "key"
+    assert desc["x"].data_type == "bigint"
+    got = cat.sql(spark, "SELECT * FROM at").collect()
+    assert [tuple(r) for r in got] == [(1, "a", 5)]
