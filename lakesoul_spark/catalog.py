@@ -1,13 +1,24 @@
-"""Namespace / table catalog over a filesystem root.
+"""Namespace / table catalog over a pluggable metadata backend.
 
 Re-expresses the reference catalog surface — PG-backed namespaces and
 table name registry (``LakeSoulCatalog.scala:129-352,512-578``,
-``python/src/lakesoul/catalog.py:39-263``, ``entity.proto:68-76``) — as
-a directory-per-namespace layout with JSON registries:
+``python/src/lakesoul/catalog.py:39-263``, ``entity.proto:68-76``).
+Two backends ship:
 
-    <root>/<namespace>/_namespace.json       properties
-    <root>/<namespace>/_tables.json          short name -> table path
-    <root>/<namespace>/<table>/              default table location
+- :class:`JsonFsBackend` (default) — directory-per-namespace layout
+  with JSON registries, self-contained under the warehouse root:
+
+      <root>/<namespace>/_namespace.json       properties
+      <root>/<namespace>/_tables.json          short name -> table path
+      <root>/<namespace>/<table>/              default table location
+
+- :class:`SqliteBackend` — one shared database file that many driver
+  processes open concurrently, the stand-in for the reference's shared
+  PostgreSQL metadata service (``lakesoul-common/.../DBManager.java``,
+  ``rust/lakesoul-metadata/src/metadata_client.rs:139-904``): name
+  uniqueness is a transactional UNIQUE constraint, not a read-modify-
+  write of a JSON file, so two racing CREATE TABLEs serialize exactly
+  like two drivers against one PG.
 
 No Spark catalog plugin exists for pure PySpark (SURVEY §7.1), so SQL
 access goes through :meth:`Catalog.create_sql_views`, which registers
@@ -45,10 +56,179 @@ def _read_json(path: str) -> dict:
         return json.load(f)
 
 
-class Catalog:
+class JsonFsBackend:
+    """Per-root JSON registry (the original layout). Atomicity comes
+    from atomic file replace; adequate for one driver per warehouse."""
+
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+
+    def _ns_dir(self, ns: str) -> str:
+        return os.path.join(self.root, ns)
+
+    def create_namespace(self, ns: str, properties: dict) -> None:
+        d = self._ns_dir(ns)
+        if os.path.exists(os.path.join(d, _NS_FILE)):
+            raise ValueError(f"namespace {ns!r} already exists")
+        _write_json(os.path.join(d, _NS_FILE), {"properties": properties})
+        _write_json(os.path.join(d, _TABLES_FILE), {})
+
+    def namespace_exists(self, ns: str) -> bool:
+        return os.path.exists(os.path.join(self._ns_dir(ns), _NS_FILE))
+
+    def namespace_properties(self, ns: str) -> dict:
+        p = os.path.join(self._ns_dir(ns), _NS_FILE)
+        return _read_json(p)["properties"] if os.path.exists(p) else {}
+
+    def list_namespaces(self) -> list[str]:
+        out = set()
+        for n in os.listdir(self.root):
+            if os.path.exists(os.path.join(self.root, n, _NS_FILE)):
+                out.add(n)
+        return sorted(out)
+
+    def drop_namespace(self, ns: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._ns_dir(ns), ignore_errors=True)
+
+    def tables(self, ns: str) -> dict:
+        p = os.path.join(self._ns_dir(ns), _TABLES_FILE)
+        return _read_json(p) if os.path.exists(p) else {}
+
+    def register_table(self, ns: str, name: str, path: str) -> None:
+        reg = self.tables(ns)
+        if name in reg:
+            raise ValueError(f"table {ns}.{name} already exists")
+        reg[name] = path
+        _write_json(os.path.join(self._ns_dir(ns), _TABLES_FILE), reg)
+
+    def unregister_table(self, ns: str, name: str) -> str:
+        reg = self.tables(ns)
+        if name not in reg:
+            raise ValueError(f"no such table {ns}.{name}")
+        path = reg.pop(name)
+        _write_json(os.path.join(self._ns_dir(ns), _TABLES_FILE), reg)
+        return path
+
+
+class SqliteBackend:
+    """Shared-database catalog backend — the reference's PG metadata
+    service shape (``DBManager.java`` createNewTable/listTables…): many
+    drivers, one metastore, uniqueness enforced by the database inside
+    a transaction. Each operation opens its own connection (one
+    "session" per call, like a pooled PG client) so a single backend
+    object is safe to share across threads and processes."""
+
+    def __init__(self, db_path: str, *, timeout_s: float = 30.0):
+        self.db_path = os.path.abspath(db_path)
+        self.timeout_s = timeout_s
+        os.makedirs(os.path.dirname(self.db_path), exist_ok=True)
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS namespaces ("
+                " ns TEXT PRIMARY KEY, properties TEXT NOT NULL)"
+            )
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS tables ("
+                " ns TEXT NOT NULL, name TEXT NOT NULL, path TEXT NOT NULL,"
+                " PRIMARY KEY (ns, name))"
+            )
+
+    def _conn(self):
+        # context manager: one transaction per call, connection closed
+        # after (sqlite3's own `with conn` commits but does NOT close)
+        import contextlib
+        import sqlite3
+
+        @contextlib.contextmanager
+        def cm():
+            c = sqlite3.connect(self.db_path, timeout=self.timeout_s)
+            try:
+                c.execute(
+                    "PRAGMA busy_timeout = %d" % int(self.timeout_s * 1000)
+                )
+                with c:
+                    yield c
+            finally:
+                c.close()
+
+        return cm()
+
+    def create_namespace(self, ns: str, properties: dict) -> None:
+        import sqlite3
+
+        with self._conn() as c:
+            try:
+                c.execute(
+                    "INSERT INTO namespaces (ns, properties) VALUES (?, ?)",
+                    (ns, json.dumps(properties, sort_keys=True)),
+                )
+            except sqlite3.IntegrityError:
+                raise ValueError(f"namespace {ns!r} already exists") from None
+
+    def namespace_exists(self, ns: str) -> bool:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT 1 FROM namespaces WHERE ns = ?", (ns,)
+            ).fetchone()
+        return row is not None
+
+    def namespace_properties(self, ns: str) -> dict:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT properties FROM namespaces WHERE ns = ?", (ns,)
+            ).fetchone()
+        return json.loads(row[0]) if row else {}
+
+    def list_namespaces(self) -> list[str]:
+        with self._conn() as c:
+            rows = c.execute("SELECT ns FROM namespaces").fetchall()
+        return sorted(r[0] for r in rows)
+
+    def drop_namespace(self, ns: str) -> None:
+        with self._conn() as c:
+            c.execute("DELETE FROM tables WHERE ns = ?", (ns,))
+            c.execute("DELETE FROM namespaces WHERE ns = ?", (ns,))
+
+    def tables(self, ns: str) -> dict:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT name, path FROM tables WHERE ns = ?", (ns,)
+            ).fetchall()
+        return dict(rows)
+
+    def register_table(self, ns: str, name: str, path: str) -> None:
+        import sqlite3
+
+        with self._conn() as c:
+            try:
+                c.execute(
+                    "INSERT INTO tables (ns, name, path) VALUES (?, ?, ?)",
+                    (ns, name, path),
+                )
+            except sqlite3.IntegrityError:
+                raise ValueError(f"table {ns}.{name} already exists") from None
+
+    def unregister_table(self, ns: str, name: str) -> str:
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT path FROM tables WHERE ns = ? AND name = ?", (ns, name)
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"no such table {ns}.{name}")
+            c.execute(
+                "DELETE FROM tables WHERE ns = ? AND name = ?", (ns, name)
+            )
+        return row[0]
+
+
+class Catalog:
+    def __init__(self, root: str, backend=None):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self.backend = backend if backend is not None else JsonFsBackend(self.root)
 
     # ---------------------------------------------------------- namespaces
 
@@ -58,39 +238,36 @@ class Catalog:
         return os.path.join(self.root, ns)
 
     def create_namespace(self, ns: str, properties: dict | None = None) -> None:
-        d = self._ns_dir(ns)
-        if os.path.exists(os.path.join(d, _NS_FILE)):
-            raise ValueError(f"namespace {ns!r} already exists")
-        _write_json(os.path.join(d, _NS_FILE), {"properties": properties or {}})
-        _write_json(os.path.join(d, _TABLES_FILE), {})
+        self._ns_dir(ns)  # name validation
+        self.backend.create_namespace(ns, properties or {})
 
     def namespace_exists(self, ns: str) -> bool:
-        return os.path.exists(os.path.join(self._ns_dir(ns), _NS_FILE))
+        self._ns_dir(ns)
+        return self.backend.namespace_exists(ns)
 
     def list_namespaces(self) -> list[str]:
         # "default" is implicit (usable without CREATE NAMESPACE), so it
         # always lists — same as SHOW NAMESPACES in a Spark catalog
-        out = {"default"}
-        for n in os.listdir(self.root):
-            if os.path.exists(os.path.join(self.root, n, _NS_FILE)):
-                out.add(n)
-        return sorted(out)
+        return sorted({"default", *self.backend.list_namespaces()})
 
     def drop_namespace(self, ns: str, *, cascade: bool = False) -> None:
         import shutil
 
-        d = self._ns_dir(ns)
         if not self.namespace_exists(ns):
             raise ValueError(f"no such namespace {ns!r}")
-        if self.list_tables(ns) and not cascade:
+        tables = self.backend.tables(ns)
+        if tables and not cascade:
             raise ValueError(f"namespace {ns!r} is not empty (use cascade=True)")
-        shutil.rmtree(d)
+        for path in tables.values():
+            shutil.rmtree(path, ignore_errors=True)
+        self.backend.drop_namespace(ns)
+        shutil.rmtree(self._ns_dir(ns), ignore_errors=True)
 
     # -------------------------------------------------------------- tables
 
     def _registry(self, ns: str) -> dict:
-        p = os.path.join(self._ns_dir(ns), _TABLES_FILE)
-        return _read_json(p) if os.path.exists(p) else {}
+        self._ns_dir(ns)
+        return self.backend.tables(ns)
 
     def create_table(
         self,
@@ -109,15 +286,16 @@ class Catalog:
                 raise ValueError(f"no such namespace {namespace!r}")
         if not _NAME_RE.match(name):
             raise ValueError(f"bad table name {name!r}")
-        reg = self._registry(namespace)
-        if name in reg:
+        if self.table_exists(name, namespace):
             raise ValueError(f"table {namespace}.{name} already exists")
         tpath = os.path.abspath(path or os.path.join(self._ns_dir(namespace), name))
         t = _create_table(
             spark, tpath, schema, table_name=name, namespace=namespace, **kwargs
         )
-        reg[name] = tpath
-        _write_json(os.path.join(self._ns_dir(namespace), _TABLES_FILE), reg)
+        # registration is the commit point: if another driver raced us
+        # to the name, the backend's uniqueness constraint rejects the
+        # SECOND registration (reference DBManager.createNewTable)
+        self.backend.register_table(namespace, name, tpath)
         return t
 
     def list_tables(self, ns: str = "default") -> list[str]:
@@ -135,11 +313,7 @@ class Catalog:
         return LakeSoulTable.for_path(spark, reg[name])
 
     def drop_table(self, name: str, ns: str = "default") -> None:
-        reg = self._registry(ns)
-        if name not in reg:
-            raise ValueError(f"no such table {ns}.{name}")
-        path = reg.pop(name)
-        _write_json(os.path.join(self._ns_dir(ns), _TABLES_FILE), reg)
+        path = self.backend.unregister_table(ns, name)
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -387,11 +561,7 @@ class Catalog:
                 ns, name = target
                 if ns == "default" and not self.namespace_exists("default"):
                     self.create_namespace("default")
-                reg = self._registry(ns)
-                reg[name] = t.path
-                _write_json(
-                    os.path.join(self._ns_dir(ns), _TABLES_FILE), reg
-                )
+                self.backend.register_table(ns, name, t.path)
             return None
         if verb == "CHECK":
             m = _rx(r"CHECK\s+TABLE\s+([\w.]+)$", stmt)
