@@ -1,0 +1,84 @@
+"""URI-aware filesystem access for driver-side data-file operations.
+
+The heavy data path (parquet read/write) already goes through Spark's
+Hadoop filesystem layer, which speaks s3a/gs/abfs/hdfs natively — only
+the DRIVER-side bookkeeping (staging-dir listing at commit, fsck size
+checks, vacuum orphan sweeps, in-place import discovery) touched the
+filesystem directly through ``os.walk``/``getsize``, which silently
+pins those operations to a POSIX mount. This module routes them through
+``pyarrow.fs`` instead (reference: ``rust/lakesoul-io/src/object_store.rs``
+and ``hdfs/mod.rs`` abstract the same operations behind the
+``object_store`` crate), so the same code serves:
+
+- plain paths → ``LocalFileSystem`` (bit-identical to the old behavior);
+- URI paths (``s3://…``, ``hdfs://…``) → ``FileSystem.from_uri``;
+- an injected filesystem (tests use pyarrow's in-memory mock — a flat
+  object store with no POSIX semantics — to prove nothing here needs
+  ``os``).
+
+Listings are one recursive LIST per prefix with sizes included in the
+``FileInfo`` — never a per-file stat round-trip, which is the access
+pattern that matters on an object store at 100 TB (a commit of 10k
+files costs one LIST, not 10k HEADs).
+"""
+
+from __future__ import annotations
+
+
+def filesystem_for(path: str, fs=None):
+    """Resolve ``path`` to ``(FileSystem, fs-native path)``.
+
+    An explicitly injected ``fs`` wins (native path assumed); a
+    ``scheme://`` URI resolves through ``FileSystem.from_uri`` (which
+    picks S3/GCS/HDFS/local from the scheme); anything else is a local
+    path."""
+    from pyarrow import fs as pafs
+
+    if fs is not None:
+        return fs, path
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def list_files(path: str, fs=None, *, suffix: str | None = None):
+    """Recursive listing under ``path``: sorted ``[(native_path, size)]``
+    of files (optionally filtered by ``suffix``). Missing prefix → []."""
+    from pyarrow import fs as pafs
+
+    f, p = filesystem_for(path, fs)
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    out = [
+        (i.path, i.size)
+        for i in f.get_file_info(sel)
+        if i.type == pafs.FileType.File
+        and (suffix is None or i.path.endswith(suffix))
+    ]
+    out.sort()
+    return out
+
+
+def parquet_metadata(native_path: str, fs):
+    """Footer-only metadata read through the filesystem handle."""
+    import pyarrow.parquet as pq
+
+    with fs.open_input_file(native_path) as fh:
+        return pq.ParquetFile(fh).metadata
+
+
+def delete_file(native_path: str, fs) -> None:
+    """Best-effort delete (missing object is not an error — S3 DELETE
+    shape)."""
+    try:
+        fs.delete_file(native_path)
+    except FileNotFoundError:
+        pass
+
+
+def relative_to(native_path: str, native_root: str) -> str:
+    """``native_path`` relative to ``native_root`` using '/' separators
+    (both must come from the same filesystem resolution)."""
+    root = native_root.rstrip("/") + "/"
+    if not native_path.startswith(root):
+        raise ValueError(f"{native_path!r} is not under {native_root!r}")
+    return native_path[len(root):]

@@ -174,25 +174,31 @@ def _stats_cols(info: TableInfo, exist_cols: list[str]) -> list[str]:
             if c in exist_cols and not (c in seen or seen.add(c))]
 
 
-def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list[FileOp]:
+def _collect_file_ops(
+    info: TableInfo, out_dir: str, present: list[str], fs=None
+) -> list[FileOp]:
+    """Driver-side commit bookkeeping: one recursive LIST of the staging
+    prefix + a footer read per file, all through a URI-aware filesystem
+    (``io/fs.py``) — works on a POSIX mount and on object stores alike
+    (reference DelayedCommitProtocol collects the task-committed paths;
+    here the unique staging prefix makes a LIST equivalent)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    import pyarrow.parquet as pq
-
+    from lakesoul_spark.io.fs import (
+        filesystem_for, list_files, parquet_metadata, relative_to,
+    )
     from lakesoul_spark.io.stats import file_stats
 
     rc = set(info.range_partitions)
     exist_cols = [c for c in present if c not in rc]
     stat_cols = _stats_cols(info, exist_cols)
-    paths: list[str] = []
-    for root, _dirs, files in os.walk(out_dir):
-        for name in sorted(files):
-            if name.endswith(".parquet"):
-                paths.append(os.path.join(root, name))
+    fs_, out_native = filesystem_for(out_dir, fs)
+    _, table_native = filesystem_for(info.path, fs)
+    listed = list_files(out_dir, fs, suffix=".parquet")
 
-    def make_op(full: str) -> FileOp:
-        rel_to_out = os.path.relpath(full, out_dir)
-        comps = rel_to_out.split(os.sep)[:-1]  # partition dirs
+    def make_op(entry: tuple) -> FileOp:
+        full, size = entry
+        comps = relative_to(full, out_native).split("/")[:-1]  # partition dirs
         bucket = -1
         range_comps = []
         for comp in comps:
@@ -202,13 +208,13 @@ def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list
             else:
                 range_comps.append(comp)
         desc = desc_from_dir_components(range_comps)
-        meta = pq.ParquetFile(full).metadata
+        meta = parquet_metadata(full, fs_)
         return FileOp(
             op="add",
-            path=os.path.relpath(full, info.path),
+            path=relative_to(full, table_native),
             partition_desc=desc,
             bucket=bucket,
-            size=os.path.getsize(full),
+            size=size,
             num_rows=meta.num_rows,
             file_exist_cols=exist_cols,
             # same footer read as num_rows — stats cost nothing extra
@@ -219,10 +225,10 @@ def _collect_file_ops(info: TableInfo, out_dir: str, present: list[str]) -> list
     # should not pay them serially on the driver (the reference collects
     # file stats from the write tasks; here a thread pool suffices
     # because each read is one footer, not data)
-    if len(paths) > 8:
+    if len(listed) > 8:
         with ThreadPoolExecutor(max_workers=16) as pool:
-            ops = list(pool.map(make_op, paths))
+            ops = list(pool.map(make_op, listed))
     else:
-        ops = [make_op(p) for p in paths]
+        ops = [make_op(p) for p in listed]
     ops.sort(key=lambda o: (o.partition_desc, o.bucket, o.path))
     return ops

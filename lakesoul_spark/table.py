@@ -111,29 +111,37 @@ def convert_to_lakesoul(
     live rows into engine-owned files, then retire the originals
     out-of-band.
     """
-    import pyarrow.parquet as pq
     from concurrent.futures import ThreadPoolExecutor
 
+    from lakesoul_spark.io.fs import (
+        filesystem_for, list_files, parquet_metadata, relative_to,
+    )
     from lakesoul_spark.io.partition import desc_from_dir_components
 
-    path = os.path.abspath(path)
+    path = os.path.abspath(path) if "://" not in path else path
     if MetaStore(path).exists():
         raise ValueError(f"{path} is already a LakeSoul table")
-    if not os.path.isdir(path):
+    fs_, native = filesystem_for(path)
+    from pyarrow import fs as _pafs
+
+    if fs_.get_file_info(native).type != _pafs.FileType.Directory:
         raise ValueError(f"{path} is not a directory")
 
-    files: list[str] = []
-    for root, dirs, names in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                files.append(os.path.join(root, n))
+    def _visible(rel: str) -> bool:
+        return not any(
+            c.startswith(("_", ".")) for c in rel.split("/")
+        )
+
+    files = [
+        (p, sz) for p, sz in list_files(path, suffix=".parquet")
+        if _visible(relative_to(p, native))
+    ]
     if not files:
         raise ValueError(f"no parquet files under {path}")
 
     # partition columns from the directory layout (ordered as nested)
     discovered: list[str] = []
-    for comp in os.path.relpath(files[0], path).split(os.sep)[:-1]:
+    for comp in relative_to(files[0][0], native).split("/")[:-1]:
         k, eq, _ = comp.partition("=")
         if eq:
             discovered.append(k)
@@ -148,16 +156,18 @@ def convert_to_lakesoul(
     df = spark.read.parquet(path)
     schema = df.schema
 
-    def make_op(full: str) -> FileOp:
-        comps = os.path.relpath(full, path).split(os.sep)[:-1]
+    def make_op(entry: tuple) -> FileOp:
+        full, size = entry
+        rel = relative_to(full, native)
+        comps = rel.split("/")[:-1]
         range_comps = [c for c in comps if "=" in c]
-        meta = pq.ParquetFile(full).metadata
+        meta = parquet_metadata(full, fs_)
         return FileOp(
             op="add",
-            path=os.path.relpath(full, path),
+            path=rel,
             partition_desc=desc_from_dir_components(range_comps),
             bucket=-1,
-            size=os.path.getsize(full),
+            size=size,
             num_rows=meta.num_rows,
             file_exist_cols=[
                 schema_field
@@ -1430,24 +1440,34 @@ class LakeSoulTable:
         touching nothing."""
         import time as _time
 
+        from pyarrow import fs as _pafs
+
+        from lakesoul_spark.io.fs import delete_file, filesystem_for, relative_to
         from lakesoul_spark.meta.store import DATA_DIR
 
         live = {f.path for f in self.store.snapshot().files}
         cutoff = _time.time() - retention_ms / 1000.0
         removed = 0
-        data_root = os.path.join(self.path, DATA_DIR)
-        for root, _dirs, names in os.walk(data_root):
-            for n in names:
-                full = os.path.join(root, n)
-                rel = os.path.relpath(full, self.path)
-                if (
-                    rel not in live
-                    and n.endswith(".parquet")
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    if not dry_run:
-                        os.remove(full)
-                    removed += 1
+        fs_, table_native = filesystem_for(self.path)
+        data_root = table_native.rstrip("/") + "/" + DATA_DIR
+        sel = _pafs.FileSelector(data_root, recursive=True, allow_not_found=True)
+        for fi in fs_.get_file_info(sel):
+            if fi.type != _pafs.FileType.File or not fi.path.endswith(".parquet"):
+                continue
+            rel = relative_to(fi.path, table_native)
+            if rel in live:
+                continue
+            # age gate from the LIST's own mtime (no per-file stat); a
+            # store that reports no mtime only vacuums on retention=0 —
+            # conservative, never deletes a possibly-in-flight staging
+            mtime_ok = (
+                retention_ms == 0
+                or (fi.mtime is not None and fi.mtime.timestamp() <= cutoff)
+            )
+            if mtime_ok:
+                if not dry_run:
+                    delete_file(fi.path, fs_)
+                removed += 1
         return removed
 
     def fsck(self, *, check_sizes: bool = True) -> DataFrame:
@@ -1464,8 +1484,11 @@ class LakeSoulTable:
           vacuum). Files referenced only by non-HEAD versions are NOT
           flagged: they serve time travel until vacuumed.
 
-        Driver-side O(#files) listing + commit-log replay; an explicit
-        maintenance call, not a read-path cost."""
+        Driver-side ONE recursive LIST of ``data/`` + commit-log replay
+        (existence AND sizes come from the listing — no per-file stat
+        round-trips, the access pattern an object store needs); an
+        explicit maintenance call, not a read-path cost."""
+        from lakesoul_spark.io.fs import filesystem_for, list_files, relative_to
         from lakesoul_spark.meta.store import DATA_DIR
 
         issues: list[tuple[str, str, str]] = []
@@ -1475,32 +1498,40 @@ class LakeSoulTable:
             for op in c.file_ops:
                 if op.op == "add":
                     ever_added.add(op.path)
+        from pyarrow import fs as _pafs
+
+        fs_, table_native = filesystem_for(self.path)
+        on_disk = {
+            relative_to(p, table_native): sz
+            for p, sz in list_files(
+                self.path.rstrip("/") + "/" + DATA_DIR, suffix=".parquet"
+            )
+        }
         for f in snap.files:
-            full = os.path.join(self.path, f.path)
-            if not os.path.exists(full):
+            size_on_disk = on_disk.get(f.path)
+            if size_on_disk is None and not f.path.startswith(DATA_DIR + "/"):
+                # converted-in-place tables reference files OUTSIDE
+                # data/ (their original layout) — stat those directly
+                fi = fs_.get_file_info(
+                    table_native.rstrip("/") + "/" + f.path
+                )
+                if fi.type == _pafs.FileType.File:
+                    size_on_disk = fi.size
+            if size_on_disk is None:
                 issues.append(
                     ("missing_file", f.path,
                      f"referenced by HEAD snapshot v{snap.version}")
                 )
-            elif check_sizes and f.size:
-                actual = os.path.getsize(full)
-                if actual != f.size:
-                    issues.append(
-                        ("size_mismatch", f.path,
-                         f"committed={f.size} on_disk={actual}")
-                    )
-        data_root = os.path.join(self.path, DATA_DIR)
-        if os.path.isdir(data_root):
-            for root, _dirs, names in os.walk(data_root):
-                for n in names:
-                    if not n.endswith(".parquet"):
-                        continue
-                    rel = os.path.relpath(os.path.join(root, n), self.path)
-                    if rel not in ever_added:
-                        issues.append(
-                            ("orphan_file", rel,
-                             "never referenced by any commit")
-                        )
+            elif check_sizes and f.size and size_on_disk != f.size:
+                issues.append(
+                    ("size_mismatch", f.path,
+                     f"committed={f.size} on_disk={size_on_disk}")
+                )
+        for rel in sorted(on_disk):
+            if rel not in ever_added:
+                issues.append(
+                    ("orphan_file", rel, "never referenced by any commit")
+                )
         return self.spark.createDataFrame(
             issues or [], "issue string, path string, detail string"
         )

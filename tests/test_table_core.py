@@ -709,3 +709,49 @@ def test_convert_to_lakesoul(spark, tmp_path):
         convert_to_lakesoul(spark, src)
     with _pytest.raises(ValueError, match="not a directory"):
         convert_to_lakesoul(spark, str(tmp_path / "nope2"))
+
+
+def test_collect_file_ops_on_object_store_fs(spark, tmp_table):
+    """The commit-time file-op collection must not require POSIX: run it
+    against pyarrow's in-memory mock filesystem (flat object store — no
+    os.walk, no getsize) and get byte-identical FileOps to the local
+    run. This is the driver-side half of an S3 deployment; the data
+    files themselves already go through Spark's Hadoop FS layer."""
+    from pyarrow import fs as pafs
+
+    from lakesoul_spark.io.writer import _collect_file_ops
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.table import write
+
+    write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=2)
+    store = MetaStore(tmp_table)
+    info = store.table_info()
+    # the staged commit dir on local disk
+    local_ops = store.snapshot().files
+    token = "/".join(local_ops[0].path.split("/")[:2])  # data/<token>
+
+    # mirror the staging dir into the mock object store
+    mock = pafs._MockFileSystem()
+    mock_table = "tbl"
+    for f in local_ops:
+        src = os.path.join(tmp_table, f.path)
+        dst = f"{mock_table}/{f.path}"
+        mock.create_dir("/".join(dst.split("/")[:-1]))
+        with open(src, "rb") as fh, mock.open_output_stream(dst) as out:
+            out.write(fh.read())
+
+    import dataclasses
+
+    from lakesoul_spark.meta.store import TableInfo
+    mock_info = dataclasses.replace(info, path=mock_table)
+    got = _collect_file_ops(
+        mock_info,
+        f"{mock_table}/{token}",
+        ["id", "v"],
+        fs=mock,
+    )
+    want = sorted(
+        ((e.path, e.bucket, e.num_rows, e.size) for e in local_ops)
+    )
+    assert sorted((o.path, o.bucket, o.num_rows, o.size) for o in got) == want
