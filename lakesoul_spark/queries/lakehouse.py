@@ -925,3 +925,58 @@ def sql_surface(spark, sf_dir):
         WHEN NOT MATCHED THEN INSERT *
     """)
     return cat.sql(spark, "SELECT * FROM sqlo")
+
+
+# ------------------------------------------------------------ column DDL
+
+@_register(
+    "lakehouse_column_ddl",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_flag
+    FROM orders
+    """,
+)
+def column_ddl(spark, sf_dir):
+    """ALTER TABLE column surface end-to-end (reference
+    alterTableCommands.scala:113,191,337): ADD COLUMNS with COMMENT +
+    FIRST placement, ALTER COLUMN reposition, then REPLACE COLUMNS
+    (reorder + widen o_totalprice stays double + drop o_custkey) — all
+    metadata-only commits; the final MOR read returns the schema the
+    DDL built, verified against a plain relational oracle. Column
+    positions and comments are asserted in-query (the driver's compare
+    sorts columns, so position changes must be checked here)."""
+    from lakesoul_spark.catalog import Catalog
+
+    path = _tmp("column_ddl", sf_dir)
+    orders = _orders(spark, sf_dir)
+    wh = path + "-wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = Catalog(wh)
+    cat.create_table(
+        spark, "cd", "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+        hash_partitions=["o_orderkey"], hash_bucket_num=8,
+    )
+    t = cat.get_table(spark, "cd")
+    write(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t.path, mode="append",
+    )
+    cat.sql(spark, "ALTER TABLE cd ADD COLUMNS (o_flag STRING COMMENT 'audit flag' FIRST)")
+    cat.sql(spark, "ALTER TABLE cd ALTER COLUMN o_custkey AFTER o_flag")
+    assert cat.get_table(spark, "cd").to_df().columns == \
+        ["o_flag", "o_custkey", "o_orderkey", "o_totalprice"]
+    cat.sql(spark, """
+        ALTER TABLE cd REPLACE COLUMNS (
+            o_orderkey BIGINT COMMENT 'pk',
+            o_totalprice DOUBLE,
+            o_flag STRING
+        )
+    """)
+    t = cat.get_table(spark, "cd")
+    assert t.to_df().columns == ["o_orderkey", "o_totalprice", "o_flag"]
+    fields = {f.name: f for f in t.schema().fields}
+    assert fields["o_orderkey"].metadata.get("comment") == "pk"
+    assert fields["o_flag"].metadata.get("comment") == "audit flag"
+    return t.to_df()

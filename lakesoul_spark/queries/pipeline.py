@@ -1478,3 +1478,50 @@ def pipeline_source_cap(spark, sf_dir):
     return training.cap_per_group(
         docs(spark, sf_dir), group_col="source", max_per_group=10, seed=42
     )
+
+
+@_register("ann_multibit_topk", lambda: None)  # rows-only: numpy rint
+def ann_multibit_topk(spark, sf_dir):          # quantizer has no SQL twin
+    """Multi-bit RaBitQ index search (reference total_bits default 7,
+    rust/lakesoul-vector/src/rabitq/quantizer.rs): 7-bit codes + the
+    least-squares delta scale rank candidates with near-exact fidelity,
+    so rerank=32 recovers ≥0.95 recall@5 where the 1-bit estimator
+    plateaus at ~0.86. The query ASSERTS that recall bound against the
+    in-query brute-force truth (a hard correctness gate even under the
+    rows-only driver check); the banker's-rounding quantizer itself is
+    numpy, hence no DuckDB oracle."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.operators.similarity import (
+        brute_force_topk,
+        build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/ann_mb-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    # nprobe == nlist: every cell probed, so the recall bound isolates
+    # the ESTIMATOR's fidelity (no IVF-pruning misses mixed in)
+    build_vector_index(t, nlist=8, total_bits=7)
+    q = e.filter(F.col("vec_id") < 8)
+    # cached: the recall gate collects it AND the caller consumes it —
+    # without the cache the whole probe+estimate+rerank runs twice
+    res = vector_search(t, q, k=5, nprobe=8, rerank=32,
+                        rank="estimator").cache()
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(t.to_df(), q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    recall = len(got & exact) / max(len(exact), 1)
+    if recall < 0.95:
+        raise AssertionError(
+            f"multi-bit estimator recall@5 {recall:.3f} < 0.95"
+        )
+    return res
