@@ -46,6 +46,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as a sequential left-fold (same
+    bit-reproducibility contract as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_METRICS = ("cosine", "l2")
+
+
+def _check_metric(metric: str) -> None:
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,26 +73,44 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+    """Exact top-k of ``corpus`` for every row of ``queries``.
+
+    ``metric`` is ``"cosine"`` (descending similarity, the default) or
+    ``"l2"`` (ascending Euclidean distance) — the reference's Metric
+    enum (``rust/lakesoul-vector/src/rabitq/mod.rs:29-33``; its Python
+    surface defaults to L2, ``vector_index.py:104,304-309``). Output
+    carries ``cos`` or ``dist`` accordingly.
 
     Plan shape: broadcast(queries) × corpus → per-row fold → rank
     window partitioned by query id. Ties break by corpus id, so output
     is fully deterministic."""
+    _check_metric(metric)
     qid = query_id_col or id_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     joined = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    if metric == "l2":
+        scored = joined.withColumn(
+            "dist", F.sqrt(l2sq(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        out_col = F.round("dist", 6).alias("dist")
+    else:
+        scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        out_col = F.round("cos", 6).alias("cos")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", out_col)
     )
 
 
@@ -229,17 +265,30 @@ def project_embeddings(
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """Indices of the ``nprobe`` nearest centroids (by cosine) as an
-    array — computed as a pure expression over a literal centroid array."""
+def _nearest_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int,
+    metric: str = "cosine",
+) -> Column:
+    """Indices of the ``nprobe`` nearest centroids as an array —
+    computed as a pure expression over a literal centroid array.
+    Tie-break contracts match the oracles: cosine ties pick the HIGHER
+    cell id (the reversed ascending sort), l2 ties the lower."""
+    _check_metric(metric)
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(cosine(vec, c).alias("s"), i.alias("i")),
-    )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    if metric == "l2":
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(l2sq(vec, c).alias("s"), i.alias("i")),
+        )
+        top = F.slice(F.array_sort(scored), 1, nprobe)
+    else:
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(cosine(vec, c).alias("s"), i.alias("i")),
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
     return F.transform(top, lambda x: x["i"])
 
 
@@ -253,33 +302,49 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-pruned approximate top-k: corpus rows join queries only when
     the corpus row's cell is among the query's ``nprobe`` probed cells.
-    At scale the corpus side is pre-partitioned by cell (write the
-    assignment as a range partition of a LakeSoul table) so a probe
+    ``metric`` as in :func:`brute_force_topk` (cell assignment AND the
+    final ranking both follow it, like the reference's Metric-threaded
+    IVF). At scale the corpus side is pre-partitioned by cell (write
+    the assignment as a range partition of a LakeSoul table) so a probe
     reads only matching partitions."""
+    _check_metric(metric)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1).alias("cell"),
+        F.element_at(
+            _nearest_cells(F.col(vec_col), centroids, 1, metric), 1
+        ).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe, metric)
+        ).alias("cell"),
     )
     joined = c.join(F.broadcast(q), "cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    if metric == "l2":
+        joined = joined.withColumn("dist", F.sqrt(l2sq(F.col("qv"), F.col("cv"))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        out_col = F.round("dist", 6).alias("dist")
+    else:
+        joined = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        out_col = F.round("cos", 6).alias("cos")
     return (
-        joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-        .withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", out_col)
     )
 
 
@@ -453,6 +518,7 @@ def build_vector_index(
     rotation_seed: int | None = None,
     hash_bucket_num: int = 4,
     total_bits: int = 1,
+    metric: str = "cosine",
 ) -> str:
     """Build a persisted IVF index for a LakeSoul table (reference
     ``python/src/lakesoul/vector_index.py:96-160``
@@ -485,12 +551,15 @@ def build_vector_index(
     # re-processed by the next refresh, never lost)
     if not 1 <= total_bits <= 8:
         raise ValueError(f"total_bits must be in [1, 8], got {total_bits}")
+    _check_metric(metric)
     base_head = MetaStore(table.path).head_version()
     src = table.to_df().select(id_col, vec_col)
     cents = train_ivf_centroids(
         src, vec_col=vec_col, nlist=nlist, seed=seed, sort_col=id_col
     )
-    assigned = _index_rows(src, cents, vec_col, rotation_seed, total_bits)
+    assigned = _index_rows(
+        src, cents, vec_col, rotation_seed, total_bits, metric
+    )
     words = (len(cents[0]) + 31) // 32
     idx_path = f"{table.path}/_vector_index"
     import shutil
@@ -510,6 +579,8 @@ def build_vector_index(
     }
     if total_bits > 1:
         props["vector.total_bits"] = str(total_bits)
+    if metric != "cosine":
+        props["vector.metric"] = metric
     if rotation_seed is not None:
         props["vector.rotation_seed"] = str(rotation_seed)
     t.set_properties(props)
@@ -599,7 +670,7 @@ def _multibit_index_rows(
 
 def _index_rows(
     src: DataFrame, cents, vec_col: str, rotation_seed: int | None,
-    total_bits: int = 1,
+    total_bits: int = 1, metric: str = "cosine",
 ) -> DataFrame:
     """(id, vec) rows → index rows: cell assignment + packed residual
     sign codes + RaBitQ estimator scalars (shared by full build and
@@ -620,7 +691,10 @@ def _index_rows(
 
     dim = len(cents[0])
     assigned = src.withColumn(
-        "cell", F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).cast("int")
+        "cell",
+        F.element_at(
+            _nearest_cells(F.col(vec_col), cents, 1, metric), 1
+        ).cast("int"),
     )
     if total_bits > 1:
         return _multibit_index_rows(
@@ -740,6 +814,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     rot_seed = props.get("vector.rotation_seed")
     rot_seed = int(rot_seed) if rot_seed is not None else None
     idx_bits = int(props.get("vector.total_bits", "1"))
+    idx_metric = props.get("vector.metric", "cosine")
     base_v = int(props["vector.base_version"])
 
     base_store = MetaStore(table.path)
@@ -751,7 +826,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         nlist = len(cents_list)
         build_vector_index(
             table, id_col=id_col, vec_col=vec_col, nlist=nlist,
-            rotation_seed=rot_seed, total_bits=idx_bits,
+            rotation_seed=rot_seed, total_bits=idx_bits, metric=idx_metric,
         )
         return {"mode": "rebuild", "changed_ids": -1, "affected_cells": []}
 
@@ -824,7 +899,9 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         table.to_df().select(id_col, vec_col)
         .join(changed_ids, id_col, "semi")
     )
-    fresh = _index_rows(fresh_src, cents_list, vec_col, rot_seed, idx_bits)
+    fresh = _index_rows(
+        fresh_src, cents_list, vec_col, rot_seed, idx_bits, idx_metric
+    )
     # forward-compat: an index built before the estimator scalars has a
     # narrower schema — refresh must keep writing ITS schema (rebuild
     # to adopt the new columns), not fail the write alignment
@@ -951,6 +1028,7 @@ def vector_search(
     id_col, vec_col = props["vector.id_col"], props["vector.vec_col"]
     words = int(props.get("vector.code_words", 0))
     idx_bits = int(props.get("vector.total_bits", "1"))
+    metric = props.get("vector.metric", "cosine")
     rot_seed = props.get("vector.rotation_seed")
     rot = (
         _rotation_matrix(len(cents_list[0]), int(rot_seed))
@@ -1005,7 +1083,11 @@ def vector_search(
         q_probe_pairs = []  # (query_id, qv ndarray, cell) for estimator
         for r in qrows:
             qv = np.asarray(r[vec_col], dtype=np.float64)
-            sims = cn @ (qv / np.linalg.norm(qv))
+            if metric == "l2":
+                # negate so the shared "descending = nearer" argsort holds
+                sims = -((cents - qv) ** 2).sum(axis=1)
+            else:
+                sims = cn @ (qv / np.linalg.norm(qv))
             for c in np.argsort(-sims)[:nprobe]:
                 probe_cells.add(int(c))
                 q_probe_rows.append(
@@ -1018,7 +1100,7 @@ def vector_search(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             F.explode(
-                _nearest_cells(F.col(vec_col), cents_list, nprobe)
+                _nearest_cells(F.col(vec_col), cents_list, nprobe, metric)
             ).alias("cell"),
         ).withColumn("cell", F.col("cell").cast("int"))
         if rerank is not None and words:
@@ -1162,14 +1244,28 @@ def vector_search(
             F.col("cell_norm2") + 2 * F.col("c_dot_resid")
             + F.col("resid_norm") * F.col("resid_norm")
         )
-        est_cos = F.when(
-            o_norm > 0, est_dot / (F.col("q_norm") * o_norm)
-        ).otherwise(F.lit(-1.0))
-        wh = Window.partitionBy("query_id").orderBy(
-            F.col("est_cos").desc(), F.col("neighbor_id").asc()
-        )
+        if metric == "l2":
+            # est‖o−q‖² = ‖o‖² − 2·est⟨o,q⟩ + ‖q‖², all three pieces
+            # already on the row — the estimator serves L2 for free
+            # (reference Metric::L2 search path, rabitq/mod.rs:29-33)
+            est_key = (
+                F.col("cell_norm2") + 2 * F.col("c_dot_resid")
+                + F.col("resid_norm") * F.col("resid_norm")
+                - 2 * est_dot + F.col("q_norm") * F.col("q_norm")
+            )
+            wh = Window.partitionBy("query_id").orderBy(
+                F.col("est_cos").asc(), F.col("neighbor_id").asc()
+            )
+        else:
+            o_norm_ = o_norm
+            est_key = F.when(
+                o_norm_ > 0, est_dot / (F.col("q_norm") * o_norm_)
+            ).otherwise(F.lit(-1.0))
+            wh = Window.partitionBy("query_id").orderBy(
+                F.col("est_cos").desc(), F.col("neighbor_id").asc()
+            )
         joined = (
-            joined.withColumn("est_cos", est_cos)
+            joined.withColumn("est_cos", est_key)
             .withColumn("hrank", F.row_number().over(wh))
             .filter(F.col("hrank") <= rerank)
         )
@@ -1238,6 +1334,17 @@ def vector_search(
         ).join(q, "cell").drop("cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    if metric == "l2":
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            joined.withColumn("dist", F.sqrt(l2sq(F.col("qv"), F.col("cv"))))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("dist", 6).alias("dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

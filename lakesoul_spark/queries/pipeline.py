@@ -1525,3 +1525,64 @@ def ann_multibit_topk(spark, sf_dir):          # quantizer has no SQL twin
             f"multi-bit estimator recall@5 {recall:.3f} < 0.95"
         )
     return res
+
+
+_FOLD_L2SQ = """list_reduce(list_transform(generate_series(1, len({a})),
+                 i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                    * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"""
+
+
+def _ivf_l2_oracle(nlist: int = 16, nprobe: int = 8, k: int = 5,
+                   seed: int = 42) -> str | None:
+    """DuckDB twin of ``ann_l2_topk`` — the L2-metric IVF (the
+    reference's DEFAULT metric, rabitq/mod.rs:29, vector_index.py:104).
+    Same seeded quantizer; cell assignment/probes by ascending squared
+    distance with the Spark side's tie-break (ties → LOWER cell, the
+    plain ascending array_sort), rerank by ascending distance."""
+    cents = _oracle_centroids(nlist, seed)
+    if cents is None:
+        return None
+    vals = _cells_values_sql(cents)
+    return f"""
+    WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    ca AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_L2SQ.format(a='e.embedding', b='c.cv')} ASC,
+                          c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c),
+    corpus AS (SELECT vec_id, embedding, cell FROM ca WHERE rn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_L2SQ.format(a='e.embedding', b='c.cv')} ASC,
+                          c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN cells c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qv, cell FROM qa WHERE rn <= {nprobe}),
+    joined AS (
+      SELECT p.query_id, co.vec_id AS neighbor_id,
+             sqrt({_FOLD_L2SQ.format(a='p.qv', b='co.embedding')}) AS dist
+      FROM corpus co JOIN probes p ON co.cell = p.cell
+      WHERE co.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id) AS rank
+      FROM joined)
+    SELECT query_id, neighbor_id, rank, round(dist, 6) AS dist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("ann_l2_topk", _ivf_l2_oracle)
+def ann_l2_topk(spark, sf_dir):
+    """L2-metric IVF top-k — the reference's default distance threaded
+    through cell assignment, probe choice, and the exact rerank. Same
+    plan shape as ann_ivf_topk; only the fold and sort direction
+    change."""
+    e = embs(spark, sf_dir).cache()
+    cents = similarity.train_ivf_centroids(e, nlist=16, seed=42, sort_col="vec_id")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), centroids=cents, k=5, nprobe=8,
+        metric="l2",
+    )

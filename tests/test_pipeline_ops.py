@@ -1108,3 +1108,68 @@ def test_multibit_index_incremental_refresh(spark, tmp_path):
                         exclude_self=False)
     got = {(r.query_id, r.neighbor_id) for r in res.collect()}
     assert (3, 3) in got and (201, 201) in got
+
+
+def test_l2_metric_search_paths(spark, tmp_path):
+    """metric='l2' (the reference's DEFAULT metric, rabitq/mod.rs:29,
+    vector_index.py:104): brute force ranks by ascending Euclidean
+    distance, IVF and the persisted index assign cells and rank by the
+    same metric, and full-rerank index search reproduces brute force
+    exactly. Estimator ranking serves L2 from the same stored scalars."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        brute_force_topk,
+        build_vector_index,
+        ivf_topk,
+        train_ivf_centroids,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(3)
+    # anisotropic data: cosine and l2 rankings genuinely differ
+    rows = [(i, [float(x) for x in rng.randn(8) * (1 + i % 5)])
+            for i in range(150)]
+    path = str(tmp_path / "vecs_l2")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    q = _df(spark, rows[:6], "vec_id long, embedding array<float>")
+
+    bf = brute_force_topk(t.to_df(), q, k=5, metric="l2")
+    assert bf.columns == ["query_id", "neighbor_id", "rank", "dist"]
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in bf.collect()}
+    # numpy truth
+    X = np.array([r[1] for r in rows]); ids = np.array([r[0] for r in rows])
+    want = set()
+    for qi in range(6):
+        d = np.sqrt(((X - X[qi]) ** 2).sum(axis=1))
+        order = sorted((float(d[j]), int(ids[j])) for j in range(len(rows))
+                       if ids[j] != qi)
+        for rank, (_, nid) in enumerate(order[:5], 1):
+            want.add((qi, nid, rank))
+    assert got == want
+
+    cents = train_ivf_centroids(t.to_df(), nlist=6, sort_col="vec_id")
+    ivf = ivf_topk(t.to_df(), q, centroids=cents, k=5, nprobe=6, metric="l2")
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in ivf.collect()} == want
+
+    build_vector_index(t, nlist=6, metric="l2")
+    full = vector_search(t, q, k=5, nprobe=6, rerank=150)
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()} == want
+    assert full.columns == ["query_id", "neighbor_id", "rank", "dist"]
+
+    # estimator ranking under l2: lossless at full rerank, sane when tight
+    est = vector_search(t, q, k=5, nprobe=6, rerank=150, rank="estimator")
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in est.collect()} == want
+    tight = vector_search(t, q, k=5, nprobe=6, rerank=24, rank="estimator")
+    got_t = {(r.query_id, r.neighbor_id) for r in tight.collect()}
+    want_pairs = {(a, b) for a, b, _ in want}
+    assert len(got_t & want_pairs) / len(want_pairs) >= 0.7
+
+    # multi-bit + l2 compose
+    build_vector_index(t, nlist=6, metric="l2", total_bits=5)
+    mb = vector_search(t, q, k=5, nprobe=6, rerank=24, rank="estimator")
+    got_mb = {(r.query_id, r.neighbor_id) for r in mb.collect()}
+    assert len(got_mb & want_pairs) / len(want_pairs) >= 0.9
