@@ -1173,3 +1173,36 @@ def test_l2_metric_search_paths(spark, tmp_path):
     mb = vector_search(t, q, k=5, nprobe=6, rerank=24, rank="estimator")
     got_mb = {(r.query_id, r.neighbor_id) for r in mb.collect()}
     assert len(got_mb & want_pairs) / len(want_pairs) >= 0.9
+
+
+def test_lakesoul_hamming_distance_function(spark):
+    """Catalog SQL function parity (reference SparkFunctions.scala /
+    HammingDistFunc.scala): expression and SQL-registered forms agree
+    with each other and with popcount ground truth; length mismatch
+    raises the reference's message."""
+    from lakesoul_spark.functions.vector import (
+        hamming_distance,
+        register_sql_functions,
+    )
+
+    df = _df(
+        spark,
+        [(1, [0b1010, 0], [0b0110, 0]),     # 2 differing bits
+         (2, [-1, 0], [0, 0]),              # 64 differing bits
+         (3, [7, 7], [7, 7])],              # identical
+        "id int, a array<long>, b array<long>",
+    )
+    expr_out = {r.id: r.d for r in
+                df.select("id", hamming_distance("a", "b").alias("d")).collect()}
+    assert expr_out == {1: 2, 2: 64, 3: 0}
+
+    assert register_sql_functions(spark) == ["lakesoul_hamming_distance"]
+    df.createOrReplaceTempView("hd_t")
+    sql_out = {r.id: r.d for r in spark.sql(
+        "SELECT id, lakesoul_hamming_distance(a, b) AS d FROM hd_t"
+    ).collect()}
+    assert sql_out == expr_out
+
+    bad = _df(spark, [(1, [1, 2], [1])], "id int, a array<long>, b array<long>")
+    with pytest.raises(Exception, match="same length"):
+        bad.select(hamming_distance("a", "b")).collect()
