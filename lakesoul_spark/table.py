@@ -1075,6 +1075,12 @@ class LakeSoulTable:
             dt = _parse_datatype_string(type_str)
             if name in old:
                 prev = old[name]
+                if name in info.hash_partitions and prev.dataType != dt:
+                    raise ValueError(
+                        f"cannot change the type of PK column {name!r}: "
+                        "the hash-bucket layout is a function of the PK "
+                        "type"
+                    )
                 ok = prev.dataType == dt or (
                     prev.dataType.typeName(), dt.typeName()
                 ) in self._WIDENINGS
@@ -1114,6 +1120,17 @@ class LakeSoulTable:
         if name not in fields:
             raise ValueError(f"no such column {name!r}")
         old, new = fields[name].dataType, _parse_datatype_string(new_type)
+        if name in info.hash_partitions and old != new:
+            # the murmur3 bucket of a value depends on its physical
+            # TYPE (hash(int 1) != hash(long 1)): existing files were
+            # bucketed under the old type, so a "widened" PK would make
+            # point_lookup / bucket-pruned reads silently miss rows
+            raise ValueError(
+                f"cannot change the type of PK column {name!r}: the "
+                "hash-bucket layout is a function of the PK type "
+                "(rewrite via compaction(new_bucket_num=...) into a new "
+                "table instead)"
+            )
         ok = (old.typeName(), new.typeName()) in self._WIDENINGS
         if isinstance(old, DecimalType) and isinstance(new, DecimalType):
             ok = (

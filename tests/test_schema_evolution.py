@@ -204,3 +204,25 @@ def test_sql_alter_column_surface(spark, tmp_path):
     assert desc["x"].data_type == "bigint"
     got = cat.sql(spark, "SELECT * FROM at").collect()
     assert [tuple(r) for r in got] == [(1, "a", 5)]
+
+
+def test_pk_column_type_change_rejected(spark, tmp_table):
+    """Widening a PK column must be refused: murmur3 buckets depend on
+    the physical type (hash(int 1) != hash(long 1)), so existing files'
+    bucket layout would no longer match and point_lookup / bucket-pruned
+    reads would silently miss rows."""
+    write(_df(spark, [(i, 0) for i in range(10)], "id int, v int"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="PK column"):
+        t.alter_column_type("id", "bigint")
+    with pytest.raises(ValueError, match="PK column"):
+        t.change_column("id", new_type="bigint")
+    with pytest.raises(ValueError, match="PK column"):
+        t.replace_columns([("id", "bigint"), ("v", "int")])
+    # non-type changes on the PK stay allowed
+    t.change_column("id", comment="the key")
+    # widening a VALUE column stays allowed
+    t.alter_column_type("v", "bigint")
+    got = [tuple(r) for r in t.point_lookup(id=3).collect()]
+    assert got == [(3, 0)]
