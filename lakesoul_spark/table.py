@@ -1081,6 +1081,12 @@ class LakeSoulTable:
                         "the hash-bucket layout is a function of the PK "
                         "type"
                     )
+                if name in info.range_partitions and prev.dataType != dt:
+                    raise ValueError(
+                        f"cannot change the type of range-partition "
+                        f"column {name!r}: partition descriptors encode "
+                        "values under the existing type"
+                    )
                 ok = prev.dataType == dt or (
                     prev.dataType.typeName(), dt.typeName()
                 ) in self._WIDENINGS
@@ -1130,6 +1136,17 @@ class LakeSoulTable:
                 "hash-bucket layout is a function of the PK type "
                 "(rewrite via compaction(new_bucket_num=...) into a new "
                 "table instead)"
+            )
+        if name in info.range_partitions and old != new:
+            # partition_desc strings encode values under the old type's
+            # formatting ("d=2021-01-01" vs "d=2021-01-01 00:00:00"):
+            # a widened range column makes freshly-derived descs miss
+            # existing partitions (UPDATE/DELETE silently no-op) and
+            # splits one logical partition across two descs on write
+            raise ValueError(
+                f"cannot change the type of range-partition column "
+                f"{name!r}: partition descriptors encode values under "
+                "the existing type"
             )
         ok = (old.typeName(), new.typeName()) in self._WIDENINGS
         if isinstance(old, DecimalType) and isinstance(new, DecimalType):

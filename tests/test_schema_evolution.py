@@ -226,3 +226,23 @@ def test_pk_column_type_change_rejected(spark, tmp_table):
     t.alter_column_type("v", "bigint")
     got = [tuple(r) for r in t.point_lookup(id=3).collect()]
     assert got == [(3, 0)]
+
+
+def test_range_partition_type_change_rejected(spark, tmp_table):
+    """Widening a range-partition column must be refused: partition
+    descriptors encode values under the old type's formatting, so
+    freshly-derived descs would miss existing partitions (DELETE/UPDATE
+    silently no-op — reproduced) and new writes would split one logical
+    partition across two descs."""
+    import datetime
+
+    df = _df(spark, [(1, datetime.date(2021, 1, 1))], "id int, d date")
+    from lakesoul_spark.table import write as _write
+    _write(df, tmp_table, range_partitions=["d"])
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="range-partition"):
+        t.alter_column_type("d", "timestamp")
+    with pytest.raises(ValueError, match="range-partition"):
+        t.replace_columns([("id", "int"), ("d", "timestamp")])
+    # comment-only change on a range col stays allowed
+    t.change_column("d", comment="partition day")
