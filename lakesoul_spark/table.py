@@ -1068,6 +1068,12 @@ class LakeSoulTable:
                     f"REPLACE COLUMNS cannot drop partition/PK column "
                     f"{protected!r}"
                 )
+        if info.cdc_column and info.cdc_column not in new_names:
+            raise ValueError(
+                f"REPLACE COLUMNS cannot drop CDC change column "
+                f"{info.cdc_column!r}: delete tombstones would resurface "
+                "as live rows"
+            )
         fields = []
         for col in columns:
             name, type_str = col[0], col[1]
@@ -1175,6 +1181,13 @@ class LakeSoulTable:
         info = self.info
         if name in info.range_partitions + info.hash_partitions:
             raise ValueError(f"cannot drop partition/PK column {name!r}")
+        if name == info.cdc_column:
+            # without the change column the CDC MOR filter silently
+            # disengages and delete tombstones resurface as live rows
+            raise ValueError(
+                f"cannot drop CDC change column {name!r}: delete "
+                "tombstones would resurface as live rows"
+            )
         schema = table_schema(info)
         if name not in [f.name for f in schema.fields]:
             raise ValueError(f"no such column {name!r}")

@@ -246,3 +246,22 @@ def test_range_partition_type_change_rejected(spark, tmp_table):
         t.replace_columns([("id", "int"), ("d", "timestamp")])
     # comment-only change on a range col stays allowed
     t.change_column("d", comment="partition day")
+
+
+def test_cdc_change_column_drop_rejected(spark, tmp_table):
+    """Dropping the CDC change column must be refused: without it the
+    CDC MOR filter disengages and delete tombstones resurface as live
+    rows (reproduced before the guard)."""
+    write(_df(spark, [(1, "a", "insert"), (2, "b", "insert")],
+              "id int, v string, op string"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=2,
+          properties={"lakesoul_cdc_change_column": "op"})
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(_df(spark, [(2, "b", "delete")], "id int, v string, op string"))
+    assert sorted((r.id, r.v) for r in t.to_df().collect()) == [(1, "a")]
+    with pytest.raises(ValueError, match="CDC change column"):
+        t.drop_column("op")
+    with pytest.raises(ValueError, match="CDC change column"):
+        t.replace_columns([("id", "int"), ("v", "string")])
+    # the tombstone stays invisible
+    assert sorted((r.id, r.v) for r in t.to_df().collect()) == [(1, "a")]
