@@ -964,6 +964,37 @@ class LakeSoulTable:
     }
 
     @staticmethod
+    def _check_field_name(name: str) -> None:
+        """Parquet-compatible field name check (reference
+        ``DataSourceUtils.checkFieldNames`` in every ALTER command):
+        a metadata-only ADD must not plant a name every subsequent
+        parquet write will choke on, and ``__``-prefixed names are the
+        engine's own (``__bucket``, ``__row_seq``, ``__ls_*``)."""
+        bad = set(' ,;{}()\n\t=')
+        if not name or any(ch in bad for ch in name):
+            raise ValueError(
+                f"invalid column name {name!r}: parquet field names "
+                "cannot contain ' ,;{}()\\n\\t='"
+            )
+        if name.startswith("__"):
+            raise ValueError(
+                f"invalid column name {name!r}: the '__' prefix is "
+                "reserved for engine-internal columns"
+            )
+
+    def _check_default(self, name: str, dt, default) -> None:
+        """A default that cannot be cast to the column type would read
+        as silent nulls forever — fail the DDL instead."""
+        row = self.spark.range(1).select(
+            F.lit(str(default)).try_cast(dt).alias("v")
+        ).collect()
+        if row[0]["v"] is None:
+            raise ValueError(
+                f"default {default!r} for column {name!r} does not cast "
+                f"to {dt.simpleString()}"
+            )
+
+    @staticmethod
     def _place(fields: list, field, *, first: bool = False,
                after: str | None = None) -> list:
         """Insert ``field`` into ``fields`` at a requested position
@@ -996,9 +1027,12 @@ class LakeSoulTable:
 
         info = self.info
         schema = table_schema(info)
+        self._check_field_name(name)
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name!r} already exists")
         dt = _parse_datatype_string(data_type)
+        if default is not None:
+            self._check_default(name, dt, default)
         meta = {"comment": comment} if comment else {}
         fields = self._place(
             list(schema.fields), StructField(name, dt, True, meta),
@@ -1112,6 +1146,7 @@ class LakeSoulTable:
                     meta["comment"] = comment
                 fields.append(StructField(name, dt, prev.nullable, meta))
             else:
+                self._check_field_name(name)
                 meta = {"comment": comment} if comment else {}
                 fields.append(StructField(name, dt, True, meta))
         for dropped in set(old) - set(new_names):

@@ -265,3 +265,24 @@ def test_cdc_change_column_drop_rejected(spark, tmp_table):
         t.replace_columns([("id", "int"), ("v", "string")])
     # the tombstone stays invisible
     assert sorted((r.id, r.v) for r in t.to_df().collect()) == [(1, "a")]
+
+
+def test_add_column_name_and_default_validation(spark, tmp_table):
+    """ADD COLUMN validates at DDL time what would otherwise fail (or
+    silently misbehave) later: parquet-invalid characters, the reserved
+    '__' prefix, and defaults that cannot be cast to the column type
+    (which would read as silent nulls forever)."""
+    write(_df(spark, [(1, "a")], "id int, v string"), tmp_table)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    for bad in ["a b", "a,b", "x=y", "p(q)", "", "{c}"]:
+        with pytest.raises(ValueError, match="invalid column name"):
+            t.add_column(bad, "int")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("__bucket", "int")
+    with pytest.raises(ValueError, match="does not cast"):
+        t.add_column("n", "int", default="not-a-number")
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.replace_columns([("id", "int"), ("v", "string"), ("a b", "int")])
+    # valid default still works, including numeric strings
+    t.add_column("n", "int", default="7")
+    assert [tuple(r) for r in t.to_df().collect()] == [(1, "a", 7)]
