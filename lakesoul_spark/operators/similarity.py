@@ -56,12 +56,24 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
-_METRICS = ("cosine", "l2")
+_METRICS = ("cosine", "l2", "ip")
 
 
 def _check_metric(metric: str) -> None:
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+
+
+def _score_spec(metric: str, qv: Column, cv: Column):
+    """(output column name, score expression, ascending?) per metric —
+    the reference's Metric mapping (``vector_index.py:304-309`` accepts
+    L2 / IP / INNER_PRODUCT; ``rabitq/mod.rs:29-33``): cosine and raw
+    inner product rank descending, Euclidean distance ascending."""
+    if metric == "l2":
+        return "dist", F.sqrt(l2sq(qv, cv)), True
+    if metric == "ip":
+        return "score", dot(qv, cv), False
+    return "cos", cosine(qv, cv), False
 
 
 def brute_force_topk(
@@ -93,24 +105,15 @@ def brute_force_topk(
     joined = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    if metric == "l2":
-        scored = joined.withColumn(
-            "dist", F.sqrt(l2sq(F.col("qv"), F.col("cv")))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("neighbor_id").asc()
-        )
-        out_col = F.round("dist", 6).alias("dist")
-    else:
-        scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id").asc()
-        )
-        out_col = F.round("cos", 6).alias("cos")
+    cname, sexpr, asc = _score_spec(metric, F.col("qv"), F.col("cv"))
+    scored = joined.withColumn(cname, sexpr)
+    key = F.col(cname).asc() if asc else F.col(cname).desc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", out_col)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(cname, 6).alias(cname))
     )
 
 
@@ -284,9 +287,10 @@ def _nearest_cells(
         )
         top = F.slice(F.array_sort(scored), 1, nprobe)
     else:
+        sim = cosine if metric == "cosine" else dot
         scored = F.transform(
             cents,
-            lambda c, i: F.struct(cosine(vec, c).alias("s"), i.alias("i")),
+            lambda c, i: F.struct(sim(vec, c).alias("s"), i.alias("i")),
         )
         top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
     return F.transform(top, lambda x: x["i"])
@@ -329,22 +333,15 @@ def ivf_topk(
     joined = c.join(F.broadcast(q), "cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    if metric == "l2":
-        joined = joined.withColumn("dist", F.sqrt(l2sq(F.col("qv"), F.col("cv"))))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("neighbor_id").asc()
-        )
-        out_col = F.round("dist", 6).alias("dist")
-    else:
-        joined = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id").asc()
-        )
-        out_col = F.round("cos", 6).alias("cos")
+    cname, sexpr, asc = _score_spec(metric, F.col("qv"), F.col("cv"))
+    joined = joined.withColumn(cname, sexpr)
+    key = F.col(cname).asc() if asc else F.col(cname).desc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("neighbor_id").asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", out_col)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(cname, 6).alias(cname))
     )
 
 
@@ -1086,6 +1083,8 @@ def vector_search(
             if metric == "l2":
                 # negate so the shared "descending = nearer" argsort holds
                 sims = -((cents - qv) ** 2).sum(axis=1)
+            elif metric == "ip":
+                sims = cents @ qv
             else:
                 sims = cn @ (qv / np.linalg.norm(qv))
             for c in np.argsort(-sims)[:nprobe]:
@@ -1256,10 +1255,15 @@ def vector_search(
             wh = Window.partitionBy("query_id").orderBy(
                 F.col("est_cos").asc(), F.col("neighbor_id").asc()
             )
+        elif metric == "ip":
+            # est⟨o,q⟩ IS the ranking key for raw inner product
+            est_key = est_dot
+            wh = Window.partitionBy("query_id").orderBy(
+                F.col("est_cos").desc(), F.col("neighbor_id").asc()
+            )
         else:
-            o_norm_ = o_norm
             est_key = F.when(
-                o_norm_ > 0, est_dot / (F.col("q_norm") * o_norm_)
+                o_norm > 0, est_dot / (F.col("q_norm") * o_norm)
             ).otherwise(F.lit(-1.0))
             wh = Window.partitionBy("query_id").orderBy(
                 F.col("est_cos").desc(), F.col("neighbor_id").asc()
@@ -1334,23 +1338,13 @@ def vector_search(
         ).join(q, "cell").drop("cell")
         if exclude_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    if metric == "l2":
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            joined.withColumn("dist", F.sqrt(l2sq(F.col("qv"), F.col("cv"))))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("dist", 6).alias("dist"))
-        )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    cname, sexpr, asc = _score_spec(metric, F.col("qv"), F.col("cv"))
+    key = F.col(cname).asc() if asc else F.col(cname).desc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("neighbor_id").asc())
     return (
-        joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        joined.withColumn(cname, sexpr)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank",
+                F.round(cname, 6).alias(cname))
     )

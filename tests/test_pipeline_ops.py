@@ -1206,3 +1206,51 @@ def test_lakesoul_hamming_distance_function(spark):
     bad = _df(spark, [(1, [1, 2], [1])], "id int, a array<long>, b array<long>")
     with pytest.raises(Exception, match="same length"):
         bad.select(hamming_distance("a", "b")).collect()
+
+
+def test_ip_metric_search_paths(spark, tmp_path):
+    """metric='ip' (raw inner product — the reference's IP/INNER_PRODUCT
+    option): descending dot-product ranking through brute force, IVF,
+    the persisted index, and the estimator (whose est<o,q> IS the
+    ranking key). Unnormalized data makes ip genuinely differ from
+    cosine."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        brute_force_topk,
+        build_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8) * (1 + (i % 7))])
+            for i in range(120)]
+    path = str(tmp_path / "vecs_ip")
+    write(_df(spark, rows, "vec_id long, embedding array<float>"), path,
+          hash_partitions=["vec_id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    q = _df(spark, rows[:5], "vec_id long, embedding array<float>")
+
+    bf = brute_force_topk(t.to_df(), q, k=5, metric="ip")
+    assert bf.columns == ["query_id", "neighbor_id", "rank", "score"]
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in bf.collect()}
+    X = np.array([r[1] for r in rows])
+    want = set()
+    for qi in range(5):
+        s = X @ X[qi]
+        order = sorted(((-float(s[j]), j) for j in range(len(rows)) if j != qi))
+        for rank, (_, nid) in enumerate(order[:5], 1):
+            want.add((qi, nid, rank))
+    assert got == want
+
+    build_vector_index(t, nlist=5, metric="ip")
+    full = vector_search(t, q, k=5, nprobe=5, rerank=120)
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()} == want
+    est = vector_search(t, q, k=5, nprobe=5, rerank=120, rank="estimator")
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in est.collect()} == want
+
+    # differs from cosine on this anisotropic data
+    cos_got = {(r.query_id, r.neighbor_id)
+               for r in brute_force_topk(t.to_df(), q, k=5).collect()}
+    assert cos_got != {(a, b) for a, b, _ in want}
