@@ -16,17 +16,19 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 # Module order determines the external correctness-check window (the driver
 # verifies a prefix of this dict).  Round 5 rotates the pipeline pack to the
-# FRONT: it holds the seven queries added in r4 that have never had a driver
+# FRONT: it holds the seven queries added in r4 that had never had a driver
 # row (dedup_chunk_global, dedup_incremental_ingest, multimodal_audio_
 # features, ann_index_refresh, ann_index_estimator, embedding_pca_project,
-# ann_pca_ivf_topk — all locally hash-verified vs DuckDB), all within the
-# 50-query prefix (pipeline=33 + first 17 of lakehouse).  TPC-H rotates out
-# after its green r4 window.  Keep alternating per round so no query goes
-# more than two rounds without a driver row.
+# ann_pca_ivf_topk) plus the two r5-new ANN queries (ann_multibit_topk,
+# ann_l2_topk) — all locally hash-verified vs DuckDB — within the 50-query
+# prefix (pipeline=35 + first 15 of lakehouse).  TPC-H rotates out after its
+# green r4 window.  Keep alternating per round so no query goes more than
+# two rounds without a driver row.
 #
-# ROUND-6 NOTE: rotate `tpch` back ahead of `pipeline` (e.g. (lakehouse,
-# tpch, pipeline)) so the relational pack and the tail of lakehouse get
-# re-verified after this round's reader/writer changes.
+# ROUND-6 NOTE: rotate to (lakehouse, tpch, pipeline) so the relational
+# pack, the tail of lakehouse (incl. the r5-new lakehouse_column_ddl, which
+# sits OUTSIDE this round's window), and the lakehouse set get re-verified
+# after this round's reader/writer/fs changes.
 _MODULE_ORDER = (pipeline, lakehouse, tpch)
 
 

@@ -980,3 +980,54 @@ def column_ddl(spark, sf_dir):
     assert fields["o_orderkey"].metadata.get("comment") == "pk"
     assert fields["o_flag"].metadata.get("comment") == "audit flag"
     return t.to_df()
+
+
+@_register(
+    "streaming_latest_state",
+    """
+    WITH bounds AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+                    FROM events),
+    tagged AS (
+      SELECT e.user_id, e.event_id, e.event_type, e.value,
+             CASE WHEN e.event_id < b.lo + (b.hi - b.lo) // 2
+                  THEN 1 ELSE 2 END AS batch
+      FROM events e CROSS JOIN bounds b),
+    ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, batch
+                                ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT user_id, event_id, event_type, value, 'u' AS op
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_latest_state(spark, sf_dir):
+    """Continuous latest-state maintenance (Flink keyed value-state +
+    timers shape, streaming/stateful.py latest_state_stream): events
+    replayed as TWO event_id-ordered micro-batches (value-range cut at
+    lo+(hi−lo)//2); each user emits an 'u' row whenever their latest
+    row changes — i.e. exactly the per-(user, batch) max-event rows,
+    which the oracle reproduces with the same range cut ('u'-only run:
+    no TTL tombstones, deterministic)."""
+    from lakesoul_spark.streaming.stateful import latest_state_stream
+
+    src = _tmp("latest_state_src", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    _stage_ordered_stream(ev, "event_id", src, n_slices=2)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = latest_state_stream(sdf, ["user_id"], order_col="event_id")
+    with _state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName("latest_state_q")
+            .option("checkpointLocation", _tmp("latest_state_ck", sf_dir))
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    return spark.table("latest_state_q").select(
+        "user_id", "event_id", "event_type", "value", "op"
+    )

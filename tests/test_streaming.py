@@ -574,3 +574,110 @@ def test_stateful_first_event_strict_mode(spark, tmp_path):
     q2.awaitTermination(120)
     assert [tuple(r) for r in spark.table("fast_ev").collect()] \
         == [(5, 0, "late-loser")]
+
+
+def test_latest_state_stream(spark, tmp_path):
+    """transformWithStateInPandas latest-state maintenance (the Flink
+    keyed-state + timers analog): last-writer-wins by order across
+    micro-batches, stale rows emit nothing, out-of-order late rows
+    lose."""
+    from lakesoul_spark.streaming.stateful import latest_state_stream
+
+    src = str(tmp_path / "src")
+    schema = "seq long, k int, v string"
+    batches = [
+        [(1, 1, "a1"), (2, 2, "b1")],
+        [(3, 1, "a2"), (1, 2, "late-loses")],   # k=2's seq 1 < seq 2
+        [(4, 2, "b2")],
+    ]
+    df0 = _df(spark, batches[0], schema)
+    for b in batches:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(df0.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = latest_state_stream(sdf, ["k"], order_col="seq")
+    q = (out.writeStream.format("memory").queryName("latest_state")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("latest_state").collect()))
+    # updates emitted: k=1 at seq1 then seq3; k=2 at seq2 then seq4;
+    # the late (seq 1) row for k=2 emits NOTHING
+    assert got == [
+        (1, 1, "a1", "u"), (2, 2, "b1", "u"),
+        (3, 1, "a2", "u"), (4, 2, "b2", "u"),
+    ]
+    # final state per key = batch last-writer-wins
+    final = {r.k: r.v for r in spark.table("latest_state")
+             .groupBy("k").agg(F.max_by("v", "seq").alias("v")).collect()}
+    assert final == {1: "a2", 2: "b2"}
+
+
+def test_latest_state_stream_ttl_tombstones(spark, tmp_path):
+    """With ttl_ms set, a key idle past the deadline gets a 'd'
+    tombstone via a processing-time timer and its state is cleared —
+    bounded state for unbounded key spaces (Flink state-TTL shape)."""
+    import time
+
+    from lakesoul_spark.streaming.stateful import latest_state_stream
+
+    src = str(tmp_path / "src")
+    schema = "seq long, k int, v string"
+    _df(spark, [(1, 7, "x")], schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("seq long, k int, v string")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = latest_state_stream(sdf, ["k"], order_col="seq", ttl_ms=1500)
+    q = (out.writeStream.format("memory").queryName("latest_ttl")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        want = {(1, 7, "x", "u"), (1, 7, "x", "d")}
+        while time.time() < deadline:
+            got = set(map(tuple, spark.table("latest_ttl").collect()))
+            if got == want:
+                break
+            time.sleep(1)
+        assert got == want, got
+    finally:
+        q.stop()
+
+
+def test_latest_state_stream_tws_engine(spark, tmp_path):
+    """engine='tws' runs the same semantics on Spark 4's
+    transformWithStateInPandas (typed ValueState + real per-key
+    timers). Gated: the TWS state client imports google.protobuf,
+    absent in minimal installs — engine='auto' then falls back to the
+    applyInPandasWithState path (asserted), and an explicit 'tws' ask
+    surfaces the real ImportError at stream start."""
+    from lakesoul_spark.streaming.stateful import latest_state_stream
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    src = str(tmp_path / "src")
+    schema = "seq long, k int, v string"
+    _df(spark, [(1, 1, "a"), (2, 1, "b")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("seq long, k int, v string")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    if not has_protobuf:
+        # auto picks the portable engine and the result is identical
+        out = latest_state_stream(sdf, ["k"], order_col="seq", engine="auto")
+        q = (out.writeStream.format("memory").queryName("tws_fallback")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table("tws_fallback").collect()))
+        assert got == [(2, 1, "b", "u")]
+        pytest.skip("google.protobuf absent: TWS engine not runnable here")
+    out = latest_state_stream(sdf, ["k"], order_col="seq", engine="tws")
+    q = (out.writeStream.format("memory").queryName("tws_latest")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("tws_latest").collect()))
+    assert got == [(2, 1, "b", "u")]
