@@ -42,6 +42,7 @@ class LakeSoulArrowDataset:
         batch_size: int = 8192,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        start_version: int | None = None,
     ):
         from lakesoul_spark.meta.store import MetaStore
 
@@ -83,6 +84,23 @@ class LakeSoulArrowDataset:
         # even while writers keep committing
         self.version = version
         self.timestamp_ms = timestamp_ms
+        # incremental window [start_version, version]: only rows from
+        # commits start_version <= seq <= (version or head) — the
+        # Spark-free twin of for_path_incremental_versions, so a
+        # training worker pulls "what changed since my last run"
+        # without rescanning the corpus. PK tables dedup within the
+        # window; CDC change rows pass through UNFILTERED
+        # (insert/update/delete all visible), matching
+        # io/reader.incremental_view; an UPDATE rewrite inside the
+        # window yields the empty set (Update-break rule) — re-sync
+        # from a snapshot.
+        if start_version is not None and timestamp_ms is not None:
+            raise ValueError(
+                "start_version (incremental) and timestamp_ms (snapshot "
+                "pin) cannot be combined — bound the window with "
+                "version= instead"
+            )
+        self.start_version = start_version
 
     # ------------------------------------------------------------- planning
 
@@ -90,10 +108,18 @@ class LakeSoulArrowDataset:
         from lakesoul_spark.io import partition as part_enc
         from lakesoul_spark.streaming.source import _plan_splits
 
-        snap = self.store.snapshot(
-            version=self.version, timestamp_ms=self.timestamp_ms
-        )
-        files = snap.files
+        if self.start_version is not None:
+            # start-INCLUSIVE [start_version, version] — the same
+            # contract as LakeSoulTable.for_path_incremental_versions:
+            # a worker that last read through version X passes X+1
+            files, _commits = self.store.incremental_files_by_version(
+                self.start_version, self.version
+            )
+        else:
+            snap = self.store.snapshot(
+                version=self.version, timestamp_ms=self.timestamp_ms
+            )
+            files = snap.files
         if self._partitions:
             want = {k: str(v) for k, v in self._partitions.items()}
             files = [
@@ -126,7 +152,12 @@ class LakeSoulArrowDataset:
                 files, self._filters,
                 group_wise=bool(self.info.hash_partitions),
             )
-        splits = _plan_splits(self.info, files, group_buckets=True, cdc_filter=True)
+        splits = _plan_splits(
+            self.info, files, group_buckets=True,
+            # incremental reads are CDC PASSTHROUGH (the consumer sees
+            # delete rows and applies them); snapshot reads filter them
+            cdc_filter=self.start_version is None,
+        )
         if self.rank is not None:
             splits = splits[self.rank::self.world_size]
         return splits
