@@ -174,14 +174,54 @@ def merge_view(
     merge_ops: dict[str, str] | None = None,
     apply_cdc_filter: bool = True,
 ) -> DataFrame:
-    """Full MOR snapshot view (steps 1-5)."""
+    """Full MOR snapshot view (steps 1-5).
+
+    Merge-scope refinement: the PK-merge aggregation (shuffle + agg)
+    only covers (partition, bucket) groups that actually hold MULTIPLE
+    generations — a key's every version lives in one bucket, so
+    single-generation buckets can't have duplicates and ride a plain
+    scan with no exchange at all (the reference's scan dispatch makes
+    the same split: OnePartitionMergeBucketScan vs plain NativeScan per
+    bucket). Under skewed churn — the common case: a few hot
+    partitions, a quiet long tail — the shuffle moves only the hot
+    buckets' rows instead of the table. Registered merge OPERATORS
+    disable the bypass: type-changing ops (joined_*) must see every
+    group through the aggregation so output types stay uniform."""
     merge_ops = merge_ops or {}
     needs_merge = info.is_pk_table and (
         snapshot.max_generations_per_bucket() > 1 or bool(merge_ops)
     )
-    df = scan_files(spark, info, snapshot.files, with_meta_cols=needs_merge)
-    if needs_merge:
-        df = _merge_generations(df, info, merge_ops)
+    if needs_merge and not merge_ops:
+        gens: dict[tuple, int] = {}
+        for f in snapshot.files:
+            k = (f.partition_desc, f.bucket)
+            gens[k] = gens.get(k, 0) + 1
+        multi = [
+            f for f in snapshot.files
+            if gens[(f.partition_desc, f.bucket)] > 1
+        ]
+        single = [
+            f for f in snapshot.files
+            if gens[(f.partition_desc, f.bucket)] == 1
+        ]
+        if single and multi:
+            merged = _merge_generations(
+                scan_files(spark, info, multi, with_meta_cols=True),
+                info, merge_ops,
+            )
+            plain = scan_files(spark, info, single)
+            df = merged.unionByName(plain)
+        elif multi:
+            df = _merge_generations(
+                scan_files(spark, info, multi, with_meta_cols=True),
+                info, merge_ops,
+            )
+        else:  # pragma: no cover - needs_merge implies some multi group
+            df = scan_files(spark, info, single)
+    else:
+        df = scan_files(spark, info, snapshot.files, with_meta_cols=needs_merge)
+        if needs_merge:
+            df = _merge_generations(df, info, merge_ops)
     cdc = info.cdc_column
     if cdc and apply_cdc_filter and cdc in df.columns:
         df = df.filter(F.col(cdc) != CDC_DELETE)

@@ -147,14 +147,24 @@ def test_hot_bucket_100_generations_plan_and_walltime(spark, tmp_table):
 
     view = t.to_df()
     plan = view._jdf.queryExecution().executedPlan().toString()
-    # one aggregation (a partial+final pair of ONE logical agg) over ONE
-    # file scan: no per-generation unions, no shuffle joins — the only
-    # join is the broadcast file-metadata attach
+    # merge-scope refinement: ONE aggregation (a partial+final pair)
+    # covering ONLY the hot bucket's files, unioned with ONE plain scan
+    # of the three single-generation buckets — never per-generation
+    # unions, never shuffle joins (the only join is the broadcast
+    # file-metadata attach on the merge branch)
     assert plan.count("HashAggregate") <= 2
-    assert "Union" not in plan
+    assert plan.count("Union") == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 1
-    assert plan.count("FileScan parquet") == 1
+    # each branch attaches file metadata with one broadcast join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("FileScan parquet") == 2
+    # the merge branch reads the hot bucket's 101 files; the plain
+    # branch the 3 cold files
+    import re as _re
+    n_paths = sorted(
+        int(m) for m in _re.findall(r"InMemoryFileIndex\((\d+) paths", plan)
+    )
+    assert n_paths == [3, 101]
 
     t0 = time.time()
     got = {r["id"]: r["v"] for r in view.collect()}

@@ -106,10 +106,19 @@ def main() -> None:
             return n
 
         timed_read("mor_read")
+        from lakesoul_spark.meta.store import MetaStore
+
+        physical_rows = sum(
+            f.num_rows or 0 for f in MetaStore(path).snapshot().files
+        )
         t0 = time.time()
         t.compaction()
         timings["compaction"] = round(time.time() - t0, 3)
         timed_read("compacted_read")
+        # NOTE: the MOR read scans base + every delta generation
+        # (physical_rows below), so this ratio folds data-volume
+        # amplification together with merge overhead — divide by
+        # physical_rows/final_rows for the per-row merge cost
         timings["mor_penalty"] = round(
             timings["mor_read"] / max(timings["compacted_read"], 1e-9), 3
         )
@@ -121,6 +130,7 @@ def main() -> None:
             "upsert_rows_target": upsert_rows,
             "buckets": buckets,
             "final_rows": n_final,
+            "mor_physical_rows": physical_rows,
             "timings": timings,
             "unit": "sec",
         }
