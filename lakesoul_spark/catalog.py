@@ -402,7 +402,7 @@ class Catalog:
         if verb == "CREATE" and verb2 == "TABLE":
             return self._sql_create_table(spark, stmt)
         if verb == "DROP" and verb2 == "TABLE":
-            m = _rx(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$", stmt)
+            m = _rx(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(2))
             if not self.table_exists(name, ns):
                 if m.group(1):
@@ -411,7 +411,7 @@ class Catalog:
             self.drop_table(name, ns)
             return None
         if verb == "TRUNCATE":
-            m = _rx(r"TRUNCATE\s+TABLE\s+([\w.]+)$", stmt)
+            m = _rx(r"TRUNCATE\s+TABLE\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             # truncate = unconditional delete (metadata-only fast path)
             self.get_table(spark, name, ns).delete(None)
@@ -421,7 +421,7 @@ class Catalog:
         if verb == "UPDATE":
             # the WHERE split must ignore 'WHERE' inside string literals
             # (a lazy regex would cut `SET note = 'a WHERE b'` in half)
-            m = _rx(r"UPDATE\s+([\w.]+)\s+SET\s+(.*)$", stmt)
+            m = _rx(r"UPDATE\s+([\w.`]+)\s+SET\s+(.*)$", stmt)
             ns, name = self._split_name(m.group(1))
             body = m.group(2)
             wi = _find_top_keyword(body, "WHERE")
@@ -432,11 +432,11 @@ class Catalog:
                 col, _, expr = part.partition("=")
                 if not expr:
                     raise ValueError(f"bad SET clause {part!r}")
-                sets[col.strip()] = expr.strip()
+                sets[col.strip().strip("`")] = expr.strip()
             self.get_table(spark, name, ns).update(cond, sets)
             return None
         if verb == "DELETE":
-            m = _rx(r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", stmt)
+            m = _rx(r"DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?$", stmt)
             ns, name = self._split_name(m.group(1))
             self.get_table(spark, name, ns).delete(m.group(2))
             return None
@@ -472,7 +472,7 @@ class Catalog:
                 "namespace string, tableName string",
             )
         if verb == "SHOW" and verb2 == "COLUMNS":
-            m = _rx(r"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+([\w.]+)$", stmt)
+            m = _rx(r"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             from lakesoul_spark.io.writer import table_schema as _ts
 
@@ -481,7 +481,7 @@ class Catalog:
                 [(f.name,) for f in _ts(info).fields], "col_name string"
             )
         if verb == "SHOW" and verb2 == "PARTITIONS":
-            m = _rx(r"SHOW\s+PARTITIONS\s+([\w.]+)$", stmt)
+            m = _rx(r"SHOW\s+PARTITIONS\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
             from lakesoul_spark.meta.store import NON_PARTITIONED
@@ -495,7 +495,7 @@ class Catalog:
             )
         if verb == "SHOW" and verb2 == "TBLPROPERTIES":
             m = _rx(
-                r"SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+                r"SHOW\s+TBLPROPERTIES\s+([\w.`]+)"
                 r"(?:\s*\(\s*'([^']*)'\s*\))?$",
                 stmt,
             )
@@ -512,7 +512,7 @@ class Catalog:
         if verb == "OPTIMIZE":
             # LEVELED must be captured as its own group: a table named
             # `my_leveled` would otherwise trip a suffix check
-            m = _rx(r"OPTIMIZE\s+([\w.]+)(\s+LEVELED)?$", stmt)
+            m = _rx(r"OPTIMIZE\s+([\w.`]+)(\s+LEVELED)?$", stmt)
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
             if m.group(2):
@@ -522,7 +522,7 @@ class Catalog:
             return None
         if verb == "VACUUM":
             m = _rx(
-                r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?"
+                r"VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?"
                 r"(\s+DRY\s+RUN)?$",
                 stmt,
             )
@@ -539,7 +539,7 @@ class Catalog:
         if verb == "CONVERT":
             m = _rx(
                 r"CONVERT\s+TO\s+LAKESOUL\s+'([^']+)'"
-                r"(?:\s+AS\s+([\w.]+))?$",
+                r"(?:\s+AS\s+([\w.`]+))?$",
                 stmt,
             )
             from lakesoul_spark.table import convert_to_lakesoul
@@ -564,25 +564,25 @@ class Catalog:
                 self.backend.register_table(ns, name, t.path)
             return None
         if verb == "CHECK":
-            m = _rx(r"CHECK\s+TABLE\s+([\w.]+)$", stmt)
+            m = _rx(r"CHECK\s+TABLE\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             return self.get_table(spark, name, ns).fsck()
         if verb == "RESTORE":
             m = _rx(
-                r"RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)$",
+                r"RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)$",
                 stmt,
             )
             ns, name = self._split_name(m.group(1))
             self.get_table(spark, name, ns).rollback(version=int(m.group(2)))
             return None
         if verb in ("DESCRIBE", "DESC") and verb2 == "HISTORY":
-            m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.]+)$", stmt)
+            m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             return self.get_table(spark, name, ns).history()
         if verb in ("DESCRIBE", "DESC") and verb2 != "HISTORY":
             # EXTENDED is a captured keyword, not a substring test — a
             # table whose NAME contains "extended" must not trigger it
-            m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(EXTENDED\s+)?([\w.]+)$", stmt)
+            m = _rx(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(EXTENDED\s+)?([\w.`]+)$", stmt)
             extended = bool(m.group(1))
             ns, name = self._split_name(m.group(2))
             info = self.get_table(spark, name, ns).info
@@ -607,7 +607,7 @@ class Catalog:
                 "comment string",
             )
         if verb == "SHOW" and verb2 == "CREATE":
-            m = _rx(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)$", stmt)
+            m = _rx(r"SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             info = self.get_table(spark, name, ns).info
             from lakesoul_spark.io.writer import table_schema as _ts
@@ -652,7 +652,7 @@ class Catalog:
             return spark.sql(stmt)
 
     _TC_RE = re.compile(
-        r"table_changes\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+        r"table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
         re.I,
     )
 
@@ -694,7 +694,7 @@ class Catalog:
         return "".join(out)
 
     _TT_RE = re.compile(
-        r"([\w.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)", re.I
+        r"([\w.`]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)", re.I
     )
 
     def _register_time_travel(self, spark: SparkSession, stmt: str) -> str:
@@ -784,7 +784,7 @@ class Catalog:
         with OVERWRITE it becomes ``replace_where`` on exactly that
         partition (reference ``WriteIntoTable.scala:122-134``)."""
         m = _rx(
-            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+)\s*"
             r"(?:PARTITION\s*\(([^)]*)\)\s*)?"
             r"(?:\(([^)]*)\)\s*)?(.*)$",
             stmt,
@@ -881,7 +881,7 @@ class Catalog:
         ``alterTableCommands.scala:48,113,191,337``): ADD COLUMN(S) with
         COMMENT/FIRST/AFTER, ALTER/CHANGE COLUMN TYPE/COMMENT/position,
         REPLACE COLUMNS, SET/UNSET TBLPROPERTIES."""
-        m = _rx(r"ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", stmt)
+        m = _rx(r"ALTER\s+TABLE\s+([\w.`]+)\s+(.*)$", stmt)
         ns, name = self._split_name(m.group(1))
         t = self.get_table(spark, name, ns)
         rest = m.group(2).strip()
@@ -908,9 +908,9 @@ class Catalog:
             return None
         if up.startswith(("ALTER COLUMN", "CHANGE COLUMN", "CHANGE ")):
             am = _rx(
-                r"(?:ALTER|CHANGE)\s+(?:COLUMN\s+)?(\w+)\s+(.*)$", rest
+                r"(?:ALTER|CHANGE)\s+(?:COLUMN\s+)?(`?\w+`?)\s+(.*)$", rest
             )
-            cname, clause = am.group(1), am.group(2).strip()
+            cname, clause = am.group(1).strip("`"), am.group(2).strip()
             cup = clause.upper()
             if cup.startswith("TYPE "):
                 t.alter_column_type(cname, clause[5:].strip())
@@ -929,12 +929,12 @@ class Catalog:
             # [FIRST|AFTER x] — renames rejected (verifyColumnChange), so
             # new_name must equal old_name
             cm = _rx(
-                r"(\w+)\s+([\w()<>,\s]+?)"
+                r"(`?\w+`?)\s+([\w()<>,\s]+?)"
                 r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?"
                 r"(?:\s+(FIRST)|\s+AFTER\s+(\w+))?$",
                 clause,
             )
-            if cm.group(1) != cname:
+            if cm.group(1).strip("`") != cname:
                 raise ValueError(
                     f"cannot rename column {cname!r} to {cm.group(1)!r}: "
                     "ALTER TABLE CHANGE COLUMN does not support renames"
@@ -962,6 +962,10 @@ class Catalog:
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
 
     def _split_name(self, qualified: str) -> tuple[str, str]:
+        # identifier captures tolerate backticks (reserved-word names
+        # like `order` stay quoted for Spark passthrough but OUR parser
+        # matches any word) — strip them per segment here
+        qualified = qualified.replace("`", "")
         if "." in qualified:
             ns, name = qualified.split(".", 1)
             return ns, name
@@ -969,14 +973,14 @@ class Catalog:
 
     def _sql_create_table(self, spark: SparkSession, stmt: str):
         ctas = re.match(
-            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+"
             r"USING\s+lakesoul\b(?P<rest>.*?)\s+AS\s+(?P<q>SELECT\b.*)$",
             stmt, re.I | re.S,
         )
         if ctas:
             return self._sql_ctas(spark, ctas)
         m = _rx(
-            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
             r"\((?P<cols>.*?)\)\s*USING\s+lakesoul\b(?P<rest>.*)$",
             stmt,
         )
@@ -1072,8 +1076,8 @@ class Catalog:
 
     def _sql_merge(self, spark: SparkSession, stmt: str):
         m = _rx(
-            r"MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
-            r"USING\s+(\(.*\)|[\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"MERGE\s+INTO\s+([\w.`]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
+            r"USING\s+(\(.*\)|[\w.`]+)(?:\s+AS)?(?:\s+(\w+))?\s+"
             r"ON\s+(.*?)\s+"
             r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
             r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
@@ -1095,7 +1099,7 @@ class Catalog:
         on_cols = []
         for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.I):
             em = re.match(
-                r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", clause
+                r"\s*([\w.`]+)\s*=\s*([\w.`]+)\s*$", clause
             )
             if not em:
                 raise ValueError(

@@ -207,12 +207,10 @@ class Snapshot:
 
 
 def _atomic_write_json(path: str, payload: dict) -> bool:
-    """Create-if-absent JSON write via the local backend (kept for
-    callers outside MetaStore; the store itself goes through its
-    pluggable ``io``)."""
-    from lakesoul_spark.meta.store_io import LocalStoreIO
-
-    return LocalStoreIO().put_if_absent(
+    """Create-if-absent JSON write via the PROCESS-DEFAULT backend —
+    the same backend MetaStore uses, so tests that swap in the
+    S3-semantics double cover this path too."""
+    return default_store_io().put_if_absent(
         path, json.dumps(payload).encode()
     )
 

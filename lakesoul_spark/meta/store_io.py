@@ -217,7 +217,20 @@ class FsspecStoreIO(StoreIO):
         with self.fs.open(path, "rb") as f:
             return f.read()
 
+    @staticmethod
+    def _is_file_like(fs) -> bool:
+        proto = fs.protocol
+        protos = proto if isinstance(proto, (tuple, list)) else (proto,)
+        return any(p in ("file", "local") for p in protos)
+
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # object stores upload the WHOLE object on close (one PUT), so
+        # no reader can observe a partial claim; on file-like
+        # filesystems 'xb' opens the final name before the payload is
+        # written — a concurrent read_bytes between create and write
+        # can see a short file. Writing in ONE call before close
+        # minimizes (not eliminates) that window; POSIX deployments
+        # should use LocalStoreIO, whose link(2) publish is atomic.
         try:
             with self.fs.open(path, "xb") as f:
                 f.write(data)
@@ -226,8 +239,20 @@ class FsspecStoreIO(StoreIO):
             return False
 
     def put(self, path: str, data: bytes) -> None:
-        with self.fs.open(path, "wb") as f:
-            f.write(data)
+        # whole-object replace: a plain 'wb' open on a FILE-like
+        # filesystem truncates in place (readers can observe an empty
+        # or torn object), so stage to a temp name and mv — os.rename
+        # under fsspec's local implementation, atomic. Object stores
+        # get the single-PUT path: the upload happens on close and the
+        # swap is atomic server-side.
+        if self._is_file_like(self.fs):
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+            with self.fs.open(tmp, "wb") as f:
+                f.write(data)
+            self.fs.mv(tmp, path)
+        else:
+            with self.fs.open(path, "wb") as f:
+                f.write(data)
 
     def exists(self, path: str) -> bool:
         return bool(self.fs.exists(path))

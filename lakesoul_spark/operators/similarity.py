@@ -1058,8 +1058,8 @@ def vector_search(
         if not words:
             raise ValueError(
                 "rank='estimator' requires an index built with packed "
-                "codes (code_words > 0) — rebuild with "
-                "build_vector_index(code_bits=...)"
+                "codes (code_words > 0) — rebuild it with "
+                "build_vector_index() (current builds always pack codes)"
             )
     if assign == "auto":
         n = queries.limit(driver_assign_limit + 1).count()
@@ -1087,7 +1087,14 @@ def vector_search(
                 sims = cents @ qv
             else:
                 sims = cn @ (qv / np.linalg.norm(qv))
-            for c in np.argsort(-sims)[:nprobe]:
+            if metric == "l2":
+                # ties → LOWER cell (plain ascending array_sort twin)
+                order = np.argsort(-sims, kind="stable")
+            else:
+                # ties → HIGHER cell, matching _nearest_cells's reversed
+                # ascending sort (and the oracles' ORDER BY … , cell DESC)
+                order = np.lexsort((-np.arange(len(sims)), -sims))
+            for c in order[:nprobe]:
                 probe_cells.add(int(c))
                 q_probe_rows.append(
                     (r[id_col], int(c),

@@ -270,7 +270,11 @@ def latest_state_stream(
     ``transformWithStateInPandas`` (typed ValueState + real timers,
     the closest Flink analog) — requires the ``protobuf`` package,
     which the TWS state client imports; ``"auto"`` picks tws when
-    protobuf is importable. Both produce identical output.
+    protobuf is importable. Both produce identical 'u' emissions; the
+    TTL clock differs subtly on stale arrivals — ``apply`` must re-arm
+    the timeout on EVERY invocation (Spark clears it each call), so a
+    stale row extends the key's life, while ``tws`` timers are armed
+    per accepted update only.
 
     State per key: one row. One keyed exchange; Arrow-batched Python.
     """
@@ -326,7 +330,13 @@ def latest_state_stream(
         cur = state.getOption
         oi = cols.index(order_col)
         if cur is not None and not (best[order_col] > cur[oi]):
-            # stale arrival — keep state, refresh nothing, emit nothing
+            # stale arrival — keep state, emit nothing. Spark CLEARS any
+            # previously-set timeout on every invocation, so the TTL
+            # timer must be re-armed here or the key would never expire
+            # (and the 'tws' engine, whose registered timers persist,
+            # would diverge)
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
             return
         state.update(tuple(best[c] for c in cols))
         if ttl_ms:

@@ -118,7 +118,20 @@ def convert_to_lakesoul(
     )
     from lakesoul_spark.io.partition import desc_from_dir_components
 
-    path = os.path.abspath(path) if "://" not in path else path
+    if "://" in path:
+        # the data-file DISCOVERY below is URI-aware (pyarrow.fs), but
+        # the commit log this function then writes goes through the
+        # process-default StoreIO — POSIX by default. Committing the
+        # metadata to local disk for an s3:// table would LOOK
+        # successful on this driver and be invisible to every other
+        # one; refuse instead of half-converting.
+        raise NotImplementedError(
+            "convert_to_lakesoul on an object-store URI needs the "
+            "commit log on that store too: configure a StoreIO backend "
+            "for it (lakesoul_spark.meta.store_io) or mount the store "
+            "as a filesystem path"
+        )
+    path = os.path.abspath(path)
     if MetaStore(path).exists():
         raise ValueError(f"{path} is already a LakeSoul table")
     fs_, native = filesystem_for(path)

@@ -986,3 +986,24 @@ def test_sqlite_backend_racing_registration(tmp_path):
         winners = [w for w in ex.map(grab, range(8)) if w is not None]
     assert len(winners) == 1
     assert be.tables("ns")["hot"] == f"/path/{winners[0]}"
+
+
+def test_sql_reserved_word_identifiers_managed(cat, spark):
+    """Backtick-quoted reserved-word identifiers work through BOTH the
+    managed verbs (our parser strips the quotes) AND passthrough SELECT
+    (where Spark needs them kept) — regression for the r4 fix that
+    preserved backticks globally and broke managed statements."""
+    cat.sql(spark, "CREATE TABLE `order` (id INT, `update` INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO `order` VALUES (1, 2)")
+    assert cat.sql(spark, "SELECT `update` FROM `order`").collect()[0][0] == 2
+    cat.sql(spark, "ALTER TABLE `order` ALTER COLUMN `update` TYPE BIGINT")
+    desc = {r.col_name: r.data_type
+            for r in cat.sql(spark, "DESCRIBE `order`").collect()}
+    assert desc["update"] == "bigint"
+    cat.sql(spark, "ALTER TABLE `order` ALTER COLUMN `update` COMMENT 'cnt'")
+    cat.sql(spark, "UPDATE `order` SET `update` = 5 WHERE id = 1")
+    assert cat.sql(spark, "SELECT `update` FROM `order`").collect()[0][0] == 5
+    cat.sql(spark, "TRUNCATE TABLE `order`")
+    assert cat.sql(spark, "SELECT count(*) AS n FROM `order`").collect()[0].n == 0
+    cat.sql(spark, "DROP TABLE `order`")
+    assert not cat.table_exists("order")

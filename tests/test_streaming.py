@@ -623,7 +623,11 @@ def test_latest_state_stream_ttl_tombstones(spark, tmp_path):
 
     src = str(tmp_path / "src")
     schema = "seq long, k int, v string"
-    _df(spark, [(1, 7, "x")], schema).coalesce(1).write.mode("append").parquet(src)
+    # batch 1: the winner; batch 2: a STALE arrival — it must neither
+    # change the state nor permanently disarm the TTL timer (Spark
+    # clears the timeout on every invocation; the stale branch re-arms)
+    _df(spark, [(5, 7, "x")], schema).coalesce(1).write.mode("append").parquet(src)
+    _df(spark, [(3, 7, "stale")], schema).coalesce(1).write.mode("append").parquet(src)
     sdf = (spark.readStream.schema("seq long, k int, v string")
            .option("maxFilesPerTrigger", 1).parquet(src))
     out = latest_state_stream(sdf, ["k"], order_col="seq", ttl_ms=1500)
@@ -632,7 +636,7 @@ def test_latest_state_stream_ttl_tombstones(spark, tmp_path):
          .outputMode("update").trigger(processingTime="1 second").start())
     try:
         deadline = time.time() + 60
-        want = {(1, 7, "x", "u"), (1, 7, "x", "d")}
+        want = {(5, 7, "x", "u"), (5, 7, "x", "d")}
         while time.time() < deadline:
             got = set(map(tuple, spark.table("latest_ttl").collect()))
             if got == want:
