@@ -1031,3 +1031,42 @@ def streaming_latest_state(spark, sf_dir):
     return spark.table("latest_state_q").select(
         "user_id", "event_id", "event_type", "value", "op"
     )
+
+
+@_register(
+    "lakehouse_arrow_writer",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'A' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def arrow_writer_upsert(spark, sf_dir):
+    """Spark-free Arrow write path (reference standalone Writer,
+    python/src/lakesoul/io/__init__.py:135-240): the base table is
+    written by Spark, the delta is upserted by write_arrow from plain
+    pyarrow data — same murmur3 bucketing, layout, and footer stats —
+    and the Spark MOR read merges both writers' files."""
+    import pyarrow as pa
+
+    from lakesoul_spark.arrow.writer import write_arrow
+
+    path = _tmp("arrow_writer", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("o_orderstatus", F.lit("A"))
+    )
+    write_arrow(path, pa.Table.from_pandas(
+        delta.toPandas(), preserve_index=False
+    ))
+    return _fmt_orders(LakeSoulTable.for_path(spark, path).to_df())

