@@ -61,9 +61,15 @@ def desc_from_dir_components(components: list[str]) -> str:
     parts = []
     for comp in components:
         k, _, v = comp.partition("=")
+        raw = urllib.parse.unquote(v)
         if v == HIVE_DEFAULT_PARTITION:
             parts.append(f"{k}={NULL_STRING}")
+        elif raw in (NULL_STRING, EMPTY_STRING):
+            # writer-planted sentinels (null / empty string survive
+            # partitionBy distinctly) — pass through verbatim, never
+            # re-quoted (encode_value would escape the '@')
+            parts.append(f"{k}={raw}")
         else:
             # re-encode with our quoting to normalize
-            parts.append(f"{k}={encode_value(urllib.parse.unquote(v))}")
+            parts.append(f"{k}={encode_value(raw)}")
     return ",".join(parts)

@@ -118,6 +118,25 @@ def write_table_data(
     else:
         part_dirs = list(rc)
 
+    # sentinel-encode string range values BEFORE partitionBy: Spark
+    # writes both NULL and '' as __HIVE_DEFAULT_PARTITION__, collapsing
+    # a distinction the reference keeps (TransactionalWrite.scala:
+    # 187-198 NULL_STRING/EMPTY_STRING). Range columns live only in the
+    # directory name (partitionBy drops them from the files), so the
+    # rewrite never touches data bytes; the desc normalizer and the
+    # read-side reattach decode the sentinels back.
+    from lakesoul_spark.io.partition import EMPTY_STRING, NULL_STRING
+
+    schema_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in rc:
+        if schema_types.get(c) == "string":
+            df = df.withColumn(
+                c,
+                F.when(F.col(c).isNull(), F.lit(NULL_STRING))
+                .when(F.col(c) == "", F.lit(EMPTY_STRING))
+                .otherwise(F.col(c)),
+            )
+
     writer = df.write.mode("error")
     # file rolling: explicit arg, else per-table property (reference
     # max_file_size, rust/lakesoul-io/src/config/mod.rs:103-105) — at

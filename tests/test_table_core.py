@@ -755,3 +755,33 @@ def test_collect_file_ops_on_object_store_fs(spark, tmp_table):
         ((e.path, e.bucket, e.num_rows, e.size) for e in local_ops)
     )
     assert sorted((o.path, o.bucket, o.num_rows, o.size) for o in got) == want
+
+
+def test_null_and_empty_range_partition_values(spark, tmp_table):
+    """SURVEY §7.4 sharp edge: None and '' range-partition values get
+    sentinel encodings (reference TransactionalWrite.scala:187-198
+    LAKESOUL_NULL/EMPTY_STRING) and must round-trip through write →
+    partition pruning → MOR read → delete-by-partition."""
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.table import write
+
+    rows = [(1, "us"), (2, None), (3, ""), (4, "eu")]
+    write(spark.createDataFrame(rows, "id int, region string"),
+          tmp_table, range_partitions=["region"])
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    got = sorted(map(tuple, t.to_df().collect()))
+    assert got == sorted(rows)
+    descs = {f.partition_desc for f in MetaStore(tmp_table).snapshot().files}
+    assert descs == {
+        "region=us", "region=eu",
+        "region=__L@KESOUL_NULL__", "region=__L@KESOUL_EMPTY_STRING__",
+    }
+    # predicate pruning distinguishes null from empty string
+    assert {r.id for r in t.to_df().filter("region = ''").collect()} == {3}
+    assert {r.id for r in t.to_df().filter("region IS NULL").collect()} == {2}
+    # upsert into the null partition and read back
+    t2 = LakeSoulTable.for_path(spark, tmp_table)
+    t2.delete("region IS NULL")
+    left = sorted(map(tuple, LakeSoulTable.for_path(spark, tmp_table)
+                      .to_df().collect()))
+    assert left == [(1, "us"), (3, ""), (4, "eu")]
