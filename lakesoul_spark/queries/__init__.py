@@ -23,7 +23,9 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # ann_l2_topk) — all locally hash-verified vs DuckDB — within the 50-query
 # prefix (pipeline=35 + first 15 of lakehouse).  TPC-H rotates out after its
 # green r4 window.  Keep alternating per round so no query goes more than
-# two rounds without a driver row.
+# two rounds without a driver row.  Current pack: pipeline=35,
+# lakehouse=26 (incl. r5-new streaming_latest_state, lakehouse_column_ddl,
+# lakehouse_arrow_writer at the tail), tpch=28 — 89 total.
 #
 # ROUND-6 NOTE: rotate to (lakehouse, tpch, pipeline) so the relational
 # pack, the tail of lakehouse (incl. the r5-new lakehouse_column_ddl, which
