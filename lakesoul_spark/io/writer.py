@@ -73,6 +73,17 @@ def _align(df: DataFrame, info: TableInfo) -> DataFrame:
                     if c not in present]
     if missing_keys:
         raise ValueError(f"batch is missing partition/PK columns: {missing_keys}")
+    cdc = info.cdc_column
+    if cdc and cdc not in present:
+        # a CDC row without its change flag is unclassifiable: a NEW
+        # key would surface with a null op and be silently dropped by
+        # the CDC filter (null != 'delete' is null) — data loss, not a
+        # partial-column upsert. The reference's CDC writers always
+        # carry the change column; require it.
+        raise ValueError(
+            f"CDC table batches must carry the change column {cdc!r} "
+            "(e.g. lit('insert')/'update'/'delete' per row)"
+        )
     return df.select(*[F.col(c).cast(types[c]).alias(c) for c in present])
 
 

@@ -962,7 +962,10 @@ def vector_search(
     """ANN search against a persisted index: nearest ``nprobe`` cells
     per query are computed from the stored centroids, ONLY those cells'
     partitions are read (metadata pruning — no full scan), and
-    candidates are exact-reranked by cosine (reference
+    candidates are exact-reranked under the metric the index was BUILT
+    with (``vector.metric`` property: cosine default, ``l2``/``ip`` per
+    the reference's Metric enum — output column ``cos``/``dist``/
+    ``score`` accordingly) (reference
     ``rerank_by_distance``, ``inject_vector_search_filter``).
 
     ``rerank=R`` enables the RaBitQ-style fast path: candidates are

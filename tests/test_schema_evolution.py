@@ -286,3 +286,21 @@ def test_add_column_name_and_default_validation(spark, tmp_table):
     # valid default still works, including numeric strings
     t.add_column("n", "int", default="7")
     assert [tuple(r) for r in t.to_df().collect()] == [(1, "a", 7)]
+
+
+def test_cdc_batch_requires_change_column(spark, tmp_table):
+    """A CDC-table batch missing the change column is rejected at write:
+    a NEW key would land with a null op and the CDC filter would drop it
+    silently (null != 'delete' is null) — data loss, not a
+    partial-column upsert."""
+    write(_df(spark, [(1, "a", "insert")], "id int, v string, op string"),
+          tmp_table, hash_partitions=["id"], hash_bucket_num=2,
+          properties={"lakesoul_cdc_change_column": "op"})
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="change column"):
+        t.upsert(_df(spark, [(2, "b")], "id int, v string"))
+    # carrying the op column works, including partial VALUE columns
+    t.upsert(_df(spark, [(2, "insert")], "id int, op string"))
+    got = sorted((r.id, r.v) for r in
+                 LakeSoulTable.for_path(spark, tmp_table).to_df().collect())
+    assert got == [(1, "a"), (2, None)]
