@@ -260,3 +260,32 @@ def test_arrow_writer_range_partitioned_append(spark, tmp_path):
     us = t.to_df(file_filters=[("region", "=", "us")]) if False else None
     snap = MetaStore(path).snapshot(partition_descs={"region=us"})
     assert sum(f.num_rows for f in snap.files) == 2
+
+
+def test_arrow_written_files_compact_with_spark_files(spark, tmp_path):
+    """Compaction treats arrow-written delta files like Spark-written
+    ones (same layout/metadata): after compacting a table with mixed
+    writers, every bucket is one file and the view is unchanged."""
+    import pyarrow as pa
+
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.meta.store import MetaStore
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(i, i) for i in range(40)], "id int, v int"),
+          path, hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(_df(spark, [(1, 100)], "id int, v int"))
+    write_arrow(path, pa.table({
+        "id": pa.array([2, 41], type=pa.int32()),
+        "v": pa.array([200, 41], type=pa.int32()),
+    }))
+    before = sorted(map(tuple, t.to_df().collect()))
+    assert (1, 100) in before and (2, 200) in before and (41, 41) in before
+    t.compaction()
+    t2 = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t2.to_df().collect())) == before
+    per_bucket: dict = {}
+    for f in MetaStore(path).snapshot().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
