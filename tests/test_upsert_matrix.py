@@ -184,3 +184,32 @@ def test_cow_upsert_partial_columns_range_partitioned(spark, tmp_path):
                    (3, "b", "z", 3), (4, "a", None, 400)]
     after_b = {f.path for f in t.store.snapshot(partition_descs={"p=b"}).files}
     assert before_b == after_b  # untouched partition keeps its files
+
+
+def test_merge_scope_split_with_partial_column_single_bucket(spark, tmp_path):
+    """Merge-scope refinement edge: one bucket holds TWO generations
+    (merge branch) while another bucket's ONLY generation is a
+    partial-column file (plain branch) — the plain scan must null-fill
+    the absent column and union cleanly with the merged branch."""
+    from lakesoul_spark.functions.spark_hash import bucket_of
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    path = str(tmp_path / "t")
+    n_b = 4
+    # keys for two distinct buckets
+    k_merge = next(k for k in range(100) if bucket_of([k], ["int"], n_b) == 0)
+    k_plain = next(k for k in range(100) if bucket_of([k], ["int"], n_b) == 1)
+    write(spark.createDataFrame([(k_merge, "a", 1)], "id int, s string, v int"),
+          path, hash_partitions=["id"], hash_bucket_num=n_b)
+    t = LakeSoulTable.for_path(spark, path)
+    # second generation for bucket 0 (forces the merge branch)
+    t.upsert(spark.createDataFrame([(k_merge, 11)], "id int, v int"))
+    # bucket 1's ONLY generation misses column s (plain branch)
+    t.upsert(spark.createDataFrame([(k_plain, 22)], "id int, v int"))
+
+    got = {r.id: (r.s, r.v) for r in
+           LakeSoulTable.for_path(spark, path).to_df().collect()}
+    assert got == {k_merge: ("a", 11), k_plain: (None, 22)}
+    plan = (LakeSoulTable.for_path(spark, path).to_df()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Union") == 1 and plan.count("HashAggregate") <= 2
