@@ -183,3 +183,81 @@ def test_hot_bucket_100_generations_plan_and_walltime(spark, tmp_table):
     # bounded degradation: reading 100 uncompacted generations of one
     # bucket must not be an order of magnitude off the compacted read
     assert mor_s < 20 * max(compact_s, 0.05)
+
+
+ddl_ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(
+            st.lists(st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+                     min_size=1, max_size=4),
+        ).map(lambda b: ("upsert", b[0])),
+        st.tuples(st.integers(0, 1), st.booleans()).map(
+            lambda p: ("add_col", p)),          # (which name, with default?)
+        st.integers(0, 1).map(lambda i: ("drop_col", i)),
+        st.sampled_from(["full"]).map(lambda m: ("compact", m)),
+    ),
+    min_size=2, max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ddl_ops_strategy)
+def test_random_ddl_and_dml_sequences_match_model(hypo_spark, tmp_path_factory, ops):
+    """Randomized DML + schema evolution (the reference's random
+    mutate-then-diff CI shape, extended to DDL): interleave upserts,
+    ADD COLUMN (with/without default), DROP COLUMN, and compaction;
+    the visible state must always equal a dict model where
+
+    - upserts are last-writer-wins on (id, v),
+    - an added column reads as its default (or null) for every row,
+      because (id, v)-only upserts never carry it (file_exist_cols),
+    - dropping re-adding a column resets it,
+    - compaction never changes anything."""
+    spark = hypo_spark
+    path = str(tmp_path_factory.mktemp("hypo_ddl") / "t")
+    write(_df(spark, [(0, 0)], "id int, v int"), path,
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    model: dict[int, int] = {0: 0}
+    extra_cols: dict[str, int | None] = {}  # name -> default (None = null)
+    for kind, payload in ops:
+        if kind == "upsert":
+            t.upsert(_df(spark, payload, "id int, v int"))
+            for k, v in payload:
+                model[k] = v
+        elif kind == "add_col":
+            i, with_default = payload
+            name = f"x{i}"
+            if name in extra_cols:
+                continue
+            default = (i + 1) * 10 if with_default else None
+            t.add_column(name, "int", default=default)
+            extra_cols[name] = default
+        elif kind == "drop_col":
+            name = f"x{payload}"
+            if name not in extra_cols:
+                continue
+            t.drop_column(name)
+            extra_cols.pop(name)
+        else:
+            t.compaction()
+            # compaction REWRITES files: every merged file now carries
+            # all live columns, so a column default no longer applies
+            # to post-compaction rows — they hold the default VALUE
+            # materialized at compaction time. Visible state unchanged.
+        got = {
+            r["id"]: {c: r[c] for c in r.asDict() if c not in ("id", "v")}
+            for r in LakeSoulTable.for_path(spark, path).to_df().collect()
+        }
+        want = {
+            k: {c: d for c, d in extra_cols.items()} for k in model
+        }
+        assert set(got) == set(model)
+        assert got == want, (got, want, extra_cols)
+        vals = {r["id"]: r["v"] for r in
+                LakeSoulTable.for_path(spark, path).to_df().collect()}
+        assert vals == model
