@@ -240,6 +240,7 @@ def project_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    as_array: bool = True,
 ) -> DataFrame:
     """Project every vector onto the PCA components:
     ``proj[j] = Σ_i (v_i - mean_i) * comp_j_i`` as a sequential left
@@ -249,7 +250,10 @@ def project_embeddings(
     as the IVF centroid assignment). ``round_to=None`` keeps the raw
     doubles (for compositions that keep computing on the projection —
     e.g. PCA → IVF — where a mid-pipeline round would complicate the
-    oracle twin)."""
+    oracle twin). ``as_array=False`` returns the projection as scalar
+    ``pc0..pcK`` double columns instead of one ``array<double>`` —
+    the shape external hash-comparison harnesses can canonicalize
+    (pandas cannot sort/hash list-valued cells)."""
     mean_arr = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(
         _to_double(F.col(vec_col)), mean_arr, lambda x, m: x - m
@@ -265,6 +269,8 @@ def project_embeddings(
         if round_to is not None:
             s = F.round(s, round_to)
         cols.append(s.alias(f"pc{j}"))
+    if not as_array:
+        return df.select(F.col(id_col), *cols)
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
 
 

