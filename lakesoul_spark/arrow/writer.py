@@ -7,13 +7,19 @@ with primary keys / partitions / hash buckets, no Spark session).
 The layout contract is byte-compatible with the Spark writer
 (``io/writer.py``): files land under ``data/<token>/<range dirs>/
 __bucket=<i>/``, rows are bucketed with the same murmur3(seed 42)
-chain (``functions/spark_hash.py`` — bit-exact with Spark's
-``pmod(hash(pk...), n)``), deduped last-wins within the batch, sorted
-by PK inside each bucket file, and range-partition values live in the
-directory name only (reattached from metadata at read). FileOps +
-footer stats come from the same ``_collect_file_ops`` the Spark commit
-uses, so stats skipping and bucket-pruned lookups work identically on
-arrow-written files.
+chain (``functions/spark_hash_np.py`` — numpy-vectorized, bit-exact
+with Spark's ``pmod(hash(pk...), n)``), deduped last-wins within the
+batch, sorted by PK inside each bucket file, and range-partition
+values live in the directory name only (reattached from metadata at
+read). FileOps + footer stats come from the same ``_collect_file_ops``
+the Spark commit uses, so stats skipping and bucket-pruned lookups
+work identically on arrow-written files.
+
+The whole path is columnar (reference native writer
+``rust/lakesoul-io/src/writer/async_writer/sort_writer.rs``): bucket
+assignment is a numpy murmur3 over arrow buffers, dedup + PK sort ride
+two ``pyarrow.compute.sort_indices``/``take`` passes, and per-bucket
+files are zero-copy table slices — no per-row Python anywhere.
 
 Use case: a training worker (embedding job, labeling pass) appends or
 upserts results back into the lake from a plain Python process.
@@ -44,7 +50,6 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
 
     import urllib.parse
 
-    from lakesoul_spark.functions.spark_hash import bucket_of
     from lakesoul_spark.io.partition import HIVE_DEFAULT_PARTITION
     from lakesoul_spark.io.writer import _collect_file_ops, table_schema
     from lakesoul_spark.meta.store import (
@@ -73,28 +78,74 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
     for required in pk + rc:
         if required not in data.column_names:
             raise ValueError(f"missing required column {required!r}")
+    cdc = info.cdc_column
+    if cdc and cdc not in data.column_names:
+        # same contract as the Spark writer's _align (io/writer.py): a
+        # CDC row without its change flag would surface with a null op
+        # and be silently dropped by the MOR CDC filter — data loss,
+        # not a partial-column upsert
+        raise ValueError(
+            f"CDC table batches must carry the change column {cdc!r} "
+            "(e.g. 'insert'/'update'/'delete' per row)"
+        )
     if data.num_rows == 0:
         return 0
 
-    rows = data.to_pylist()
-    pk_types = [types[c] for c in pk]
-    if pk:
-        # last-wins within the batch (the Spark writer's dedup), then
-        # the same murmur3 chain the Spark writer buckets with
-        dedup: dict[tuple, dict] = {}
-        for r in rows:
-            dedup[tuple(r[c] for c in pk)] = r
-        rows = list(dedup.values())
-        for r in rows:
-            r["__bucket"] = bucket_of([r[c] for c in pk], pk_types, n)
-    else:
-        for r in rows:
-            r["__bucket"] = -1
+    import numpy as np
+    import pyarrow.compute as pc
 
-    groups: dict[tuple, list[dict]] = {}
-    for r in rows:
-        key = (tuple(r[c] for c in rc), r["__bucket"])
-        groups.setdefault(key, []).append(r)
+    from lakesoul_spark.functions.spark_hash_np import bucket_array
+
+    nrows = data.num_rows
+    pk_types = [types[c] for c in pk]
+    # vectorized murmur3(seed 42) chain — bit-exact with the scalar
+    # bucket_of and Spark's pmod(hash(pk...), n) (cross-checked in
+    # test_spark_hash_np); per-row Python never touches the data
+    buckets = (
+        bucket_array(data, pk, pk_types, n) if pk
+        else np.full(nrows, -1, np.int64)
+    )
+    tbl = data.append_column("__bucket", pa.array(buckets, pa.int32()))
+    tbl = tbl.append_column(
+        "__idx", pa.array(np.arange(nrows, dtype=np.int64), pa.int64())
+    )
+
+    def _adjacent_same(t: pa.Table, cols: list[str]) -> np.ndarray:
+        """bool[i] — row i equals row i+1 on all ``cols`` (null-safe)."""
+        same = np.ones(t.num_rows - 1, dtype=bool)
+        for c in cols:
+            col = t[c].combine_chunks() if isinstance(
+                t[c], pa.ChunkedArray) else t[c]
+            left, right = col.slice(0, t.num_rows - 1), col.slice(1)
+            eq = pc.fill_null(pc.equal(left, right), False).to_numpy(
+                zero_copy_only=False).astype(bool)
+            lnull = pc.is_null(left).to_numpy(zero_copy_only=False)
+            rnull = pc.is_null(right).to_numpy(zero_copy_only=False)
+            same &= np.where(lnull | rnull, lnull & rnull, eq)
+        return same
+
+    if pk:
+        # last-wins dedup (the Spark writer's semantics): stable order
+        # by (pk..., arrival) then keep the LAST row of each PK run
+        order = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in pk]
+            + [("__idx", "ascending")]
+        )
+        tbl = tbl.take(order)
+        if tbl.num_rows > 1:
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[:-1] = ~_adjacent_same(tbl, pk)
+            if not keep.all():
+                tbl = tbl.filter(pa.array(keep))
+
+    # one sort groups (range, bucket) contiguously AND delivers the
+    # per-bucket PK order the layout contract requires; __idx keeps
+    # non-PK appends in arrival order
+    group_cols = list(rc) + ["__bucket"]
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[(c, "ascending") for c in group_cols]
+        + [(c, "ascending") for c in pk] + [("__idx", "ascending")]
+    ))
 
     token = uuid.uuid4().hex[:16]
     out_dir = os.path.join(table_path, DATA_DIR, token)
@@ -110,13 +161,19 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
         _St([f for f in schema.fields if f.name in set(data_cols)])
     )
     file_schema = pa.schema([table_arrow.field(c) for c in data_cols])
-    for (range_vals, bucket), grp in sorted(
-        groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
-    ):
-        if pk:
-            grp.sort(key=lambda r: tuple(r[c] for c in pk))
+
+    # group boundaries on (range cols, bucket): arrow slices per group,
+    # cast once to the table's physical types, no row materialization
+    if tbl.num_rows > 1:
+        bounds = np.flatnonzero(~_adjacent_same(tbl, group_cols)) + 1
+    else:
+        bounds = np.empty(0, np.int64)
+    starts = [0, *bounds.tolist()]
+    ends = [*bounds.tolist(), tbl.num_rows]
+    for s, e in zip(starts, ends):
         d = out_dir
-        for c, v in zip(rc, range_vals):
+        for c in rc:
+            v = tbl[c][s].as_py()
             # Spark's escaped hive-style dir naming, so arrow-written
             # and Spark-written files normalize to the SAME desc
             enc = (
@@ -124,16 +181,15 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
                 else urllib.parse.quote(str(v), safe="")
             )
             d = os.path.join(d, f"{c}={enc}")
+        bucket = tbl["__bucket"][s].as_py()
         if bucket >= 0:
             d = os.path.join(d, f"__bucket={bucket}")
         os.makedirs(d, exist_ok=True)
-        tbl = pa.Table.from_pylist(
-            [{c: r[c] for c in data_cols} for r in grp], schema=file_schema
-        )
+        part = tbl.slice(s, e - s).select(data_cols).cast(file_schema)
         pq.write_table(
-            tbl, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
+            part, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
         )
 
     ops = _collect_file_ops(info, out_dir, list(data.column_names))
     store.commit(OP_MERGE if pk else OP_APPEND, ops)
-    return len(rows)
+    return tbl.num_rows

@@ -289,13 +289,23 @@ class Catalog:
         if self.table_exists(name, namespace):
             raise ValueError(f"table {namespace}.{name} already exists")
         tpath = os.path.abspath(path or os.path.join(self._ns_dir(namespace), name))
+        created_dir = not os.path.exists(tpath)
         t = _create_table(
             spark, tpath, schema, table_name=name, namespace=namespace, **kwargs
         )
         # registration is the commit point: if another driver raced us
         # to the name, the backend's uniqueness constraint rejects the
-        # SECOND registration (reference DBManager.createNewTable)
-        self.backend.register_table(namespace, name, tpath)
+        # SECOND registration (reference DBManager.createNewTable) —
+        # and the loser must not leave its freshly-created table dir +
+        # commit log orphaned on disk
+        try:
+            self.backend.register_table(namespace, name, tpath)
+        except Exception:
+            if created_dir:
+                import shutil
+
+                shutil.rmtree(tpath, ignore_errors=True)
+            raise
         return t
 
     def list_tables(self, ns: str = "default") -> list[str]:
@@ -888,7 +898,7 @@ class Catalog:
         up = rest.upper()
         if up.startswith("ADD COLUMN"):
             am = _rx(r"ADD\s+COLUMNS?\s*\((.*)\)$", rest)
-            for coldef in _split_top(am.group(1)):
+            for coldef in _split_top(am.group(1), angles=True):
                 cname, ctype, comment, first, after = _parse_coldef(coldef)
                 t.add_column(cname, ctype, comment=comment,
                              first=first, after=after)
@@ -896,7 +906,7 @@ class Catalog:
         if up.startswith("REPLACE COLUMNS"):
             am = _rx(r"REPLACE\s+COLUMNS\s*\((.*)\)$", rest)
             cols = []
-            for coldef in _split_top(am.group(1)):
+            for coldef in _split_top(am.group(1), angles=True):
                 cname, ctype, comment, first, after = _parse_coldef(coldef)
                 if first or after:
                     raise ValueError(
@@ -929,7 +939,7 @@ class Catalog:
             # [FIRST|AFTER x] — renames rejected (verifyColumnChange), so
             # new_name must equal old_name
             cm = _rx(
-                r"(`?\w+`?)\s+([\w()<>,\s]+?)"
+                r"(`?\w+`?)\s+([\w()<>,:\s]+?)"
                 r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?"
                 r"(?:\s+(FIRST)|\s+AFTER\s+(\w+))?$",
                 clause,
@@ -1264,9 +1274,11 @@ def _parse_coldef(coldef: str) -> tuple[str, str, str | None, bool, str | None]:
     """Parse one ``name type [COMMENT 'c'] [FIRST | AFTER x]`` column
     definition (reference ADD COLUMNS grammar,
     ``alterTableCommands.scala:106-117``). Returns
-    (name, type, comment, first, after)."""
+    (name, type, comment, first, after). The type class includes ':'
+    for nested struct fields (``struct<a:int>``) and '<>,' for
+    array/map/decimal parameters."""
     m = _rx(
-        r"(`?\w+`?)\s+([\w()<>,\s]+?)"
+        r"(`?\w+`?)\s+([\w()<>,:\s]+?)"
         r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?"
         r"(?:\s+(FIRST)|\s+AFTER\s+(`?\w+`?))?\s*$",
         coldef.strip(),
@@ -1277,18 +1289,23 @@ def _parse_coldef(coldef: str) -> tuple[str, str, str | None, bool, str | None]:
             bool(m.group(4)), after)
 
 
-def _split_top(s: str) -> list[str]:
-    """Split on commas at paren/quote depth 0 (SET lists, TBLPROPERTIES)."""
+def _split_top(s: str, *, angles: bool = False) -> list[str]:
+    """Split on commas at paren/quote depth 0 (SET lists,
+    TBLPROPERTIES). ``angles=True`` additionally tracks ``<>`` depth —
+    for COLUMN-DEFINITION lists only, where struct<a:int,b:string> /
+    map<k,v> commas must stay intact ('<' is a comparison operator in
+    SET/expression contexts, so it is not tracked by default)."""
     out, depth, buf, quote = [], 0, [], None
+    opens, closes = ("([<", ")]>") if angles else ("([", ")]")
     for ch in s:
         if quote:
             if ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
-        elif ch in "([":
+        elif ch in opens:
             depth += 1
-        elif ch in ")]":
+        elif ch in closes:
             depth -= 1
         elif ch == "," and depth == 0:
             out.append("".join(buf))

@@ -289,3 +289,35 @@ def test_arrow_written_files_compact_with_spark_files(spark, tmp_path):
     for f in MetaStore(path).snapshot().files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert all(v == 1 for v in per_bucket.values())
+
+
+def test_arrow_writer_cdc_requires_change_column(spark, tmp_path):
+    """write_arrow mirrors the Spark writer's _align guard: a CDC-table
+    batch missing the change column would commit rows whose op reads as
+    null and be silently dropped by the MOR CDC filter — data loss, so
+    it must be rejected (same contract as io/writer.py)."""
+    import pytest
+
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.table import create_table
+
+    path = str(tmp_path / "cdc")
+    create_table(
+        spark, path, "id int, v int, op string",
+        hash_partitions=["id"], hash_bucket_num=2,
+        properties={"lakesoul_cdc_change_column": "op"},
+    )
+    with pytest.raises(ValueError, match="change column 'op'"):
+        write_arrow(path, pa.table({
+            "id": pa.array([1], pa.int32()),
+            "v": pa.array([10], pa.int32()),
+        }))
+    # carrying the column works and the CDC filter applies on read
+    n = write_arrow(path, pa.table({
+        "id": pa.array([1, 2], pa.int32()),
+        "v": pa.array([10, 20], pa.int32()),
+        "op": pa.array(["insert", "delete"]),
+    }))
+    assert n == 2
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == [(1, 10, "insert")]

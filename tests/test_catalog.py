@@ -1007,3 +1007,44 @@ def test_sql_reserved_word_identifiers_managed(cat, spark):
     assert cat.sql(spark, "SELECT count(*) AS n FROM `order`").collect()[0].n == 0
     cat.sql(spark, "DROP TABLE `order`")
     assert not cat.table_exists("order")
+
+
+def test_sql_add_columns_nested_types(cat, spark):
+    """ADD COLUMNS accepts nested struct/map/array types — the ':' in
+    struct<a:int> must survive the column-definition parse (regression:
+    the r5 type character class dropped it)."""
+    cat.sql(spark, "CREATE TABLE nt (id INT) USING lakesoul")
+    cat.sql(spark, """
+        ALTER TABLE nt ADD COLUMNS (
+          c struct<a:int,b:string> COMMENT 'nested',
+          m map<string,int>,
+          a array<double> AFTER id
+        )
+    """)
+    t = cat.get_table(spark, "nt")
+    fields = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+    assert fields["c"] == "struct<a:int,b:string>"
+    assert fields["m"] == "map<string,int>"
+    assert fields["a"] == "array<double>"
+    assert [f.name for f in t.schema().fields] == ["id", "a", "c", "m"]
+
+
+def test_create_table_race_cleans_orphan_dir(cat, spark, monkeypatch):
+    """A creator losing the register_table uniqueness race must not
+    leave its freshly-created table dir + commit log orphaned."""
+    import os
+
+    boom = RuntimeError("UNIQUE constraint failed (simulated race)")
+
+    def raising(ns, name, path):
+        raise boom
+
+    monkeypatch.setattr(cat.backend, "register_table", raising)
+    with pytest.raises(RuntimeError, match="simulated race"):
+        cat.create_table(spark, "raced", "id INT")
+    tpath = os.path.join(cat._ns_dir("default"), "raced")
+    assert not os.path.exists(tpath)
+    monkeypatch.undo()
+    # the name is reusable after the failed attempt
+    cat.create_table(spark, "raced", "id INT")
+    assert cat.table_exists("raced")

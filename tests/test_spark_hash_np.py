@@ -1,0 +1,126 @@
+"""Vectorized murmur3 (functions/spark_hash_np) — bit-exactness vs the
+scalar implementation, null-PK rejection, and the arrow-writer
+throughput floor the vectorization exists for."""
+
+import datetime as dt
+import random
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lakesoul_spark.functions.spark_hash import bucket_of, hash_value
+from lakesoul_spark.functions.spark_hash_np import (
+    bucket_array,
+    hash_column_np,
+)
+
+_COLS = [
+    ("i", "int"), ("l", "bigint"), ("s", "string"), ("d", "date"),
+    ("t", "timestamp"), ("b", "boolean"), ("y", "binary"),
+]
+
+
+def _fixture(n=3000, seed=7) -> pa.Table:
+    rng = random.Random(seed)
+    return pa.table({
+        "i": pa.array([rng.randint(-2**31, 2**31 - 1) for _ in range(n)],
+                      pa.int32()),
+        "l": pa.array([rng.randint(-2**63, 2**63 - 1) for _ in range(n)],
+                      pa.int64()),
+        "s": pa.array(["".join(chr(rng.randint(32, 0x2FF))
+                               for _ in range(rng.randint(0, 23)))
+                       for _ in range(n)]),
+        "d": pa.array([dt.date(1970, 1, 1)
+                       + dt.timedelta(days=rng.randint(-20000, 20000))
+                       for _ in range(n)], pa.date32()),
+        "t": pa.array([dt.datetime(2020, 1, 1)
+                       + dt.timedelta(seconds=rng.randint(0, 10**8),
+                                      microseconds=rng.randint(0, 999999))
+                       for _ in range(n)], pa.timestamp("us")),
+        "b": pa.array([rng.random() < 0.5 for _ in range(n)]),
+        "y": pa.array([bytes(rng.randint(0, 255)
+                             for _ in range(rng.randint(0, 17)))
+                       for _ in range(n)], pa.binary()),
+    })
+
+
+def test_hash_np_matches_scalar_per_type():
+    tbl = _fixture()
+    for c, t in _COLS:
+        seeds = np.full(tbl.num_rows, 42, np.uint32)
+        got = hash_column_np(tbl[c], t, seeds).view(np.int32)
+        exp = np.array([hash_value(v, t, 42) for v in tbl[c].to_pylist()],
+                       np.int32)
+        assert (got == exp).all(), c
+
+
+def test_bucket_array_matches_scalar_chain():
+    tbl = _fixture()
+    pk = [c for c, _ in _COLS]
+    tps = [t for _, t in _COLS]
+    got = bucket_array(tbl, pk, tps, 16)
+    exp = np.array([bucket_of([r[c] for c in pk], tps, 16)
+                    for r in tbl.to_pylist()])
+    assert (got == exp).all()
+
+
+def test_hash_np_sliced_offset_columns():
+    """arrow slices carry a nonzero buffer offset — the buffer views
+    must honor it."""
+    tbl = _fixture()
+    sl = tbl.slice(1234, 777)
+    got = hash_column_np(sl["s"], "string",
+                         np.full(777, 42, np.uint32)).view(np.int32)
+    exp = np.array([hash_value(v, "string", 42)
+                    for v in sl["s"].to_pylist()], np.int32)
+    assert (got == exp).all()
+
+
+def test_bucket_array_rejects_null_pk():
+    tbl = pa.table({"id": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(ValueError, match="contains nulls"):
+        bucket_array(tbl, ["id"], ["bigint"], 4)
+
+
+def test_write_arrow_million_row_throughput(spark, tmp_path):
+    """The reason write_arrow is vectorized (reference native writer
+    ``rust/lakesoul-io/src/writer/async_writer/sort_writer.rs``): a
+    1M-row ingest must sustain a rate the per-row-Python path could
+    never reach (~6k rows/s measured before the rewrite; the floor
+    below is 15x that), and the layout must stay Spark-readable with
+    last-wins dedup intact."""
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    n = 1_000_000
+    rng = np.random.default_rng(42)
+    ids = rng.integers(0, n, n)  # dups → exercises the dedup path
+    batch = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "s": pa.array(np.char.add("k", ids.astype(str))),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    path = str(tmp_path / "big")
+    write(spark.createDataFrame([(int(-1), "seed", int(-1))],
+                                "id long, s string, v long"),
+          path, hash_partitions=["id"], hash_bucket_num=16)
+
+    t0 = time.monotonic()
+    wrote = write_arrow(path, batch)
+    elapsed = time.monotonic() - t0
+    uniq = len(np.unique(ids))
+    assert wrote == uniq
+    rate = n / elapsed
+    assert rate > 90_000, f"write_arrow ingest {rate:,.0f} rows/s"
+
+    # spot-check layout + last-wins through the Spark MOR view
+    tb = LakeSoulTable.for_path(spark, path)
+    assert tb.to_df().count() == uniq + 1
+    last_v = {}
+    for i, v in zip(ids.tolist(), range(n)):
+        last_v[i] = v
+    probe = int(ids[0])
+    row = tb.point_lookup(id=probe).collect()
+    assert [tuple(r) for r in row] == [(probe, f"k{probe}", last_v[probe])]

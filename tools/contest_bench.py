@@ -98,12 +98,11 @@ def main() -> None:
             t.upsert(delta)
         timings["upsert_total"] = round(time.time() - t0, 3)
 
-        def timed_read(tag: str) -> int:
+        def timed_read(tag: str) -> None:
             t0 = time.time()
-            n = LakeSoulTable.for_path(spark, path).to_df().write \
+            LakeSoulTable.for_path(spark, path).to_df().write \
                 .format("noop").mode("overwrite").save()
             timings[tag] = round(time.time() - t0, 3)
-            return n
 
         timed_read("mor_read")
         from lakesoul_spark.meta.store import MetaStore
