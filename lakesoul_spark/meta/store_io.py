@@ -199,19 +199,37 @@ class MemoryObjectStoreIO(StoreIO):
 class FsspecStoreIO(StoreIO):
     """Adapter over an ``fsspec`` AbstractFileSystem (optional
     dependency — construction raises ImportError when fsspec is
-    missing). Conditional create uses exclusive-create open mode;
-    filesystems without atomic exclusive create (plain s3 without
-    If-None-Match support) should be wrapped by a backend that does,
-    or use a DynamoDB/metadata-service lock — documented limitation,
-    mirroring the reference's choice of a transactional PG metastore
-    over raw S3."""
+    missing). Conditional create uses exclusive-create open mode,
+    which is only an atomic claim on filesystems that truly implement
+    it (local ``O_EXCL``; object stores with If-None-Match PUTs).
+    Filesystems that merely EMULATE 'xb' with a non-atomic
+    exists-then-write (plain s3fs et al.) would silently weaken the
+    interface contract put_if_absent promises — construction REFUSES
+    them unless the caller opts in with ``allow_non_atomic=True``
+    (single-writer deployments only), mirroring the reference's choice
+    of a transactional PG metastore over raw S3."""
 
-    def __init__(self, fs=None, protocol: str = "file"):
+    # protocols whose exclusive-create is a real atomic claim
+    _ATOMIC_XB = frozenset({"file", "local", "memory"})
+
+    def __init__(self, fs=None, protocol: str = "file",
+                 *, allow_non_atomic: bool = False):
         if fs is None:
             import fsspec  # raises ImportError when absent
 
             fs = fsspec.filesystem(protocol)
         self.fs = fs
+        proto = fs.protocol
+        protos = proto if isinstance(proto, (tuple, list)) else (proto,)
+        if (not allow_non_atomic
+                and not any(p in self._ATOMIC_XB for p in protos)):
+            raise ValueError(
+                f"fsspec filesystem {protos!r} has no atomic exclusive "
+                "create: put_if_absent would be a racy exists-then-write. "
+                "Use a conditional-PUT backend (or a transactional "
+                "metastore), or pass allow_non_atomic=True for "
+                "single-writer deployments."
+            )
 
     def read_bytes(self, path: str) -> bytes:
         with self.fs.open(path, "rb") as f:

@@ -280,3 +280,23 @@ def test_concurrent_writers_all_land(tmp_path):
     assert all(a < b for a, b in zip(ts, ts[1:]))
     paths = {f.path for f in fresh.snapshot().files}
     assert paths == {f"data/w{w}-{i}.parquet" for w in range(8) for i in range(4)}
+
+
+def test_fsspec_store_refuses_non_atomic_conditional_create():
+    """FsspecStoreIO must not silently weaken put_if_absent's atomic
+    contract: filesystems whose 'xb' is an emulated exists-then-write
+    (s3 et al.) are refused at construction unless the caller opts in
+    for single-writer use."""
+    from lakesoul_spark.meta.store_io import FsspecStoreIO
+
+    class FakeS3:
+        protocol = ("s3", "s3a")
+
+    class FakeLocal:
+        protocol = "file"
+
+    with pytest.raises(ValueError, match="no atomic exclusive create"):
+        FsspecStoreIO(fs=FakeS3())
+    # explicit opt-in and genuinely-atomic protocols both construct
+    assert FsspecStoreIO(fs=FakeS3(), allow_non_atomic=True).fs is not None
+    assert FsspecStoreIO(fs=FakeLocal()).fs is not None
