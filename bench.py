@@ -62,6 +62,29 @@ def main() -> None:
     wj.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("k"))) \
         .write.format("noop").mode("overwrite").save()
 
+    # warm the text/document machinery (documents.parquet footer +
+    # dictionary pages, split/posexplode/md5/higher-order codegen,
+    # per-source window) — the r5 bench showed the pipeline pack paying
+    # 1.5-1.8x when it ran FIRST with none of this warmed; pack order
+    # must not masquerade as regression
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("pos", "tok"),
+    ).withColumn("h", F.md5(F.concat_ws("-", "doc_id", "tok"))) \
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h")),
+        ).filter(F.col("rn") <= 3) \
+        .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"), F.lit(0.0),
+            lambda a, x: a + x * x,
+        ).alias("n2")
+    ).write.format("noop").mode("overwrite").save()
+
     # warm the Python workers (fork + Arrow pipe setup) — the first
     # pandas-UDF query would otherwise absorb ~3 s of worker startup
     def _identity(batches):

@@ -890,7 +890,8 @@ def stateful_sessionize(spark, sf_dir):
              CASE WHEN o_orderstatus = 'O'
                   THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice,
              o_orderdate, o_orderpriority
-      FROM orders WHERE NOT o_orderpriority = '1-URGENT')
+      FROM orders
+      WHERE NOT o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0)
     """,
 )
 def sql_surface(spark, sf_dir):
@@ -898,12 +899,17 @@ def sql_surface(spark, sf_dir):
     ... USING lakesoul, INSERT INTO, DELETE, UPDATE, MERGE INTO, SELECT
     — through the PySpark dispatcher (``Catalog.sql``; reference
     ``LakeSoulCatalog.scala`` + command rules). The MERGE flips every
-    10th order to status 'R' via an upsert source built with plain SQL."""
+    10th order to status 'R' via an upsert source built with plain SQL.
+    The verbs run over a quarter of orders (o_orderkey % 4 = 0): the
+    bench signal is the DISPATCHER + command path, not four
+    full-table rewrites — data volume adds cost, not coverage."""
     from lakesoul_spark.catalog import Catalog
 
     root = _tmp("sql_surface", sf_dir)
     cat = Catalog(root)
-    _fmt_orders(_orders(spark, sf_dir)).createOrReplaceTempView("src_orders")
+    _fmt_orders(
+        _orders(spark, sf_dir).filter(F.col("o_orderkey") % 4 == 0)
+    ).createOrReplaceTempView("src_orders")
     cat.sql(spark, """
         CREATE TABLE sqlo (
             o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
