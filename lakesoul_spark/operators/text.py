@@ -188,3 +188,63 @@ def repetition_stats(col: Column) -> list[Column]:
         F.round(symbols / n_toks, 6).alias("symbol_word_ratio"),
         F.round(top_tf / n_toks, 6).alias("top_token_frac"),
     ]
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document salient terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn smoothing) — the
+    standard corpus-statistics pass a training-data pipeline runs for
+    keyword extraction / topic tagging / quality triage.
+
+    Plan (scale notes for the 100 TB corpus):
+    - explode → partial-aggregated ``count`` per (doc, term) and per
+      term — map-side combine absorbs stopword skew before the
+      shuffle;
+    - the corpus size N rides the plan as a broadcast 1-row aggregate
+      (never a driver collect);
+    - the tf⋈df join shuffles on the term key (vocabulary-sized, far
+      smaller than the corpus), then one window per doc ranks terms.
+
+    Ranking key is ``round(score, 9)`` desc with a term tie-break: the
+    9-digit round makes the ordering robust to last-ulp ``ln``
+    differences across engines, keeping the operator value-hash
+    oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df_docs",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )

@@ -34,7 +34,11 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # rotation together with the pipeline pack.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
-_FRONT = ("embedding_pca_project", "ann_multibit_topk")
+# r6-changed queries plus the one r6-NEW query (text_tfidf_topk) lead
+# the window so nothing ships without a driver row; the one tpch query
+# this displaces (q20, green r4) leads the r7 rotation with the
+# pipeline pack and the tpch extras.
+_FRONT = ("embedding_pca_project", "ann_multibit_topk", "text_tfidf_topk")
 
 _DEFER = (
     "w_top_orders_per_customer", "w_running_user_value", "w_sessionization",

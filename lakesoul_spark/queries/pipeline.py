@@ -1594,3 +1594,41 @@ def ann_l2_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 8), centroids=cents, k=5, nprobe=8,
         metric="l2",
     )
+
+
+# ------------------------------------------------------------ TF-IDF
+
+@_register(
+    "text_tfidf_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, term),
+    dfx AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+      FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfx.df_docs,
+             tf.tf * (ln((n.n_docs + 1) / (dfx.df_docs + 1)) + 1) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, term, tf, df_docs, score,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY round(score, 9) DESC, term) AS rank
+      FROM s)
+    SELECT doc_id, term, tf, df_docs, round(score, 6) AS score, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by smoothed TF-IDF — keyword
+    extraction over the corpus (see
+    :func:`lakesoul_spark.operators.text.tfidf_top_terms` for the
+    scale plan: partial-agg counts, broadcast 1-row N, term-keyed
+    join, per-doc window). Value-hash-checked: integer tf/df, N rides
+    in-query, score ranked on round(·,9) so last-ulp ln differences
+    between engines cannot flip the order."""
+    return text.tfidf_top_terms(docs(spark, sf_dir), k=3)

@@ -1254,3 +1254,34 @@ def test_ip_metric_search_paths(spark, tmp_path):
     cos_got = {(r.query_id, r.neighbor_id)
                for r in brute_force_topk(t.to_df(), q, k=5).collect()}
     assert cos_got != {(a, b) for a, b, _ in want}
+
+
+def test_tfidf_top_terms_values(spark):
+    """Hand-computed smoothed TF-IDF on a 3-doc corpus: scores,
+    document frequencies, and the rounded-score + term tie-break
+    ranking."""
+    import math
+
+    from lakesoul_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry date")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.df_docs, r.score, r.rank)
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    def s(tf, dfc):
+        return round(tf * (math.log((3 + 1) / (dfc + 1)) + 1), 6)
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(1, "apple")] == (2, 1, s(2, 1), 1)
+    assert out[(1, "banana")] == (1, 2, s(1, 2), 2)
+    # doc 2: banana and cherry tie exactly (tf=1, df=2) -> term asc
+    assert out[(2, "banana")][3] == 1 and out[(2, "cherry")][3] == 2
+    # doc 3: cherry tf=3 ranks over date
+    assert out[(3, "cherry")] == (3, 2, s(3, 2), 1)
+    assert out[(3, "date")] == (1, 1, s(1, 1), 2)
+    assert len(out) == 6
