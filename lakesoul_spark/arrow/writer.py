@@ -193,3 +193,85 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
     ops = _collect_file_ops(info, out_dir, list(data.column_names))
     store.commit(OP_MERGE if pk else OP_APPEND, ops)
     return tbl.num_rows
+
+
+class ArrowBatchWriter:
+    """Streaming Spark-free writer with the reference standalone
+    Writer's transactional shape (``python/src/lakesoul/io/
+    __init__.py:135-240``): ``write()`` accepts RecordBatch / Table /
+    RecordBatchReader incrementally, ``finish()`` buckets+sorts+commits
+    everything as ONE Merge/Append commit (readers never see a partial
+    ingest), ``abort()`` discards pending data without touching the
+    table. Usable as a context manager — a clean exit commits, an
+    exception aborts.
+
+    Batches are held as zero-copy arrow chunks until finish (a worker
+    delta, not the bulk path); the heavy lifting — vectorized murmur3
+    bucketing, dedup, PK sort, per-bucket files — is
+    :func:`write_arrow`'s columnar pipeline, so rows/s matches the
+    one-shot call.
+    """
+
+    def __init__(self, table_path: str):
+        self._path = table_path
+        self._chunks: list = []
+        self._result: int | None = None
+        self._aborted = False
+
+    # -- the reference Writer's surface --------------------------------
+    @property
+    def closed(self) -> bool:
+        return self._result is not None or self._aborted
+
+    def write(self, data) -> int:
+        """Buffer Arrow data; returns the number of rows accepted."""
+        import pyarrow as pa
+
+        if self.closed:
+            raise RuntimeError("writer is closed")
+        if isinstance(data, pa.RecordBatch):
+            data = pa.Table.from_batches([data])
+        elif isinstance(data, pa.RecordBatchReader):
+            data = data.read_all()
+        if not isinstance(data, pa.Table):
+            raise TypeError(
+                "data must be a pyarrow RecordBatch, Table, or "
+                "RecordBatchReader"
+            )
+        if self._chunks and data.schema != self._chunks[0].schema:
+            raise ValueError(
+                "batch schema differs from the first batch's schema"
+            )
+        self._chunks.append(data)
+        return data.num_rows
+
+    def finish(self) -> int:
+        """Commit everything buffered as one commit; returns rows
+        written (post-dedup). Idempotent."""
+        import pyarrow as pa
+
+        if self._aborted:
+            raise RuntimeError("writer has been aborted")
+        if self._result is not None:
+            return self._result
+        if not self._chunks:
+            self._result = 0
+            return 0
+        data = pa.concat_tables(self._chunks)
+        self._chunks = []
+        self._result = write_arrow(self._path, data)
+        return self._result
+
+    def abort(self) -> None:
+        """Drop pending batches; nothing reaches the table."""
+        self._chunks = []
+        self._aborted = True
+
+    def __enter__(self) -> "ArrowBatchWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif not self.closed:
+            self.finish()

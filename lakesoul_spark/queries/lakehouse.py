@@ -915,7 +915,7 @@ def sql_surface(spark, sf_dir):
             o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
             o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING)
         USING lakesoul
-        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='16')
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='4')
     """)
     cat.sql(spark, "INSERT INTO sqlo SELECT * FROM src_orders")
     cat.sql(spark, "DELETE FROM sqlo WHERE o_orderpriority = '1-URGENT'")

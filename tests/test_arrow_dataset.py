@@ -321,3 +321,60 @@ def test_arrow_writer_cdc_requires_change_column(spark, tmp_path):
     assert n == 2
     t = LakeSoulTable.for_path(spark, path)
     assert sorted(map(tuple, t.to_df().collect())) == [(1, 10, "insert")]
+
+
+def test_arrow_batch_writer_streaming_commit(spark, tmp_path):
+    """ArrowBatchWriter (reference standalone Writer shape): batches
+    stream in, ONE commit lands at finish (never a partial ingest),
+    abort discards, context-manager exit commits on success / aborts
+    on exception, cross-batch duplicates collapse last-wins."""
+    import pytest
+
+    from lakesoul_spark.arrow.writer import ArrowBatchWriter
+    from lakesoul_spark.meta.store import MetaStore
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(i, i) for i in range(10)], "id int, v int"),
+          path, hash_partitions=["id"], hash_bucket_num=2)
+    v0 = MetaStore(path).head_version()
+
+    w = ArrowBatchWriter(path)
+    assert w.write(pa.record_batch({"id": pa.array([1], pa.int32()),
+                                    "v": pa.array([100], pa.int32())})) == 1
+    assert w.write(pa.table({"id": pa.array([1, 11], pa.int32()),
+                             "v": pa.array([101, 11], pa.int32())})) == 2
+    # nothing visible before finish
+    assert MetaStore(path).head_version() == v0
+    assert w.finish() == 2  # cross-batch dup on id=1 collapsed
+    assert w.finish() == 2  # idempotent
+    assert MetaStore(path).head_version() == v0 + 1  # ONE commit
+    got = {r.id: r.v for r in
+           LakeSoulTable.for_path(spark, path).to_df().collect()}
+    assert got[1] == 101 and got[11] == 11 and len(got) == 11
+
+    # abort: nothing reaches the table
+    w2 = ArrowBatchWriter(path)
+    w2.write(pa.table({"id": pa.array([99], pa.int32()),
+                       "v": pa.array([99], pa.int32())}))
+    w2.abort()
+    with pytest.raises(RuntimeError, match="aborted"):
+        w2.finish()
+    assert MetaStore(path).head_version() == v0 + 1
+
+    # context manager: exception -> abort; clean exit -> commit
+    with pytest.raises(ValueError, match="boom"):
+        with ArrowBatchWriter(path) as w3:
+            w3.write(pa.table({"id": pa.array([98], pa.int32()),
+                               "v": pa.array([98], pa.int32())}))
+            raise ValueError("boom")
+    assert MetaStore(path).head_version() == v0 + 1
+    with ArrowBatchWriter(path) as w4:
+        w4.write(pa.table({"id": pa.array([97], pa.int32()),
+                           "v": pa.array([97], pa.int32())}))
+    assert MetaStore(path).head_version() == v0 + 2
+    # schema drift across batches is rejected
+    w5 = ArrowBatchWriter(path)
+    w5.write(pa.table({"id": pa.array([1], pa.int32()),
+                       "v": pa.array([1], pa.int32())}))
+    with pytest.raises(ValueError, match="schema differs"):
+        w5.write(pa.table({"id": pa.array([1], pa.int64())}))
