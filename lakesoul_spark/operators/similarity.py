@@ -254,13 +254,13 @@ def project_embeddings(
     ``pc0..pcK`` double columns instead of one ``array<double>`` —
     the shape external hash-comparison harnesses can canonicalize
     (pandas cannot sort/hash list-valued cells)."""
-    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    mean_arr = _vec_lit(mean)
     centered = F.zip_with(
         _to_double(F.col(vec_col)), mean_arr, lambda x, m: x - m
     )
     cols = []
     for j, comp in enumerate(components):
-        comp_arr = F.array(*[F.lit(float(c)) for c in comp])
+        comp_arr = _vec_lit(comp)
         s = F.aggregate(
             F.zip_with(centered, comp_arr, lambda a, b: a * b),
             F.lit(0.0),
@@ -274,6 +274,28 @@ def project_embeddings(
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
 
 
+def _vec_lit(values) -> Column:
+    """Literal ``array<double>`` built as ONE parsed SQL expression —
+    a ``F.array(*[F.lit(x) ...])`` comprehension costs one Py4J round
+    trip per element (a 64-dim vector = 65 JVM calls; a 16x64 centroid
+    table = 1000+, measured at ~2 s of pure driver time per plan), the
+    expr string costs one. ``repr`` round-trips doubles exactly; the
+    ``D`` suffix keeps Spark from lexing plain decimals as DECIMAL."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
+def _cents_lit(centroids) -> Column:
+    """Literal ``array<array<double>>`` of centroids, one parsed expr."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+    )
+
+
 def _nearest_cells(
     vec: Column, centroids: list[list[float]], nprobe: int,
     metric: str = "cosine",
@@ -283,9 +305,7 @@ def _nearest_cells(
     Tie-break contracts match the oracles: cosine ties pick the HIGHER
     cell id (the reversed ascending sort), l2 ties the lower."""
     _check_metric(metric)
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    cents = _cents_lit(centroids)
     if metric == "l2":
         scored = F.transform(
             cents,
@@ -361,9 +381,7 @@ def _residual_sign_codes(vec: Column, centroids: list[list[float]], cell: Column
     own cell centroid, packed into 32-bit words inside bigints. Pure
     codegen expressions — exact (doubles stay < 2^53)."""
     dim = len(centroids[0])
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    cents = _cents_lit(centroids)
     own = F.element_at(cents, cell + 1)
     bits = F.zip_with(
         _to_double(vec), own, lambda x, y: (x > y).cast("double")
@@ -704,9 +722,7 @@ def _index_rows(
             assigned, cents, vec_col, rotation_seed, total_bits
         )
     words = (dim + 31) // 32
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    cents_arr = _cents_lit(cents)
     own = F.element_at(cents_arr, F.col("cell") + 1)
     resid = F.zip_with(_to_double(F.col(vec_col)), own, lambda x, c: x - c)
     resid_norm = F.sqrt(F.aggregate(
@@ -1170,9 +1186,7 @@ def vector_search(
             )
             est_qdf = F.broadcast(est_qdf)
         else:
-            cents_arr = F.array(*[
-                F.array(*[F.lit(float(x)) for x in c]) for c in cents_list
-            ])
+            cents_arr = _cents_lit(cents_list)
             own = F.element_at(cents_arr, F.col("cell") + 1)
             qvd = _to_double(F.col("qv"))
             qr = F.zip_with(qvd, own, lambda x, c: x - c)
