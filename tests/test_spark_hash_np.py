@@ -124,3 +124,78 @@ def test_write_arrow_million_row_throughput(spark, tmp_path):
     probe = int(ids[0])
     row = tb.point_lookup(id=probe).collect()
     assert [tuple(r) for r in row] == [(probe, f"k{probe}", last_v[probe])]
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_cross_writer_layout_equivalence(spark, tmp_path, seed):
+    """The layout contract, fuzzed: the SAME rows written through the
+    Spark writer and through write_arrow must produce (a) identical
+    MOR views, (b) identical per-bucket sorted row sequences in the
+    physical files, and (c) identical point-lookup pruning — across
+    random ids (negative/large), unicode strings, null value columns,
+    and a random bucket count."""
+    import random
+
+    import duckdb
+
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = random.Random(seed)
+    n_bucket = rng.choice([1, 3, 8])
+    rows = []
+    used = set()
+    for _ in range(rng.randint(50, 150)):
+        i = rng.randint(-(2**40), 2**40)
+        if i in used:
+            continue
+        used.add(i)
+        s = ("".join(chr(rng.randint(32, 0x24F)) for _ in range(rng.randint(0, 12)))
+             if rng.random() > 0.1 else None)
+        v = rng.randint(-1000, 1000) if rng.random() > 0.1 else None
+        rows.append((i, s, v))
+
+    schema = "id long, s string, v int"
+    p_spark = str(tmp_path / "via_spark")
+    p_arrow = str(tmp_path / "via_arrow")
+    df = spark.createDataFrame(rows, schema)
+    write(df, p_spark, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=n_bucket)
+    # arrow side: an empty table with the identical schema/spec, all
+    # rows arriving through write_arrow
+    write(df.limit(0), p_arrow, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=n_bucket)
+    ids = pa.array([r[0] for r in rows], pa.int64())
+    ss = pa.array([r[1] for r in rows], pa.string())
+    vs = pa.array([r[2] for r in rows], pa.int32())
+    wrote = write_arrow(p_arrow, pa.table({"id": ids, "s": ss, "v": vs}))
+    assert wrote == len(rows)
+
+    ta = LakeSoulTable.for_path(spark, p_arrow)
+    ts = LakeSoulTable.for_path(spark, p_spark)
+    assert sorted(map(tuple, ta.to_df().collect())) == \
+        sorted(map(tuple, ts.to_df().collect()))
+
+    # physical layout: same bucket dirs, same PK-sorted sequences
+    con = duckdb.connect()
+
+    def bucket_rows(root):
+        import glob
+        out = {}
+        for f in glob.glob(f"{root}/data/*/__bucket=*/*.parquet"):
+            b = int(f.split("__bucket=")[1].split("/")[0])
+            got = con.execute(
+                f"SELECT id, s, v FROM read_parquet('{f}') ORDER BY id"
+            ).fetchall()
+            out.setdefault(b, []).extend(got)
+        return out
+
+    ra, rs = bucket_rows(p_arrow), bucket_rows(p_spark)
+    assert set(ra) == set(rs)
+    for b in ra:
+        assert ra[b] == rs[b], f"bucket {b} differs"
+
+    # point lookup prunes to the same single bucket on both tables
+    probe = rows[0][0]
+    assert [tuple(r) for r in ta.point_lookup(id=probe).collect()] == \
+        [tuple(r) for r in ts.point_lookup(id=probe).collect()]
