@@ -10,8 +10,10 @@ driver's verify harness:
   upsert/MOR/CDC/time-travel/compaction expressed over the driver's
   parquet fixtures), training-data pipeline pack (pipeline.py — dedup,
   similarity, text analysis, multimodal plumbing).
-- ``oracle_sql()`` — exact DuckDB twin per query (omitted only for
-  genuinely non-SQL-expressible ops; driver then does rows-only).
+- ``oracle_sql()`` — exact DuckDB twin per query; as of round 6 every
+  registered query carries one (the numpy-kernel ANN oracles refit the
+  identical deterministic quantizer on the identically-ordered
+  sample), so no rows-only checks remain.
 """
 
 from __future__ import annotations

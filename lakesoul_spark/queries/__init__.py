@@ -28,10 +28,19 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 #   - ann_multibit_topk — now hash-checked (rerank == |corpus| with
 #     nprobe == nlist makes the output provably equal brute-force
 #     top-k, which has a plain SQL oracle).
-# Window: 2 front + 26 lakehouse + 22 core TPC-H = exactly 50; the six
+# Window: 3 front + 26 lakehouse + 21 core TPC-H = exactly 50; the six
 # tpch extras (w_*/rollup/setop/json, green r4) are deferred to the
-# back so the full q1..q22 relational set fits, and they lead the r7
-# rotation together with the pipeline pack.
+# back so the q1..q22 relational set fits minus q20 (displaced by the
+# r6-new tfidf query).
+#
+# ROUND-7 NOTE: rotate to (pipeline, tpch, lakehouse) with
+# _FRONT = (*r7-new-or-changed, q20_heavy_suppliers, w_top_orders_
+# per_customer, w_running_user_value, w_sessionization, rollup_region_
+# customers, setop_repeat_customers, json_event_props) and _DEFER = ()
+# — q20 and the six extras are the only queries last green in r4
+# (3 rounds stale by r7), so they MUST be in the r7 window; 7 front +
+# pipeline 36 = 43 leaves 7 slots for tpch core. The lakehouse pack
+# and remaining tpch were driver-green in r6 and can wait for r8.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 # r6-changed queries plus the one r6-NEW query (text_tfidf_topk) lead
