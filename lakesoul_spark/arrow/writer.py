@@ -31,7 +31,10 @@ import os
 import uuid
 
 
-def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
+def write_arrow(
+    table_path: str, data, *, mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> int:
     """Write a ``pyarrow.Table`` (or RecordBatch) into an EXISTING
     LakeSoul table and commit. Returns the number of rows written.
 
@@ -44,6 +47,14 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
     Value columns may be a subset of the table schema
     (``file_exist_cols`` fill applies at read); PK and range-partition
     columns are required.
+
+    ``max_records_per_file`` rolls a bucket's output into multiple
+    PK-contiguous files (the Spark writer's ``max_records_per_file`` /
+    the reference native writer's ``max_file_size`` split,
+    ``rust/lakesoul-io/src/writer/async_writer/multipart_writer.rs``)
+    so one hot bucket in a large ingest doesn't become a single giant
+    file — readers keep per-file parallelism and min/max stats stay
+    selective.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -185,10 +196,16 @@ def write_arrow(table_path: str, data, *, mode: str = "append") -> int:
         if bucket >= 0:
             d = os.path.join(d, f"__bucket={bucket}")
         os.makedirs(d, exist_ok=True)
-        part = tbl.slice(s, e - s).select(data_cols).cast(file_schema)
-        pq.write_table(
-            part, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
-        )
+        step = max_records_per_file or (e - s)
+        for cs in range(s, e, step):
+            part = (
+                tbl.slice(cs, min(step, e - cs))
+                .select(data_cols).cast(file_schema)
+            )
+            pq.write_table(
+                part,
+                os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet"),
+            )
 
     ops = _collect_file_ops(info, out_dir, list(data.column_names))
     store.commit(OP_MERGE if pk else OP_APPEND, ops)

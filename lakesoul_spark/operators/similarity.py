@@ -906,12 +906,6 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         scan_files = idx_snap.files
         old_src = idx.to_df()
     n_scanned = len(scan_files)
-    old_cells = {
-        r["cell"]
-        for r in old_src.select(id_col, "cell")
-        .join(changed_ids, id_col, "semi")
-        .select("cell").distinct().collect()
-    }
     # fresh rows: current MOR values of the changed ids (a CDC-deleted
     # or rewritten-away id simply yields no row here)
     fresh_src = (
@@ -929,8 +923,17 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     idx_cols = [f.name for f in _ts(idx.info).fields]
     fresh = fresh.select(*[c for c in fresh.columns if c in set(idx_cols)])
     fresh = fresh.cache()
-    new_cells = {r["cell"] for r in fresh.select("cell").distinct().collect()}
-    affected = sorted(old_cells | new_cells)
+    # affected = old cells (where changed ids USED to live) ∪ new cells
+    # (where their fresh vectors land) — one fused job, driver payload
+    # bounded by nlist
+    affected = sorted(
+        r["cell"] for r in
+        old_src.select(id_col, "cell")
+        .join(changed_ids, id_col, "semi")
+        .select("cell")
+        .unionByName(fresh.select("cell"))
+        .distinct().collect()
+    )
     if not affected:
         changed_ids.unpersist()
         idx.set_properties({"vector.base_version": str(head)})

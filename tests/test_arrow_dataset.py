@@ -378,3 +378,32 @@ def test_arrow_batch_writer_streaming_commit(spark, tmp_path):
                        "v": pa.array([1], pa.int32())}))
     with pytest.raises(ValueError, match="schema differs"):
         w5.write(pa.table({"id": pa.array([1], pa.int64())}))
+
+
+def test_arrow_writer_max_records_per_file(spark, tmp_path):
+    """max_records_per_file rolls one bucket's output into multiple
+    PK-contiguous files (the Spark writer's rolling / reference
+    multipart split): layout gains per-file parallelism + tighter
+    min/max stats, MOR view and point lookup unchanged."""
+    import glob
+
+    from lakesoul_spark.arrow.writer import write_arrow
+
+    path = str(tmp_path / "roll")
+    write(_df(spark, [(0, 0)], "id int, v int"),
+          path, hash_partitions=["id"], hash_bucket_num=2)
+    n = write_arrow(path, pa.table({
+        "id": pa.array(range(1, 201), pa.int32()),
+        "v": pa.array(range(1, 201), pa.int32()),
+    }), max_records_per_file=25)
+    assert n == 200
+    files = glob.glob(f"{path}/data/*/__bucket=*/*.parquet")
+    per_bucket: dict = {}
+    for f in files:
+        b = int(f.split("__bucket=")[1].split("/")[0])
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    # ~100 rows per bucket / 25 -> ≥4 files in each arrow-written bucket
+    assert all(c >= 4 for c in per_bucket.values()), per_bucket
+    t = LakeSoulTable.for_path(spark, path)
+    assert t.to_df().count() == 201
+    assert [tuple(r) for r in t.point_lookup(id=150).collect()] == [(150, 150)]
