@@ -59,9 +59,10 @@ def write_arrow(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import urllib.parse
-
-    from lakesoul_spark.io.partition import HIVE_DEFAULT_PARTITION
+    from lakesoul_spark.io.partition import (
+        EMPTY_STRING, HIVE_DEFAULT_PARTITION, NULL_STRING,
+        escape_path_name,
+    )
     from lakesoul_spark.io.writer import _collect_file_ops, table_schema
     from lakesoul_spark.meta.store import (
         DATA_DIR, OP_APPEND, OP_MERGE, MetaStore,
@@ -185,12 +186,20 @@ def write_arrow(
         d = out_dir
         for c in rc:
             v = tbl[c][s].as_py()
-            # Spark's escaped hive-style dir naming, so arrow-written
-            # and Spark-written files normalize to the SAME desc
-            enc = (
-                HIVE_DEFAULT_PARTITION if v is None
-                else urllib.parse.quote(str(v), safe="")
-            )
+            # BYTE-IDENTICAL dir naming to the Spark writer: string
+            # nulls/empties get the writer's sentinels (io/writer.py
+            # plants them BEFORE partitionBy, preserving the null-vs-''
+            # distinction the reference keeps, TransactionalWrite.scala
+            # :187-198), non-string nulls get Spark's own hive default
+            # dir, and values escape with Spark's escapePathName set —
+            # not a generic URL-quote, which diverges on spaces
+            if v is None:
+                enc = (NULL_STRING if types.get(c) == "string"
+                       else HIVE_DEFAULT_PARTITION)
+            elif types.get(c) == "string" and str(v) == "":
+                enc = EMPTY_STRING
+            else:
+                enc = escape_path_name(str(v))
             d = os.path.join(d, f"{c}={enc}")
         bucket = tbl["__bucket"][s].as_py()
         if bucket >= 0:
@@ -229,8 +238,10 @@ class ArrowBatchWriter:
     one-shot call.
     """
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str,
+                 *, max_records_per_file: int | None = None):
         self._path = table_path
+        self._max_records_per_file = max_records_per_file
         self._chunks: list = []
         self._result: int | None = None
         self._aborted = False
@@ -276,7 +287,10 @@ class ArrowBatchWriter:
             return 0
         data = pa.concat_tables(self._chunks)
         self._chunks = []
-        self._result = write_arrow(self._path, data)
+        self._result = write_arrow(
+            self._path, data,
+            max_records_per_file=self._max_records_per_file,
+        )
         return self._result
 
     def abort(self) -> None:

@@ -18,6 +18,24 @@ EMPTY_STRING = "__L@KESOUL_EMPTY_STRING__"
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+# Spark's ExternalCatalogUtils.escapePathName set (Unix): ASCII control
+# chars plus these printables; everything else (incl. space) is written
+# literally into the directory name.
+_SPARK_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(1, 32)}
+
+
+def escape_path_name(s: str) -> str:
+    """Byte-for-byte twin of Spark's hive-style dir-name escaping
+    (ExternalCatalogUtils.escapePathName): only Spark's escape set maps
+    to %XX (uppercase hex) — NOT a generic URL-quote, which would
+    escape spaces/unicode and diverge from what ``partitionBy``
+    writes. Used by the Spark-free arrow writer so both writers emit
+    identical directory names."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _SPARK_ESCAPED else ch for ch in s
+    )
+
+
 def encode_value(v) -> str:
     if v is None:
         return NULL_STRING

@@ -123,9 +123,16 @@ def scan_files(
     dschema = data_schema(info)
     df = spark.read.schema(dschema).parquet(*paths)
     meta = _file_meta_df(spark, info, files)
-    # _metadata.file_path is a URI ("file:///abs/path"); normalize the
-    # scheme away so it joins against the absolute paths in metadata
+    # _metadata.file_path is a URI ("file:///abs/path") that
+    # percent-encodes some path bytes (space→%20, and '%' itself→%25 —
+    # measured; unicode and '+' stay literal). Strip the scheme AND
+    # decode the escapes, or files whose range values contain such
+    # chars silently drop out of the inner join (rows vanish). '+' is
+    # literal in file URIs but url_decode's form-decoding would turn
+    # it into a space — protect it as %2B first ('%' is never literal
+    # in file_path, so the rewrite is unambiguous).
     key = F.regexp_replace(F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/")
+    key = F.url_decode(F.regexp_replace(key, r"\+", "%2B"))
     df = df.withColumn(_FILE_META_PREFIX + "name", key).join(
         F.broadcast(meta), _FILE_META_PREFIX + "name", "inner"
     )

@@ -199,3 +199,83 @@ def test_cross_writer_layout_equivalence(spark, tmp_path, seed):
     probe = rows[0][0]
     assert [tuple(r) for r in ta.point_lookup(id=probe).collect()] == \
         [tuple(r) for r in ts.point_lookup(id=probe).collect()]
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_cross_writer_equivalence_range_and_composite_pk(
+        spark, tmp_path, seed):
+    """Cross-writer fuzz, extended to the layout dimensions the basic
+    round skips: a RANGE partition column (incl. values needing the
+    hive escaping and the null sentinel) and a COMPOSITE (string, int)
+    primary key — same MOR view, same per-(partition, bucket) sorted
+    file sequences from both writers."""
+    import glob
+    import random
+
+    import duckdb
+
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = random.Random(seed)
+    regions = ["us-east 1", "eu/west", "ap", None]  # space, slash, null
+    rows = []
+    used = set()
+    for _ in range(rng.randint(60, 120)):
+        k1 = "".join(chr(rng.randint(97, 0x1F0)) for _ in range(rng.randint(1, 8)))
+        k2 = rng.randint(-10**6, 10**6)
+        if (k1, k2) in used:
+            continue
+        used.add((k1, k2))
+        rows.append((k1, k2, rng.choice(regions), rng.random()))
+
+    schema = "k1 string, k2 int, region string, v double"
+    p_spark = str(tmp_path / "vs")
+    p_arrow = str(tmp_path / "va")
+    df = spark.createDataFrame(rows, schema)
+    kw = dict(hash_partitions=["k1", "k2"], range_partitions=["region"],
+              hash_bucket_num=3)
+    write(df, p_spark, mode="overwrite", **kw)
+    write(df.limit(0), p_arrow, mode="overwrite", **kw)
+    wrote = write_arrow(p_arrow, pa.table({
+        "k1": pa.array([r[0] for r in rows]),
+        "k2": pa.array([r[1] for r in rows], pa.int32()),
+        "region": pa.array([r[2] for r in rows]),
+        "v": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+    assert wrote == len(rows)
+
+    ta = LakeSoulTable.for_path(spark, p_arrow)
+    ts = LakeSoulTable.for_path(spark, p_spark)
+    got_a = sorted(map(tuple, ta.to_df().collect()))
+    got_s = sorted(map(tuple, ts.to_df().collect()))
+    # compare against the INPUT, not just each other: the r6 reader
+    # bug (URI-encoded _metadata.file_path vs raw metadata paths)
+    # dropped special-char partitions from BOTH sides equally, so a
+    # writers-agree check alone cannot catch silent row loss
+    assert got_a == got_s == sorted(rows)
+
+    con = duckdb.connect()
+
+    def layout(root):
+        out = {}
+        for f in glob.glob(f"{root}/data/*/region=*/__bucket=*/*.parquet"):
+            part = f.split("/region=")[1].split("/")[0]
+            b = int(f.split("__bucket=")[1].split("/")[0])
+            got = con.execute(
+                f"SELECT k1, k2, v FROM read_parquet('{f}') ORDER BY k1, k2"
+            ).fetchall()
+            out.setdefault((part, b), []).extend(got)
+        return out
+
+    la, ls_ = layout(p_arrow), layout(p_spark)
+    assert set(la) == set(ls_)
+    for key in la:
+        assert la[key] == ls_[key], f"partition/bucket {key} differs"
+
+    # metadata partition descs normalize identically (escaping + null
+    # sentinel)
+    from lakesoul_spark.meta.store import MetaStore
+    da = {f.partition_desc for f in MetaStore(p_arrow).snapshot().files}
+    ds = {f.partition_desc for f in MetaStore(p_spark).snapshot().files}
+    assert da == ds

@@ -785,3 +785,25 @@ def test_null_and_empty_range_partition_values(spark, tmp_table):
     left = sorted(map(tuple, LakeSoulTable.for_path(spark, tmp_table)
                       .to_df().collect()))
     assert left == [(1, "us"), (3, ""), (4, "eu")]
+
+
+def test_range_values_with_uri_encodable_chars(spark, tmp_path):
+    """Regression: _metadata.file_path percent-encodes some path bytes
+    (space -> %20, %' -> %25), and the file-meta attach join used the
+    raw metadata paths — every row in a partition whose value contains
+    such a character silently vanished from ALL reads. The key is now
+    percent-decoded ('+' protected: it is literal in file URIs but
+    form-decoding would turn it into a space)."""
+    path = str(tmp_path / "t")
+    rows = [(1, "us east", 1), (2, "a%b", 2), (3, "c+d", 3),
+            (4, "naïve", 4), (5, "plain", 5), (6, None, 6), (7, "", 7)]
+    df = spark.createDataFrame(rows, "id int, region string, v int")
+    write(df, path, mode="overwrite", hash_partitions=["id"],
+          range_partitions=["region"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == sorted(rows)
+    # upsert into the special partitions still round-trips
+    t.upsert(spark.createDataFrame([(1, "us east", 100), (3, "c+d", 300)],
+                                   "id int, region string, v int"))
+    got = {r.id: r.v for r in t.to_df().collect()}
+    assert got[1] == 100 and got[3] == 300 and len(got) == 7
