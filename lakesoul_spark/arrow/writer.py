@@ -285,12 +285,17 @@ class ArrowBatchWriter:
         if not self._chunks:
             self._result = 0
             return 0
+        # commit BEFORE dropping the buffer: if write_arrow raises
+        # (validation / IO / commit conflict) the chunks stay intact so
+        # a retry of finish() re-attempts the same commit instead of
+        # silently returning 0 from the empty-buffer branch
         data = pa.concat_tables(self._chunks)
-        self._chunks = []
-        self._result = write_arrow(
+        result = write_arrow(
             self._path, data,
             max_records_per_file=self._max_records_per_file,
         )
+        self._chunks = []
+        self._result = result
         return self._result
 
     def abort(self) -> None:

@@ -21,6 +21,8 @@ Reference: LakeSoul ships an IVF+RaBitQ ANN index built per
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -280,17 +282,30 @@ def _vec_lit(values) -> Column:
     trip per element (a 64-dim vector = 65 JVM calls; a 16x64 centroid
     table = 1000+, measured at ~2 s of pure driver time per plan), the
     expr string costs one. ``repr`` round-trips doubles exactly; the
-    ``D`` suffix keeps Spark from lexing plain decimals as DECIMAL."""
-    return F.expr(
-        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
-    )
+    ``D`` suffix keeps Spark from lexing plain decimals as DECIMAL.
+
+    Non-finite components are rejected up front: ``repr(nan)`` renders
+    ``nanD`` which fails to PARSE, so a NaN embedding leaking into a
+    kmeans/PCA fit would otherwise surface as an opaque SQL syntax
+    error deep inside plan construction."""
+    return F.expr("array(" + ",".join(map(_d_lit, values)) + ")")
+
+
+def _d_lit(x) -> str:
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite vector component {v!r}: embeddings used in "
+            "centroid / rotation / query literals must be finite"
+        )
+    return f"{v!r}D"
 
 
 def _cents_lit(centroids) -> Column:
     """Literal ``array<array<double>>`` of centroids, one parsed expr."""
     return F.expr(
         "array(" + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            "array(" + ",".join(map(_d_lit, c)) + ")"
             for c in centroids
         ) + ")"
     )

@@ -1,6 +1,7 @@
 """Spark-free arrow reader: shard disjointness/coverage + MOR parity."""
 
 import pyarrow as pa
+import pytest
 
 from lakesoul_spark.arrow import LakeSoulArrowDataset
 from lakesoul_spark.table import LakeSoulTable, write
@@ -378,6 +379,45 @@ def test_arrow_batch_writer_streaming_commit(spark, tmp_path):
                        "v": pa.array([1], pa.int32())}))
     with pytest.raises(ValueError, match="schema differs"):
         w5.write(pa.table({"id": pa.array([1], pa.int64())}))
+
+
+def test_arrow_batch_writer_failed_finish_is_retryable(
+        spark, tmp_path, monkeypatch):
+    """A finish() that fails mid-commit must keep the buffered batches:
+    a retry re-attempts the SAME commit instead of hitting the
+    empty-buffer branch and returning 0 as if it succeeded."""
+    import lakesoul_spark.arrow.writer as aw
+    from lakesoul_spark.arrow.writer import ArrowBatchWriter
+    from lakesoul_spark.meta.store import MetaStore
+
+    path = str(tmp_path / "t")
+    write(_df(spark, [(1, 1)], "id int, v int"),
+          path, hash_partitions=["id"], hash_bucket_num=2)
+    v0 = MetaStore(path).head_version()
+
+    w = ArrowBatchWriter(path)
+    w.write(pa.table({"id": pa.array([2, 3], pa.int32()),
+                      "v": pa.array([20, 30], pa.int32())}))
+
+    real = aw.write_arrow
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated commit failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(aw, "write_arrow", flaky)
+    with pytest.raises(OSError, match="simulated"):
+        w.finish()
+    assert not w.closed  # buffer intact, writer still usable
+    assert MetaStore(path).head_version() == v0
+    assert w.finish() == 2  # retry commits the buffered rows
+    assert MetaStore(path).head_version() == v0 + 1
+    got = {r.id: r.v for r in
+           LakeSoulTable.for_path(spark, path).to_df().collect()}
+    assert got == {1: 1, 2: 20, 3: 30}
 
 
 def test_arrow_writer_max_records_per_file(spark, tmp_path):

@@ -190,6 +190,24 @@ def test_brute_force_topk_self_excluded(spark):
     assert all(n != 0 for n, _ in got)
 
 
+def test_vec_lit_rejects_non_finite(spark):
+    """nan/inf components would render as 'nanD'/'infD' — not valid SQL
+    literals — so they must be rejected with a clear error instead of
+    surfacing as a parse failure deep in plan construction."""
+    import math
+
+    import pytest
+
+    from lakesoul_spark.operators.similarity import _cents_lit, _vec_lit
+
+    _vec_lit([1.0, -2.5])  # finite values build fine
+    for bad in (math.nan, math.inf, -math.inf):
+        with pytest.raises(ValueError, match="non-finite"):
+            _vec_lit([1.0, bad])
+        with pytest.raises(ValueError, match="non-finite"):
+            _cents_lit([[0.0, 1.0], [bad, 2.0]])
+
+
 def test_token_count_positive(spark):
     df = _df(spark, [(1, "Hello, wonderful world! This is a test.")],
              "doc_id long, text string")
