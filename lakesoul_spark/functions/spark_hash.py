@@ -111,6 +111,27 @@ def hash_value(value, spark_type: str, seed: int = 42) -> int:
     raise ValueError(f"unsupported PK type for bucket pruning: {spark_type}")
 
 
+def check_pk_type(name: str, spark_type: str) -> None:
+    """CREATE-time gate shared by every writer: the bucketing hash is
+    defined for exactly these types (this module and its vectorized
+    twin ``spark_hash_np``). Rejecting float/double/decimal/complex PKs
+    at table creation keeps the Spark writer, ``write_arrow``, and
+    point-lookup pruning in agreement — instead of a table that writes
+    fine through one path and fails in another."""
+    t = spark_type.lower()
+    ok = t in (
+        "integer", "int", "short", "smallint", "byte", "tinyint",
+        "long", "bigint", "date", "string", "varchar", "binary",
+        "boolean",
+    ) or t.startswith("timestamp")
+    if not ok:
+        raise ValueError(
+            f"unsupported PK type for bucketing: column {name!r} has "
+            f"type {spark_type} (supported: integral, string, binary, "
+            "boolean, date, timestamp)"
+        )
+
+
 def bucket_of(values: list, spark_types: list[str], bucket_num: int) -> int:
     """``pmod(hash(pk...), n)`` — the file bucket a PK tuple lands in."""
     h = 42

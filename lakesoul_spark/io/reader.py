@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lakesoul_spark.functions.local_df import local_df
 from lakesoul_spark.functions.merge_operators import merge_agg_expr
 from lakesoul_spark.io import partition as part_enc
 from lakesoul_spark.io.writer import data_schema, table_schema
@@ -79,7 +80,10 @@ def _file_meta_df(spark: SparkSession, info: TableInfo, files: list[FileEntry]) 
         f"{p}bucket long, {p}range_vals array<string>"
         + "".join(f", {p}has_{i} boolean" for i in range(len(value_cols)))
     )
-    return spark.createDataFrame(rows, schema)
+    # LocalRelation build (zero jobs to broadcast) — the RDD-backed
+    # createDataFrame cost a full scheduler round-trip per MOR read,
+    # for every reader in the repo; see functions/local_df.py
+    return local_df(spark, rows, schema)
 
 
 def _merge_value_cols(info: TableInfo) -> list[str]:

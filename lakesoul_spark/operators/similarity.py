@@ -25,6 +25,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from lakesoul_spark.functions.local_df import local_df as _local_df
+
 
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1196,8 +1198,8 @@ def vector_search(
                 ))
             qid_type = queries.schema[id_col].dataType.simpleString()
             lut_schema = ", ".join(f"{n} array<double>" for n in lut_names)
-            est_qdf = table.spark.createDataFrame(
-                rows,
+            est_qdf = _local_df(
+                table.spark, rows,
                 f"query_id {qid_type}, cell int, {lut_schema}, "
                 "q_dot_c double, qsum double, q_norm double, "
                 "cell_norm2 double",
@@ -1334,8 +1336,9 @@ def vector_search(
             # (vector.id_col may be any type, not just bigint)
             qid_type = queries.schema[id_col].dataType.simpleString()
             qcode_cols = ", ".join(f"qcode{w} long" for w in range(words))
-            qdf = table.spark.createDataFrame(
-                q_probe_rows, f"query_id {qid_type}, cell int, {qcode_cols}"
+            qdf = _local_df(
+                table.spark, q_probe_rows,
+                f"query_id {qid_type}, cell int, {qcode_cols}",
             )
             qdf = F.broadcast(qdf)
         joined = cand.select(
@@ -1369,8 +1372,8 @@ def vector_search(
         # path — a candidate is only scored for queries probing ITS cell)
         if assign == "driver":
             qid_type = queries.schema[id_col].dataType.simpleString()
-            probe = table.spark.createDataFrame(
-                [(r[0], r[1]) for r in q_probe_rows],
+            probe = _local_df(
+                table.spark, [(r[0], r[1]) for r in q_probe_rows],
                 f"query_id {qid_type}, cell int",
             )
             qv_map = queries.select(

@@ -9,7 +9,7 @@ ANSI SQL so each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def tokens(col: Column) -> Column:
@@ -216,8 +216,6 @@ def tfidf_top_terms(
     differences across engines, keeping the operator value-hash
     oracle-checkable.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
@@ -248,3 +246,151 @@ def tfidf_top_terms(
             F.round("score", 6).alias("score"), "rank",
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed query-term
+    set and return the top ``k`` — the retrieval pass a training-data
+    pipeline runs for contamination screens and targeted corpus pulls.
+    Standard Okapi BM25 with the Lucene-robust IDF
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (never negative) and the
+    usual ``k1``/``b`` length normalization.
+
+    Plan (100 TB corpus):
+    - tokenize → explode → FILTER to the query terms **before** the
+      shuffle — the per-(doc, term) aggregation state is bounded by
+      |query| × matched docs, never the vocabulary;
+    - ``df`` per term and the (N, Σdl) corpus stats ride the plan as
+      broadcast aggregates (one row / |query| rows — never a driver
+      collect);
+    - per-term scores computed in pure double arithmetic (IEEE —
+      bit-identical across engines), summed per doc through
+      ``decimal(18,9)`` (exact, order-insensitive: a double is never
+      exactly halfway between two decimal(·,9) neighbors, so the cast
+      rounds identically everywhere), final cast back to double;
+    - ranking on ``round(score, 9)`` desc with an ``id`` tie-break →
+      value-hash-stable against a SQL oracle.
+
+    Reference parity: the exact top-k discipline mirrors the
+    reference's ``rerank_by_distance``
+    (``python/src/lakesoul/vector_index.py:263-312``) — score
+    everything cheaply, rank exactly, cut at k with a total order.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    dl = base.select(id_col, F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        base.select(F.col(id_col), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    # norm = k1 * (1 - b + b * dl / avgdl); idf * (tf*(k1+1)) / (tf + norm)
+    # — parenthesization mirrored verbatim in the oracle SQL
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+        + 1
+    )
+    tscore = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), tscore.alias("tscore"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("tscore").cast("decimal(18,9)")).cast("double").alias("score"),
+    )
+    # global top-k via sort+limit (TakeOrderedAndProject: per-partition
+    # heads merged on the driver — no single-task global sort), THEN a
+    # rank window over the k survivors only
+    key = [F.round(F.col("score"), 9).desc(), F.col(id_col).asc()]
+    topk = per_doc.orderBy(*key).limit(k)
+    w = Window.orderBy(*key)
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(id_col, "n_terms", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """Per-source corpus audit: document counts, token/char totals, and
+    EXACT rank-based quantiles (``percentile_disc`` semantics: the
+    value at ascending rank ``ceil(p·n)``) over document length and
+    quality score — the standard pre-training data-audit pass.
+
+    Interpolating percentiles (``percentile_approx`` / ``quantile_cont``)
+    don't hash-match across engines; the value at a rank in the sorted
+    multiset does, and is deterministic regardless of tie order.
+
+    Plan: one projection computes per-doc (dl, chars, quality); a
+    single hash exchange on ``source`` feeds both rank windows and the
+    final aggregation. At 100 TB note the skew caveat: one task per
+    source value — for corpora with few huge sources swap the exact
+    rank for ``approx_percentile`` or pre-aggregate per (source,
+    value) first; the audit contract here is exactness.
+    """
+    src = F.col(source_col)
+    txt = F.col(text_col)
+    per = df.select(
+        src.alias("source"),
+        F.size(tokens(txt)).cast("long").alias("dl"),
+        F.length(txt).cast("long").alias("n_chars"),
+        quality_score(txt).alias("quality"),
+    )
+    w_dl = Window.partitionBy("source").orderBy("dl")
+    w_q = Window.partitionBy("source").orderBy("quality")
+    w_all = Window.partitionBy("source")
+    ranked = per.select(
+        "source", "dl", "n_chars", "quality",
+        F.row_number().over(w_dl).alias("r_dl"),
+        F.row_number().over(w_q).alias("r_q"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    aggs = [
+        F.max("n").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    ]
+    for p in quantiles:
+        tag = str(int(round(p * 100)))
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("r_dl") == pos, F.col("dl")))
+            .alias(f"p{tag}_tokens")
+        )
+        aggs.append(
+            F.max(F.when(F.col("r_q") == pos, F.col("quality")))
+            .alias(f"p{tag}_quality")
+        )
+    return ranked.groupBy("source").agg(*aggs)

@@ -15,44 +15,31 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 6 rotates to
-# (lakehouse, tpch, pipeline) per the r5 plan: the lakehouse pack
-# (incl. the r5-new tail lakehouse_column_ddl / streaming_latest_state /
-# lakehouse_arrow_writer, never driver-checked) and the relational TPC-H
-# pack (last driver-green in r4) get re-verified after r5's
-# reader/writer/fs changes.  Two r6-CHANGED queries are additionally
-# pulled to the very FRONT (the rotation-ledger rule: changed/new
-# queries never wait a round for a driver row):
-#   - embedding_pca_project — reshaped to scalar pc0..pc7 output (was
-#     the r5 red row: array<double> broke the driver's canonicalizer);
-#   - ann_multibit_topk — now hash-checked (rerank == |corpus| with
-#     nprobe == nlist makes the output provably equal brute-force
-#     top-k, which has a plain SQL oracle).
-# Window: 3 front + 26 lakehouse + 21 core TPC-H = exactly 50; the six
-# tpch extras (w_*/rollup/setop/json, green r4) are deferred to the
-# back so the q1..q22 relational set fits minus q20 (displaced by the
-# r6-new tfidf query).
-#
-# ROUND-7 NOTE: rotate to (pipeline, tpch, lakehouse) with
-# _FRONT = (*r7-new-or-changed, q20_heavy_suppliers, w_top_orders_
-# per_customer, w_running_user_value, w_sessionization, rollup_region_
-# customers, setop_repeat_customers, json_event_props) and _DEFER = ()
-# — q20 and the six extras are the only queries last green in r4
-# (3 rounds stale by r7), so they MUST be in the r7 window; 7 front +
-# pipeline 36 = 43 leaves 7 slots for tpch core. The lakehouse pack
-# and remaining tpch were driver-green in r6 and can wait for r8.
-_MODULE_ORDER = (lakehouse, tpch, pipeline)
+# verifies a 50-query prefix of this dict).  Round 7 executes the r6
+# ROUND-7 NOTE verbatim: rotate to (pipeline, tpch, lakehouse) so the
+# full pipeline pack is re-verified after r6's reader change (a65cc0c
+# touches every read path), and front the only queries whose last
+# driver row is r4 — q20 + the six tpch extras (3 rounds stale is the
+# ledger limit) — plus everything r7-new/changed:
+#   - text_bm25_topk (NEW) — BM25 retrieval top-k;
+#   - pipeline_corpus_profile (NEW) — per-source exact-quantile audit;
+#   - ann_index_refresh_hot (NEW) — skewed-churn refresh (2/16 cells);
+#   - lakehouse_sql_surface (CHANGED) — lean DML-read rescope (the
+#     ≤2 s bench decision; DDL verbs moved to pytest coverage).
+# Window: 11 front + 36 remaining pipeline = 47, leaving 3 core-TPC-H
+# slots. The lakehouse pack (minus sql_surface) and remaining tpch are
+# driver-green as of r6 and rotate back in r8.
+_MODULE_ORDER = (pipeline, tpch, lakehouse)
 
-# r6-changed queries plus the one r6-NEW query (text_tfidf_topk) lead
-# the window so nothing ships without a driver row; the one tpch query
-# this displaces (q20, green r4) leads the r7 rotation with the
-# pipeline pack and the tpch extras.
-_FRONT = ("embedding_pca_project", "ann_multibit_topk", "text_tfidf_topk")
-
-_DEFER = (
+_FRONT = (
+    "text_bm25_topk", "pipeline_corpus_profile", "ann_index_refresh_hot",
+    "lakehouse_sql_surface",
+    "q20_heavy_suppliers",
     "w_top_orders_per_customer", "w_running_user_value", "w_sessionization",
     "rollup_region_customers", "setop_repeat_customers", "json_event_props",
 )
+
+_DEFER = ()
 
 
 def _ordered(items: dict) -> dict:

@@ -891,7 +891,7 @@ def stateful_sessionize(spark, sf_dir):
                   THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice,
              o_orderdate, o_orderpriority
       FROM orders
-      WHERE NOT o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0)
+      WHERE NOT o_orderpriority = '1-URGENT' AND o_orderkey % 16 = 0)
     """,
 )
 def sql_surface(spark, sf_dir):
@@ -900,22 +900,24 @@ def sql_surface(spark, sf_dir):
     — through the PySpark dispatcher (``Catalog.sql``; reference
     ``LakeSoulCatalog.scala`` + command rules). The MERGE flips every
     10th order to status 'R' via an upsert source built with plain SQL.
-    The verbs run over a quarter of orders (o_orderkey % 4 = 0): the
-    bench signal is the DISPATCHER + command path, not four
-    full-table rewrites — data volume adds cost, not coverage."""
+    The verbs run over 1/16 of orders in 2 buckets (r7 rescope): the
+    bench signal is the DISPATCHER + command path — per-statement cost
+    is Spark job/plan overhead, and data volume adds cost, not
+    coverage. Full-volume verb behavior is pytest-covered
+    (tests/test_catalog.py)."""
     from lakesoul_spark.catalog import Catalog
 
     root = _tmp("sql_surface", sf_dir)
     cat = Catalog(root)
     _fmt_orders(
-        _orders(spark, sf_dir).filter(F.col("o_orderkey") % 4 == 0)
+        _orders(spark, sf_dir).filter(F.col("o_orderkey") % 16 == 0)
     ).createOrReplaceTempView("src_orders")
     cat.sql(spark, """
         CREATE TABLE sqlo (
             o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
             o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING)
         USING lakesoul
-        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='4')
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='2')
     """)
     cat.sql(spark, "INSERT INTO sqlo SELECT * FROM src_orders")
     cat.sql(spark, "DELETE FROM sqlo WHERE o_orderpriority = '1-URGENT'")

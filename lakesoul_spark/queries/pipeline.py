@@ -957,27 +957,48 @@ def ann_pca_ivf(spark, sf_dir):
 
 
 def _index_refresh_oracle(nlist: int = 16, nprobe: int = 8, rerank: int = 64,
-                          k: int = 5, seed: int = 42) -> str | None:
-    """DuckDB twin of ``ann_index_refresh``: the corpus after the
-    upsert is embeddings with vec_id % 7 == 3 reversed; centroids are
-    the BUILD-time quantizer (trained on the original corpus — refresh
-    reuses stored centroids by contract), all else identical to
-    ``_index_search_oracle``."""
+                          k: int = 5, seed: int = 42,
+                          churn: str = "uniform") -> str | None:
+    """DuckDB twin of ``ann_index_refresh`` / ``ann_index_refresh_hot``:
+    the corpus after the upsert is embeddings with the churn pattern
+    replayed — ``uniform``: vec_id % 7 == 3 reversed (touches every
+    cell); ``hot``: rows whose BUILD-time cell is < 2 scaled ×2.0
+    (exact in IEEE and cosine-invariant, so old cells == new cells ==
+    {{0, 1}}). Centroids are the BUILD-time quantizer (trained on the
+    original corpus — refresh reuses stored centroids by contract),
+    all else identical to ``_index_search_oracle``."""
     cents = _oracle_centroids(nlist, seed)
     if cents is None:
         return None
     vals = _cells_values_sql(cents)
     dim = len(cents[0])
+    if churn == "uniform":
+        m_sql = """m AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM embeddings)"""
+    else:
+        m_sql = f"""oca AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_FOLD_COS.format(a='e.embedding', b='c.cv')} DESC,
+                          c.cell DESC) AS rn
+      FROM embeddings e CROSS JOIN cells c),
+    hot AS (SELECT vec_id FROM oca WHERE rn = 1 AND cell < 2),
+    m AS (
+      SELECT e.vec_id,
+             CASE WHEN hot.vec_id IS NOT NULL
+                  THEN list_transform(e.embedding,
+                                      x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
+                  ELSE e.embedding END AS embedding
+      FROM embeddings e LEFT JOIN hot ON e.vec_id = hot.vec_id)"""
     ham = f"""list_sum(list_transform(generate_series(1, {dim}),
         i -> CASE WHEN (CAST(co.embedding[i] AS DOUBLE) > c.cv[i])
                   <> (CAST(p.qv[i] AS DOUBLE) > c.cv[i]) THEN 1 ELSE 0 END))"""
     return f"""
-    WITH m AS (
-      SELECT vec_id,
-             CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
-                  ELSE embedding END AS embedding
-      FROM embeddings),
-    cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    WITH cells(cell, cv) AS (SELECT * FROM (VALUES {vals})),
+    {m_sql},
     ca AS (
       SELECT e.vec_id, e.embedding, c.cell,
              row_number() OVER (PARTITION BY e.vec_id
@@ -1050,6 +1071,54 @@ def ann_index_refresh(spark, sf_dir):
     t.upsert(delta)
     info = refresh_vector_index(t)
     assert info["mode"] == "incremental", info
+    queries = t.to_df().filter(F.col("vec_id") < 8)
+    return vector_search(t, queries, k=5, nprobe=8, rerank=64)
+
+
+@_register("ann_index_refresh_hot", lambda: _index_refresh_oracle(churn="hot"))
+def ann_index_refresh_hot(spark, sf_dir):
+    """Incremental index maintenance under SKEWED churn — the case the
+    refresh machinery is built for: the upsert touches only rows whose
+    build-time cell is < 2 (scaled ×2.0, exact in IEEE and
+    cosine-invariant, so old cells == new cells == {0, 1}), and the
+    refresh rewrites 2 of 16 cell partitions instead of all 16
+    (asserted). Paired with ``ann_index_refresh`` (uniform churn =
+    full-rewrite worst case) the two bench numbers demonstrate the
+    O(changed cells) design, `similarity.py` refresh_vector_index."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.operators.similarity import (
+        build_vector_index,
+        refresh_vector_index,
+        vector_search,
+    )
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/ann_refresh_hot-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    write(e, path, mode="overwrite", hash_partitions=["vec_id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    idx_path = build_vector_index(t, nlist=16)
+    idx = LakeSoulTable.for_path(spark, idx_path)
+    # churn = the current residents of cells {0, 1}: a metadata-pruned
+    # 2-partition read of the index table, never a corpus scan
+    hot_ids = idx.to_df().filter(F.col("cell") < 2).select("vec_id")
+    delta = (
+        t.to_df().join(hot_ids, "vec_id", "semi")
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")),
+        )
+    )
+    t.upsert(delta)
+    info = refresh_vector_index(t)
+    assert info["mode"] == "incremental", info
+    assert set(info["affected_cells"]) <= {0, 1}, info
     queries = t.to_df().filter(F.col("vec_id") < 8)
     return vector_search(t, queries, k=5, nprobe=8, rerank=64)
 
@@ -1632,3 +1701,112 @@ def text_tfidf_topk(spark, sf_dir):
     in-query, score ranked on round(·,9) so last-ulp ln differences
     between engines cannot flip the order."""
     return text.tfidf_top_terms(docs(spark, sf_dir), k=3)
+
+
+# ------------------------------------------------------------- BM25
+
+_BM25_TERMS = ("dup", "merge", "stream")  # one rare term → IDF contrast
+_BM25_K, _BM25_K1, _BM25_B = 20, 1.2, 0.75
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B) -> str:
+    """DuckDB twin of ``text.bm25_topk`` — every float literal is the
+    repr of the same Python value the Spark plan embeds, and the
+    arithmetic parenthesization is mirrored verbatim (IEEE doubles are
+    then bit-identical); per-doc sums go through DECIMAL(18,9)."""
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t WHERE term IN ({tl}) GROUP BY doc_id, term),
+    dfx AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+      FROM tf GROUP BY term),
+    s AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfx.df_docs + 0.5) / (dfx.df_docs + 0.5) + 1)
+             * (tf.tf * {k1 + 1!r})
+             / (tf.tf + {k1!r} * ({1 - b!r} + {b!r} * (dl.dl / (stats.sum_dl / stats.n_docs)))) AS tscore
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CAST(tscore AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM s GROUP BY doc_id),
+    r AS (
+      SELECT doc_id, n_terms, score,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM agg)
+    SELECT doc_id, n_terms, round(score, 6) AS score, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@_register("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval top-k over the corpus for a fixed query-term set
+    (one rare + two common terms, so IDF and length normalization both
+    matter). See :func:`lakesoul_spark.operators.text.bm25_topk` for
+    the scale plan: filter-before-shuffle tf, broadcast df/corpus
+    stats, decimal-summed doc scores, distributed sort+limit top-k."""
+    return text.bm25_topk(
+        docs(spark, sf_dir), list(_BM25_TERMS),
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+# --------------------------------------------------- per-source profile
+
+_QUALITY_EXPR = f"""round(0.4 * least(len({_TOKS}) / 64.0, 1.0)
+               + 0.3 * (CASE WHEN length(text)::DOUBLE / len({_TOKS}) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (CASE WHEN {{occ}} > 0
+                        THEN 1.0 ELSE 0.6 END), 6)"""
+
+
+def _profile_oracle(quantiles=(0.25, 0.5, 0.9)) -> str:
+    quality = _QUALITY_EXPR.format(occ=f"{_occ('the')} + {_occ('a')}")
+    cols = []
+    for p in quantiles:
+        tag = str(int(round(p * 100)))
+        pos = f"CAST(ceil({p!r} * n) AS BIGINT)"
+        cols.append(
+            f"max(CASE WHEN r_dl = {pos} THEN dl END) AS p{tag}_tokens"
+        )
+        cols.append(
+            f"max(CASE WHEN r_q = {pos} THEN quality END) AS p{tag}_quality"
+        )
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(len({_TOKS}) AS BIGINT) AS dl,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             {quality} AS quality
+      FROM documents),
+    r AS (
+      SELECT source, dl, n_chars, quality,
+             row_number() OVER (PARTITION BY source ORDER BY dl) AS r_dl,
+             row_number() OVER (PARTITION BY source ORDER BY quality) AS r_q,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM per)
+    SELECT source,
+           max(n) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {", ".join(cols)}
+    FROM r GROUP BY source
+    """
+
+
+@_register("pipeline_corpus_profile", _profile_oracle())
+def pipeline_corpus_profile(spark, sf_dir):
+    """Per-source corpus audit: doc counts, token/char totals, exact
+    rank-based quantiles (percentile_disc semantics — interpolating
+    percentiles don't hash-match across engines) over doc length and
+    quality score. See
+    :func:`lakesoul_spark.operators.text.corpus_profile`."""
+    return text.corpus_profile(docs(spark, sf_dir))

@@ -65,6 +65,14 @@ def create_table(
             raise ValueError(f"partition column {c!r} not in schema")
     if set(range_partitions) & set(hash_partitions):
         raise ValueError("a column cannot be both range and hash partition")
+    # one shared gate for every writer (Spark, write_arrow) and the
+    # bucket-pruned readers: a PK type the murmur3 bucketing can't hash
+    # fails HERE, not at first point_lookup / arrow ingest
+    from lakesoul_spark.functions.spark_hash import check_pk_type
+
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in hash_partitions:
+        check_pk_type(c, types[c])
     info = TableInfo(
         table_id=uuid.uuid4().hex,
         table_name=table_name or os.path.basename(path.rstrip("/")),
@@ -308,7 +316,11 @@ def _partitions_matching(
     schema = ", ".join(
         ["__desc string"] + [f"`{c}` string" for c in info.range_partitions]
     )
-    pdf = spark.createDataFrame(rows, schema)
+    from lakesoul_spark.functions.local_df import local_df
+
+    # LocalRelation: evaluating a partition predicate over the commit
+    # log's partition values is driver work — no scheduler job
+    pdf = local_df(spark, rows, schema)
     for c in info.range_partitions:
         pdf = pdf.withColumn(c, F.col(c).cast(types[c]))
     return {r["__desc"] for r in pdf.filter(condition).select("__desc").collect()}

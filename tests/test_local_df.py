@@ -1,0 +1,79 @@
+"""functions/local_df.py: job-free LocalRelation frames — value
+fidelity across types, zero-job materialization, and the large-input
+fallback."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from lakesoul_spark.functions.local_df import MAX_LOCAL_ROWS, local_df
+
+
+def _njobs(spark):
+    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_local_relation_zero_jobs(spark):
+    df = local_df(spark, [(1, "a"), (2, "b")], "id int, s string")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan
+    j0 = _njobs(spark)
+    assert sorted(map(tuple, df.collect())) == [(1, "a"), (2, "b")]
+    assert _njobs(spark) == j0  # collect without a single job
+
+
+def test_value_fidelity_all_types(spark):
+    rows = [(
+        -(2**40), "naïve %20 'q' \"x\\y\" \n+", b"\x00\xff", True,
+        1.5, float("nan"), dt.date(2024, 2, 29),
+        dt.datetime(2024, 2, 29, 23, 59, 59, 123456),
+        [1.0, -2.5, float("inf")], ["a", None, ""], None,
+    )]
+    schema = ("i long, s string, b binary, f boolean, d double, "
+              "nan double, dt date, ts timestamp, ad array<double>, "
+              "astr array<string>, ns string")
+    got = local_df(spark, rows, schema).collect()[0]
+    assert got.i == rows[0][0]
+    assert got.s == rows[0][1]
+    assert bytes(got.b) == rows[0][2]
+    assert got.f is True
+    assert got.d == 1.5
+    assert math.isnan(got.nan)
+    assert got.dt == rows[0][6]
+    assert got.ts == rows[0][7]
+    assert got.ad[0] == 1.0 and got.ad[1] == -2.5 and math.isinf(got.ad[2])
+    assert list(got.astr) == ["a", None, ""]
+    assert got.ns is None
+
+
+def test_double_exact_roundtrip(spark):
+    vals = [0.1 + 0.2, 1e-300, -1.7976931348623157e308, 2**53 + 1.0]
+    got = local_df(spark, [(v,) for v in vals], "v double").collect()
+    assert sorted(r.v for r in got) == sorted(vals)
+
+
+def test_decimal_and_empty_array(spark):
+    from decimal import Decimal
+
+    got = local_df(spark, [(Decimal("12.34"), [])],
+                   "d decimal(10,2), a array<string>").collect()[0]
+    assert got.d == Decimal("12.34") and list(got.a) == []
+
+
+def test_large_input_falls_back(spark):
+    n = MAX_LOCAL_ROWS + 5
+    df = local_df(spark, [(i,) for i in range(n)], "id long")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan  # RDD-backed fallback
+    assert df.count() == n
+
+
+def test_empty_rows(spark):
+    df = local_df(spark, [], "id long, s string")
+    assert df.collect() == [] and df.columns == ["id", "s"]
+
+
+def test_unsupported_type_raises(spark):
+    with pytest.raises(ValueError, match="cannot render"):
+        local_df(spark, [({"k": 1},)], "m map<string,int>")

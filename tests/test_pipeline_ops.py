@@ -208,6 +208,51 @@ def test_vec_lit_rejects_non_finite(spark):
             _cents_lit([[0.0, 1.0], [bad, 2.0]])
 
 
+def test_bm25_topk_ranking(spark):
+    """BM25 contract on a hand-checkable corpus: a doc matching the
+    rare term outranks docs matching only common terms; length
+    normalization demotes the longer of two equal-tf docs; ties break
+    by doc id; docs with no query term never appear."""
+    docs = [
+        (1, "cat dog"),              # rare 'cat' -> top
+        (2, "dog dog dog"),          # common only
+        (3, "dog fish"),             # common only, same tf as 4 but shorter
+        (4, "dog fish bird bird bird bird bird bird"),  # longer -> demoted
+        (5, "bird"),                 # no query term -> absent
+    ]
+    df = _df(spark, docs, "doc_id long, text string")
+    out = text.bm25_topk(df, ["cat", "dog"], k=10).collect()
+    got = [(r["doc_id"], r["rank"]) for r in out]
+    assert [d for d, _ in got] == [1, 2, 3, 4]
+    assert [r for _, r in got] == [1, 2, 3, 4]
+    n_terms = {r["doc_id"]: r["n_terms"] for r in out}
+    assert n_terms == {1: 2, 2: 1, 3: 1, 4: 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bm25_topk(df, [])
+
+
+def test_corpus_profile_exact_quantiles(spark):
+    """percentile_disc semantics: value at ascending rank ceil(p*n) —
+    checked against a hand-computed 4-doc source."""
+    docs = [
+        (1, "a", "one two"),          # 2 tokens
+        (2, "a", "one two three"),    # 3
+        (3, "a", "one"),              # 1
+        (4, "a", "one two three four"),  # 4
+        (5, "b", "x y z"),            # 3
+    ]
+    df = _df(spark, docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in text.corpus_profile(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 4 and a["total_tokens"] == 10
+    # sorted dl for a = [1,2,3,4]: p25 -> rank ceil(1)=1 -> 1;
+    # p50 -> rank 2 -> 2; p90 -> rank ceil(3.6)=4 -> 4
+    assert (a["p25_tokens"], a["p50_tokens"], a["p90_tokens"]) == (1, 2, 4)
+    b = out["b"]
+    assert b["n_docs"] == 1
+    assert (b["p25_tokens"], b["p50_tokens"], b["p90_tokens"]) == (3, 3, 3)
+
+
 def test_token_count_positive(spark):
     df = _df(spark, [(1, "Hello, wonderful world! This is a test.")],
              "doc_id long, text string")

@@ -79,6 +79,29 @@ def test_hash_np_sliced_offset_columns():
     assert (got == exp).all()
 
 
+@pytest.mark.parametrize("bad_type,value,arrow_arr", [
+    ("double", 1.5, lambda: pa.array([1.5], pa.float64())),
+    ("float", 1.5, lambda: pa.array([1.5], pa.float32())),
+    ("decimal(10,2)", 1, lambda: pa.array([1], pa.decimal128(10, 2))),
+    ("array<int>", [1], lambda: pa.array([[1]], pa.list_(pa.int32()))),
+])
+def test_pk_type_rejection_parity(spark, tmp_path, bad_type, value, arrow_arr):
+    """Every PK-type gate — CREATE (shared by the Spark writer, SQL
+    DDL, and write_arrow-target tables), the scalar bucket hash
+    (point-lookup pruning), and the vectorized arrow hash — rejects
+    the identical type set with the same 'unsupported PK type' error;
+    no path can accept a table another path can't bucket."""
+    from lakesoul_spark.table import create_table
+
+    with pytest.raises(ValueError, match="unsupported PK type"):
+        create_table(spark, str(tmp_path / "t"), f"pk {bad_type}, v int",
+                     hash_partitions=["pk"])
+    with pytest.raises(ValueError, match="unsupported PK type"):
+        hash_value(value, bad_type)
+    with pytest.raises(ValueError, match="unsupported PK type"):
+        hash_column_np(arrow_arr(), bad_type, np.full(1, 42, np.uint32))
+
+
 def test_bucket_array_rejects_null_pk():
     tbl = pa.table({"id": pa.array([1, None, 3], pa.int64())})
     with pytest.raises(ValueError, match="contains nulls"):

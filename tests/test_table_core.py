@@ -807,3 +807,147 @@ def test_range_values_with_uri_encodable_chars(spark, tmp_path):
                                    "id int, region string, v int"))
     got = {r.id: r.v for r in t.to_df().collect()}
     assert got[1] == 100 and got[3] == 300 and len(got) == 7
+
+
+# ---------------------------- input-modeled fuzz (the a65cc0c lesson)
+# Writers/readers agreeing with each other cannot catch SYMMETRIC loss
+# (a bug that drops the same rows from every path). Each fuzz below
+# replays a random history into a plain-Python model and asserts the
+# final MOR view equals the MODEL — for the three surfaces where rows
+# are filtered/rewritten/filled and symmetric loss could hide: CDC op
+# filtering, schema-evolution column fill, and compaction rewrite.
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzz_cdc_final_state_matches_model(spark, tmp_path, seed):
+    """Random insert/update/delete CDC history vs a dict model: the
+    op-filtered MOR read must equal the live-row model, and the
+    post-compaction read the same rows with ops rewritten to insert."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    tbl = create_table(
+        spark, path, "id int, v int, op string",
+        hash_partitions=["id"], hash_bucket_num=rng.choice([1, 3]),
+        properties={"lakesoul_cdc_change_column": "op"},
+    )
+    model = {}  # id -> (v, last_op) for live rows only
+    for _ in range(rng.randint(2, 5)):
+        batch = {}
+        for _ in range(rng.randint(1, 25)):
+            i = rng.randint(0, 40)
+            if i in batch:
+                continue
+            live = i in model
+            op = rng.choice(["update", "delete"]) if live else "insert"
+            batch[i] = (rng.randint(-999, 999), op)
+        tbl.upsert(seed_df(
+            spark, [(i, v, op) for i, (v, op) in batch.items()],
+            "id int, v int, op string",
+        ))
+        for i, (v, op) in batch.items():
+            if op == "delete":
+                model.pop(i, None)
+            else:
+                model[i] = (v, op)
+    expect = sorted((i, v, op) for i, (v, op) in model.items())
+    t = LakeSoulTable.for_path(spark, path)
+    assert rows(t.to_df(), "id", "v", "op") == expect
+    t.compaction()
+    assert rows(t.to_df(), "id", "v", "op") == \
+        sorted((i, v, "insert") for i, (v, op) in model.items())
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_fuzz_schema_evolution_fill_matches_model(spark, tmp_path, seed):
+    """Random pre/post-ADD COLUMN history vs a model of the per-file
+    fill contract: rows from files that physically lack the column
+    read as the default (or null without one); rows written after ADD
+    keep their value — including genuine nulls, which a naive
+    whole-column fill would wrongly overwrite with the default."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    use_default = rng.random() < 0.5
+    tbl = create_table(spark, path, "id int, v int",
+                       hash_partitions=["id"],
+                       hash_bucket_num=rng.choice([1, 2]))
+    model = {}  # id -> (v, w)
+    fill = "df" if use_default else None
+    for _ in range(rng.randint(1, 3)):
+        batch = {rng.randint(0, 30): rng.randint(-99, 99)
+                 for _ in range(rng.randint(1, 15))}
+        tbl.upsert(seed_df(spark, list(batch.items()), "id int, v int"))
+        for i, v in batch.items():
+            model[i] = (v, fill)
+    tbl.add_column("w", "string", default=fill)
+    for _ in range(rng.randint(1, 3)):
+        batch = {
+            rng.randint(0, 30): (
+                rng.randint(-99, 99),
+                rng.choice(["x", "y", None]),  # None must STAY null
+            )
+            for _ in range(rng.randint(1, 15))
+        }
+        tbl.upsert(seed_df(
+            spark, [(i, v, w) for i, (v, w) in batch.items()],
+            "id int, v int, w string",
+        ))
+        model.update(batch)
+    expect = sorted(
+        ((i, v, w) for i, (v, w) in model.items()),
+        key=lambda t_: tuple((x is None, x) for x in t_),
+    )
+    t = LakeSoulTable.for_path(spark, path)
+    assert rows(t.to_df(), "id", "v", "w") == expect
+    t.compaction()
+    assert rows(t.to_df(), "id", "v", "w") == expect
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_fuzz_compaction_preserves_model(spark, tmp_path, seed):
+    """Random multi-generation upsert history over URI-hostile range
+    partitions vs a last-wins model: the MOR view must equal the model
+    before compaction, after force compaction, and after a further
+    upsert on the compacted table."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    parts = ["us east", "a%b", "c+d", "naïve", None, ""]
+    part_of = lambda i: parts[i % len(parts)]  # noqa: E731 — id-stable
+    tbl = create_table(
+        spark, path, "id int, region string, v int",
+        hash_partitions=["id"], range_partitions=["region"],
+        hash_bucket_num=rng.choice([1, 2]),
+    )
+    model = {}
+    for _ in range(rng.randint(3, 6)):
+        batch = {rng.randint(0, 50): rng.randint(-999, 999)
+                 for _ in range(rng.randint(1, 20))}
+        tbl.upsert(seed_df(
+            spark, [(i, part_of(i), v) for i, v in batch.items()],
+            "id int, region string, v int",
+        ))
+        model.update(batch)
+
+    def expect():
+        return sorted(
+            ((i, part_of(i), v) for i, v in model.items()),
+            key=lambda t_: tuple((x is None, x) for x in t_),
+        )
+
+    t = LakeSoulTable.for_path(spark, path)
+    assert rows(t.to_df(), "id", "region", "v") == expect()
+    t.compaction(force=True)
+    assert rows(t.to_df(), "id", "region", "v") == expect()
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+    late = {rng.randint(0, 50): rng.randint(-999, 999) for _ in range(8)}
+    t.upsert(seed_df(
+        spark, [(i, part_of(i), v) for i, v in late.items()],
+        "id int, region string, v int",
+    ))
+    model.update(late)
+    assert rows(t.to_df(), "id", "region", "v") == expect()
