@@ -32,10 +32,23 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-# conservative size guard: beyond this many rows the SQL text itself
-# becomes the cost (parse time, driver memory) and one scheduler job is
-# amortized anyway — callers fall back to createDataFrame
+# conservative size guards: beyond these the SQL text itself becomes
+# the cost (parse + analyze + fold over one AST node per value) and one
+# scheduler job is amortized anyway — callers fall back to
+# createDataFrame. The scalar cap matters for array columns: a frame of
+# 64 rows × 8 byte-LUTs × 256 doubles is 131k literals ≈ megabytes of
+# SQL and seconds of parser time (measured: the r7 estimator query
+# doubled until this guard existed).
 MAX_LOCAL_ROWS = 1024
+MAX_LOCAL_SCALARS = 16384
+
+
+def _n_scalars(rows: list) -> int:
+    n = 0
+    for r in rows:
+        for v in r:
+            n += len(v) if isinstance(v, (list, tuple)) else 1
+    return n
 
 
 def _render(v, t: str) -> str:
@@ -60,6 +73,10 @@ def _render(v, t: str) -> str:
         if math.isinf(f):
             sign = "-" if f < 0 else ""
             return f"CAST('{sign}Infinity' AS {t})"
+        if tl == "double":
+            return f"{f!r}D"  # the D-suffix literal IS DoubleType: one
+            # AST node per value instead of Cast(Literal) — arrays of
+            # doubles are the bulk case
         return f"CAST({f!r}D AS {t})"
     if tl in ("int", "integer", "long", "bigint", "short", "smallint",
               "byte", "tinyint") or tl.startswith("decimal"):
@@ -90,7 +107,7 @@ def local_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
     for part in _split_top(schema_ddl):
         name, t = part.strip().split(None, 1)
         cols.append((name.strip("`"), t.strip()))
-    if len(rows) > MAX_LOCAL_ROWS:
+    if len(rows) > MAX_LOCAL_ROWS or _n_scalars(rows) > MAX_LOCAL_SCALARS:
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), schema_ddl
         )
