@@ -265,13 +265,16 @@ def bm25_topk(
     ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (never negative) and the
     usual ``k1``/``b`` length normalization.
 
-    Plan (100 TB corpus):
+    Plan (100 TB corpus — two corpus scans total):
     - tokenize → explode → FILTER to the query terms **before** the
       shuffle — the per-(doc, term) aggregation state is bounded by
-      |query| × matched docs, never the vocabulary;
+      |query| × matched docs, never the vocabulary; the doc length
+      ``dl`` rides the same scan as a grouping key (constant per
+      doc), so no separate length scan or join;
     - ``df`` per term and the (N, Σdl) corpus stats ride the plan as
       broadcast aggregates (one row / |query| rows — never a driver
-      collect);
+      collect); the stats aggregate is the only other corpus scan
+      (it must count docs with no query term);
     - per-term scores computed in pure double arithmetic (IEEE —
       bit-identical across engines), summed per doc through
       ``decimal(18,9)`` (exact, order-insensitive: a double is never
@@ -289,15 +292,18 @@ def bm25_topk(
     if not terms:
         raise ValueError("query_terms must be non-empty")
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    dl = base.select(id_col, F.size("toks").cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = base.select(F.size("toks").cast("long").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
     tf = (
-        base.select(F.col(id_col), F.explode("toks").alias("term"))
+        base.select(
+            F.col(id_col),
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(
@@ -317,7 +323,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), tscore.alias("tscore"))
     )

@@ -951,3 +951,45 @@ def test_fuzz_compaction_preserves_model(spark, tmp_path, seed):
     ))
     model.update(late)
     assert rows(t.to_df(), "id", "region", "v") == expect()
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63])
+def test_fuzz_time_travel_and_incremental_match_model(spark, tmp_path, seed):
+    """Random upsert history vs per-version models: every snapshot
+    read must equal the modeled state AT that version, and every
+    incremental read since commit k must equal last-wins over the
+    batches after k (ids untouched since k absent) — the two read
+    paths where a silent filter bug could symmetrically drop rows."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    batches = []
+    first = {rng.randint(0, 30): rng.randint(-999, 999)
+             for _ in range(rng.randint(3, 10))}
+    write(seed_df(spark, list(first.items()), "id int, v int"),
+          path, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=rng.choice([1, 2]))
+    batches.append(first)
+    t = LakeSoulTable.for_path(spark, path)
+    for _ in range(rng.randint(2, 4)):
+        b = {rng.randint(0, 30): rng.randint(-999, 999)
+             for _ in range(rng.randint(1, 10))}
+        t.upsert(seed_df(spark, list(b.items()), "id int, v int"))
+        batches.append(b)
+
+    # snapshot at every version == cumulative model
+    model = {}
+    for v, b in enumerate(batches, start=1):
+        model.update(b)
+        snap = LakeSoulTable.for_path_snapshot(spark, path, version=v)
+        assert rows(snap.to_df(), "id", "v") == sorted(model.items()), v
+
+    # incremental since every prefix == last-wins over the suffix
+    for k in range(1, len(batches)):
+        since_ts = t.store.read_commit(k).timestamp_ms
+        inc_model = {}
+        for b in batches[k:]:
+            inc_model.update(b)
+        inc = LakeSoulTable.for_path_incremental(spark, path, since_ts)
+        assert rows(inc.to_df(), "id", "v") == sorted(inc_model.items()), k
