@@ -77,3 +77,24 @@ def test_empty_rows(spark):
 def test_unsupported_type_raises(spark):
     with pytest.raises(ValueError, match="cannot render"):
         local_df(spark, [({"k": 1},)], "m map<string,int>")
+
+
+def test_file_meta_frame_is_local_relation(spark, tmp_path):
+    """The reader's broadcast file-meta frame must stay a LocalRelation
+    (zero-job broadcast): an RDD-backed frame here re-adds a full
+    scheduler round-trip to EVERY MOR read."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.io.reader import _file_meta_df
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    path = str(tmp_path / "t")
+    write(spark.range(50).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v")),
+          path, hash_partitions=["k"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    snap = MetaStore(path).snapshot()
+    meta = _file_meta_df(spark, t.info, snap.files)
+    assert "LocalRelation" in \
+        meta._jdf.queryExecution().optimizedPlan().toString()

@@ -1348,3 +1348,27 @@ def test_tfidf_top_terms_values(spark):
     assert out[(3, "cherry")] == (3, 2, s(3, 2), 1)
     assert out[(3, "date")] == (1, 1, s(1, 1), 2)
     assert len(out) == 6
+
+
+def test_bm25_plan_shape(spark):
+    """Scale contract of bm25_topk: exactly two scans of the corpus
+    (tf pass with dl riding as a grouping key + the stats aggregate),
+    broadcast joins only, and a distributed TakeOrderedAndProject
+    top-k — no global single-partition sort before the cut."""
+    df = _df(spark, [(i, "a b c dup") for i in range(10)],
+             "doc_id long, text string")
+    plan = text.bm25_topk(df, ["dup", "b"], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # df_t + corpus stats
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_profile_plan_shape(spark):
+    """One hash exchange on source feeds both rank windows and the
+    final aggregation — no second shuffle."""
+    df = _df(spark, [(i, f"s{i%2}", "one two three") for i in range(10)],
+             "doc_id long, source string, text string")
+    plan = text.corpus_profile(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
