@@ -47,7 +47,15 @@ def _n_scalars(rows: list) -> int:
     n = 0
     for r in rows:
         for v in r:
-            n += len(v) if isinstance(v, (list, tuple)) else 1
+            # any sized container except str/bytes counts element-wise
+            # (numpy arrays included — an undercount here would let a
+            # huge frame slip past the parser-cost cap)
+            if isinstance(v, (str, bytes)):
+                n += 1
+            elif hasattr(v, "__len__"):
+                n += len(v)
+            else:
+                n += 1
     return n
 
 
@@ -79,7 +87,10 @@ def _render(v, t: str) -> str:
             # doubles are the bulk case
         return f"CAST({f!r}D AS {t})"
     if tl in ("int", "integer", "long", "bigint", "short", "smallint",
-              "byte", "tinyint") or tl.startswith("decimal"):
+              "byte", "tinyint"):
+        return f"CAST({int(v)} AS {t})"  # int(): a bool would render
+        # as the invalid SQL token `True`; numpy ints normalize too
+    if tl.startswith("decimal"):
         return f"CAST({v} AS {t})"
     if tl == "boolean":
         return "true" if v else "false"
@@ -88,6 +99,10 @@ def _render(v, t: str) -> str:
         return f"DATE'{d.isoformat()}'"
     if tl.startswith("timestamp"):
         if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                # the engine pins the session TZ to UTC — render aware
+                # datetimes in UTC so the literal means the same instant
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return f"CAST('{v.strftime('%Y-%m-%d %H:%M:%S.%f')}' AS {t})"
         return f"CAST('{v}' AS {t})"
     raise ValueError(f"local_df cannot render type {t!r}")

@@ -74,6 +74,33 @@ def test_empty_rows(spark):
     assert df.collect() == [] and df.columns == ["id", "s"]
 
 
+def test_bool_as_int_and_aware_timestamp(spark):
+    """A Python bool for an integral column must not render the SQL
+    token `True`; a tz-aware datetime renders as the same UTC instant
+    (session TZ is pinned UTC)."""
+    aware = dt.datetime(2024, 6, 1, 12, 0, 0,
+                        tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    got = local_df(spark, [(True, 7, aware)],
+                   "b int, i long, ts timestamp").collect()[0]
+    assert got.b == 1 and got.i == 7
+    assert got.ts == dt.datetime(2024, 6, 1, 10, 0, 0)
+
+
+def test_numpy_values_and_scalar_cap(spark):
+    """numpy scalars/arrays render fine, and numpy arrays count
+    element-wise toward the parser-cost cap (fallback engages)."""
+    np = pytest.importorskip("numpy")
+    got = local_df(
+        spark, [(np.int64(5), np.float64(1.5), np.array([1.0, 2.0]))],
+        "i long, d double, a array<double>",
+    ).collect()[0]
+    assert got.i == 5 and got.d == 1.5 and list(got.a) == [1.0, 2.0]
+    big = [(np.arange(600, dtype=np.float64),) for _ in range(40)]  # 24k scalars
+    df = local_df(spark, [(list(r[0]),) for r in big], "a array<double>")
+    assert "LocalRelation" not in \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_unsupported_type_raises(spark):
     with pytest.raises(ValueError, match="cannot render"):
         local_df(spark, [({"k": 1},)], "m map<string,int>")
