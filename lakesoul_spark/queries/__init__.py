@@ -29,6 +29,18 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # Window: 11 front + 36 remaining pipeline = 47, leaving 3 core-TPC-H
 # slots. The lakehouse pack (minus sql_surface) and remaining tpch are
 # driver-green as of r6 and rotate back in r8.
+# ROUND-8 NOTE: after r7 the stale-r6 set is exactly the 25 lakehouse
+# queries (all but lakehouse_sql_surface, fronted r7) + 18 tpch
+# (q2, q5-q19 minus the r7-fronted ones, q21, q22). Rotate to
+# _MODULE_ORDER = (lakehouse, tpch, pipeline),
+# _FRONT = (*r8-new-or-changed,), and _DEFER = ("q1_pricing_summary",
+# "q3_unshipped_revenue", "q4_order_priority", "q20_heavy_suppliers",
+# "w_top_orders_per_customer", "w_running_user_value",
+# "w_sessionization", "rollup_region_customers",
+# "setop_repeat_customers", "json_event_props") — those ten are
+# r7-green and deferring them lets all 43 stale queries fit the
+# 50-window with up to 7 slots left for r8-new. The pipeline pack is
+# r7-green and waits for r9.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
