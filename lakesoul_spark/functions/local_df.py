@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import base64
 import datetime as _dt
+import decimal as _decimal
 import math
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,16 @@ def _n_scalars(rows: list) -> int:
     return n
 
 
+def _denumpy(v):
+    """numpy array → list (recursively), numpy scalar → python scalar;
+    everything else passes through."""
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        return v.tolist()
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
 def _render(v, t: str) -> str:
     """One value as a SQL literal expression of exactly type ``t``."""
     t = t.strip()
@@ -68,7 +79,9 @@ def _render(v, t: str) -> str:
     if tl.startswith("array<"):
         inner = t[t.index("<") + 1 : t.rindex(">")]
         return "array(" + ",".join(_render(x, inner) for x in v) + ")"
-    if tl in ("string", "varchar"):
+    if tl in ("string", "varchar") or tl.startswith(("varchar(", "char(", "char ")):
+        # varchar(n)/char(n) render as STRING: Spark only enforces
+        # char/varchar length at table insertion, never on CAST
         enc = base64.b64encode(str(v).encode("utf-8")).decode("ascii")
         return f"CAST(unbase64('{enc}') AS STRING)"
     if tl == "binary":
@@ -91,7 +104,14 @@ def _render(v, t: str) -> str:
         return f"CAST({int(v)} AS {t})"  # int(): a bool would render
         # as the invalid SQL token `True`; numpy ints normalize too
     if tl.startswith("decimal"):
-        return f"CAST({v} AS {t})"
+        # round-trip through Decimal: the ONLY unquoted interpolation in
+        # this renderer must never emit anything but a plain numeric
+        # token (a stringly value with a quote/paren would otherwise
+        # break — or inject into — the generated SQL)
+        d = _decimal.Decimal(str(v))
+        if not d.is_finite():
+            raise ValueError(f"non-finite decimal value {v!r}")
+        return f"CAST({d} AS {t})"
     if tl == "boolean":
         return "true" if v else "false"
     if tl == "date":
@@ -104,7 +124,10 @@ def _render(v, t: str) -> str:
                 # datetimes in UTC so the literal means the same instant
                 v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return f"CAST('{v.strftime('%Y-%m-%d %H:%M:%S.%f')}' AS {t})"
-        return f"CAST('{v}' AS {t})"
+        # stringly-typed fallback: base64 the text so a quote in the
+        # value can never break literal escaping (module contract)
+        enc = base64.b64encode(str(v).encode("utf-8")).decode("ascii")
+        return f"CAST(CAST(unbase64('{enc}') AS STRING) AS {t})"
     raise ValueError(f"local_df cannot render type {t!r}")
 
 
@@ -123,6 +146,10 @@ def local_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
         name, t = part.strip().split(None, 1)
         cols.append((name.strip("`"), t.strip()))
     if len(rows) > MAX_LOCAL_ROWS or _n_scalars(rows) > MAX_LOCAL_SCALARS:
+        # normalize numpy values first: PySpark's schema verifier
+        # rejects ndarray/np.scalar, but the SQL path below renders
+        # them fine — both paths must accept the same inputs
+        rows = [tuple(_denumpy(v) for v in r) for r in rows]
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), schema_ddl
         )

@@ -17,6 +17,10 @@ a time), and multi-column hashes chain through the seed:
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
+import math as _math
+import re as _re
+import struct as _struct
 
 _MASK = 0xFFFFFFFF
 
@@ -84,6 +88,76 @@ def hash_bytes(data: bytes, seed: int) -> int:
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
+def hash_float(value: float, seed: int) -> int:
+    """Spark hashes a float as ``hash_int(floatToIntBits(f))`` with
+    ``-0.0f`` normalized to ``0.0f`` (SPARK-26021) and every NaN
+    canonicalized to ``0x7FC00000`` (Java ``floatToIntBits``).
+    Mirrors the reference's Float32 arm
+    (``rust/lakesoul-io/src/utils/hash/mod.rs`` downcast_primitive_array)."""
+    f = float(value)
+    if _math.isnan(f):
+        bits = 0x7FC00000
+    else:
+        if f == 0.0:
+            f = 0.0  # -0.0 == 0.0 → hash as +0.0
+        bits = _struct.unpack("<i", _struct.pack("<f", f))[0]
+    return hash_int(bits, seed)
+
+
+def hash_double(value: float, seed: int) -> int:
+    """``hash_long(doubleToLongBits(d))`` with the same -0.0/NaN
+    normalization as :func:`hash_float`."""
+    f = float(value)
+    if _math.isnan(f):
+        bits = 0x7FF8000000000000
+    else:
+        if f == 0.0:
+            f = 0.0
+        bits = _struct.unpack("<q", _struct.pack("<d", f))[0]
+    return hash_long(bits, seed)
+
+
+_DECIMAL_RE = _re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _decimal_params(spark_type: str) -> tuple[int, int]:
+    m = _DECIMAL_RE.match(spark_type.lower())
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    return 10, 0  # Spark's DecimalType default
+
+
+def _decimal_unscaled(value, scale: int) -> int:
+    d = value if isinstance(value, _decimal.Decimal) else _decimal.Decimal(str(value))
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 100  # default 28-digit context would ROUND a
+        # decimal(38) unscaled value — exactness is the whole point
+        unscaled = d.scaleb(scale)
+        if unscaled != int(unscaled):
+            raise ValueError(
+                f"decimal value {d} does not fit scale {scale} exactly"
+            )
+        return int(unscaled)
+
+
+def _big_integer_bytes(x: int) -> bytes:
+    """Java ``BigInteger.toByteArray()``: minimal big-endian two's
+    complement (1 byte for zero)."""
+    bl = x.bit_length() if x >= 0 else (-x - 1).bit_length()
+    return x.to_bytes(bl // 8 + 1, "big", signed=True)
+
+
+def hash_decimal(value, spark_type: str, seed: int) -> int:
+    """Spark's decimal hash: unscaled long when precision ≤ 18, else
+    ``hashUnsafeBytes`` over the BigInteger two's-complement bytes of
+    the unscaled value (matches the reference's Decimal128/256 arms)."""
+    precision, scale = _decimal_params(spark_type)
+    unscaled = _decimal_unscaled(value, scale)
+    if precision <= 18:
+        return hash_long(unscaled, seed)
+    return hash_bytes(_big_integer_bytes(unscaled), seed)
+
+
 def hash_value(value, spark_type: str, seed: int = 42) -> int:
     """Hash one value with Spark's per-type encoding. ``spark_type`` is
     the simpleString of the column type."""
@@ -108,27 +182,35 @@ def hash_value(value, spark_type: str, seed: int = 42) -> int:
         return hash_bytes(bytes(value), seed)
     if t == "boolean":
         return hash_int(1 if value else 0, seed)
+    if t in ("float", "real"):
+        return hash_float(value, seed)
+    if t == "double":
+        return hash_double(value, seed)
+    if t.startswith("decimal"):
+        return hash_decimal(value, t, seed)
     raise ValueError(f"unsupported PK type for bucket pruning: {spark_type}")
 
 
 def check_pk_type(name: str, spark_type: str) -> None:
     """CREATE-time gate shared by every writer: the bucketing hash is
     defined for exactly these types (this module and its vectorized
-    twin ``spark_hash_np``). Rejecting float/double/decimal/complex PKs
-    at table creation keeps the Spark writer, ``write_arrow``, and
-    point-lookup pruning in agreement — instead of a table that writes
-    fine through one path and fails in another."""
+    twin ``spark_hash_np``). Rejecting complex/unsupported PKs at table
+    creation keeps the Spark writer, ``write_arrow``, and point-lookup
+    pruning in agreement — instead of a table that writes fine through
+    one path and fails in another. Float/double/decimal are supported
+    (the reference hashes Float32/Float64 and Decimal128/256 —
+    ``rust/lakesoul-io/src/utils/hash/mod.rs``)."""
     t = spark_type.lower()
     ok = t in (
         "integer", "int", "short", "smallint", "byte", "tinyint",
         "long", "bigint", "date", "string", "varchar", "binary",
-        "boolean",
-    ) or t.startswith("timestamp")
+        "boolean", "float", "real", "double",
+    ) or t.startswith("timestamp") or t.startswith("decimal")
     if not ok:
         raise ValueError(
             f"unsupported PK type for bucketing: column {name!r} has "
-            f"type {spark_type} (supported: integral, string, binary, "
-            "boolean, date, timestamp)"
+            f"type {spark_type} (supported: integral, float, double, "
+            "decimal, string, binary, boolean, date, timestamp)"
         )
 
 

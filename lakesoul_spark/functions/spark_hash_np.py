@@ -135,7 +135,59 @@ def hash_column_np(col, spark_type: str, seeds: np.ndarray) -> np.ndarray:
     if t in ("string", "varchar", "binary"):
         buf, starts, lengths = _utf8_raw(col)
         return hash_bytes_np(buf, starts, lengths, seeds)
+    if t in ("float", "real"):
+        v = col.cast(pa.float32()).to_numpy()
+        v = np.where(v == np.float32(0.0), np.float32(0.0), v)  # -0.0→+0.0
+        bits = v.view(np.int32)
+        bits = np.where(np.isnan(v), np.int32(0x7FC00000), bits)
+        return hash_int_np(bits.astype(np.int64), seeds)
+    if t == "double":
+        v = col.cast(pa.float64()).to_numpy()
+        v = np.where(v == 0.0, 0.0, v)
+        bits = v.view(np.int64)
+        bits = np.where(np.isnan(v), np.int64(0x7FF8000000000000), bits)
+        return hash_long_np(bits, seeds)
+    if t.startswith("decimal"):
+        return _hash_decimal_np(col, t, seeds)
     raise ValueError(f"unsupported PK type for bucketing: {spark_type}")
+
+
+def _hash_decimal_np(col, spark_type: str, seeds: np.ndarray) -> np.ndarray:
+    """Spark's decimal hash, vectorized. Precision ≤ 18: the unscaled
+    value fits int64, which for a two's-complement decimal128 buffer is
+    exactly the little-endian low word — hash it as a long, no per-row
+    work. Precision > 18: hashUnsafeBytes over BigInteger
+    two's-complement bytes (per-row byte build, then the grouped-by-
+    length vectorized byte hash)."""
+    import pyarrow as pa
+
+    from lakesoul_spark.functions.spark_hash import (
+        _big_integer_bytes, _decimal_params, _decimal_unscaled,
+    )
+
+    precision, scale = _decimal_params(spark_type)
+    arr = col.cast(pa.decimal128(min(precision, 38), scale)) \
+        if precision <= 38 else col
+    if precision <= 18:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        buf = np.frombuffer(arr.buffers()[1], np.int64)
+        lo = buf[arr.offset * 2 : (arr.offset + len(arr)) * 2 : 2]
+        return hash_long_np(lo, seeds)
+    chunks = []
+    starts, lengths = [], []
+    pos = 0
+    for v in arr.to_pylist():
+        b = _big_integer_bytes(_decimal_unscaled(v, scale))
+        chunks.append(np.frombuffer(b, np.uint8))
+        starts.append(pos)
+        lengths.append(len(b))
+        pos += len(b)
+    buf = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+    return hash_bytes_np(
+        buf, np.asarray(starts, np.int64), np.asarray(lengths, np.int64),
+        seeds,
+    )
 
 
 def bucket_array(table, pk: list[str], spark_types: list[str],

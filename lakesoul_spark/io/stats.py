@@ -75,7 +75,15 @@ def file_stats(pq_meta, cols: list[str]) -> dict | None:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            lo, hi = encode_stat_value(st.min), encode_stat_value(st.max)
+            try:
+                # pyarrow raises ArrowNotImplementedError extracting
+                # stats for some logical types (e.g. decimal) even when
+                # has_min_max is true — treat as "no stats", keep file
+                raw_mn, raw_mx = st.min, st.max
+            except Exception:
+                ok = False
+                break
+            lo, hi = encode_stat_value(raw_mn), encode_stat_value(raw_mx)
             if lo is None or hi is None:
                 ok = False
                 break

@@ -792,7 +792,9 @@ def _index_rows_fast_sql(
         f"CASE WHEN resid_norm > 0.0D THEN {abs_sum} / "
         f"({math.sqrt(dim)!r}D * resid_norm) ELSE 0.0D END AS code_dot"
     )
-    base = list(src.columns)
+    # backtick-escape like vec_col: a source column named with a
+    # space/dot/hyphen must not mis-parse in the final projection
+    base = [f"`{c}`" for c in src.columns]
     out = (
         src.selectExpr("*", f"{cents_sql} AS __cents")
         .selectExpr("*", f"{cell_sql} AS cell")

@@ -125,3 +125,60 @@ def test_file_meta_frame_is_local_relation(spark, tmp_path):
     meta = _file_meta_df(spark, t.info, snap.files)
     assert "LocalRelation" in \
         meta._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_hostile_decimal_and_timestamp_values(spark):
+    """r8 (ADVICE): the decimal branch round-trips through
+    ``Decimal(str(v))`` and the stringly timestamp fallback travels
+    base64 — a quote/paren in a stringly-typed value either renders
+    correctly or raises, never breaks (or injects into) the SQL."""
+    import decimal
+
+    # hostile decimal strings fail closed
+    for bad in ("1); DROP TABLE x; --", "abc'", "(1)"):
+        with pytest.raises((ValueError, decimal.InvalidOperation,
+                            ArithmeticError)):
+            local_df(spark, [(bad,)], "d decimal(10,2)")
+    with pytest.raises(ValueError, match="non-finite"):
+        local_df(spark, [(decimal.Decimal("Infinity"),)], "d decimal(10,2)")
+    # decimal-as-string of a VALID number still renders exactly
+    got = local_df(spark, [("12.34",)], "d decimal(10,2)").collect()[0]
+    assert str(got.d) == "12.34"
+    # stringly timestamp: a valid string parses; a hostile string is a
+    # *data* error (ANSI cast failure or NULL), never a broken/injected
+    # SQL text
+    got = local_df(spark, [("2020-01-01 00:00:00",)], "ts timestamp") \
+        .collect()[0]
+    assert got.ts is not None
+    try:
+        bad = local_df(spark, [("evil'); --",)], "ts timestamp").collect()
+        assert bad[0].ts is None
+    except Exception as e:  # ANSI cast error mentions the VALUE, not a
+        # parse failure of the generated statement
+        assert "PARSE_SYNTAX_ERROR" not in str(e)
+
+
+def test_parameterized_char_types(spark):
+    """r8 (ADVICE): varchar(n)/char(n) DDL renders through the string
+    branch instead of falling through to ValueError (Spark itself only
+    enforces char/varchar length at table insertion, not on CAST — the
+    values pass through)."""
+    got = local_df(spark, [("hello world", "ab")],
+                   "v varchar(5), c char(4)").collect()[0]
+    assert got.v == "hello world"
+    assert got.c == "ab"
+
+
+def test_numpy_values_survive_fallback(spark):
+    """r8 (ADVICE): numpy arrays/scalars are normalized before the
+    over-cap createDataFrame fallback, so a numpy-laden frame works on
+    BOTH sides of the 16k-scalar cap."""
+    np = pytest.importorskip("numpy")
+    rows = [(np.int64(i), np.arange(600, dtype=np.float64))
+            for i in range(40)]  # 24k scalars → fallback path
+    df = local_df(spark, rows, "i long, a array<double>")
+    assert "LocalRelation" not in \
+        df._jdf.queryExecution().optimizedPlan().toString()
+    got = df.orderBy("i").collect()
+    assert got[0].i == 0 and list(got[0].a[:3]) == [0.0, 1.0, 2.0]
+    assert len(got) == 40

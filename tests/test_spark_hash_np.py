@@ -80,10 +80,9 @@ def test_hash_np_sliced_offset_columns():
 
 
 @pytest.mark.parametrize("bad_type,value,arrow_arr", [
-    ("double", 1.5, lambda: pa.array([1.5], pa.float64())),
-    ("float", 1.5, lambda: pa.array([1.5], pa.float32())),
-    ("decimal(10,2)", 1, lambda: pa.array([1], pa.decimal128(10, 2))),
     ("array<int>", [1], lambda: pa.array([[1]], pa.list_(pa.int32()))),
+    ("map<string,int>", {"a": 1},
+     lambda: pa.array([[("a", 1)]], pa.map_(pa.string(), pa.int32()))),
 ])
 def test_pk_type_rejection_parity(spark, tmp_path, bad_type, value, arrow_arr):
     """Every PK-type gate — CREATE (shared by the Spark writer, SQL
@@ -100,6 +99,110 @@ def test_pk_type_rejection_parity(spark, tmp_path, bad_type, value, arrow_arr):
         hash_value(value, bad_type)
     with pytest.raises(ValueError, match="unsupported PK type"):
         hash_column_np(arrow_arr(), bad_type, np.full(1, 42, np.uint32))
+
+
+def test_float_double_decimal_hash_matches_spark(spark):
+    """r8 (ADVICE): float/double/decimal PKs hash — the reference's
+    hash covers Float32/Float64/Decimal128/256
+    (``rust/lakesoul-io/src/utils/hash/mod.rs`` downcast_primitive_array)
+    — and the scalar encodings are bit-exact vs ``F.hash``: float as
+    int-bits (-0.0 normalized, NaN canonical 0x7FC00000), double as
+    long-bits, decimal as unscaled long (precision ≤ 18) or BigInteger
+    two's-complement bytes (> 18)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lakesoul_spark.functions.spark_hash import (
+        hash_decimal, hash_double, hash_float,
+    )
+
+    floats = [0.0, -0.0, 1.5, -1.5, 3.4e38, 1e-40, float("nan"),
+              float("inf"), float("-inf"), 123.456]
+    doubles = list(floats) + [1e308, -2.2250738585072014e-308]
+    ds = [Decimal("0"), Decimal("1.23"), Decimal("-99999999.999999"),
+          Decimal("123456789012.345678"), Decimal("-0.000001")]
+    db = [Decimal("0"), Decimal("12345678901234567890123.456789"),
+          Decimal("-98765432109876543210987.654321"), Decimal("0.000001"),
+          Decimal("99999999999999999999999999999999.999999")]
+    n = len(doubles)
+    pad = lambda xs: xs + [None] * (n - len(xs))  # noqa: E731
+    df = spark.createDataFrame(
+        list(zip(pad(floats), doubles, pad(ds), pad(db))),
+        T.StructType([
+            T.StructField("f", T.FloatType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("ds", T.DecimalType(18, 6)),
+            T.StructField("db", T.DecimalType(38, 6)),
+        ]))
+    for r in df.select(
+            "f", "d", "ds", "db",
+            F.hash("f").alias("hf"), F.hash("d").alias("hd"),
+            F.hash("ds").alias("hds"), F.hash("db").alias("hdb")).collect():
+        if r["f"] is not None:
+            assert hash_float(r["f"], 42) == r["hf"], r
+        assert hash_double(r["d"], 42) == r["hd"], r
+        if r["ds"] is not None:
+            assert hash_decimal(r["ds"], "decimal(18,6)", 42) == r["hds"], r
+        if r["db"] is not None:
+            assert hash_decimal(r["db"], "decimal(38,6)", 42) == r["hdb"], r
+
+
+def test_float_double_decimal_hash_np_matches_scalar():
+    """Vectorized twin bit-exact vs scalar for the r8 types, including
+    sliced (nonzero-offset) decimal128 buffers."""
+    from decimal import Decimal
+
+    rng = random.Random(3)
+    floats = [0.0, -0.0, float("nan"), float("inf"), float("-inf")] \
+        + [rng.uniform(-1e30, 1e30) for _ in range(400)]
+    doubles = list(floats) + [rng.uniform(-1e300, 1e300) for _ in range(400)]
+    ds = [Decimal(rng.randint(-10**17, 10**17)).scaleb(-6)
+          for _ in range(400)]
+    db = [Decimal(rng.randint(-10**31, 10**31)).scaleb(-6)
+          for _ in range(400)] + [Decimal(0)]
+    for col, t in [
+        (pa.array(floats, pa.float32()), "float"),
+        (pa.array(doubles, pa.float64()), "double"),
+        (pa.array(ds, pa.decimal128(18, 6)), "decimal(18,6)"),
+        (pa.array(db, pa.decimal128(38, 6)), "decimal(38,6)"),
+    ]:
+        seeds = np.full(len(col), 42, np.uint32)
+        got = hash_column_np(col, t, seeds).view(np.int32)
+        exp = np.array([hash_value(v, t, 42) for v in col.to_pylist()],
+                       np.int32)
+        assert (got == exp).all(), t
+        got2 = hash_column_np(col.slice(7, 100), t,
+                              seeds[:100]).view(np.int32)
+        assert (got2 == exp[7:107]).all(), ("slice", t)
+
+
+def test_double_pk_table_cross_writer(spark, tmp_path):
+    """End-to-end with a double PK (newly allowed): both writers land
+    rows in identical buckets and point-lookup pruning agrees."""
+    from lakesoul_spark.arrow.writer import write_arrow
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    rng = random.Random(5)
+    rows = [(rng.uniform(-1e6, 1e6), i) for i in range(80)] + [(0.0, 900)]
+    df = spark.createDataFrame(rows, "pk double, v int")
+    p_spark, p_arrow = str(tmp_path / "vs"), str(tmp_path / "va")
+    write(df, p_spark, hash_partitions=["pk"], hash_bucket_num=4)
+    write(df.limit(0), p_arrow, hash_partitions=["pk"], hash_bucket_num=4)
+    wrote = write_arrow(p_arrow, pa.table({
+        "pk": pa.array([r[0] for r in rows], pa.float64()),
+        "v": pa.array([r[1] for r in rows], pa.int32()),
+    }))
+    assert wrote == len(rows)
+    ta = LakeSoulTable.for_path(spark, p_arrow)
+    ts = LakeSoulTable.for_path(spark, p_spark)
+    assert sorted(map(tuple, ta.to_df().collect())) == \
+        sorted(map(tuple, ts.to_df().collect())) == sorted(rows)
+    probe = rows[3][0]
+    assert [tuple(r) for r in ta.point_lookup(pk=probe).collect()] == \
+        [tuple(r) for r in ts.point_lookup(pk=probe).collect()] == \
+        [(probe, 3)]
 
 
 def test_bucket_array_rejects_null_pk():
