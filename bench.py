@@ -1,5 +1,9 @@
 """Benchmark harness: runs every engine query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line.
+(default /root/testdata/sf0.1), prints ONE compact JSON summary line
+(metric/value/packs/slowest — sized to survive the driver's 2000-char
+stdout capture whole), and writes the COMPLETE per-query result to
+``BENCH_FULL.json`` next to this script (same schema the summary line
+carried through r6, plus raw samples).
 
 Each query materializes fully through Spark's noop sink (honest
 end-to-end cost: scan → shuffle → result, no driver collect skew).
@@ -182,7 +186,61 @@ def main() -> None:
     if repeat > 1:
         out["repeat"] = repeat
         out["stat"] = "median"
-    print(json.dumps(out))
+
+    # The driver records only the LAST ~2000 chars of stdout: one JSON
+    # line with all 93 query timings (~4 KB) gets its head truncated —
+    # r7 lost the entire alphabetically-first ann_*/dedup_* pack from
+    # the driver record. Two-tier output instead:
+    #  1. the COMPLETE result (identical schema to the old single line,
+    #     plus raw samples) goes to BENCH_FULL.json next to this script
+    #     — written by whoever runs bench.py, so a driver-run bench
+    #     leaves the full per-query evidence in the working tree;
+    #  2. stdout gets a compact summary line (fits the capture window
+    #     whole, so it parses) with pack subtotals + slowest queries
+    #     and a pointer to the full file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    full = dict(out)
+    full["samples"] = samples
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    def pack_of(name: str) -> str:
+        for p in ("ann", "dedup", "emb", "lakehouse", "pipeline",
+                  "streaming", "text", "mm", "train", "w"):
+            if name.startswith(p + "_"):
+                return p
+        return "tpch" if name[0] == "q" else "other"
+
+    packs: dict[str, list[float]] = {}
+    for name, dt in timings.items():
+        packs.setdefault(pack_of(name), []).append(dt)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "packs": {p: [len(ts), round(sum(ts), 2)]
+                  for p, ts in sorted(packs.items())},
+        # driver-contract key: per-query seconds — the 10 slowest here
+        # (the full 93-entry map is in BENCH_FULL.json; it cannot fit
+        # the 2000-char stdout capture)
+        "queries": {n: round(v, 2) for n, v in slowest.items()},
+        "queries_note": "slowest 10; full per-query map in BENCH_FULL.json",
+        "full": "BENCH_FULL.json",
+    }
+    if repeat > 1:
+        summary["repeat"] = repeat
+        summary["stat"] = "median"
+    line = json.dumps(summary)
+    # never exceed the capture window; drop detail fields if somehow huge
+    if len(line) > 1900:
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

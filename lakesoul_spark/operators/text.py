@@ -358,12 +358,21 @@ def corpus_profile(
     don't hash-match across engines; the value at a rank in the sorted
     multiset does, and is deterministic regardless of tie order.
 
-    Plan: one projection computes per-doc (dl, chars, quality); a
-    single hash exchange on ``source`` feeds both rank windows and the
-    final aggregation. At 100 TB note the skew caveat: one task per
-    source value — for corpora with few huge sources swap the exact
-    rank for ``approx_percentile`` or pre-aggregate per (source,
-    value) first; the audit contract here is exactness.
+    Plan (skew-safe exact quantiles — no per-document window anywhere,
+    one corpus scan, no self-joins):
+    1. unpivot each doc to two (source, metric, value) rows — metric
+       'dl' carries the char count alongside;
+    2. ONE exchange keyed (source, metric, value) with map-side
+       combine collapses duplicate values into counts — a huge source
+       spreads across the cluster instead of serializing into a task;
+    3. a cumulative-count window per (source, metric) runs over at
+       most |distinct values| rows (quality rounds to 6 decimals with
+       ~260 reachable values; dl is bounded by the longest document),
+       never over documents;
+    4. each quantile is ``min value whose running count ≥ ceil(p·n)``
+       — identical ``percentile_disc`` semantics: the value at
+       ascending multiset rank ``ceil(p·n)`` IS the smallest value
+       whose cumulative count reaches that rank.
     """
     src = F.col(source_col)
     txt = F.col(text_col)
@@ -373,29 +382,59 @@ def corpus_profile(
         F.length(txt).cast("long").alias("n_chars"),
         quality_score(txt).alias("quality"),
     )
-    w_dl = Window.partitionBy("source").orderBy("dl")
-    w_q = Window.partitionBy("source").orderBy("quality")
-    w_all = Window.partitionBy("source")
-    ranked = per.select(
-        "source", "dl", "n_chars", "quality",
-        F.row_number().over(w_dl).alias("r_dl"),
-        F.row_number().over(w_q).alias("r_q"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    # unpivot: dl is exact in double (< 2^53), cast back to long on output
+    expanded = per.select(
+        "source",
+        F.explode(F.array(
+            F.struct(
+                F.lit("dl").alias("metric"),
+                F.col("dl").cast("double").alias("v"),
+                F.col("n_chars").alias("chars"),
+            ),
+            F.struct(
+                F.lit("q").alias("metric"),
+                F.col("quality").alias("v"),
+                F.lit(0).cast("long").alias("chars"),
+            ),
+        )).alias("e"),
+    ).select("source", "e.metric", "e.v", "e.chars")
+    cnt = expanded.groupBy("source", "metric", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("chars").alias("chars"),
     )
+    w_cum = (
+        Window.partitionBy("source", "metric").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("source", "metric").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = cnt.select(
+        "source", "metric", "v",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(F.when(F.col("metric") == "dl",
+                     F.col("v").cast("long") * F.col("c")))
+        .over(w_all).alias("toks"),
+        F.sum("chars").over(w_all).alias("tchars"),
+    )
+    is_dl = F.col("metric") == "dl"
     aggs = [
-        F.max("n").alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-        F.sum("n_chars").alias("total_chars"),
+        F.max(F.when(is_dl, F.col("n"))).alias("n_docs"),
+        F.max(F.when(is_dl, F.col("toks"))).alias("total_tokens"),
+        F.max(F.when(is_dl, F.col("tchars"))).alias("total_chars"),
     ]
     for p in quantiles:
         tag = str(int(round(p * 100)))
         pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        hit = F.col("cc") >= pos
         aggs.append(
-            F.max(F.when(F.col("r_dl") == pos, F.col("dl")))
+            F.min(F.when(is_dl & hit, F.col("v"))).cast("long")
             .alias(f"p{tag}_tokens")
         )
         aggs.append(
-            F.max(F.when(F.col("r_q") == pos, F.col("quality")))
+            F.min(F.when(~is_dl & hit, F.col("v")))
             .alias(f"p{tag}_quality")
         )
-    return ranked.groupBy("source").agg(*aggs)
+    return cum.groupBy("source").agg(*aggs)

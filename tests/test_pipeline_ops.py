@@ -1365,13 +1365,24 @@ def test_bm25_plan_shape(spark):
 
 
 def test_corpus_profile_plan_shape(spark):
-    """One hash exchange on source feeds both rank windows and the
-    final aggregation — no second shuffle."""
+    """r8 skew-safety contract: NO per-document window anywhere — the
+    per-doc stream hits a hash aggregation keyed (source, metric,
+    value) before any Window, so one huge source can't serialize into
+    one task. row_number (the r7 per-doc rank) must be gone, every
+    Window input is the distinct-value aggregate, and the corpus is
+    scanned exactly once (no self-join re-scan)."""
     df = _df(spark, [(i, f"s{i%2}", "one two three") for i in range(10)],
              "doc_id long, source string, text string")
-    plan = text.corpus_profile(df) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+    qe = text.corpus_profile(df)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "row_number" not in plan
+    # one corpus scan: the LocalTableScan/Scan appears once
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+    # the exchange carrying per-doc volume is keyed by value, not just
+    # source: a hashpartitioning on (source, metric, v) must exist
+    assert "hashpartitioning(source" in plan
+    optimized = qe.optimizedPlan().toString()
+    assert "row_number" not in optimized
 
 
 @pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
