@@ -274,7 +274,9 @@ def bm25_topk(
     - ``df`` per term and the (N, Σdl) corpus stats ride the plan as
       broadcast aggregates (one row / |query| rows — never a driver
       collect); the stats aggregate is the only other corpus scan
-      (it must count docs with no query term);
+      (it must count docs with no query term); the matched ``tf`` set
+      is persisted so the ``df`` branch reuses it instead of
+      re-tokenizing the corpus;
     - per-term scores computed in pure double arithmetic (IEEE —
       bit-identical across engines), summed per doc through
       ``decimal(18,9)`` (exact, order-insensitive: a double is never
@@ -305,7 +307,9 @@ def bm25_topk(
         .filter(F.col("term").isin(terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    ).persist()  # df_t AND the score join both read tf: without the
+    # persist the df_t branch re-tokenizes the whole corpus (a third
+    # scan); the matched set is |query|×docs and spills to disk
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
@@ -339,6 +343,97 @@ def bm25_topk(
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "n_terms", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Batched BM25: score every document against a TABLE of queries
+    (``query_id``, ``term`` rows — the shape of a contamination screen
+    running thousands of query strings) and return each query's top
+    ``k``. Scoring semantics are identical to :func:`bm25_topk`
+    applied per query (same IDF, length normalization, decimal-exact
+    sums, round(·,9)+id tie-break ranking).
+
+    Plan (100 TB corpus, exactly TWO corpus scans regardless of query
+    count):
+    - the distinct term set joins the exploded token stream as a
+      broadcast (thousands of terms stay off the plan text, unlike an
+      ``isin`` literal), filtering BEFORE the shuffle — per-(doc,
+      term) aggregation state is |matched (doc, term)|;
+    - the matched ``tf`` set is **persisted** (memory+disk): per-term
+      document frequencies and per-query scores both derive from it,
+      so neither triggers a third tokenize-the-corpus pass — at scale,
+      spilling the matched set is orders cheaper than re-reading the
+      corpus (same discipline as :func:`bm25_topk`);
+    - scores fan out to (query, doc, term) via a broadcast of the
+      query table — aggregation state |matched (doc, term, query)|;
+    - per-query top-k via ONE window partitioned by ``query_id``
+      (rank over round(score, 9) desc, id asc). Skew note: a query
+      matching a huge share of the corpus serializes its ranking into
+      one task; cut candidate sets upstream (e.g. a per-term tf floor)
+      if a screen hits that shape.
+    """
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.lower(F.col(term_col)).alias("term"),
+    ).distinct()
+    uniq = qt.select("term").distinct()
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    stats = base.select(F.size("toks").cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .join(F.broadcast(uniq), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    ).persist()
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+        + 1
+    )
+    tscore = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qt), "term")
+        .select("query_id", F.col(id_col), tscore.alias("tscore"))
+    )
+    per = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("tscore").cast("decimal(18,9)")).cast("double").alias("score"),
+    )
+    key = [F.round(F.col("score"), 9).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("query_id").orderBy(*key)
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms",
+                F.round("score", 6).alias("score"), "rank")
     )
 
 

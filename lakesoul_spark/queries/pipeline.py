@@ -1760,6 +1760,73 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- batched BM25
+
+_BM25_BATCH: tuple[tuple[str, str], ...] = (
+    ("dedup", "dup"), ("dedup", "merge"), ("dedup", "stream"),
+    ("perf", "fast"), ("perf", "slow"), ("perf", "scan"),
+    ("sqlops", "join"), ("sqlops", "filter"), ("sqlops", "agg"),
+    ("vec", "vector"), ("vec", "spark"),
+)
+
+
+def _bm25_batch_oracle(rows=_BM25_BATCH, k=_BM25_K, k1=_BM25_K1,
+                       b=_BM25_B) -> str:
+    """DuckDB twin of ``text.bm25_topk_batch`` — the query table is the
+    same VALUES rows the Spark side builds, the arithmetic is mirrored
+    verbatim (see :func:`_bm25_oracle`)."""
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in rows)
+    return f"""
+    WITH q(query_id, term) AS (VALUES {vals}),
+    dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term),
+    dfx AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+      FROM tf GROUP BY term),
+    s AS (
+      SELECT q.query_id, tf.doc_id,
+             ln((stats.n_docs - dfx.df_docs + 0.5) / (dfx.df_docs + 0.5) + 1)
+             * (tf.tf * {k1 + 1!r})
+             / (tf.tf + {k1!r} * ({1 - b!r} + {b!r} * (dl.dl / (stats.sum_dl / stats.n_docs)))) AS tscore
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+      JOIN q USING (term) CROSS JOIN stats),
+    agg AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CAST(tscore AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM s GROUP BY query_id, doc_id),
+    r AS (
+      SELECT query_id, doc_id, n_terms, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 9) DESC, doc_id) AS rank
+      FROM agg)
+    SELECT query_id, doc_id, n_terms, round(score, 6) AS score, rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@_register("text_bm25_batch", _bm25_batch_oracle())
+def text_bm25_batch(spark, sf_dir):
+    """Batched BM25: four query-term sets scored against the corpus in
+    the same two scans a single query costs (the contamination-screen
+    shape: thousands of query strings, per-query top-k). The query
+    table rides as a zero-job LocalRelation broadcast. See
+    :func:`lakesoul_spark.operators.text.bm25_topk_batch`."""
+    from lakesoul_spark.functions.local_df import local_df
+
+    q = local_df(spark, list(_BM25_BATCH), "query_id string, term string")
+    return text.bm25_topk_batch(
+        docs(spark, sf_dir), q, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 # --------------------------------------------------- per-source profile
 
 _QUALITY_EXPR = f"""round(0.4 * least(len({_TOKS}) / 64.0, 1.0)

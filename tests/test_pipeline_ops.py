@@ -1352,16 +1352,63 @@ def test_tfidf_top_terms_values(spark):
 
 def test_bm25_plan_shape(spark):
     """Scale contract of bm25_topk: exactly two scans of the corpus
-    (tf pass with dl riding as a grouping key + the stats aggregate),
+    (tf pass with dl riding as a grouping key + the stats aggregate —
+    the matched tf set is persisted so the df branch reuses it),
     broadcast joins only, and a distributed TakeOrderedAndProject
     top-k — no global single-partition sort before the cut."""
-    df = _df(spark, [(i, "a b c dup") for i in range(10)],
-             "doc_id long, text string")
-    plan = text.bm25_topk(df, ["dup", "b"], k=5) \
-        ._jdf.queryExecution().executedPlan().toString()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text.bm25_topk(docs, ["dup", "merge"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2  # df_t + corpus stats
     assert "SortMergeJoin" not in plan
+    # two corpus reads: one live scan (stats) + one materialization of
+    # the persisted tf set (each InMemoryTableScan echoes the cached
+    # plan's scan in the tree text — subtract them)
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Scan parquet") - plan.count("InMemoryRelation") == 1
+
+
+def test_bm25_batch_matches_single(spark):
+    """Each query in the batch gets exactly the rows the single-query
+    operator produces for the same term set."""
+    from lakesoul_spark.functions.local_df import local_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sets = {"a": ["dup", "merge", "stream"], "b": ["fast", "slow"]}
+    q = local_df(
+        spark,
+        [(qid, t) for qid, ts in sets.items() for t in ts],
+        "query_id string, term string",
+    )
+    got = text.bm25_topk_batch(docs, q, k=7)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], r["score"], r["rank"]))
+    for qid, terms in sets.items():
+        single = [(r["doc_id"], r["n_terms"], r["score"], r["rank"])
+                  for r in text.bm25_topk(docs, terms, k=7).collect()]
+        assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_bm25_batch_plan_shape(spark):
+    """r8 scale contract of bm25_topk_batch: exactly two corpus reads
+    no matter how many queries (stats scan + one materialization of
+    the persisted matched-tf set), the query table broadcast, and ONE
+    partitioned window for per-query top-k."""
+    from lakesoul_spark.functions.local_df import local_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = local_df(spark, [("a", "dup"), ("a", "merge"), ("b", "fast")],
+                 "query_id string, term string")
+    plan = text.bm25_topk_batch(docs, q, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Scan parquet") - plan.count("InMemoryRelation") == 1
+    assert plan.count("BroadcastExchange") >= 3  # terms, df_t, stats, qt
+    assert "SortMergeJoin" not in plan
+    assert "row_number" in plan
 
 
 def test_corpus_profile_plan_shape(spark):
