@@ -352,6 +352,24 @@ def dedup_against_corpus(
     sets_n = sh_n.groupBy("id").agg(F.collect_set("sh").alias("shs_n"))
     sets_c = sh_c.groupBy("id").agg(F.collect_set("sh").alias("shs_c")) \
         .withColumnRenamed("id", "cid")
+    return _classify_against_corpus(
+        new_docs, id_col, exact, cand, sets_n, sets_c, threshold
+    )
+
+
+def _classify_against_corpus(
+    new_docs: DataFrame,
+    id_col: str,
+    exact: DataFrame,
+    cand: DataFrame,
+    sets_n: DataFrame,
+    sets_c: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Shared verify-and-classify tail of the corpus-ingest dedups:
+    exact-Jaccard-verify the LSH candidates, pick the min-id match
+    (hash aggregation, not a window), left-join exact + near onto the
+    new batch and label each row exact / near / novel."""
     inter = F.size(F.array_intersect(F.col("shs_n"), F.col("shs_c")))
     near = (
         cand.join(sets_n, "id")
@@ -386,6 +404,299 @@ def dedup_against_corpus(
             .otherwise(F.col("near_jaccard"))
             .alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------- persisted band index
+
+DEDUP_INDEX_DIR = "_dedup_index"
+
+
+def _band_postings(
+    docs: DataFrame, id_col: str, text_col: str,
+    n: int, num_hashes: int, rows_per_band: int,
+) -> DataFrame:
+    """(id, band, key, h) posting rows: one row per LSH band per doc,
+    each carrying the doc's exact-dup hash ``h`` (md5 of normalized
+    text) so ingest never re-reads corpus text for the exact check."""
+    sh = _shingle_sets(docs, id_col, text_col, n)
+    b = _lsh_buckets(_minhash_sig(sh, num_hashes), num_hashes, rows_per_band)
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    )
+    return b.join(h, "id")
+
+
+def build_dedup_index(
+    table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    hash_bucket_num: int = 4,
+) -> str:
+    """Build a persisted MinHash-LSH band index for a LakeSoul corpus
+    table — the signatures :func:`dedup_against_corpus` recomputes from
+    scratch every ingest, materialized ONCE and maintained
+    incrementally (mirroring the vector index pair
+    ``build_vector_index`` / ``refresh_vector_index``; reference
+    discipline ``python/src/lakesoul/vector_index.py:96-160``).
+
+    The index IS a LakeSoul table at ``<table>/_dedup_index`` with
+    PRIMARY KEY ``(id, band)``: a doc's postings live in fixed murmur3
+    buckets, so refreshing a changed doc is a bucket-local delta upsert
+    (its 16 PK rows replace in place via MOR) and never rewrites
+    unchanged files. Rows are ``(id, band, key, h)`` — ``key`` is the
+    band's signature bucket, ``h`` the exact-dup hash. Index size is
+    O(docs x bands) short hex strings, orders of magnitude smaller
+    than corpus text. Recipe lives in table properties."""
+    import shutil as _shutil
+
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    assert num_hashes % rows_per_band == 0
+    base_head = MetaStore(table.path).head_version()
+    src = table.to_df().select(id_col, text_col)
+    post = _band_postings(
+        src, id_col, text_col, n, num_hashes, rows_per_band
+    ).select(F.col("id").alias(id_col), "band", "key", "h")
+    idx_path = f"{table.path}/{DEDUP_INDEX_DIR}"
+    _shutil.rmtree(idx_path, ignore_errors=True)
+    write(
+        post, idx_path, mode="overwrite",
+        hash_partitions=[id_col, "band"], hash_bucket_num=hash_bucket_num,
+    )
+    t = LakeSoulTable.for_path(table.spark, idx_path)
+    t.set_properties({
+        "dedup.id_col": id_col,
+        "dedup.text_col": text_col,
+        "dedup.n": str(n),
+        "dedup.num_hashes": str(num_hashes),
+        "dedup.rows_per_band": str(rows_per_band),
+        "dedup.base_version": str(base_head),
+    })
+    return idx_path
+
+
+def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
+    """Incrementally maintain the persisted band index after corpus
+    commits: changed ids come from the delta files of the commits since
+    ``dedup.base_version`` (no corpus scan), their fresh postings from
+    a semi-join against the MOR view, and the update is ONE delta
+    upsert — cost O(changed docs x bands), never O(corpus). Ids that
+    vanished from the corpus (CDC delete / rewrite) get their postings
+    deleted (per-row file identity, O(touched files)).
+
+    UPDATE/DELETE rewrite commits on the corpus cannot be read as a row
+    delta; ``on_rewrite="rebuild"`` (default) falls back to a full
+    rebuild under the STORED recipe, ``"fail"`` raises (same contract
+    as ``refresh_vector_index``).
+
+    Returns ``{"mode": "noop"|"incremental"|"rebuild", "changed_ids",
+    "postings_rows", "deleted_ids", "files_added", "files_rewritten",
+    "buckets_touched", "total_buckets"}``."""
+    import os as _os
+
+    from lakesoul_spark.meta.store import DataRewriteError, MetaStore
+    from lakesoul_spark.table import LakeSoulTable
+
+    if on_rewrite not in ("rebuild", "fail"):
+        raise ValueError(
+            f"on_rewrite must be 'rebuild' or 'fail', got {on_rewrite!r}"
+        )
+    spark = table.spark
+    idx_path = f"{table.path}/{DEDUP_INDEX_DIR}"
+    idx = LakeSoulTable.for_path(spark, idx_path)
+    props = idx.info.properties
+    id_col = props["dedup.id_col"]
+    text_col = props["dedup.text_col"]
+    n = int(props["dedup.n"])
+    num_hashes = int(props["dedup.num_hashes"])
+    rows_per_band = int(props["dedup.rows_per_band"])
+    base_v = int(props["dedup.base_version"])
+
+    base_store = MetaStore(table.path)
+    head = base_store.head_version()
+    if head <= base_v:
+        return {"mode": "noop", "changed_ids": 0, "postings_rows": 0,
+                "deleted_ids": 0}
+
+    def _full_rebuild() -> dict:
+        build_dedup_index(
+            table, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, rows_per_band=rows_per_band,
+            hash_bucket_num=idx.info.hash_bucket_num,
+        )
+        return {"mode": "rebuild", "changed_ids": -1, "postings_rows": -1,
+                "deleted_ids": -1}
+
+    try:
+        delta_files = base_store.files_in_version_range(
+            base_v, head, on_rewrite="fail"
+        )
+    except DataRewriteError:
+        if on_rewrite == "fail":
+            raise
+        return _full_rebuild()
+
+    paths = [_os.path.join(table.path, f.path) for f in delta_files]
+    if not paths:
+        # only compaction commits since the build — nothing changed
+        idx.set_properties({"dedup.base_version": str(head)})
+        return {"mode": "noop", "changed_ids": 0, "postings_rows": 0,
+                "deleted_ids": 0}
+    changed_ids = spark.read.parquet(*paths).select(id_col).distinct().cache()
+    n_changed = changed_ids.count()
+    # fresh postings: CURRENT text of the changed ids (a CDC-deleted or
+    # rewritten-away id yields no row here)
+    fresh_src = (
+        table.to_df().select(id_col, text_col)
+        .join(changed_ids, id_col, "semi")
+    )
+    fresh = _band_postings(
+        fresh_src, id_col, text_col, n, num_hashes, rows_per_band
+    ).select(F.col("id").alias(id_col), "band", "key", "h").cache()
+    n_rows = fresh.count()
+    idx_store = MetaStore(idx_path)
+    up_v = None
+    if n_rows:
+        idx.upsert(fresh)
+        up_v = idx_store.head_version()
+    # vanished ids: changed on the base table but absent from the MOR
+    # view (deleted). Driver payload bounded by the changed batch.
+    vanished = [
+        r[id_col]
+        for r in changed_ids.join(
+            fresh.select(id_col).distinct(), id_col, "anti"
+        ).collect()
+    ]
+    if vanished:
+        idx.delete(F.col(id_col).isin(vanished))
+    # evidence: the upsert commit appended delta files into the changed
+    # ids' buckets only — nothing pre-existing was rewritten
+    files_added, buckets = 0, set()
+    rewritten = 0
+    if up_v is not None:
+        commit = idx_store.read_commit(up_v)
+        for fo in commit.file_ops:
+            if fo.op == "add":
+                files_added += 1
+                buckets.add(fo.bucket)
+            else:
+                rewritten += 1
+    changed_ids.unpersist()
+    fresh.unpersist()
+    idx.set_properties({"dedup.base_version": str(head)})
+    return {
+        "mode": "incremental",
+        "changed_ids": n_changed,
+        "postings_rows": n_rows,
+        "deleted_ids": len(vanished),
+        "files_added": files_added,
+        "files_rewritten": rewritten,
+        "buckets_touched": sorted(buckets),
+        "total_buckets": idx.info.hash_bucket_num,
+    }
+
+
+def dedup_against_corpus_indexed(
+    new_docs: DataFrame,
+    corpus_table,
+    *,
+    threshold: float = 0.8,
+    prune_buckets: bool = False,
+) -> DataFrame:
+    """Incremental-ingest dedup against the PERSISTED band index —
+    byte-identical output to :func:`dedup_against_corpus` (same oracle)
+    with the corpus-side signature recomputation gone.
+
+    Per ingest the corpus contributes exactly two reads, both cheap:
+
+    - the band-postings index (short hex rows, O(docs x bands) —
+      orders of magnitude smaller than corpus text): exact matches join
+      the persisted ``h``, candidates join the persisted ``(band,
+      key)`` postings;
+    - corpus TEXT only for the candidate docs, via a broadcast
+      semi-join (the candidate set is proportional to the new batch, so
+      the corpus scan is map-side filtered — no corpus shuffle) — only
+      those docs are re-shingled for the exact-Jaccard verify.
+
+    ``prune_buckets=True`` additionally skips corpus FILES outside the
+    candidate ids' murmur3 buckets (two-phase: the candidate set is
+    computed eagerly once to learn its buckets — driver payload is the
+    distinct bucket set, bounded by ``hash_bucket_num`` — then the plan
+    is rebuilt lazily against the pruned file list). Worth it when the
+    corpus has many buckets and candidates cluster in few."""
+    from lakesoul_spark.io import reader as rdr
+    from lakesoul_spark.meta.store import MetaStore, Snapshot
+    from lakesoul_spark.table import LakeSoulTable
+
+    idx_path = f"{corpus_table.path}/{DEDUP_INDEX_DIR}"
+    idx = LakeSoulTable.for_path(corpus_table.spark, idx_path)
+    props = idx.info.properties
+    id_col = props["dedup.id_col"]
+    text_col = props["dedup.text_col"]
+    n = int(props["dedup.n"])
+    num_hashes = int(props["dedup.num_hashes"])
+    rows_per_band = int(props["dedup.rows_per_band"])
+
+    post = idx.to_df().select(
+        F.col(id_col).alias("cid"), "band", "key", "h"
+    )
+    nh = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    )
+    # exact check rides the persisted h (band 0 = one row per doc)
+    exact = (
+        nh.join(post.filter(F.col("band") == 0).select("cid", "h"), "h")
+        .groupBy("id").agg(F.min("cid").alias("exact_id"))
+    )
+    sh_n = _shingle_sets(new_docs, id_col, text_col, n)
+    bn = _lsh_buckets(_minhash_sig(sh_n, num_hashes), num_hashes, rows_per_band)
+    cand = (
+        bn.join(post.select("cid", "band", "key"), ["band", "key"])
+        .select("id", "cid")
+        .distinct()
+    )
+
+    corpus = corpus_table.to_df()
+    if prune_buckets:
+        info = corpus_table.info
+        if info.hash_partitions == [id_col]:
+            n_b = info.hash_bucket_num
+            buckets = {
+                r["b"]
+                for r in cand.select(
+                    F.pmod(F.hash("cid"), F.lit(n_b)).alias("b")
+                ).distinct().collect()
+            }
+            snap = MetaStore(corpus_table.path).snapshot()
+            corpus = rdr.merge_view(
+                corpus_table.spark, info,
+                Snapshot(
+                    version=snap.version,
+                    timestamp_ms=snap.timestamp_ms,
+                    files=[f for f in snap.files
+                           if f.bucket in buckets or f.bucket == -1],
+                ),
+            )
+    cand_docs = corpus.join(
+        F.broadcast(cand.select(F.col("cid").alias(id_col)).distinct()),
+        id_col, "semi",
+    )
+    sets_n = sh_n.groupBy("id").agg(F.collect_set("sh").alias("shs_n"))
+    sets_c = (
+        _shingle_sets(cand_docs, id_col, text_col, n)
+        .groupBy("id").agg(F.collect_set("sh").alias("shs_c"))
+        .withColumnRenamed("id", "cid")
+    )
+    return _classify_against_corpus(
+        new_docs, id_col, exact, cand, sets_n, sets_c, threshold
     )
 
 

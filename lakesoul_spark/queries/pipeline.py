@@ -254,10 +254,12 @@ def _minhash_oracle(num_hashes: int = 32, rows_per_band: int = 2) -> str:
 
 
 def _ingest_oracle(num_hashes: int = 32, rows_per_band: int = 2,
-                   threshold: float = 0.8) -> str:
+                   threshold: float = 0.8, corp_sql: str | None = None) -> str:
     """DuckDB twin of ``dedup_incremental_ingest``: same hash family
     and banding as the LSH oracle, split into new (doc_id%5=0) vs
-    corpus sides; best near match = min corpus id (window)."""
+    corpus sides; best near match = min corpus id (window).
+    ``corp_sql`` overrides the corpus CTE body (used by
+    ``dedup_index_refresh`` to replay its churn)."""
     mh_cols = ",\n           ".join(
         "min(substr(md5(concat('{k}|', sh)), {off}, 8)) AS mh{s}".format(
             k=s // 4, off=1 + 8 * (s % 4), s=s
@@ -275,9 +277,10 @@ def _ingest_oracle(num_hashes: int = 32, rows_per_band: int = 2,
         for b in range(bands)
     )
     norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    corp_sql = corp_sql or "SELECT * FROM documents WHERE doc_id % 5 <> 0"
     return f"""
     WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-    corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    corp AS ({corp_sql}),
     exact AS (
       SELECT n.doc_id AS id, min(c.doc_id) AS exact_id
       FROM newd n JOIN corp c ON {norm.replace('text', 'n.text')} =
@@ -338,6 +341,53 @@ def dedup_incremental_ingest(spark, sf_dir):
         d.filter(F.col("doc_id") % 5 != 0),
         n=3, num_hashes=32, rows_per_band=2, threshold=0.8,
     )
+
+
+_INDEX_CHURN_CORP = """SELECT doc_id,
+        CASE WHEN doc_id % 50 = 1 THEN text || ' ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0"""
+
+
+@_register("dedup_index_refresh", _ingest_oracle(corp_sql=_INDEX_CHURN_CORP))
+def dedup_index_refresh(spark, sf_dir):
+    """Persisted-band-index dedup, end to end: build the MinHash-LSH
+    band index over a LakeSoul corpus table, upsert churn (docs with
+    doc_id % 50 == 1 get their text doubled — replayable in SQL),
+    refresh the index incrementally (delta upsert of exactly
+    changed x bands posting rows, NO pre-existing file rewritten —
+    asserted), then classify the daily batch (doc_id % 5 == 0) against
+    the refreshed index. Matching the oracle proves the incrementally
+    maintained index equals signatures recomputed from the current
+    corpus. Operator: ``operators/dedup.py`` build/refresh/indexed."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = f"/tmp/lakesoul_entry/dedup_index-{tag}"
+    _shutil.rmtree(path, ignore_errors=True)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    write(corpus, path, mode="overwrite", hash_partitions=["doc_id"],
+          hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, path)
+    dedup.build_dedup_index(
+        t, id_col="doc_id", text_col="text", n=3, num_hashes=32,
+        rows_per_band=2,
+    )
+    churn = corpus.filter(F.col("doc_id") % 50 == 1).withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.col("text"))
+    )
+    t.upsert(churn)
+    info = dedup.refresh_dedup_index(t)
+    assert info["mode"] == "incremental", info
+    assert info["postings_rows"] == info["changed_ids"] * 16, info
+    assert info["files_rewritten"] == 0, info
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return dedup.dedup_against_corpus_indexed(new, t, threshold=0.8)
 
 
 @_register("dedup_minhash_lsh", _minhash_oracle())

@@ -914,6 +914,103 @@ def test_dedup_against_corpus(spark):
     assert (out[102].status, out[102].match_id, out[102].jaccard) == ("novel", None, None)
 
 
+def test_dedup_band_index_lifecycle(spark, tmp_path):
+    """Persisted band index: build == recomputed signatures, refresh is
+    an O(changed) delta upsert (CDC delete drops postings), indexed
+    classification is byte-identical to the recompute-everything
+    operator, rewrite commits fall back to rebuild."""
+    from lakesoul_spark.table import LakeSoulTable, create_table
+
+    path = str(tmp_path / "corpus")
+    ddl = "doc_id long, text string, op string"
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat while the"
+           " sun sets slowly behind the green hills tonight",
+        3: "completely different content lives here today",
+        4: "yet another unrelated document about trains",
+        5: "a short note about gardens and rivers flowing",
+        6: "the quick brown fox jumps over the lazy dog",
+    }
+    create_table(spark, path, ddl, hash_partitions=["doc_id"],
+                 hash_bucket_num=4,
+                 properties={"lakesoul_cdc_change_column": "op"})
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(_df(spark, [(i, s, "insert") for i, s in texts.items()], ddl))
+
+    idx_path = dedup.build_dedup_index(
+        t, id_col="doc_id", text_col="text", n=3, num_hashes=32,
+        rows_per_band=2, hash_bucket_num=4,
+    )
+    idx = LakeSoulTable.for_path(spark, idx_path)
+    assert idx.to_df().count() == len(texts) * 16
+    assert idx.info.properties["dedup.rows_per_band"] == "2"
+
+    new = _df(
+        spark,
+        [(100, "The quick  brown fox jumps over the lazy dog", "insert"),
+         (101, "the quick brown fox jumps over the lazy cat while the"
+               " sun sets slowly behind the green hills tomorrow", "insert"),
+         (102, "nothing remotely similar to corpus content", "insert")],
+        ddl,
+    )
+
+    def classified(df):
+        return sorted(
+            (r.doc_id, r.status, r.match_id, r.jaccard) for r in df.collect()
+        )
+
+    expect = classified(dedup.dedup_against_corpus(
+        new, t.to_df(), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, rows_per_band=2, threshold=0.5))
+    got = classified(dedup.dedup_against_corpus_indexed(new, t, threshold=0.5))
+    assert got == expect
+    assert classified(dedup.dedup_against_corpus_indexed(
+        new, t, threshold=0.5, prune_buckets=True)) == expect
+    assert expect[0][1] == "exact"  # fixture exercises all three labels
+    assert {s for _, s, _, _ in expect} == {"exact", "near", "novel"}
+
+    # churn: one update, one insert, one CDC delete
+    t.upsert(_df(
+        spark,
+        [(3, "completely different content lives here tomorrow", "update"),
+         (7, "a brand new corpus document about bridges", "insert"),
+         (5, "a short note about gardens and rivers flowing", "delete")],
+        ddl,
+    ))
+    info = dedup.refresh_dedup_index(t)
+    assert info["mode"] == "incremental", info
+    assert info["changed_ids"] == 3
+    assert info["postings_rows"] == 2 * 16  # doc 3 + doc 7; doc 5 vanished
+    assert info["deleted_ids"] == 1
+    assert info["files_rewritten"] == 0
+    assert set(info["buckets_touched"]) <= set(range(info["total_buckets"]))
+    idx2 = LakeSoulTable.for_path(spark, idx_path)
+    assert idx2.to_df().filter(F.col("doc_id") == 5).count() == 0
+    assert idx2.to_df().count() == 6 * 16  # 6 live docs
+
+    expect2 = classified(dedup.dedup_against_corpus(
+        new, t.to_df(), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, rows_per_band=2, threshold=0.5))
+    assert classified(
+        dedup.dedup_against_corpus_indexed(new, t, threshold=0.5)
+    ) == expect2
+
+    # nothing new → noop; rewrite commit (copy-on-write delete) → rebuild
+    assert dedup.refresh_dedup_index(t)["mode"] == "noop"
+    t.delete("doc_id = 6")
+    info = dedup.refresh_dedup_index(t)
+    assert info["mode"] == "rebuild", info
+    idx3 = LakeSoulTable.for_path(spark, idx_path)
+    assert idx3.to_df().count() == 5 * 16
+    expect3 = classified(dedup.dedup_against_corpus(
+        new, t.to_df(), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, rows_per_band=2, threshold=0.5))
+    assert classified(
+        dedup.dedup_against_corpus_indexed(new, t, threshold=0.5)
+    ) == expect3
+
+
 def test_pca_fit_and_project(spark):
     """pca_fit: orthonormal sign-fixed components in descending
     variance order, deterministic; project_embeddings matches a numpy
