@@ -151,6 +151,40 @@ SESSION_SCHEMA = (
     "session_start timestamp, session_end timestamp, n_events bigint"
 )
 
+_SESSIONS_STATE = "starts array<bigint>, ends array<bigint>, ns array<bigint>"
+
+
+def _merge_gap_sessions(
+    sessions: list[tuple[int, int, int]], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """Gap-merge (start_us, end_us, n) sessions: sort by start, fuse
+    any neighbor within ``gap_us`` — transitive, so a late island can
+    bridge two previously separate sessions into one."""
+    sessions = sorted(sessions)
+    out: list[tuple[int, int, int]] = []
+    for s, e, n in sessions:
+        if out and s - out[-1][1] <= gap_us:
+            ps, pe, pn = out[-1]
+            out[-1] = (ps, max(pe, e), pn + n)
+        else:
+            out.append((s, e, n))
+    return out
+
+
+def _batch_islands(pdfs, ts_col: str, gap_us: int):
+    """Vectorized gaps-and-islands over one micro-batch's rows →
+    [(start_us, end_us, n)] (no per-event loop)."""
+    parts = [pdf[ts_col] for pdf in pdfs if len(pdf)]
+    if not parts:
+        return []
+    ts = pd.concat(parts, ignore_index=True).sort_values(ignore_index=True)
+    gap = pd.Timedelta(microseconds=gap_us)
+    grp = ts.groupby(ts.diff().gt(gap).cumsum())
+    return [
+        (s.value // 1000, e.value // 1000, int(n))
+        for s, e, n in zip(grp.first(), grp.last(), grp.size())
+    ]
+
 
 def sessionize(
     sdf: DataFrame,
@@ -158,85 +192,188 @@ def sessionize(
     *,
     ts_col: str,
     gap_ms: int,
+    engine: str = "auto",
 ) -> DataFrame:
     """Event-time session windows with a ``gap_ms`` inactivity timeout.
 
     Input must carry a watermark on ``ts_col`` (``withWatermark``).
     Events of one key whose timestamps are within ``gap_ms`` of each
-    other belong to one session; a session closes — and is emitted as
-    ``key..., session_start, session_end, n_events`` — when either a
-    later in-batch event of the same key starts a new session, or the
-    watermark passes ``session_end + gap_ms`` (EventTimeTimeout).
+    other belong to one session; a session is emitted as
+    ``key..., session_start, session_end, n_events`` once the WATERMARK
+    passes ``session_end + gap_ms`` — at the next batch carrying the
+    key's data, or the event-time timeout, whichever comes first.
 
-    State per key = the single open session (start, end, count): O(keys)
-    bounded state regardless of stream length. Semantics match the
-    batch gaps-and-islands rewrite when per-key events arrive in
-    event-time order across batches (guaranteed by the watermark +
-    time-ordered sources; same contract as Spark's built-in
-    ``session_window``).
+    **Event-time-correct under replay**: sessions are held in state
+    until the watermark passes them, so a late event (within the
+    watermark delay) arriving batches later still lands in its correct
+    session — including merging into an island delivered earlier and
+    bridging two previously separate sessions into one. This is the
+    same closure contract as Spark's built-in ``session_window``; rows
+    later than the watermark are merged best-effort rather than
+    dropped.
+
+    State per key = the open sessions inside the watermark horizon
+    (parallel epoch-us arrays, bounded by delay/gap — NOT stream
+    length). ``engine``: ``"apply"`` uses ``applyInPandasWithState`` +
+    EventTimeTimeout (runs everywhere); ``"tws"`` uses Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState + real event-time
+    timers, the Flink analog — requires the ``protobuf`` package);
+    ``"auto"`` picks tws when protobuf is importable. Identical
+    emissions either way.
     """
+    if engine not in ("auto", "apply", "tws"):
+        raise ValueError(f"engine must be auto|apply|tws, got {engine!r}")
+    if engine == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            engine = "tws"
+        except ImportError:
+            engine = "apply"
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in sdf.schema
         if f.name in key_cols
     )
     out_schema = f"{key_fields}, {SESSION_SCHEMA}"
-    gap = pd.Timedelta(milliseconds=gap_ms)
+    gap_us = gap_ms * 1000
 
     def emit(key, sessions) -> pd.DataFrame:
         starts, ends, ns = zip(*sessions)
         out = pd.DataFrame(
-            {"session_start": list(starts), "session_end": list(ends),
+            {"session_start": [pd.Timestamp(s, unit="us") for s in starts],
+             "session_end": [pd.Timestamp(e, unit="us") for e in ends],
              "n_events": list(ns)}
         )
         for name, val in reversed(list(zip(key_cols, key))):
             out.insert(0, name, val)
         return out
 
+    if engine == "tws":
+        return _sessionize_tws(
+            sdf, key_cols, ts_col, gap_ms, out_schema, emit
+        )
+
+    def _split(merged, wm_ms):
+        wm_us = wm_ms * 1000
+        closed = [t for t in merged if t[1] + gap_us <= wm_us]
+        keep = [t for t in merged if t[1] + gap_us > wm_us]
+        return closed, keep
+
+    def _store(state: GroupState, keep, wm_ms) -> None:
+        if keep:
+            state.update((
+                [s for s, _, _ in keep],
+                [e for _, e, _ in keep],
+                [n for _, _, n in keep],
+            ))
+            # next closure deadline; must stay ahead of the watermark
+            deadline = min(e for _, e, _ in keep) // 1000 + gap_ms
+            state.setTimeoutTimestamp(max(deadline, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start, end, n = state.get
-            state.remove()
-            yield emit(key, [(pd.Timestamp(start, unit="us"),
-                              pd.Timestamp(end, unit="us"), n)])
+            starts, ends, ns = state.get
+            closed, keep = _split(list(zip(starts, ends, ns)), wm_ms)
+            _store(state, keep, wm_ms)
+            if closed:
+                yield emit(key, closed)
             return
-        parts = [pdf[ts_col] for pdf in pdfs]
-        if not parts:
-            return
-        ts = pd.concat(parts, ignore_index=True).sort_values(ignore_index=True)
-        if len(ts) == 0:
-            return
-        # vectorized gaps-and-islands over the batch (no per-event loop)
-        grp = ts.groupby(ts.diff().gt(gap).cumsum())
-        sessions = list(
-            zip(grp.first(), grp.last(), grp.size().astype(int))
-        )
+        sessions = _batch_islands(pdfs, ts_col, gap_us)
         if state.exists:
-            s0, e0, n0 = state.get
-            s0 = pd.Timestamp(s0, unit="us")
-            e0 = pd.Timestamp(e0, unit="us")
-            st, en, nn = sessions[0]
-            if st - e0 <= gap:  # first island continues the open session
-                sessions[0] = (min(s0, st), max(e0, en), n0 + nn)
-            else:
-                sessions.insert(0, (s0, e0, n0))
-        *closed, open_s = sessions
-        # persist the open session; timestamps stored as epoch
-        # microseconds (state schema is long-typed for fidelity)
-        state.update((open_s[0].value // 1000, open_s[1].value // 1000,
-                      int(open_s[2])))
-        state.setTimeoutTimestamp(open_s[1].value // 1_000_000 + gap_ms)
+            starts, ends, ns = state.get
+            sessions += list(zip(starts, ends, ns))
+        if not sessions:
+            return
+        closed, keep = _split(_merge_gap_sessions(sessions, gap_us), wm_ms)
+        _store(state, keep, wm_ms)
         if closed:
             yield emit(key, closed)
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn,
         out_schema,
-        "start long, end long, n bigint",
+        _SESSIONS_STATE,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _sessionize_tws(sdf, key_cols, ts_col, gap_ms, out_schema, emit):
+    """transformWithStateInPandas engine for :func:`sessionize` (typed
+    ValueState + real event-time timers). One timer per key tracks the
+    earliest open session's ``end + gap`` deadline; expiry closes every
+    session the watermark has passed and re-arms for the next."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_ms * 1000
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open", _SESSIONS_STATE)
+
+        def _drain(self, wm_ms: int):
+            cur = self._open.get() if self._open.exists() else None
+            if cur is None:
+                return [], []
+            merged = list(zip(*cur))
+            wm_us = wm_ms * 1000
+            closed = [t for t in merged if t[1] + gap_us <= wm_us]
+            keep = [t for t in merged if t[1] + gap_us > wm_us]
+            return closed, keep
+
+        def _store(self, keep, wm_ms: int) -> None:
+            if keep:
+                self._open.update((
+                    [s for s, _, _ in keep],
+                    [e for _, e, _ in keep],
+                    [n for _, _, n in keep],
+                ))
+                deadline = min(e for _, e, _ in keep) // 1000 + gap_ms
+                self._handle.registerTimer(max(deadline, wm_ms + 1))
+            elif self._open.exists():
+                self._open.clear()
+
+        def handleInputRows(self, key, rows, timer_values):
+            wm_ms = timer_values.getCurrentWatermarkInMs()
+            sessions = _batch_islands(rows, ts_col, gap_us)
+            if self._open.exists():
+                sessions += list(zip(*self._open.get()))
+            if not sessions:
+                return
+            merged = _merge_gap_sessions(sessions, gap_us)
+            wm_us = wm_ms * 1000
+            closed = [t for t in merged if t[1] + gap_us <= wm_us]
+            keep = [t for t in merged if t[1] + gap_us > wm_us]
+            self._store(keep, wm_ms)
+            if closed:
+                yield emit(key, closed)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            wm_ms = max(timer_values.getCurrentWatermarkInMs(),
+                        expired_timer_info.getExpiryTimeInMs())
+            closed, keep = self._drain(wm_ms)
+            self._store(keep, wm_ms)
+            if closed:
+                yield emit(key, closed)
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_Sessions(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
     )
 
 

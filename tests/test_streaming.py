@@ -524,6 +524,52 @@ def test_stateful_sessionize(spark, tmp_path):
     ]
 
 
+def test_stateful_sessionize_replay_late_data(spark, tmp_path):
+    """Event-time correctness under replay: a late event (within the
+    watermark delay) arriving batches later lands in its CORRECT
+    session — including bridging two previously separate islands into
+    one — because sessions are held in state until the watermark passes
+    session_end + gap, never closed eagerly on an in-batch split."""
+    import datetime as dt
+
+    from lakesoul_spark.streaming.stateful import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    src = str(tmp_path / "src")
+    schema = "user_id int, ts timestamp"
+    batches = [
+        # user 1: islands (0,5) and (20,25) — >gap apart
+        # user 2: island (0,3)
+        [(1, s(0)), (1, s(5)), (2, s(0)), (2, s(3))],
+        [(1, s(20)), (1, s(25)), (2, s(100))],
+        # LATE: user1 @14 bridges (0,5)+(20,25) into ONE session;
+        # user2 @8 extends (0,3) to (0,8)
+        [(1, s(14)), (2, s(8))],
+        [(99, s(10_000))],  # sentinels advance the watermark past
+        [(99, s(20_000))],  # every end+gap deadline and fire timeouts
+    ]
+    for b in batches:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src)
+           .withWatermark("ts", "60 seconds"))
+    out = sessionize(sdf, ["user_id"], ts_col="ts", gap_ms=10_000)
+    q = (out.writeStream.format("memory").queryName("sessions_replay")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions_replay").collect() if r.user_id != 99
+    )
+    assert got == [
+        (1, s(0), s(25), 5),
+        (2, s(0), s(8), 3),
+        (2, s(100), s(100), 1),
+    ]
+
+
 def test_stateful_first_event_strict_mode(spark, tmp_path):
     """Strict mode holds the candidate for a settle window: a smaller
     order_col delivered in a LATER batch still wins (the fast path, by
@@ -685,3 +731,45 @@ def test_latest_state_stream_tws_engine(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("tws_latest").collect()))
     assert got == [(2, 1, "b", "u")]
+
+
+def test_sessionize_tws_engine(spark, tmp_path):
+    """sessionize engine='tws' (transformWithStateInPandas, event-time
+    timers) emits the same sessions as the portable engine. Gated on
+    google.protobuf like the latest-state TWS test; without it, 'auto'
+    falls back to applyInPandasWithState (asserted via the session
+    result, same fixture as the basic sessionize test)."""
+    import datetime as dt
+
+    from lakesoul_spark.streaming.stateful import sessionize
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    src = str(tmp_path / "src")
+    schema = "user_id int, ts timestamp"
+    for b in [[(1, s(0)), (1, s(5))], [(1, s(30))],
+              [(99, s(1000))], [(99, s(2000))]]:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src)
+           .withWatermark("ts", "0 seconds"))
+    engine = "tws" if has_protobuf else "auto"
+    out = sessionize(sdf, ["user_id"], ts_col="ts", gap_ms=10_000,
+                     engine=engine)
+    q = (out.writeStream.format("memory").queryName("tws_sessions")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("tws_sessions").collect() if r.user_id != 99
+    )
+    assert got == [(1, s(0), s(5), 2), (1, s(30), s(30), 1)]
+    if not has_protobuf:
+        pytest.skip("google.protobuf absent: TWS engine not runnable here")
