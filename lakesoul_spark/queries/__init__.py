@@ -15,43 +15,40 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 7 executes the r6
-# ROUND-7 NOTE verbatim: rotate to (pipeline, tpch, lakehouse) so the
-# full pipeline pack is re-verified after r6's reader change (a65cc0c
-# touches every read path), and front the only queries whose last
-# driver row is r4 — q20 + the six tpch extras (3 rounds stale is the
-# ledger limit) — plus everything r7-new/changed:
-#   - text_bm25_topk (NEW) — BM25 retrieval top-k;
-#   - pipeline_corpus_profile (NEW) — per-source exact-quantile audit;
-#   - ann_index_refresh_hot (NEW) — skewed-churn refresh (2/16 cells);
-#   - lakehouse_sql_surface (CHANGED) — lean DML-read rescope (the
-#     ≤2 s bench decision; DDL verbs moved to pytest coverage).
-# Window: 11 front + 36 remaining pipeline = 47, leaving 3 core-TPC-H
-# slots. The lakehouse pack (minus sql_surface) and remaining tpch are
-# driver-green as of r6 and rotate back in r8.
-# ROUND-8 NOTE: after r7 the stale-r6 set is exactly the 25 lakehouse
-# queries (all but lakehouse_sql_surface, fronted r7) + 18 tpch
-# (q2, q5-q19 minus the r7-fronted ones, q21, q22). Rotate to
-# _MODULE_ORDER = (lakehouse, tpch, pipeline),
-# _FRONT = (*r8-new-or-changed,), and _DEFER = ("q1_pricing_summary",
-# "q3_unshipped_revenue", "q4_order_priority", "q20_heavy_suppliers",
-# "w_top_orders_per_customer", "w_running_user_value",
-# "w_sessionization", "rollup_region_customers",
-# "setop_repeat_customers", "json_event_props") — those ten are
-# r7-green and deferring them lets all 43 stale queries fit the
-# 50-window with up to 7 slots left for r8-new. The pipeline pack is
-# r7-green and waits for r9.
-_MODULE_ORDER = (pipeline, tpch, lakehouse)
+# verifies a 50-query prefix of this dict).  Round 8 executes the r7
+# ROUND-8 NOTE / VERDICT task 1 verbatim: rotate to (lakehouse, tpch,
+# pipeline) so the 43 queries whose last driver row is r6 (25 lakehouse
+# + 18 tpch) all re-enter the window, defer the ten r7-green relational
+# queries to the back, and front everything r8-new/changed:
+#   - dedup_index_refresh (NEW) — persisted MinHash-LSH band index:
+#     build, incremental refresh, indexed ingest classification;
+#   - text_bm25_batch (NEW) — batched BM25 (query table, two scans);
+#   - text_bm25_topk (CHANGED) — matched-tf persist (its df branch was
+#     silently re-tokenizing the corpus as a third scan);
+#   - pipeline_corpus_profile (CHANGED) — skew-safe exact quantiles
+#     (value-keyed pre-agg replaces the one-task-per-source window);
+#   - streaming_sessionize (CHANGED) — event-time-correct replay
+#     closure (sessions held until the watermark passes end + gap).
+# Window: 5 front + 25 lakehouse (incl. r7-green sql_surface) + 18
+# tpch + 2 pipeline mids = 50; every query ≤1 round stale afterwards.
+# ROUND-9 NOTE: after r8 the stale-r7 set is the pipeline pack minus
+# this round's front (~35 queries) + q1/q3/q4 + ann_index_refresh_hot
+# + lakehouse_sql_surface. Rotate to _MODULE_ORDER = (pipeline, tpch,
+# lakehouse)-ish, front r9-new/changed + those stragglers, defer the
+# r8-green lakehouse/tpch bulk.
+_MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
-    "text_bm25_topk", "pipeline_corpus_profile", "ann_index_refresh_hot",
-    "lakehouse_sql_surface",
-    "q20_heavy_suppliers",
-    "w_top_orders_per_customer", "w_running_user_value", "w_sessionization",
-    "rollup_region_customers", "setop_repeat_customers", "json_event_props",
+    "dedup_index_refresh", "text_bm25_batch", "text_bm25_topk",
+    "pipeline_corpus_profile", "streaming_sessionize",
 )
 
-_DEFER = ()
+_DEFER = (
+    "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
+    "q20_heavy_suppliers", "w_top_orders_per_customer",
+    "w_running_user_value", "w_sessionization", "rollup_region_customers",
+    "setop_repeat_customers", "json_event_props",
+)
 
 
 def _ordered(items: dict) -> dict:
