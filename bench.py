@@ -207,8 +207,8 @@ def main() -> None:
         fh.write("\n")
 
     def pack_of(name: str) -> str:
-        for p in ("ann", "dedup", "emb", "lakehouse", "pipeline",
-                  "streaming", "text", "mm", "train", "w"):
+        for p in ("ann", "dedup", "embedding", "lakehouse", "pipeline",
+                  "streaming", "text", "multimodal", "w"):
             if name.startswith(p + "_"):
                 return p
         return "tpch" if name[0] == "q" else "other"

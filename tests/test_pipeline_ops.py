@@ -1011,6 +1011,73 @@ def test_dedup_band_index_lifecycle(spark, tmp_path):
     ) == expect3
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_dedup_index_refresh_equals_rebuild(spark, tmp_path, seed):
+    """Input-modeled fuzz: after a random CDC churn history (inserts,
+    text updates, deletes) and a refresh per batch, the incrementally
+    maintained postings must equal an index built from scratch over the
+    current corpus — band keys, exact hashes, everything."""
+    import random
+
+    from lakesoul_spark.table import LakeSoulTable, create_table, write
+
+    rng = random.Random(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def text():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(4, 12)))
+
+    path = str(tmp_path / "corpus")
+    ddl = "doc_id long, text string, op string"
+    create_table(spark, path, ddl, hash_partitions=["doc_id"],
+                 hash_bucket_num=rng.choice([2, 4]),
+                 properties={"lakesoul_cdc_change_column": "op"})
+    t = LakeSoulTable.for_path(spark, path)
+    live: set[int] = set()
+    first = {i: text() for i in range(rng.randint(4, 10))}
+    t.upsert(_df(spark, [(i, s, "insert") for i, s in first.items()], ddl))
+    live |= set(first)
+    dedup.build_dedup_index(t, id_col="doc_id", text_col="text",
+                            n=2, num_hashes=8, rows_per_band=2)
+
+    def postings(tbl):
+        idx = LakeSoulTable.for_path(
+            spark, f"{tbl.path}/{dedup.DEDUP_INDEX_DIR}")
+        return sorted(map(tuple, idx.to_df()
+                          .select("doc_id", "band", "key", "h").collect()))
+
+    for rnd in range(rng.randint(2, 4)):
+        batch = {}
+        for _ in range(rng.randint(1, 6)):
+            i = rng.randint(0, 14)
+            if i in batch:
+                continue
+            if i in live and rng.random() < 0.3:
+                batch[i] = (text(), "delete")
+            elif i in live:
+                batch[i] = (text(), "update")
+            else:
+                batch[i] = (text(), "insert")
+        t.upsert(_df(spark,
+                     [(i, s, op) for i, (s, op) in batch.items()], ddl))
+        for i, (_, op) in batch.items():
+            live.discard(i) if op == "delete" else live.add(i)
+        info = dedup.refresh_dedup_index(t)
+        assert info["mode"] == "incremental", info
+        got = postings(t)
+        assert {r[0] for r in got} == live
+        # rebuild from scratch over the same corpus → identical postings
+        scratch = str(tmp_path / f"scratch{rnd}")
+        write(t.to_df().select("doc_id", "text"), scratch,
+              mode="overwrite", hash_partitions=["doc_id"],
+              hash_bucket_num=2)
+        t2 = LakeSoulTable.for_path(spark, scratch)
+        dedup.build_dedup_index(t2, id_col="doc_id", text_col="text",
+                                n=2, num_hashes=8, rows_per_band=2)
+        assert got == postings(t2)
+
+
 def test_pca_fit_and_project(spark):
     """pca_fit: orthonormal sign-fixed components in descending
     variance order, deterministic; project_embeddings matches a numpy

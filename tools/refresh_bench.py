@@ -21,6 +21,17 @@ prints ONE JSON line per churn shape with seconds per phase:
 At sf0.1 on local[32] the delta is bounded by per-job scheduler
 overhead; at scale the rewrite volume (2 vs 16 partition overwrites)
 dominates.
+
+A second JSON line covers the DEDUP band index lifecycle
+(``dedup_index_refresh`` bundles it all into one query wall):
+
+- ``write``    corpus bulk write
+- ``build``    full band-index build (shingle -> minhash -> postings)
+- ``upsert``   churn delta upsert (docs with doc_id % 50 == 1 doubled)
+- ``refresh``  incremental refresh — THE number under test: a delta
+  upsert of exactly changed x bands posting rows, vs ``build`` which
+  recomputes every corpus signature
+- ``classify`` indexed ingest classification of the doc_id%5==0 batch
 """
 
 import json
@@ -96,6 +107,51 @@ def main() -> None:
                     "upsert": round(t3 - t2, 3),
                     "refresh": round(t4 - t3, 3),
                     "search": round(t5 - t4, 3),
+                },
+                "unit": "sec",
+                "sf_dir": sf_dir,
+            }))
+        # --- dedup band index: refresh cost vs full signature rebuild
+        from lakesoul_spark.operators import dedup
+
+        for rep in range(2):  # first pass warms, second records
+            path = os.path.join(base, f"dedup_{rep}")
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            corpus = d.filter(F.col("doc_id") % 5 != 0)
+            t0 = time.time()
+            write(corpus, path, mode="overwrite",
+                  hash_partitions=["doc_id"], hash_bucket_num=4)
+            t1 = time.time()
+            t = LakeSoulTable.for_path(spark, path)
+            dedup.build_dedup_index(t, id_col="doc_id", text_col="text",
+                                    n=3, num_hashes=32, rows_per_band=2)
+            t2 = time.time()
+            churn = corpus.filter(F.col("doc_id") % 50 == 1).withColumn(
+                "text", F.concat_ws(" ", F.col("text"), F.col("text"))
+            )
+            t.upsert(churn)
+            t3 = time.time()
+            info = dedup.refresh_dedup_index(t)
+            t4 = time.time()
+            assert info["mode"] == "incremental", info
+            new = d.filter(F.col("doc_id") % 5 == 0)
+            dedup.dedup_against_corpus_indexed(new, t) \
+                .write.format("noop").mode("overwrite").save()
+            t5 = time.time()
+            if rep == 0:
+                continue
+            print(json.dumps({
+                "metric": "dedup_index_phases",
+                "changed_ids": info["changed_ids"],
+                "postings_rows": info["postings_rows"],
+                "timings": {
+                    "write": round(t1 - t0, 3),
+                    "build": round(t2 - t1, 3),
+                    "upsert": round(t3 - t2, 3),
+                    "refresh": round(t4 - t3, 3),
+                    "classify": round(t5 - t4, 3),
                 },
                 "unit": "sec",
                 "sf_dir": sf_dir,
