@@ -28,9 +28,11 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 #   - pipeline_corpus_profile (CHANGED) — skew-safe exact quantiles
 #     (value-keyed pre-agg replaces the one-task-per-source window);
 #   - streaming_sessionize (CHANGED) — event-time-correct replay
-#     closure (sessions held until the watermark passes end + gap).
-# Window: 5 front + 25 lakehouse (incl. r7-green sql_surface) + 18
-# tpch + 2 pipeline mids = 50; every query ≤1 round stale afterwards.
+#     closure (sessions held until the watermark passes end + gap);
+#   - w_asof_join / w_interval_join (NEW) — temporal joins Spark
+#     lacks natively, via operators/joins.py.
+# Window: 7 front + 25 lakehouse (incl. r7-green sql_surface) + 18
+# tpch = exactly 50; every query ≤1 round stale afterwards.
 # ROUND-9 NOTE: after r8 the stale-r7 set is the pipeline pack minus
 # this round's front (~35 queries) + q1/q3/q4 + ann_index_refresh_hot
 # + lakehouse_sql_surface. Rotate to _MODULE_ORDER = (pipeline, tpch,
@@ -39,8 +41,9 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
-    "dedup_index_refresh", "text_bm25_batch", "text_bm25_topk",
-    "pipeline_corpus_profile", "streaming_sessionize",
+    "dedup_index_refresh", "text_bm25_batch", "w_asof_join",
+    "w_interval_join", "text_bm25_topk", "pipeline_corpus_profile",
+    "streaming_sessionize",
 )
 
 _DEFER = (

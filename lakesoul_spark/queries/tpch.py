@@ -542,6 +542,107 @@ def w_sessionize(spark, sf_dir):
     return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+@_register(
+    "w_asof_join",
+    """
+    WITH u AS (
+      SELECT user_id, ts, 1 AS is_left, event_id, value,
+             NULL::BIGINT AS v_id, NULL::TIMESTAMP AS v_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, NULL, event_id, ts
+      FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT *,
+             last_value(v_id IGNORE NULLS) OVER w AS mv_id,
+             last_value(v_ts IGNORE NULLS) OVER w AS mv_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, v_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+           CASE WHEN mv_ts IS NOT NULL AND ts - mv_ts <= INTERVAL 6 HOUR
+                THEN mv_id END AS view_event_id,
+           CASE WHEN mv_ts IS NOT NULL AND ts - mv_ts <= INTERVAL 6 HOUR
+                THEN epoch_ns(mv_ts) END AS view_ts_ns,
+           CASE WHEN mv_ts IS NOT NULL AND ts - mv_ts <= INTERVAL 6 HOUR
+                THEN epoch_ns(ts) - epoch_ns(mv_ts) END AS gap_ns
+    FROM m WHERE is_left = 1
+    """,
+)
+def w_asof_join_q(spark, sf_dir):
+    """As-of join: each purchase joined to the user's latest view in
+    the preceding 6 hours (backward, ts-inclusive, event-id
+    tie-break). Spark has no native ASOF JOIN; ``operators/joins.py
+    asof_join`` re-expresses it as union-tag + ONE keyed window —
+    no per-key cross product."""
+    from lakesoul_spark.operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purch, views, on="user_id", left_ts="ts",
+        tolerance=21_600_000_000_000, tie_break="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("ts").alias("ts_ns"), "value",
+        F.col("r_event_id").alias("view_event_id"),
+        F.col("r_ts").alias("view_ts_ns"),
+        (F.col("ts") - F.col("r_ts")).alias("gap_ns"),
+    )
+
+
+@_register(
+    "w_interval_join",
+    """
+    WITH e AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+    SELECT e.user_id, e.event_id, epoch_ns(e.ts) AS error_ts_ns,
+           COUNT(c.c_ts) AS n_clicks,
+           min(epoch_ns(c.c_ts)) - epoch_ns(e.ts) AS first_click_gap_ns
+    FROM e LEFT JOIN c ON c.user_id = e.user_id
+         AND c.c_ts >= e.ts AND c.c_ts <= e.ts + INTERVAL 1 HOUR
+    GROUP BY e.user_id, e.event_id, e.ts
+    """,
+)
+def w_interval_join_q(spark, sf_dir):
+    """Interval (range) join: clicks inside the 1-hour window after
+    each error of the same user — ``operators/joins.py interval_join``
+    (bucketized equi-join: points land in exactly one bucket,
+    intervals explode to covered buckets, exact range filter after the
+    equi-shuffle; never a theta cross product) — then a left join back
+    so zero-click errors keep a row."""
+    from lakesoul_spark.operators.joins import interval_join
+
+    hour_ns = 3_600_000_000_000
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("ts").alias("s"),
+        (F.col("ts") + hour_ns).alias("e"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = interval_join(
+        clicks, errors, on="user_id", point_ts="c_ts",
+        start_col="s", end_col="e", bucket=hour_ns,
+    )
+    agg = pairs.groupBy("user_id", "event_id", "s").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("c_ts").alias("first_c"),
+    )
+    return errors.join(agg, ["user_id", "event_id", "s"], "left").select(
+        "user_id", "event_id", F.col("s").alias("error_ts_ns"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        (F.col("first_c") - F.col("s")).alias("first_click_gap_ns"),
+    )
+
+
 # ------------------------------------------------------- rollup / set ops
 
 @_register(
