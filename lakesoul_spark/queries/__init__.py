@@ -37,7 +37,10 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # this round's front (~35 queries) + q1/q3/q4 + ann_index_refresh_hot
 # + lakehouse_sql_surface. Rotate to _MODULE_ORDER = (pipeline, tpch,
 # lakehouse)-ish, front r9-new/changed + those stragglers, defer the
-# r8-green lakehouse/tpch bulk.
+# r8-green lakehouse/tpch bulk. Queries ADDED late in r8 (deferred
+# below so they would not displace the 43 planned refreshes from the
+# exactly-50 window; locally hash-verified via tools/verify_oracle.py)
+# MUST be in the r9 front: streaming_stream_join.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
@@ -51,6 +54,9 @@ _DEFER = (
     "q20_heavy_suppliers", "w_top_orders_per_customer",
     "w_running_user_value", "w_sessionization", "rollup_region_customers",
     "setop_repeat_customers", "json_event_props",
+    # r8 late additions (see ROUND-9 NOTE): deferred to protect the
+    # planned 50-window, locally hash-verified, fronted in r9
+    "streaming_stream_join",
 )
 
 

@@ -880,6 +880,89 @@ def stateful_sessionize(spark, sf_dir):
     )
 
 
+@_register(
+    "streaming_stream_join",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id,
+           epoch_us(l.ts) AS click_ts_us, epoch_us(r.ts) AS purchase_ts_us,
+           CAST(l.value AS DOUBLE) AS click_value,
+           CAST(r.value AS DOUBLE) AS purchase_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked event-time stream-stream interval join (the Flink
+    dual-stream join workload, host-engine semantics — SURVEY §2.8):
+    clicks and purchases replayed as two independent ts-ordered
+    micro-batch file streams, inner-joined on user with the purchase
+    constrained to [click, click + 30 min]. Both sides carry
+    watermarks, so Spark bounds the join state (each side retained only
+    until the other stream's watermark passes its ts + the interval —
+    state O(in-flight window), not O(stream)); inner-join append mode
+    emits each match in the micro-batch that completes it, so the
+    replayed result equals the batch interval join the oracle runs.
+    The delay is sized so the fixture replay drops nothing; at 100 TB
+    the same plan's state stays bounded by (rate x delay) per side."""
+    src_l = _tmp("ssj_click_src", sf_dir)
+    src_r = _tmp("ssj_purchase_src", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        # ts arrives as epoch-nanos int64; integer DIV before
+        # timestamp_micros (double / loses sub-ms precision at 1.7e18)
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    _stage_ordered_stream(clicks, "ts", src_l, n_slices=2)
+    _stage_ordered_stream(purchases, "ts", src_r, n_slices=2)
+    left = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_l)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    right = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_r)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory").queryName("ssj_out")
+            .option("checkpointLocation", _tmp("ssj_ck", sf_dir))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    return spark.table("ssj_out").select(
+        "click_id", "purchase_id", "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.col("click_value").cast("double").alias("click_value"),
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+
+
 # --------------------------------------------------------- SQL dispatcher
 @_register(
     "lakehouse_sql_surface",

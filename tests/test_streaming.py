@@ -773,3 +773,55 @@ def test_sessionize_tws_engine(spark, tmp_path):
     assert got == [(1, s(0), s(5), 2), (1, s(30), s(30), 1)]
     if not has_protobuf:
         pytest.skip("google.protobuf absent: TWS engine not runnable here")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked inner stream-stream interval join (the query-pack
+    streaming_stream_join shape): matches within [l.ts, l.ts + 30 s]
+    on the same key are emitted exactly once across micro-batches —
+    including a cross-batch pair (left arrives a batch before its
+    right match) — and out-of-window / other-key pairs never appear."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = "id int, user_id int, ts timestamp"
+    # left: user1@0, user1@100, user2@0
+    # right: user1@10 (matches l1@0), user1@125 (matches l2@100),
+    #        user1@200 (no left within 30 s), user2@40 (out of window)
+    lbatches = [[(1, 1, s(0)), (3, 2, s(0))], [(2, 1, s(100))]]
+    rbatches = [[(11, 1, s(10))], [(12, 1, s(125)), (13, 1, s(200)),
+                                   (14, 2, s(40))]]
+    for b in lbatches:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(lsrc)
+    for b in rbatches:
+        _df(spark, b, schema).coalesce(1).write.mode("append").parquet(rsrc)
+    left = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(lsrc).withWatermark("ts", "5 minutes")
+        .select(F.col("id").alias("lid"), "user_id",
+                F.col("ts").alias("lts"))
+    )
+    right = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(rsrc).withWatermark("ts", "5 minutes")
+        .select(F.col("id").alias("rid"),
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("rts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 30 SECONDS")),
+        "inner",
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj_test")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.lid, r.rid) for r in spark.table("ssj_test").collect()
+    )
+    assert got == [(1, 11), (2, 12)]
