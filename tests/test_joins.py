@@ -91,3 +91,89 @@ def test_interval_join_buckets_and_bounds(spark):
     with pytest.raises(ValueError, match="collision"):
         interval_join(points.withColumnRenamed("p", "s"), iv, on="k",
                       point_ts="s", start_col="s", end_col="e", bucket=10)
+
+
+# ------------------------------------------------------ model-based fuzz
+
+def _asof_model(lrows, rrows, direction, tolerance):
+    """Brute-force as-of: per left row scan every right row of the key.
+    tie_break = rid (unique), so the winner is always deterministic."""
+    out = []
+    for (k, ts, name) in lrows:
+        if direction == "backward":
+            cand = [r for r in rrows if r[0] == k and r[1] <= ts]
+            # nearest ts, then max rid
+            best = max(cand, key=lambda r: (r[1], r[3]), default=None)
+            dist = ts - best[1] if best else None
+        else:
+            cand = [r for r in rrows if r[0] == k and r[1] >= ts]
+            # nearest ts, then min rid (the operator's forward contract)
+            best = min(cand, key=lambda r: (r[1], r[3]), default=None)
+            dist = best[1] - ts if best else None
+        if best is not None and tolerance is not None and dist > tolerance:
+            best = None
+        out.append((k, ts, name,
+                    best[2] if best else None, best[3] if best else None))
+    return sorted(out, key=lambda t: (t[0], t[1], t[2] or ""))
+
+
+def test_asof_join_fuzz_vs_model(spark):
+    """Seeded random histories (duplicate keys, ts ties on and across
+    sides, null payloads, sparse keys) x {backward, forward} x
+    {tolerance on/off} match the brute-force per-row model."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        keys = [1, 2, 3, 4]
+        lrows = [
+            (rng.choice(keys), rng.randrange(0, 40),
+             f"L{i}") for i in range(30)
+        ]
+        rrows = [
+            (rng.choice(keys + [9]), rng.randrange(0, 40),
+             rng.choice([None, "x", "y"]), i) for i in range(25)
+        ]
+        left = _df(spark, lrows, "k int, ts long, name string")
+        right = _df(spark, rrows, "k int, ts long, rv string, rid long")
+        for direction in ("backward", "forward"):
+            for tol in (None, 5):
+                out = asof_join(left, right, on="k", left_ts="ts",
+                                direction=direction, tolerance=tol,
+                                tie_break="rid")
+                got = sorted(
+                    ((r["k"], r["ts"], r["name"], r["r_rv"], r["r_rid"])
+                     for r in out.collect()),
+                    key=lambda t: (t[0], t[1], t[2] or ""),
+                )
+                want = _asof_model(lrows, rrows, direction, tol)
+                assert got == want, (seed, direction, tol)
+
+
+def test_interval_join_fuzz_vs_model(spark):
+    """Seeded random points/intervals (inverted intervals allowed —
+    empty, zero-width, bucket-boundary-straddling) x bucket widths
+    match the brute-force nested loop, each pair exactly once."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        keys = [1, 2, 3]
+        pts = [(rng.choice(keys), rng.randrange(0, 100)) for _ in range(40)]
+        ivs = []
+        for i in range(25):
+            s = rng.randrange(0, 100)
+            e = s + rng.randrange(-3, 30)  # some inverted -> match nothing
+            ivs.append((rng.choice(keys), s, e, i))
+        want = sorted(
+            (k, p, iid)
+            for (k, p) in pts
+            for (ik, s, e, iid) in ivs
+            if ik == k and s <= p <= e
+        )
+        points = _df(spark, pts, "k int, p long")
+        iv = _df(spark, ivs, "k int, s long, e long, iid int")
+        for bucket in (1, 7, 10, 64):
+            out = interval_join(points, iv, on="k", point_ts="p",
+                                start_col="s", end_col="e", bucket=bucket)
+            assert _rows(out, "k", "p", "iid") == want, (seed, bucket)
