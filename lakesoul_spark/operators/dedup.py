@@ -261,17 +261,20 @@ def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
     is num_hashes/4 md5 calls per shingle. The same family is
     re-stated verbatim in the DuckDB oracle."""
     assert num_hashes % 4 == 0
-    proj = sh.select(
+    # rendered as parsed SQL strings, not Column trees: the Column
+    # build cost ~0.25 s of driver Py4J per plan (~160 round-trips),
+    # paid by every build/refresh/ingest/pair query — driver time
+    # doesn't parallelize (the similarity.py _index_rows_fast_sql
+    # lesson). Values are pinned by the DuckDB oracles restating this
+    # exact family, so the rewrite stays hash-checked end to end.
+    proj = sh.selectExpr(
         "id",
-        *[
-            F.md5(F.concat(F.lit(f"{k}|"), F.col("sh"))).alias(f"h{k}")
-            for k in range(num_hashes // 4)
-        ],
+        *[f"md5(concat('{k}|', sh)) AS h{k}" for k in range(num_hashes // 4)],
     )
-    aggs = []
-    for s in range(num_hashes):
-        k, j = divmod(s, 4)
-        aggs.append(F.min(F.substring(F.col(f"h{k}"), 1 + 8 * j, 8)).alias(f"mh{s}"))
+    aggs = [
+        F.expr(f"min(substring(h{s // 4}, {1 + 8 * (s % 4)}, 8)) AS mh{s}")
+        for s in range(num_hashes)
+    ]
     return proj.groupBy("id").agg(*aggs)
 
 
@@ -291,18 +294,19 @@ def _lsh_buckets(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFra
     """(id, band, key) bucket rows from a signature frame — band key =
     md5 of the band's concatenated min-hashes."""
     bands = num_hashes // rows_per_band
-    band_cols = []
-    for b in range(bands):
-        parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("key"),
-            )
+    # parsed SQL rendering for the same reason as _minhash_sig above
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {parts})) AS key)".format(
+            b=b,
+            parts=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
-    return sig.select(
-        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        "id", f"explode(array({structs})) AS bk"
+    ).selectExpr("id", "bk.band AS band", "bk.key AS key")
 
 
 def dedup_against_corpus(
