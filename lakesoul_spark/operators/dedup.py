@@ -775,17 +775,20 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     )
     toks = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     toks = toks.withColumn("h", F.md5(F.col("tok")))
+    # parsed SQL rendering (the _minhash_sig lesson): the per-bit
+    # Column trees cost ~0.5 s of driver Py4J per plan
     votes = [
-        F.sum(
-            F.when(
-                F.substring("h", j + 1, 1).isin(*list("89abcdef")), F.col("tf")
-            ).otherwise(-F.col("tf"))
-        ).alias(f"v{j}")
+        F.expr(
+            f"sum(CASE WHEN substring(h, {j + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS v{j}"
+        )
         for j in range(bits)
     ]
     agg = toks.groupBy("id").agg(*votes)
-    fp = F.concat(*[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(bits)])
-    return agg.select("id", fp.alias("simhash"))
+    fp = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return agg.selectExpr("id", f"({fp}) AS simhash")
 
 
 def _norm_rows(vals):
