@@ -40,7 +40,8 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # r8-green lakehouse/tpch bulk. Queries ADDED late in r8 (deferred
 # below so they would not displace the 43 planned refreshes from the
 # exactly-50 window; locally hash-verified via tools/verify_oracle.py)
-# MUST be in the r9 front: streaming_stream_join.
+# MUST be in the r9 front: streaming_stream_join, lakehouse_rollback,
+# lakehouse_convert, lakehouse_bucket_join.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
@@ -56,7 +57,8 @@ _DEFER = (
     "setop_repeat_customers", "json_event_props",
     # r8 late additions (see ROUND-9 NOTE): deferred to protect the
     # planned 50-window, locally hash-verified, fronted in r9
-    "streaming_stream_join",
+    "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
+    "lakehouse_bucket_join",
 )
 
 

@@ -963,6 +963,154 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- rollback / convert / bucket join
+
+@_register(
+    "lakehouse_rollback",
+    f"""
+    SELECT {_ORDER_SEL_SQL}
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders)
+    """,
+)
+def rollback_query(spark, sf_dir):
+    """Version rollback end-to-end (reference LakeSoulTable.scala:
+    570-585 rollback): base write -> churn upsert -> rollback to the
+    base version (a METADATA-ONLY commit — files stay on disk until
+    vacuum) -> a second upsert on the rolled-back base. Only the
+    post-rollback churn may survive; the rolled-back generation must
+    not resurface through the MOR merge."""
+    path = _tmp("rollback", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, path)
+    base_v = t.store.head_version()
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("Z"))
+    )
+    t.rollback(version=base_v)
+    # rollback restored the base file set — the churn generation is
+    # expired (metadata-only: base files were never rewritten)
+    live = {f.path for f in t.store.snapshot().files}
+    base = {f.path for f in t.store.snapshot(version=base_v).files}
+    assert live == base, "rollback must restore exactly the base file set"
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+    )
+    return _fmt_orders(t.to_df())
+
+
+@_register(
+    "lakehouse_convert",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 0.0, 'X-NEW'
+      FROM orders WHERE o_orderkey % 13 = 0)
+    WHERE o_orderpriority <> '1-URGENT'
+    """,
+)
+def convert_query(spark, sf_dir):
+    """CONVERT TO LAKESOUL end-to-end (reference in-place import): a
+    plain Hive-partitioned parquet directory becomes a table with ONE
+    footer-scan commit (no data rewrite — asserted), then the full
+    surface runs over the legacy files: an ACID append lands a brand
+    new range partition, DELETE rewrites only touched files, and the
+    final MOR read reattaches the partition column from metadata."""
+    import glob as _glob
+
+    from lakesoul_spark.table import convert_to_lakesoul
+
+    path = _tmp("convert", sf_dir)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    before = set(_glob.glob(f"{path}/*/*.parquet"))
+    t = convert_to_lakesoul(spark, path)
+    assert t.info.range_partitions == ["o_orderstatus"]
+    assert set(_glob.glob(f"{path}/*/*.parquet")) == before, \
+        "conversion must not rewrite data"
+    extras = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("X-NEW").alias("o_orderpriority"),
+        )
+    )
+    write(extras, path, mode="append")
+    t.delete(F.col("o_orderpriority") == "1-URGENT")
+    return t.to_df().select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+@_register(
+    "lakehouse_bucket_join",
+    """
+    SELECT c.c_custkey, c.c_name, o.n_orders,
+           CAST(o.total AS DOUBLE) AS total_price
+    FROM customer c JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+      FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def bucket_join(spark, sf_dir):
+    """Bucket-aligned shuffle-free join (reference
+    SetPartitionAndOrdering.scala bucketed scan): two PK tables with
+    the SAME murmur3 bucketing materialized via ``save_as_bucketed``
+    sort-merge-join with NO Exchange in the plan (asserted in-query —
+    the merge hint forbids the broadcast fallback that would make the
+    assert vacuous). At 100 TB this is the co-located fact-dim join:
+    both sides stream bucket-aligned splits, zero network."""
+    cpath = _tmp("bj_cust", sf_dir)
+    opath = _tmp("bj_ostats", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write(cust, cpath, mode="overwrite",
+          hash_partitions=["c_custkey"], hash_bucket_num=4)
+    ostats = (
+        _t(spark, sf_dir, "orders").groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total"),
+        )
+    )
+    write(ostats, opath, mode="overwrite",
+          hash_partitions=["o_custkey"], hash_bucket_num=4)
+    LakeSoulTable.for_path(spark, cpath).save_as_bucketed("bjq_customer")
+    LakeSoulTable.for_path(spark, opath).save_as_bucketed("bjq_orders")
+    j = (
+        spark.table("bjq_customer").hint("merge")
+        .join(spark.table("bjq_orders").hint("merge"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "n_orders",
+            F.col("total").cast("double").alias("total_price"),
+        )
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan, plan[:1500]
+    return j
+
+
 # --------------------------------------------------------- SQL dispatcher
 @_register(
     "lakehouse_sql_surface",
