@@ -1111,6 +1111,72 @@ def bucket_join(spark, sf_dir):
     return j
 
 
+@_register(
+    "lakehouse_upsert_on_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN o.o_custkey % 10 = 3 THEN 'X-VIP'
+                ELSE o.o_orderpriority END AS o_orderpriority,
+           CAST(CASE WHEN o.o_orderkey % 100 = 7 THEN o.o_totalprice * 2
+                     ELSE o.o_totalprice END AS DOUBLE) AS o_totalprice,
+           CASE WHEN o.o_orderkey % 100 = 7 THEN c.c_mktsegment
+                END AS c_mktsegment
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def upsert_on_join(spark, sf_dir):
+    """Join-adjacent upsert surface end-to-end (reference
+    LakeSoulTableOperations.scala:91-166): ``upsert_on_join_key``
+    updates rows keyed by a NON-PK column (the broadcast join attaches
+    the PK — every order of a VIP customer flips priority without the
+    caller knowing order keys), then ``join_with_tables_and_upsert``
+    enriches a delta from a dimension table before upserting (the
+    wide-table build without a stream join — non-delta rows keep NULL
+    in the enriched column, partial-column MOR preserves the VIP flag
+    where both deltas touch one order)."""
+    path = _tmp("upsert_join", sf_dir)
+    dim_path = _tmp("upsert_join_dim", sf_dir)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    write(
+        orders.withColumn("c_mktsegment", F.lit(None).cast("string")),
+        path, mode="overwrite",
+        hash_partitions=["o_orderkey"], hash_bucket_num=8,
+    )
+    t = LakeSoulTable.for_path(spark, path)
+    # 1) delta keyed by customer, not by the PK
+    vip = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("X-VIP").alias("o_orderpriority"),
+        )
+    )
+    t.upsert_on_join_key(vip, ["o_custkey"])
+    # 2) enrich a price-churn delta from the customer dimension
+    write(
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        dim_path, mode="overwrite",
+        hash_partitions=["o_custkey"], hash_bucket_num=4,
+    )
+    dim = LakeSoulTable.for_path(spark, dim_path)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    t.join_with_tables_and_upsert(delta, [dim], [["o_custkey"]])
+    return t.to_df().select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_mktsegment",
+    )
+
+
 # --------------------------------------------------------- SQL dispatcher
 @_register(
     "lakehouse_sql_surface",
