@@ -53,6 +53,15 @@ class LakeSoulArrowDataset:
         self.table_path = os.path.abspath(table_path)
         self.store = MetaStore(self.table_path)
         self.info = self.store.table_info()
+        if self.info.properties.get("lakesoul.columnMergeOps"):
+            # this Spark-free reader merges generations with use_last
+            # only; a table declaring per-column ops (mv.py aggregate
+            # partials) would read back one generation's partial
+            raise ValueError(
+                "table declares lakesoul.columnMergeOps; this reader "
+                "merges with use_last only — read via "
+                "LakeSoulTable.to_df()"
+            )
         self.rank, self.world_size = rank, world_size
         self.batch_size = batch_size
         self._partitions = partitions or {}

@@ -19,6 +19,15 @@ merge_operator/MergeOperator.scala:17-85``):
                                    stringified and delimiter-joined
 - ``joined_last_by_comma`` / ``joined_last_by_semicolon``
                                  — newest non-null value, stringified
+- ``min_all`` / ``max_all``      — extremum across all versions
+                                   (extensions beyond the reference's
+                                   family: with ``sum_all`` they make
+                                   MOR generations usable as AGGREGATE
+                                   PARTIALS — the incremental
+                                   materialized-view read path in
+                                   ``lakesoul_spark/mv.py``; min/max
+                                   are associative so partials compose
+                                   under compaction exactly like sums)
 
 Spark-first re-expression: instead of a k-way sorted stream merge, the
 MOR view groups by PK and evaluates each column's operator as a native
@@ -46,6 +55,8 @@ MERGE_OP_NAMES = frozenset(
         "joined_all_by_semicolon",
         "joined_last_by_comma",
         "joined_last_by_semicolon",
+        "min_all",
+        "max_all",
     }
 )
 
@@ -105,6 +116,10 @@ def merge_agg_expr(op: str, col: Column, ord_: Column, has: Column) -> Column:
         return F.max_by(col, F.when(has & col.isNotNull(), ord_))
     if op == "sum_all":
         return F.sum(F.when(has, col))
+    if op == "min_all":
+        return F.min(F.when(has, col))
+    if op == "max_all":
+        return F.max(F.when(has, col))
     if op == "joined_all_by_comma":
         return _joined_all(col, ord_, has, ",")
     if op == "joined_all_by_semicolon":

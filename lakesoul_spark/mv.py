@@ -1,0 +1,287 @@
+"""Incrementally-maintained aggregate materialized views.
+
+A capability the reference does not ship but every warehouse on top of
+it rebuilds by hand: a GROUP-BY aggregate table over an append-only
+LakeSoul source, refreshed from COMMIT RANGES instead of recomputed
+from the full corpus. The trick is that LakeSoul's own MOR machinery
+already is an incremental aggregator:
+
+- each ``refresh()`` reads ONLY the source commits since the last
+  applied version (``for_path_incremental_versions`` — the reference's
+  incremental-read contract, ``DataOperation.scala:225-228``), computes
+  one PARTIAL aggregate per group key, and commits it as a delta
+  generation of a PK table keyed by the group columns;
+- the read side merges generations per key with declared per-column
+  merge operators (``sum_all`` / ``min_all`` / ``max_all``), so the
+  merged value IS the total — no read-modify-write, no join against
+  the previous MV state, ever;
+- compaction folds partials associatively (sum of sums, min of mins),
+  so routine maintenance keeps the MV at one generation per bucket
+  without changing its value.
+
+At 100 TB this turns a daily full-table aggregation into
+O(today's ingest): one bounded incremental scan + one bucketed write.
+The merge ops are persisted in TABLE METADATA (``lakesoul.
+columnMergeOps``) rather than registered at read time, so any reader
+or compactor — including ones that know nothing about mv.py — applies
+them; scan paths that can't (the Python Data Source / Arrow readers)
+refuse loudly instead of returning a partial.
+
+Exactly-once: the refresh commit carries the applied source version in
+its ``extra`` metadata AND as a ``(query_id, batch_id)`` idempotence
+key — the same mechanism the streaming sink uses — so a crashed or
+re-run refresh can never double-count a window.
+
+Why append-only sources: LakeSoul CDC update/delete rows carry no
+pre-image (``ProcessCDCTableMergeOnRead.scala:25-27``), so a sum can't
+retract the old value; UPDATE/DELETE rewrite commits aren't
+representable as row deltas at all. ``refresh()`` therefore verifies
+every source commit in the window is an append (compactions are fine —
+incremental reads skip them as re-statements) and fails loudly
+otherwise; ``rebuild()`` is the recovery path.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lakesoul_spark.io.writer import write_table_data
+from lakesoul_spark.meta.store import (
+    MetaStore,
+    OP_APPEND,
+    OP_COMPACTION,
+    OP_MERGE,
+    OP_UPDATE,
+)
+from lakesoul_spark.table import LakeSoulTable, create_table
+
+SPEC_PROP = "lakesoul.mv.spec"
+_EXTRA_END = "mv.source_end_version"
+
+# out-column merge operator per aggregate function: partials compose
+# associatively under these, which is what makes compaction safe
+_MERGE_OP = {"sum": "sum_all", "count": "sum_all", "min": "min_all",
+             "max": "max_all"}
+
+
+def _partial_aggs(aggs: dict) -> list:
+    """One partial-aggregate Column per MV output column.
+
+    Sums follow the repo determinism contract (exact decimal(18,6)
+    per-row domain); the partial is widened to decimal(28,6) so both
+    the per-refresh sum and the MOR sum-of-partials stay exact —
+    ``finalize`` casts to double at the very end.
+    """
+    out = []
+    for name, (fn, expr) in aggs.items():
+        if fn == "sum":
+            out.append(
+                F.sum(F.expr(expr).cast("decimal(18,6)"))
+                .cast("decimal(28,6)").alias(name)
+            )
+        elif fn == "count":
+            col = F.lit(1) if expr in (None, "*") else F.expr(expr)
+            out.append(F.count(col).cast("bigint").alias(name))
+        elif fn == "min":
+            out.append(F.min(F.expr(expr)).alias(name))
+        elif fn == "max":
+            out.append(F.max(F.expr(expr)).alias(name))
+        else:
+            raise ValueError(
+                f"unsupported MV aggregate {fn!r} for {name!r}; "
+                "supported: sum, count, min, max (avg = sum + count)"
+            )
+    return out
+
+
+def _validate_source(info) -> None:
+    if info.hash_partitions:
+        raise ValueError(
+            "MV sources must be append-only: a primary-key source "
+            "upserts in place and its CDC rows carry no pre-image, so "
+            "a sum partial cannot retract the superseded value"
+        )
+    if info.cdc_column:
+        raise ValueError("MV sources must not be CDC tables")
+
+
+class AggMV:
+    """Handle on a materialized aggregate view table."""
+
+    def __init__(self, spark: SparkSession, mv_path: str):
+        self.spark = spark
+        self.table = LakeSoulTable.for_path(spark, mv_path)
+        spec_json = self.table.info.properties.get(SPEC_PROP)
+        if not spec_json:
+            raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
+        spec = json.loads(spec_json)
+        self.source_path: str = spec["source_path"]
+        self.group_by: list[str] = list(spec["group_by"])
+        # {out_col: [fn, expr]}
+        self.aggs: dict = {k: tuple(v) for k, v in spec["aggs"].items()}
+
+    # ------------------------------------------------------------ factory
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        source_path: str,
+        mv_path: str,
+        *,
+        group_by: list[str],
+        aggs: dict,
+        hash_bucket_num: int = 4,
+    ) -> "AggMV":
+        """Define the view and load nothing: the first :meth:`refresh`
+        covers the source's full history through one incremental read
+        (version 1..head), so initial load and steady-state share one
+        code path. ``aggs`` maps output column → ``(fn, expr_sql)``
+        with fn in sum/count/min/max (count expr ``None``/``"*"`` means
+        count rows)."""
+        src = LakeSoulTable.for_path(spark, source_path)
+        _validate_source(src.info)
+        if not group_by:
+            raise ValueError("group_by must name at least one column")
+        # derive the MV schema from the partial-agg plan (no job)
+        probe = (
+            src.to_df().limit(0).groupBy(*group_by)
+            .agg(*_partial_aggs(aggs))
+        )
+        merge_ops = ",".join(
+            f"{name}:{_MERGE_OP[fn]}" for name, (fn, _e) in aggs.items()
+        )
+        spec = {
+            "source_path": src.path,
+            "group_by": list(group_by),
+            "aggs": {k: list(v) for k, v in aggs.items()},
+        }
+        create_table(
+            spark,
+            mv_path,
+            probe.schema,
+            hash_partitions=list(group_by),
+            hash_bucket_num=hash_bucket_num,
+            properties={
+                SPEC_PROP: json.dumps(spec),
+                "lakesoul.columnMergeOps": merge_ops,
+            },
+        )
+        return cls(spark, mv_path)
+
+    # ------------------------------------------------------------ refresh
+
+    def last_applied_version(self) -> int:
+        """Source version the MV reflects — read from refresh commits'
+        ``extra`` metadata (atomic with the data they applied)."""
+        for c in reversed(self.table.store.commits()):
+            if _EXTRA_END in c.extra:
+                return int(c.extra[_EXTRA_END])
+        return 0
+
+    def refresh(self) -> dict:
+        """Apply source commits (last_applied, head] as ONE partial
+        generation. Cost is O(new data): the incremental scan reads
+        only files added by the window's append commits, and the write
+        is the standard single-shuffle bucketed delta."""
+        src_store = MetaStore(self.source_path)
+        head = src_store.head_version()
+        last = self.last_applied_version()
+        if head <= last:
+            return {"start_version": last + 1, "end_version": last,
+                    "applied": False}
+        if last == 0:
+            # initial load: the full snapshot IS the delta (nothing to
+            # retract yet), so an overwrite-created source works too
+            inc = LakeSoulTable.for_path_snapshot(
+                self.spark, self.source_path, version=head
+            ).to_df()
+        else:
+            window = src_store.commits(last + 1, head)
+            bad = [c.commit_op for c in window
+                   if c.commit_op not in (OP_APPEND, OP_COMPACTION)]
+            if bad:
+                raise ValueError(
+                    f"source has non-append commits {sorted(set(bad))} "
+                    f"in versions ({last}, {head}] — the window is not "
+                    "representable as a row delta; call rebuild()"
+                )
+            inc = LakeSoulTable.for_path_incremental_versions(
+                self.spark, self.source_path, last + 1, head
+            ).to_df()
+        delta = inc.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
+        info = self.table.info
+        ops = write_table_data(delta, info, dedup=False)
+        # (query_id, batch_id) dedupe + extra marker land in the SAME
+        # commit as the data: re-running after a crash either sees the
+        # marker (skips) or the commit never happened (applies cleanly)
+        self.table.store.commit(
+            OP_MERGE,
+            ops,
+            query_id=f"mv:{info.table_id}",
+            batch_id=head,
+            extra={_EXTRA_END: head},
+        )
+        return {"start_version": last + 1, "end_version": head,
+                "applied": True}
+
+    def rebuild(self) -> dict:
+        """Recovery path after the source stopped being append-only:
+        recompute from the CURRENT source snapshot, replacing every MV
+        generation in one Update commit stamped with the source head."""
+        from lakesoul_spark.meta.store import FileOp
+
+        src = LakeSoulTable.for_path(self.spark, self.source_path)
+        head = src.store.head_version()
+        delta = (
+            src.to_df().groupBy(*self.group_by)
+            .agg(*_partial_aggs(self.aggs))
+        )
+        info = self.table.info
+        adds = write_table_data(delta, info, dedup=False)
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
+                   bucket=f.bucket)
+            for f in self.table.store.snapshot().files
+        ]
+        self.table.store.commit(
+            OP_UPDATE, dels + adds,
+            query_id=f"mv:{info.table_id}", batch_id=head,
+            extra={_EXTRA_END: head},
+        )
+        return {"end_version": head, "applied": True}
+
+    # ------------------------------------------------------------- read
+
+    def to_df(self) -> DataFrame:
+        """Merged, finalized view: sums surface as double (determinism
+        contract), counts as bigint, min/max in their source types.
+
+        Compacted fast path: at one generation per bucket every key
+        exists exactly once, so the merge aggregation is the identity —
+        read as a plain scan with NO exchange (the generic reader can't
+        take this bypass itself because ``sum_all`` widens decimals and
+        output types must stay uniform; here the finalize casts below
+        normalize both paths). The scan is PINNED to the snapshot whose
+        generation count was checked, so a refresh racing this read
+        can't slip an unmerged generation past the bypass."""
+        snap = self.table.store.snapshot()
+        if snap.max_generations_per_bucket() == 1:
+            pinned = LakeSoulTable.for_path_snapshot(
+                self.spark, self.table.path, version=snap.version
+            )
+            pinned._merge_ops = {}
+            df = pinned.to_df()
+        else:
+            df = self.table.to_df()
+        sel = list(self.group_by)
+        for name, (fn, _e) in self.aggs.items():
+            c = F.col(name)
+            if fn == "sum":
+                c = c.cast("double")
+            elif fn == "count":
+                c = c.cast("bigint")
+            sel.append(c.alias(name))
+        return df.select(*sel)

@@ -41,7 +41,8 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # below so they would not displace the 43 planned refreshes from the
 # exactly-50 window; locally hash-verified via tools/verify_oracle.py)
 # MUST be in the r9 front: streaming_stream_join, lakehouse_rollback,
-# lakehouse_convert, lakehouse_bucket_join, lakehouse_upsert_on_join.
+# lakehouse_convert, lakehouse_bucket_join, lakehouse_upsert_on_join,
+# lakehouse_incremental_mv, lakehouse_zorder_skipping.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
@@ -59,6 +60,7 @@ _DEFER = (
     # planned 50-window, locally hash-verified, fronted in r9
     "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
     "lakehouse_bucket_join", "lakehouse_upsert_on_join",
+    "lakehouse_incremental_mv",
 )
 
 

@@ -1375,3 +1375,56 @@ def arrow_writer_upsert(spark, sf_dir):
         delta.toPandas(), preserve_index=False
     ))
     return _fmt_orders(LakeSoulTable.for_path(spark, path).to_df())
+
+
+@_register(
+    "lakehouse_incremental_mv",
+    """
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def incremental_mv(spark, sf_dir):
+    """Incrementally-maintained aggregate materialized view (mv.py):
+    orders land in three append batches; each refresh() reads ONLY the
+    new commits (for_path_incremental_versions) and writes one partial
+    generation of a PK table keyed by the group columns; the MOR read
+    folds partials through metadata-declared merge operators
+    (sum_all/min_all/max_all). The oracle is the full recompute the
+    view is never allowed to run. Daily cost at 100 TB: O(ingest),
+    one bounded incremental scan + one bucketed delta write."""
+    from lakesoul_spark.mv import AggMV
+
+    src = _tmp("mv_src", sf_dir)
+    mvp = _tmp("mv_view", sf_dir)
+    orders = _orders(spark, sf_dir)
+    batches = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    write(batches[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_custkey"],
+        aggs={
+            "sum_price": ("sum", "o_totalprice"),
+            "n_orders": ("count", "*"),
+            "min_price": ("min", "o_totalprice"),
+            "max_date": ("max", "o_orderdate"),
+        },
+        hash_bucket_num=8,
+    )
+    assert mv.refresh()["applied"]
+    for b in batches[1:]:
+        write(b, src, mode="append")
+        r = mv.refresh()
+        # each refresh applies exactly the one new commit — the
+        # incremental contract this query exists to pin
+        assert r["applied"] and r["start_version"] == r["end_version"]
+    return mv.to_df().select(
+        "o_custkey", "sum_price", "n_orders", "min_price",
+        F.date_format("max_date", "yyyy-MM-dd").alias("max_orderdate"),
+    )

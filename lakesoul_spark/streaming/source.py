@@ -391,6 +391,17 @@ class LakeSoulBatchReader(DataSourceReader):
 
         self.store = MetaStore(os.path.abspath(path))
         self.info = self.store.table_info()
+        if self.info.properties.get("lakesoul.columnMergeOps"):
+            # this scan path merges generations with use_last only
+            # (_fold_window); silently reading a table whose metadata
+            # declares per-column merge ops (e.g. an mv.py aggregate
+            # table storing sum_all partials) would return one
+            # generation's partial instead of the merged value
+            raise ValueError(
+                "table declares lakesoul.columnMergeOps; read it via "
+                "LakeSoulTable.to_df() (the Python Data Source scan "
+                "merges with use_last only)"
+            )
         # reference LakeSoulOptions: readtype ∈ fullread/snapshot/
         # incremental (+ timestamps); snapshot also via version=
         self.read_type = options.get("readtype", "fullread").lower()
@@ -574,6 +585,13 @@ class LakeSoulStreamReader(DataSourceStreamReader):
         self.path = os.path.abspath(path)
         self.store = MetaStore(self.path)
         self.info = self.store.table_info()
+        if self.info.properties.get("lakesoul.columnMergeOps"):
+            # same-key generations inside one micro-batch window would
+            # collapse via use_last, dropping declared-op partials
+            raise ValueError(
+                "table declares lakesoul.columnMergeOps; the streaming "
+                "scan merges with use_last only"
+            )
         self.start_version = int(options.get("startingversion", 0))
         fail = str(options.get("failondataloss", "true")).lower()
         self.on_rewrite = "skip" if fail in ("false", "0", "no") else "fail"

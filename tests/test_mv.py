@@ -1,0 +1,197 @@
+"""Incremental materialized aggregate views (lakesoul_spark/mv.py) and
+the min_all/max_all merge-op builtins + metadata-persisted merge ops
+they depend on."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lakesoul_spark.mv import AggMV
+from lakesoul_spark.table import LakeSoulTable, write
+from tests.conftest import SF_DIR
+
+AGGS = {
+    "sum_price": ("sum", "o_totalprice"),
+    "n_orders": ("count", "*"),
+    "min_price": ("min", "o_totalprice"),
+    "max_date": ("max", "o_orderdate"),
+}
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def _expected(df):
+    return (
+        df.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("o_custkey")
+        .collect()
+    )
+
+
+def _build(spark, tmp_path, batches):
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    write(batches[0], src, mode="overwrite")
+    mv = AggMV.create(spark, src, mvp, group_by=["o_custkey"], aggs=AGGS)
+    return src, mv
+
+
+def test_mv_incremental_refresh_matches_full_recompute(spark, tmp_path):
+    orders = _orders(spark)
+    batches = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    src, mv = _build(spark, tmp_path, batches)
+    assert mv.refresh()["applied"]
+    for b in batches[1:]:
+        write(b, src, mode="append")
+        r = mv.refresh()
+        assert r["applied"] and r["start_version"] == r["end_version"]
+    got = mv.to_df().orderBy("o_custkey").collect()
+    assert got == _expected(orders)
+
+
+def test_mv_refresh_is_noop_and_idempotent(spark, tmp_path):
+    orders = _orders(spark)
+    src, mv = _build(spark, tmp_path, [orders])
+    assert mv.refresh()["applied"]
+    # nothing new: no commit, no double counting
+    v = mv.table.store.head_version()
+    assert not mv.refresh()["applied"]
+    assert mv.table.store.head_version() == v
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+
+
+def test_mv_reads_survive_compaction(spark, tmp_path):
+    orders = _orders(spark)
+    batches = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mv = _build(spark, tmp_path, batches)
+    mv.refresh()
+    write(batches[1], src, mode="append")
+    mv.refresh()
+    t = LakeSoulTable.for_path(spark, mv.table.path)
+    assert t.store.snapshot().max_generations_per_bucket() > 1
+    # compaction picks up the metadata-declared merge ops WITHOUT any
+    # instance registration — partials fold associatively
+    t.compaction()
+    assert t.store.snapshot().max_generations_per_bucket() == 1
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+
+
+def test_mv_compacted_read_has_no_exchange(spark, tmp_path):
+    """After compaction (one generation per bucket) the MV read is a
+    plain pinned-snapshot scan — no shuffle, no merge aggregation —
+    with the same schema as the merging path (finalize casts)."""
+    orders = _orders(spark)
+    batches = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mv = _build(spark, tmp_path, batches)
+    mv.refresh()
+    write(batches[1], src, mode="append")
+    mv.refresh()
+    pre = mv.to_df()
+    LakeSoulTable.for_path(spark, mv.table.path).compaction()
+    post = mv.to_df()
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert post.schema == pre.schema
+    assert post.orderBy("o_custkey").collect() == _expected(orders)
+
+
+def test_mv_rejects_rewritten_source_then_rebuilds(spark, tmp_path):
+    orders = _orders(spark)
+    src, mv = _build(spark, tmp_path, [orders])
+    mv.refresh()
+    kept = orders.filter(F.col("o_orderkey") % 5 == 0)
+    write(kept, src, mode="overwrite")  # Update commit: not a row delta
+    with pytest.raises(ValueError, match="non-append"):
+        mv.refresh()
+    mv.rebuild()
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(kept)
+    # back to incremental after the rebuild stamped the head
+    more = orders.filter(F.col("o_orderkey") % 5 == 1)
+    write(more, src, mode="append")
+    assert mv.refresh()["applied"]
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(
+        kept.unionByName(more)
+    )
+
+
+def test_mv_source_compaction_not_double_counted(spark, tmp_path):
+    orders = _orders(spark)
+    batches = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mv = _build(spark, tmp_path, batches)
+    mv.refresh()
+    write(batches[1], src, mode="append")
+    # source compaction re-states existing rows; incremental reads
+    # skip it, so the refresh applies only the genuine append
+    LakeSoulTable.for_path(spark, src).compaction()
+    mv.refresh()
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+
+
+def test_mv_rejects_pk_and_cdc_sources(spark, tmp_path):
+    orders = _orders(spark)
+    src = str(tmp_path / "pk_src")
+    write(orders, src, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=4)
+    with pytest.raises(ValueError, match="append-only"):
+        AggMV.create(spark, src, str(tmp_path / "mv"),
+                     group_by=["o_custkey"], aggs=AGGS)
+
+
+def test_property_merge_ops_flow_to_any_reader(spark, tmp_path):
+    """lakesoul.columnMergeOps applies to fresh table handles with no
+    registration — and the use_last-only scan paths refuse loudly."""
+    path = str(tmp_path / "t")
+    rows = [Row(k=1, v=10), Row(k=2, v=5)]
+    write(spark.createDataFrame(rows), path, mode="append",
+          hash_partitions=["k"], hash_bucket_num=2,
+          properties={"lakesoul.columnMergeOps": "v:sum_all"})
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(spark.createDataFrame([Row(k=1, v=7), Row(k=3, v=1)]))
+    got = {r["k"]: r["v"] for r in LakeSoulTable.for_path(spark, path)
+           .to_df().collect()}
+    assert got == {1: 17, 2: 5, 3: 1}
+    from lakesoul_spark.arrow.dataset import LakeSoulArrowDataset
+
+    with pytest.raises(ValueError, match="columnMergeOps"):
+        LakeSoulArrowDataset(path)
+
+
+def test_min_all_max_all_builtins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([Row(k=1, lo=4, hi=4)]), path,
+          mode="append", hash_partitions=["k"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(spark.createDataFrame([Row(k=1, lo=9, hi=9)]))
+    t.register_merge_operator("lo", "min_all")
+    t.register_merge_operator("hi", "max_all")
+    r = t.to_df().collect()[0]
+    assert (r["lo"], r["hi"]) == (4, 9)
+
+
+def test_mv_refresh_scan_is_bounded_to_new_commits(spark, tmp_path):
+    """The refresh reads only the window's files — O(batch), not
+    O(corpus): after a large initial load, a tiny append's refresh
+    incremental frame contains exactly the appended rows."""
+    orders = _orders(spark)
+    src, mv = _build(spark, tmp_path, [orders])
+    mv.refresh()
+    tiny = orders.limit(7)
+    write(tiny, src, mode="append")
+    last = mv.last_applied_version()
+    head = mv.table and LakeSoulTable.for_path(spark, src).store.head_version()
+    inc = LakeSoulTable.for_path_incremental_versions(
+        spark, src, last + 1, head
+    ).to_df()
+    assert inc.count() == 7
+    mv.refresh()
+    assert mv.last_applied_version() == head
