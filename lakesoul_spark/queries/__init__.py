@@ -60,7 +60,7 @@ _DEFER = (
     # planned 50-window, locally hash-verified, fronted in r9
     "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
     "lakehouse_bucket_join", "lakehouse_upsert_on_join",
-    "lakehouse_incremental_mv",
+    "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
 )
 
 

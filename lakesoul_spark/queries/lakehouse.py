@@ -1428,3 +1428,41 @@ def incremental_mv(spark, sf_dir):
         "o_custkey", "sum_price", "n_orders", "min_price",
         F.date_format("max_date", "yyyy-MM-dd").alias("max_orderdate"),
     )
+
+
+@_register(
+    "lakehouse_zorder_skipping",
+    """
+    SELECT event_id, user_id, event_type, value,
+           epoch_ns(ts) AS ts_ns
+    FROM events
+    WHERE user_id = 7 AND value >= 100.0
+    """,
+)
+def zorder_skipping(spark, sf_dir):
+    """Multi-column file skipping via Z-ORDER clustering
+    (operators/zorder.py + LakeSoulTable.optimize_zorder): the events
+    table is rewritten along the Morton curve over (user_id, value),
+    after which per-file [min,max] stats prune MOST files for a
+    predicate on EITHER column — the OPTIMIZE/ZORDER capability the
+    reference's PG-side stats filtering pairs with but doesn't ship.
+    The oracle is the plain filter: clustering must never change
+    visible rows. In-query gate: the combined predicate must prune
+    at least half the files (asserted from commit-log stats, the same
+    bounds the scan planner uses)."""
+    from lakesoul_spark.io.stats import prune_files
+
+    path = _tmp("zorder", sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    write(ev, path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    r = t.optimize_zorder(["user_id", "value"], target_files=16)
+    assert r["files_out"] == 16
+    t = LakeSoulTable.for_path(spark, path)
+    preds = [("user_id", "=", 7), ("value", ">=", 100.0)]
+    kept = prune_files(t.store.snapshot().files, preds, group_wise=False)
+    assert len(kept) <= 8, f"z-order pruned only to {len(kept)}/16 files"
+    return t.to_df(file_filters=preds).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").alias("ts_ns"),
+    )

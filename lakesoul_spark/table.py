@@ -1469,6 +1469,101 @@ class LakeSoulTable:
             self.store.commit(OP_COMPACTION, dels + adds)
         return report
 
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        *,
+        bits: int = 6,
+        target_files: int | None = None,
+        target_file_bytes: int = 128 << 20,
+        partition_desc: str | None = None,
+        relative_error: float = 0.001,
+    ) -> dict:
+        """Rewrite the table (or one range partition) clustered on the
+        Morton curve over ``cols`` (``operators/zorder.py``), so
+        per-file [min,max] stats skipping (``io/stats.py``) works on
+        EVERY clustered column at once — the OPTIMIZE/ZORDER capability
+        lakehouses pair with stats pruning; the reference prunes from
+        PG-side stats the same way but ships no multi-dimensional
+        clustering. Visible rows are unchanged; the rewrite commits as
+        Compaction, which incremental/streaming readers skip as a
+        re-statement.
+
+        The clustered columns are appended to ``lakesoul.statsColumns``
+        so this rewrite AND all future writes record their bounds.
+        Output file count: ``target_files``, else total bytes /
+        ``target_file_bytes``. One pass to sample quantile bins, one
+        range-shuffle to write: O(table in scope), like any OPTIMIZE.
+
+        Non-PK tables only: a PK table's file placement is owned by the
+        hash-bucket layout (point lookups, shuffle-free joins, MOR
+        merge identity), and its group-wise union-bounds pruning would
+        erase the per-file win."""
+        info = self.info
+        if info.hash_partitions:
+            raise ValueError(
+                "z-order clustering applies to non-PK tables: a "
+                "primary-key table's file layout is owned by its hash "
+                "buckets and prunes group-wise"
+            )
+        if info.cdc_column:
+            raise ValueError("z-order clustering does not support CDC tables")
+        schema = table_schema(info)
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        unknown = [c for c in cols if c not in types]
+        if unknown:
+            raise ValueError(f"unknown z-order columns {unknown}")
+        ranged = [c for c in cols if c in info.range_partitions]
+        if ranged:
+            raise ValueError(
+                f"{ranged} are range-partition columns — already pruned "
+                "at directory level; z-order the in-file columns instead"
+            )
+        from lakesoul_spark.operators.zorder import zorder_sql
+
+        parts = {partition_desc} if partition_desc else None
+        snap = self.store.snapshot(partition_descs=parts)
+        if not snap.files:
+            return {"files_in": 0, "files_out": 0}
+        view = rdr.merge_view(
+            self.spark, info, snap, merge_ops=self._merge_ops,
+            apply_cdc_filter=False,
+        )
+        zsql = zorder_sql(
+            view, [(c, types[c]) for c in cols],
+            bits=bits, relative_error=relative_error,
+        )
+        n = target_files or max(
+            1, -(-sum(f.size for f in snap.files) // target_file_bytes)
+        )
+        zc = "__lakesoul_zorder"
+        order_cols = [F.col(c) for c in info.range_partitions] + [F.col(zc)]
+        df = (
+            view.selectExpr("*", f"{zsql} AS {zc}")
+            .repartitionByRange(n, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .drop(zc)
+        )
+        prev = [
+            s.strip()
+            for s in str(info.properties.get("lakesoul.statsColumns", "")).split(",")
+            if s.strip()
+        ]
+        merged_stats = prev + [c for c in cols if c not in prev]
+        if merged_stats != prev:
+            self.set_properties(
+                {"lakesoul.statsColumns": ",".join(merged_stats)}
+            )
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
+                   bucket=f.bucket)
+            for f in snap.files
+        ]
+        adds = write_table_data(df, self.info, dedup=False)
+        self.store.commit(OP_COMPACTION, dels + adds)
+        return {"files_in": len(snap.files), "files_out": len(adds),
+                "z_cols": list(cols)}
+
     def rollback(
         self,
         *,

@@ -1,0 +1,126 @@
+"""Z-order clustering (operators/zorder.py + LakeSoulTable.optimize_zorder):
+row preservation, multi-column stats skipping, guards."""
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lakesoul_spark.io.stats import prune_files
+from lakesoul_spark.table import LakeSoulTable, write
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_zorder_preserves_rows_and_skips_on_both_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write(_events(spark), path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    before = sorted(map(tuple, t.to_df().collect()))
+    r = t.optimize_zorder(["user_id", "value"], target_files=16)
+    assert r["files_out"] == 16
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    files = t.store.snapshot().files
+    assert len(files) == 16
+    # every clustered column prunes alone — the multi-dimensional win
+    for preds in ([("user_id", "=", 7)], [("value", ">=", 300.0)]):
+        kept = prune_files(files, preds, group_wise=False)
+        assert len(kept) <= len(files) // 2, (preds, len(kept))
+    # and the pruned read equals the full filter
+    preds = [("user_id", "=", 7), ("value", ">=", 100.0)]
+    got = sorted(map(tuple, t.to_df(file_filters=preds).collect()))
+    exp = sorted(map(tuple, t.to_df()
+                     .filter("user_id = 7 AND value >= 100.0").collect()))
+    assert got == exp
+
+
+def test_zorder_fuzz_pruned_reads_match(spark, tmp_path):
+    rng = random.Random(8)
+    rows = [
+        Row(a=rng.randint(0, 999), b=rng.random() * 1000.0,
+            c=rng.choice("xyz"))
+        for _ in range(4000)
+    ]
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame(rows), path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    t.optimize_zorder(["a", "b"], target_files=8, bits=5)
+    t = LakeSoulTable.for_path(spark, path)
+    for _ in range(6):
+        lo_a, lo_b = rng.randint(0, 999), rng.random() * 1000.0
+        preds = [("a", ">=", lo_a), ("b", "<", lo_b)]
+        got = t.to_df(file_filters=preds).count()
+        exp = t.to_df().filter(f"a >= {lo_a} AND b < {lo_b}").count()
+        assert got == exp, preds
+
+
+def test_zorder_respects_range_partitions(spark, tmp_path):
+    ev = _events(spark).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "t")
+    write(ev, path, mode="overwrite", range_partitions=["day"])
+    t = LakeSoulTable.for_path(spark, path)
+    before = sorted(map(tuple, t.to_df().collect()))
+    t.optimize_zorder(["user_id", "value"], target_files=8)
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    # files still live under their partition dirs
+    descs = {f.partition_desc for f in t.store.snapshot().files}
+    assert all(d.startswith("day=") for d in descs) and len(descs) > 1
+
+
+def test_zorder_partition_scoped_rewrite(spark, tmp_path):
+    ev = _events(spark).withColumn(
+        "half", (F.col("event_id") % 2).cast("string")
+    )
+    path = str(tmp_path / "t")
+    write(ev, path, mode="overwrite", range_partitions=["half"])
+    t = LakeSoulTable.for_path(spark, path)
+    before = sorted(map(tuple, t.to_df().collect()))
+    r = t.optimize_zorder(["user_id", "value"], target_files=4,
+                          partition_desc="half=0")
+    assert r["files_in"] >= 1
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+
+
+def test_zorder_guards(spark, tmp_path):
+    ev = _events(spark)
+    pk_path = str(tmp_path / "pk")
+    write(ev, pk_path, mode="overwrite",
+          hash_partitions=["event_id"], hash_bucket_num=4)
+    with pytest.raises(ValueError, match="non-PK"):
+        LakeSoulTable.for_path(spark, pk_path).optimize_zorder(["user_id"])
+    path = str(tmp_path / "t")
+    write(ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+          path, mode="overwrite", range_partitions=["day"])
+    t = LakeSoulTable.for_path(spark, path)
+    with pytest.raises(ValueError, match="unknown"):
+        t.optimize_zorder(["nope"])
+    with pytest.raises(ValueError, match="range-partition"):
+        t.optimize_zorder(["day", "value"])
+    with pytest.raises(ValueError, match="z-order"):
+        t.optimize_zorder(["event_type"])  # string: no range locality
+
+
+def test_zorder_timestamp_and_constant_columns(spark, tmp_path):
+    ev = _events(spark).withColumn("konst", F.lit(5))
+    path = str(tmp_path / "t")
+    write(ev, path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    before = t.to_df().count()
+    # timestamp bins via unix_micros; the constant column collapses to
+    # zero boundaries and contributes nothing (no crash, no skew)
+    t.optimize_zorder(["ts", "konst"], target_files=4)
+    t = LakeSoulTable.for_path(spark, path)
+    assert t.to_df().count() == before
+    files = t.store.snapshot().files
+    kept = prune_files(
+        files, [("ts", ">=", _events(spark).agg(
+            F.max("ts")).collect()[0][0])], group_wise=False)
+    assert len(kept) <= max(1, len(files) // 2)
