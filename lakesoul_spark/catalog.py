@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -336,7 +337,7 @@ class Catalog:
         out = []
         for name in self.list_tables(ns):
             view = f"{ns}_{name}"
-            self.get_table(spark, name, ns).to_df().createOrReplaceTempView(view)
+            self._view_df(spark, name, ns).createOrReplaceTempView(view)
             out.append(view)
         return out
 
@@ -395,6 +396,13 @@ class Catalog:
             CHECK TABLE [ns.]t
             CONVERT TO LAKESOUL '/path/to/parquet' [AS [ns.]t]
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
+            CREATE MATERIALIZED VIEW [IF NOT EXISTS] [ns.]v
+                [TBLPROPERTIES('hashBucketNum'='8')]
+                AS SELECT k[, …], sum(x) AS a, count(*) AS b,
+                          min(x) AS c, max(x) AS d
+                   FROM [ns.]src GROUP BY k[, …]
+            REFRESH MATERIALIZED VIEW [ns.]v [FULL]
+            DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
 
         Identifiers may be backtick-quoted (```ns`.`t```); backticks
         around word-character identifiers are stripped (outside string
@@ -411,6 +419,32 @@ class Catalog:
 
         if verb == "CREATE" and verb2 == "TABLE":
             return self._sql_create_table(spark, stmt)
+        if verb == "CREATE" and verb2 == "MATERIALIZED":
+            return self._sql_create_mv(spark, stmt)
+        if verb == "REFRESH":
+            m = _rx(
+                r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?$",
+                stmt,
+            )
+            mv = self._get_mv(spark, m.group(1))
+            r = mv.rebuild() if m.group(2) else mv.refresh()
+            return spark.createDataFrame(
+                [(int(r["end_version"]), bool(r["applied"]))],
+                "source_end_version bigint, applied boolean",
+            )
+        if verb == "DROP" and verb2 == "MATERIALIZED":
+            m = _rx(
+                r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)$",
+                stmt,
+            )
+            ns, name = self._split_name(m.group(2))
+            if not self.table_exists(name, ns):
+                if m.group(1):
+                    return None
+                raise ValueError(f"no such materialized view {ns}.{name}")
+            self._get_mv(spark, m.group(2))  # must actually BE a view
+            self.drop_table(name, ns)
+            return None
         if verb == "DROP" and verb2 == "TABLE":
             m = _rx(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(2))
@@ -776,13 +810,129 @@ class Catalog:
                 ) or re.search(rf"\b{re.escape(view)}\b", stmt, re.I)
                 if not referenced:
                     continue
-                self.get_table(spark, name, ns).to_df() \
+                self._view_df(spark, name, ns) \
                     .createOrReplaceTempView(view)
                 if ns != "default":
                     stmt = re.sub(qualified, view, stmt, flags=re.I)
         return stmt
 
     # ------------------------------------------------------- SQL internals
+
+    _AGG_ITEM_RE = re.compile(
+        r"^(sum|count|min|max)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
+    )
+
+    def _get_mv(self, spark: SparkSession, ref: str):
+        from lakesoul_spark.mv import SPEC_PROP, AggMV
+
+        ns, name = self._split_name(ref)
+        t = self.get_table(spark, name, ns)
+        if SPEC_PROP not in t.info.properties:
+            raise ValueError(f"{ns}.{name} is not a materialized view")
+        return AggMV(spark, t.path)
+
+    def _view_df(self, spark: SparkSession, name: str, ns: str):
+        """The frame a SQL reference to a catalog table resolves to:
+        plain tables expose their MOR view; materialized views expose
+        the FINALIZED aggregate (merged partials, normalized types,
+        compacted fast path) — not the raw partial generations."""
+        from lakesoul_spark.mv import SPEC_PROP, AggMV
+
+        t = self.get_table(spark, name, ns)
+        if SPEC_PROP in t.info.properties:
+            return AggMV(spark, t.path).to_df()
+        return t.to_df()
+
+    def _sql_create_mv(self, spark: SparkSession, stmt: str):
+        """``CREATE MATERIALIZED VIEW v AS SELECT … FROM src GROUP BY …``
+        → :class:`lakesoul_spark.mv.AggMV` over a catalog source table,
+        registered under the namespace like any table and populated by
+        an initial refresh (CTAS semantics). The SELECT is restricted
+        to the incrementally-maintainable shape: one source table,
+        GROUP BY columns, and sum/count/min/max aggregates each with an
+        ``AS`` alias — anything else fails loudly rather than silently
+        materializing a non-refreshable query."""
+        from lakesoul_spark.mv import AggMV
+
+        m = _rx(
+            r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.`]+)(?:\s+TBLPROPERTIES\s*\((.*?)\))?"
+            r"\s+AS\s+SELECT\s(.*)$",
+            stmt,
+        )
+        ns, name = self._split_name(m.group(2))
+        if self.table_exists(name, ns):
+            if m.group(1):
+                return None
+            raise ValueError(f"table {ns}.{name} already exists")
+        if not self.namespace_exists(ns):
+            if ns == "default":
+                self.create_namespace("default")
+            else:
+                raise ValueError(f"no such namespace {ns!r}")
+        props = _parse_props(m.group(3)) if m.group(3) else {}
+        hash_bucket_num = int(props.pop("hashBucketNum", 4))
+        if props:
+            raise ValueError(
+                f"unsupported materialized-view properties {sorted(props)}"
+            )
+        body = m.group(4)
+        fi = _find_top_keyword(body, "FROM")
+        if fi < 0:
+            raise ValueError("materialized view SELECT needs a FROM clause")
+        select_list, rest = body[:fi], body[fi + 4:].strip()
+        gi = _find_top_keyword(rest, "GROUP")
+        if gi < 0 or not rest[gi + 5:].strip().upper().startswith("BY"):
+            raise ValueError("materialized view SELECT needs GROUP BY")
+        src_ref = rest[:gi].strip()
+        if not re.fullmatch(r"[\w.`]+", src_ref):
+            raise ValueError(
+                "materialized views aggregate ONE source table "
+                f"(got FROM {src_ref!r}) — joins/subqueries are not "
+                "incrementally maintainable here"
+            )
+        group_by = [
+            c.strip().strip("`")
+            for c in _split_top(rest[gi + 5:].strip()[2:])
+        ]
+        aggs: dict = {}
+        bare: list = []
+        for item in _split_top(select_list):
+            item = item.strip()
+            am = self._AGG_ITEM_RE.match(item)
+            if am:
+                fn = am.group(1).lower()
+                expr = am.group(2).strip()
+                if fn == "count" and expr == "*":
+                    expr = None
+                aggs[am.group(3)] = (fn, expr)
+            else:
+                bare.append(item.strip("`"))
+        if set(bare) != set(group_by):
+            raise ValueError(
+                "non-aggregate select items must equal the GROUP BY "
+                f"columns (select {bare}, group by {group_by}); "
+                "aggregates need an AS alias"
+            )
+        if not aggs:
+            raise ValueError("materialized view needs at least one aggregate")
+        src_ns, src_name = self._split_name(src_ref)
+        src = self.get_table(spark, src_name, src_ns)
+        mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))
+        created_dir = not os.path.exists(mv_path)
+        AggMV.create(
+            spark, src.path, mv_path,
+            group_by=group_by, aggs=aggs,
+            hash_bucket_num=hash_bucket_num,
+        )
+        try:
+            self.backend.register_table(ns, name, mv_path)
+        except Exception:
+            if created_dir:
+                shutil.rmtree(mv_path, ignore_errors=True)
+            raise
+        AggMV(spark, mv_path).refresh()
+        return None
 
     def _sql_insert(self, spark: SparkSession, stmt: str):
         """``INSERT INTO | OVERWRITE [TABLE] t [PARTITION (p=v, …)]

@@ -195,3 +195,55 @@ def test_mv_refresh_scan_is_bounded_to_new_commits(spark, tmp_path):
     assert inc.count() == 7
     mv.refresh()
     assert mv.last_applied_version() == head
+
+
+def test_mv_sql_surface(spark, tmp_path):
+    """CREATE/REFRESH/SELECT/DROP MATERIALIZED VIEW through the catalog
+    SQL dispatcher; SELECT resolves to the FINALIZED aggregate."""
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    orders = _orders(spark)
+    t = cat.create_table(spark, "orders_t", orders.schema)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW cust_mv TBLPROPERTIES('hashBucketNum'='8')
+        AS SELECT o_custkey, sum(o_totalprice) AS sum_price,
+                  count(*) AS n_orders, min(o_totalprice) AS min_price,
+                  max(o_orderdate) AS max_date
+        FROM orders_t GROUP BY o_custkey
+    """)
+    write(halves[1], t.path, mode="append")
+    r = cat.sql(spark, "REFRESH MATERIALIZED VIEW cust_mv").collect()[0]
+    assert r["applied"]
+    got = cat.sql(
+        spark, "SELECT * FROM cust_mv ORDER BY o_custkey"
+    ).collect()
+    assert got == _expected(orders)
+    # a second refresh with nothing new applies nothing
+    assert not cat.sql(
+        spark, "REFRESH MATERIALIZED VIEW cust_mv"
+    ).collect()[0]["applied"]
+    cat.sql(spark, "DROP MATERIALIZED VIEW cust_mv")
+    assert cat.list_tables() == ["orders_t"]
+
+
+def test_mv_sql_rejects_unmaintainable_shapes(spark, tmp_path):
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t = cat.create_table(spark, "src", _orders(spark).schema)
+    write(_orders(spark), t.path, mode="append")
+    for bad, msg in [
+        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM src",
+         "GROUP BY"),
+        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, avg(o_totalprice) AS s FROM src GROUP BY o_custkey",
+         "non-aggregate"),
+        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM src JOIN src2 ON 1=1 GROUP BY o_custkey",
+         "ONE source table"),
+        ("REFRESH MATERIALIZED VIEW src", "not a materialized view"),
+        ("DROP MATERIALIZED VIEW src", "not a materialized view"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            cat.sql(spark, bad)
