@@ -400,7 +400,7 @@ class Catalog:
                 [TBLPROPERTIES('hashBucketNum'='8')]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
                           min(x) AS c, max(x) AS d
-                   FROM [ns.]src GROUP BY k[, …]
+                   FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
             REFRESH MATERIALIZED VIEW [ns.]v [FULL]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
 
@@ -885,6 +885,11 @@ class Catalog:
         if gi < 0 or not rest[gi + 5:].strip().upper().startswith("BY"):
             raise ValueError("materialized view SELECT needs GROUP BY")
         src_ref = rest[:gi].strip()
+        where = None
+        wi = _find_top_keyword(src_ref, "WHERE")
+        if wi >= 0:
+            where = src_ref[wi + 5:].strip()
+            src_ref = src_ref[:wi].strip()
         if not re.fullmatch(r"[\w.`]+", src_ref):
             raise ValueError(
                 "materialized views aggregate ONE source table "
@@ -923,7 +928,7 @@ class Catalog:
         AggMV.create(
             spark, src.path, mv_path,
             group_by=group_by, aggs=aggs,
-            hash_bucket_num=hash_bucket_num,
+            hash_bucket_num=hash_bucket_num, where=where,
         )
         try:
             self.backend.register_table(ns, name, mv_path)

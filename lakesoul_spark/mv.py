@@ -121,6 +121,9 @@ class AggMV:
         self.group_by: list[str] = list(spec["group_by"])
         # {out_col: [fn, expr]}
         self.aggs: dict = {k: tuple(v) for k, v in spec["aggs"].items()}
+        # optional row filter — stateless, so it distributes over
+        # append batches and stays incrementally maintainable
+        self.where: str | None = spec.get("where")
 
     # ------------------------------------------------------------ factory
 
@@ -134,22 +137,26 @@ class AggMV:
         group_by: list[str],
         aggs: dict,
         hash_bucket_num: int = 4,
+        where: str | None = None,
     ) -> "AggMV":
         """Define the view and load nothing: the first :meth:`refresh`
         covers the source's full history through one incremental read
         (version 1..head), so initial load and steady-state share one
         code path. ``aggs`` maps output column → ``(fn, expr_sql)``
         with fn in sum/count/min/max (count expr ``None``/``"*"`` means
-        count rows)."""
+        count rows). ``where`` is an optional row-filter SQL expression
+        — stateless per row, so it applies identically to every
+        incremental batch."""
         src = LakeSoulTable.for_path(spark, source_path)
         _validate_source(src.info)
         if not group_by:
             raise ValueError("group_by must name at least one column")
-        # derive the MV schema from the partial-agg plan (no job)
-        probe = (
-            src.to_df().limit(0).groupBy(*group_by)
-            .agg(*_partial_aggs(aggs))
-        )
+        # derive the MV schema from the partial-agg plan (no job);
+        # this also validates the where expression against the schema
+        probe = src.to_df().limit(0)
+        if where:
+            probe = probe.filter(where)
+        probe = probe.groupBy(*group_by).agg(*_partial_aggs(aggs))
         merge_ops = ",".join(
             f"{name}:{_MERGE_OP[fn]}" for name, (fn, _e) in aggs.items()
         )
@@ -158,6 +165,8 @@ class AggMV:
             "group_by": list(group_by),
             "aggs": {k: list(v) for k, v in aggs.items()},
         }
+        if where:
+            spec["where"] = where
         create_table(
             spark,
             mv_path,
@@ -172,6 +181,11 @@ class AggMV:
         return cls(spark, mv_path)
 
     # ------------------------------------------------------------ refresh
+
+    def _delta(self, df: DataFrame) -> DataFrame:
+        if self.where:
+            df = df.filter(self.where)
+        return df.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
 
     def last_applied_version(self) -> int:
         """Source version the MV reflects — read from refresh commits'
@@ -211,7 +225,7 @@ class AggMV:
             inc = LakeSoulTable.for_path_incremental_versions(
                 self.spark, self.source_path, last + 1, head
             ).to_df()
-        delta = inc.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
+        delta = self._delta(inc)
         info = self.table.info
         ops = write_table_data(delta, info, dedup=False)
         # (query_id, batch_id) dedupe + extra marker land in the SAME
@@ -235,10 +249,7 @@ class AggMV:
 
         src = LakeSoulTable.for_path(self.spark, self.source_path)
         head = src.store.head_version()
-        delta = (
-            src.to_df().groupBy(*self.group_by)
-            .agg(*_partial_aggs(self.aggs))
-        )
+        delta = self._delta(src.to_df())
         info = self.table.info
         adds = write_table_data(delta, info, dedup=False)
         dels = [

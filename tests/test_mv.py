@@ -247,3 +247,39 @@ def test_mv_sql_rejects_unmaintainable_shapes(spark, tmp_path):
     ]:
         with pytest.raises(ValueError, match=msg):
             cat.sql(spark, bad)
+
+
+def test_mv_where_filter_incremental(spark, tmp_path):
+    """A stateless row filter distributes over append batches — the
+    filtered view refreshed incrementally equals the filtered full
+    recompute, in Python and via SQL."""
+    from lakesoul_spark.catalog import Catalog
+
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src = str(tmp_path / "src")
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["o_custkey"], aggs=AGGS,
+        where="o_orderstatus = 'O'",
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(
+        orders.filter("o_orderstatus = 'O'")
+    )
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t = cat.create_table(spark, "o", orders.schema)
+    write(orders, t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW fmv AS
+        SELECT o_custkey, sum(o_totalprice) AS sum_price,
+               count(*) AS n_orders, min(o_totalprice) AS min_price,
+               max(o_orderdate) AS max_date
+        FROM o WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    """)
+    got = cat.sql(spark, "SELECT * FROM fmv ORDER BY o_custkey").collect()
+    assert got == _expected(orders.filter("o_orderstatus = 'O'"))
