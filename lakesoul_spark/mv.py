@@ -107,6 +107,42 @@ def _validate_source(info) -> None:
         raise ValueError("MV sources must not be CDC tables")
 
 
+def _joined(
+    spark: SparkSession, df: DataFrame, dims: list[dict], where: str | None
+) -> DataFrame:
+    """Fact batch → broadcast-joined with each PINNED dim snapshot →
+    optional row filter (after joins, so it may reference dim columns).
+    ``on`` is a list of shared column names, or a ``{fact_col:
+    dim_col}`` mapping when the foreign key is named differently (the
+    dim-side key columns are dropped from the output)."""
+    for d in dims:
+        dim_df = LakeSoulTable.for_path_snapshot(
+            spark, d["path"], version=d["version"]
+        ).to_df()
+        on = d["on"]
+        dim_keys = list(on.values()) if isinstance(on, dict) else list(on)
+        if d.get("columns"):
+            cols = list(d["columns"])
+            for k in dim_keys:
+                if k not in cols:
+                    cols.append(k)
+            dim_df = dim_df.select(*cols)
+        if isinstance(on, dict):
+            fa, da = df.alias("__f"), F.broadcast(dim_df.alias("__d"))
+            cond = None
+            for fk, dk in on.items():
+                e = F.col(f"__f.{fk}") == F.col(f"__d.{dk}")
+                cond = e if cond is None else (cond & e)
+            df = fa.join(da, cond, d["how"])
+            for dk in on.values():
+                df = df.drop(F.col(f"__d.{dk}"))
+        else:
+            df = df.join(F.broadcast(dim_df), on=list(on), how=d["how"])
+    if where:
+        df = df.filter(where)
+    return df
+
+
 class AggMV:
     """Handle on a materialized aggregate view table."""
 
@@ -124,6 +160,9 @@ class AggMV:
         # optional row filter — stateless, so it distributes over
         # append batches and stays incrementally maintainable
         self.where: str | None = spec.get("where")
+        # optional star-schema dimensions, each PINNED to the snapshot
+        # version recorded at create/rebuild time (see create())
+        self.dims: list[dict] = list(spec.get("dims", []))
 
     # ------------------------------------------------------------ factory
 
@@ -138,6 +177,7 @@ class AggMV:
         aggs: dict,
         hash_bucket_num: int = 4,
         where: str | None = None,
+        dims: list[dict] | None = None,
     ) -> "AggMV":
         """Define the view and load nothing: the first :meth:`refresh`
         covers the source's full history through one incremental read
@@ -146,16 +186,41 @@ class AggMV:
         with fn in sum/count/min/max (count expr ``None``/``"*"`` means
         count rows). ``where`` is an optional row-filter SQL expression
         — stateless per row, so it applies identically to every
-        incremental batch."""
+        incremental batch.
+
+        ``dims`` makes it a STAR-SCHEMA rollup: each entry is
+        ``{"path": <lakesoul table>, "on": [join cols],
+        "columns": [projection] (optional), "how": "inner"|"left"}``.
+        A dimension join distributes over fact batches ONLY while the
+        dimension is frozen, so each dim is pinned to its snapshot
+        version at create/rebuild time: refreshes read the PINNED dim
+        snapshot (concurrent dim writes can't skew a batch) and REFUSE
+        to run once the dim's head moves past the pin — ``rebuild()``
+        re-pins. Dims are broadcast (the star-schema contract: small
+        dimension, huge fact); group-by columns may come from dims."""
         src = LakeSoulTable.for_path(spark, source_path)
         _validate_source(src.info)
         if not group_by:
             raise ValueError("group_by must name at least one column")
-        # derive the MV schema from the partial-agg plan (no job);
-        # this also validates the where expression against the schema
-        probe = src.to_df().limit(0)
-        if where:
-            probe = probe.filter(where)
+        pinned = []
+        for d in dims or []:
+            how = d.get("how", "inner")
+            if how not in ("inner", "left"):
+                raise ValueError(f"dim join how must be inner/left, got {how!r}")
+            if not d.get("on"):
+                raise ValueError("dim entry needs join columns in 'on'")
+            dt = LakeSoulTable.for_path(spark, d["path"])
+            on = d["on"]
+            pinned.append({
+                "path": dt.path,
+                "on": dict(on) if isinstance(on, dict) else list(on),
+                "columns": list(d["columns"]) if d.get("columns") else None,
+                "how": how,
+                "version": dt.store.head_version(),
+            })
+        # derive the MV schema from the partial-agg plan (no job); this
+        # also validates the where/join expressions against the schema
+        probe = _joined(spark, src.to_df().limit(0), pinned, where)
         probe = probe.groupBy(*group_by).agg(*_partial_aggs(aggs))
         merge_ops = ",".join(
             f"{name}:{_MERGE_OP[fn]}" for name, (fn, _e) in aggs.items()
@@ -167,6 +232,8 @@ class AggMV:
         }
         if where:
             spec["where"] = where
+        if pinned:
+            spec["dims"] = pinned
         create_table(
             spark,
             mv_path,
@@ -183,9 +250,19 @@ class AggMV:
     # ------------------------------------------------------------ refresh
 
     def _delta(self, df: DataFrame) -> DataFrame:
-        if self.where:
-            df = df.filter(self.where)
+        df = _joined(self.spark, df, self.dims, self.where)
         return df.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
+
+    def _check_dims_pinned(self) -> None:
+        for d in self.dims:
+            head = MetaStore(d["path"]).head_version()
+            if head != d["version"]:
+                raise ValueError(
+                    f"dimension {d['path']} moved from pinned version "
+                    f"{d['version']} to {head}: already-applied batches "
+                    "joined the OLD dim rows, so an incremental refresh "
+                    "would mix dim versions — call rebuild()"
+                )
 
     def last_applied_version(self) -> int:
         """Source version the MV reflects — read from refresh commits'
@@ -206,6 +283,7 @@ class AggMV:
         if head <= last:
             return {"start_version": last + 1, "end_version": last,
                     "applied": False}
+        self._check_dims_pinned()
         if last == 0:
             # initial load: the full snapshot IS the delta (nothing to
             # retract yet), so an overwrite-created source works too
@@ -242,11 +320,21 @@ class AggMV:
                 "applied": True}
 
     def rebuild(self) -> dict:
-        """Recovery path after the source stopped being append-only:
-        recompute from the CURRENT source snapshot, replacing every MV
-        generation in one Update commit stamped with the source head."""
+        """Recovery path after the source stopped being append-only or
+        a pinned dimension changed: re-pin every dim to its CURRENT
+        head, recompute from the current source snapshot, and replace
+        every MV generation in one Update commit stamped with the
+        source head."""
         from lakesoul_spark.meta.store import FileOp
 
+        if self.dims:
+            for d in self.dims:
+                d["version"] = MetaStore(d["path"]).head_version()
+            info = self.table.info
+            spec = json.loads(info.properties[SPEC_PROP])
+            spec["dims"] = self.dims
+            info.properties[SPEC_PROP] = json.dumps(spec)
+            self.table.store.update_table_info(info)
         src = LakeSoulTable.for_path(self.spark, self.source_path)
         head = src.store.head_version()
         delta = self._delta(src.to_df())

@@ -1466,3 +1466,49 @@ def zorder_skipping(spark, sf_dir):
         "event_id", "user_id", "event_type", "value",
         F.col("ts").alias("ts_ns"),
     )
+
+
+@_register(
+    "lakehouse_star_mv",
+    """
+    SELECT c_nationkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def star_mv(spark, sf_dir):
+    """Star-schema rollup materialized view (mv.py dims): the orders
+    fact lands in two append batches; each refresh broadcast-joins the
+    batch against the customer dimension PINNED at its create-time
+    snapshot version and upserts one partial generation keyed by the
+    dim attribute. The oracle is the full join+group-by the view never
+    reruns. At 100 TB: per-refresh cost is O(new facts) with a
+    broadcast dim join — the nightly star rollup without the nightly
+    fact scan; a dim change is refused until rebuild() re-pins."""
+    from lakesoul_spark.mv import AggMV
+
+    fact = _tmp("star_fact", sf_dir)
+    dim = _tmp("star_dim", sf_dir)
+    mvp = _tmp("star_mv", sf_dir)
+    orders = _orders(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], fact, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = AggMV.create(
+        spark, fact, mvp,
+        group_by=["c_nationkey"],
+        aggs={"sum_price": ("sum", "o_totalprice"),
+              "n_orders": ("count", "*")},
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+        hash_bucket_num=4,
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], fact, mode="append")
+    r = mv.refresh()
+    assert r["applied"] and r["start_version"] == r["end_version"]
+    return mv.to_df().select("c_nationkey", "sum_price", "n_orders")

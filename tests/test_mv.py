@@ -283,3 +283,57 @@ def test_mv_where_filter_incremental(spark, tmp_path):
     """)
     got = cat.sql(spark, "SELECT * FROM fmv ORDER BY o_custkey").collect()
     assert got == _expected(orders.filter("o_orderstatus = 'O'"))
+
+
+def test_mv_star_schema_dims(spark, tmp_path):
+    """Fact batches broadcast-join PINNED dimension snapshots; the
+    incrementally-refreshed rollup equals the full join+group-by, and
+    a dim change is refused until rebuild() re-pins."""
+    orders = _orders(spark)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    src, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["c_nationkey"],
+        aggs={"sum_price": ("sum", "o_totalprice"), "n": ("count", "*")},
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+
+    def expected(fact, c):
+        return (
+            fact.join(c, fact.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_price"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("c_nationkey").collect()
+        )
+
+    assert mv.to_df().orderBy("c_nationkey").collect() == expected(orders, cust)
+
+    # dim drift: refresh refuses, rebuild re-pins and recovers
+    cust2 = cust.withColumn(
+        "c_nationkey", (F.col("c_nationkey") + 1) % 25
+    )
+    write(cust2, dim, mode="overwrite")
+    write(orders.limit(5), src, mode="append")
+    with pytest.raises(ValueError, match="pinned version"):
+        mv.refresh()
+    mv.rebuild()
+    assert mv.to_df().orderBy("c_nationkey").collect() == expected(
+        orders.unionByName(orders.limit(5)), cust2
+    )
+    # and incremental works again against the new pin
+    write(orders.limit(3), src, mode="append")
+    assert mv.refresh()["applied"]
+    assert mv.to_df().orderBy("c_nationkey").collect() == expected(
+        orders.unionByName(orders.limit(5)).unionByName(orders.limit(3)),
+        cust2,
+    )
