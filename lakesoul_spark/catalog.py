@@ -399,7 +399,8 @@ class Catalog:
             CREATE MATERIALIZED VIEW [IF NOT EXISTS] [ns.]v
                 [TBLPROPERTIES('hashBucketNum'='8')]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
-                          min(x) AS c, max(x) AS d
+                          min(x) AS c, max(x) AS d,
+                          count(DISTINCT x) AS e
                    FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
             REFRESH MATERIALIZED VIEW [ns.]v [FULL]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
@@ -910,6 +911,9 @@ class Catalog:
                 expr = am.group(2).strip()
                 if fn == "count" and expr == "*":
                     expr = None
+                elif fn == "count" and re.match(r"(?i)DISTINCT\s", expr):
+                    fn = "count_distinct"
+                    expr = expr[len("DISTINCT"):].strip()
                 aggs[am.group(3)] = (fn, expr)
             else:
                 bare.append(item.strip("`"))

@@ -28,6 +28,11 @@ merge_operator/MergeOperator.scala:17-85``):
                                    ``lakesoul_spark/mv.py``; min/max
                                    are associative so partials compose
                                    under compaction exactly like sums)
+- ``hll_union_all``              — Datasketches HLL union across all
+                                   versions (binary sketch columns;
+                                   union-of-sketches == sketch-of-union,
+                                   so distinct-count partials compose
+                                   losslessly — mv.py count_distinct)
 
 Spark-first re-expression: instead of a k-way sorted stream merge, the
 MOR view groups by PK and evaluates each column's operator as a native
@@ -57,6 +62,7 @@ MERGE_OP_NAMES = frozenset(
         "joined_last_by_semicolon",
         "min_all",
         "max_all",
+        "hll_union_all",
     }
 )
 
@@ -120,6 +126,8 @@ def merge_agg_expr(op: str, col: Column, ord_: Column, has: Column) -> Column:
         return F.min(F.when(has, col))
     if op == "max_all":
         return F.max(F.when(has, col))
+    if op == "hll_union_all":
+        return F.hll_union_agg(F.when(has, col))
     if op == "joined_all_by_comma":
         return _joined_all(col, ord_, has, ",")
     if op == "joined_all_by_semicolon":

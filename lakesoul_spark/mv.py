@@ -63,7 +63,7 @@ _EXTRA_END = "mv.source_end_version"
 # out-column merge operator per aggregate function: partials compose
 # associatively under these, which is what makes compaction safe
 _MERGE_OP = {"sum": "sum_all", "count": "sum_all", "min": "min_all",
-             "max": "max_all"}
+             "max": "max_all", "count_distinct": "hll_union_all"}
 
 
 def _partial_aggs(aggs: dict) -> list:
@@ -88,10 +88,20 @@ def _partial_aggs(aggs: dict) -> list:
             out.append(F.min(F.expr(expr)).alias(name))
         elif fn == "max":
             out.append(F.max(F.expr(expr)).alias(name))
+        elif fn == "count_distinct":
+            # distinct counting is the classically non-incremental
+            # aggregate; a Datasketches HLL sketch partial makes it
+            # mergeable (union of sketches == sketch of the union, so
+            # the MOR fold is LOSSLESS vs a single full-scan sketch).
+            # Exact below the sketch's sparse-mode threshold
+            # (~hundreds of distincts per group at the default lgK=12),
+            # approx_count_distinct semantics beyond it.
+            out.append(F.hll_sketch_agg(F.expr(expr)).alias(name))
         else:
             raise ValueError(
                 f"unsupported MV aggregate {fn!r} for {name!r}; "
-                "supported: sum, count, min, max (avg = sum + count)"
+                "supported: sum, count, min, max, count_distinct "
+                "(avg = sum + count)"
             )
     return out
 
@@ -382,5 +392,7 @@ class AggMV:
                 c = c.cast("double")
             elif fn == "count":
                 c = c.cast("bigint")
+            elif fn == "count_distinct":
+                c = F.hll_sketch_estimate(c).cast("bigint")
             sel.append(c.alias(name))
         return df.select(*sel)

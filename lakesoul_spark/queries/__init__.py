@@ -42,7 +42,8 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # exactly-50 window; locally hash-verified via tools/verify_oracle.py)
 # MUST be in the r9 front: streaming_stream_join, lakehouse_rollback,
 # lakehouse_convert, lakehouse_bucket_join, lakehouse_upsert_on_join,
-# lakehouse_incremental_mv, lakehouse_zorder_skipping, lakehouse_star_mv.
+# lakehouse_incremental_mv, lakehouse_zorder_skipping, lakehouse_star_mv,
+# lakehouse_mv_count_distinct.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
@@ -61,7 +62,7 @@ _DEFER = (
     "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
     "lakehouse_bucket_join", "lakehouse_upsert_on_join",
     "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
-    "lakehouse_star_mv",
+    "lakehouse_star_mv", "lakehouse_mv_count_distinct",
 )
 
 

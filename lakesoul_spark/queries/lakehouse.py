@@ -1512,3 +1512,46 @@ def star_mv(spark, sf_dir):
     r = mv.refresh()
     assert r["applied"] and r["start_version"] == r["end_version"]
     return mv.to_df().select("c_nationkey", "sum_price", "n_orders")
+
+
+@_register(
+    "lakehouse_mv_count_distinct",
+    """
+    SELECT o_custkey,
+           count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_dates,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def mv_count_distinct(spark, sf_dir):
+    """Incrementally-maintained DISTINCT counting (mv.py
+    count_distinct): per-refresh partials are Datasketches HLL
+    sketches (binary column, hll_union_all merge operator), so the
+    classically non-incremental aggregate becomes mergeable — union
+    of sketches equals the sketch of the union, losslessly. The exact
+    DuckDB oracle holds because per-group cardinality sits far below
+    the sketch's sparse-mode threshold (exact regime, ~hundreds at
+    lgK=12); beyond it the semantics are approx_count_distinct, which
+    is precisely what a 100 TB distinct count wants."""
+    from lakesoul_spark.mv import AggMV
+
+    src = _tmp("mvd_src", sf_dir)
+    mvp = _tmp("mvd_view", sf_dir)
+    orders = _orders(spark, sf_dir)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_custkey"],
+        aggs={
+            "n_dates": ("count_distinct",
+                        "date_format(o_orderdate, 'yyyy-MM-dd')"),
+            "n_orders": ("count", "*"),
+        },
+        hash_bucket_num=8,
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], src, mode="append")
+    assert mv.refresh()["applied"]
+    return mv.to_df().select("o_custkey", "n_dates", "n_orders")

@@ -337,3 +337,49 @@ def test_mv_star_schema_dims(spark, tmp_path):
         orders.unionByName(orders.limit(5)).unionByName(orders.limit(3)),
         cust2,
     )
+
+
+def test_mv_count_distinct_hll(spark, tmp_path):
+    """count_distinct partials are HLL sketches: the incrementally
+    merged estimate equals a single full-scan sketch estimate exactly
+    (union of sketches == sketch of union), which at fixture
+    cardinality equals the exact distinct count; survives compaction
+    and works through the SQL grammar."""
+    from lakesoul_spark.catalog import Catalog
+
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src = str(tmp_path / "src")
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["o_custkey"],
+        aggs={"n_dates": ("count_distinct",
+                          "date_format(o_orderdate, 'yyyy-MM-dd')")},
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+    got = {r["o_custkey"]: r["n_dates"] for r in mv.to_df().collect()}
+    exact = {r["o_custkey"]: r["n"] for r in orders.groupBy("o_custkey")
+             .agg(F.countDistinct(
+                 F.date_format("o_orderdate", "yyyy-MM-dd")).alias("n"))
+             .collect()}
+    assert got == exact
+    LakeSoulTable.for_path(spark, mv.table.path).compaction()
+    assert {r["o_custkey"]: r["n_dates"]
+            for r in mv.to_df().collect()} == exact
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t = cat.create_table(spark, "o", orders.schema)
+    write(orders, t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW dmv AS
+        SELECT o_custkey,
+               count(DISTINCT date_format(o_orderdate, 'yyyy-MM-dd'))
+                 AS n_dates
+        FROM o GROUP BY o_custkey
+    """)
+    got2 = {r["o_custkey"]: r["n_dates"] for r in
+            cat.sql(spark, "SELECT * FROM dmv").collect()}
+    assert got2 == exact
