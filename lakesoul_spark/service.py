@@ -54,6 +54,9 @@ class CompactionService:
         self.apply_ttl = apply_ttl
         self.vacuum_retention_ms = vacuum_retention_ms
         self._last_seen: dict[str, int] = {}
+        # materialized views refresh off their SOURCE's head, which
+        # moves without any commit landing on the view itself
+        self._last_seen_src: dict[str, int] = {}
 
     def discover(self) -> list[str]:
         from lakesoul_spark.meta.store import META_DIR
@@ -82,10 +85,35 @@ class CompactionService:
         for path in self.discover():
             store = MetaStore(path)
             head = store.head_version()
-            if head == self._last_seen.get(path):
-                continue  # no commits since last round — skip entirely
+            # a materialized view refreshes off its SOURCE head (its own
+            # log is quiet until the refresh itself commits)
+            src_head = None
+            spec = store.table_info().properties.get("lakesoul.mv.spec")
+            if spec:
+                import json as _json
+
+                src_head = MetaStore(
+                    _json.loads(spec)["source_path"]
+                ).head_version()
+            if head == self._last_seen.get(path) and (
+                src_head is None or src_head == self._last_seen_src.get(path)
+            ):
+                continue  # nothing moved since last round — skip entirely
             t = LakeSoulTable.for_path(self.spark, path)
             report: dict = {}
+            if src_head is not None and src_head != self._last_seen_src.get(path):
+                from lakesoul_spark.mv import AggMV
+
+                try:
+                    r = AggMV(self.spark, path).refresh()
+                    if r["applied"]:
+                        report["mv_refreshed"] = r
+                except ValueError as e:
+                    # non-append source / dim drift: needs rebuild().
+                    # Record the head so the SAME broken window isn't
+                    # retried every round; a new source commit retries.
+                    report["mv_error"] = str(e)
+                self._last_seen_src[path] = src_head
             try:
                 merged = t.leveled_compaction(
                     l0_file_num_limit=self.l0_file_num_limit,

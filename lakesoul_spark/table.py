@@ -855,6 +855,17 @@ class LakeSoulTable:
         info = self.info
         if not info.is_pk_table:
             raise ValueError("save_as_bucketed requires a primary-key table")
+        # saveAsTable("overwrite") replaces a table known to THIS
+        # session's in-memory catalog, but a managed-table directory
+        # left by a PREVIOUS session is invisible to it and fails the
+        # write with LOCATION_ALREADY_EXISTS — drop both forms first
+        import re as _re
+        import shutil as _shutil
+
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        wh = _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/",
+                     self.spark.conf.get("spark.sql.warehouse.dir"))
+        _shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
         w = (
             self.to_df()
             .write.mode("overwrite")

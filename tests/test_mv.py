@@ -383,3 +383,34 @@ def test_mv_count_distinct_hll(spark, tmp_path):
     got2 = {r["o_custkey"]: r["n_dates"] for r in
             cat.sql(spark, "SELECT * FROM dmv").collect()}
     assert got2 == exact
+
+
+def test_service_auto_refreshes_mv(spark, tmp_path):
+    """The maintenance daemon refreshes a view when its SOURCE head
+    advances (the view's own log is quiet), skips quiet rounds, and
+    surfaces refresh errors without crashing."""
+    from lakesoul_spark.service import CompactionService
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mvp = str(wh / "src"), str(wh / "mv")
+    write(halves[0], src, mode="overwrite")
+    AggMV.create(spark, src, mvp, group_by=["o_custkey"], aggs=AGGS)
+    svc = CompactionService(spark, warehouse=str(wh))
+    r1 = svc.run_once()
+    assert r1[mvp]["mv_refreshed"]["applied"]  # initial load
+    assert not svc.run_once()  # quiet round: nothing moved
+    write(halves[1], src, mode="append")
+    r2 = svc.run_once()
+    assert r2[mvp]["mv_refreshed"]["applied"]
+    mv = AggMV(spark, mvp)
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+    # a rewrite breaks incremental refresh: reported, not raised, and
+    # the SAME broken head is not retried next round
+    write(orders.limit(10), src, mode="overwrite")
+    r3 = svc.run_once()
+    assert "non-append" in r3[mvp]["mv_error"]
+    r4 = svc.run_once()
+    assert mvp not in r4 or "mv_error" not in r4.get(mvp, {})
