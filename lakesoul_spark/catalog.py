@@ -402,6 +402,9 @@ class Catalog:
                           min(x) AS c, max(x) AS d,
                           count(DISTINCT x) AS e
                    FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
+            CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
+                AS SELECT <expr> AS a[, …]         -- insert-only
+                   FROM [ns.]src [WHERE <cond>]    -- transform pipe
             REFRESH MATERIALIZED VIEW [ns.]v [FULL]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
 
@@ -824,24 +827,24 @@ class Catalog:
     )
 
     def _get_mv(self, spark: SparkSession, ref: str):
-        from lakesoul_spark.mv import SPEC_PROP, AggMV
+        from lakesoul_spark.mv import SPEC_PROP, open_view
 
         ns, name = self._split_name(ref)
         t = self.get_table(spark, name, ns)
         if SPEC_PROP not in t.info.properties:
             raise ValueError(f"{ns}.{name} is not a materialized view")
-        return AggMV(spark, t.path)
+        return open_view(spark, t.path)
 
     def _view_df(self, spark: SparkSession, name: str, ns: str):
         """The frame a SQL reference to a catalog table resolves to:
         plain tables expose their MOR view; materialized views expose
         the FINALIZED aggregate (merged partials, normalized types,
         compacted fast path) — not the raw partial generations."""
-        from lakesoul_spark.mv import SPEC_PROP, AggMV
+        from lakesoul_spark.mv import SPEC_PROP, open_view
 
         t = self.get_table(spark, name, ns)
         if SPEC_PROP in t.info.properties:
-            return AggMV(spark, t.path).to_df()
+            return open_view(spark, t.path).to_df()
         return t.to_df()
 
     def _sql_create_mv(self, spark: SparkSession, stmt: str):
@@ -883,9 +886,9 @@ class Catalog:
             raise ValueError("materialized view SELECT needs a FROM clause")
         select_list, rest = body[:fi], body[fi + 4:].strip()
         gi = _find_top_keyword(rest, "GROUP")
-        if gi < 0 or not rest[gi + 5:].strip().upper().startswith("BY"):
-            raise ValueError("materialized view SELECT needs GROUP BY")
-        src_ref = rest[:gi].strip()
+        if gi >= 0 and not rest[gi + 5:].strip().upper().startswith("BY"):
+            raise ValueError(f"cannot parse GROUP clause in {rest!r}")
+        src_ref = rest[:gi].strip() if gi >= 0 else rest
         where = None
         wi = _find_top_keyword(src_ref, "WHERE")
         if wi >= 0:
@@ -893,10 +896,39 @@ class Catalog:
             src_ref = src_ref[:wi].strip()
         if not re.fullmatch(r"[\w.`]+", src_ref):
             raise ValueError(
-                "materialized views aggregate ONE source table "
+                "materialized views read ONE source table "
                 f"(got FROM {src_ref!r}) — joins/subqueries are not "
                 "incrementally maintainable here"
             )
+        if gi < 0:
+            # no GROUP BY → an insert-only TRANSFORM pipe (TransformMV)
+            from lakesoul_spark.mv import TransformMV
+
+            items = [i.strip() for i in _split_top(select_list)]
+            aggy = [i for i in items if self._AGG_ITEM_RE.match(i)]
+            if aggy:
+                raise ValueError(
+                    f"aggregates {aggy} need a GROUP BY clause"
+                )
+            if m.group(3):
+                raise ValueError(
+                    "transform views (no GROUP BY) take no properties"
+                )
+            src_ns, src_name = self._split_name(src_ref)
+            src = self.get_table(spark, src_name, src_ns)
+            mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))
+            created_dir = not os.path.exists(mv_path)
+            TransformMV.create(
+                spark, src.path, mv_path, select=items, where=where
+            )
+            try:
+                self.backend.register_table(ns, name, mv_path)
+            except Exception:
+                if created_dir:
+                    shutil.rmtree(mv_path, ignore_errors=True)
+                raise
+            TransformMV(spark, mv_path).refresh()
+            return None
         group_by = [
             c.strip().strip("`")
             for c in _split_top(rest[gi + 5:].strip()[2:])

@@ -117,6 +117,34 @@ def _validate_source(info) -> None:
         raise ValueError("MV sources must not be CDC tables")
 
 
+def _window_df(
+    spark: SparkSession, src_store: MetaStore, source_path: str,
+    last: int, head: int,
+) -> DataFrame:
+    """The rows source commits (last, head] contributed. last == 0 is
+    the initial load — the full snapshot IS the delta (nothing applied
+    to retract yet), so an overwrite-created source works too. Any
+    rewrite commit inside a later window is not representable as a row
+    delta and fails loudly (compactions are fine — incremental reads
+    skip re-statements)."""
+    if last == 0:
+        return LakeSoulTable.for_path_snapshot(
+            spark, source_path, version=head
+        ).to_df()
+    window = src_store.commits(last + 1, head)
+    bad = [c.commit_op for c in window
+           if c.commit_op not in (OP_APPEND, OP_COMPACTION)]
+    if bad:
+        raise ValueError(
+            f"source has non-append commits {sorted(set(bad))} "
+            f"in versions ({last}, {head}] — the window is not "
+            "representable as a row delta; call rebuild()"
+        )
+    return LakeSoulTable.for_path_incremental_versions(
+        spark, source_path, last + 1, head
+    ).to_df()
+
+
 def _joined(
     spark: SparkSession, df: DataFrame, dims: list[dict], where: str | None
 ) -> DataFrame:
@@ -163,6 +191,11 @@ class AggMV:
         if not spec_json:
             raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
         spec = json.loads(spec_json)
+        if spec.get("kind", "agg") != "agg":
+            raise ValueError(
+                f"{mv_path} is a {spec['kind']!r} view, not an aggregate "
+                "view — open it with open_view()"
+            )
         self.source_path: str = spec["source_path"]
         self.group_by: list[str] = list(spec["group_by"])
         # {out_col: [fn, expr]}
@@ -294,25 +327,7 @@ class AggMV:
             return {"start_version": last + 1, "end_version": last,
                     "applied": False}
         self._check_dims_pinned()
-        if last == 0:
-            # initial load: the full snapshot IS the delta (nothing to
-            # retract yet), so an overwrite-created source works too
-            inc = LakeSoulTable.for_path_snapshot(
-                self.spark, self.source_path, version=head
-            ).to_df()
-        else:
-            window = src_store.commits(last + 1, head)
-            bad = [c.commit_op for c in window
-                   if c.commit_op not in (OP_APPEND, OP_COMPACTION)]
-            if bad:
-                raise ValueError(
-                    f"source has non-append commits {sorted(set(bad))} "
-                    f"in versions ({last}, {head}] — the window is not "
-                    "representable as a row delta; call rebuild()"
-                )
-            inc = LakeSoulTable.for_path_incremental_versions(
-                self.spark, self.source_path, last + 1, head
-            ).to_df()
+        inc = _window_df(self.spark, src_store, self.source_path, last, head)
         delta = self._delta(inc)
         info = self.table.info
         ops = write_table_data(delta, info, dedup=False)
@@ -396,3 +411,157 @@ class AggMV:
                 c = F.hll_sketch_estimate(c).cast("bigint")
             sel.append(c.alias(name))
         return df.select(*sel)
+
+
+class TransformMV:
+    """Incrementally-maintained TRANSFORMED copy — the map-only
+    counterpart of :class:`AggMV` (the "insert-only pipe" every ETL
+    stack rebuilds by hand): select expressions + optional WHERE +
+    optional pinned broadcast dims over an append-only source,
+    materialized as a non-PK table. Each refresh APPENDS the transform
+    of exactly the new commits; there is no merge at all, so reads are
+    plain scans and per-refresh cost is O(new rows) in, O(selected
+    rows) out. Same exactly-once commit marker as AggMV."""
+
+    def __init__(self, spark: SparkSession, mv_path: str):
+        self.spark = spark
+        self.table = LakeSoulTable.for_path(spark, mv_path)
+        spec_json = self.table.info.properties.get(SPEC_PROP)
+        if not spec_json:
+            raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
+        spec = json.loads(spec_json)
+        if spec.get("kind") != "transform":
+            raise ValueError(
+                f"{mv_path} is an aggregate view — open it with AggMV"
+            )
+        self.source_path: str = spec["source_path"]
+        self.select: list[str] = list(spec["select"])
+        self.where: str | None = spec.get("where")
+        self.dims: list[dict] = list(spec.get("dims", []))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        source_path: str,
+        mv_path: str,
+        *,
+        select: list[str],
+        where: str | None = None,
+        dims: list[dict] | None = None,
+        range_partitions: list[str] | None = None,
+    ) -> "TransformMV":
+        """``select`` is a list of selectExpr strings (``"expr AS
+        name"`` / bare columns). ``range_partitions`` optionally
+        partitions the OUTPUT (the exprs must produce those columns)."""
+        src = LakeSoulTable.for_path(spark, source_path)
+        _validate_source(src.info)
+        if not select:
+            raise ValueError("select must name at least one expression")
+        pinned = []
+        for d in dims or []:
+            how = d.get("how", "inner")
+            if how not in ("inner", "left"):
+                raise ValueError(f"dim join how must be inner/left, got {how!r}")
+            if not d.get("on"):
+                raise ValueError("dim entry needs join columns in 'on'")
+            dt = LakeSoulTable.for_path(spark, d["path"])
+            on = d["on"]
+            pinned.append({
+                "path": dt.path,
+                "on": dict(on) if isinstance(on, dict) else list(on),
+                "columns": list(d["columns"]) if d.get("columns") else None,
+                "how": how,
+                "version": dt.store.head_version(),
+            })
+        probe = _joined(spark, src.to_df().limit(0), pinned, where)
+        probe = probe.selectExpr(*select)
+        spec = {
+            "kind": "transform",
+            "source_path": src.path,
+            "select": list(select),
+        }
+        if where:
+            spec["where"] = where
+        if pinned:
+            spec["dims"] = pinned
+        create_table(
+            spark,
+            mv_path,
+            probe.schema,
+            range_partitions=list(range_partitions or []),
+            properties={SPEC_PROP: json.dumps(spec)},
+        )
+        return cls(spark, mv_path)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        df = _joined(self.spark, df, self.dims, self.where)
+        return df.selectExpr(*self.select)
+
+    _check_dims_pinned = AggMV._check_dims_pinned
+    last_applied_version = AggMV.last_applied_version
+
+    def refresh(self) -> dict:
+        """Append the transform of source commits (last_applied, head]."""
+        src_store = MetaStore(self.source_path)
+        head = src_store.head_version()
+        last = self.last_applied_version()
+        if head <= last:
+            return {"start_version": last + 1, "end_version": last,
+                    "applied": False}
+        self._check_dims_pinned()
+        inc = _window_df(self.spark, src_store, self.source_path, last, head)
+        out = self._transform(inc)
+        info = self.table.info
+        ops = write_table_data(out, info, dedup=False)
+        self.table.store.commit(
+            OP_APPEND,
+            ops,
+            query_id=f"mv:{info.table_id}",
+            batch_id=head,
+            extra={_EXTRA_END: head},
+        )
+        return {"start_version": last + 1, "end_version": head,
+                "applied": True}
+
+    def rebuild(self) -> dict:
+        """Re-pin dims and recompute from the current source snapshot."""
+        from lakesoul_spark.meta.store import FileOp
+
+        if self.dims:
+            for d in self.dims:
+                d["version"] = MetaStore(d["path"]).head_version()
+            info = self.table.info
+            spec = json.loads(info.properties[SPEC_PROP])
+            spec["dims"] = self.dims
+            info.properties[SPEC_PROP] = json.dumps(spec)
+            self.table.store.update_table_info(info)
+        src = LakeSoulTable.for_path(self.spark, self.source_path)
+        head = src.store.head_version()
+        out = self._transform(src.to_df())
+        info = self.table.info
+        adds = write_table_data(out, info, dedup=False)
+        dels = [
+            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
+                   bucket=f.bucket)
+            for f in self.table.store.snapshot().files
+        ]
+        self.table.store.commit(
+            OP_UPDATE, dels + adds,
+            query_id=f"mv:{info.table_id}", batch_id=head,
+            extra={_EXTRA_END: head},
+        )
+        return {"end_version": head, "applied": True}
+
+    def to_df(self) -> DataFrame:
+        return self.table.to_df()
+
+
+def open_view(spark: SparkSession, mv_path: str):
+    """Open a path as whichever view kind its spec declares."""
+    store = MetaStore(mv_path)
+    spec_json = store.table_info().properties.get(SPEC_PROP)
+    if not spec_json:
+        raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
+    kind = json.loads(spec_json).get("kind", "agg")
+    return (TransformMV if kind == "transform" else AggMV)(spark, mv_path)

@@ -1555,3 +1555,43 @@ def mv_count_distinct(spark, sf_dir):
     write(halves[1], src, mode="append")
     assert mv.refresh()["applied"]
     return mv.to_df().select("o_custkey", "n_dates", "n_orders")
+
+
+@_register(
+    "lakehouse_transform_mv",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted,
+           upper(o_orderpriority) AS prio
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def transform_mv(spark, sf_dir):
+    """Insert-only transform pipe (mv.py TransformMV) — the map-only
+    counterpart of the aggregate MV: select exprs + WHERE over an
+    append-only source, each refresh APPENDING the transform of
+    exactly the new commits (no merge, plain-scan reads). The oracle
+    is the full select the pipe never reruns. At 100 TB: the staging/
+    cleaning hop of every ingest DAG, at O(daily ingest) instead of
+    O(corpus), with the same exactly-once commit marker as the
+    aggregate views."""
+    from lakesoul_spark.mv import TransformMV
+
+    src = _tmp("tmv_src", sf_dir)
+    mvp = _tmp("tmv_view", sf_dir)
+    orders = _orders(spark, sf_dir)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = TransformMV.create(
+        spark, src, mvp,
+        select=["o_orderkey", "o_custkey",
+                "CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted",
+                "upper(o_orderpriority) AS prio"],
+        where="o_orderstatus = 'O'",
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], src, mode="append")
+    r = mv.refresh()
+    assert r["applied"] and r["start_version"] == r["end_version"]
+    return mv.to_df()

@@ -102,10 +102,10 @@ class CompactionService:
             t = LakeSoulTable.for_path(self.spark, path)
             report: dict = {}
             if src_head is not None and src_head != self._last_seen_src.get(path):
-                from lakesoul_spark.mv import AggMV
+                from lakesoul_spark.mv import open_view
 
                 try:
-                    r = AggMV(self.spark, path).refresh()
+                    r = open_view(self.spark, path).refresh()
                     if r["applied"]:
                         report["mv_refreshed"] = r
                 except ValueError as e:

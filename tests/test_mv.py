@@ -414,3 +414,95 @@ def test_service_auto_refreshes_mv(spark, tmp_path):
     assert "non-append" in r3[mvp]["mv_error"]
     r4 = svc.run_once()
     assert mvp not in r4 or "mv_error" not in r4.get(mvp, {})
+
+
+def test_transform_mv_incremental_pipe(spark, tmp_path):
+    """TransformMV: select+where applied to exactly the new commits per
+    refresh; plain-scan reads; SQL form without GROUP BY; rebuild after
+    a source rewrite."""
+    from lakesoul_spark.catalog import Catalog
+    from lakesoul_spark.mv import TransformMV, open_view
+
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src = str(tmp_path / "src")
+    write(halves[0], src, mode="overwrite")
+    mv = TransformMV.create(
+        spark, src, str(tmp_path / "mv"),
+        select=["o_orderkey", "o_custkey",
+                "CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted"],
+        where="o_orderstatus = 'O'",
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    r = mv.refresh()
+    assert r["applied"] and r["start_version"] == r["end_version"]
+    assert not mv.refresh()["applied"]
+
+    def expected(df):
+        return sorted(map(tuple,
+            df.filter("o_orderstatus = 'O'").selectExpr(
+                "o_orderkey", "o_custkey",
+                "CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted"
+            ).collect()))
+
+    assert sorted(map(tuple, mv.to_df().collect())) == expected(orders)
+    assert isinstance(open_view(spark, mv.table.path), TransformMV)
+
+    # source rewrite → refresh refuses, rebuild recovers
+    kept = orders.filter(F.col("o_orderkey") % 3 == 0)
+    write(kept, src, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        mv.refresh()
+    mv.rebuild()
+    assert sorted(map(tuple, mv.to_df().collect())) == expected(kept)
+
+    # SQL form: no GROUP BY → transform pipe
+    cat = Catalog(str(tmp_path / "cat"))
+    t = cat.create_table(spark, "o", orders.schema)
+    write(orders, t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW pipe AS
+        SELECT o_orderkey, upper(o_orderpriority) AS prio
+        FROM o WHERE o_totalprice > 200000
+    """)
+    got = sorted(map(tuple, cat.sql(spark, "SELECT * FROM pipe").collect()))
+    exp = sorted(map(tuple, orders.filter("o_totalprice > 200000")
+                     .selectExpr("o_orderkey",
+                                 "upper(o_orderpriority) AS prio").collect()))
+    assert got == exp
+    with pytest.raises(ValueError, match="GROUP BY"):
+        cat.sql(spark, "CREATE MATERIALIZED VIEW bad AS "
+                       "SELECT sum(o_totalprice) AS s FROM o")
+
+
+def test_transform_mv_enrichment_dims(spark, tmp_path):
+    """A transform pipe with a pinned broadcast dim = streaming-style
+    enrichment; refresh refuses on dim drift."""
+    from lakesoul_spark.mv import TransformMV
+
+    orders = _orders(spark)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    src, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = TransformMV.create(
+        spark, src, str(tmp_path / "mv"),
+        select=["o_orderkey", "c_nationkey",
+                "CAST(o_totalprice AS DOUBLE) AS price"],
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+    exp = sorted(map(tuple,
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .selectExpr("o_orderkey", "c_nationkey",
+                    "CAST(o_totalprice AS DOUBLE) AS price").collect()))
+    assert sorted(map(tuple, mv.to_df().collect())) == exp
+    write(cust.limit(1), dim, mode="append")
+    write(orders.limit(2), src, mode="append")
+    with pytest.raises(ValueError, match="pinned version"):
+        mv.refresh()
