@@ -506,3 +506,62 @@ def test_transform_mv_enrichment_dims(spark, tmp_path):
     write(orders.limit(2), src, mode="append")
     with pytest.raises(ValueError, match="pinned version"):
         mv.refresh()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_mv_fuzz_random_lifecycle(spark, tmp_path, seed):
+    """Input-modeled fuzz: a random interleaving of source appends,
+    refreshes, MV compactions, and daemon rounds must always equal the
+    full recompute — for every aggregate kind at once. Batches are
+    deterministic modulo-slices of orders, so the visible set is a
+    pure function of which slices have been appended."""
+    import random
+
+    rng = random.Random(seed)
+    orders = _orders(spark)
+    src = str(tmp_path / "src")
+    aggs = {
+        "sum_price": ("sum", "o_totalprice"),
+        "n": ("count", "*"),
+        "mn": ("min", "o_totalprice"),
+        "mx": ("max", "o_totalprice"),
+        "nd": ("count_distinct", "date_format(o_orderdate, 'yyyy-MM-dd')"),
+    }
+    nslices = 7
+    pending = list(range(1, nslices))
+    rng.shuffle(pending)
+    done = [0]
+    write(orders.filter(F.col("o_orderkey") % nslices == 0),
+          src, mode="overwrite")
+    mv = AggMV.create(spark, src, str(tmp_path / "mv"),
+                      group_by=["o_custkey"], aggs=aggs,
+                      hash_bucket_num=rng.choice([2, 4]))
+    for _ in range(8):
+        action = rng.choice(["append", "refresh", "compact", "daemon"])
+        if action == "append" and pending:
+            k = pending.pop()
+            write(orders.filter(F.col("o_orderkey") % nslices == k),
+                  src, mode="append")
+            done.append(k)
+        elif action == "refresh":
+            mv.refresh()
+        elif action == "compact":
+            LakeSoulTable.for_path(spark, mv.table.path).compaction()
+        else:
+            from lakesoul_spark.service import CompactionService
+
+            CompactionService(spark, tables=[mv.table.path]).run_once()
+    mv.refresh()  # settle
+    visible = orders.filter((F.col("o_orderkey") % nslices).isin(done))
+    exp = (
+        visible.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.countDistinct(
+                F.date_format("o_orderdate", "yyyy-MM-dd")).alias("nd"),
+        ).orderBy("o_custkey").collect()
+    )
+    assert mv.to_df().orderBy("o_custkey").collect() == exp
