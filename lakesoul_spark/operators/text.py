@@ -533,3 +533,48 @@ def corpus_profile(
             .alias(f"p{tag}_quality")
         )
     return cum.groupBy("source").agg(*aggs)
+
+
+def corpus_frequency_score(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_tf: int = 2,
+) -> DataFrame:
+    """Per-document corpus-frequency quality signals (the CCNet-style
+    LM-familiarity filter, in exact integer arithmetic instead of a
+    trained LM): how "typical" a document's vocabulary is of the corpus
+    it sits in. Low mean corpus frequency / high rare-token fraction
+    flags OCR noise, codes/IDs, boilerplate explosions, and off-corpus
+    gibberish — the cheap first-pass quality screen before any model
+    scorer.
+
+    Returns ``(id_col, n_tokens, mean_tf, rare_frac)`` where
+    ``mean_tf`` is the mean corpus term frequency of the document's
+    tokens and ``rare_frac`` the fraction with corpus tf ≤
+    ``rare_max_tf`` (both rounded to 6 — exact bigint sums, one double
+    division, the repo determinism contract).
+
+    Plan shape (100 TB): scan 1 builds corpus tf (explode + map-side-
+    combined hash agg, state = vocabulary); scan 2 re-explodes and
+    joins tokens to tf — keyed by token, so the exchange carries the
+    token STREAM once, never a doc × vocab product — then one hash agg
+    back to documents. No driver-side materialization, no UDFs.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    tf = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    return (
+        tok.join(tf, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("__tf").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_tf"),
+            F.round(
+                F.sum((F.col("__tf") <= rare_max_tf).cast("int"))
+                .cast("double") / F.count(F.lit(1)), 6
+            ).alias("rare_frac"),
+        )
+    )

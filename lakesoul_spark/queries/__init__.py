@@ -43,7 +43,8 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # MUST be in the r9 front: streaming_stream_join, lakehouse_rollback,
 # lakehouse_convert, lakehouse_bucket_join, lakehouse_upsert_on_join,
 # lakehouse_incremental_mv, lakehouse_zorder_skipping, lakehouse_star_mv,
-# lakehouse_mv_count_distinct, lakehouse_transform_mv.
+# lakehouse_mv_count_distinct, lakehouse_transform_mv,
+# text_corpus_freq_score.
 _MODULE_ORDER = (lakehouse, tpch, pipeline)
 
 _FRONT = (
@@ -63,7 +64,7 @@ _DEFER = (
     "lakehouse_bucket_join", "lakehouse_upsert_on_join",
     "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
     "lakehouse_star_mv", "lakehouse_mv_count_distinct",
-    "lakehouse_transform_mv",
+    "lakehouse_transform_mv", "text_corpus_freq_score",
 )
 
 

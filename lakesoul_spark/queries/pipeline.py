@@ -1932,3 +1932,26 @@ def pipeline_corpus_profile(spark, sf_dir):
     quality score. See
     :func:`lakesoul_spark.operators.text.corpus_profile`."""
     return text.corpus_profile(docs(spark, sf_dir))
+
+
+@_register(
+    "text_corpus_freq_score",
+    f"""
+    WITH t AS (SELECT doc_id AS id, unnest({_TOKS}) AS token
+               FROM documents),
+    tf AS (SELECT token, COUNT(*) AS tfc FROM t GROUP BY token)
+    SELECT id AS doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(tfc) AS DOUBLE) / COUNT(*), 6) AS mean_tf,
+           round(CAST(SUM(CASE WHEN tfc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_frac
+    FROM t JOIN tf USING (token) GROUP BY id
+    """,
+)
+def text_corpus_freq_score(spark, sf_dir):
+    """Corpus-frequency quality screen (CCNet-familiarity shape in
+    exact integer arithmetic): per-doc mean corpus term frequency +
+    rare-token fraction. Two corpus scans, token-keyed join, no doc ×
+    vocab product. See
+    :func:`lakesoul_spark.operators.text.corpus_frequency_score`."""
+    return text.corpus_frequency_score(docs(spark, sf_dir))
