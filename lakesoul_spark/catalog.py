@@ -391,7 +391,7 @@ class Catalog:
             SELECT … FROM [ns.]t VERSION AS OF n
             SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
             SELECT … FROM table_changes('[ns.]t', startV [, endV])
-            OPTIMIZE [ns.]t [LEVELED]
+            OPTIMIZE [ns.]t [LEVELED | ZORDER BY (a, b[, …])]
             VACUUM [ns.]t [RETAIN n HOURS] [DRY RUN]
             CHECK TABLE [ns.]t
             CONVERT TO LAKESOUL '/path/to/parquet' [AS [ns.]t]
@@ -407,6 +407,7 @@ class Catalog:
                    FROM [ns.]src [WHERE <cond>]    -- transform pipe
             REFRESH MATERIALIZED VIEW [ns.]v [FULL]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
+            SHOW MATERIALIZED VIEWS [IN ns]
 
         Identifiers may be backtick-quoted (```ns`.`t```); backticks
         around word-character identifiers are stripped (outside string
@@ -512,6 +513,27 @@ class Catalog:
             return spark.createDataFrame(
                 [(n,) for n in self.list_namespaces()] or [], "namespace string"
             )
+        if verb == "SHOW" and verb2 == "MATERIALIZED":
+            m = _rx(r"SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+(\w+))?$", stmt)
+            from lakesoul_spark.mv import SPEC_PROP, open_view
+
+            ns = m.group(1) or "default"
+            rows = []
+            for n in self.list_tables(ns):
+                t = self.get_table(spark, n, ns)
+                spec = t.info.properties.get(SPEC_PROP)
+                if not spec:
+                    continue
+                v = open_view(spark, t.path)
+                rows.append((
+                    ns, n, json.loads(spec).get("kind", "agg"),
+                    v.source_path, v.last_applied_version(),
+                ))
+            return spark.createDataFrame(
+                rows or [],
+                "namespace string, viewName string, kind string, "
+                "source string, applied_source_version bigint",
+            )
         if verb == "SHOW" and verb2 == "TABLES":
             m = _rx(r"SHOW\s+TABLES(?:\s+IN\s+(\w+))?$", stmt)
             ns = m.group(1) or "default"
@@ -560,10 +582,18 @@ class Catalog:
         if verb == "OPTIMIZE":
             # LEVELED must be captured as its own group: a table named
             # `my_leveled` would otherwise trip a suffix check
-            m = _rx(r"OPTIMIZE\s+([\w.`]+)(\s+LEVELED)?$", stmt)
+            m = _rx(
+                r"OPTIMIZE\s+([\w.`]+)"
+                r"(?:(\s+LEVELED)|\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+                stmt,
+            )
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
-            if m.group(2):
+            if m.group(3) is not None:
+                cols = [c.strip().strip("`")
+                        for c in m.group(3).split(",") if c.strip()]
+                t.optimize_zorder(cols)
+            elif m.group(2):
                 t.leveled_compaction()
             else:
                 t.compaction(force=True)
@@ -823,7 +853,7 @@ class Catalog:
     # ------------------------------------------------------- SQL internals
 
     _AGG_ITEM_RE = re.compile(
-        r"^(sum|count|min|max)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
+        r"^(sum|count|avg|min|max)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
     )
 
     def _get_mv(self, spark: SparkSession, ref: str):

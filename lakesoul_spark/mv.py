@@ -66,6 +66,19 @@ _MERGE_OP = {"sum": "sum_all", "count": "sum_all", "min": "min_all",
              "max": "max_all", "count_distinct": "hll_union_all"}
 
 
+def _merge_ops_str(aggs: dict) -> str:
+    """The ``lakesoul.columnMergeOps`` value for an agg spec. ``avg``
+    stores TWO physical partials (``name__s`` exact decimal sum,
+    ``name__c`` count), both summed on merge; finalize divides."""
+    parts = []
+    for name, (fn, _e) in aggs.items():
+        if fn == "avg":
+            parts += [f"{name}__s:sum_all", f"{name}__c:sum_all"]
+        else:
+            parts.append(f"{name}:{_MERGE_OP[fn]}")
+    return ",".join(parts)
+
+
 def _partial_aggs(aggs: dict) -> list:
     """One partial-aggregate Column per MV output column.
 
@@ -76,6 +89,20 @@ def _partial_aggs(aggs: dict) -> list:
     """
     out = []
     for name, (fn, expr) in aggs.items():
+        if "__" in name:
+            raise ValueError(
+                f"MV output column {name!r} may not contain '__' "
+                "(reserved for avg partial pairs)"
+            )
+        if fn == "avg":
+            # exact sum + count pair; finalize divides (one double
+            # division of exact partials — the q1 avg determinism shape)
+            out.append(
+                F.sum(F.expr(expr).cast("decimal(18,6)"))
+                .cast("decimal(28,6)").alias(f"{name}__s")
+            )
+            out.append(F.count(F.expr(expr)).cast("bigint").alias(f"{name}__c"))
+            continue
         if fn == "sum":
             out.append(
                 F.sum(F.expr(expr).cast("decimal(18,6)"))
@@ -100,8 +127,7 @@ def _partial_aggs(aggs: dict) -> list:
         else:
             raise ValueError(
                 f"unsupported MV aggregate {fn!r} for {name!r}; "
-                "supported: sum, count, min, max, count_distinct "
-                "(avg = sum + count)"
+                "supported: sum, count, avg, min, max, count_distinct"
             )
     return out
 
@@ -265,9 +291,7 @@ class AggMV:
         # also validates the where/join expressions against the schema
         probe = _joined(spark, src.to_df().limit(0), pinned, where)
         probe = probe.groupBy(*group_by).agg(*_partial_aggs(aggs))
-        merge_ops = ",".join(
-            f"{name}:{_MERGE_OP[fn]}" for name, (fn, _e) in aggs.items()
-        )
+        merge_ops = _merge_ops_str(aggs)
         spec = {
             "source_path": src.path,
             "group_by": list(group_by),
@@ -402,6 +426,11 @@ class AggMV:
             df = self.table.to_df()
         sel = list(self.group_by)
         for name, (fn, _e) in self.aggs.items():
+            if fn == "avg":
+                c = (F.col(f"{name}__s").cast("double")
+                     / F.col(f"{name}__c"))
+                sel.append(c.alias(name))
+                continue
             c = F.col(name)
             if fn == "sum":
                 c = c.cast("double")

@@ -1544,6 +1544,12 @@ class LakeSoulTable:
             view, [(c, types[c]) for c in cols],
             bits=bits, relative_error=relative_error,
         )
+        if target_files is None:
+            # SQL `OPTIMIZE ... ZORDER BY` has no file-count argument;
+            # the per-table property is its sizing knob
+            prop = info.properties.get("lakesoul.zorder.targetFileBytes")
+            if prop:
+                target_file_bytes = int(prop)
         n = target_files or max(
             1, -(-sum(f.size for f in snap.files) // target_file_bytes)
         )

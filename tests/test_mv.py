@@ -238,7 +238,7 @@ def test_mv_sql_rejects_unmaintainable_shapes(spark, tmp_path):
     for bad, msg in [
         ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM src",
          "GROUP BY"),
-        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, avg(o_totalprice) AS s FROM src GROUP BY o_custkey",
+        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, median(o_totalprice) AS s FROM src GROUP BY o_custkey",
          "non-aggregate"),
         ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM src JOIN src2 ON 1=1 GROUP BY o_custkey",
          "ONE source table"),
@@ -565,3 +565,51 @@ def test_mv_fuzz_random_lifecycle(spark, tmp_path, seed):
         ).orderBy("o_custkey").collect()
     )
     assert mv.to_df().orderBy("o_custkey").collect() == exp
+
+
+def test_mv_avg_and_show_and_optimize_zorder_sql(spark, tmp_path):
+    """avg aggregates (sum+count partial pair), SHOW MATERIALIZED
+    VIEWS, and OPTIMIZE ... ZORDER BY through the SQL dispatcher."""
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    orders = _orders(spark)
+    t = cat.create_table(spark, "o", orders.schema)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW amv AS
+        SELECT o_custkey, avg(o_totalprice) AS avg_price, count(*) AS n
+        FROM o GROUP BY o_custkey
+    """)
+    write(halves[1], t.path, mode="append")
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW amv")
+    got = {r["o_custkey"]: (r["avg_price"], r["n"]) for r in
+           cat.sql(spark, "SELECT * FROM amv").collect()}
+    exp = {r["o_custkey"]: (r["a"], r["n"]) for r in
+           orders.groupBy("o_custkey").agg(
+               (F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double") / F.count(F.lit(1))).alias("a"),
+               F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp
+    # avg survives MV compaction (partial pair folds)
+    LakeSoulTable.for_path(
+        spark, cat.get_table(spark, "amv").path).compaction()
+    got2 = {r["o_custkey"]: (r["avg_price"], r["n"]) for r in
+            cat.sql(spark, "SELECT * FROM amv").collect()}
+    assert got2 == exp
+
+    rows = cat.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+    assert [(r["viewName"], r["kind"]) for r in rows] == [("amv", "agg")]
+    assert rows[0]["applied_source_version"] == 2
+
+    # OPTIMIZE ZORDER BY on a non-PK catalog table
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    e = cat.create_table(spark, "ev", ev.schema)
+    write(ev, e.path, mode="append")
+    before = cat.sql(spark, "SELECT count(*) AS n FROM ev").collect()[0]["n"]
+    cat.sql(spark, "OPTIMIZE ev ZORDER BY (user_id, value)")
+    assert cat.sql(spark,
+                   "SELECT count(*) AS n FROM ev").collect()[0]["n"] == before
+    files = cat.get_table(spark, "ev").store.snapshot().files
+    assert all(f.stats and "user_id" in f.stats for f in files)
