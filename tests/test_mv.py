@@ -613,3 +613,39 @@ def test_mv_avg_and_show_and_optimize_zorder_sql(spark, tmp_path):
                    "SELECT count(*) AS n FROM ev").collect()[0]["n"] == before
     files = cat.get_table(spark, "ev").store.snapshot().files
     assert all(f.stats and "user_id" in f.stats for f in files)
+
+
+def test_streaming_sink_feeds_mv(spark, tmp_path):
+    """Full ingest pipeline: a Structured Streaming append sink lands
+    micro-batches as append commits on a non-PK table, and an MV over
+    that table rolls them up incrementally — refresh after each
+    catch-up run equals the full recompute over everything ingested."""
+    from lakesoul_spark.streaming import write_stream
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_id", "user_id", "value")
+    src = str(tmp_path / "files")
+    ev.repartition(4).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = write_stream(sdf, sink, checkpoint_location=ck,
+                     trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    mv = AggMV.create(
+        spark, sink, str(tmp_path / "mv"),
+        group_by=["user_id"],
+        aggs={"total": ("sum", "value"), "n": ("count", "*")},
+    )
+    assert mv.refresh()["applied"]
+    exp = (ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id").collect())
+    assert mv.to_df().orderBy("user_id").collect() == exp
+    # the ingested micro-batches arrived as multiple append commits —
+    # the MV read one incremental window covering all of them
+    assert mv.last_applied_version() > 1
