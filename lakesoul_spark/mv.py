@@ -1,10 +1,24 @@
-"""Incrementally-maintained aggregate materialized views.
+"""Incrementally-maintained materialized views.
 
 A capability the reference does not ship but every warehouse on top of
-it rebuilds by hand: a GROUP-BY aggregate table over an append-only
-LakeSoul source, refreshed from COMMIT RANGES instead of recomputed
-from the full corpus. The trick is that LakeSoul's own MOR machinery
-already is an incremental aggregator:
+it rebuilds by hand — two kinds, one refresh contract:
+
+- :class:`AggMV` — GROUP-BY rollups (sum / count / avg / min / max /
+  count_distinct-via-HLL), optionally star-schema (fact batches
+  broadcast-join dimension tables PINNED at snapshot versions) and
+  WHERE-filtered;
+- :class:`TransformMV` — insert-only transform pipes (select
+  expressions + WHERE + enrichment dims), the staging hop of an
+  ingest DAG.
+
+Both refresh from COMMIT RANGES instead of recomputing the corpus,
+carry the applied source version atomically in the refresh commit,
+and are auto-refreshed by the maintenance daemon (``service.py``);
+the catalog SQL dispatcher exposes CREATE / REFRESH [FULL] / DROP /
+SHOW MATERIALIZED VIEWS (a SELECT without GROUP BY creates a pipe).
+
+The aggregate trick is that LakeSoul's own MOR machinery already is an
+incremental aggregator:
 
 - each ``refresh()`` reads ONLY the source commits since the last
   applied version (``for_path_incremental_versions`` — the reference's
