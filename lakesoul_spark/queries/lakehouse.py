@@ -1384,6 +1384,8 @@ def arrow_writer_upsert(spark, sf_dir):
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price,
            count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS avg_price,
            min(o_totalprice) AS min_price,
            strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate
     FROM orders
@@ -1412,6 +1414,7 @@ def incremental_mv(spark, sf_dir):
         aggs={
             "sum_price": ("sum", "o_totalprice"),
             "n_orders": ("count", "*"),
+            "avg_price": ("avg", "o_totalprice"),
             "min_price": ("min", "o_totalprice"),
             "max_date": ("max", "o_orderdate"),
         },
@@ -1425,7 +1428,7 @@ def incremental_mv(spark, sf_dir):
         # incremental contract this query exists to pin
         assert r["applied"] and r["start_version"] == r["end_version"]
     return mv.to_df().select(
-        "o_custkey", "sum_price", "n_orders", "min_price",
+        "o_custkey", "sum_price", "n_orders", "avg_price", "min_price",
         F.date_format("max_date", "yyyy-MM-dd").alias("max_orderdate"),
     )
 
