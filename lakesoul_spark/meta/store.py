@@ -417,6 +417,29 @@ class MetaStore:
             if seq > base + 1:
                 # someone committed since our snapshot: resolve
                 interleaved = self.commits(base + 1, seq - 1)
+                if query_id and batch_id >= 0:
+                    # exactly-once must hold at COMMIT level, not just
+                    # in callers' pre-checks: two writers can both pass
+                    # has_batch() and race here (e.g. a user refresh()
+                    # against the maintenance daemon). The loser of the
+                    # put-if-absent race rebases through the winner's
+                    # commit and sees the duplicate (query_id, batch_id)
+                    # — return it instead of double-applying the batch.
+                    for c in interleaved:
+                        if c.query_id == query_id and c.batch_id == batch_id:
+                            return c
+                        if c.query_id == query_id and c.batch_id != batch_id:
+                            # same logical writer, DIFFERENT batch: its
+                            # window overlaps data this commit also
+                            # covers (both were computed from the same
+                            # applied state) — rebasing would double-
+                            # apply the overlap. The caller must
+                            # recompute from the new state.
+                            raise CommitConflict(
+                                f"concurrent batch {c.batch_id} for "
+                                f"{query_id!r} landed while batch "
+                                f"{batch_id} was being computed"
+                            )
                 self._resolve_conflict(commit_op, my_parts, interleaved)
                 base = seq - 1
             # strictly monotonic commit timestamps: incremental reads and

@@ -221,6 +221,48 @@ def _joined(
     return df
 
 
+def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
+    """Shared refresh driver for both view kinds.
+
+    The MV head is captured BEFORE reading the applied marker, so any
+    refresh landing after that point interleaves with our commit; the
+    commit layer then either returns the duplicate (same window —
+    idempotent success) or raises CommitConflict (overlapping window,
+    computed from stale applied state) and we recompute. Files written
+    by an aborted attempt are never committed; vacuum reclaims them."""
+    from lakesoul_spark.meta.store import CommitConflict
+
+    src_store = MetaStore(view.source_path)
+    for _ in range(max_attempts):
+        mv_base = view.table.store.head_version()
+        head = src_store.head_version()
+        last = view.last_applied_version()
+        if head <= last:
+            return {"start_version": last + 1, "end_version": last,
+                    "applied": False}
+        view._check_dims_pinned()
+        inc = _window_df(view.spark, src_store, view.source_path, last, head)
+        out = view._delta(inc)
+        info = view.table.info
+        ops = write_table_data(out, info, dedup=False)
+        try:
+            view.table.store.commit(
+                commit_op,
+                ops,
+                query_id=f"mv:{info.table_id}",
+                batch_id=head,
+                extra={_EXTRA_END: head},
+                base_version=mv_base,
+            )
+        except CommitConflict:
+            continue  # a racing refresh landed: recompute the window
+        return {"start_version": last + 1, "end_version": head,
+                "applied": True}
+    raise CommitConflict(
+        f"refresh of {view.table.path} lost {max_attempts} races in a row"
+    )
+
+
 class AggMV:
     """Handle on a materialized aggregate view table."""
 
@@ -357,30 +399,14 @@ class AggMV:
         """Apply source commits (last_applied, head] as ONE partial
         generation. Cost is O(new data): the incremental scan reads
         only files added by the window's append commits, and the write
-        is the standard single-shuffle bucketed delta."""
-        src_store = MetaStore(self.source_path)
-        head = src_store.head_version()
-        last = self.last_applied_version()
-        if head <= last:
-            return {"start_version": last + 1, "end_version": last,
-                    "applied": False}
-        self._check_dims_pinned()
-        inc = _window_df(self.spark, src_store, self.source_path, last, head)
-        delta = self._delta(inc)
-        info = self.table.info
-        ops = write_table_data(delta, info, dedup=False)
-        # (query_id, batch_id) dedupe + extra marker land in the SAME
-        # commit as the data: re-running after a crash either sees the
-        # marker (skips) or the commit never happened (applies cleanly)
-        self.table.store.commit(
-            OP_MERGE,
-            ops,
-            query_id=f"mv:{info.table_id}",
-            batch_id=head,
-            extra={_EXTRA_END: head},
-        )
-        return {"start_version": last + 1, "end_version": head,
-                "applied": True}
+        is the standard single-shuffle bucketed delta.
+
+        Concurrency-safe: the (query_id, batch_id) dedupe + extra
+        marker land in the SAME commit as the data, and the commit
+        layer detects a racing refresh that landed mid-computation
+        (its window overlaps ours) — duplicate windows resolve
+        idempotently, overlapping ones retry from the new state."""
+        return _refresh_loop(self, OP_MERGE)
 
     def rebuild(self) -> dict:
         """Recovery path after the source stopped being append-only or
@@ -541,31 +567,14 @@ class TransformMV:
         df = _joined(self.spark, df, self.dims, self.where)
         return df.selectExpr(*self.select)
 
+    _delta = _transform  # the _refresh_loop hook
     _check_dims_pinned = AggMV._check_dims_pinned
     last_applied_version = AggMV.last_applied_version
 
     def refresh(self) -> dict:
-        """Append the transform of source commits (last_applied, head]."""
-        src_store = MetaStore(self.source_path)
-        head = src_store.head_version()
-        last = self.last_applied_version()
-        if head <= last:
-            return {"start_version": last + 1, "end_version": last,
-                    "applied": False}
-        self._check_dims_pinned()
-        inc = _window_df(self.spark, src_store, self.source_path, last, head)
-        out = self._transform(inc)
-        info = self.table.info
-        ops = write_table_data(out, info, dedup=False)
-        self.table.store.commit(
-            OP_APPEND,
-            ops,
-            query_id=f"mv:{info.table_id}",
-            batch_id=head,
-            extra={_EXTRA_END: head},
-        )
-        return {"start_version": last + 1, "end_version": head,
-                "applied": True}
+        """Append the transform of source commits (last_applied, head];
+        same concurrency contract as :meth:`AggMV.refresh`."""
+        return _refresh_loop(self, OP_APPEND)
 
     def rebuild(self) -> dict:
         """Re-pin dims and recompute from the current source snapshot."""

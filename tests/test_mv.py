@@ -649,3 +649,26 @@ def test_streaming_sink_feeds_mv(spark, tmp_path):
     # the ingested micro-batches arrived as multiple append commits —
     # the MV read one incremental window covering all of them
     assert mv.last_applied_version() > 1
+
+
+def test_mv_concurrent_refresh_exactly_once(spark, tmp_path):
+    """Racing refreshes must never double-apply a window: identical
+    windows resolve idempotently at the commit layer, overlapping ones
+    (computed from stale applied state) conflict and recompute. Final
+    value == recompute; exactly one marker commit per source head."""
+    from concurrent.futures import ThreadPoolExecutor
+    from lakesoul_spark.mv import _EXTRA_END
+
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mv = _build(spark, tmp_path, halves)
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    handles = [AggMV(spark, mv.table.path) for _ in range(4)]
+    with ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(lambda m: m.refresh(), handles))
+    assert all(r["applied"] for r in results)
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+    marks = [c for c in mv.table.store.commits()
+             if c.extra.get(_EXTRA_END) == 2]
+    assert len(marks) == 1, "window applied more than once"
