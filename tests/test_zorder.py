@@ -124,3 +124,25 @@ def test_zorder_timestamp_and_constant_columns(spark, tmp_path):
         files, [("ts", ">=", _events(spark).agg(
             F.max("ts")).collect()[0][0])], group_wise=False)
     assert len(kept) <= max(1, len(files) // 2)
+
+
+def test_zorder_three_columns_with_timestamp(spark, tmp_path):
+    """Three-way curve incl. a timestamp: rows preserved, every
+    clustered column prunes alone, pruned reads equal plain filters."""
+    ev = _events(spark)
+    path = str(tmp_path / "t")
+    write(ev, path, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, path)
+    before = sorted(map(tuple, t.to_df().collect()))
+    t.optimize_zorder(["user_id", "value", "ts"], target_files=16, bits=4)
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    files = t.store.snapshot().files
+    preds_list = [[("user_id", "=", 7)], [("value", ">=", 300.0)]]
+    for preds in preds_list:
+        kept = prune_files(files, preds, group_wise=False)
+        assert len(kept) < len(files), preds
+        got = t.to_df(file_filters=preds).count()
+        exp = t.to_df().filter(
+            " AND ".join(f"{c} {op} {v}" for c, op, v in preds)).count()
+        assert got == exp
