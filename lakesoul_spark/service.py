@@ -124,6 +124,22 @@ class CompactionService:
                     report["compacted"] = {
                         f"{d}/b{b}->L{lv}": n for (d, b, lv), n in merged.items()
                     }
+                # declarative re-clustering: a table carrying
+                # lakesoul.zorder.columns is re-z-ordered once enough
+                # commits accumulated since the last clustering pass
+                # (lakesoul.zorder.minCommits, default 8) — OPTIMIZE
+                # ZORDER without a scheduler, same shape as the
+                # compaction trigger. Non-PK tables only (the method's
+                # own contract); the pass costs O(table in scope), so
+                # the commit threshold is what amortizes it.
+                props = t.info.properties
+                zcols = props.get("lakesoul.zorder.columns")
+                if zcols and not t.info.hash_partitions:
+                    last_c = int(props.get("lakesoul.zorder.lastClustered", 0))
+                    min_c = int(props.get("lakesoul.zorder.minCommits", 8))
+                    if t.store.head_version() - last_c >= min_c:
+                        cols = [c.strip() for c in zcols.split(",") if c.strip()]
+                        report["clustered"] = t.optimize_zorder(cols)
                 if self.apply_ttl:
                     report["ttl"] = t.apply_ttl()
                 if self.vacuum_retention_ms is not None:

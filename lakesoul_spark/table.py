@@ -1578,6 +1578,12 @@ class LakeSoulTable:
         ]
         adds = write_table_data(df, self.info, dedup=False)
         self.store.commit(OP_COMPACTION, dels + adds)
+        # stamp the clustered-through version so the maintenance
+        # daemon's declarative trigger (lakesoul.zorder.columns +
+        # minCommits) measures NEW commits, not total history
+        self.set_properties(
+            {"lakesoul.zorder.lastClustered": str(self.store.head_version())}
+        )
         return {"files_in": len(snap.files), "files_out": len(adds),
                 "z_cols": list(cols)}
 

@@ -672,3 +672,60 @@ def test_mv_concurrent_refresh_exactly_once(spark, tmp_path):
     marks = [c for c in mv.table.store.commits()
              if c.extra.get(_EXTRA_END) == 2]
     assert len(marks) == 1, "window applied more than once"
+
+
+def test_mv_chain_pipe_then_rollup(spark, tmp_path):
+    """Declarative DAG with zero extra machinery: a TransformMV's
+    output table is itself an append-only source, so an AggMV rolls it
+    up; the daemon settles the chain across rounds (upstream first or
+    not — eventual within two rounds)."""
+    import os as _os
+    from lakesoul_spark.mv import AggMV, TransformMV
+    from lakesoul_spark.service import CompactionService
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src = str(wh / "a_src")
+    write(halves[0], src, mode="overwrite")
+    pipe = TransformMV.create(
+        spark, src, str(wh / "b_pipe"),
+        select=["o_custkey", "CAST(o_totalprice * 0.9 AS DOUBLE) AS net"],
+        where="o_orderstatus = 'O'",
+    )
+    pipe.refresh()
+    roll = AggMV.create(
+        spark, pipe.table.path, str(wh / "c_roll"),
+        group_by=["o_custkey"], aggs={"total": ("sum", "net"),
+                                      "n": ("count", "*")},
+    )
+    roll.refresh()
+
+    def expected(df):
+        return (
+            df.filter("o_orderstatus = 'O'")
+            .selectExpr("o_custkey", "CAST(o_totalprice * 0.9 AS DOUBLE) AS net")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("net").cast("decimal(18,6)")).cast("double")
+                 .alias("total"), F.count(F.lit(1)).alias("n"))
+            .orderBy("o_custkey").collect()
+        )
+
+    assert roll.to_df().orderBy("o_custkey").collect() == expected(halves[0])
+    # ingest lands; the daemon settles pipe then rollup within 2 rounds
+    write(halves[1], src, mode="append")
+    svc = CompactionService(spark, warehouse=str(wh))
+    svc.run_once()
+    svc.run_once()
+    assert roll.to_df().orderBy("o_custkey").collect() == expected(orders)
+    # upstream rebuild cascades as a loud error downstream, then recovers
+    write(orders.limit(50), src, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        pipe.refresh()
+    pipe.rebuild()
+    with pytest.raises(ValueError, match="non-append"):
+        roll.refresh()
+    roll.rebuild()
+    assert roll.to_df().orderBy("o_custkey").collect() == expected(
+        orders.limit(50))

@@ -146,3 +146,42 @@ def test_zorder_three_columns_with_timestamp(spark, tmp_path):
         exp = t.to_df().filter(
             " AND ".join(f"{c} {op} {v}" for c, op, v in preds)).count()
         assert got == exp
+
+
+def test_service_declarative_reclustering(spark, tmp_path):
+    """A table carrying lakesoul.zorder.columns is re-clustered by the
+    maintenance daemon once minCommits new commits accumulate; rows are
+    never changed and the trigger resets after each pass."""
+    from lakesoul_spark.service import CompactionService
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    ev = _events(spark)
+    path = str(wh / "t")
+    write(ev, path, mode="overwrite",
+          properties={"lakesoul.zorder.columns": "user_id,value",
+                      "lakesoul.zorder.minCommits": "3",
+                      "lakesoul.zorder.targetFileBytes": "4000"})
+    svc = CompactionService(spark, warehouse=str(wh))
+    # 1 commit < minCommits: no clustering yet
+    r = svc.run_once()
+    assert "clustered" not in r.get(path, {})
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    for s in slices[:2]:
+        write(s, path, mode="append")
+    before = sorted(map(tuple,
+        LakeSoulTable.for_path(spark, path).to_df().collect()))
+    r = svc.run_once()
+    assert r[path]["clustered"]["z_cols"] == ["user_id", "value"]
+    t = LakeSoulTable.for_path(spark, path)
+    assert sorted(map(tuple, t.to_df().collect())) == before
+    # stats now serve the clustered columns: the value tail lives in
+    # a thin z-region, so its predicate must drop files
+    files = t.store.snapshot().files
+    hi = ev.agg(F.max("value")).collect()[0][0]
+    kept = prune_files(files, [("value", ">=", hi * 0.9)],
+                       group_wise=False)
+    assert len(kept) < len(files)
+    # trigger reset: the immediate next round does not re-cluster
+    r = svc.run_once()
+    assert "clustered" not in r.get(path, {})
