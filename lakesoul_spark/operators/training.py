@@ -291,3 +291,39 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_per_group)
         .select(id_col, group_col)
     )
+
+
+def class_centroids(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class embedding centroid in LONG FORM — one row per
+    (label, dimension) with the member count and the component mean —
+    the class-balance / embedding-drift audit a labeled corpus runs
+    before training (are classes separable? did an ingest batch shift
+    a class's centroid?).
+
+    Determinism contract: components quantized to integer MICRO-UNITS
+    (round(v·1e6) — double round(), the one rounding op proven
+    identical across engines here; a direct float→decimal cast is
+    not, it flipped 2/640 values by one ulp), exact bigint sums
+    (order-insensitive), then PURE IEEE double divisions with no
+    final rounding (a last round(x, 6) hit a half-way tie on one of
+    1920 fixture groups; identical inputs through identical IEEE ops
+    need no rounding to hash-match). Plan
+    shape (100 TB): posexplode streams (rows × dims) through ONE
+    map-side-combined hash agg keyed by (label, dim) — agg state is
+    |labels| × dims regardless of corpus size; no driver-side
+    vectors, no UDFs.
+    """
+    e = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    micro = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    return e.groupBy(label_col, "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(micro).cast("double") / F.lit(1e6) / F.count(F.lit(1)))
+        .alias("mean_val"),
+    )

@@ -35,16 +35,17 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # tpch = exactly 50; every query ≤1 round stale afterwards.
 # ROUND-9 NOTE (window arithmetic, exact): after r8, 50 queries are
 # r8-green, 47 are r7-green (the r7 window minus the three re-verified
-# in the r8 front), and 11 have NO driver row yet (added late in r8,
+# in the r8 front), and 12 have NO driver row yet (added late in r8,
 # deferred below so they would not displace the 43 planned refreshes;
 # all locally hash-verified at 3 SFs via tools/verify_oracle.py):
 # streaming_stream_join, lakehouse_rollback, lakehouse_convert,
 # lakehouse_bucket_join, lakehouse_upsert_on_join,
 # lakehouse_incremental_mv, lakehouse_zorder_skipping,
 # lakehouse_star_mv, lakehouse_mv_count_distinct,
-# lakehouse_transform_mv, text_corpus_freq_score.
-# That is 58 queries needing r9 rows but the window holds 50: FRONT
-# the 11 never-verified + the oldest r7-green 39; the 8 r7-green
+# lakehouse_transform_mv, text_corpus_freq_score,
+# embedding_class_centroids.
+# That is 59 queries needing r9 rows but the window holds 50: FRONT
+# the 12 never-verified + the oldest r7-green 38; the 9 r7-green
 # queries that don't fit (pick the stablest relational ones — q1/q3/
 # q4, w_*, rollup/setop/json already re-verified locally in r8) go
 # FIRST in the r10 front (they'll be exactly 2 rounds stale — the
@@ -70,7 +71,8 @@ _DEFER = (
     "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
     "lakehouse_star_mv", "lakehouse_mv_count_distinct",
     "lakehouse_transform_mv", "text_corpus_freq_score",
-)
+    "embedding_class_centroids",
+)  # NOTE: _DEFER tail mirrors the never-verified list above
 
 
 def _ordered(items: dict) -> dict:

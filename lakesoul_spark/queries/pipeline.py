@@ -1955,3 +1955,25 @@ def text_corpus_freq_score(spark, sf_dir):
     vocab product. See
     :func:`lakesoul_spark.operators.text.corpus_frequency_score`."""
     return text.corpus_frequency_score(docs(spark, sf_dir))
+
+
+@_register(
+    "embedding_class_centroids",
+    """
+    WITH e AS (
+      SELECT label, p - 1 AS pos, embedding[p] AS v
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(p))
+    SELECT label, pos, count(*) AS n,
+           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 / count(*) AS mean_val
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_class_centroids(spark, sf_dir):
+    """Per-class embedding centroids (long form): the class-balance /
+    drift audit over a labeled corpus. One posexplode + one
+    map-side-combined agg keyed by (label, dim) — state |labels|×dims,
+    corpus-size-independent. See
+    :func:`lakesoul_spark.operators.training.class_centroids`."""
+    return training.class_centroids(embs(spark, sf_dir))
