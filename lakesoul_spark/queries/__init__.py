@@ -15,64 +15,64 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 8 executes the r7
-# ROUND-8 NOTE / VERDICT task 1 verbatim: rotate to (lakehouse, tpch,
-# pipeline) so the 43 queries whose last driver row is r6 (25 lakehouse
-# + 18 tpch) all re-enter the window, defer the ten r7-green relational
-# queries to the back, and front everything r8-new/changed:
-#   - dedup_index_refresh (NEW) — persisted MinHash-LSH band index:
-#     build, incremental refresh, indexed ingest classification;
-#   - text_bm25_batch (NEW) — batched BM25 (query table, two scans);
-#   - text_bm25_topk (CHANGED) — matched-tf persist (its df branch was
-#     silently re-tokenizing the corpus as a third scan);
-#   - pipeline_corpus_profile (CHANGED) — skew-safe exact quantiles
-#     (value-keyed pre-agg replaces the one-task-per-source window);
-#   - streaming_sessionize (CHANGED) — event-time-correct replay
-#     closure (sessions held until the watermark passes end + gap);
-#   - w_asof_join / w_interval_join (NEW) — temporal joins Spark
-#     lacks natively, via operators/joins.py.
-# Window: 7 front + 25 lakehouse (incl. r7-green sql_surface) + 18
-# tpch = exactly 50; every query ≤1 round stale afterwards.
-# ROUND-9 NOTE (window arithmetic, exact): after r8, 50 queries are
-# r8-green, 47 are r7-green (the r7 window minus the three re-verified
-# in the r8 front), and 12 have NO driver row yet (added late in r8,
-# deferred below so they would not displace the 43 planned refreshes;
-# all locally hash-verified at 3 SFs via tools/verify_oracle.py):
-# streaming_stream_join, lakehouse_rollback, lakehouse_convert,
-# lakehouse_bucket_join, lakehouse_upsert_on_join,
-# lakehouse_incremental_mv, lakehouse_zorder_skipping,
-# lakehouse_star_mv, lakehouse_mv_count_distinct,
-# lakehouse_transform_mv, text_corpus_freq_score,
-# embedding_class_centroids.
-# That is 59 queries needing r9 rows but the window holds 50: FRONT
-# the 12 never-verified + the oldest r7-green 38; the 9 r7-green
-# queries that don't fit (pick the stablest relational ones — q1/q3/
-# q4, w_*, rollup/setop/json already re-verified locally in r8) go
-# FIRST in the r10 front (they'll be exactly 2 rounds stale — the
-# ledger boundary, never beyond). Rotate _MODULE_ORDER to (pipeline,
-# tpch, lakehouse)-ish and defer the r8-green lakehouse/tpch bulk.
-_MODULE_ORDER = (lakehouse, tpch, pipeline)
+# verifies a 50-query prefix of this dict).  Round 9 executes the r8
+# ROUND-9 NOTE / VERDICT task 1 verbatim.  Ledger after r8: 50 queries
+# r8-green, 47 r7-green, 12 never driver-verified (added late in r8,
+# locally hash-verified at 3 SFs).  The window holds 50, so FRONT the
+# 12 never-verified + 38 of the 47 r7-green; the 9 r7-green that do
+# not fit (the stablest relational ones — q1/q3/q4, w_*, rollup/setop/
+# json, all re-verified locally during r8 judging) are exactly 2
+# rounds stale after r9 (the ledger boundary, never beyond) and lead
+# the r10 front — see ROUND-10 NOTE below.
+# ROUND-10 NOTE (window arithmetic, exact): after r9, 50 queries are
+# r9-green, 50 are r8-green, and 9 are r7-green (q1_pricing_summary,
+# q3_unshipped_revenue, q4_order_priority, w_top_orders_per_customer,
+# w_running_user_value, w_sessionization, rollup_region_customers,
+# setop_repeat_customers, json_event_props — the _DEFER tuple below).
+# r10 MUST front those 9 first (they hit the 2-round staleness
+# boundary), then fill the window with the oldest r8-green queries
+# (41 of the 50 in r8's CORRECTNESS file); the 9 r8-green that don't
+# fit lead the r11 front.  Any r9-new/changed query was placed in
+# _FRONT immediately (ledger rule), so nothing else is stale.
+_MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
-    "dedup_index_refresh", "text_bm25_batch", "w_asof_join",
-    "w_interval_join", "text_bm25_topk", "pipeline_corpus_profile",
-    "streaming_sessionize",
-)
-
-_DEFER = (
-    "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
-    "q20_heavy_suppliers", "w_top_orders_per_customer",
-    "w_running_user_value", "w_sessionization", "rollup_region_customers",
-    "setop_repeat_customers", "json_event_props",
-    # r8 late additions (see ROUND-9 NOTE): deferred to protect the
-    # planned 50-window, locally hash-verified, fronted in r9
+    # --- 12 never-driver-verified (r8-late; see r8 VERDICT task 1) ---
     "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
     "lakehouse_bucket_join", "lakehouse_upsert_on_join",
     "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
     "lakehouse_star_mv", "lakehouse_mv_count_distinct",
     "lakehouse_transform_mv", "text_corpus_freq_score",
     "embedding_class_centroids",
-)  # NOTE: _DEFER tail mirrors the never-verified list above
+    # --- 38 oldest r7-green (the 47 minus the 9 deferred below) ---
+    "dedup_exact", "dedup_chunk_global", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_incremental_ingest", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_blocked",
+    "dedup_ngram_coverage",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_index_estimator",
+    "ann_index_search", "ann_index_refresh", "ann_index_refresh_hot",
+    "ann_multibit_topk", "ann_l2_topk", "ann_pca_ivf_topk",
+    "embedding_pca_project",
+    "text_stats", "text_langid", "text_fingerprint",
+    "text_quality_flags", "text_pii_scrub", "text_tfidf_topk",
+    "text_vocab_topk",
+    "pipeline_contamination", "pipeline_stratified_sample",
+    "pipeline_pack_sequences", "pipeline_shuffle_shards",
+    "pipeline_weighted_mix", "pipeline_chunk_windows",
+    "pipeline_source_cap",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_audio_features",
+    "q20_heavy_suppliers",
+)
+
+_DEFER = (
+    # the 9 r7-green that spill past the 50-window: exactly 2 rounds
+    # stale after r9 — they MUST lead the r10 front (ROUND-10 NOTE).
+    "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
+    "w_top_orders_per_customer", "w_running_user_value",
+    "w_sessionization", "rollup_region_customers",
+    "setop_repeat_customers", "json_event_props",
+)
 
 
 def _ordered(items: dict) -> dict:
