@@ -400,7 +400,7 @@ class Catalog:
                 [TBLPROPERTIES('hashBucketNum'='8')]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
                           min(x) AS c, max(x) AS d,
-                          count(DISTINCT x) AS e
+                          approx_count_distinct(x) AS e
                    FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
             CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
                 AS SELECT <expr> AS a[, …]         -- insert-only
@@ -463,7 +463,9 @@ class Catalog:
             m = _rx(r"TRUNCATE\s+TABLE\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             # truncate = unconditional delete (metadata-only fast path)
-            self.get_table(spark, name, ns).delete(None)
+            t = self.get_table(spark, name, ns)
+            self._reject_mv_write(t, ns, name, "TRUNCATE TABLE")
+            t.delete(None)
             return None
         if verb == "INSERT":
             return self._sql_insert(spark, stmt)
@@ -482,12 +484,16 @@ class Catalog:
                 if not expr:
                     raise ValueError(f"bad SET clause {part!r}")
                 sets[col.strip().strip("`")] = expr.strip()
-            self.get_table(spark, name, ns).update(cond, sets)
+            t = self.get_table(spark, name, ns)
+            self._reject_mv_write(t, ns, name, "UPDATE")
+            t.update(cond, sets)
             return None
         if verb == "DELETE":
             m = _rx(r"DELETE\s+FROM\s+([\w.`]+)(?:\s+WHERE\s+(.*))?$", stmt)
             ns, name = self._split_name(m.group(1))
-            self.get_table(spark, name, ns).delete(m.group(2))
+            t = self.get_table(spark, name, ns)
+            self._reject_mv_write(t, ns, name, "DELETE")
+            t.delete(m.group(2))
             return None
         if verb == "MERGE":
             return self._sql_merge(spark, stmt)
@@ -853,8 +859,27 @@ class Catalog:
     # ------------------------------------------------------- SQL internals
 
     _AGG_ITEM_RE = re.compile(
-        r"^(sum|count|avg|min|max)\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
+        r"^(sum|count|avg|min|max|approx_count_distinct)"
+        r"\s*\((.+)\)\s+AS\s+(\w+)$", re.I | re.S
     )
+
+    @staticmethod
+    def _reject_mv_write(t, ns: str, name: str, verb: str) -> None:
+        """Materialized-view tables hold PARTIAL generations folded by
+        declared merge operators; a direct write would be silently
+        folded into the aggregates (sum_all would add the inserted rows
+        to the running totals) — corrupting the view with no error. The
+        Arrow/streaming readers already refuse such tables; the SQL
+        write verbs must too."""
+        from lakesoul_spark.mv import SPEC_PROP
+
+        if SPEC_PROP in t.info.properties:
+            raise ValueError(
+                f"{ns}.{name} is a materialized view — {verb} would "
+                "write into its partial-aggregate generations and "
+                "corrupt the view; its content is derived: use REFRESH "
+                "MATERIALIZED VIEW (or the Python refresh()/rebuild())"
+            )
 
     def _get_mv(self, spark: SparkSession, ref: str):
         from lakesoul_spark.mv import SPEC_PROP, open_view
@@ -974,8 +999,21 @@ class Catalog:
                 if fn == "count" and expr == "*":
                     expr = None
                 elif fn == "count" and re.match(r"(?i)DISTINCT\s", expr):
+                    # the incremental maintenance of a distinct count is
+                    # an HLL sketch: exact only below the sketch's
+                    # sparse-mode threshold, approximate past it. A SQL
+                    # reader of `count(DISTINCT …)` expects exact — make
+                    # the contract explicit in the spelling instead of
+                    # silently degrading.
+                    raise ValueError(
+                        "count(DISTINCT …) in a materialized view is "
+                        "maintained as an HLL sketch and becomes "
+                        "APPROXIMATE at high per-group cardinality — "
+                        "spell it approx_count_distinct(…) to "
+                        "acknowledge the approximation"
+                    )
+                elif fn == "approx_count_distinct":
                     fn = "count_distinct"
-                    expr = expr[len("DISTINCT"):].strip()
                 aggs[am.group(3)] = (fn, expr)
             else:
                 bare.append(item.strip("`"))
@@ -1022,6 +1060,7 @@ class Catalog:
         )
         ns, name = self._split_name(m.group(2))
         t = self.get_table(spark, name, ns)
+        self._reject_mv_write(t, ns, name, f"INSERT {m.group(1).upper()}")
         part_spec, col_list, query = m.group(3), m.group(4), m.group(5)
         # "(SELECT …)" after the table name is a parenthesized source,
         # not a column list
@@ -1316,6 +1355,7 @@ class Catalog:
         )
         ns, name = self._split_name(m.group(1))
         target = self.get_table(spark, name, ns)
+        self._reject_mv_write(target, ns, name, "MERGE INTO")
         src_ref = m.group(3)
         if src_ref.startswith("("):
             source = self.sql(spark, src_ref[1:-1])

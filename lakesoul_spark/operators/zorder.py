@@ -112,18 +112,36 @@ def zorder_sql(
     # widest column owns every high bit and the narrow columns degrade
     # to a plain sort on the wide one (no skipping on them at all)
     wmax = max((w for *_x, w in binned), default=0)
+    # stride over the columns that actually bin (dropped constant/
+    # all-null columns waste no interleave positions), and guard the
+    # total curve width: the top bit position is wmax*stride - 1, and
+    # past 63 the Morton literals overflow BIGINT — Spark would parse
+    # them as decimals and the final CAST silently NULLs (non-ANSI),
+    # destroying the clustering order with no error.
+    stride = len(binned)
+    if wmax * stride > 63:
+        raise ValueError(
+            f"z-order curve too wide: {stride} column(s) x {wmax} bit(s) "
+            f"= {wmax * stride} interleaved bits > 63 (BIGINT); lower "
+            f"bits= to at most {63 // stride} for {stride} columns"
+        )
     terms = []
     for j, (c, t, bounds, width) in enumerate(binned):
         morton = [
             sum(
-                ((((v << (wmax - width)) >> i) & 1) << (i * ncols + j))
+                ((((v << (wmax - width)) >> i) & 1) << (i * stride + j))
                 for i in range(wmax)
             )
             for v in range(len(bounds) + 1)
         ]
         blist = ", ".join(_fmt(b) for b in bounds)
         mlist = ", ".join(str(m) for m in morton)
-        dcol = _as_double_sql(c, t)
+        # NaN compares greater than every double in Spark SQL, so bare
+        # `v > b` would rank NaN into the TOP bin; nanvl maps it to
+        # -Infinity (> no boundary -> bin 0, with the NULLs, as the
+        # docstring promises). NULL itself stays NULL: `NULL > b` is
+        # NULL, filter() drops it, bin 0.
+        dcol = f"nanvl({_as_double_sql(c, t)}, CAST('-Infinity' AS DOUBLE))"
         terms.append(
             f"element_at(array({mlist}), "
             f"size(filter(array({blist}), b -> {dcol} > b)) + 1)"

@@ -108,12 +108,22 @@ class CompactionService:
                     r = open_view(self.spark, path).refresh()
                     if r["applied"]:
                         report["mv_refreshed"] = r
+                    self._last_seen_src[path] = src_head
                 except ValueError as e:
                     # non-append source / dim drift: needs rebuild().
                     # Record the head so the SAME broken window isn't
                     # retried every round; a new source commit retries.
                     report["mv_error"] = str(e)
-                self._last_seen_src[path] = src_head
+                    self._last_seen_src[path] = src_head
+                except CommitConflict as e:
+                    # lost the refresh race (e.g. to a user-driven
+                    # refresh — exactly the contention the daemon
+                    # anticipates): the winner's commit is fine, ours
+                    # isn't needed. Do NOT advance _last_seen_src, so
+                    # next round re-checks whether the window is in
+                    # fact covered; never let it escape run_once and
+                    # kill the serve() loop for the remaining tables.
+                    report["mv_conflict"] = str(e)
             try:
                 merged = t.leveled_compaction(
                     l0_file_num_limit=self.l0_file_num_limit,

@@ -373,10 +373,21 @@ def test_mv_count_distinct_hll(spark, tmp_path):
     cat = Catalog(str(tmp_path / "cat"))
     t = cat.create_table(spark, "o", orders.schema)
     write(orders, t.path, mode="append")
+    # the SQL grammar demands the approximate spelling: the HLL partial
+    # is only exact below the sketch's sparse threshold, and a bare
+    # count(DISTINCT …) would read as an exactness promise
+    with pytest.raises(ValueError, match="approx_count_distinct"):
+        cat.sql(spark, """
+            CREATE MATERIALIZED VIEW dmv AS
+            SELECT o_custkey,
+                   count(DISTINCT date_format(o_orderdate, 'yyyy-MM-dd'))
+                     AS n_dates
+            FROM o GROUP BY o_custkey
+        """)
     cat.sql(spark, """
         CREATE MATERIALIZED VIEW dmv AS
         SELECT o_custkey,
-               count(DISTINCT date_format(o_orderdate, 'yyyy-MM-dd'))
+               approx_count_distinct(date_format(o_orderdate, 'yyyy-MM-dd'))
                  AS n_dates
         FROM o GROUP BY o_custkey
     """)
@@ -729,3 +740,42 @@ def test_mv_chain_pipe_then_rollup(spark, tmp_path):
     roll.rebuild()
     assert roll.to_df().orderBy("o_custkey").collect() == expected(
         orders.limit(50))
+
+
+def test_sql_write_verbs_refuse_mv_targets(spark, tmp_path):
+    """Every catalog SQL write verb refuses a materialized-view target:
+    the MV table holds partial generations under declared merge ops, so
+    a direct INSERT would be silently folded into the aggregates."""
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    orders = _orders(spark)
+    t = cat.create_table(spark, "o", orders.schema)
+    write(orders, t.path, mode="append")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW wmv AS
+        SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
+        FROM o GROUP BY o_custkey
+    """)
+    exp = cat.sql(spark, "SELECT * FROM wmv").orderBy("o_custkey").collect()
+    for stmt in (
+        "INSERT INTO wmv VALUES (1, 2.0, 3)",
+        "INSERT OVERWRITE wmv SELECT o_custkey, 1.0, 1 FROM o",
+        "UPDATE wmv SET n = 0",
+        "DELETE FROM wmv WHERE n > 0",
+        "TRUNCATE TABLE wmv",
+        "MERGE INTO wmv USING o ON wmv.o_custkey = o.o_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ):
+        with pytest.raises(ValueError, match="materialized view"):
+            cat.sql(spark, stmt)
+    # the view is untouched after every refused write
+    got = cat.sql(spark, "SELECT * FROM wmv").orderBy("o_custkey").collect()
+    assert got == exp
+    # plain tables still take all the verbs (INSERT sanity check)
+    t2 = cat.create_table(spark, "plain", orders.limit(0).schema)
+    cat.sql(spark, "INSERT INTO plain SELECT * FROM o")
+    assert cat.sql(spark,
+                   "SELECT count(*) AS n FROM plain").collect()[0]["n"] \
+        == orders.count()

@@ -185,3 +185,36 @@ def test_service_declarative_reclustering(spark, tmp_path):
     # trigger reset: the immediate next round does not re-cluster
     r = svc.run_once()
     assert "clustered" not in r.get(path, {})
+
+
+def test_zorder_width_guard_and_nan_binning(spark, tmp_path):
+    """(a) A curve whose interleaved width exceeds 63 bits is rejected
+    loudly (past 63 the Morton literals overflow BIGINT and Spark's
+    non-ANSI CAST would silently NULL the z-value, destroying the
+    clustering order). (b) NaN values bin at the curve's ORIGIN with
+    the NULLs — Spark's NaN-greater-than-everything ordering must not
+    leak them into the top bin."""
+    import math
+
+    from lakesoul_spark.operators.zorder import zorder_sql
+
+    rows = [Row(**{f"c{j}": float(i * (j + 1)) for j in range(8)})
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    cols8 = [(f"c{j}", "double") for j in range(8)]
+    with pytest.raises(ValueError, match="> 63"):
+        zorder_sql(df, cols8, bits=12)  # 8 x 12 = 96 interleaved bits
+    # 8 cols x 7 bits = 56 <= 63: fine
+    assert "element_at" in zorder_sql(df, cols8, bits=7)
+
+    # NaN/NULL rows rank into bin 0 (z-value equal to the minimum row's)
+    vals = ([Row(a=float(i), b=float(i)) for i in range(100)]
+            + [Row(a=float("nan"), b=None)])
+    dfn = spark.createDataFrame(vals)
+    z = zorder_sql(dfn, [("a", "double"), ("b", "double")], bits=4)
+    got = dfn.selectExpr("a", f"{z} AS z").collect()
+    zmin = min(r["z"] for r in got)
+    nan_z = [r["z"] for r in got if r["a"] != r["a"]]
+    assert nan_z == [zmin]
+    top = max(r["z"] for r in got)
+    assert nan_z[0] != top
