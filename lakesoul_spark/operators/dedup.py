@@ -571,15 +571,16 @@ def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
         idx.upsert(fresh)
         up_v = idx_store.head_version()
     # vanished ids: changed on the base table but absent from the MOR
-    # view (deleted). Driver payload bounded by the changed batch.
-    vanished = [
-        r[id_col]
-        for r in changed_ids.join(
-            fresh.select(id_col).distinct(), id_col, "anti"
-        ).collect()
-    ]
-    if vanished:
-        idx.delete(F.col(id_col).isin(vanished))
+    # view (deleted). The tombstone set stays a DataFrame end to end
+    # (delete_matching anti-joins it against the index), so a
+    # million-delete churn day costs one distributed join instead of a
+    # million-literal isin plan; only its COUNT reaches the driver.
+    vanished_df = changed_ids.join(
+        fresh.select(id_col).distinct(), id_col, "anti"
+    ).cache()
+    n_vanished = vanished_df.count()
+    if n_vanished:
+        idx.delete_matching(vanished_df)
     # evidence: the upsert commit appended delta files into the changed
     # ids' buckets only — nothing pre-existing was rewritten
     files_added, buckets = 0, set()
@@ -594,14 +595,15 @@ def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
                 rewritten += 1
     changed_ids.unpersist()
     fresh.unpersist()
+    vanished_df.unpersist()
     idx.set_properties({"dedup.base_version": str(head)})
     # changed = live changed (postings_rows / bands, exact by
     # construction) + vanished — no extra count job over the delta set
     return {
         "mode": "incremental",
-        "changed_ids": n_rows // bands + len(vanished),
+        "changed_ids": n_rows // bands + n_vanished,
         "postings_rows": n_rows,
-        "deleted_ids": len(vanished),
+        "deleted_ids": n_vanished,
         "files_added": files_added,
         "files_rewritten": rewritten,
         "buckets_touched": sorted(buckets),

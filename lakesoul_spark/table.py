@@ -900,13 +900,19 @@ class LakeSoulTable:
         matching row. PK tables never reach here — the reference's own
         comment notes input_file_name is wrong under the merge reader,
         so hash-partitioned tables rewrite candidate files instead."""
+        return self._touched_files_by(lambda v: v.filter(cond), parts)
+
+    def _touched_files_by(self, match, parts: set[str]) -> list:
+        """``_touched_files`` with an arbitrary row-matcher ``match``
+        (DataFrame -> matching rows) — the join-based DML paths pass a
+        semi-join where the predicate paths pass a filter."""
         import os as _os
 
         snap = self.store.snapshot(partition_descs=parts)
         view = rdr.scan_files(self.spark, self.info, snap.files, with_file_name=True)
         hit = {
             r[0]
-            for r in view.filter(cond)
+            for r in match(view)
             .select(rdr._FILE_META_PREFIX + "name")
             .distinct()
             .collect()
@@ -1021,6 +1027,65 @@ class LakeSoulTable:
             apply_cdc_filter=False,
         )
         keep = view.filter(~cond)
+        self._rewrite_partitions(keep, parts, OP_DELETE)
+
+    def delete_matching(self, keys: DataFrame) -> None:
+        """DELETE every row matching ANY row of ``keys`` on its columns
+        — the anti-join form of :meth:`delete` for tombstone sets too
+        large for a literal predicate. The tombstone set stays a
+        DISTRIBUTED DataFrame end to end: a million-id churn day builds
+        the same constant-size plan as a ten-id one (one join, which
+        AQE broadcasts when small), where an ``isin([...])`` predicate
+        would inline every id as a plan literal.
+
+        Same rewrite granularity as :meth:`delete`: non-PK tables
+        rewrite only the files that contain a matching row (per-row
+        file identity); PK tables rewrite the affected partitions'
+        merge view. A ``keys`` with no matches is a no-op commit-wise."""
+        info = self.info
+        schema_cols = {f.name for f in self.schema().fields}
+        key_cols = list(keys.columns)
+        missing = [c for c in key_cols if c not in schema_cols]
+        if not key_cols or missing:
+            raise ValueError(
+                f"tombstone columns {missing or '(none)'} not in table "
+                f"{info.path}"
+            )
+        keys = keys.distinct()
+        if info.range_partitions:
+            rows = (
+                self.to_df().join(keys, key_cols, "semi")
+                .select(*info.range_partitions).distinct().collect()
+            )
+            parts = {
+                part_enc.make_desc(
+                    info.range_partitions,
+                    [r[c] for c in info.range_partitions],
+                )
+                for r in rows
+            }
+        else:
+            parts = {NON_PARTITIONED}
+        if not parts:
+            return
+        if not info.is_pk_table:
+            touched = self._touched_files_by(
+                lambda v: v.join(keys, key_cols, "semi"), parts
+            )
+            if not touched:
+                return
+            keep = rdr.scan_files(self.spark, info, touched) \
+                .join(keys, key_cols, "anti")
+            self._rewrite_files(keep, touched, OP_DELETE)
+            return
+        view = rdr.merge_view(
+            self.spark,
+            info,
+            self.store.snapshot(partition_descs=parts),
+            merge_ops=self._merge_ops,
+            apply_cdc_filter=False,
+        )
+        keep = view.join(keys, key_cols, "anti")
         self._rewrite_partitions(keep, parts, OP_DELETE)
 
     # ----------------------------------------------------------- DDL / ALTER

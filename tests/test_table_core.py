@@ -993,3 +993,54 @@ def test_fuzz_time_travel_and_incremental_match_model(spark, tmp_path, seed):
             inc_model.update(b)
         inc = LakeSoulTable.for_path_incremental(spark, path, since_ts)
         assert rows(inc.to_df(), "id", "v") == sorted(inc_model.items()), k
+
+
+def test_delete_matching_tombstone_join(spark, tmp_table, tmp_path):
+    """delete_matching: anti-join delete whose plan size is independent
+    of the tombstone count (an isin() predicate would inline 3000 id
+    literals), on both the PK merge path and the non-PK file path."""
+    n, dead = 6000, 3000
+    write(
+        spark.range(n).selectExpr("id", "id * 2 AS v"),
+        tmp_table, mode="overwrite",
+        hash_partitions=["id"], hash_bucket_num=4,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    tomb = spark.range(dead).select("id")  # ids 0..2999
+
+    captured = []
+    orig = LakeSoulTable._rewrite_files
+
+    def spy(self, new_df, files, op):
+        if new_df is not None:
+            captured.append(
+                new_df._jdf.queryExecution().optimizedPlan().toString()
+            )
+        return orig(self, new_df, files, op)
+
+    LakeSoulTable._rewrite_files = spy
+    try:
+        t.delete_matching(tomb)
+        # non-PK path: only files holding a matching row are rewritten
+        np_path = str(tmp_path / "nopk")
+        write(spark.range(n).selectExpr("id", "id * 3 AS w"),
+              np_path, mode="overwrite")
+        t2 = LakeSoulTable.for_path(spark, np_path)
+        t2.delete_matching(tomb)
+    finally:
+        LakeSoulTable._rewrite_files = orig
+
+    assert t.to_df().count() == n - dead
+    assert t.to_df().agg(F.min("id")).collect()[0][0] == dead
+    t2 = LakeSoulTable.for_path(spark, str(tmp_path / "nopk"))
+    assert t2.to_df().count() == n - dead
+    assert len(captured) == 2
+    for plan in captured:
+        # the rewrite plan carries the tombstones as a JOIN, not as
+        # inlined literals: 3000 int literals would dwarf this bound
+        assert "Join" in plan and "2999" not in plan
+        assert len(plan) < 8000, len(plan)
+
+    # guard: unknown tombstone columns fail loudly
+    with pytest.raises(ValueError, match="tombstone"):
+        t.delete_matching(spark.range(1).selectExpr("id AS nope"))
