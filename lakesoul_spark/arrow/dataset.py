@@ -13,7 +13,8 @@ no SparkSession, no JVM — and iterates arrow batches of its shard.
 - Each split is one (range partition, bucket): the worker merges that
   bucket's delta generations with the same arrow-native per-column
   merge the ``format("lakesoul")`` source uses (file_exist_cols-aware
-  use_last) — MOR semantics without Spark.
+  use_last, plus the declared associative ops sum_all/min_all/max_all
+  for mv.py aggregate partials) — MOR semantics without Spark.
 - 100 TB shape: metadata is O(#files) JSON, data access is the
   worker's shard only; nothing is centralized beyond the commit log.
 """
@@ -53,14 +54,27 @@ class LakeSoulArrowDataset:
         self.table_path = os.path.abspath(table_path)
         self.store = MetaStore(self.table_path)
         self.info = self.store.table_info()
-        if self.info.properties.get("lakesoul.columnMergeOps"):
-            # this Spark-free reader merges generations with use_last
-            # only; a table declaring per-column ops (mv.py aggregate
-            # partials) would read back one generation's partial
+        # declared per-column merge ops: the arrow fold applies the
+        # associative family (sum_all/min_all/max_all — mv.py aggregate
+        # partials), so a Torch/Ray worker can read an uncompacted MV
+        # mid-refresh; ops needing Spark (hll_union_all sketches,
+        # joined_*/custom) still refuse LOUDLY — a use_last fallback
+        # would silently return one generation's partial. Mirrors the
+        # engine-neutral merge family of the reference
+        # (rust/lakesoul-io/src/sorted_merger/merge_operator.rs:22-50).
+        from lakesoul_spark.streaming.source import ARROW_MERGE_OPS
+
+        self._merge_ops = self.info.column_merge_ops()
+        unsupported = sorted(
+            f"{c}:{op}" for c, op in self._merge_ops.items()
+            if op not in ARROW_MERGE_OPS
+        )
+        if unsupported:
             raise ValueError(
-                "table declares lakesoul.columnMergeOps; this reader "
-                "merges with use_last only — read via "
-                "LakeSoulTable.to_df()"
+                f"table declares merge operators {unsupported} that "
+                "need the Spark engine (this arrow reader folds "
+                f"{sorted(ARROW_MERGE_OPS)}) — read via "
+                "LakeSoulTable.to_df(), or compact the table first"
             )
         self.rank, self.world_size = rank, world_size
         self.batch_size = batch_size
@@ -218,7 +232,7 @@ class LakeSoulArrowDataset:
             for batch in _read_file_merged(
                 sp.files, sp.schema_json, sp.range_vals,
                 list(sp.pk_cols), sp.cdc_col, sp.cdc_filter,
-                defaults=sp.defaults,
+                defaults=sp.defaults, merge_ops=self._merge_ops,
             ):
                 if self._filters:
                     batch = self._row_filter(batch)

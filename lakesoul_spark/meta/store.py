@@ -135,6 +135,29 @@ class TableInfo:
     def cdc_column(self) -> str | None:
         return self.properties.get(CDC_CHANGE_COLUMN_PROP)
 
+    def column_merge_ops(self) -> dict[str, str]:
+        """Declared per-column MOR merge operators, parsed from the
+        ``lakesoul.columnMergeOps`` property (``"col:op,col:op"``).
+        Lives on the Spark-free metadata object so every reader — the
+        Spark scan, compaction, AND the arrow dataset — resolves the
+        same declaration; op names are validated at merge time."""
+        prop = self.properties.get("lakesoul.columnMergeOps")
+        if not prop:
+            return {}
+        out: dict[str, str] = {}
+        for item in str(prop).split(","):
+            item = item.strip()
+            if not item:
+                continue
+            col, sep, op = item.partition(":")
+            if not sep or not col.strip() or not op.strip():
+                raise ValueError(
+                    "lakesoul.columnMergeOps entries must be 'column:op', "
+                    f"got {item!r}"
+                )
+            out[col.strip()] = op.strip()
+        return out
+
     def column_defaults(self) -> dict[str, str]:
         """Per-column default fills for files lacking the column
         (reference ``default_column_value`` config,

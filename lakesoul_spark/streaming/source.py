@@ -184,14 +184,29 @@ class _GenCursor:
         return taken
 
 
-def _fold_window(window, target, pk_cols, range_vals):
-    """Column-level merge of one PK-aligned window: a column's value
-    comes from the newest generation whose file physically contains it
-    (``file_exist_cols``), matching ``_merge_generations`` use_last
-    semantics. One vectorized index_in + if_else per generation."""
+# merge operators the arrow-native fold can apply (the associative
+# family from functions/merge_operators.py; hll_union_all needs Spark's
+# Datasketches binding and joined_*/custom ops need full version order,
+# so tables declaring those stay Spark-only and the readers refuse)
+ARROW_MERGE_OPS = frozenset({"use_last", "sum_all", "min_all", "max_all"})
+
+
+def _fold_window(window, target, pk_cols, range_vals, merge_ops=None):
+    """Column-level merge of one PK-aligned window: by default a
+    column's value comes from the newest generation whose file
+    physically contains it (``file_exist_cols``-aware use_last,
+    matching ``_merge_generations``); columns with a DECLARED
+    associative merge op (``lakesoul.columnMergeOps`` — mv.py aggregate
+    partials) fold pairwise instead: sum_all null-skipping adds,
+    min_all/max_all take the elementwise extremum. One vectorized
+    index_in + if_else per generation either way. Pairwise folding
+    equals Spark's all-generations aggregate because the ops are
+    associative and SQL aggregates skip nulls — which is exactly what
+    makes these partials compaction-safe in the first place."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    merge_ops = merge_ops or {}
     (merged, _), *rest = window
     value_cols = [
         f.name for f in target
@@ -207,9 +222,32 @@ def _fold_window(window, target, pk_cols, range_vals):
         hit = pc.is_valid(pos)
         cols = {c: merged.column(c) for c in merged.column_names}
         for c in value_cols:
-            if c in present:  # newer generation carries the column
-                taken = pc.take(gt.column(c), pos)
-                cols[c] = pc.if_else(hit, taken, merged.column(c))
+            if c not in present:  # newer file lacks the column: keep old
+                continue
+            old = cols[c]
+            taken = pc.take(gt.column(c), pos)  # null where no hit
+            op = merge_ops.get(c, "use_last")
+            if op == "sum_all":
+                # null-skipping add (SQL sum semantics): both → a+b,
+                # one → it, neither → null. add() widens a decimal's
+                # precision; cast back to the column type right here
+                # (raises on real overflow instead of wrapping) so the
+                # window concatenates against unfolded generations.
+                both = pc.and_(pc.is_valid(old), pc.is_valid(taken))
+                added = pc.add(old, taken)
+                cols[c] = pc.cast(
+                    pc.if_else(
+                        both, added,
+                        pc.cast(pc.coalesce(old, taken), added.type),
+                    ),
+                    old.type,
+                )
+            elif op == "min_all":
+                cols[c] = pc.min_element_wise(old, taken)  # skips nulls
+            elif op == "max_all":
+                cols[c] = pc.max_element_wise(old, taken)
+            else:  # use_last
+                cols[c] = pc.if_else(hit, taken, old)
         updated = pa.table(cols)
         # PKs new in this generation append after existing rows
         fresh = gt.filter(pc.is_null(pc.index_in(key_g, as_arr(key_r))))
@@ -219,7 +257,7 @@ def _fold_window(window, target, pk_cols, range_vals):
 
 def _read_file_merged(paths_with_order, table_schema_json, range_vals,
                       pk_cols, cdc_col, apply_cdc_filter, defaults=None,
-                      batch_rows=8192):
+                      batch_rows=8192, merge_ops=None):
     """Read one bucket's file generations and merge them arrow-natively
     as a STREAMING windowed k-way merge (reference
     ``sorted_stream_merger.rs:1-44``): every generation is PK-sorted at
@@ -272,7 +310,8 @@ def _read_file_merged(paths_with_order, table_schema_json, range_vals,
             taken = c.take_upto(boundary)
             if taken is not None:
                 window.append((taken, c.present))
-        merged = _fold_window(window, target, pk_cols, range_vals) \
+        merged = _fold_window(window, target, pk_cols, range_vals,
+                              merge_ops) \
             if len(window) > 1 else window[0][0].cast(target)
         yield from finish(merged)
 
@@ -286,6 +325,7 @@ class _Split(InputPartition):
     cdc_col: str | None
     cdc_filter: bool
     defaults: dict = None
+    merge_ops: dict = None   # declared col->op (arrow-foldable subset)
 
 
 def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
@@ -315,6 +355,7 @@ def _plan_splits(info, files, *, group_buckets: bool, cdc_filter: bool):
                 cdc_col=info.cdc_column,
                 cdc_filter=cdc_filter,
                 defaults=info.column_defaults(),
+                merge_ops=info.column_merge_ops(),
             )
         )
     return splits
@@ -391,16 +432,20 @@ class LakeSoulBatchReader(DataSourceReader):
 
         self.store = MetaStore(os.path.abspath(path))
         self.info = self.store.table_info()
-        if self.info.properties.get("lakesoul.columnMergeOps"):
-            # this scan path merges generations with use_last only
-            # (_fold_window); silently reading a table whose metadata
-            # declares per-column merge ops (e.g. an mv.py aggregate
-            # table storing sum_all partials) would return one
-            # generation's partial instead of the merged value
+        unsupported = sorted(
+            f"{c}:{op}"
+            for c, op in self.info.column_merge_ops().items()
+            if op not in ARROW_MERGE_OPS
+        )
+        if unsupported:
+            # _fold_window applies the associative merge-op family;
+            # ops needing the Spark engine (hll sketches, joined_*,
+            # custom) must refuse LOUDLY — silently using use_last
+            # would return one generation's partial
             raise ValueError(
-                "table declares lakesoul.columnMergeOps; read it via "
-                "LakeSoulTable.to_df() (the Python Data Source scan "
-                "merges with use_last only)"
+                f"table declares merge operators {unsupported} beyond "
+                f"this scan's arrow fold ({sorted(ARROW_MERGE_OPS)}) — "
+                "read it via LakeSoulTable.to_df()"
             )
         # reference LakeSoulOptions: readtype ∈ fullread/snapshot/
         # incremental (+ timestamps); snapshot also via version=
@@ -544,7 +589,7 @@ class LakeSoulBatchReader(DataSourceReader):
         yield from _read_file_merged(
             split.files, split.schema_json, split.range_vals,
             list(split.pk_cols), split.cdc_col, split.cdc_filter,
-            defaults=split.defaults,
+            defaults=split.defaults, merge_ops=split.merge_ops,
         )
 
 

@@ -326,27 +326,6 @@ def _partitions_matching(
     return {r["__desc"] for r in pdf.filter(condition).select("__desc").collect()}
 
 
-def _parse_column_merge_ops(prop) -> dict[str, str]:
-    """Parse the ``lakesoul.columnMergeOps`` property ("col:op,col:op").
-    Op names are validated lazily at merge time (``merge_agg_expr``), so
-    custom operators registered after table creation still resolve."""
-    if not prop:
-        return {}
-    out: dict[str, str] = {}
-    for item in str(prop).split(","):
-        item = item.strip()
-        if not item:
-            continue
-        col, sep, op = item.partition(":")
-        if not sep or not col.strip() or not op.strip():
-            raise ValueError(
-                "lakesoul.columnMergeOps entries must be 'column:op', "
-                f"got {item!r}"
-            )
-        out[col.strip()] = op.strip()
-    return out
-
-
 class LakeSoulTable:
     """Handle on a LakeSoul-format table (optionally pinned to a
     snapshot or an incremental window)."""
@@ -386,11 +365,7 @@ class LakeSoulTable:
         # collapse partial sums into one arbitrary generation's value.
         # Format: "col:op,col:op"; instance registrations override.
         self._merge_ops: dict[str, str] = dict(
-            _parse_column_merge_ops(
-                self.store.table_info().properties.get(
-                    "lakesoul.columnMergeOps"
-                )
-            )
+            self.store.table_info().column_merge_ops()
         )
 
     # ------------------------------------------------------------ factories

@@ -447,3 +447,62 @@ def test_arrow_writer_max_records_per_file(spark, tmp_path):
     t = LakeSoulTable.for_path(spark, path)
     assert t.to_df().count() == 201
     assert [tuple(r) for r in t.point_lookup(id=150).collect()] == [(150, 150)]
+
+
+def test_arrow_dataset_folds_declared_merge_ops(spark, tmp_path):
+    """A Spark-free consumer (Torch/Ray export) reading an UNCOMPACTED
+    aggregate MV mid-refresh: the arrow fold applies the declared
+    associative merge ops (sum_all on the decimal partial + the bigint
+    count, min_all/max_all), so every column equals the Spark merge
+    view — and ops needing Spark (hll_union_all) still refuse."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.mv import AggMV
+
+    src, mvp = str(tmp_path / "src"), str(tmp_path / "mv")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_custkey"],
+        aggs={"total": ("sum", "o_totalprice"),
+              "n": ("count", "*"),
+              "lo": ("min", "o_totalprice"),
+              "hi": ("max", "o_totalprice")},
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+    # mid-refresh state: at least one bucket holds >1 partial generation
+    assert mv.table.store.snapshot().max_generations_per_bucket() > 1
+
+    exp = {
+        r["o_custkey"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in mv.table.to_df().collect()  # Spark merge view (raw partials)
+    }
+    got = {
+        r["o_custkey"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in LakeSoulArrowDataset(mvp)
+    }
+    assert got == exp
+    # and the finalized double sums agree with mv.to_df()
+    fin = {r["o_custkey"]: r["total"] for r in mv.to_df().collect()}
+    assert {k: float(v[0]) for k, v in got.items()} == fin
+
+    # sharded read covers the same rows
+    union = {}
+    for rank in range(3):
+        for r in LakeSoulArrowDataset(mvp, rank=rank, world_size=3):
+            union[r["o_custkey"]] = (r["total"], r["n"], r["lo"], r["hi"])
+    assert union == exp
+
+    # hll sketches need Spark: loud refusal, not a silent partial
+    mvp2 = str(tmp_path / "mv_hll")
+    mv2 = AggMV.create(
+        spark, src, mvp2, group_by=["o_custkey"],
+        aggs={"nd": ("count_distinct", "o_orderkey")},
+    )
+    mv2.refresh()
+    with pytest.raises(ValueError, match="hll_union_all"):
+        LakeSoulArrowDataset(mvp2)

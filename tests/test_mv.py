@@ -149,7 +149,8 @@ def test_mv_rejects_pk_and_cdc_sources(spark, tmp_path):
 
 def test_property_merge_ops_flow_to_any_reader(spark, tmp_path):
     """lakesoul.columnMergeOps applies to fresh table handles with no
-    registration — and the use_last-only scan paths refuse loudly."""
+    registration; the arrow reader folds the associative family to the
+    same values, and ops beyond it (joined_*, hll) refuse loudly."""
     path = str(tmp_path / "t")
     rows = [Row(k=1, v=10), Row(k=2, v=5)]
     write(spark.createDataFrame(rows), path, mode="append",
@@ -162,8 +163,14 @@ def test_property_merge_ops_flow_to_any_reader(spark, tmp_path):
     assert got == {1: 17, 2: 5, 3: 1}
     from lakesoul_spark.arrow.dataset import LakeSoulArrowDataset
 
-    with pytest.raises(ValueError, match="columnMergeOps"):
-        LakeSoulArrowDataset(path)
+    assert {r["k"]: r["v"] for r in LakeSoulArrowDataset(path)} == got
+
+    path2 = str(tmp_path / "t2")
+    write(spark.createDataFrame(rows), path2, mode="append",
+          hash_partitions=["k"], hash_bucket_num=2,
+          properties={"lakesoul.columnMergeOps": "v:joined_all_by_comma"})
+    with pytest.raises(ValueError, match="joined_all_by_comma"):
+        LakeSoulArrowDataset(path2)
 
 
 def test_min_all_max_all_builtins(spark, tmp_path):
