@@ -122,6 +122,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket: int,
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Inner-join every point to every interval of the same key that
     contains it (``start_col <= point_ts <= end_col``, inclusive).
@@ -132,12 +133,37 @@ def interval_join(
     magnitudes. Non-key column names must not collide across the two
     inputs (rename before calling). Output: point columns + interval
     columns of each matching pair.
+
+    ``max_buckets_per_interval`` bounds the per-interval replication
+    factor (``(end - start) / bucket``); a degenerate span — an
+    open-ended sentinel end, a bucket width in the wrong unit — fails
+    up front with the offending width instead of exploding the join or
+    tripping Spark's sequence-length cap mid-job.
     """
     on = [on] if isinstance(on, str) else list(on)
     clash = (set(points.columns) & set(intervals.columns)) - set(on)
     if clash:
         raise ValueError(f"column collision between inputs: {sorted(clash)}")
     p = points.withColumn("__b", F.expr(f"`{point_ts}` div {int(bucket)}"))
+    # span guard: a degenerate interval (open-ended sentinel like
+    # Long.MAX, or a bucket= in the wrong unit) would make sequence()
+    # fan one row into millions of buckets — or hit Spark's sequence
+    # length cap with an opaque error mid-job. Validate up front with a
+    # bounded aggregate that names the offending span.
+    worst = intervals.agg(
+        F.max(
+            F.expr(f"`{end_col}` div {int(bucket)}")
+            - F.expr(f"`{start_col}` div {int(bucket)}")
+        ).alias("w")
+    ).collect()[0]["w"]
+    if worst is not None and worst + 1 > max_buckets_per_interval:
+        raise ValueError(
+            f"an interval spans {worst + 1} buckets of width {bucket} "
+            f"(cap {max_buckets_per_interval}): check for open-ended "
+            f"sentinel {end_col} values or a bucket width in the wrong "
+            "time unit; raise max_buckets_per_interval= only if the "
+            "fan-out is intended"
+        )
     i = intervals.withColumn(
         "__b",
         F.explode(F.sequence(

@@ -378,11 +378,17 @@ def bm25_topk_batch(
       corpus (same discipline as :func:`bm25_topk`);
     - scores fan out to (query, doc, term) via a broadcast of the
       query table — aggregation state |matched (doc, term, query)|;
-    - per-query top-k via ONE window partitioned by ``query_id``
-      (rank over round(score, 9) desc, id asc). Skew note: a query
-      matching a huge share of the corpus serializes its ranking into
-      one task; cut candidate sets upstream (e.g. a per-term tf floor)
-      if a screen hits that shape.
+    - per-query top-k via ONE ``row_number <= k`` window partitioned
+      by ``query_id``. Skew cap: because the rank filter is a
+      row_number limit, Spark plans a PARTIAL ``WindowGroupLimit``
+      below the exchange — each map task forwards at most ``k`` rows
+      per query (a per-(query, partition) head), so a query matching
+      most of the corpus ships and ranks at most ``k x partitions``
+      rows instead of serializing its whole candidate set into one
+      task. Exact (top-k of local top-ks under one deterministic
+      total order: round(score, 9) desc, id asc), zero extra stages;
+      the plan-shape test pins the Partial limit so a planner or
+      ordering change that silently drops it fails CI.
     """
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -1557,10 +1557,14 @@ def test_bm25_batch_matches_single(spark):
 
 
 def test_bm25_batch_plan_shape(spark):
-    """r8 scale contract of bm25_topk_batch: exactly two corpus reads
-    no matter how many queries (stats scan + one materialization of
-    the persisted matched-tf set), the query table broadcast, and ONE
-    partitioned window for per-query top-k."""
+    """r8/r9 scale contract of bm25_topk_batch: exactly two corpus
+    reads no matter how many queries (stats scan + one materialization
+    of the persisted matched-tf set), the query table broadcast, and a
+    skew-capped per-query top-k — the row_number <= k filter must plan
+    a PARTIAL WindowGroupLimit below the exchange (each map task
+    forwards at most k rows per query), so a query matching most of
+    the corpus ships k x partitions rows, never its full candidate
+    set, into the final ranking task."""
     from lakesoul_spark.functions.local_df import local_df
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1573,6 +1577,14 @@ def test_bm25_batch_plan_shape(spark):
     assert plan.count("BroadcastExchange") >= 3  # terms, df_t, stats, qt
     assert "SortMergeJoin" not in plan
     assert "row_number" in plan
+    # the pre-head: a map-side (Partial) group limit keyed by query_id
+    # BEFORE the final one — if a planner/ordering change silently
+    # drops it, the skew cap is gone and this must fail
+    import re
+
+    limits = re.findall(r"WindowGroupLimit \[query_id[^\n]*?(Partial|Final)",
+                        plan)
+    assert "Partial" in limits and "Final" in limits, limits
 
 
 def test_corpus_profile_plan_shape(spark):
