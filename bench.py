@@ -36,6 +36,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # environment check, recorded into the result: same-box absolute
+    # timings drift up to ~1.4x between sessions (SCALE.md), and a
+    # loaded box inflates everything uniformly — the verdict should
+    # read the load average directly instead of reverse-engineering
+    # environment inflation from pack uniformity.
+    load_avg = round(os.getloadavg()[0], 2)
+
     spark = lakesoul_session(
         "lakesoul_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -182,6 +189,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_avg": load_avg,               # 1-min load at run START
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }
     if repeat > 1:
         out["repeat"] = repeat
@@ -222,6 +231,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "load_avg": load_avg,
         "n_queries": len(timings),
         "packs": {p: [len(ts), round(sum(ts), 2)]
                   for p, ts in sorted(packs.items())},

@@ -249,6 +249,33 @@ class LakeSoulArrowDataset:
         return pa.Table.from_batches(batches)
 
     def count_rows(self) -> int:
+        """Row count of this view; commit-log-metadata-only (zero file
+        IO) when provable — an unsharded, unfiltered, non-CDC snapshot
+        whose PK buckets each hold one generation and whose files all
+        record ``num_rows`` (the twin of ``LakeSoulTable.count_fast``).
+        Everything else falls back to streaming the batches."""
+        if (self.rank is None and not self._filters
+                and self.start_version is None
+                and not self.info.cdc_column):
+            snap = self.store.snapshot(
+                version=self.version, timestamp_ms=self.timestamp_ms
+            )
+            files = snap.files
+            if self._partitions:
+                from lakesoul_spark.io import partition as part_enc
+
+                want = {k: str(v) for k, v in self._partitions.items()}
+                files = [
+                    f for f in files
+                    if all(
+                        str(part_enc.parse_desc(f.partition_desc).get(k)) == v
+                        for k, v in want.items()
+                    )
+                ]
+            if (not self.info.hash_partitions
+                    or snap.max_generations_per_bucket() == 1) \
+                    and all(f.num_rows >= 0 for f in files):
+                return sum(f.num_rows for f in files)
         return sum(b.num_rows for b in self.to_batches())
 
     def __iter__(self):

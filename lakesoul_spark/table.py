@@ -472,6 +472,50 @@ class LakeSoulTable:
             return {self.partition_desc}
         return None
 
+    def count_fast(self) -> int | None:
+        """Exact row count from commit-log metadata alone — zero Spark
+        jobs, zero file IO (every writer records per-file ``num_rows``
+        in the same footer read that collects stats). At 100 TB a
+        ``count(*)`` becomes one metadata pass instead of a
+        full-corpus scan. Returns ``None`` whenever metadata cannot
+        PROVE the exact answer, so callers can fall back:
+
+        - incremental windows (their row set lives in merge semantics),
+        - CDC tables (physical update/delete rows are filtered or
+          collapsed at read time),
+        - PK tables with >1 generation in any bucket (upserts
+          overlap across generations),
+        - any live file predating the num_rows-recording writer.
+
+        Respects a pinned snapshot (version/timestamp) and a
+        ``partition_desc`` scope — a partition-scoped count prunes
+        from the commit log first, like every metadata read here."""
+        if self.read_type == READ_INCREMENTAL:
+            return None
+        info = self.info
+        if info.cdc_column:
+            return None
+        snap = self.store.snapshot(
+            version=self.version if self.read_type == READ_SNAPSHOT else None,
+            timestamp_ms=(self.timestamp_ms
+                          if self.read_type == READ_SNAPSHOT else None),
+            partition_descs=self._partition_filter(),
+        )
+        if info.is_pk_table and snap.max_generations_per_bucket() > 1:
+            return None
+        total = 0
+        for f in snap.files:
+            if f.num_rows < 0:
+                return None
+            total += f.num_rows
+        return total
+
+    def count(self) -> int:
+        """Row count: metadata-only when :meth:`count_fast` can prove
+        it, otherwise one Spark count over the MOR view."""
+        n = self.count_fast()
+        return n if n is not None else self.to_df().count()
+
     def to_df(self, file_filters: list | None = None) -> DataFrame:
         """Snapshot/incremental view. ``file_filters`` — optional list
         of ``(column, op, value)`` with op in ``=,<,<=,>,>=,in`` —

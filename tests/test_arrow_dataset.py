@@ -506,3 +506,34 @@ def test_arrow_dataset_folds_declared_merge_ops(spark, tmp_path):
     mv2.refresh()
     with pytest.raises(ValueError, match="hll_union_all"):
         LakeSoulArrowDataset(mvp2)
+
+
+def test_arrow_count_rows_metadata_fast_path(spark, tmp_path):
+    """count_rows() answers from commit-log num_rows without opening a
+    single parquet file when provable, and matches the streamed count
+    in every fallback case."""
+    import lakesoul_spark.streaming.source as srcmod
+
+    path = str(tmp_path / "t")
+    t = _build(spark, path)  # PK table with an upsert: 2 generations
+    ds = LakeSoulArrowDataset(path)
+    streamed = sum(b.num_rows for b in ds.to_batches())
+    assert ds.count_rows() == streamed  # fallback (overlapping gens)
+
+    LakeSoulTable.for_path(spark, path).compaction()
+    ds2 = LakeSoulArrowDataset(path)
+    orig = srcmod._read_file_merged
+
+    def boom(*a, **k):
+        raise AssertionError("metadata count must not read data files")
+
+    srcmod._read_file_merged = boom
+    try:
+        assert ds2.count_rows() == streamed
+    finally:
+        srcmod._read_file_merged = orig
+    # sharded/filtered views still stream
+    assert sum(
+        LakeSoulArrowDataset(path, rank=i, world_size=2).count_rows()
+        for i in range(2)
+    ) == streamed

@@ -1044,3 +1044,64 @@ def test_delete_matching_tombstone_join(spark, tmp_table, tmp_path):
     # guard: unknown tombstone columns fail loudly
     with pytest.raises(ValueError, match="tombstone"):
         t.delete_matching(spark.range(1).selectExpr("id AS nope"))
+
+
+def test_count_fast_metadata_only(spark, tmp_table, tmp_path):
+    """count() answers from commit-log num_rows with ZERO Spark jobs
+    when metadata proves exactness, and falls back (correctly) when it
+    cannot: multi-generation PK buckets, CDC tables, incremental."""
+    write(seed_df(spark, [(i, i) for i in range(100)], "id int, v int"),
+          tmp_table, mode="overwrite")
+    t = LakeSoulTable.for_path(spark, tmp_table)
+
+    def no_job(self, *a, **k):
+        raise AssertionError("count_fast path must not build a DataFrame")
+
+    orig = LakeSoulTable.to_df
+    LakeSoulTable.to_df = no_job
+    try:
+        assert t.count() == 100
+        # delete rewrites files; metadata stays exact
+    finally:
+        LakeSoulTable.to_df = orig
+    t.delete("v < 10")
+    LakeSoulTable.to_df = no_job
+    try:
+        assert LakeSoulTable.for_path(spark, tmp_table).count() == 90
+    finally:
+        LakeSoulTable.to_df = orig
+
+    # PK table: exact at one generation; upsert makes buckets overlap
+    pk = str(tmp_path / "pk")
+    write(seed_df(spark, [(i, 0) for i in range(50)], "id int, v int"),
+          pk, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4)
+    tp = LakeSoulTable.for_path(spark, pk)
+    assert tp.count_fast() == 50
+    tp.upsert(seed_df(spark, [(i, 1) for i in range(40, 60)],
+                      "id int, v int"))
+    tp = LakeSoulTable.for_path(spark, pk)
+    assert tp.count_fast() is None          # cannot prove: overlap
+    assert tp.count() == 60                 # falls back to the MOR count
+    tp.compaction()
+    tp = LakeSoulTable.for_path(spark, pk)
+    assert tp.count_fast() == 60            # one generation again
+
+    # snapshot pin + partition scope stay metadata-only
+    rp = str(tmp_path / "rp")
+    write(seed_df(spark, [(1, "a", 1), (2, "a", 2), (3, "b", 3)],
+                  "id int, p string, v int"),
+          rp, range_partitions=["p"])
+    ta = LakeSoulTable(spark, rp, partition_desc="p=a")
+    assert ta.count_fast() == 2
+
+    # CDC tables never take the shortcut (delete rows are physical)
+    cdc = str(tmp_path / "cdc")
+    from lakesoul_spark.table import create_table
+    create_table(spark, cdc, "id int, v int, op string",
+                 hash_partitions=["id"], hash_bucket_num=2,
+                 properties={"lakesoul_cdc_change_column": "op"})
+    tc = LakeSoulTable.for_path(spark, cdc)
+    tc.upsert(seed_df(spark, [(1, 1, "insert"), (2, 2, "insert")],
+                      "id int, v int, op string"))
+    assert tc.count_fast() is None
+    assert tc.count() == 2
