@@ -387,6 +387,7 @@ class Catalog:
             SHOW TBLPROPERTIES [ns.]t [('key')]
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
             DESCRIBE HISTORY [ns.]t
+            DESCRIBE DETAIL [ns.]t
             SHOW CREATE TABLE [ns.]t
             SELECT … FROM [ns.]t VERSION AS OF n
             SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
@@ -663,6 +664,34 @@ class Catalog:
             m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             return self.get_table(spark, name, ns).history()
+        if verb in ("DESCRIBE", "DESC") and verb2 == "DETAIL":
+            # table facts from the commit log alone (Delta's DESCRIBE
+            # DETAIL shape): zero data-file IO — num_rows comes from
+            # count_fast and is NULL when metadata cannot prove it
+            # (CDC tables, overlapping PK generations, legacy files)
+            m = _rx(r"(?:DESCRIBE|DESC)\s+DETAIL\s+([\w.`]+)$", stmt)
+            ns, name = self._split_name(m.group(1))
+            t = self.get_table(spark, name, ns)
+            info = t.info
+            snap = t.store.snapshot()
+            row = (
+                "lakesoul", info.table_id, f"{ns}.{name}", info.path,
+                list(info.range_partitions), list(info.hash_partitions),
+                info.hash_bucket_num, len(snap.files),
+                sum(f.size for f in snap.files), t.count_fast(),
+                snap.max_generations_per_bucket() if snap.files else 0,
+                t.store.head_version(),
+                info.properties.get("lakesoul.mv.spec") is not None,
+            )
+            return spark.createDataFrame(
+                [row],
+                "format string, id string, name string, location string, "
+                "partition_columns array<string>, "
+                "hash_partition_columns array<string>, "
+                "hash_bucket_num int, num_files long, size_bytes long, "
+                "num_rows long, max_generations_per_bucket int, "
+                "version long, is_materialized_view boolean",
+            )
         if verb in ("DESCRIBE", "DESC") and verb2 != "HISTORY":
             # EXTENDED is a captured keyword, not a substring test — a
             # table whose NAME contains "extended" must not trigger it

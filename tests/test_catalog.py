@@ -1048,3 +1048,29 @@ def test_create_table_race_cleans_orphan_dir(cat, spark, monkeypatch):
     # the name is reusable after the failed attempt
     cat.create_table(spark, "raced", "id INT")
     assert cat.table_exists("raced")
+
+
+def test_sql_describe_detail(cat, spark):
+    """DESCRIBE DETAIL: table facts from the commit log alone —
+    num_rows exact when metadata proves it, NULL once PK generations
+    overlap, exact again after compaction."""
+    cat.sql(spark, """
+        CREATE TABLE dd (id BIGINT, v BIGINT) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO dd SELECT id, id FROM range(100)")
+    r = cat.sql(spark, "DESCRIBE DETAIL dd").collect()[0]
+    assert (r.format, r.name) == ("lakesoul", "default.dd")
+    assert r.hash_partition_columns == ["id"] and r.hash_bucket_num == 2
+    assert r.num_rows == 100 and r.num_files > 0 and r.size_bytes > 0
+    assert r.max_generations_per_bucket == 1
+    assert r.is_materialized_view is False
+    t = cat.get_table(spark, "dd")
+    t.upsert(spark.createDataFrame([(1, 9), (200, 9)], "id bigint, v bigint"))
+    r2 = cat.sql(spark, "DESCRIBE DETAIL dd").collect()[0]
+    assert r2.num_rows is None  # overlapping generations: not provable
+    assert r2.max_generations_per_bucket == 2
+    t.compaction(force=True)
+    r3 = cat.sql(spark, "DESCRIBE DETAIL dd").collect()[0]
+    assert r3.num_rows == 101 and r3.max_generations_per_bucket == 1
+    assert r3.version == t.store.head_version()
