@@ -537,3 +537,60 @@ def test_arrow_count_rows_metadata_fast_path(spark, tmp_path):
         LakeSoulArrowDataset(path, rank=i, world_size=2).count_rows()
         for i in range(2)
     ) == streamed
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_arrow_merge_ops_parity(spark, tmp_path, seed):
+    """Random upsert histories over a table declaring the associative
+    merge-op family — including PARTIAL-column upserts (file_exist_cols
+    presence) and nulls — must read identically through the Spark merge
+    view, the Spark-free arrow fold, and after compaction."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    base = [Row(k=i, s=rng.randint(0, 50), lo=float(rng.randint(0, 99)),
+                hi=float(rng.randint(0, 99)), u=f"v{rng.randint(0, 9)}")
+            for i in range(12)]
+    write(spark.createDataFrame(base), path, mode="overwrite",
+          hash_partitions=["k"], hash_bucket_num=3,
+          properties={"lakesoul.columnMergeOps":
+                      "s:sum_all,lo:min_all,hi:max_all"})
+    t = LakeSoulTable.for_path(spark, path)
+    value_cols = ["s", "lo", "hi", "u"]
+    for _ in range(rng.randint(2, 4)):
+        keys = rng.sample(range(16), rng.randint(2, 8))
+        cols = rng.sample(value_cols, rng.randint(1, 4))
+        rows = []
+        for k in sorted(keys):
+            r = {"k": k}
+            for c in cols:
+                if rng.random() < 0.15:
+                    r[c] = None
+                elif c == "s":
+                    r[c] = rng.randint(0, 50)
+                elif c == "u":
+                    r[c] = f"v{rng.randint(0, 9)}"
+                else:
+                    r[c] = float(rng.randint(0, 99))
+            rows.append(Row(**r))
+        t.upsert(spark.createDataFrame(rows))
+
+    def canon(recs):
+        return sorted(
+            (r["k"], r["s"], r["lo"], r["hi"], r["u"]) for r in recs
+        )
+
+    spark_view = canon(r.asDict() for r in
+                       LakeSoulTable.for_path(spark, path).to_df().collect())
+    arrow_view = canon(iter(LakeSoulArrowDataset(path)))
+    assert arrow_view == spark_view
+    # compaction folds the partials without changing any value, and
+    # both readers agree on the compacted single generation too
+    LakeSoulTable.for_path(spark, path).compaction()
+    assert canon(r.asDict() for r in
+                 LakeSoulTable.for_path(spark, path).to_df().collect()) \
+        == spark_view
+    assert canon(iter(LakeSoulArrowDataset(path))) == spark_view
