@@ -32,8 +32,14 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # r10 MUST front those 9 first (they hit the 2-round staleness
 # boundary), then fill the window with the oldest r8-green queries
 # (41 of the 50 in r8's CORRECTNESS file); the 9 r8-green that don't
-# fit lead the r11 front.  Any r9-new/changed query was placed in
-# _FRONT immediately (ledger rule), so nothing else is stale.
+# fit lead the r11 front.  No new oracle queries were ADDED in r9 on
+# purpose: the r9 window had zero displaceable slots (12 never-verified
+# + 38 two-round-deadline refreshes), so r9-new capability (metadata
+# count_fast / DESCRIBE DETAIL, arrow merge-op fold, delete_matching,
+# interval span guard) is pytest-backed this round — r10 SHOULD add
+# driver queries for it (e.g. a metadata-count query whose oracle is a
+# plain SELECT count(*)), displacing r8-green slots per the ledger
+# rule.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
