@@ -127,6 +127,21 @@ class LakeSoulArrowDataset:
 
     # ------------------------------------------------------------- planning
 
+    def _partition_filtered(self, files):
+        """Keep only files of the requested range-partition values."""
+        if not self._partitions:
+            return files
+        from lakesoul_spark.io import partition as part_enc
+
+        want = {k: str(v) for k, v in self._partitions.items()}
+        return [
+            f for f in files
+            if all(
+                str(part_enc.parse_desc(f.partition_desc).get(k)) == v
+                for k, v in want.items()
+            )
+        ]
+
     def _splits(self):
         from lakesoul_spark.io import partition as part_enc
         from lakesoul_spark.streaming.source import _plan_splits
@@ -143,18 +158,11 @@ class LakeSoulArrowDataset:
                 version=self.version, timestamp_ms=self.timestamp_ms
             )
             files = snap.files
-        if self._partitions:
-            want = {k: str(v) for k, v in self._partitions.items()}
-            files = [
-                f for f in files
-                if all(
-                    str(part_enc.parse_desc(f.partition_desc).get(k)) == v
-                    for k, v in want.items()
-                )
-            ]
+        files = self._partition_filtered(files)
         if self._filters:
             from lakesoul_spark.io.stats import prune_files
             from lakesoul_spark.streaming.source import (
+                STATS_SAFE_MERGE_OPS,
                 _desc_matches_cmp,
                 _part_casters,
             )
@@ -171,8 +179,17 @@ class LakeSoulArrowDataset:
                     )
                 }
                 files = [f for f in files if f.partition_desc in keep]
+            # stats pruning must skip columns whose merged value can
+            # leave the union of per-file bounds (sum_all partials fold
+            # to values no single file contains) — rows are re-checked
+            # post-merge, so this only forgoes the skip, never rows
+            unsafe = {
+                c for c, op in self._merge_ops.items()
+                if op not in STATS_SAFE_MERGE_OPS
+            }
+            prunable = [p for p in self._filters if p[0] not in unsafe]
             files = prune_files(
-                files, self._filters,
+                files, prunable,
                 group_wise=bool(self.info.hash_partitions),
             )
         splits = _plan_splits(
@@ -260,18 +277,7 @@ class LakeSoulArrowDataset:
             snap = self.store.snapshot(
                 version=self.version, timestamp_ms=self.timestamp_ms
             )
-            files = snap.files
-            if self._partitions:
-                from lakesoul_spark.io import partition as part_enc
-
-                want = {k: str(v) for k, v in self._partitions.items()}
-                files = [
-                    f for f in files
-                    if all(
-                        str(part_enc.parse_desc(f.partition_desc).get(k)) == v
-                        for k, v in want.items()
-                    )
-                ]
+            files = self._partition_filtered(snap.files)
             if (not self.info.hash_partitions
                     or snap.max_generations_per_bucket() == 1) \
                     and all(f.num_rows >= 0 for f in files):

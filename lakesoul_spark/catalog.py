@@ -669,6 +669,8 @@ class Catalog:
             # DETAIL shape): zero data-file IO — num_rows comes from
             # count_fast and is NULL when metadata cannot prove it
             # (CDC tables, overlapping PK generations, legacy files)
+            from lakesoul_spark.mv import SPEC_PROP
+
             m = _rx(r"(?:DESCRIBE|DESC)\s+DETAIL\s+([\w.`]+)$", stmt)
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
@@ -681,7 +683,7 @@ class Catalog:
                 sum(f.size for f in snap.files), t.count_fast(),
                 snap.max_generations_per_bucket() if snap.files else 0,
                 t.store.head_version(),
-                info.properties.get("lakesoul.mv.spec") is not None,
+                SPEC_PROP in info.properties,
             )
             return spark.createDataFrame(
                 [row],

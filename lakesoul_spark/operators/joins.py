@@ -136,39 +136,41 @@ def interval_join(
 
     ``max_buckets_per_interval`` bounds the per-interval replication
     factor (``(end - start) / bucket``); a degenerate span — an
-    open-ended sentinel end, a bucket width in the wrong unit — fails
-    up front with the offending width instead of exploding the join or
-    tripping Spark's sequence-length cap mid-job.
+    open-ended sentinel end, a bucket width in the wrong unit — raises
+    at execution naming the offending width (a plan-embedded check, so
+    the intervals side is never computed twice) instead of exploding
+    the join or tripping Spark's sequence-length cap opaquely.
     """
     on = [on] if isinstance(on, str) else list(on)
     clash = (set(points.columns) & set(intervals.columns)) - set(on)
     if clash:
         raise ValueError(f"column collision between inputs: {sorted(clash)}")
-    p = points.withColumn("__b", F.expr(f"`{point_ts}` div {int(bucket)}"))
-    # span guard: a degenerate interval (open-ended sentinel like
-    # Long.MAX, or a bucket= in the wrong unit) would make sequence()
-    # fan one row into millions of buckets — or hit Spark's sequence
-    # length cap with an opaque error mid-job. Validate up front with a
-    # bounded aggregate that names the offending span.
-    worst = intervals.agg(
-        F.max(
-            F.expr(f"`{end_col}` div {int(bucket)}")
-            - F.expr(f"`{start_col}` div {int(bucket)}")
-        ).alias("w")
-    ).collect()[0]["w"]
-    if worst is not None and worst + 1 > max_buckets_per_interval:
-        raise ValueError(
-            f"an interval spans {worst + 1} buckets of width {bucket} "
-            f"(cap {max_buckets_per_interval}): check for open-ended "
-            f"sentinel {end_col} values or a bucket width in the wrong "
-            "time unit; raise max_buckets_per_interval= only if the "
-            "fan-out is intended"
-        )
+    b = int(bucket)
+    cap = int(max_buckets_per_interval)
+    p = points.withColumn("__b", F.expr(f"`{point_ts}` div {b}"))
+    # span guard, embedded IN the plan (no extra pass over the
+    # intervals side — an eager validation aggregate would execute an
+    # expensive upstream pipeline twice): a degenerate interval
+    # (open-ended sentinel like Long.MAX, or a bucket= in the wrong
+    # unit) would otherwise fan one row into millions of join keys or
+    # trip Spark's sequence-length cap with an opaque error mid-job.
+    # The guarded end expression raises per offending row, naming its
+    # span, in the same job that would have exploded.
+    span = f"((`{end_col}` div {b}) - (`{start_col}` div {b}) + 1)"
+    end_guarded = (
+        f"CASE WHEN {span} > {cap} THEN CAST(raise_error(concat("
+        f"'an interval spans ', CAST({span} AS STRING), "
+        f"' buckets of width {b} (cap {cap}): check for open-ended "
+        f"sentinel {end_col} values or a bucket width in the wrong "
+        f"time unit; raise max_buckets_per_interval= only if the "
+        f"fan-out is intended')) AS BIGINT) "
+        f"ELSE `{end_col}` div {b} END"
+    )
     i = intervals.withColumn(
         "__b",
         F.explode(F.sequence(
-            F.expr(f"`{start_col}` div {int(bucket)}"),
-            F.expr(f"`{end_col}` div {int(bucket)}"),
+            F.expr(f"`{start_col}` div {b}"),
+            F.expr(end_guarded),
         )),
     )
     return (

@@ -149,7 +149,16 @@ class CompactionService:
                     min_c = int(props.get("lakesoul.zorder.minCommits", 8))
                     if t.store.head_version() - last_c >= min_c:
                         cols = [c.strip() for c in zcols.split(",") if c.strip()]
-                        report["clustered"] = t.optimize_zorder(cols)
+                        try:
+                            report["clustered"] = t.optimize_zorder(cols)
+                        except ValueError as e:
+                            # misconfigured declaration (unknown column,
+                            # curve too wide): one table's bad config
+                            # must not kill the daemon for the rest —
+                            # surface it in the report and move on (the
+                            # head still advances, so it isn't retried
+                            # until new commits land)
+                            report["cluster_error"] = str(e)
                 if self.apply_ttl:
                     report["ttl"] = t.apply_ttl()
                 if self.vacuum_retention_ms is not None:

@@ -190,6 +190,16 @@ class _GenCursor:
 # so tables declaring those stay Spark-only and the readers refuse)
 ARROW_MERGE_OPS = frozenset({"use_last", "sum_all", "min_all", "max_all"})
 
+# ops whose MERGED value is always one of the generations' stored
+# values, so it provably lies inside the union of per-file [min, max]
+# bounds — group-wise stats pruning stays sound for these columns.
+# sum_all is NOT here: two partials of 60 merge to 120, which no
+# file's bounds contain — a pushed filter on such a column must skip
+# stats pruning (rows are still re-checked post-merge).
+STATS_SAFE_MERGE_OPS = frozenset(
+    {"use_last", "use_last_not_null", "min_all", "max_all"}
+)
+
 
 def _fold_window(window, target, pk_cols, range_vals, merge_ops=None):
     """Column-level merge of one PK-aligned window: by default a
@@ -229,12 +239,12 @@ def _fold_window(window, target, pk_cols, range_vals, merge_ops=None):
             op = merge_ops.get(c, "use_last")
             if op == "sum_all":
                 # null-skipping add (SQL sum semantics): both → a+b,
-                # one → it, neither → null. add() widens a decimal's
-                # precision; cast back to the column type right here
-                # (raises on real overflow instead of wrapping) so the
-                # window concatenates against unfolded generations.
+                # one → it, neither → null. add_checked raises on
+                # integer overflow (plain add() would WRAP silently);
+                # decimal adds widen precision, so the cast back to the
+                # column type below raises on real decimal overflow.
                 both = pc.and_(pc.is_valid(old), pc.is_valid(taken))
-                added = pc.add(old, taken)
+                added = pc.add_checked(old, taken)
                 cols[c] = pc.cast(
                     pc.if_else(
                         both, added,
@@ -456,6 +466,12 @@ class LakeSoulBatchReader(DataSourceReader):
         self._part_filter: set[str] | None = None
         self._bucket_filter: set[int] | None = None
         self._stats_preds: list[tuple] = []
+        # columns whose merged value can leave the union of per-file
+        # bounds (sum_all partials): never stats-prune on these
+        self._prune_unsafe = {
+            c for c, op in self.info.column_merge_ops().items()
+            if op not in STATS_SAFE_MERGE_OPS
+        }
 
     def pushFilters(self, filters):
         """Accept equality filters on range-partition columns (metadata
@@ -501,10 +517,12 @@ class LakeSoulBatchReader(DataSourceReader):
                     [v for v in pk_in if v in set(vals)]
                 self._stats_preds.append((col, "in", vals))
                 unsupported.append(f)
-            elif col is not None and isinstance(f, tuple(_CMP)):
+            elif (col is not None and isinstance(f, tuple(_CMP))
+                  and col not in self._prune_unsafe):
                 self._stats_preds.append((col, _CMP[type(f)], f.value))
                 unsupported.append(f)
-            elif col is not None and isinstance(f, In):
+            elif (col is not None and isinstance(f, In)
+                  and col not in self._prune_unsafe):
                 self._stats_preds.append((col, "in", list(f.value)))
                 unsupported.append(f)
             else:

@@ -594,3 +594,38 @@ def test_fuzz_arrow_merge_ops_parity(spark, tmp_path, seed):
                  LakeSoulTable.for_path(spark, path).to_df().collect()) \
         == spark_view
     assert canon(iter(LakeSoulArrowDataset(path))) == spark_view
+
+
+def test_stats_pruning_never_drops_sum_all_merges(spark, tmp_path):
+    """Regression: per-file [min,max] bounds do NOT bound a sum_all
+    merge (partials 60+60 fold to 120, which no file contains), so a
+    pushed filter on such a column must skip stats pruning — through
+    BOTH Spark-free scan paths — instead of silently dropping the
+    matching merged row. use_last columns on the same table still
+    prune normally."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([Row(k=1, total=60, tag=5),
+                                 Row(k=2, total=10, tag=7)]),
+          path, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2,
+          properties={"lakesoul.columnMergeOps": "total:sum_all",
+                      "lakesoul.statsColumns": "total,tag"})
+    t = LakeSoulTable.for_path(spark, path)
+    t.upsert(spark.createDataFrame([Row(k=1, total=60, tag=9)]))
+
+    # arrow dataset: merged row (k=1, total=120) must survive the filter
+    got = [(r["k"], r["total"]) for r in
+           LakeSoulArrowDataset(path, filters=[("total", ">", 100)])]
+    assert got == [(1, 120)]
+    # python DS scan with the same pushed filter
+    import lakesoul_spark.streaming.source as srcmod
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(srcmod.LakeSoulPyDataSource)
+    df = spark.read.format("lakesoul").load(path).filter("total > 100")
+    assert [(r["k"], r["total"]) for r in df.collect()] == [(1, 120)]
+    # the Spark merge view agrees
+    assert [(r["k"], r["total"]) for r in
+            t.to_df().filter("total > 100").collect()] == [(1, 120)]

@@ -181,19 +181,21 @@ def test_interval_join_fuzz_vs_model(spark):
 
 def test_interval_join_span_guard(spark):
     """A degenerate interval (open-ended sentinel end / wrong-unit
-    bucket) fails up front naming the offending span instead of
-    exploding the join; an intended fan-out passes with a raised cap."""
+    bucket) raises naming the offending span instead of exploding the
+    join — the guard is plan-embedded (raise_error in the sequence end
+    arg), so the intervals side is never computed twice; an intended
+    fan-out passes with a raised cap."""
     points = _df(spark, [(1, 10)], "k int, p long")
     hostile = _df(spark, [(1, 0, 2**62, 7)],
                   "k int, s long, e long, iid int")
-    with pytest.raises(ValueError, match="buckets of width"):
+    with pytest.raises(Exception, match="buckets of width"):
         interval_join(points, hostile, on="k", point_ts="p",
-                      start_col="s", end_col="e", bucket=10)
+                      start_col="s", end_col="e", bucket=10).collect()
     wide = _df(spark, [(1, 0, 50_000, 7)],
                "k int, s long, e long, iid int")
-    with pytest.raises(ValueError, match="5001"):
+    with pytest.raises(Exception, match="5001 buckets"):
         interval_join(points, wide, on="k", point_ts="p",
-                      start_col="s", end_col="e", bucket=10)
+                      start_col="s", end_col="e", bucket=10).collect()
     out = interval_join(points, wide, on="k", point_ts="p",
                         start_col="s", end_col="e", bucket=10,
                         max_buckets_per_interval=6000)
