@@ -388,6 +388,8 @@ class Catalog:
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
             DESCRIBE HISTORY [ns.]t
             DESCRIBE DETAIL [ns.]t
+            CREATE TABLE [ns.]t [SHALLOW|DEEP] CLONE [ns.]s
+                [VERSION AS OF n]
             SHOW CREATE TABLE [ns.]t
             SELECT … FROM [ns.]t VERSION AS OF n
             SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
@@ -424,6 +426,37 @@ class Catalog:
         verb2 = (head.group(2) or "" if head else "").upper()
 
         if verb == "CREATE" and verb2 == "TABLE":
+            cm = re.match(
+                r"CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW\s+|DEEP\s+)?CLONE"
+                r"\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+                stmt, re.I,
+            )
+            if cm:
+                # CREATE TABLE t [SHALLOW|DEEP] CLONE s [VERSION AS OF n]
+                # — deep by default (Delta's CLONE contract); shallow is
+                # metadata-only and instant at any size
+                ns, name = self._split_name(cm.group(1))
+                if self.table_exists(name, ns):
+                    raise ValueError(f"table {ns}.{name} already exists")
+                if not self.namespace_exists(ns):
+                    if ns == "default":
+                        self.create_namespace("default")
+                    else:
+                        raise ValueError(f"no such namespace {ns!r}")
+                sns, sname = self._split_name(cm.group(3))
+                src = self.get_table(spark, sname, sns)
+                deep = (cm.group(2) or "DEEP").strip().upper() == "DEEP"
+                version = int(cm.group(4)) if cm.group(4) else None
+                tgt = os.path.abspath(os.path.join(self._ns_dir(ns), name))
+                created_dir = not os.path.exists(tgt)
+                src.clone(tgt, deep=deep, version=version)
+                try:
+                    self.backend.register_table(ns, name, tgt)
+                except Exception:
+                    if created_dir:
+                        shutil.rmtree(tgt, ignore_errors=True)
+                    raise
+                return None
             return self._sql_create_table(spark, stmt)
         if verb == "CREATE" and verb2 == "MATERIALIZED":
             return self._sql_create_mv(spark, stmt)

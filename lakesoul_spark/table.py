@@ -26,6 +26,7 @@ from lakesoul_spark.io import reader as rdr
 from lakesoul_spark.io.writer import table_schema, write_table_data
 from lakesoul_spark.meta.store import (
     CDC_CHANGE_COLUMN_PROP,
+    DATA_DIR,
     NON_PARTITIONED,
     OP_APPEND,
     OP_COMPACTION,
@@ -515,6 +516,42 @@ class LakeSoulTable:
         it, otherwise one Spark count over the MOR view."""
         n = self.count_fast()
         return n if n is not None else self.to_df().count()
+
+    def min_max_fast(self, col: str) -> tuple | None:
+        """Exact ``(min, max)`` of a column from per-file commit-log
+        stats — zero Spark jobs, zero file IO — or ``None`` when
+        metadata cannot prove it. Proof requires the :meth:`count_fast`
+        conditions (non-CDC, ≤1 generation per PK bucket — superseded
+        MOR rows could otherwise own the extremum) AND a stats entry
+        for ``col`` in EVERY live file (a file missing the stat may
+        hold the true extremum; an all-null or unencodable column
+        yields no entry, correctly blocking the proof). Values are in
+        the stats encoding: numerics raw, timestamps/dates ISO strings
+        (order-preserving). SQL min/max semantics — nulls ignored."""
+        if self.read_type == READ_INCREMENTAL:
+            return None
+        info = self.info
+        if info.cdc_column:
+            return None
+        snap = self.store.snapshot(
+            version=self.version if self.read_type == READ_SNAPSHOT else None,
+            timestamp_ms=(self.timestamp_ms
+                          if self.read_type == READ_SNAPSHOT else None),
+            partition_descs=self._partition_filter(),
+        )
+        if info.is_pk_table and snap.max_generations_per_bucket() > 1:
+            return None
+        if not snap.files:
+            return None
+        lo = hi = None
+        for f in snap.files:
+            st = (f.stats or {}).get(col)
+            if not st:
+                return None
+            flo, fhi = st
+            lo = flo if lo is None or flo < lo else lo
+            hi = fhi if hi is None or fhi > hi else hi
+        return (lo, hi)
 
     def to_df(self, file_filters: list | None = None) -> DataFrame:
         """Snapshot/incremental view. ``file_filters`` — optional list
@@ -1765,6 +1802,96 @@ class LakeSoulTable:
                     self.compaction(desc if desc != NON_PARTITIONED else None)
                     out["compacted"].append(desc)
         return out
+
+    def clone(
+        self,
+        target_path: str,
+        *,
+        deep: bool = True,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> "LakeSoulTable":
+        """Clone a snapshot of this table into a NEW independent table
+        (Delta's CLONE shape; the reference has no equivalent): copied
+        table metadata + ONE Append commit carrying the snapshot's file
+        entries with their MOR order keys, generation levels, stats and
+        row counts intact — so a multi-generation PK snapshot merges
+        identically in the clone. ``version``/``timestamp_ms`` clone a
+        time-travel point.
+
+        ``deep=True`` (default) copies the data files under the target
+        — a full, self-owned backup whose cost is the snapshot bytes
+        (file copies, no decode, no Spark job). ``deep=False`` is a
+        METADATA-ONLY clone referencing the source's files by absolute
+        path — instant at any size (the dev/test-fork use case). Both
+        clones evolve independently: every write lands under the
+        clone's own ``data/``, and ``vacuum`` only ever deletes under
+        its own table, so a shallow clone can never damage the source.
+        Shallow-clone caveat (same as Delta's): VACUUM or physical
+        cleanup ON THE SOURCE can delete files a shallow clone still
+        references — use deep clones for anything that must outlive
+        the source's maintenance horizon."""
+        import shutil as _shutil
+
+        target = os.path.abspath(target_path)
+        if MetaStore(target).exists():
+            raise ValueError(f"{target} is already a LakeSoul table")
+        snap = self.store.snapshot(version=version, timestamp_ms=timestamp_ms)
+        src = self.info
+        new_info = TableInfo(
+            table_id=uuid.uuid4().hex,
+            table_name=os.path.basename(target.rstrip("/")),
+            path=target,
+            schema_json=src.schema_json,
+            range_partitions=list(src.range_partitions),
+            hash_partitions=list(src.hash_partitions),
+            hash_bucket_num=src.hash_bucket_num,
+            properties=dict(src.properties),
+            namespace=src.namespace,
+        )
+        MetaStore(target).create_table(new_info)
+        ops = []
+        for i, f in enumerate(
+            sorted(snap.files, key=lambda x: (x.commit_seq, x.file_seq))
+        ):
+            src_abs = (f.path if os.path.isabs(f.path)
+                       else os.path.join(self.path, f.path))
+            if deep:
+                # keep the relative layout; a source entry that is
+                # itself absolute (source was a shallow clone) gets a
+                # synthesized engine-owned location
+                rel = (f.path if not os.path.isabs(f.path) else
+                       os.path.join(DATA_DIR, "clone",
+                                    f"{i:06d}_{os.path.basename(f.path)}"))
+                dst = os.path.join(target, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                _shutil.copy2(src_abs, dst)
+                out_path = rel
+            else:
+                out_path = src_abs
+            ops.append(FileOp(
+                op="add", path=out_path,
+                partition_desc=f.partition_desc, bucket=f.bucket,
+                size=f.size, num_rows=f.num_rows,
+                file_exist_cols=list(f.file_exist_cols),
+                level=f.level,
+                # REMAP the MOR order into the clone's own sequence
+                # space: relative order among cloned generations is
+                # preserved by the enumeration (files were sorted by
+                # source (commit_seq, file_seq) above), and pinning
+                # the commit component to this clone commit's seq (1)
+                # keeps every FUTURE clone write sorting above the
+                # cloned snapshot — copying source seqs verbatim would
+                # let an old source generation outrank new upserts.
+                order_key=[1, i],
+                stats=dict(f.stats) if f.stats else None,
+            ))
+        MetaStore(target).commit(OP_APPEND, ops, extra={
+            "clone.source": self.path,
+            "clone.source_version": snap.version,
+            "clone.deep": deep,
+        })
+        return LakeSoulTable(self.spark, target)
 
     def vacuum(self, *, retention_ms: int = 3_600_000, dry_run: bool = False) -> int:
         """Physically delete data files no longer referenced by the HEAD

@@ -1105,3 +1105,79 @@ def test_count_fast_metadata_only(spark, tmp_table, tmp_path):
                       "id int, v int, op string"))
     assert tc.count_fast() is None
     assert tc.count() == 2
+
+
+def test_clone_deep_and_shallow(spark, tmp_table, tmp_path):
+    """CLONE: a multi-generation PK snapshot merges identically in the
+    clone (order keys preserved); clones evolve independently; shallow
+    clones reference source bytes (instant, metadata-only) but survive
+    only the source's maintenance horizon — deep clones own their
+    files and survive source vacuum."""
+    write(seed_df(spark, [(i, 0) for i in range(40)], "id int, v int"),
+          tmp_table, mode="overwrite",
+          hash_partitions=["id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    t.upsert(seed_df(spark, [(i, 1) for i in range(0, 40, 3)],
+                     "id int, v int"))
+    v2 = t.store.head_version()
+    t.upsert(seed_df(spark, [(i, 2) for i in range(0, 40, 5)],
+                     "id int, v int"))
+    expect = rows(t.to_df(), "id", "v")
+
+    deep = t.clone(str(tmp_path / "deep"))
+    shal = t.clone(str(tmp_path / "shal"), deep=False)
+    assert rows(deep.to_df(), "id", "v") == expect
+    assert rows(shal.to_df(), "id", "v") == expect
+    # shallow wrote no data files of its own
+    assert not os.path.exists(str(tmp_path / "shal" / "data"))
+    # time-travel clone pins the older snapshot
+    old = t.clone(str(tmp_path / "old"), deep=False, version=v2)
+    assert rows(old.to_df(), "id", "v") == [
+        (i, 1 if i % 3 == 0 else 0) for i in range(40)]
+
+    # independent evolution: upserts to the clone never touch the source
+    deep.upsert(seed_df(spark, [(0, 99)], "id int, v int"))
+    shal.upsert(seed_df(spark, [(1, 99)], "id int, v int"))
+    assert rows(LakeSoulTable.for_path(spark, tmp_table).to_df(),
+                "id", "v") == expect
+    assert rows(LakeSoulTable.for_path(
+        spark, str(tmp_path / "deep")).to_df(), "id", "v")[0] == (0, 99)
+
+    # clone's own vacuum never deletes source bytes (absolute refs live
+    # outside its data/); source still reads intact afterwards
+    shal.compaction()
+    LakeSoulTable.for_path(spark, str(tmp_path / "shal")).vacuum(
+        retention_ms=0)
+    assert rows(LakeSoulTable.for_path(spark, tmp_table).to_df(),
+                "id", "v") == expect
+    # deep clone survives source compaction + vacuum; the shallow
+    # clone's caveat is exactly this horizon (documented)
+    t2 = LakeSoulTable.for_path(spark, tmp_table)
+    t2.compaction()
+    t2.vacuum(retention_ms=0)
+    assert rows(LakeSoulTable.for_path(
+        spark, str(tmp_path / "deep")).to_df(), "id", "v") \
+        == sorted(expect[1:] + [(0, 99)])
+    with pytest.raises(ValueError, match="already a LakeSoul table"):
+        t2.clone(str(tmp_path / "deep"))
+
+
+def test_min_max_fast_metadata_only(spark, tmp_table, tmp_path):
+    """min_max_fast: exact extrema from per-file stats with zero Spark
+    jobs when provable; None when a file lacks the stat, on CDC
+    tables, or when PK generations overlap."""
+    write(seed_df(spark, [(i, i * 2) for i in range(100)],
+                  "id int, v int"),
+          tmp_table, mode="overwrite",
+          hash_partitions=["id"], hash_bucket_num=4,
+          properties={"lakesoul.statsColumns": "v"})
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert t.min_max_fast("v") == (0, 198)
+    assert t.min_max_fast("id") == (0, 99)  # PK cols always get stats
+    assert t.min_max_fast("nope") is None   # no stats entry -> no proof
+    t.upsert(seed_df(spark, [(0, -5)], "id int, v int"))
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert t.min_max_fast("v") is None      # overlapping generations
+    t.compaction()
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert t.min_max_fast("v") == (-5, 198)
