@@ -1886,11 +1886,24 @@ class LakeSoulTable:
                 order_key=[1, i],
                 stats=dict(f.stats) if f.stats else None,
             ))
-        MetaStore(target).commit(OP_APPEND, ops, extra={
+        extra = {
             "clone.source": self.path,
             "clone.source_version": snap.version,
             "clone.deep": deep,
-        })
+        }
+        from lakesoul_spark.mv import SPEC_PROP, _EXTRA_END
+
+        if SPEC_PROP in src.properties:
+            # a materialized view's applied-source-version marker rides
+            # commit extras, not properties: without carrying it, the
+            # cloned view would believe nothing was applied and its
+            # next refresh would fold the FULL source history into the
+            # already-loaded partials — double counting every group
+            for c in reversed(self.store.commits()):
+                if c.seq <= snap.version and _EXTRA_END in c.extra:
+                    extra[_EXTRA_END] = c.extra[_EXTRA_END]
+                    break
+        MetaStore(target).commit(OP_APPEND, ops, extra=extra)
         return LakeSoulTable(self.spark, target)
 
     def vacuum(self, *, retention_ms: int = 3_600_000, dry_run: bool = False) -> int:

@@ -786,3 +786,30 @@ def test_sql_write_verbs_refuse_mv_targets(spark, tmp_path):
     assert cat.sql(spark,
                    "SELECT count(*) AS n FROM plain").collect()[0]["n"] \
         == orders.count()
+
+
+def test_clone_of_mv_forks_the_view(spark, tmp_path):
+    """Cloning an aggregate MV forks a working view: the clone carries
+    the applied-source-version marker (without it, the next refresh
+    would fold the full source history into the already-loaded
+    partials, doubling every group), refreshes independently, and
+    matches a full recompute after new source commits."""
+    orders = _orders(spark)
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    src, mvp = str(tmp_path / "src"), str(tmp_path / "mv")
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(spark, src, mvp, group_by=["o_custkey"], aggs=AGGS)
+    mv.refresh()
+
+    fork = mv.table.clone(str(tmp_path / "fork"), deep=False)
+    fmv = AggMV(spark, str(tmp_path / "fork"))
+    assert fmv.last_applied_version() == mv.last_applied_version()
+    # nothing new: refresh is a no-op, NOT a double-count
+    assert fmv.refresh()["applied"] is False
+    assert fmv.to_df().orderBy("o_custkey").collect() == _expected(halves[0])
+    # new source data: both views converge to the same full recompute
+    write(halves[1], src, mode="append")
+    assert fmv.refresh()["applied"]
+    mv.refresh()
+    assert fmv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+    assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
