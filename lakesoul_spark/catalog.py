@@ -436,6 +436,8 @@ class Catalog:
                 # — deep by default (Delta's CLONE contract); shallow is
                 # metadata-only and instant at any size
                 ns, name = self._split_name(cm.group(1))
+                if not _NAME_RE.match(name):
+                    raise ValueError(f"invalid table name {name!r}")
                 if self.table_exists(name, ns):
                     raise ValueError(f"table {ns}.{name} already exists")
                 if not self.namespace_exists(ns):
@@ -449,10 +451,13 @@ class Catalog:
                 version = int(cm.group(4)) if cm.group(4) else None
                 tgt = os.path.abspath(os.path.join(self._ns_dir(ns), name))
                 created_dir = not os.path.exists(tgt)
-                src.clone(tgt, deep=deep, version=version)
                 try:
+                    src.clone(tgt, deep=deep, version=version,
+                              namespace=ns)
                     self.backend.register_table(ns, name, tgt)
                 except Exception:
+                    # clone() cleans its own target; only remove the
+                    # dir if this statement created it
                     if created_dir:
                         shutil.rmtree(tgt, ignore_errors=True)
                     raise

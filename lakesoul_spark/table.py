@@ -27,6 +27,7 @@ from lakesoul_spark.io.writer import table_schema, write_table_data
 from lakesoul_spark.meta.store import (
     CDC_CHANGE_COLUMN_PROP,
     DATA_DIR,
+    META_DIR,
     NON_PARTITIONED,
     OP_APPEND,
     OP_COMPACTION,
@@ -473,24 +474,20 @@ class LakeSoulTable:
             return {self.partition_desc}
         return None
 
-    def count_fast(self) -> int | None:
-        """Exact row count from commit-log metadata alone — zero Spark
-        jobs, zero file IO (every writer records per-file ``num_rows``
-        in the same footer read that collects stats). At 100 TB a
-        ``count(*)`` becomes one metadata pass instead of a
-        full-corpus scan. Returns ``None`` whenever metadata cannot
-        PROVE the exact answer, so callers can fall back:
+    def _provable_snapshot(self):
+        """The snapshot whose metadata provably equals the logical view
+        — the shared gate of every metadata-only aggregate (count,
+        min/max, DESCRIBE DETAIL's num_rows). ``None`` when physical
+        rows and logical rows can diverge:
 
         - incremental windows (their row set lives in merge semantics),
         - CDC tables (physical update/delete rows are filtered or
           collapsed at read time),
-        - PK tables with >1 generation in any bucket (upserts
-          overlap across generations),
-        - any live file predating the num_rows-recording writer.
+        - PK tables with >1 generation in any bucket (upserts overlap
+          across generations).
 
         Respects a pinned snapshot (version/timestamp) and a
-        ``partition_desc`` scope — a partition-scoped count prunes
-        from the commit log first, like every metadata read here."""
+        ``partition_desc`` scope, like every metadata read here."""
         if self.read_type == READ_INCREMENTAL:
             return None
         info = self.info
@@ -503,6 +500,19 @@ class LakeSoulTable:
             partition_descs=self._partition_filter(),
         )
         if info.is_pk_table and snap.max_generations_per_bucket() > 1:
+            return None
+        return snap
+
+    def count_fast(self) -> int | None:
+        """Exact row count from commit-log metadata alone — zero Spark
+        jobs, zero file IO (every writer records per-file ``num_rows``
+        in the same footer read that collects stats). At 100 TB a
+        ``count(*)`` becomes one metadata pass instead of a
+        full-corpus scan. ``None`` when :meth:`_provable_snapshot`
+        cannot prove physical == logical, or any live file predates
+        the num_rows-recording writer."""
+        snap = self._provable_snapshot()
+        if snap is None:
             return None
         total = 0
         for f in snap.files:
@@ -517,31 +527,40 @@ class LakeSoulTable:
         n = self.count_fast()
         return n if n is not None else self.to_df().count()
 
+    # stats bounds are EXACT extrema only for these types: string
+    # footer stats may be truncated prefixes (valid bounds, not stored
+    # values), and float/double footer stats may omit NaN (which Spark
+    # orders above every value) — both fine for pruning, unsound for a
+    # claimed-exact min/max
+    _MINMAX_EXACT_TYPES = (
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "date", "timestamp", "timestamp_ntz",
+    )
+
     def min_max_fast(self, col: str) -> tuple | None:
         """Exact ``(min, max)`` of a column from per-file commit-log
         stats — zero Spark jobs, zero file IO — or ``None`` when
-        metadata cannot prove it. Proof requires the :meth:`count_fast`
-        conditions (non-CDC, ≤1 generation per PK bucket — superseded
-        MOR rows could otherwise own the extremum) AND a stats entry
-        for ``col`` in EVERY live file (a file missing the stat may
-        hold the true extremum; an all-null or unencodable column
-        yields no entry, correctly blocking the proof). Values are in
-        the stats encoding: numerics raw, timestamps/dates ISO strings
-        (order-preserving). SQL min/max semantics — nulls ignored."""
-        if self.read_type == READ_INCREMENTAL:
-            return None
-        info = self.info
-        if info.cdc_column:
-            return None
-        snap = self.store.snapshot(
-            version=self.version if self.read_type == READ_SNAPSHOT else None,
-            timestamp_ms=(self.timestamp_ms
-                          if self.read_type == READ_SNAPSHOT else None),
-            partition_descs=self._partition_filter(),
+        metadata cannot prove it. Proof requires the
+        :meth:`_provable_snapshot` conditions (superseded MOR rows
+        could otherwise own the extremum), a stats entry for ``col``
+        in EVERY live file (a file missing the stat may hold the true
+        extremum; an all-null or unencodable column yields no entry,
+        correctly blocking the proof), AND an integer/date/timestamp
+        column type — string footer stats may be truncated prefixes
+        and float stats may omit NaN, so those types never claim
+        exactness here. Values are in the stats encoding: integers
+        raw, timestamps/dates ISO strings (order-preserving). SQL
+        min/max semantics — nulls ignored."""
+        from lakesoul_spark.io.writer import table_schema as _ts
+
+        dtype = next(
+            (f.dataType.simpleString() for f in _ts(self.info).fields
+             if f.name == col), "",
         )
-        if info.is_pk_table and snap.max_generations_per_bucket() > 1:
+        if dtype not in self._MINMAX_EXACT_TYPES:
             return None
-        if not snap.files:
+        snap = self._provable_snapshot()
+        if snap is None or not snap.files:
             return None
         lo = hi = None
         for f in snap.files:
@@ -1810,6 +1829,7 @@ class LakeSoulTable:
         deep: bool = True,
         version: int | None = None,
         timestamp_ms: int | None = None,
+        namespace: str | None = None,
     ) -> "LakeSoulTable":
         """Clone a snapshot of this table into a NEW independent table
         (Delta's CLONE shape; the reference has no equivalent): copied
@@ -1836,6 +1856,26 @@ class LakeSoulTable:
         target = os.path.abspath(target_path)
         if MetaStore(target).exists():
             raise ValueError(f"{target} is already a LakeSoul table")
+        if self.read_type == READ_INCREMENTAL:
+            raise ValueError(
+                "cannot clone an incremental window — clone a snapshot "
+                "handle (for_path / for_path_snapshot) instead"
+            )
+        # a snapshot-pinned handle clones ITS pin unless overridden —
+        # every other metadata read honors the pin; silently cloning
+        # HEAD from a pinned handle would durably bake the wrong data
+        if version is None and timestamp_ms is None \
+                and self.read_type == READ_SNAPSHOT:
+            version, timestamp_ms = self.version, self.timestamp_ms
+        head = self.store.head_version()
+        if version is not None and not 1 <= int(version) <= head:
+            # MetaStore.snapshot clamps to head — fine for a transient
+            # read, but a CLONE would permanently materialize the wrong
+            # snapshot (Delta raises on a nonexistent version too)
+            raise ValueError(
+                f"cannot clone version {version}: table has versions "
+                f"1..{head}"
+            )
         snap = self.store.snapshot(version=version, timestamp_ms=timestamp_ms)
         src = self.info
         new_info = TableInfo(
@@ -1847,63 +1887,80 @@ class LakeSoulTable:
             hash_partitions=list(src.hash_partitions),
             hash_bucket_num=src.hash_bucket_num,
             properties=dict(src.properties),
-            namespace=src.namespace,
+            namespace=namespace or src.namespace,
         )
+        created_dir = not os.path.exists(target)
         MetaStore(target).create_table(new_info)
-        ops = []
-        for i, f in enumerate(
-            sorted(snap.files, key=lambda x: (x.commit_seq, x.file_seq))
-        ):
-            src_abs = (f.path if os.path.isabs(f.path)
-                       else os.path.join(self.path, f.path))
-            if deep:
-                # keep the relative layout; a source entry that is
-                # itself absolute (source was a shallow clone) gets a
-                # synthesized engine-owned location
-                rel = (f.path if not os.path.isabs(f.path) else
-                       os.path.join(DATA_DIR, "clone",
-                                    f"{i:06d}_{os.path.basename(f.path)}"))
-                dst = os.path.join(target, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                _shutil.copy2(src_abs, dst)
-                out_path = rel
-            else:
-                out_path = src_abs
-            ops.append(FileOp(
-                op="add", path=out_path,
-                partition_desc=f.partition_desc, bucket=f.bucket,
-                size=f.size, num_rows=f.num_rows,
-                file_exist_cols=list(f.file_exist_cols),
-                level=f.level,
-                # REMAP the MOR order into the clone's own sequence
-                # space: relative order among cloned generations is
-                # preserved by the enumeration (files were sorted by
-                # source (commit_seq, file_seq) above), and pinning
-                # the commit component to this clone commit's seq (1)
-                # keeps every FUTURE clone write sorting above the
-                # cloned snapshot — copying source seqs verbatim would
-                # let an old source generation outrank new upserts.
-                order_key=[1, i],
-                stats=dict(f.stats) if f.stats else None,
-            ))
-        extra = {
-            "clone.source": self.path,
-            "clone.source_version": snap.version,
-            "clone.deep": deep,
-        }
-        from lakesoul_spark.mv import SPEC_PROP, _EXTRA_END
+        try:
+            ops = []
+            for i, f in enumerate(
+                sorted(snap.files, key=lambda x: (x.commit_seq, x.file_seq))
+            ):
+                src_abs = (f.path if os.path.isabs(f.path)
+                           else os.path.join(self.path, f.path))
+                if deep:
+                    # keep the relative layout; a source entry that is
+                    # itself absolute (source was a shallow clone) gets
+                    # a synthesized engine-owned location
+                    rel = (f.path if not os.path.isabs(f.path) else
+                           os.path.join(DATA_DIR, "clone",
+                                        f"{i:06d}_{os.path.basename(f.path)}"))
+                    dst = os.path.join(target, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    _shutil.copy2(src_abs, dst)
+                    out_path = rel
+                else:
+                    out_path = src_abs
+                ops.append(FileOp(
+                    op="add", path=out_path,
+                    partition_desc=f.partition_desc, bucket=f.bucket,
+                    size=f.size, num_rows=f.num_rows,
+                    file_exist_cols=list(f.file_exist_cols),
+                    level=f.level,
+                    # REMAP the MOR order into the clone's own sequence
+                    # space: relative order among cloned generations is
+                    # preserved by the enumeration (files were sorted by
+                    # source (commit_seq, file_seq) above), and pinning
+                    # the commit component to this clone commit's seq
+                    # (1) keeps every FUTURE clone write sorting above
+                    # the cloned snapshot — copying source seqs verbatim
+                    # would let an old source generation outrank new
+                    # upserts.
+                    order_key=[1, i],
+                    stats=dict(f.stats) if f.stats else None,
+                ))
+            extra = {
+                "clone.source": self.path,
+                "clone.source_version": snap.version,
+                "clone.deep": deep,
+            }
+            from lakesoul_spark.mv import SPEC_PROP, _EXTRA_END
 
-        if SPEC_PROP in src.properties:
-            # a materialized view's applied-source-version marker rides
-            # commit extras, not properties: without carrying it, the
-            # cloned view would believe nothing was applied and its
-            # next refresh would fold the FULL source history into the
-            # already-loaded partials — double counting every group
-            for c in reversed(self.store.commits()):
-                if c.seq <= snap.version and _EXTRA_END in c.extra:
-                    extra[_EXTRA_END] = c.extra[_EXTRA_END]
-                    break
-        MetaStore(target).commit(OP_APPEND, ops, extra=extra)
+            if SPEC_PROP in src.properties:
+                # a materialized view's applied-source-version marker
+                # rides commit extras, not properties: without carrying
+                # it, the cloned view would believe nothing was applied
+                # and its next refresh would fold the FULL source
+                # history into the already-loaded partials — double
+                # counting every group. Scan downward from the clone
+                # point: the marker is almost always in the latest
+                # refresh commit, so this is O(1), not O(commit log).
+                for seq in range(min(snap.version, head), 0, -1):
+                    c = self.store.read_commit(seq)
+                    if _EXTRA_END in c.extra:
+                        extra[_EXTRA_END] = c.extra[_EXTRA_END]
+                        break
+            MetaStore(target).commit(OP_APPEND, ops, extra=extra)
+        except BaseException:
+            # a half-built clone (mid-copy IO failure) must not wedge
+            # the target path: clone() refuses existing tables, so an
+            # orphan here would be unrecoverable without manual rmtree
+            if created_dir:
+                _shutil.rmtree(target, ignore_errors=True)
+            else:
+                _shutil.rmtree(os.path.join(target, META_DIR),
+                               ignore_errors=True)
+            raise
         return LakeSoulTable(self.spark, target)
 
     def vacuum(self, *, retention_ms: int = 3_600_000, dry_run: bool = False) -> int:
@@ -1994,10 +2051,12 @@ class LakeSoulTable:
             size_on_disk = on_disk.get(f.path)
             if size_on_disk is None and not f.path.startswith(DATA_DIR + "/"):
                 # converted-in-place tables reference files OUTSIDE
-                # data/ (their original layout) — stat those directly
-                fi = fs_.get_file_info(
-                    table_native.rstrip("/") + "/" + f.path
-                )
+                # data/ (their original layout), and shallow clones
+                # reference the SOURCE's files by absolute path — stat
+                # those directly instead of prefixing the table root
+                target = (f.path if os.path.isabs(f.path)
+                          else table_native.rstrip("/") + "/" + f.path)
+                fi = fs_.get_file_info(target)
                 if fi.type == _pafs.FileType.File:
                     size_on_disk = fi.size
             if size_on_disk is None:

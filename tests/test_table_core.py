@@ -1181,3 +1181,43 @@ def test_min_max_fast_metadata_only(spark, tmp_table, tmp_path):
     t.compaction()
     t = LakeSoulTable.for_path(spark, tmp_table)
     assert t.min_max_fast("v") == (-5, 198)
+
+
+def test_clone_guards(spark, tmp_table, tmp_path):
+    """Clone hardening: pinned handles clone their pin, nonexistent
+    versions refuse (MetaStore.snapshot clamps — a transient read is
+    fine, a durable clone is not), incremental handles refuse, a
+    failed clone leaves no wedged half-built target, and fsck is clean
+    on shallow clones (absolute refs resolve)."""
+    write(seed_df(spark, [(i, 0) for i in range(20)], "id int, v int"),
+          tmp_table, mode="overwrite",
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    v1 = t.store.head_version()
+    t.upsert(seed_df(spark, [(0, 1)], "id int, v int"))
+
+    pinned = LakeSoulTable.for_path_snapshot(spark, tmp_table, version=v1)
+    c = pinned.clone(str(tmp_path / "pin"), deep=False)
+    assert rows(c.to_df(), "id", "v") == [(i, 0) for i in range(20)]
+
+    with pytest.raises(ValueError, match="versions 1"):
+        t.clone(str(tmp_path / "bad"), version=99)
+    with pytest.raises(ValueError, match="incremental"):
+        LakeSoulTable.for_path_incremental_versions(
+            spark, tmp_table, 1, 2).clone(str(tmp_path / "inc"))
+
+    # failure cleanup: deep-cloning a shallow clone whose source file
+    # vanished must not wedge the target path
+    vanish = str(tmp_path / "vanish")
+    write(seed_df(spark, [(1, 1)], "id int, v int"), vanish)
+    sc = LakeSoulTable.for_path(spark, vanish).clone(
+        str(tmp_path / "sc"), deep=False)
+    import shutil as _sh
+    _sh.rmtree(os.path.join(vanish, "data"))
+    with pytest.raises(FileNotFoundError):
+        sc.clone(str(tmp_path / "sc2"), deep=True)
+    # the target is reusable after the failure
+    assert not os.path.exists(str(tmp_path / "sc2" / "_lakesoul_meta"))
+
+    # fsck on a healthy shallow clone: no issues (absolute refs stat)
+    assert c.fsck().count() == 0
