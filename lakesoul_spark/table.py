@@ -1240,6 +1240,23 @@ class LakeSoulTable:
         self._check_field_name(name)
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name!r} already exists")
+        # columns are matched by NAME: if a live file still physically
+        # carries this name (it was dropped without a rewrite), re-adding
+        # it would resurface the stale stored values — and silently
+        # shadow a declared default with old nulls. Purge first.
+        # (Delta without column mapping refuses column drops for exactly
+        # this hazard; we allow the drop and gate the re-add instead.)
+        carriers = sum(
+            1 for f in self.store.snapshot().files
+            if name in f.file_exist_cols
+        )
+        if carriers:
+            raise ValueError(
+                f"cannot re-add column {name!r}: {carriers} live file(s) "
+                "still physically carry a dropped column of that name, "
+                "and reads would resurface their stale values — run "
+                "compaction() to purge it, then add the column"
+            )
         dt = _parse_datatype_string(data_type)
         if default is not None:
             self._check_default(name, dt, default)

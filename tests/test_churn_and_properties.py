@@ -235,7 +235,18 @@ def test_random_ddl_and_dml_sequences_match_model(hypo_spark, tmp_path_factory, 
             if name in extra_cols:
                 continue
             default = (i + 1) * 10 if with_default else None
-            t.add_column(name, "int", default=default)
+            try:
+                t.add_column(name, "int", default=default)
+            except ValueError as e:
+                # re-adding a name that live files still physically
+                # carry (dropped without a rewrite) is REFUSED — the
+                # stale stored values would resurface and shadow the
+                # default (hypothesis found exactly this sequence:
+                # add -> compact -> drop -> re-add). The contract is
+                # purge-then-re-add; exercise it and proceed.
+                assert "compaction" in str(e)
+                t.compaction(force=True)
+                t.add_column(name, "int", default=default)
             extra_cols[name] = default
         elif kind == "drop_col":
             name = f"x{payload}"
