@@ -399,6 +399,8 @@ class Catalog:
             CHECK TABLE [ns.]t
             CONVERT TO LAKESOUL '/path/to/parquet' [AS [ns.]t]
             RESTORE [TABLE] [ns.]t TO VERSION [AS OF] n
+            RESTORE [TABLE] [ns.]t TO TIMESTAMP [AS OF]
+                'iso-datetime' | epoch_millis
             CREATE MATERIALIZED VIEW [IF NOT EXISTS] [ns.]v
                 [TBLPROPERTIES('hashBucketNum'='8')]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
@@ -692,11 +694,31 @@ class Catalog:
             return self.get_table(spark, name, ns).fsck()
         if verb == "RESTORE":
             m = _rx(
-                r"RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)$",
+                r"RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+"
+                r"(VERSION|TIMESTAMP)\s+(?:AS\s+OF\s+)?(.+?)$",
                 stmt,
             )
             ns, name = self._split_name(m.group(1))
-            self.get_table(spark, name, ns).rollback(version=int(m.group(2)))
+            t = self.get_table(spark, name, ns)
+            # a rolled-back MV keeps its newest applied-source-version
+            # marker (it rides earlier commits), so the next refresh
+            # would silently SKIP the rolled-back window — refuse, like
+            # every other verb that mutates MV state out-of-band
+            self._reject_mv_write(t, ns, name, "RESTORE")
+            if m.group(2).upper() == "VERSION":
+                t.rollback(version=int(m.group(3)))
+            else:
+                raw = m.group(3).strip().strip("'\"")
+                if raw.isdigit():
+                    ts = int(raw)  # epoch millis
+                else:
+                    import datetime as _dt
+
+                    dt = _dt.datetime.fromisoformat(raw)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_dt.timezone.utc)
+                    ts = int(dt.timestamp() * 1000)
+                t.rollback(timestamp_ms=ts)
             return None
         if verb in ("DESCRIBE", "DESC") and verb2 == "HISTORY":
             m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.`]+)$", stmt)

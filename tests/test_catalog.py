@@ -1115,3 +1115,31 @@ def test_sql_clone(cat, spark):
     assert d2.num_rows == 50
     with pytest.raises(ValueError, match="already exists"):
         cat.sql(spark, "CREATE TABLE cd CLONE cs")
+
+
+def test_sql_restore_timestamp_and_mv_guard(cat, spark):
+    """RESTORE ... TO TIMESTAMP AS OF (ISO or epoch millis) through the
+    dispatcher; RESTORE refuses materialized views (a rolled-back MV
+    would keep its newest applied marker and silently skip the window
+    on the next refresh)."""
+    import time
+
+    cat.sql(spark, "CREATE TABLE rt (id BIGINT, v BIGINT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO rt SELECT id, 0 FROM range(10)")
+    t = cat.get_table(spark, "rt")
+    ts_after_v1 = t.store.read_commit(
+        t.store.head_version()).timestamp_ms
+    time.sleep(0.01)
+    cat.sql(spark, "INSERT INTO rt SELECT id, 1 FROM range(5)")
+    assert cat.sql(spark,
+                   "SELECT count(*) AS n FROM rt").collect()[0]["n"] == 15
+    cat.sql(spark, f"RESTORE TABLE rt TO TIMESTAMP AS OF {ts_after_v1}")
+    assert cat.sql(spark,
+                   "SELECT count(*) AS n FROM rt").collect()[0]["n"] == 10
+
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW rmv AS
+        SELECT v, count(*) AS n FROM rt GROUP BY v
+    """)
+    with pytest.raises(ValueError, match="materialized view"):
+        cat.sql(spark, "RESTORE TABLE rmv TO VERSION AS OF 1")
