@@ -1335,6 +1335,22 @@ class LakeSoulTable:
                 f"{info.cdc_column!r}: delete tombstones would resurface "
                 "as live rows"
             )
+        # same name-identity hazard as add_column: a name NEW to the
+        # schema that live files still physically carry (dropped earlier
+        # without a rewrite) would resurface its stale stored values
+        reintroduced = [n for n in new_names if n not in old]
+        if reintroduced:
+            carried = {
+                c for f in self.store.snapshot().files
+                for c in f.file_exist_cols
+            }
+            stale = sorted(set(reintroduced) & carried)
+            if stale:
+                raise ValueError(
+                    f"cannot re-add column(s) {stale}: live files still "
+                    "physically carry dropped columns of those names — "
+                    "run compaction() to purge them first"
+                )
         fields = []
         for col in columns:
             name, type_str = col[0], col[1]

@@ -304,3 +304,28 @@ def test_cdc_batch_requires_change_column(spark, tmp_table):
     got = sorted((r.id, r.v) for r in
                  LakeSoulTable.for_path(spark, tmp_table).to_df().collect())
     assert got == [(1, "a"), (2, None)]
+
+
+def test_readd_dropped_column_requires_purge(spark, tmp_path):
+    """Name-identity contract: after DROP COLUMN (metadata-only), both
+    re-add paths (ADD COLUMN, REPLACE COLUMNS) refuse while live files
+    still physically carry the name — stale stored values would
+    resurface and shadow a declared default; compaction purges, then
+    the re-add succeeds and the default applies everywhere."""
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([(1, 1, 7)], "id int, v int, x int"),
+          path, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    t.drop_column("x")
+    with pytest.raises(ValueError, match="compaction"):
+        t.add_column("x", "int", default=10)
+    with pytest.raises(ValueError, match="compaction"):
+        t.replace_columns([("id", "int"), ("v", "int"), ("x", "int")])
+    t.compaction(force=True)
+    t = LakeSoulTable.for_path(spark, path)
+    t.add_column("x", "int", default=10)
+    assert [r["x"] for r in
+            LakeSoulTable.for_path(spark, path).to_df().collect()] == [10]
