@@ -43,6 +43,21 @@ _TABLES_FILE = "_tables.json"
 _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
 
 
+def _parse_ts_literal(raw: str) -> int:
+    """``AS OF`` timestamp literal → epoch millis: digits are millis,
+    anything else an ISO datetime (naive treated as UTC — the pinned
+    session timezone). Shared by time-travel reads and RESTORE."""
+    raw = raw.strip().strip("'\"").strip()
+    if raw.isdigit():
+        return int(raw)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(raw)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _write_json(path: str, payload: dict) -> None:
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -706,19 +721,15 @@ class Catalog:
             # every other verb that mutates MV state out-of-band
             self._reject_mv_write(t, ns, name, "RESTORE")
             if m.group(2).upper() == "VERSION":
-                t.rollback(version=int(m.group(3)))
-            else:
                 raw = m.group(3).strip().strip("'\"")
-                if raw.isdigit():
-                    ts = int(raw)  # epoch millis
-                else:
-                    import datetime as _dt
-
-                    dt = _dt.datetime.fromisoformat(raw)
-                    if dt.tzinfo is None:
-                        dt = dt.replace(tzinfo=_dt.timezone.utc)
-                    ts = int(dt.timestamp() * 1000)
-                t.rollback(timestamp_ms=ts)
+                if not raw.isdigit():
+                    raise ValueError(
+                        f"cannot parse RESTORE version {m.group(3)!r}: "
+                        "expected an integer"
+                    )
+                t.rollback(version=int(raw))
+            else:
+                t.rollback(timestamp_ms=_parse_ts_literal(m.group(3)))
             return None
         if verb in ("DESCRIBE", "DESC") and verb2 == "HISTORY":
             m = _rx(r"(?:DESCRIBE|DESC)\s+HISTORY\s+([\w.`]+)$", stmt)
@@ -896,16 +907,7 @@ class Catalog:
                     spark, path, version=version
                 )
             else:
-                raw = lit.strip("'").strip()
-                if raw.isdigit():
-                    ms = int(raw)
-                else:
-                    from datetime import datetime, timezone
-
-                    dt = datetime.fromisoformat(raw)
-                    if dt.tzinfo is None:
-                        dt = dt.replace(tzinfo=timezone.utc)
-                    ms = int(dt.timestamp() * 1000)
+                ms = _parse_ts_literal(lit)
                 view = f"{prefix}__ts{ms}"
                 t = LakeSoulTable.for_path_snapshot(spark, path, end_ts_ms=ms)
             t.to_df().createOrReplaceTempView(view)

@@ -853,6 +853,22 @@ class LakeSoulTable:
         ]
         if not new_fields:
             return
+        # same name-identity guard as add_column: auto-migrate must not
+        # silently re-introduce a dropped name that live files still
+        # physically carry — their stale stored values would resurface
+        carried = {
+            c for f in self.store.snapshot().files for c in f.file_exist_cols
+        }
+        stale = sorted({f.name for f in new_fields} & carried)
+        if stale:
+            raise ValueError(
+                f"schema auto-migrate cannot re-add column(s) {stale}: "
+                "live files still physically carry dropped columns of "
+                "those names — run compaction() to purge them first"
+            )
+        head = self.store.head_version()
+        for f in new_fields:
+            info.properties[f"lakesoul.colAddedAt.{f.name}"] = str(head)
         info.schema_json = json.dumps(
             StructType(schema.fields + new_fields).jsonValue()
         )
@@ -1268,6 +1284,12 @@ class LakeSoulTable:
         info.schema_json = json.dumps(StructType(fields).jsonValue())
         if default is not None:
             info.properties[f"default.{name}"] = str(default)
+        # column add version: lets rollback/RESTORE detect reinstated
+        # files that PREDATE a re-added name (their stored values would
+        # be stale) — see rollback()'s hazard check
+        info.properties[f"lakesoul.colAddedAt.{name}"] = str(
+            self.store.head_version()
+        )
         self.store.update_table_info(info)
 
     def change_column(
@@ -1394,6 +1416,11 @@ class LakeSoulTable:
                 fields.append(StructField(name, dt, True, meta))
         for dropped in set(old) - set(new_names):
             info.properties.pop(f"default.{dropped}", None)
+            info.properties.pop(f"lakesoul.colAddedAt.{dropped}", None)
+        for added in reintroduced:
+            info.properties[f"lakesoul.colAddedAt.{added}"] = str(
+                self.store.head_version()
+            )
         info.schema_json = json.dumps(StructType(fields).jsonValue())
         self.store.update_table_info(info)
 
@@ -1473,6 +1500,7 @@ class LakeSoulTable:
             StructType([f for f in schema.fields if f.name != name]).jsonValue()
         )
         info.properties.pop(f"default.{name}", None)
+        info.properties.pop(f"lakesoul.colAddedAt.{name}", None)
         self.store.update_table_info(info)
 
     def set_properties(self, props: dict) -> None:
@@ -1773,11 +1801,45 @@ class LakeSoulTable:
 
         ``partition_desc`` scopes the reset to ONE range partition
         (reference ``rollbackPartition``) — other partitions keep their
-        current files."""
+        current files.
+
+        Guards: a target resolving BEFORE the first commit (epoch
+        seconds passed where millis are expected, a pre-creation
+        datetime, version 0) refuses instead of silently truncating the
+        table; and a target whose files predate a column RE-ADDED
+        since (``lakesoul.colAddedAt``) refuses — reinstating those
+        files would resurface the dropped column's stale stored values
+        under the current schema."""
         descs = {partition_desc} if partition_desc is not None else None
         target = self.store.snapshot(
             version=version, timestamp_ms=timestamp_ms, partition_descs=descs
         )
+        if target.version < 1:
+            raise ValueError(
+                "rollback target resolves before the first commit "
+                f"(version {target.version}): refusing to truncate — "
+                "check the timestamp unit (epoch MILLIS) or use "
+                "delete() for an explicit truncate"
+            )
+        info = self.info
+        added_at = {
+            k[len("lakesoul.colAddedAt."):]: int(v)
+            for k, v in info.properties.items()
+            if k.startswith("lakesoul.colAddedAt.")
+        }
+        hazard = sorted({
+            c
+            for f in target.files
+            for c in f.file_exist_cols
+            if added_at.get(c, 0) > target.version
+        })
+        if hazard:
+            raise ValueError(
+                f"rollback to version {target.version} would reinstate "
+                f"files carrying stale values for column(s) {hazard}, "
+                "which were re-added after that version — drop the "
+                "column(s) first or roll back past the re-add"
+            )
         current = self.store.snapshot(partition_descs=descs)
         target_paths = {f.path for f in target.files}
         dels = [

@@ -329,3 +329,41 @@ def test_readd_dropped_column_requires_purge(spark, tmp_path):
     t.add_column("x", "int", default=10)
     assert [r["x"] for r in
             LakeSoulTable.for_path(spark, path).to_df().collect()] == [10]
+
+
+def test_auto_migrate_and_rollback_respect_column_identity(spark, tmp_path):
+    """The remaining two re-introduction paths honor the name-identity
+    contract: (a) upsert schema auto-migrate refuses a carried name;
+    (b) rollback refuses a target whose files predate a column
+    re-added since (stale values would resurface under the current
+    schema); (c) rollback to before the first commit refuses instead
+    of silently truncating (the epoch-seconds-for-millis trap)."""
+    from lakesoul_spark.table import LakeSoulTable, write
+
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([(1, 1, 7)], "id int, v int, x int"),
+          path, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    t.drop_column("x")
+    # (a) auto-migrate is the add-column path in disguise
+    with pytest.raises(ValueError, match="auto-migrate"):
+        t.upsert(spark.createDataFrame([(2, 2, 8)],
+                                       "id int, v int, x int"),
+                 schema_auto_migrate=True)
+    # purge, re-add with a default, and remember the pre-purge version
+    v_before_compact = t.store.head_version()
+    t.compaction(force=True)
+    t = LakeSoulTable.for_path(spark, path)
+    t.add_column("x", "int", default=10)
+    # (b) restoring past the re-add would reinstate pre-drop x bytes
+    with pytest.raises(ValueError, match="re-added"):
+        t.rollback(version=v_before_compact)
+    # rolling back to a post-purge version is fine
+    t.upsert(spark.createDataFrame([(9, 9)], "id int, v int"))
+    t.rollback(version=t.store.head_version() - 1)
+    assert LakeSoulTable.for_path(spark, path).to_df().count() == 1
+    # (c) pre-creation timestamp refuses, table intact
+    with pytest.raises(ValueError, match="first commit"):
+        t.rollback(timestamp_ms=1)
+    assert LakeSoulTable.for_path(spark, path).to_df().count() == 1
