@@ -815,6 +815,40 @@ class Catalog:
             ddl += f"\nLOCATION '{info.path}'"
             return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
+        # metadata-only fast path for the single most common ad-hoc
+        # statement: a bare `SELECT count(*) FROM t` answers from the
+        # commit log (count_fast) with ZERO file IO and zero Spark scan
+        # jobs — the result is a LocalTableScan whose collect() doesn't
+        # even launch a job. Dispatches only when count_fast can PROVE
+        # physical == logical (no CDC, no multi-generation PK buckets,
+        # every file carries num_rows); anything unprovable — or any
+        # other SELECT shape — falls through to the relational path
+        # below unchanged.
+        cm = re.match(
+            r"SELECT\s+COUNT\s*\(\s*(\*|1)\s*\)\s*(?:AS\s+(\w+))?\s+"
+            r"FROM\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+            stmt, re.I,
+        )
+        if cm:
+            ns, name = self._split_name(cm.group(3))
+            if self.table_exists(name, ns):
+                t = self.get_table(spark, name, ns)
+                if cm.group(4) is not None:
+                    t = LakeSoulTable.for_path_snapshot(
+                        spark, t.path, version=int(cm.group(4))
+                    )
+                n = t.count_fast()
+                if n is not None:
+                    col = cm.group(2) or f"count({cm.group(1)})"
+                    # VALUES plans a LocalTableScan, whose collect()
+                    # short-circuits without launching any Spark job
+                    # (createDataFrame would plan a Scan ExistingRDD
+                    # and pay one)
+                    return spark.sql(
+                        f"SELECT * FROM VALUES (CAST({int(n)} AS "
+                        f"BIGINT)) AS t(`{col}`)"
+                    )
+
         # relational fallback: expose the lake as temp views, delegate.
         # Temp views cannot be dot-qualified, so qualified references
         # (`ns.table`) are rewritten to the `<ns>_<table>` view name.

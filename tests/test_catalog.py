@@ -1143,3 +1143,57 @@ def test_sql_restore_timestamp_and_mv_guard(cat, spark):
     """)
     with pytest.raises(ValueError, match="materialized view"):
         cat.sql(spark, "RESTORE TABLE rmv TO VERSION AS OF 1")
+
+
+def test_sql_count_star_fast_path(cat, spark, monkeypatch):
+    """`SELECT count(*) FROM t` dispatches through count_fast: on the
+    provable path the result is a LocalTableScan built WITHOUT touching
+    the table's Spark view (to_df monkeypatched to raise proves no scan
+    is even planned; LocalTableScan.executeCollect launches zero jobs).
+    Unprovable shapes (overlapping PK generations) and any other SELECT
+    fall through to the relational path and stay correct."""
+    cat.sql(spark, """
+        CREATE TABLE cf (id BIGINT, v BIGINT) USING lakesoul
+        TBLPROPERTIES('hashPartitions'='id','hashBucketNum'='2')
+    """)
+    cat.sql(spark, "INSERT INTO cf SELECT id, id FROM range(500)")
+
+    def boom(self, *a, **k):
+        raise AssertionError("count(*) fast path planned a table scan")
+
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    df = cat.sql(spark, "SELECT count(*) FROM cf")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "Scan" not in plan.replace(
+        "LocalTableScan", "")
+    assert df.columns == ["count(*)"]
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    assert df.collect()[0][0] == 500
+    assert len(tracker.getJobIdsForGroup(None) or []) == jobs_before
+    # alias + COUNT(1) + qualified name all hit the fast path too
+    assert cat.sql(spark, "SELECT COUNT(1) AS n FROM default.cf") \
+        .collect() == [(500,)]
+    monkeypatch.undo()
+
+    t = cat.get_table(spark, "cf")
+    v1 = t.store.head_version()
+    t.upsert(spark.createDataFrame([(1, 9), (900, 9)],
+                                   "id bigint, v bigint"))
+    # overlapping generations: falls back to the MOR view (a real
+    # parquet scan, not a metadata constant), still exact
+    df2 = cat.sql(spark, "SELECT count(*) FROM cf")
+    assert "Scan parquet" in \
+        df2._jdf.queryExecution().executedPlan().toString()
+    assert df2.collect()[0][0] == 501
+    # VERSION AS OF pins the counted snapshot
+    assert cat.sql(
+        spark, f"SELECT count(*) FROM cf VERSION AS OF {v1}"
+    ).collect() == [(500,)]
+    # non-bare count shapes never dispatch here
+    assert cat.sql(spark, "SELECT count(*) FROM cf WHERE id < 10") \
+        .collect() == [(10,)]
+    # 0..499 minus the rewritten v=1 (id=1 now has v=9): 499 distinct
+    assert cat.sql(
+        spark, "SELECT count(DISTINCT v) AS d FROM cf"
+    ).collect()[0][0] == 499
