@@ -15,69 +15,72 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 9 executes the r8
-# ROUND-9 NOTE / VERDICT task 1 verbatim.  Ledger after r8: 50 queries
-# r8-green, 47 r7-green, 12 never driver-verified (added late in r8,
-# locally hash-verified at 3 SFs).  The window holds 50, so FRONT the
-# 12 never-verified + 38 of the 47 r7-green; the 9 r7-green that do
-# not fit (the stablest relational ones — q1/q3/q4, w_*, rollup/setop/
-# json, all re-verified locally during r8 judging) are exactly 2
-# rounds stale after r9 (the ledger boundary, never beyond) and lead
-# the r10 front — see ROUND-10 NOTE below.
-# ROUND-10 NOTE (window arithmetic, exact): after r9, 50 queries are
-# r9-green, 50 are r8-green, and 9 are r7-green (q1_pricing_summary,
-# q3_unshipped_revenue, q4_order_priority, w_top_orders_per_customer,
-# w_running_user_value, w_sessionization, rollup_region_customers,
-# setop_repeat_customers, json_event_props — the _DEFER tuple below).
-# r10 MUST front those 9 first (they hit the 2-round staleness
-# boundary), then fill the window with the oldest r8-green queries
-# (41 of the 50 in r8's CORRECTNESS file); the 9 r8-green that don't
-# fit lead the r11 front.  No new oracle queries were ADDED in r9 on
-# purpose: the r9 window had zero displaceable slots (12 never-verified
-# + 38 two-round-deadline refreshes), so r9-new capability (metadata
-# count_fast / DESCRIBE DETAIL, arrow merge-op fold, delete_matching,
-# interval span guard) is pytest-backed this round — r10 SHOULD add
-# driver queries for it (e.g. a metadata-count query whose oracle is a
-# plain SELECT count(*)), displacing r8-green slots per the ledger
-# rule.
+# verifies a 50-query prefix of this dict).  Round 10 executes the r9
+# ROUND-10 NOTE / VERDICT task 1 verbatim.  Ledger after r9: 50
+# queries r9-green, 50 r8-green, 9 r7-green (two rounds stale — the
+# boundary).  The window holds 50: FRONT the 9 r7-green first, then
+# the 3 NEW r10 oracle queries covering r9-new capability
+# (lakehouse_metadata_count → count_fast/min_max_fast/DESCRIBE DETAIL/
+# SQL count(*) fast path; lakehouse_clone → deep/shallow/time-travel
+# CLONE lifecycle; lakehouse_delete_matching → distributed tombstone
+# delete + re-ingest), then the 38 OLDEST r8-green (by first
+# appearance in git history).  The 12 youngest r8-green (first
+# appearance ≥ commit 1786630149; the 1786630149 tie between
+# streaming_sessionize and streaming_stateful_dedup broken by
+# deferring the alphabetically-later name) spill to _DEFER.
+# ROUND-11 NOTE (window arithmetic, exact): after r10 the pack holds
+# 112 queries — 50 r10-green, 50 r9-green, 12 r8-green (w_asof_join,
+# w_interval_join, dedup_index_refresh, text_bm25_batch,
+# pipeline_corpus_profile, text_bm25_topk, lakehouse_arrow_writer,
+# streaming_latest_state, lakehouse_column_ddl,
+# lakehouse_multikey_lookup, lakehouse_stats_skipping,
+# streaming_stateful_dedup — the _DEFER tuple below).  r11 MUST front
+# those 12 first (they hit the 2-round staleness boundary), then fill
+# the window with the 38 oldest r9-green; the 12 r9-green that don't
+# fit lead the r12 front.  Any NEW r11 oracle queries displace the
+# youngest r9-green slots, same rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
-    # --- 12 never-driver-verified (r8-late; see r8 VERDICT task 1) ---
-    "streaming_stream_join", "lakehouse_rollback", "lakehouse_convert",
-    "lakehouse_bucket_join", "lakehouse_upsert_on_join",
-    "lakehouse_incremental_mv", "lakehouse_zorder_skipping",
-    "lakehouse_star_mv", "lakehouse_mv_count_distinct",
-    "lakehouse_transform_mv", "text_corpus_freq_score",
-    "embedding_class_centroids",
-    # --- 38 oldest r7-green (the 47 minus the 9 deferred below) ---
-    "dedup_exact", "dedup_chunk_global", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_incremental_ingest", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_blocked",
-    "dedup_ngram_coverage",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_index_estimator",
-    "ann_index_search", "ann_index_refresh", "ann_index_refresh_hot",
-    "ann_multibit_topk", "ann_l2_topk", "ann_pca_ivf_topk",
-    "embedding_pca_project",
-    "text_stats", "text_langid", "text_fingerprint",
-    "text_quality_flags", "text_pii_scrub", "text_tfidf_topk",
-    "text_vocab_topk",
-    "pipeline_contamination", "pipeline_stratified_sample",
-    "pipeline_pack_sequences", "pipeline_shuffle_shards",
-    "pipeline_weighted_mix", "pipeline_chunk_windows",
-    "pipeline_source_cap",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_audio_features",
-    "q20_heavy_suppliers",
-)
-
-_DEFER = (
-    # the 9 r7-green that spill past the 50-window: exactly 2 rounds
-    # stale after r9 — they MUST lead the r10 front (ROUND-10 NOTE).
+    # --- 9 r7-green at the 2-round staleness boundary (ROUND-10 NOTE)
     "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
     "w_top_orders_per_customer", "w_running_user_value",
     "w_sessionization", "rollup_region_customers",
     "setop_repeat_customers", "json_event_props",
+    # --- 3 NEW r10 queries: driver rows for r9-new capability ---
+    "lakehouse_metadata_count", "lakehouse_clone",
+    "lakehouse_delete_matching",
+    # --- 38 oldest r8-green (the 50 minus the 12 deferred below) ---
+    "lakehouse_upsert_mor", "lakehouse_upsert_cow",
+    "lakehouse_partial_upsert", "lakehouse_merge_operators",
+    "lakehouse_merge_into", "lakehouse_custom_merge_op",
+    "lakehouse_cdc_read", "lakehouse_time_travel",
+    "lakehouse_incremental", "lakehouse_update_delete",
+    "lakehouse_compaction", "lakehouse_leveled_compaction",
+    "lakehouse_partition_overwrite", "lakehouse_pk_point_lookup",
+    "lakehouse_schema_evolution", "lakehouse_cdc_incremental",
+    "lakehouse_sql_surface",
+    "streaming_sink_sum", "streaming_tumbling_window",
+    "streaming_sessionize",
+    "q2_min_cost_supplier", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_profit_by_nation_year", "q10_returned_items",
+    "q11_important_parts", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q21_waiting_suppliers", "q22_idle_customers",
+)
+
+_DEFER = (
+    # the 12 youngest r8-green that spill past the 50-window: exactly
+    # 2 rounds stale after r10 — they MUST lead the r11 front
+    # (ROUND-11 NOTE above).
+    "w_asof_join", "w_interval_join", "dedup_index_refresh",
+    "text_bm25_batch", "pipeline_corpus_profile", "text_bm25_topk",
+    "lakehouse_arrow_writer", "streaming_latest_state",
+    "lakehouse_column_ddl", "lakehouse_multikey_lookup",
+    "lakehouse_stats_skipping", "streaming_stateful_dedup",
 )
 
 

@@ -1598,3 +1598,206 @@ def transform_mv(spark, sf_dir):
     r = mv.refresh()
     assert r["applied"] and r["start_version"] == r["end_version"]
     return mv.to_df()
+
+
+# ---------------------------------------------------- metadata aggregates
+
+@_register(
+    "lakehouse_metadata_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_price
+    FROM orders
+    """,
+)
+def metadata_count(spark, sf_dir):
+    """Metadata-only aggregates end-to-end (r9 capability, first driver
+    row): ``count_fast``/``min_max_fast`` answer from the commit log
+    with zero file IO, ``DESCRIBE DETAIL`` surfaces the same provable
+    ``num_rows``, and the SQL ``SELECT count(*)`` fast path plans a
+    LocalTableScan (collect launches zero Spark jobs). The proof gate
+    is exercised BOTH ways in one lifecycle: mid-churn (overlapping PK
+    generations) every metadata aggregate must refuse; post-compaction
+    they must all agree with each other and with the scan. At 100 TB
+    this is the difference between a full-corpus pass and one commit-
+    log read."""
+    from lakesoul_spark.catalog import Catalog
+
+    root = _tmp("metadata_count", sf_dir)
+    cat = Catalog(root)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.createOrReplaceTempView("mc_src")
+    cat.sql(spark, """
+        CREATE TABLE mc (o_orderkey BIGINT, o_custkey BIGINT,
+                         o_orderstatus STRING, o_totalprice DOUBLE)
+        USING lakesoul
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='16')
+    """)
+    cat.sql(spark, "INSERT INTO mc SELECT * FROM mc_src")
+    t = cat.get_table(spark, "mc")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    # overlapping generations: physical rows != logical rows, so every
+    # metadata aggregate must REFUSE rather than guess
+    assert t.count_fast() is None
+    assert t.min_max_fast("o_orderkey") is None
+    assert cat.sql(spark, "DESCRIBE DETAIL mc").collect()[0].num_rows \
+        is None
+    cat.sql(spark, "OPTIMIZE mc")
+    t = cat.get_table(spark, "mc")
+    cdf = cat.sql(spark, "SELECT count(*) FROM mc")
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, f"count(*) fast path missed: {plan}"
+    n = cdf.collect()[0][0]
+    assert t.count_fast() == n
+    assert cat.sql(spark, "DESCRIBE DETAIL mc").collect()[0].num_rows == n
+    mm = t.min_max_fast("o_orderkey")
+    assert mm is not None, "post-compaction min/max must be provable"
+    total = (
+        t.to_df()
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(n), int(mm[0]), int(mm[1]), float(total))],
+        "n_rows bigint, min_key bigint, max_key bigint, "
+        "total_price double",
+    )
+
+
+# -------------------------------------------------------------- CLONE
+
+@_register(
+    "lakehouse_clone",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT 'deep_v2' AS branch, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN k % 5 = 0 THEN p * 5
+                              WHEN k % 7 = 0 THEN p * 2
+                              ELSE p END AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_price
+    FROM base
+    UNION ALL
+    SELECT 'shallow_head', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(CASE WHEN k % 11 = 0 THEN p * 3
+                              WHEN k % 7 = 0 THEN p * 2
+                              ELSE p END AS DECIMAL(18,6))) AS DOUBLE)
+    FROM base
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(CASE WHEN k % 13 = 0 THEN p * 7
+                              WHEN k % 11 = 0 THEN p * 3
+                              WHEN k % 7 = 0 THEN p * 2
+                              ELSE p END AS DECIMAL(18,6))) AS DOUBLE)
+    FROM base
+    """,
+)
+def clone_lifecycle(spark, sf_dir):
+    """CLONE lifecycle end-to-end (r9 capability, first driver row):
+    deep clone pins a TIME-TRAVEL version (v2, before the second
+    churn), shallow clone pins HEAD metadata-only (no data dir — the
+    instant 100 TB path), then all three branches diverge
+    independently: the deep clone takes its own upsert, the source
+    takes a third churn the shallow clone must NOT see. The oracle
+    replays each branch's arithmetic from the base table."""
+    src_p = _tmp("clone_src", sf_dir)
+    deep_p = _tmp("clone_deep", sf_dir)
+    shal_p = _tmp("clone_shal", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, src_p, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=8)
+    t = LakeSoulTable.for_path(spark, src_p)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    v2 = t.store.head_version()
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+    )
+    deep = t.clone(deep_p, version=v2)   # deep, pre-churn snapshot
+    shal = t.clone(shal_p, deep=False)   # shallow, HEAD, metadata-only
+    assert not os.path.exists(os.path.join(shal_p, "data")), \
+        "shallow clone must not copy bytes"
+    # branches diverge independently
+    deep.upsert(
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 5)
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 7)
+    )
+
+    def summarize(tbl, tag):
+        return (
+            tbl.to_df()
+            .select(F.lit(tag).alias("branch"),
+                    F.col("o_totalprice").cast("decimal(18,6)").alias("p"))
+            .groupBy("branch")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("p").cast("double").alias("total_price"))
+        )
+
+    return (
+        summarize(deep, "deep_v2")
+        .unionAll(summarize(shal, "shallow_head"))
+        .unionAll(summarize(LakeSoulTable.for_path(spark, src_p),
+                            "source"))
+    )
+
+
+# ----------------------------------------------------- delete_matching
+
+@_register(
+    "lakehouse_delete_matching",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 30 = 2 THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 6 <> 2 OR o_orderkey % 30 = 2
+    GROUP BY o_orderstatus
+    """,
+)
+def delete_matching_q(spark, sf_dir):
+    """Tombstone-set DELETE end-to-end (r9 capability, first driver
+    row): ``delete_matching`` anti-joins a DISTRIBUTED tombstone
+    DataFrame (every 6th key ≡ 2 — hundreds to tens of thousands of
+    ids depending on SF) instead of inlining ids into an ``isin``
+    literal, so a million-row churn day builds the same constant-size
+    plan. Deleted keys don't block later re-ingest: a subset (every
+    30th key ≡ 2) is upserted back at double price and must surface in
+    the MOR read."""
+    path = _tmp("delete_matching", sf_dir)
+    orders = _orders(spark, sf_dir)
+    write(orders, path, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=16)
+    t = LakeSoulTable.for_path(spark, path)
+    tombs = orders.filter(F.col("o_orderkey") % 6 == 2) \
+        .select("o_orderkey")
+    assert tombs.count() >= 100, "tombstone set must dwarf a literal"
+    t.delete_matching(tombs)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 30 == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    return (
+        t.to_df()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double").alias("total_price"))
+    )
