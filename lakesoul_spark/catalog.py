@@ -425,7 +425,7 @@ class Catalog:
             CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
                 AS SELECT <expr> AS a[, …]         -- insert-only
                    FROM [ns.]src [WHERE <cond>]    -- transform pipe
-            REFRESH MATERIALIZED VIEW [ns.]v [FULL]
+            REFRESH MATERIALIZED VIEW [ns.]v [FULL | REPIN]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
             SHOW MATERIALIZED VIEWS [IN ns]
 
@@ -484,11 +484,21 @@ class Catalog:
             return self._sql_create_mv(spark, stmt)
         if verb == "REFRESH":
             m = _rx(
-                r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)(\s+FULL)?$",
+                r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)"
+                r"(\s+FULL|\s+REPIN)?$",
                 stmt,
             )
             mv = self._get_mv(spark, m.group(1))
-            r = mv.rebuild() if m.group(2) else mv.refresh()
+            mode = (m.group(2) or "").strip().upper()
+            if mode == "FULL":
+                r = mv.rebuild()
+            else:
+                if mode == "REPIN":
+                    # verified append-only dim re-pin (repin_dims), then
+                    # the normal incremental window — the cheap recovery
+                    # for drifted append-only dimensions
+                    mv.repin_dims()
+                r = mv.refresh()
             return spark.createDataFrame(
                 [(int(r["end_version"]), bool(r["applied"]))],
                 "source_end_version bigint, applied boolean",

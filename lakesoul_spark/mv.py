@@ -441,6 +441,84 @@ class AggMV:
         )
         return {"end_version": head, "applied": True}
 
+    def repin_dims(self, *, verify: bool = True) -> dict:
+        """Move every drifted dimension pin to its CURRENT head WITHOUT
+        recomputing the facts — the cheap recovery for the common
+        append-only dimension (new customers arrive; old rollups were
+        never about them). Sound exactly when, per moved dim:
+
+        1. the pin→head window contains only Append/Compaction commits
+           (a PK-dim upsert REPLACES rows already joined — refused, a
+           full :meth:`rebuild` is required), and
+        2. no already-applied fact row carries a join key that any
+           APPENDED dim row introduces: such a fact was dropped (inner)
+           or NULL-extended (left) against the old snapshot, and a new
+           same-key row would also fan out future duplicates — either
+           way the loaded partials are stale for it.
+
+        ``verify=True`` (default) proves condition 2 with one
+        column-pruned scan of the applied fact window semi-joined
+        against the broadcast dim-delta keys — O(fact keys) IO and no
+        shuffle, vs rebuild's full scan + re-aggregate + MV rewrite.
+        ``verify=False`` skips the scan for callers with enforced
+        foreign-key integrity (facts never precede their dim rows);
+        compaction-only drift verifies for free either way (the
+        incremental dim delta is empty — re-statements are skipped).
+        Returns ``{dim_path: (old_pin, new_pin)}`` for the moved dims."""
+        src_store = MetaStore(self.source_path)
+        applied = self.last_applied_version()
+        moved: dict[str, tuple[int, int]] = {}
+        for d in self.dims:
+            head = MetaStore(d["path"]).head_version()
+            if head == d["version"]:
+                continue
+            try:
+                delta = _window_df(
+                    self.spark, MetaStore(d["path"]), d["path"],
+                    d["version"], head,
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"dimension {d['path']} changed non-append-only "
+                    f"between pins {d['version']}..{head} ({e}) — "
+                    "already-joined rows may have been rewritten; call "
+                    "rebuild()"
+                ) from e
+            on = d["on"]
+            dim_keys = (list(on.values()) if isinstance(on, dict)
+                        else list(on))
+            fact_keys = (list(on.keys()) if isinstance(on, dict)
+                         else list(on))
+            new_keys = delta.select(*dim_keys).distinct()
+            if verify and applied > 0 and new_keys.take(1):
+                facts = _window_df(
+                    self.spark, src_store, self.source_path, 0, applied
+                ).select(*fact_keys)
+                nk = F.broadcast(new_keys.alias("__nk"))
+                cond = None
+                for fk, dk in zip(fact_keys, dim_keys):
+                    e = F.col(f"__fk.{fk}") == F.col(f"__nk.{dk}")
+                    cond = e if cond is None else (cond & e)
+                hit = (facts.alias("__fk").join(nk, cond, "semi")
+                       .take(1))
+                if hit:
+                    raise ValueError(
+                        f"dimension {d['path']} appended rows whose "
+                        f"join keys already-applied facts reference "
+                        f"(e.g. {tuple(hit[0])}) — those facts joined "
+                        "the OLD snapshot, so a re-pin would leave "
+                        "their contributions stale; call rebuild()"
+                    )
+            moved[d["path"]] = (d["version"], head)
+            d["version"] = head
+        if moved:
+            info = self.table.info
+            spec = json.loads(info.properties[SPEC_PROP])
+            spec["dims"] = self.dims
+            info.properties[SPEC_PROP] = json.dumps(spec)
+            self.table.store.update_table_info(info)
+        return moved
+
     # ------------------------------------------------------------- read
 
     def to_df(self) -> DataFrame:
@@ -570,6 +648,7 @@ class TransformMV:
     _delta = _transform  # the _refresh_loop hook
     _check_dims_pinned = AggMV._check_dims_pinned
     last_applied_version = AggMV.last_applied_version
+    repin_dims = AggMV.repin_dims
 
     def refresh(self) -> dict:
         """Append the transform of source commits (last_applied, head];

@@ -813,3 +813,76 @@ def test_clone_of_mv_forks_the_view(spark, tmp_path):
     mv.refresh()
     assert fmv.to_df().orderBy("o_custkey").collect() == _expected(orders)
     assert mv.to_df().orderBy("o_custkey").collect() == _expected(orders)
+
+
+def test_mv_star_dim_repin_append_only(spark, tmp_path):
+    """repin_dims: an append-only dimension drift (new, never-referenced
+    keys) re-pins WITHOUT recomputing facts and subsequent incremental
+    refreshes equal the full recompute; a new dim row whose key an
+    already-applied fact references is refused (its contribution is
+    stale); a rewritten dim is refused; verify=False trusts declared
+    FK integrity."""
+    orders = _orders(spark)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    src, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["c_nationkey"],
+        aggs={"sum_price": ("sum", "o_totalprice"), "n": ("count", "*")},
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+    )
+    mv.refresh()
+
+    # new dim rows under fresh keys (customers with no orders yet)
+    new_cust = cust.limit(3).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).select(*cust.columns)
+    write(new_cust, dim, mode="append")
+    write(orders.limit(7), src, mode="append")
+    with pytest.raises(ValueError, match="pinned version"):
+        mv.refresh()  # drifted pin still refuses until re-pinned
+    moved = mv.repin_dims()
+    assert list(moved) == [dim] and moved[dim][1] > moved[dim][0]
+    assert mv.refresh()["applied"]
+
+    # facts referencing the NEW dim keys flow through the new pin
+    new_facts = orders.limit(2).withColumn(
+        "o_custkey", F.col("o_custkey") % 3 + 1_000_001)
+    write(new_facts, src, mode="append")
+    assert mv.refresh()["applied"]
+
+    cust_now = cust.unionByName(new_cust)
+    facts_now = halves[0].unionByName(orders.limit(7)) \
+        .unionByName(new_facts)
+    expected = (
+        facts_now.join(cust_now,
+                       facts_now.o_custkey == cust_now.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double").alias("sum_price"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("c_nationkey").collect()
+    )
+    assert mv.to_df().orderBy("c_nationkey").collect() == expected
+
+    # a dim append under an ALREADY-REFERENCED key: refused — the
+    # applied facts joined the old snapshot (and same-key rows would
+    # fan out future batches)
+    dup = cust.limit(1)
+    write(dup, dim, mode="append")
+    with pytest.raises(ValueError, match="rebuild"):
+        mv.repin_dims()
+    # verify=False skips the fact scan (caller-declared FK integrity)
+    assert list(mv.repin_dims(verify=False)) == [dim]
+    mv.rebuild()  # restore a consistent state for the next scenario
+
+    # a dim REWRITE can never re-pin (rows already joined changed)
+    write(cust.withColumn("c_nationkey", (F.col("c_nationkey") + 1) % 25),
+          dim, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append-only"):
+        mv.repin_dims()
