@@ -56,11 +56,13 @@ class LakeSoulArrowDataset:
         self.info = self.store.table_info()
         # declared per-column merge ops: the arrow fold applies the
         # associative family (sum_all/min_all/max_all — mv.py aggregate
-        # partials), so a Torch/Ray worker can read an uncompacted MV
-        # mid-refresh; ops needing Spark (hll_union_all sketches,
-        # joined_*/custom) still refuse LOUDLY — a use_last fallback
-        # would silently return one generation's partial. Mirrors the
-        # engine-neutral merge family of the reference
+        # partials) and DataSketches HLL unions (hll_union_all, via the
+        # pure-Python functions/hll_kernel — byte-exact vs Spark's
+        # hll_union_agg), so a Torch/Ray worker can read an uncompacted
+        # MV mid-refresh, count-distinct views included; ops needing
+        # Spark (joined_*/custom) still refuse LOUDLY — a use_last
+        # fallback would silently return one generation's partial.
+        # Mirrors the engine-neutral merge family of the reference
         # (rust/lakesoul-io/src/sorted_merger/merge_operator.rs:22-50).
         from lakesoul_spark.streaming.source import ARROW_MERGE_OPS
 

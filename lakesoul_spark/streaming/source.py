@@ -188,7 +188,9 @@ class _GenCursor:
 # family from functions/merge_operators.py; hll_union_all needs Spark's
 # Datasketches binding and joined_*/custom ops need full version order,
 # so tables declaring those stay Spark-only and the readers refuse)
-ARROW_MERGE_OPS = frozenset({"use_last", "sum_all", "min_all", "max_all"})
+ARROW_MERGE_OPS = frozenset(
+    {"use_last", "sum_all", "min_all", "max_all", "hll_union_all"}
+)
 
 # ops whose MERGED value is always one of the generations' stored
 # values, so it provably lies inside the union of per-file [min, max]
@@ -222,6 +224,20 @@ def _fold_window(window, target, pk_cols, range_vals, merge_ops=None):
         f.name for f in target
         if f.name not in pk_cols and f.name not in range_vals
     ]
+    # DataSketches HLL columns fold as ONE union over all generations
+    # per row (functions/hll_kernel — byte-exact vs Spark's
+    # hll_union_agg for the same input order): pairwise union-of-
+    # unions would re-serialize intermediate coupon hash tables, whose
+    # replay placement (and post-merge HIP) can drift from the single
+    # aggregation Spark's MOR read runs. Images accumulate per row
+    # (oldest→newest) and union once at the end. A Python loop, not
+    # vectorized — these rows are MV aggregate partials (one per group
+    # per refresh window), so the loop is over groups, not the corpus.
+    hll_cols = [c for c in value_cols
+                if merge_ops.get(c) == "hll_union_all"]
+    hll_acc: dict[str, list[list]] = {
+        c: [[v] for v in merged.column(c).to_pylist()] for c in hll_cols
+    }
 
     def as_arr(k):
         return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
@@ -256,12 +272,33 @@ def _fold_window(window, target, pk_cols, range_vals, merge_ops=None):
                 cols[c] = pc.min_element_wise(old, taken)  # skips nulls
             elif op == "max_all":
                 cols[c] = pc.max_element_wise(old, taken)
+            elif op == "hll_union_all":
+                # accumulate this generation's image per row; the one
+                # union happens after the generation loop
+                for row_i, v in enumerate(taken.to_pylist()):
+                    hll_acc[c][row_i].append(v)
             else:  # use_last
                 cols[c] = pc.if_else(hit, taken, old)
         updated = pa.table(cols)
         # PKs new in this generation append after existing rows
         fresh = gt.filter(pc.is_null(pc.index_in(key_g, as_arr(key_r))))
+        for c in hll_cols:
+            if c in present:
+                hll_acc[c].extend([v] for v in
+                                  fresh.column(c).to_pylist())
+            else:
+                hll_acc[c].extend([None] for _ in range(len(fresh)))
         merged = pa.concat_tables([updated, fresh]).cast(target)
+    if hll_cols:
+        from lakesoul_spark.functions.hll_kernel import union_sketches
+
+        cols = {c: merged.column(c) for c in merged.column_names}
+        for c in hll_cols:
+            cols[c] = pa.array(
+                [union_sketches(images) for images in hll_acc[c]],
+                type=pa.binary(),
+            )
+        merged = pa.table(cols).cast(target)
     return merged
 
 

@@ -453,8 +453,9 @@ def test_arrow_dataset_folds_declared_merge_ops(spark, tmp_path):
     """A Spark-free consumer (Torch/Ray export) reading an UNCOMPACTED
     aggregate MV mid-refresh: the arrow fold applies the declared
     associative merge ops (sum_all on the decimal partial + the bigint
-    count, min_all/max_all), so every column equals the Spark merge
-    view — and ops needing Spark (hll_union_all) still refuse."""
+    count, min_all/max_all) AND DataSketches HLL unions (count_distinct
+    partials via functions/hll_kernel), so every column equals the
+    Spark merge view — including the sketch estimates."""
     from pyspark.sql import functions as F
 
     from lakesoul_spark.mv import AggMV
@@ -497,15 +498,27 @@ def test_arrow_dataset_folds_declared_merge_ops(spark, tmp_path):
             union[r["o_custkey"]] = (r["total"], r["n"], r["lo"], r["hi"])
     assert union == exp
 
-    # hll sketches need Spark: loud refusal, not a silent partial
+    # count-distinct MV: the arrow fold unions the DataSketches HLL
+    # partials per group, and the folded sketch fed back through
+    # Spark's hll_sketch_estimate equals mv.to_df() exactly
     mvp2 = str(tmp_path / "mv_hll")
     mv2 = AggMV.create(
         spark, src, mvp2, group_by=["o_custkey"],
         aggs={"nd": ("count_distinct", "o_orderkey")},
     )
     mv2.refresh()
-    with pytest.raises(ValueError, match="hll_union_all"):
-        LakeSoulArrowDataset(mvp2)
+    write(halves[1].limit(200), src, mode="append")
+    mv2.refresh()
+    assert mv2.table.store.snapshot().max_generations_per_bucket() > 1
+    folded = {r["o_custkey"]: r["nd"] for r in LakeSoulArrowDataset(mvp2)}
+    est_df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in folded.items()],
+        "o_custkey long, nd binary",
+    ).select("o_custkey", F.hll_sketch_estimate("nd").cast("bigint")
+             .alias("nd"))
+    got_est = {r["o_custkey"]: r["nd"] for r in est_df.collect()}
+    exp_est = {r["o_custkey"]: r["nd"] for r in mv2.to_df().collect()}
+    assert got_est == exp_est
 
 
 def test_arrow_count_rows_metadata_fast_path(spark, tmp_path):

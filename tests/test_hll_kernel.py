@@ -1,0 +1,110 @@
+"""functions/hll_kernel — the pure-Python DataSketches HLL union used
+by the Spark-free arrow fold — validated BYTE-FOR-BYTE against Spark's
+own ``hll_union_agg`` (the library the kernel re-implements ships
+inside Spark, so Spark is the ground truth oracle). The sweep crosses
+every state-machine boundary: LIST→SET at 8 coupons, SET growth at
+3/4 capacity, SET→HLL promotion at 385 (lgK=12), coupon-into-HLL,
+HLL×HLL out-of-order merges, and already-OOO inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesoul_spark.functions.hll_kernel import union_sketches
+
+_CACHE: dict = {}
+
+
+def _sk(spark, n, start=0, parts=1):
+    key = (n, start, parts)
+    if key not in _CACHE:
+        df = spark.range(start, start + n)
+        df = df.coalesce(1) if parts == 1 else df.repartition(parts)
+        _CACHE[key] = bytes(df.agg(F.hll_sketch_agg("id")).collect()[0][0])
+    return _CACHE[key]
+
+
+def _spark_union(spark, sketches):
+    """hll_union_agg over a single ordered partition — the reference
+    result for the same input order."""
+    rows = [(i, bytearray(s)) for i, s in enumerate(sketches)]
+    df = (spark.createDataFrame(rows, "idx int, s binary")
+          .coalesce(1).sortWithinPartitions("idx"))
+    return bytes(df.agg(F.hll_union_agg("s")).collect()[0][0])
+
+
+def _est(spark, b):
+    return (spark.createDataFrame([(bytearray(b),)], "s binary")
+            .select(F.hll_sketch_estimate("s")).collect()[0][0])
+
+
+def test_union_byte_exact_across_mode_boundaries(spark):
+    cases = [
+        [(1, 0, 1), (2, 100, 1)],              # tiny lists
+        [(3, 0, 1), (4, 2, 1)],                # overlapping lists
+        [(7, 0, 1), (7, 3, 1)],                # list crosses 8 -> set
+        [(5, 0, 1), (5, 100, 1)],
+        [(24, 0, 1), (1, 500, 1)],             # set at growth boundary
+        [(25, 0, 1), (1, 500, 1)],
+        [(100, 0, 1), (100, 50, 1)],           # set stays set
+        [(200, 0, 1), (200, 150, 1)],          # set growth
+        [(300, 0, 1), (84, 300, 1)],           # 384: last pre-promotion
+        [(300, 0, 1), (85, 300, 1)],           # 385: exact promotion
+        [(300, 0, 1), (86, 300, 1)],           # first post-promotion HIP
+        [(300, 0, 1), (300, 200, 1)],          # promotion mid-union
+        [(600, 0, 1), (100, 0, 1)],            # hll + subset coupons
+        [(100, 0, 1), (600, 0, 1)],            # coupons then hll
+        [(100, 90000, 1), (600, 0, 1)],        # new-key coupons then hll
+        [(600, 0, 1), (100, 90000, 1)],        # hll then new-key coupons
+        [(600, 0, 1), (600, 400, 1)],          # hll x hll (OOO merge)
+        [(600, 0, 1), (700, 10000, 1), (50, 30000, 1)],  # merge + coupons
+        [(2000, 0, 4), (600, 0, 1)],           # already-OOO input
+        [(900, 0, 1)],                          # single hll passthrough
+        [(3000, 0, 4)],                         # single OOO passthrough
+        [(5000, 0, 4), (4000, 2500, 2)],        # big
+    ]
+    for case in cases:
+        sketches = [_sk(spark, *c) for c in case]
+        assert _spark_union(spark, sketches) == union_sketches(sketches), \
+            f"byte mismatch for {case}"
+
+
+def test_pairwise_fold_estimates_equal_one_shot(spark):
+    """The arrow fold unions all generations per row in one shot; this
+    pins that even chained (pairwise) unions — which may differ in
+    coupon hash placement / post-merge HIP bytes — never differ in the
+    ESTIMATE, the value every reader consumes."""
+    chains = [
+        [(120, 0, 1), (120, 60, 1), (120, 120, 1)],
+        [(300, 0, 1), (300, 150, 1), (60, 500, 1)],
+        [(50, 0, 1), (50, 25, 1), (50, 50, 1), (50, 75, 1)],
+        [(600, 0, 1), (600, 300, 1), (40, 10000, 1)],
+        [(2000, 0, 4), (100, 0, 1), (700, 5000, 1)],
+    ]
+    for case in chains:
+        sketches = [_sk(spark, *c) for c in case]
+        one = union_sketches(sketches)
+        pair = sketches[0]
+        for nxt in sketches[1:]:
+            pair = union_sketches((pair, nxt))
+        assert _est(spark, pair) == _est(spark, one) \
+            == _est(spark, _spark_union(spark, sketches))
+
+
+def test_union_null_and_refusal_semantics(spark):
+    a = _sk(spark, 10)
+    assert union_sketches([None, a, None]) == union_sketches([a])
+    assert union_sketches([None, None]) is None
+    assert union_sketches([]) is None
+    # compact images (datasketches-python default) refuse loudly
+    compact = bytearray(a)
+    compact[5] |= 8
+    with pytest.raises(ValueError, match="compact"):
+        union_sketches([bytes(compact)])
+    # lgK mismatch refuses rather than silently downsampling
+    other = bytearray(a)
+    other[3] = 11
+    with pytest.raises(ValueError, match="lgK"):
+        union_sketches([a, bytes(other)])
+    # non-HLL bytes refuse
+    with pytest.raises(ValueError, match="DataSketches"):
+        union_sketches([b"\x00" * 16])
