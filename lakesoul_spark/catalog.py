@@ -849,7 +849,11 @@ class Catalog:
                     )
                 n = t.count_fast()
                 if n is not None:
-                    col = cm.group(2) or f"count({cm.group(1)})"
+                    # Spark's analyzer rewrites count(*) to count(1)
+                    # and auto-aliases it "count(1)" — the fast path
+                    # must return the SAME schema the relational
+                    # fallback would for the identical statement
+                    col = cm.group(2) or "count(1)"
                     # VALUES plans a LocalTableScan, whose collect()
                     # short-circuits without launching any Spark job
                     # (createDataFrame would plan a Scan ExistingRDD

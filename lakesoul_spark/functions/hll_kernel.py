@@ -115,8 +115,14 @@ def _parse(b: bytes) -> _ParsedSketch | None:
                 f"HLL image with target type {tgt} — Spark emits HLL_8 "
                 "only; read the table via LakeSoulTable.to_df()"
             )
+        # HLL preamble: curMin lives in BYTE 6 (it is <= 64); the int
+        # at offset 36 is the HLL_4 aux-exception count (always 0 for
+        # HLL_8). Misreading them only shows on SATURATED sketches
+        # (every register nonzero, ~35k+ distinct at lgK=12), where
+        # curMin rises above 0 — covered by the saturation test.
+        p.cur_min = b6
         p.hip, p.kxq0, p.kxq1 = struct.unpack_from("<ddd", b, 8)
-        p.num_at_cur_min, p.cur_min = struct.unpack_from("<ii", b, 32)
+        (p.num_at_cur_min,) = struct.unpack_from("<i", b, 32)
         k = 1 << lgk
         p.regs = bytearray(b[40:40 + k])
         if len(p.regs) != k:
@@ -364,11 +370,12 @@ class _Gadget:
         self._check_rebuild()
         out = bytearray(40 + self.k)
         flags = _OOO_FLAG if self.ooo else 0
+        # byte 6 = curMin; int@32 = numAtCurMin; int@36 = HLL_4 aux
+        # exception count, always 0 for HLL_8
         out[0:8] = bytes((10, _SER_VER, _FAMILY_HLL, self.lgk, 0, flags,
-                          0, mode_with_tgt))
+                          self.cur_min, mode_with_tgt))
         struct.pack_into("<ddd", out, 8, self.hip, self.kxq0, self.kxq1)
-        struct.pack_into("<ii", out, 32, self.num_at_cur_min,
-                         self.cur_min)
+        struct.pack_into("<ii", out, 32, self.num_at_cur_min, 0)
         out[40:] = self.regs
         return bytes(out)
 

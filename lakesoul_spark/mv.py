@@ -467,6 +467,10 @@ class AggMV:
         Returns ``{dim_path: (old_pin, new_pin)}`` for the moved dims."""
         src_store = MetaStore(self.source_path)
         applied = self.last_applied_version()
+        # verify EVERY drifted dim before mutating ANY pin: a partial
+        # mutation would let a subsequent refresh() pass
+        # _check_dims_pinned against in-memory pins the spec never
+        # recorded, mixing dim versions durably
         moved: dict[str, tuple[int, int]] = {}
         for d in self.dims:
             head = MetaStore(d["path"]).head_version()
@@ -510,7 +514,9 @@ class AggMV:
                         "their contributions stale; call rebuild()"
                     )
             moved[d["path"]] = (d["version"], head)
-            d["version"] = head
+        for d in self.dims:
+            if d["path"] in moved:
+                d["version"] = moved[d["path"]][1]
         if moved:
             info = self.table.info
             spec = json.loads(info.properties[SPEC_PROP])

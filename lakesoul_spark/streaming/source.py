@@ -184,10 +184,12 @@ class _GenCursor:
         return taken
 
 
-# merge operators the arrow-native fold can apply (the associative
-# family from functions/merge_operators.py; hll_union_all needs Spark's
-# Datasketches binding and joined_*/custom ops need full version order,
-# so tables declaring those stay Spark-only and the readers refuse)
+# merge operators the arrow-native fold can apply: the associative
+# family from functions/merge_operators.py plus DataSketches HLL
+# unions (hll_union_all — pure-Python functions/hll_kernel, byte-exact
+# vs Spark's hll_union_agg). joined_*/custom ops need full version
+# order and arbitrary Python, so tables declaring those stay
+# Spark-only and the readers refuse.
 ARROW_MERGE_OPS = frozenset(
     {"use_last", "sum_all", "min_all", "max_all", "hll_union_all"}
 )

@@ -65,16 +65,23 @@ def _parallel_copy(copies: list[tuple[str, str]]) -> None:
     if len(copies) == 1:
         shutil.copy2(*copies[0])
         return
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     with ThreadPoolExecutor(
         max_workers=min(CLONE_COPY_WORKERS, len(copies))
     ) as pool:
-        # list() drains the iterator so the first worker exception
-        # re-raises here; remaining queued copies are skipped by the
-        # executor shutdown (cancel_futures on error is unnecessary —
-        # clone() rmtree's the whole target on any failure)
-        list(pool.map(lambda p: shutil.copy2(*p), copies))
+        # fail FAST: wait(FIRST_EXCEPTION) returns at the first error,
+        # and cancelling the queued futures stops the pool from
+        # grinding through the remaining (possibly enormous) copy list
+        # into a target clone() is about to rmtree — pool.map would
+        # run every queued copy before the exception surfaced
+        futs = [pool.submit(shutil.copy2, s, d) for s, d in copies]
+        done, _ = wait(futs, return_when=FIRST_EXCEPTION)
+        err = next((f.exception() for f in done if f.exception()), None)
+        if err is not None:
+            for f in futs:
+                f.cancel()
+            raise err
 
 
 def create_table(
@@ -2201,9 +2208,17 @@ class LakeSoulTable:
                     size_on_disk = fi.size
             if size_on_disk is None:
                 if os.path.isabs(f.path) and clone_source is not None:
+                    # attribute the dangling ref to where it actually
+                    # points: a shallow clone OF a shallow clone holds
+                    # absolute paths into the GRANDPARENT, not into
+                    # its recorded clone.source
+                    src = (clone_source
+                           if f.path.startswith(
+                               clone_source.rstrip(os.sep) + os.sep)
+                           else os.path.dirname(f.path))
                     issues.append((
                         "dangling_clone_ref", f.path,
-                        f"shallow-clone reference into {clone_source} no "
+                        f"shallow-clone reference into {src} no "
                         "longer exists — the source was vacuumed or moved; "
                         "the bytes are gone, rebuild from a deep clone of a "
                         "live source snapshot",

@@ -1166,7 +1166,9 @@ def test_sql_count_star_fast_path(cat, spark, monkeypatch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan and "Scan" not in plan.replace(
         "LocalTableScan", "")
-    assert df.columns == ["count(*)"]
+    # same auto-alias the relational fallback produces (Spark rewrites
+    # count(*) to count(1)) — schema must not depend on table state
+    assert df.columns == ["count(1)"]
     tracker = spark.sparkContext.statusTracker()
     jobs_before = len(tracker.getJobIdsForGroup(None) or [])
     assert df.collect()[0][0] == 500
@@ -1185,6 +1187,7 @@ def test_sql_count_star_fast_path(cat, spark, monkeypatch):
     df2 = cat.sql(spark, "SELECT count(*) FROM cf")
     assert "Scan parquet" in \
         df2._jdf.queryExecution().executedPlan().toString()
+    assert df2.columns == ["count(1)"]  # fast path and fallback agree
     assert df2.collect()[0][0] == 501
     # VERSION AS OF pins the counted snapshot
     assert cat.sql(

@@ -59,8 +59,15 @@ def test_union_byte_exact_across_mode_boundaries(spark):
         [(600, 0, 1), (700, 10000, 1), (50, 30000, 1)],  # merge + coupons
         [(2000, 0, 4), (600, 0, 1)],           # already-OOO input
         [(900, 0, 1)],                          # single hll passthrough
-        [(3000, 0, 4)],                         # single OOO passthrough
+        [(3000, 0, 4)],                          # single OOO passthrough
         [(5000, 0, 4), (4000, 2500, 2)],        # big
+        # SATURATED registers (>~35k distinct at lgK=12 leaves no zero
+        # register): curMin rises above 0, exercising the byte-6
+        # curMin field and the rebuild's min scan — the region a
+        # curMin/auxCount offset mixup silently corrupts
+        [(120_000, 0, 4), (120_000, 60_000, 4)],
+        [(120_000, 0, 4), (500, 0, 1)],
+        [(200_000, 0, 4)],
     ]
     for case in cases:
         sketches = [_sk(spark, *c) for c in case]

@@ -886,3 +886,10 @@ def test_mv_star_dim_repin_append_only(spark, tmp_path):
           dim, mode="overwrite")
     with pytest.raises(ValueError, match="non-append-only"):
         mv.repin_dims()
+    # and the failed attempt mutated NO pin (all-or-nothing): the
+    # in-memory handle still refuses refresh against the drifted dim
+    from lakesoul_spark.meta.store import MetaStore
+    assert mv.dims[0]["version"] != MetaStore(dim).head_version()
+    write(orders.limit(1), src, mode="append")
+    with pytest.raises(ValueError, match="pinned version"):
+        mv.refresh()
