@@ -514,15 +514,23 @@ class AggMV:
                         "their contributions stale; call rebuild()"
                     )
             moved[d["path"]] = (d["version"], head)
-        for d in self.dims:
-            if d["path"] in moved:
-                d["version"] = moved[d["path"]][1]
         if moved:
+            # persist FIRST, adopt in memory only after the write
+            # lands: mutating self.dims before a failed
+            # update_table_info would let this handle refresh against
+            # pins the spec never recorded
+            new_dims = []
+            for d in self.dims:
+                nd = dict(d)
+                if d["path"] in moved:
+                    nd["version"] = moved[d["path"]][1]
+                new_dims.append(nd)
             info = self.table.info
             spec = json.loads(info.properties[SPEC_PROP])
-            spec["dims"] = self.dims
+            spec["dims"] = new_dims
             info.properties[SPEC_PROP] = json.dumps(spec)
             self.table.store.update_table_info(info)
+            self.dims = new_dims
         return moved
 
     # ------------------------------------------------------------- read

@@ -2211,11 +2211,17 @@ class LakeSoulTable:
                     # attribute the dangling ref to where it actually
                     # points: a shallow clone OF a shallow clone holds
                     # absolute paths into the GRANDPARENT, not into
-                    # its recorded clone.source
-                    src = (clone_source
-                           if f.path.startswith(
-                               clone_source.rstrip(os.sep) + os.sep)
-                           else os.path.dirname(f.path))
+                    # its recorded clone.source. The remediation
+                    # target is that table's ROOT (strip the /data/
+                    # tail), not the partition subdir the file sat in.
+                    marker = os.sep + DATA_DIR + os.sep
+                    if f.path.startswith(
+                            clone_source.rstrip(os.sep) + os.sep):
+                        src = clone_source
+                    elif marker in f.path:
+                        src = f.path.split(marker, 1)[0]
+                    else:
+                        src = os.path.dirname(f.path)
                     issues.append((
                         "dangling_clone_ref", f.path,
                         f"shallow-clone reference into {src} no "
