@@ -29,16 +29,19 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # streaming_sessionize and streaming_stateful_dedup broken by
 # deferring the alphabetically-later name) spill to _DEFER.
 # ROUND-11 NOTE (window arithmetic, exact): after r10 the pack holds
-# 112 queries — 50 r10-green, 50 r9-green, 12 r8-green (w_asof_join,
-# w_interval_join, dedup_index_refresh, text_bm25_batch,
+# 113 queries — 50 r10-green, 50 r9-green, 12 r8-green, and 1 NEVER
+# driver-verified (lakehouse_star_mv_repin, added r10-late for the
+# r10-new repin_dims capability; locally hash-verified at 3 SFs).
+# r11 MUST front the never-verified query first, then the 12 r8-green
+# (w_asof_join, w_interval_join, dedup_index_refresh, text_bm25_batch,
 # pipeline_corpus_profile, text_bm25_topk, lakehouse_arrow_writer,
 # streaming_latest_state, lakehouse_column_ddl,
 # lakehouse_multikey_lookup, lakehouse_stats_skipping,
-# streaming_stateful_dedup — the _DEFER tuple below).  r11 MUST front
-# those 12 first (they hit the 2-round staleness boundary), then fill
-# the window with the 38 oldest r9-green; the 12 r9-green that don't
-# fit lead the r12 front.  Any NEW r11 oracle queries displace the
-# youngest r9-green slots, same rule as this round.
+# streaming_stateful_dedup — they hit the 2-round staleness
+# boundary; all 13 are the _DEFER tuple below in r11-front order),
+# then fill the window with the 37 oldest r9-green; the 13 r9-green
+# that don't fit lead the r12 front.  Any NEW r11 oracle queries
+# displace the youngest r9-green slots, same rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
@@ -73,9 +76,11 @@ _FRONT = (
 )
 
 _DEFER = (
-    # the 12 youngest r8-green that spill past the 50-window: exactly
-    # 2 rounds stale after r10 — they MUST lead the r11 front
-    # (ROUND-11 NOTE above).
+    # r11 front order: first the r10-late never-driver-verified query
+    # (hash-verified locally at 3 SFs), then the 12 youngest r8-green
+    # that spill past the 50-window — exactly 2 rounds stale after
+    # r10 (ROUND-11 NOTE above).
+    "lakehouse_star_mv_repin",
     "w_asof_join", "w_interval_join", "dedup_index_refresh",
     "text_bm25_batch", "pipeline_corpus_profile", "text_bm25_topk",
     "lakehouse_arrow_writer", "streaming_latest_state",

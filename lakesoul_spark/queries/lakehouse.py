@@ -1801,3 +1801,86 @@ def delete_matching_q(spark, sf_dir):
              F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
              .cast("double").alias("total_price"))
     )
+
+
+# ------------------------------------------------------ star-MV REPIN
+
+@_register(
+    "lakehouse_star_mv_repin",
+    """
+    WITH fact AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 10000000
+                  ELSE o_custkey END AS o_custkey,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1),
+    dim AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, (c_nationkey + 7) % 25 FROM customer)
+    SELECT d.c_nationkey,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_nationkey
+    """,
+)
+def star_mv_repin(spark, sf_dir):
+    """Append-only dimension re-pin end-to-end (r10 capability): the
+    customer dim gains NEW keys after the first fact batch applied, so
+    the pinned star MV refuses to refresh — ``repin_dims`` then proves
+    (one column-pruned fact-key scan vs the broadcast dim delta) that
+    no applied fact references the appended keys and moves the pin
+    WITHOUT the full fact recompute ``rebuild()`` would run. The
+    second fact batch routes every 17th order to a new-key customer;
+    the oracle is the full join+group-by over the final fact and dim
+    states."""
+    from lakesoul_spark.mv import AggMV
+
+    fact = _tmp("repin_fact", sf_dir)
+    dim = _tmp("repin_dim", sf_dir)
+    mvp = _tmp("repin_mv", sf_dir)
+    orders = _orders(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], fact, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = AggMV.create(
+        spark, fact, mvp,
+        group_by=["c_nationkey"],
+        aggs={"sum_price": ("sum", "o_totalprice"),
+              "n_orders": ("count", "*")},
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+        hash_bucket_num=4,
+    )
+    assert mv.refresh()["applied"]
+    # the dim gains rows under FRESH keys (customers with no orders in
+    # any applied batch) — append-only drift
+    new_cust = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).withColumn(
+        "c_nationkey", ((F.col("c_nationkey") + 7) % 25).cast("int")
+    ).select(*cust.columns)
+    write(new_cust, dim, mode="append")
+    write(
+        halves[1].withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 17 == 0,
+                   F.col("o_custkey") + 10_000_000)
+            .otherwise(F.col("o_custkey")),
+        ),
+        fact, mode="append",
+    )
+    try:
+        mv.refresh()
+        raise AssertionError("drifted pin must refuse a plain refresh")
+    except ValueError:
+        pass
+    moved = mv.repin_dims()  # verified: no applied fact hits a new key
+    assert list(moved) == [os.path.abspath(dim)] or list(moved) == [dim]
+    assert mv.refresh()["applied"]
+    return mv.to_df().select("c_nationkey", "sum_price", "n_orders")
