@@ -115,3 +115,24 @@ def test_union_null_and_refusal_semantics(spark):
     # non-HLL bytes refuse
     with pytest.raises(ValueError, match="DataSketches"):
         union_sketches([b"\x00" * 16])
+
+def test_estimate_spark_free(spark):
+    """kernel.estimate(): exact vs Spark for in-order HLL (HIP),
+    sub-1e-3 for coupon modes, within 2% for OOO merges."""
+    from lakesoul_spark.functions.hll_kernel import estimate
+
+    assert estimate(None) == 0.0
+    for n in (1, 7, 8, 100, 384):
+        b = _sk(spark, n)
+        assert abs(estimate(b) - _est(spark, b)) < 1e-3, n
+    for n in (385, 500, 900, 20000):
+        b = _sk(spark, n, parts=1)
+        # HIP path is exact: Spark's hll_sketch_estimate returns the
+        # ROUNDED long of the same accumulator this returns raw
+        assert round(estimate(b)) == _est(spark, b), n
+    for case in ([(600, 0, 1), (600, 400, 1)],
+                 [(2000, 0, 4), (5000, 2500, 4)],
+                 [(120_000, 0, 4), (120_000, 60_000, 4)]):
+        b = union_sketches([_sk(spark, *c) for c in case])
+        s = _est(spark, b)
+        assert abs(estimate(b) - s) / s < 0.02, (case, estimate(b), s)
