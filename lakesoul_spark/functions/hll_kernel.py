@@ -380,7 +380,7 @@ class _Gadget:
         return bytes(out)
 
 
-def estimate(image: bytes | None) -> float | None:
+def estimate(image: bytes | None) -> float:
     """Cardinality estimate of a DataSketches HLL image WITHOUT Spark
     or the datasketches wheel — what a Torch/Ray worker calls on the
     sketch the arrow fold handed it. Exactness by regime:
@@ -401,7 +401,7 @@ def estimate(image: bytes | None) -> float | None:
     ``None`` (SQL null / empty) estimates 0.0."""
     import math
 
-    p = _parse(image) if image is not None else None
+    p = _parse(image)
     if p is None:
         return 0.0
     if p.mode != _HLL:

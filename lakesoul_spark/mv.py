@@ -416,29 +416,46 @@ class AggMV:
         source head."""
         from lakesoul_spark.meta.store import FileOp
 
+        # order of operations is load-bearing: recompute + commit the
+        # DATA first (against the new pins, held in memory only), then
+        # persist the pin spec. A failed data commit restores the old
+        # in-memory pins (nothing durable changed); a failed spec
+        # persist AFTER the data commit leaves old pins over
+        # head-consistent data — the next handle sees "drift" and
+        # repin/rebuild converges. The previous spec-FIRST order left
+        # the inverse state on a failed recompute (new pins over OLD
+        # generations), which a later refresh would durably extend.
+        old_dims = self.dims
         if self.dims:
-            for d in self.dims:
-                d["version"] = MetaStore(d["path"]).head_version()
+            self.dims = [
+                dict(d, version=MetaStore(d["path"]).head_version())
+                for d in self.dims
+            ]
+        try:
+            src = LakeSoulTable.for_path(self.spark, self.source_path)
+            head = src.store.head_version()
+            delta = self._delta(src.to_df())
+            info = self.table.info
+            adds = write_table_data(delta, info, dedup=False)
+            dels = [
+                FileOp(op="del", path=f.path,
+                       partition_desc=f.partition_desc, bucket=f.bucket)
+                for f in self.table.store.snapshot().files
+            ]
+            self.table.store.commit(
+                OP_UPDATE, dels + adds,
+                query_id=f"mv:{info.table_id}", batch_id=head,
+                extra={_EXTRA_END: head},
+            )
+        except BaseException:
+            self.dims = old_dims
+            raise
+        if self.dims:
             info = self.table.info
             spec = json.loads(info.properties[SPEC_PROP])
             spec["dims"] = self.dims
             info.properties[SPEC_PROP] = json.dumps(spec)
             self.table.store.update_table_info(info)
-        src = LakeSoulTable.for_path(self.spark, self.source_path)
-        head = src.store.head_version()
-        delta = self._delta(src.to_df())
-        info = self.table.info
-        adds = write_table_data(delta, info, dedup=False)
-        dels = [
-            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
-                   bucket=f.bucket)
-            for f in self.table.store.snapshot().files
-        ]
-        self.table.store.commit(
-            OP_UPDATE, dels + adds,
-            query_id=f"mv:{info.table_id}", batch_id=head,
-            extra={_EXTRA_END: head},
-        )
         return {"end_version": head, "applied": True}
 
     def repin_dims(self, *, verify: bool = True) -> dict:
@@ -670,32 +687,43 @@ class TransformMV:
         return _refresh_loop(self, OP_APPEND)
 
     def rebuild(self) -> dict:
-        """Re-pin dims and recompute from the current source snapshot."""
+        """Re-pin dims and recompute from the current source snapshot.
+        Same operation order as :meth:`AggMV.rebuild` (data commit
+        first, pin-spec persist after, in-memory pins restored on a
+        failed commit)."""
         from lakesoul_spark.meta.store import FileOp
 
+        old_dims = self.dims
         if self.dims:
-            for d in self.dims:
-                d["version"] = MetaStore(d["path"]).head_version()
+            self.dims = [
+                dict(d, version=MetaStore(d["path"]).head_version())
+                for d in self.dims
+            ]
+        try:
+            src = LakeSoulTable.for_path(self.spark, self.source_path)
+            head = src.store.head_version()
+            out = self._transform(src.to_df())
+            info = self.table.info
+            adds = write_table_data(out, info, dedup=False)
+            dels = [
+                FileOp(op="del", path=f.path,
+                       partition_desc=f.partition_desc, bucket=f.bucket)
+                for f in self.table.store.snapshot().files
+            ]
+            self.table.store.commit(
+                OP_UPDATE, dels + adds,
+                query_id=f"mv:{info.table_id}", batch_id=head,
+                extra={_EXTRA_END: head},
+            )
+        except BaseException:
+            self.dims = old_dims
+            raise
+        if self.dims:
             info = self.table.info
             spec = json.loads(info.properties[SPEC_PROP])
             spec["dims"] = self.dims
             info.properties[SPEC_PROP] = json.dumps(spec)
             self.table.store.update_table_info(info)
-        src = LakeSoulTable.for_path(self.spark, self.source_path)
-        head = src.store.head_version()
-        out = self._transform(src.to_df())
-        info = self.table.info
-        adds = write_table_data(out, info, dedup=False)
-        dels = [
-            FileOp(op="del", path=f.path, partition_desc=f.partition_desc,
-                   bucket=f.bucket)
-            for f in self.table.store.snapshot().files
-        ]
-        self.table.store.commit(
-            OP_UPDATE, dels + adds,
-            query_id=f"mv:{info.table_id}", batch_id=head,
-            extra={_EXTRA_END: head},
-        )
         return {"end_version": head, "applied": True}
 
     def to_df(self) -> DataFrame:

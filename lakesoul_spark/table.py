@@ -2214,12 +2214,16 @@ class LakeSoulTable:
                     # its recorded clone.source. The remediation
                     # target is that table's ROOT (strip the /data/
                     # tail), not the partition subdir the file sat in.
+                    # rsplit: the LAST /data/ component is the table's
+                    # own data dir (partition subdirs always carry
+                    # '='), so a root that itself contains /data/
+                    # still attributes correctly
                     marker = os.sep + DATA_DIR + os.sep
                     if f.path.startswith(
                             clone_source.rstrip(os.sep) + os.sep):
                         src = clone_source
                     elif marker in f.path:
-                        src = f.path.split(marker, 1)[0]
+                        src = f.path.rsplit(marker, 1)[0]
                     else:
                         src = os.path.dirname(f.path)
                     issues.append((
