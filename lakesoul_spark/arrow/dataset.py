@@ -44,6 +44,7 @@ class LakeSoulArrowDataset:
         version: int | None = None,
         timestamp_ms: int | None = None,
         start_version: int | None = None,
+        finalize_mv: bool = False,
     ):
         from lakesoul_spark.meta.store import MetaStore
 
@@ -126,6 +127,45 @@ class LakeSoulArrowDataset:
                 "version= instead"
             )
         self.start_version = start_version
+        # finalize_mv=True: yield the FINALIZED aggregate view of an
+        # mv.py AggMV (what AggMV.to_df() returns) instead of the raw
+        # partial columns — avg partials divided, sums as double,
+        # counts as bigint, count_distinct HLL sketches estimated via
+        # functions/hll_kernel. sum/avg/count/min/max match Spark's
+        # finalize EXACTLY (single-rounded decimal→double, same IEEE
+        # division). count_distinct matches exactly in the coupon
+        # regime (< 385 distinct per group at lgK=12 — where the
+        # sketch is a lossless record); past it the value is
+        # approx_count_distinct semantics BY DESIGN, and a particular
+        # Spark execution can differ by a hair anyway (the HIP
+        # estimator is union-order-sensitive, and Spark's own
+        # aggregation order is nondeterministic; OOO merges add the
+        # ~1-2% harmonic-vs-composite gap — estimate() docstring).
+        # With this flag a Torch/Ray worker consumes the same rows a
+        # Spark SELECT on the view would, with zero JVM.
+        self._mv_spec = None
+        if finalize_mv:
+            import json as _json
+
+            spec_json = self.info.properties.get("lakesoul.mv.spec")
+            if not spec_json:
+                raise ValueError(
+                    f"{self.table_path} is not an mv.py view — "
+                    "finalize_mv only applies to materialized views"
+                )
+            spec = _json.loads(spec_json)
+            if spec.get("kind", "agg") != "agg":
+                raise ValueError(
+                    "transform MVs store finalized rows already — read "
+                    "them without finalize_mv"
+                )
+            if start_version is not None:
+                raise ValueError(
+                    "finalize_mv folds the FULL group state; an "
+                    "incremental window of partials is not a finalized "
+                    "view"
+                )
+            self._mv_spec = spec
 
     # ------------------------------------------------------------- planning
 
@@ -213,7 +253,70 @@ class LakeSoulArrowDataset:
 
         from lakesoul_spark.streaming.source import _arrow_schema
 
-        return _arrow_schema(StructType.fromJson(json.loads(self.info.schema_json)))
+        raw = _arrow_schema(
+            StructType.fromJson(json.loads(self.info.schema_json))
+        )
+        if self._mv_spec is None:
+            return raw
+        import pyarrow as pa
+
+        fields = [raw.field(g) for g in self._mv_spec["group_by"]]
+        for name, (fn, _e) in self._mv_spec["aggs"].items():
+            if fn in ("avg", "sum"):
+                fields.append(pa.field(name, pa.float64()))
+            elif fn in ("count", "count_distinct"):
+                fields.append(pa.field(name, pa.int64()))
+            else:  # min / max keep the source type
+                fields.append(raw.field(name))
+        return pa.schema(fields)
+
+    def _finalize_mv_batch(self, batch):
+        """One merged batch of partial-aggregate rows → the finalized
+        view columns (the arrow twin of ``AggMV.to_df``'s select)."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from lakesoul_spark.functions.hll_kernel import estimate
+
+        def dec_to_f64(arr):
+            # python float(Decimal) is correctly rounded (one rounding,
+            # like Java BigDecimal.doubleValue — what Spark's
+            # cast-to-double does); pyarrow's decimal→float64 cast goes
+            # through the scaled integer and can land one ULP off
+            return pa.array(
+                [None if v is None else float(v) for v in arr.to_pylist()],
+                type=pa.float64(),
+            )
+
+        cols, names = [], []
+        for g in self._mv_spec["group_by"]:
+            cols.append(batch.column(g))
+            names.append(g)
+        for name, (fn, _e) in self._mv_spec["aggs"].items():
+            if fn == "avg":
+                s = dec_to_f64(batch.column(f"{name}__s"))
+                c = pc.cast(batch.column(f"{name}__c"), pa.float64())
+                col = pc.divide(s, c)
+            elif fn == "sum":
+                col = dec_to_f64(batch.column(name))
+            elif fn == "count":
+                col = pc.cast(batch.column(name), pa.int64())
+            elif fn == "count_distinct":
+                # Java Math.round (floor(x+0.5)) — what Spark's
+                # hll_sketch_estimate returns as its long
+                col = pa.array(
+                    [None if v is None
+                     else int(math.floor(estimate(v) + 0.5))
+                     for v in batch.column(name).to_pylist()],
+                    type=pa.int64(),
+                )
+            else:  # min / max surface in their source types
+                col = batch.column(name)
+            cols.append(col)
+            names.append(name)
+        return pa.RecordBatch.from_arrays(cols, names=names)
 
     def _row_filter(self, batch):
         """Re-check ``filters`` on a merged batch (stats pruning is
@@ -257,6 +360,8 @@ class LakeSoulArrowDataset:
                     batch = self._row_filter(batch)
                     if batch.num_rows == 0:
                         continue
+                if self._mv_spec is not None:
+                    batch = self._finalize_mv_batch(batch)
                 yield batch
 
     def to_table(self):

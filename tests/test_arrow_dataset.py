@@ -642,3 +642,48 @@ def test_stats_pruning_never_drops_sum_all_merges(spark, tmp_path):
     # the Spark merge view agrees
     assert [(r["k"], r["total"]) for r in
             t.to_df().filter("total > 100").collect()] == [(1, 120)]
+
+
+def test_arrow_dataset_finalize_mv(spark, tmp_path):
+    """finalize_mv=True yields the FINALIZED aggregate view — the same
+    rows AggMV.to_df() returns — with zero JVM involvement: avg
+    partials divided, sums double, counts bigint, count_distinct HLL
+    sketches estimated by the pure-Python kernel. Checked uncompacted
+    (multi-generation partials folded first) and against the Spark
+    finalize exactly."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.mv import AggMV
+
+    src, mvp = str(tmp_path / "src"), str(tmp_path / "mv")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_orderpriority"],
+        aggs={"total": ("sum", "o_totalprice"),
+              "mean_price": ("avg", "o_totalprice"),
+              "n": ("count", "*"),
+              "lo": ("min", "o_totalprice"),
+              "nd": ("count_distinct", "o_custkey")},
+    )
+    mv.refresh()
+    write(halves[1], src, mode="append")
+    mv.refresh()
+    assert mv.table.store.snapshot().max_generations_per_bucket() > 1
+
+    ds = LakeSoulArrowDataset(mvp, finalize_mv=True)
+    got = {r["o_orderpriority"]: (r["total"], r["mean_price"], r["n"],
+                                  r["lo"], r["nd"]) for r in ds}
+    exp = {r["o_orderpriority"]: (r["total"], r["mean_price"], r["n"],
+                                  r["lo"], r["nd"])
+           for r in mv.to_df().collect()}
+    assert got == exp
+    assert [f.name for f in ds.schema()] == \
+        ["o_orderpriority", "total", "mean_price", "n", "lo", "nd"]
+    # guards: plain tables and incremental windows refuse
+    with pytest.raises(ValueError, match="not an mv.py view"):
+        LakeSoulArrowDataset(src, finalize_mv=True)
+    with pytest.raises(ValueError, match="finalized view"):
+        LakeSoulArrowDataset(mvp, finalize_mv=True, start_version=1)
