@@ -136,3 +136,38 @@ def test_estimate_spark_free(spark):
         b = union_sketches([_sk(spark, *c) for c in case])
         s = _est(spark, b)
         assert abs(estimate(b) - s) / s < 0.02, (case, estimate(b), s)
+
+
+def test_union_byte_exact_random_domains(spark):
+    """Seeded fuzz over non-integer value domains (strings, doubles,
+    negative ints — different hash bit distributions than range()) and
+    random split/overlap/order shapes: kernel union stays byte-exact
+    vs Spark's."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xC0FFEE)
+
+    def sk_expr(n, seed, kind):
+        df = spark.range(n).coalesce(1)
+        if kind == "str":
+            col = F.concat(F.lit(f"s{seed}-"), F.col("id").cast("string"))
+        elif kind == "dbl":
+            # hll_sketch_agg takes int/bigint/string/binary only —
+            # hash the double's string form for a non-integer domain
+            col = ((F.col("id") * 1.618 + seed).cast("double")
+                   .cast("string"))
+        else:
+            col = (F.col("id") * 37 - seed * 1000).cast("long")
+        return bytes(df.agg(F.hll_sketch_agg(col)).collect()[0][0])
+
+    for case_i in range(12):
+        k = rng.randint(2, 4)
+        sketches = []
+        for _ in range(k):
+            kind = rng.choice(["str", "dbl", "neg"])
+            n = rng.choice([4, 30, 200, 384, 385, 500, 1500])
+            sketches.append(sk_expr(n, rng.randint(0, 5), kind))
+        assert _spark_union(spark, sketches) == union_sketches(sketches), \
+            f"case {case_i}"
