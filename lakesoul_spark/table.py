@@ -1965,6 +1965,7 @@ class LakeSoulTable:
         version: int | None = None,
         timestamp_ms: int | None = None,
         namespace: str | None = None,
+        copy_via: str = "threads",
     ) -> "LakeSoulTable":
         """Clone a snapshot of this table into a NEW independent table
         (Delta's CLONE shape; the reference has no equivalent): copied
@@ -1985,9 +1986,22 @@ class LakeSoulTable:
         Shallow-clone caveat (same as Delta's): VACUUM or physical
         cleanup ON THE SOURCE can delete files a shallow clone still
         references — use deep clones for anything that must outlive
-        the source's maintenance horizon."""
+        the source's maintenance horizon.
+
+        ``copy_via`` picks the deep-copy engine: ``"threads"``
+        (default) copies on a driver-side thread pool
+        (``CLONE_COPY_WORKERS`` streams — right up to the driver's
+        NIC/disk bandwidth); ``"spark"`` ships the file list to a
+        Spark job so the copy throughput scales with the EXECUTOR
+        fleet — the 100 TB path (requires the usual shared
+        filesystem/object store every multi-node table already
+        needs). Both engines share the same all-or-nothing rollback."""
         import shutil as _shutil
 
+        if copy_via not in ("threads", "spark"):
+            raise ValueError(
+                f"copy_via must be 'threads' or 'spark', got {copy_via!r}"
+            )
         target = os.path.abspath(target_path)
         if MetaStore(target).exists():
             raise ValueError(f"{target} is already a LakeSoul table")
@@ -2086,7 +2100,18 @@ class LakeSoulTable:
                     if _EXTRA_END in c.extra:
                         extra[_EXTRA_END] = c.extra[_EXTRA_END]
                         break
-            _parallel_copy(copies)
+            if copy_via == "spark" and copies:
+                # distributed copy: one task per slice of the file
+                # list; any task failure fails the job and the
+                # except-rollback below removes the half-built target.
+                # Executors must see the same filesystem — true by
+                # construction for any table a cluster reads/writes.
+                n_slices = min(len(copies), 64)
+                self.spark.sparkContext.parallelize(
+                    copies, n_slices
+                ).foreach(lambda p: __import__("shutil").copy2(p[0], p[1]))
+            else:
+                _parallel_copy(copies)
             MetaStore(target).commit(OP_APPEND, ops, extra=extra)
         except BaseException:
             # a half-built clone (mid-copy IO failure) must not wedge

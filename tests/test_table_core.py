@@ -1261,13 +1261,23 @@ def test_clone_deep_copies_in_parallel(spark, tmp_table, tmp_path,
     assert len(seen_threads) > 1, (
         f"deep clone copied on a single thread: {seen_threads}")
     assert rows(deep.to_df(), "id", "v") == expect
-    # rollback discipline survives the pool: a mid-copy failure on a
-    # MULTI-file clone still unwedges the target
+    # copy_via="spark": the distributed copy engine (executor-fleet
+    # throughput at 100 TB) produces an identical clone
+    sdeep = t.clone(str(tmp_path / "sdeep"), copy_via="spark")
+    assert rows(sdeep.to_df(), "id", "v") == expect
+    with pytest.raises(ValueError, match="copy_via"):
+        t.clone(str(tmp_path / "nope"), copy_via="rsync")
+
+    # rollback discipline survives the pool AND the Spark job: a
+    # mid-copy failure on a MULTI-file clone still unwedges the target
     import shutil as _sh
     _sh.rmtree(os.path.join(str(tmp_table), "data"))
     with pytest.raises((FileNotFoundError, OSError)):
         t.clone(str(tmp_path / "pfail"), deep=True)
     assert not os.path.exists(str(tmp_path / "pfail" / "_lakesoul_meta"))
+    with pytest.raises(Exception):
+        t.clone(str(tmp_path / "sfail"), deep=True, copy_via="spark")
+    assert not os.path.exists(str(tmp_path / "sfail" / "_lakesoul_meta"))
 
 
 def test_fsck_names_dangling_shallow_clone_refs(spark, tmp_table,
