@@ -165,6 +165,19 @@ class LakeSoulArrowDataset:
                     "incremental window of partials is not a finalized "
                     "view"
                 )
+            if filters:
+                # filters name PHYSICAL columns (avg partials are
+                # name__s/name__c, count_distinct is a binary sketch)
+                # while this reader yields FINALIZED columns — a
+                # filter would silently bind to the wrong
+                # representation. MV group tables are small; filter
+                # the yielded rows instead.
+                raise ValueError(
+                    "filters= cannot combine with finalize_mv (they "
+                    "bind to the raw partial columns, not the "
+                    "finalized view) — filter the finalized rows "
+                    "downstream"
+                )
             self._mv_spec = spec
 
     # ------------------------------------------------------------- planning

@@ -2109,19 +2109,32 @@ class LakeSoulTable:
                 n_slices = min(len(copies), 64)
                 self.spark.sparkContext.parallelize(
                     copies, n_slices
-                ).foreach(lambda p: __import__("shutil").copy2(p[0], p[1]))
+                ).foreach(lambda p: shutil.copy2(p[0], p[1]))
             else:
                 _parallel_copy(copies)
             MetaStore(target).commit(OP_APPEND, ops, extra=extra)
         except BaseException:
             # a half-built clone (mid-copy IO failure) must not wedge
             # the target path: clone() refuses existing tables, so an
-            # orphan here would be unrecoverable without manual rmtree
-            if created_dir:
-                _shutil.rmtree(target, ignore_errors=True)
-            else:
-                _shutil.rmtree(os.path.join(target, META_DIR),
-                               ignore_errors=True)
+            # orphan here would be unrecoverable without manual rmtree.
+            # The cleanup RETRIES briefly: a failed copy_via="spark"
+            # job cancels its tasks cooperatively, so a straggler can
+            # recreate files for a short window after the driver sees
+            # the failure — re-remove until the tree stays gone.
+            for attempt in range(4):
+                if created_dir:
+                    _shutil.rmtree(target, ignore_errors=True)
+                else:
+                    # pre-existing dir: remove only what the clone
+                    # owns for sure (its meta) — never user content
+                    _shutil.rmtree(os.path.join(target, META_DIR),
+                                   ignore_errors=True)
+                probe = target if created_dir \
+                    else os.path.join(target, META_DIR)
+                if not os.path.exists(probe):
+                    if copy_via != "spark" or attempt > 0:
+                        break
+                time.sleep(0.3)
             raise
         return LakeSoulTable(self.spark, target)
 
