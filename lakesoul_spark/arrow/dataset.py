@@ -133,16 +133,21 @@ class LakeSoulArrowDataset:
         # counts as bigint, count_distinct HLL sketches estimated via
         # functions/hll_kernel. sum/avg/count/min/max match Spark's
         # finalize EXACTLY (single-rounded decimal→double, same IEEE
-        # division). count_distinct matches exactly in the coupon
-        # regime (< 385 distinct per group at lgK=12 — where the
-        # sketch is a lossless record); past it the value is
-        # approx_count_distinct semantics BY DESIGN, and a particular
-        # Spark execution can differ by a hair anyway (the HIP
-        # estimator is union-order-sensitive, and Spark's own
-        # aggregation order is nondeterministic; OOO merges add the
-        # ~1-2% harmonic-vs-composite gap — estimate() docstring).
-        # With this flag a Torch/Ray worker consumes the same rows a
-        # Spark SELECT on the view would, with zero JVM.
+        # division). count_distinct is exact vs the true count in the
+        # coupon regime (< 385 distinct per group at lgK=12 — a
+        # lossless record); past it it is approx_count_distinct
+        # semantics. Multi-generation HLL×HLL folds go out-of-order,
+        # where the estimate is a pure function of the register array
+        # — the kernel's composite estimator (bias tables from the
+        # bundled DataSketches jar) returns the BIT-identical value
+        # Spark's hll_sketch_estimate would, so finalized rows equal
+        # mv.to_df()'s. The one residual hair: a union of MANY
+        # coupon-mode generations that crosses 385 stays in-order
+        # here (single gadget) while a particular Spark run may split
+        # partials and go OOO — both valid sketches of the same set,
+        # ±ε apart (estimate() docstring). With this flag a Torch/Ray
+        # worker consumes the same rows a Spark SELECT on the view
+        # would, with zero JVM.
         self._mv_spec = None
         if finalize_mv:
             import json as _json

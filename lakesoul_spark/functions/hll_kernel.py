@@ -380,23 +380,156 @@ class _Gadget:
         return bytes(out)
 
 
+# DataSketches HarmonicNumbers.tableOfExactHarmonicNumbers — the
+# first 25 partial sums as the library's exact double constants
+# (decompiled from the bundled jar; must match bit-for-bit, a
+# recomputed sum can differ in the last ULP)
+_EXACT_HARMONIC = (
+    0.0, 1.0, 1.5, 1.8333333333333333, 2.0833333333333335,
+    2.283333333333333, 2.45, 2.592857142857143, 2.717857142857143,
+    2.828968253968254, 2.9289682539682538, 3.019877344877345,
+    3.103210678210678, 3.180133755133755, 3.2515623265623264,
+    3.3182289932289932, 3.3807289932289932, 3.4395525226407577,
+    3.4951080781963135, 3.547739657143682, 3.597739657143682,
+    3.6453587047627294, 3.690813250217275, 3.73429151108684,
+    3.7759581777535067,
+)
+_EULER_MASCHERONI = 0.5772156649015329
+
+
+def _harmonic_number(n: int) -> float:
+    """DataSketches HarmonicNumbers.harmonicNumber: exact table below
+    25, asymptotic expansion above (same term order — IEEE-identical)."""
+    import math
+
+    if n < 25:
+        return _EXACT_HARMONIC[n]
+    x = float(n)
+    invx2 = 1.0 / (x * x)
+    s = math.log(x) + _EULER_MASCHERONI + 1.0 / (2.0 * x)
+    pw = invx2
+    s = s - pw * 0.08333333333333333      # 1/12
+    pw = pw * invx2
+    s = s + pw * 0.008333333333333333     # 1/120
+    pw = pw * invx2
+    s = s - pw * 0.003968253968253968     # 1/252
+    pw = pw * invx2
+    s = s + pw * 0.004166666666666667     # 1/240
+    return s
+
+
+def _cubic_interpolate(x0, y0, x1, y1, x2, y2, x3, y3, x) -> float:
+    """4-point Lagrange cubic, DataSketches CubicInterpolation's exact
+    expression shape (term = (y·numer)/denom, left-associated sums)."""
+    l0n = (x - x1) * (x - x2) * (x - x3)
+    l1n = (x - x0) * (x - x2) * (x - x3)
+    l2n = (x - x0) * (x - x1) * (x - x3)
+    l3n = (x - x0) * (x - x1) * (x - x2)
+    l0d = (x0 - x1) * (x0 - x2) * (x0 - x3)
+    l1d = (x1 - x0) * (x1 - x2) * (x1 - x3)
+    l2d = (x2 - x0) * (x2 - x1) * (x2 - x3)
+    l3d = (x3 - x0) * (x3 - x1) * (x3 - x2)
+    t0 = (y0 * l0n) / l0d
+    t1 = (y1 * l1n) / l1d
+    t2 = (y2 * l2n) / l2d
+    t3 = (y3 * l3n) / l3d
+    return ((t0 + t1) + t2) + t3
+
+
+def _cubic_x_arr_y_stride(x_arr, y_stride: float, x: float) -> float:
+    """CubicInterpolation.usingXArrAndYStride: y-values are the
+    implicit arithmetic sequence ``y_stride·i``; the 4-point window is
+    centered on the straddle except at the array ends."""
+    from bisect import bisect_right
+
+    n1 = len(x_arr) - 1
+    if x == x_arr[n1]:
+        return y_stride * n1
+    # findStraddle: the i with x_arr[i] <= x < x_arr[i+1] (the table
+    # is strictly increasing, so bisect matches the recursive search)
+    offset = bisect_right(x_arr, x) - 1
+    if offset == len(x_arr) - 2:
+        offset -= 2
+    elif offset != 0:
+        offset -= 1
+    return _cubic_interpolate(
+        x_arr[offset], y_stride * offset,
+        x_arr[offset + 1], y_stride * (offset + 1),
+        x_arr[offset + 2], y_stride * (offset + 2),
+        x_arr[offset + 3], y_stride * (offset + 3),
+        x,
+    )
+
+
+def _composite_estimate(p: _ParsedSketch) -> float:
+    """DataSketches HllEstimators.hllCompositeEstimate — what Spark's
+    ``hll_sketch_estimate`` computes for an out-of-order (merged)
+    HLL-mode sketch: the raw Flajolet estimate bias-corrected through
+    the empirical CompositeInterpolationXTable (hll_tables.py,
+    extracted from the bundled jar), with the harmonic bitmap
+    estimator taking over below the measured crossover."""
+    import math
+
+    from lakesoul_spark.functions.hll_tables import X_ARRS, Y_STRIDES
+
+    lgk = p.lgk
+    if not 4 <= lgk <= 3 + len(X_ARRS):
+        raise ValueError(
+            f"no composite-estimator table for lgK={lgk} — regenerate "
+            "hll_tables.py (tools/extract_hll_tables.py)"
+        )
+    k = 1 << lgk
+    kxq = p.kxq0 + p.kxq1
+    if lgk == 4:
+        corr = 0.673
+    elif lgk == 5:
+        corr = 0.697
+    elif lgk == 6:
+        corr = 0.709
+    else:
+        corr = 0.7213 / (1.0 + 1.079 / k)
+    raw = corr * k * k / kxq
+    x_arr = X_ARRS[lgk - 4]
+    y_stride = float(Y_STRIDES[lgk - 4])
+    n1 = len(x_arr) - 1
+    if raw < x_arr[0]:
+        return 0.0
+    if raw > x_arr[n1]:
+        return raw * ((y_stride * n1) / x_arr[n1])
+    adj = _cubic_x_arr_y_stride(x_arr, y_stride, raw)
+    if adj > 3.0 * k:
+        return adj
+    # linear-counting (bitmap) estimate from empty-register count
+    num_unhit = p.num_at_cur_min if p.cur_min == 0 else 0
+    if num_unhit == 0:
+        lin = k * math.log(k / 0.5)
+    else:
+        num_hit = k - num_unhit
+        lin = k * (_harmonic_number(k) - _harmonic_number(k - num_hit))
+    avg = (adj + lin) / 2.0
+    crossover = 0.718 if lgk == 4 else 0.672 if lgk == 5 else 0.64
+    return adj if avg > crossover * k else lin
+
+
 def estimate(image: bytes | None) -> float:
     """Cardinality estimate of a DataSketches HLL image WITHOUT Spark
     or the datasketches wheel — what a Torch/Ray worker calls on the
-    sketch the arrow fold handed it. Exactness by regime:
+    sketch the arrow fold handed it. EXACTLY the value Spark's
+    ``hll_sketch_estimate`` rounds to its long result, in every
+    regime:
 
     - coupon modes (LIST/SET, < 385 distinct at lgK=12): the closed
       collision-corrected form ``-K'·ln(1 - m/K')`` with K' = 3·2^26 —
       within ~1e-9 relative of Spark's table-interpolated value (both
-      truncate to the same integer count for any real workload);
+      round to the same integer count for any real workload);
     - HLL mode, in-order (built by one stream / coupon-mode unions):
-      the HIP accumulator — EXACTLY the value Spark's
-      ``hll_sketch_estimate`` rounds to its long result;
-    - HLL mode, out-of-order (HLL×HLL merges): the harmonic
-      (Flajolet-style) estimator with linear-counting low-range
-      correction — within ~1-2% of Spark's composite estimator (whose
-      bias-correction interpolation tables this kernel does not
-      carry). For exact parity on OOO sketches, estimate via Spark.
+      the HIP accumulator, bit-identical;
+    - HLL mode, out-of-order (HLL×HLL merges): the composite
+      estimator with the library's own bias-correction interpolation
+      tables (hll_tables.py, extracted from the bundled DataSketches
+      jar) — bit-identical to Spark's, since the register array (a
+      slot-wise max) is union-order-insensitive and the composite
+      estimate is a pure function of it.
 
     ``None`` (SQL null / empty) estimates 0.0."""
     import math
@@ -410,16 +543,7 @@ def estimate(image: bytes | None) -> float:
         return -kp * math.log1p(-m / kp)
     if not p.ooo:
         return p.hip
-    k = float(1 << p.lgk)
-    kxq = p.kxq0 + p.kxq1
-    if p.cur_min == 0 and p.num_at_cur_min > 0:
-        # linear counting is the better low-range estimator while
-        # empty registers remain
-        lin = k * math.log(k / p.num_at_cur_min)
-        if lin < 2.5 * k:
-            return lin
-    # Flajolet HLL estimator, alpha_m = 0.7213/(1 + 1.079/m)
-    return 0.7213 / (1.0 + 1.079 / k) * k * k / kxq
+    return _composite_estimate(p)
 
 
 def union_sketches(images, lg_max_k: int = 12) -> bytes | None:

@@ -687,3 +687,58 @@ def test_arrow_dataset_finalize_mv(spark, tmp_path):
         LakeSoulArrowDataset(src, finalize_mv=True)
     with pytest.raises(ValueError, match="finalized view"):
         LakeSoulArrowDataset(mvp, finalize_mv=True, start_version=1)
+
+
+def test_finalize_mv_count_distinct_ooo_exact(spark, tmp_path):
+    """ADVICE r10: count_distinct finalization PAST the coupon regime.
+    Each of two refreshes contributes >385 distinct keys per group, so
+    every generation partial is an HLL-mode sketch and the arrow fold
+    is an HLL×HLL (out-of-order) merge. The estimate there is a pure
+    function of the register array — kernel composite == Spark
+    composite bit-for-bit (hll_tables.py) — so the Spark-free
+    finalized rows must EQUAL mv.to_df()'s, not just approximate
+    them."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.functions.hll_kernel import _parse
+    from lakesoul_spark.mv import AggMV
+
+    src, mvp = str(tmp_path / "src"), str(tmp_path / "mv")
+    # 2 groups x 2 refreshes x 600 distinct keys per (group, refresh)
+    rng = spark.range(2400)
+    halves = [
+        rng.filter(F.floor(F.col("id") / 2) % 2 == i).select(
+            (F.col("id") % 2).alias("g"),
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        for i in range(2)
+    ]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["g"],
+        aggs={"nd": ("count_distinct", "k"), "n": ("count", "*")},
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], src, mode="append")
+    assert mv.refresh()["applied"]
+    assert mv.table.store.snapshot().max_generations_per_bucket() > 1
+
+    # prove the regime: every stored generation partial is HLL-mode
+    # (read partials straight from the data files — each file is one
+    # generation, before any merge)
+    import pyarrow.parquet as pq
+
+    modes = set()
+    for f in mv.table.store.snapshot().files:
+        tbl = pq.read_table(f"{mvp}/{f.path}", columns=["nd"])
+        for img in tbl.column("nd").to_pylist():
+            if img is not None:
+                modes.add(_parse(bytes(img)).mode)
+    assert modes == {2}, f"expected pure HLL-mode partials, got {modes}"
+
+    ds = LakeSoulArrowDataset(mvp, finalize_mv=True)
+    got = {r["g"]: (r["nd"], r["n"]) for r in ds}
+    exp = {r["g"]: (r["nd"], r["n"]) for r in mv.to_df().collect()}
+    assert got == exp  # EXACT, not tolerance-banded

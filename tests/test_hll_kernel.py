@@ -117,8 +117,11 @@ def test_union_null_and_refusal_semantics(spark):
         union_sketches([b"\x00" * 16])
 
 def test_estimate_spark_free(spark):
-    """kernel.estimate(): exact vs Spark for in-order HLL (HIP),
-    sub-1e-3 for coupon modes, within 2% for OOO merges."""
+    """kernel.estimate(): exact vs Spark in EVERY regime — coupon
+    modes round to the same long, in-order HLL is the same HIP
+    accumulator, and OOO merges go through the same composite
+    estimator (bias-correction tables extracted from the bundled
+    DataSketches jar, hll_tables.py)."""
     from lakesoul_spark.functions.hll_kernel import estimate
 
     assert estimate(None) == 0.0
@@ -135,7 +138,32 @@ def test_estimate_spark_free(spark):
                  [(120_000, 0, 4), (120_000, 60_000, 4)]):
         b = union_sketches([_sk(spark, *c) for c in case])
         s = _est(spark, b)
-        assert abs(estimate(b) - s) / s < 0.02, (case, estimate(b), s)
+        # the composite estimator is a pure function of the register
+        # array, so kernel and Spark agree on the identical image
+        assert round(estimate(b)) == s, (case, estimate(b), s)
+
+
+def test_composite_estimate_exact_vs_spark_all_regimes(spark):
+    """VERDICT r10 task 5: round(estimate(u)) == hll_sketch_estimate(u)
+    over MERGED (out-of-order) sketches spanning 1k..200k distinct —
+    the crossover (linear-counting vs interpolated), the interpolation
+    mid-range, and the raw-scaled upper tail beyond the table."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.functions.hll_kernel import _parse, estimate
+
+    for n in (1_000, 2_000, 5_000, 12_000, 40_000, 90_000, 200_000):
+        df = spark.range(n).withColumn("g", F.col("id") % 2)
+        row = (
+            df.groupBy("g")
+            .agg(F.hll_sketch_agg(F.col("id").cast("string")).alias("s"))
+            .agg(F.hll_union_agg("s").alias("u"))
+            .select(F.hll_sketch_estimate("u").alias("e"), "u")
+            .collect()[0]
+        )
+        img = bytes(row["u"])
+        assert _parse(img).ooo, n  # HLL x HLL merge must be OOO
+        assert round(estimate(img)) == row["e"], n
 
 
 def test_union_byte_exact_random_domains(spark):
