@@ -75,6 +75,58 @@ def delete_file(native_path: str, fs) -> None:
         pass
 
 
+def exists(path: str, fs=None) -> bool:
+    """True when ``path`` exists as a file OR a directory/prefix (on
+    flat stores a "directory" exists when any key lives under it)."""
+    from pyarrow import fs as pafs
+
+    f, p = filesystem_for(path, fs)
+    info = f.get_file_info(p)
+    if info.type != pafs.FileType.NotFound:
+        return True
+    # flat object stores have no directory entries: probe the prefix
+    sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    return bool(f.get_file_info(sel))
+
+
+def remove_tree(path: str, fs=None) -> None:
+    """Delete everything under ``path`` (and the directory itself where
+    the store has directories). Missing path is not an error — the
+    rollback-cleanup shape."""
+    f, p = filesystem_for(path, fs)
+    try:
+        f.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        # flat stores may refuse delete_dir on a pure prefix: fall back
+        # to object-wise deletes of the listing
+        for native, _sz in list_files(path, fs):
+            delete_file(native, f)
+
+
+def copy_file(src: str, dst: str, *, src_fs=None, dst_fs=None,
+              chunk_bytes: int = 32 << 20) -> None:
+    """Stream-copy ONE object through the filesystem seam — the unit
+    move of a deep CLONE (reference shape:
+    ``rust/lakesoul-io/src/object_store.rs`` routes every byte move
+    through the ObjectStore trait). Works on POSIX paths, ``scheme://``
+    URIs, and injected filesystems alike; parent directories are
+    created where the store has them (no-op on flat object stores).
+    ``compression=None`` on both ends — a copy must move raw bytes,
+    never re/de-compress by filename inference."""
+    sf, sp = filesystem_for(src, src_fs)
+    df, dp = filesystem_for(dst, dst_fs)
+    parent = dp.rsplit("/", 1)[0] if "/" in dp else ""
+    if parent:
+        df.create_dir(parent, recursive=True)
+    with sf.open_input_stream(sp, compression=None) as r, \
+            df.open_output_stream(dp, compression=None) as w:
+        while True:
+            buf = r.read(chunk_bytes)
+            if not buf:
+                break
+            w.write(buf)
+
+
 def relative_to(native_path: str, native_root: str) -> str:
     """``native_path`` relative to ``native_root`` using '/' separators
     (both must come from the same filesystem resolution)."""

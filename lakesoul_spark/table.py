@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
@@ -55,15 +54,21 @@ CLONE_COPY_WORKERS = 16
 def _parallel_copy(copies: list[tuple[str, str]]) -> None:
     """Copy ``(src, dst)`` pairs concurrently, failing fast: the first
     error cancels the not-yet-started rest and propagates (clone()
-    rolls the half-built target back). Destination dirs already exist.
-    At 100 TB the right shape is a distributed copy job, but a clone's
-    driver already holds the file list and object-store puts are
-    network-bound, not CPU-bound — a thread pool gives N× the serial
-    throughput without shipping credentials to executors."""
+    rolls the half-built target back). Every byte moves through the
+    ``io/fs`` seam (pyarrow filesystems — thread-safe), so the same
+    engine serves POSIX mounts, ``scheme://`` object stores, and
+    injected test filesystems; parent dirs are created per copy (no-op
+    keys on flat stores). At 100 TB the right shape is a distributed
+    copy job (``copy_via='spark'``), but a clone's driver already
+    holds the file list and object-store puts are network-bound, not
+    CPU-bound — a thread pool gives N× the serial throughput without
+    shipping credentials to executors."""
+    from lakesoul_spark.io.fs import copy_file
+
     if not copies:
         return
     if len(copies) == 1:
-        shutil.copy2(*copies[0])
+        copy_file(*copies[0])
         return
     from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
@@ -73,15 +78,69 @@ def _parallel_copy(copies: list[tuple[str, str]]) -> None:
         # fail FAST: wait(FIRST_EXCEPTION) returns at the first error,
         # and cancelling the queued futures stops the pool from
         # grinding through the remaining (possibly enormous) copy list
-        # into a target clone() is about to rmtree — pool.map would
+        # into a target clone() is about to remove — pool.map would
         # run every queued copy before the exception surfaced
-        futs = [pool.submit(shutil.copy2, s, d) for s, d in copies]
+        futs = [pool.submit(copy_file, s, d) for s, d in copies]
         done, _ = wait(futs, return_when=FIRST_EXCEPTION)
         err = next((f.exception() for f in done if f.exception()), None)
         if err is not None:
             for f in futs:
                 f.cancel()
             raise err
+
+
+def _balanced_slices(
+    sized: list[tuple[str, str, int]], n_slices: int
+) -> list[list[tuple[str, str]]]:
+    """Pack ``(src, dst, bytes)`` copies into ``n_slices`` byte-balanced
+    groups (LPT greedy: biggest file into the lightest bin), so one
+    multi-GB file doesn't gate a distributed clone behind a slice of
+    equally-many small files. Returns only non-empty groups."""
+    import heapq
+
+    n = min(n_slices, len(sized)) or 1
+    heap = [(0, i) for i in range(n)]  # (bin_bytes, bin_index)
+    heapq.heapify(heap)
+    bins: list[list[tuple[str, str]]] = [[] for _ in range(n)]
+    for src, dst, size in sorted(sized, key=lambda t: -t[2]):
+        total, i = heapq.heappop(heap)
+        bins[i].append((src, dst))
+        heapq.heappush(heap, (total + max(size, 0), i))
+    return [b for b in bins if b]
+
+
+def _make_copy_slice_task():
+    """Build the distributed-clone task as a CLOSURE so cloudpickle
+    serializes it by value: executors need only pyarrow, never the
+    engine package on their import path (a module-level function
+    pickles by reference and would require ``lakesoul_spark``
+    installed on every worker). The body mirrors ``io/fs.copy_file``
+    — filesystems constructed ON the executor from the path/URI, so
+    handles and credentials never ship in the closure."""
+
+    def copy_slice(pairs):
+        from pyarrow import fs as pafs
+
+        def fs_for(p):
+            if "://" in p:
+                return pafs.FileSystem.from_uri(p)
+            return pafs.LocalFileSystem(), p
+
+        for src, dst in pairs:
+            sf, sp = fs_for(src)
+            df, dp = fs_for(dst)
+            parent = dp.rsplit("/", 1)[0] if "/" in dp else ""
+            if parent:
+                df.create_dir(parent, recursive=True)
+            with sf.open_input_stream(sp, compression=None) as r, \
+                    df.open_output_stream(dp, compression=None) as w:
+                while True:
+                    buf = r.read(32 << 20)
+                    if not buf:
+                        break
+                    w.write(buf)
+
+    return copy_slice
 
 
 def create_table(
@@ -1995,8 +2054,15 @@ class LakeSoulTable:
         Spark job so the copy throughput scales with the EXECUTOR
         fleet — the 100 TB path (requires the usual shared
         filesystem/object store every multi-node table already
-        needs). Both engines share the same all-or-nothing rollback."""
-        import shutil as _shutil
+        needs), with slices byte-balanced so one huge file never
+        gates the job behind a count-equal slice of small ones. Both
+        engines move every byte through the ``io/fs`` seam (pyarrow
+        filesystems, constructed per executor for the spark engine —
+        reference ``rust/lakesoul-io/src/object_store.rs`` routes all
+        IO through the ObjectStore trait the same way), so deep
+        clones work on POSIX mounts and object stores alike, and both
+        share the same all-or-nothing rollback."""
+        from lakesoul_spark.io import fs as fsx
 
         if copy_via not in ("threads", "spark"):
             raise ValueError(
@@ -2038,11 +2104,11 @@ class LakeSoulTable:
             properties=dict(src.properties),
             namespace=namespace or src.namespace,
         )
-        created_dir = not os.path.exists(target)
+        created_dir = not fsx.exists(target)
         MetaStore(target).create_table(new_info)
         try:
             ops = []
-            copies: list[tuple[str, str]] = []
+            copies: list[tuple[str, str, int]] = []  # (src, dst, bytes)
             for i, f in enumerate(
                 sorted(snap.files, key=lambda x: (x.commit_seq, x.file_seq))
             ):
@@ -2056,8 +2122,7 @@ class LakeSoulTable:
                            os.path.join(DATA_DIR, "clone",
                                         f"{i:06d}_{os.path.basename(f.path)}"))
                     dst = os.path.join(target, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    copies.append((src_abs, dst))
+                    copies.append((src_abs, dst, f.size))
                     out_path = rel
                 else:
                     out_path = src_abs
@@ -2100,38 +2165,74 @@ class LakeSoulTable:
                     if _EXTRA_END in c.extra:
                         extra[_EXTRA_END] = c.extra[_EXTRA_END]
                         break
+            job_group = f"lakesoul-clone-{new_info.table_id}"
             if copy_via == "spark" and copies:
-                # distributed copy: one task per slice of the file
-                # list; any task failure fails the job and the
-                # except-rollback below removes the half-built target.
-                # Executors must see the same filesystem — true by
-                # construction for any table a cluster reads/writes.
-                n_slices = min(len(copies), 64)
-                self.spark.sparkContext.parallelize(
-                    copies, n_slices
-                ).foreach(lambda p: shutil.copy2(p[0], p[1]))
+                # distributed copy: one task per BYTE-BALANCED slice
+                # (LPT over file sizes — a count-equal slicing lets
+                # one multi-GB file gate the whole job); any task
+                # failure fails the job and the except-rollback below
+                # removes the half-built target. Tasks construct their
+                # filesystem per executor through the io/fs seam —
+                # handles/credentials never ship in the closure.
+                sc = self.spark.sparkContext
+                bins = _balanced_slices(copies, 64)
+                # interruptOnCancel: a cancelled slice stops mid-list
+                # instead of grinding through its remaining copies
+                sc.setJobGroup(job_group, "lakesoul deep-clone copy",
+                               interruptOnCancel=True)
+                try:
+                    sc.parallelize(bins, len(bins)).foreach(
+                        _make_copy_slice_task()
+                    )
+                finally:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
             else:
-                _parallel_copy(copies)
+                _parallel_copy([(s, d) for s, d, _sz in copies])
             MetaStore(target).commit(OP_APPEND, ops, extra=extra)
         except BaseException:
             # a half-built clone (mid-copy IO failure) must not wedge
             # the target path: clone() refuses existing tables, so an
-            # orphan here would be unrecoverable without manual rmtree.
-            # The cleanup RETRIES briefly: a failed copy_via="spark"
-            # job cancels its tasks cooperatively, so a straggler can
-            # recreate files for a short window after the driver sees
-            # the failure — re-remove until the tree stays gone.
+            # orphan here would be unrecoverable without manual
+            # cleanup. For the spark engine, CANCEL the job group and
+            # WAIT for its jobs to drain first — a cancelled task is
+            # only interrupted between copies, so an un-drained
+            # straggler mid-copy of a big file could repopulate the
+            # target seconds after the remove; the retry loop below
+            # stays as a backstop for anything that slips the drain.
+            if copy_via == "spark":
+                sc = self.spark.sparkContext
+                sc.cancelJobGroup(job_group)
+                tracker = sc.statusTracker()
+                deadline = time.time() + 30.0
+                while time.time() < deadline:
+                    active = [
+                        j for j in tracker.getJobIdsForGroup(job_group)
+                        if (lambda info: info is not None
+                            and info.status == "RUNNING")(
+                                tracker.getJobInfo(j))
+                    ]
+                    if not active:
+                        break
+                    time.sleep(0.2)
+            meta_path = os.path.join(target, META_DIR)
+            store_io = MetaStore(target).io
             for attempt in range(4):
-                if created_dir:
-                    _shutil.rmtree(target, ignore_errors=True)
-                else:
-                    # pre-existing dir: remove only what the clone
-                    # owns for sure (its meta) — never user content
-                    _shutil.rmtree(os.path.join(target, META_DIR),
-                                   ignore_errors=True)
-                probe = target if created_dir \
-                    else os.path.join(target, META_DIR)
-                if not os.path.exists(probe):
+                try:
+                    if created_dir:
+                        # copied data files (+ meta, when it is local)
+                        fsx.remove_tree(target)
+                    # metadata keys through the commit-log backend —
+                    # on a non-POSIX StoreIO they live in ITS key
+                    # space, invisible to the data-plane filesystem.
+                    # (pre-existing dir: remove ONLY what the clone
+                    # owns for sure — its meta — never user content)
+                    store_io.rmtree(meta_path)
+                except OSError:
+                    pass
+                gone = not store_io.exists(
+                    os.path.join(meta_path, "table_info.json")
+                ) and not fsx.exists(target if created_dir else meta_path)
+                if gone:
                     if copy_via != "spark" or attempt > 0:
                         break
                 time.sleep(0.3)

@@ -1229,11 +1229,8 @@ def test_clone_deep_copies_in_parallel(spark, tmp_table, tmp_path,
     weakness was a serial driver loop): cloning a many-file snapshot
     runs copies on multiple pool threads, and the result still merges
     identically."""
-    import shutil
     import threading
     import time as _time
-
-    import lakesoul_spark.table as tbl_mod
 
     write(seed_df(spark, [(i, 0) for i in range(64)], "id int, v int"),
           tmp_table, mode="overwrite",
@@ -1246,15 +1243,17 @@ def test_clone_deep_copies_in_parallel(spark, tmp_table, tmp_path,
     expect = rows(t.to_df(), "id", "v")
     assert len(t.store.snapshot().files) >= 16
 
-    seen_threads: set[str] = set()
-    real_copy2 = shutil.copy2
+    import lakesoul_spark.io.fs as fsmod
 
-    def tracking_copy2(src, dst, **kw):
+    seen_threads: set[str] = set()
+    real_copy = fsmod.copy_file
+
+    def tracking_copy(src, dst, **kw):
         seen_threads.add(threading.current_thread().name)
         _time.sleep(0.02)  # force overlap so the pool must fan out
-        return real_copy2(src, dst, **kw)
+        return real_copy(src, dst, **kw)
 
-    monkeypatch.setattr(tbl_mod.shutil, "copy2", tracking_copy2)
+    monkeypatch.setattr(fsmod, "copy_file", tracking_copy)
     deep = t.clone(str(tmp_path / "pdeep"))
     monkeypatch.undo()
 
@@ -1311,3 +1310,130 @@ def test_fsck_names_dangling_shallow_clone_refs(spark, tmp_table,
     files = sorted(f.path for f in t.store.snapshot().files)
     os.remove(os.path.join(str(tmp_table), files[0]))
     assert {r.issue for r in t.fsck().collect()} == {"missing_file"}
+
+
+def test_balanced_slices_byte_lpt():
+    """VERDICT r10 task 6: spark-copy slices are packed by BYTES (LPT),
+    not by file count — a deliberately skewed size distribution must
+    not put the one huge file in a bin with many others, and every
+    copy must appear in exactly one bin."""
+    from lakesoul_spark.table import _balanced_slices
+
+    # 1 x 1GB + 63 x 1MB into 8 bins
+    sized = [("s0", "d0", 1 << 30)] + [
+        (f"s{i}", f"d{i}", 1 << 20) for i in range(1, 64)
+    ]
+    bins = _balanced_slices(sized, 8)
+    assert sum(len(b) for b in bins) == 64
+    flat = sorted(p for b in bins for p in b)
+    assert flat == sorted((s, d) for s, d, _ in sized)
+    by_bytes = {(s, d): z for s, d, z in sized}
+    weights = sorted(sum(by_bytes[p] for p in b) for b in bins)
+    # the giant file sits ALONE in its bin; the small files spread
+    # over the remaining bins (LPT: nothing joins the heaviest bin)
+    giant_bin = [b for b in bins if ("s0", "d0") in b]
+    assert giant_bin == [[("s0", "d0")]]
+    assert weights[-1] == 1 << 30
+    assert weights[-2] <= (63 << 20) // 7 + (1 << 20)
+    # degenerate shapes
+    assert _balanced_slices([], 8) == []
+    assert _balanced_slices([("a", "b", 5)], 8) == [[("a", "b")]]
+
+
+def test_clone_deep_end_to_end_off_posix(spark, tmp_path, monkeypatch):
+    """VERDICT r10 task 2: deep CLONE with BOTH control planes off
+    POSIX — the commit log on the in-memory S3-semantics store and
+    every file copy through an injected pyarrow-style filesystem (the
+    io/fs seam). Counters prove no copy escaped to os/shutil; the
+    clone reads back identically and evolves independently."""
+    from pyarrow import fs as pafs
+
+    import lakesoul_spark.io.fs as fsmod
+    import lakesoul_spark.meta.store as store_mod
+    from lakesoul_spark.meta.store_io import MemoryObjectStoreIO
+
+    mem = MemoryObjectStoreIO()
+    monkeypatch.setattr(store_mod, "_DEFAULT_IO", mem)
+
+    class SeamFS:
+        """Pyarrow-filesystem proxy: delegates to LocalFileSystem (the
+        parquet bytes must really exist for Spark to read the clone)
+        but counts the seam traffic — any os/shutil bypass would show
+        as a zero counter."""
+
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+            self.calls = {"open_in": 0, "open_out": 0, "mkdir": 0,
+                          "rmtree": 0}
+
+        def get_file_info(self, sel):
+            return self._fs.get_file_info(sel)
+
+        def open_input_stream(self, path, compression=None):
+            self.calls["open_in"] += 1
+            return self._fs.open_input_stream(path, compression=compression)
+
+        def open_input_file(self, path):
+            return self._fs.open_input_file(path)
+
+        def open_output_stream(self, path, compression=None):
+            self.calls["open_out"] += 1
+            return self._fs.open_output_stream(path, compression=compression)
+
+        def create_dir(self, path, recursive=True):
+            self.calls["mkdir"] += 1
+            return self._fs.create_dir(path, recursive=recursive)
+
+        def delete_dir(self, path):
+            self.calls["rmtree"] += 1
+            return self._fs.delete_dir(path)
+
+        def delete_file(self, path):
+            return self._fs.delete_file(path)
+
+    seam = SeamFS()
+    real = fsmod.filesystem_for
+
+    def injected(path, fs=None):
+        if fs is not None:
+            return real(path, fs)
+        return seam, path
+
+    monkeypatch.setattr(fsmod, "filesystem_for", injected)
+
+    src = str(tmp_path / "src")
+    write(seed_df(spark, [(i, i * 10) for i in range(40)],
+                  "id int, v int"),
+          src, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, src)
+    t.upsert(seed_df(spark, [(1, 111), (40, 400)], "id int, v int"))
+    expect = rows(t.to_df(), "id", "v")
+
+    target = str(tmp_path / "deep")
+    deep = t.clone(target)
+    assert rows(deep.to_df(), "id", "v") == expect
+    n_files = len(t.store.snapshot().files)
+    assert seam.calls["open_in"] == n_files, "copies bypassed the seam"
+    assert seam.calls["open_out"] == n_files
+    assert seam.calls["mkdir"] >= 1
+    # metadata never touched local disk — it lives in the memory store
+    from lakesoul_spark.meta.store import META_DIR
+
+    assert not os.path.exists(os.path.join(target, META_DIR))
+    assert any(META_DIR in k and target in k for k in mem._objects)
+    # the clone evolves independently of the source
+    deep.upsert(seed_df(spark, [(2, 999)], "id int, v int"))
+    assert rows(t.to_df(), "id", "v") == expect
+
+    # rollback also stays on the seam: a failing copy removes the
+    # half-built target (data via fs, meta via the object store)
+    def exploding(src_, dst_, **kw):
+        raise OSError("boom")
+
+    monkeypatch.setattr(fsmod, "copy_file", exploding)
+    fail_target = str(tmp_path / "fail")
+    with pytest.raises(OSError, match="boom"):
+        t.clone(fail_target)
+    assert not any(fail_target in k for k in mem._objects)
+    assert seam.calls["rmtree"] >= 1  # remove_tree went through seam
