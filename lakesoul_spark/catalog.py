@@ -826,18 +826,24 @@ class Catalog:
             return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
         # metadata-only fast path for the single most common ad-hoc
-        # statement: a bare `SELECT count(*) FROM t` answers from the
-        # commit log (count_fast) with ZERO file IO and zero Spark scan
-        # jobs — the result is a LocalTableScan whose collect() doesn't
-        # even launch a job. Dispatches only when count_fast can PROVE
-        # physical == logical (no CDC, no multi-generation PK buckets,
-        # every file carries num_rows); anything unprovable — or any
-        # other SELECT shape — falls through to the relational path
-        # below unchanged.
+        # statement: `SELECT count(*) FROM t`, bare or with a
+        # PARTITION-ONLY WHERE, answers from the commit log
+        # (count_fast) with ZERO file IO and zero Spark scan jobs —
+        # the result is a LocalTableScan whose collect() doesn't even
+        # launch a job. Dispatches only when count_fast can PROVE
+        # physical == logical (no CDC, no multi-generation PK buckets
+        # in the scoped partitions, every file carries num_rows, and
+        # any WHERE references range-partition columns only —
+        # reference PartitionFilter.scala prunes in PG metadata the
+        # same way); anything unprovable — a data-column predicate, a
+        # GROUP BY tail, any other SELECT shape — falls through to
+        # the relational path below unchanged (never wrong, just a
+        # scan).
         cm = re.match(
             r"SELECT\s+COUNT\s*\(\s*(\*|1)\s*\)\s*(?:AS\s+(\w+))?\s+"
-            r"FROM\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
-            stmt, re.I,
+            r"FROM\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            stmt, re.I | re.S,
         )
         if cm:
             ns, name = self._split_name(cm.group(3))
@@ -847,7 +853,7 @@ class Catalog:
                     t = LakeSoulTable.for_path_snapshot(
                         spark, t.path, version=int(cm.group(4))
                     )
-                n = t.count_fast()
+                n = t.count_fast(cm.group(5))
                 if n is not None:
                     # Spark's analyzer rewrites count(*) to count(1)
                     # and auto-aliases it "count(1)" — the fast path

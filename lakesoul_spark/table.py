@@ -408,6 +408,16 @@ def _partitions_matching(
     descs = sorted({f.partition_desc for f in store.snapshot().files})
     if not info.range_partitions:
         return set(descs)
+    return _descs_matching(spark, info, descs, condition)
+
+
+def _descs_matching(
+    spark: SparkSession, info: TableInfo, descs: list[str], condition: str
+) -> set[str]:
+    """The partition descs among ``descs`` whose parsed range values
+    satisfy ``condition`` (any Spark SQL boolean over the range
+    columns, values cast to their declared types). Raises when the
+    predicate references anything BUT range-partition columns."""
     full = table_schema(info)
     types = {f.name: f.dataType for f in full.fields}
     rows = []
@@ -573,7 +583,7 @@ class LakeSoulTable:
             return {self.partition_desc}
         return None
 
-    def _provable_snapshot(self):
+    def _provable_snapshot(self, condition: str | None = None):
         """The snapshot whose metadata provably equals the logical view
         — the shared gate of every metadata-only aggregate (count,
         min/max, DESCRIBE DETAIL's num_rows). ``None`` when physical
@@ -583,8 +593,15 @@ class LakeSoulTable:
         - CDC tables (physical update/delete rows are filtered or
           collapsed at read time),
         - PK tables with >1 generation in any bucket (upserts overlap
-          across generations).
+          across generations — checked AFTER partition scoping, so
+          churn in an unrelated partition never blocks a scoped
+          proof).
 
+        ``condition`` scopes the proof to the range partitions whose
+        values satisfy it (reference PartitionFilter.scala prunes in
+        PG metadata the same way); anything unprovable — a
+        non-partition column, a parse error, a condition on an
+        unpartitioned table — yields ``None``, never a guess.
         Respects a pinned snapshot (version/timestamp) and a
         ``partition_desc`` scope, like every metadata read here."""
         if self.read_type == READ_INCREMENTAL:
@@ -592,25 +609,46 @@ class LakeSoulTable:
         info = self.info
         if info.cdc_column:
             return None
+        ver = self.version if self.read_type == READ_SNAPSHOT else None
+        ts = self.timestamp_ms if self.read_type == READ_SNAPSHOT else None
+        descs = self._partition_filter()
+        if condition is not None:
+            if not info.range_partitions:
+                return None
+            # evaluate over the descs present in THE PINNED snapshot —
+            # HEAD's partition list may differ from a time-travel
+            # point's, and a miss there would silently drop rows
+            base = self.store.snapshot(
+                version=ver, timestamp_ms=ts, partition_descs=descs
+            )
+            present = sorted({f.partition_desc for f in base.files})
+            try:
+                descs = _descs_matching(
+                    self.spark, info, present, condition
+                )
+            except Exception:
+                return None
         snap = self.store.snapshot(
-            version=self.version if self.read_type == READ_SNAPSHOT else None,
-            timestamp_ms=(self.timestamp_ms
-                          if self.read_type == READ_SNAPSHOT else None),
-            partition_descs=self._partition_filter(),
+            version=ver, timestamp_ms=ts, partition_descs=descs
         )
         if info.is_pk_table and snap.max_generations_per_bucket() > 1:
             return None
         return snap
 
-    def count_fast(self) -> int | None:
+    def count_fast(self, condition: str | None = None) -> int | None:
         """Exact row count from commit-log metadata alone — zero Spark
         jobs, zero file IO (every writer records per-file ``num_rows``
-        in the same footer read that collects stats). At 100 TB a
-        ``count(*)`` becomes one metadata pass instead of a
-        full-corpus scan. ``None`` when :meth:`_provable_snapshot`
-        cannot prove physical == logical, or any live file predates
+        in the same footer read that collects stats). ``condition``
+        extends the proof to partition-only predicates: any Spark SQL
+        boolean over the range-partition columns is evaluated against
+        the commit log's partition values and the count sums the
+        matching partitions' files. At 100 TB a
+        ``count(*) WHERE p = 'x'`` becomes one metadata pass instead
+        of a corpus scan. ``None`` when :meth:`_provable_snapshot`
+        cannot prove physical == logical (including any condition
+        touching a non-partition column), or any live file predates
         the num_rows-recording writer."""
-        snap = self._provable_snapshot()
+        snap = self._provable_snapshot(condition)
         if snap is None:
             return None
         total = 0
