@@ -15,77 +15,76 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 10 executes the r9
-# ROUND-10 NOTE / VERDICT task 1 verbatim.  Ledger after r9: 50
-# queries r9-green, 50 r8-green, 9 r7-green (two rounds stale — the
-# boundary).  The window holds 50: FRONT the 9 r7-green first, then
-# the 3 NEW r10 oracle queries covering r9-new capability
-# (lakehouse_metadata_count → count_fast/min_max_fast/DESCRIBE DETAIL/
-# SQL count(*) fast path; lakehouse_clone → deep/shallow/time-travel
-# CLONE lifecycle; lakehouse_delete_matching → distributed tombstone
-# delete + re-ingest), then the 38 OLDEST r8-green (by first
-# appearance in git history).  The 12 youngest r8-green (first
-# appearance ≥ commit 1786630149; the 1786630149 tie between
-# streaming_sessionize and streaming_stateful_dedup broken by
-# deferring the alphabetically-later name) spill to _DEFER.
-# ROUND-11 NOTE (window arithmetic, exact): after r10 the pack holds
-# 113 queries — 50 r10-green, 50 r9-green, 12 r8-green, and 1 NEVER
-# driver-verified (lakehouse_star_mv_repin, added r10-late for the
-# r10-new repin_dims capability; locally hash-verified at 3 SFs).
-# r11 MUST front the never-verified query first, then the 12 r8-green
-# (w_asof_join, w_interval_join, dedup_index_refresh, text_bm25_batch,
-# pipeline_corpus_profile, text_bm25_topk, lakehouse_arrow_writer,
-# streaming_latest_state, lakehouse_column_ddl,
-# lakehouse_multikey_lookup, lakehouse_stats_skipping,
-# streaming_stateful_dedup — they hit the 2-round staleness
-# boundary; all 13 are the _DEFER tuple below in r11-front order),
-# then fill the window with the 37 oldest r9-green; the 13 r9-green
-# that don't fit lead the r12 front.  Any NEW r11 oracle queries
-# displace the youngest r9-green slots, same rule as this round.
+# verifies a 50-query prefix of this dict).  Round 11 executes the r10
+# ROUND-11 NOTE / VERDICT task 1 verbatim.  Ledger after r10: 50
+# queries r10-green, 50 r9-green, 12 r8-green (two rounds stale — the
+# boundary), 1 never-driver-verified (lakehouse_star_mv_repin).  The
+# window holds 50: FRONT the never-verified query first, then the 12
+# r8-green, then the 2 NEW r11 oracle queries covering r10/r11-new
+# capability (lakehouse_count_where_fast → partition-only WHERE on the
+# SQL count(*) metadata fast path with the scoped proof gate;
+# lakehouse_arrow_finalize_mv → Spark-free finalized AggMV read via
+# LakeSoulArrowDataset(finalize_mv=True) + the exact HLL composite
+# estimator), then the 35 OLDEST r9-green (by first appearance in git
+# history) — the 2 NEW queries displace the 2 youngest of the 37 that
+# would otherwise fit (ann_l2_topk, text_tfidf_topk), per the standing
+# displacement rule.
+# ROUND-12 NOTE (window arithmetic, exact): after r11 the pack holds
+# 115 queries — 50 r11-green (this window), 50 r10-green, and 15
+# r9-green which hit the 2-round staleness boundary.  r12 MUST front
+# those 15 (the _DEFER tuple below, already in r12-front order:
+# oldest-first — ann_l2_topk, text_tfidf_topk, ann_index_refresh_hot,
+# streaming_stream_join, lakehouse_bucket_join, lakehouse_convert,
+# lakehouse_rollback, lakehouse_upsert_on_join,
+# lakehouse_incremental_mv, lakehouse_zorder_skipping,
+# lakehouse_star_mv, lakehouse_mv_count_distinct,
+# lakehouse_transform_mv, text_corpus_freq_score,
+# embedding_class_centroids), then fill the window with the 35 oldest
+# r10-green; the 15 r10-green that don't fit lead the r13 front.  Any
+# NEW r12 oracle queries displace the youngest r10-green slots, same
+# rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
-    # --- 9 r7-green at the 2-round staleness boundary (ROUND-10 NOTE)
-    "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
-    "w_top_orders_per_customer", "w_running_user_value",
-    "w_sessionization", "rollup_region_customers",
-    "setop_repeat_customers", "json_event_props",
-    # --- 3 NEW r10 queries: driver rows for r9-new capability ---
-    "lakehouse_metadata_count", "lakehouse_clone",
-    "lakehouse_delete_matching",
-    # --- 38 oldest r8-green (the 50 minus the 12 deferred below) ---
-    "lakehouse_upsert_mor", "lakehouse_upsert_cow",
-    "lakehouse_partial_upsert", "lakehouse_merge_operators",
-    "lakehouse_merge_into", "lakehouse_custom_merge_op",
-    "lakehouse_cdc_read", "lakehouse_time_travel",
-    "lakehouse_incremental", "lakehouse_update_delete",
-    "lakehouse_compaction", "lakehouse_leveled_compaction",
-    "lakehouse_partition_overwrite", "lakehouse_pk_point_lookup",
-    "lakehouse_schema_evolution", "lakehouse_cdc_incremental",
-    "lakehouse_sql_surface",
-    "streaming_sink_sum", "streaming_tumbling_window",
-    "streaming_sessionize",
-    "q2_min_cost_supplier", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_profit_by_nation_year", "q10_returned_items",
-    "q11_important_parts", "q12_late_shipments",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_part_supplier_variety", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q21_waiting_suppliers", "q22_idle_customers",
-)
-
-_DEFER = (
-    # r11 front order: first the r10-late never-driver-verified query
-    # (hash-verified locally at 3 SFs), then the 12 youngest r8-green
-    # that spill past the 50-window — exactly 2 rounds stale after
-    # r10 (ROUND-11 NOTE above).
+    # --- the r10-late never-driver-verified query (ROUND-11 NOTE) ---
     "lakehouse_star_mv_repin",
+    # --- 12 r8-green at the 2-round staleness boundary ---
     "w_asof_join", "w_interval_join", "dedup_index_refresh",
     "text_bm25_batch", "pipeline_corpus_profile", "text_bm25_topk",
     "lakehouse_arrow_writer", "streaming_latest_state",
     "lakehouse_column_ddl", "lakehouse_multikey_lookup",
     "lakehouse_stats_skipping", "streaming_stateful_dedup",
+    # --- 2 NEW r11 queries: driver rows for r10/r11-new capability ---
+    "lakehouse_count_where_fast", "lakehouse_arrow_finalize_mv",
+    # --- 35 oldest r9-green (the 37 minus the 2 displaced) ---
+    "ann_cosine_topk", "ann_ivf_topk", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "multimodal_features", "text_fingerprint",
+    "text_langid", "text_stats",
+    "q20_heavy_suppliers", "dedup_embedding_blocked",
+    "ann_index_search", "dedup_clusters", "pipeline_stratified_sample",
+    "pipeline_contamination", "text_pii_scrub", "text_quality_flags",
+    "multimodal_frame_sample",
+    "dedup_ngram_coverage", "pipeline_pack_sequences",
+    "pipeline_shuffle_shards", "pipeline_weighted_mix",
+    "text_vocab_topk", "pipeline_chunk_windows", "pipeline_source_cap",
+    "dedup_chunk_global", "multimodal_audio_features",
+    "ann_index_refresh", "dedup_incremental_ingest",
+    "embedding_pca_project", "ann_pca_ivf_topk", "ann_index_estimator",
+    "ann_multibit_topk",
+)
+
+_DEFER = (
+    # r12 front order (ROUND-12 NOTE above): the 15 r9-green that hit
+    # the 2-round staleness boundary after r11, oldest-first — the 2
+    # displaced by this round's new queries lead.
+    "ann_l2_topk", "text_tfidf_topk",
+    "ann_index_refresh_hot", "streaming_stream_join",
+    "lakehouse_bucket_join", "lakehouse_convert", "lakehouse_rollback",
+    "lakehouse_upsert_on_join", "lakehouse_incremental_mv",
+    "lakehouse_zorder_skipping", "lakehouse_star_mv",
+    "lakehouse_mv_count_distinct", "lakehouse_transform_mv",
+    "text_corpus_freq_score", "embedding_class_centroids",
 )
 
 

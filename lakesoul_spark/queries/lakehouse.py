@@ -1884,3 +1884,184 @@ def star_mv_repin(spark, sf_dir):
     assert list(moved) == [os.path.abspath(dim)] or list(moved) == [dim]
     assert mv.refresh()["applied"]
     return mv.to_df().select("c_nationkey", "sum_price", "n_orders")
+
+
+@_register(
+    "lakehouse_count_where_fast",
+    """
+    SELECT 'st_F' AS branch, CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL SELECT 'st_O', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL SELECT 'st_P', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL SELECT 'in_FO', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    UNION ALL SELECT 'gt_F', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus > 'F'
+    UNION ALL SELECT 'null_p', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus IS NULL
+    UNION ALL SELECT 'total', CAST(count(*) AS BIGINT) FROM orders
+    """,
+)
+def count_where_fast(spark, sf_dir):
+    """Partition-scoped metadata counts end-to-end (r11 capability):
+    ``SELECT count(*) FROM t WHERE <partition predicate>`` answers
+    from per-partition commit-log rows — equality, IN, ranges and IS
+    NULL all plan a LocalTableScan whose collect launches ZERO Spark
+    jobs (asserted), the reference's PG-side PartitionFilter shape.
+    The proof gate is scoped: a PK upsert churns ONLY partition 'O'
+    mid-lifecycle, so WHERE p='O' falls back to a real scan (asserted,
+    still exact) while WHERE p='F' stays metadata-only; OPTIMIZE
+    restores every branch to the fast path that produces the returned
+    rows. At 100 TB: the per-partition row count a pipeline polls
+    every few minutes stops costing a corpus scan."""
+    from lakesoul_spark.catalog import Catalog
+
+    root = _tmp("count_where", sf_dir)
+    cat = Catalog(root)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("p"),
+    )
+    orders.createOrReplaceTempView("cwf_src")
+    cat.sql(spark, """
+        CREATE TABLE cwf (o_orderkey BIGINT, o_custkey BIGINT,
+                          o_totalprice DOUBLE, p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='8')
+    """)
+    cat.sql(spark, "INSERT INTO cwf SELECT * FROM cwf_src")
+    t = cat.get_table(spark, "cwf")
+
+    def fast_count(where: str | None) -> int:
+        sql = "SELECT count(*) FROM cwf" + (f" WHERE {where}" if where
+                                            else "")
+        df = cat.sql(spark, sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "HashAggregate" not in plan, \
+            f"metadata fast path missed for {sql!r}: {plan}"
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        n = df.collect()[0][0]
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{sql!r} launched {after - before} jobs"
+        return n
+
+    # churn ONLY partition 'O': same keys, rewritten price → counts
+    # unchanged, but 'O' buckets now hold 2 generations
+    t.upsert(
+        orders.filter((F.col("p") == "O") & (F.col("o_orderkey") % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    assert t.count_fast() is None, "unscoped count must refuse mid-churn"
+    assert t.count_fast("p = 'O'") is None, "churned scope must refuse"
+    slow = cat.sql(spark, "SELECT count(*) FROM cwf WHERE p = 'O'")
+    assert "HashAggregate" in \
+        slow._jdf.queryExecution().executedPlan().toString(), \
+        "churned partition must fall back to a real scan"
+    n_o_slow = slow.collect()[0][0]
+    # the UNCHURNED partition's proof is unaffected by 'O' churn
+    n_f = fast_count("p = 'F'")
+    cat.sql(spark, "OPTIMIZE cwf")
+    rows = [
+        ("st_F", fast_count("p = 'F'")),
+        ("st_O", fast_count("p = 'O'")),
+        ("st_P", fast_count("p = 'P'")),
+        ("in_FO", fast_count("p IN ('F', 'O')")),
+        ("gt_F", fast_count("p > 'F'")),
+        ("null_p", fast_count("p IS NULL")),
+        ("total", fast_count(None)),
+    ]
+    got = dict(rows)
+    assert got["st_F"] == n_f and got["st_O"] == n_o_slow
+    assert got["in_FO"] == got["st_F"] + got["st_O"]
+    assert got["total"] == got["st_F"] + got["st_O"] + got["st_P"]
+    return spark.createDataFrame(rows, "branch string, n_rows bigint")
+
+
+@_register(
+    "lakehouse_arrow_finalize_mv",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS mean_price,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price,
+           CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_months
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def arrow_finalize_mv(spark, sf_dir):
+    """Spark-free FINALIZED materialized-view read end-to-end (r10
+    capability, first driver row): an uncompacted AggMV — two refresh
+    generations per bucket, partial sums/avg pairs/HLL sketches — is
+    read by ``LakeSoulArrowDataset(finalize_mv=True)`` with ZERO Spark
+    jobs (asserted via the status tracker): the arrow fold merges the
+    generations per group and finalizes them with the pure-Python
+    kernel (decimal→double single rounding, IEEE avg division, HLL
+    estimate via functions/hll_kernel — exact in the coupon regime the
+    ~84 distinct months sit in). The rows must EQUAL the Spark
+    ``mv.to_df()`` view (asserted) and the oracle replays the full
+    aggregate. This is the reference's Torch/Ray reader surface
+    (python/src/lakesoul/arrow/dataset.py) extended to finalized
+    aggregate views — a training worker reads the rollup mid-refresh
+    with no JVM anywhere."""
+    from lakesoul_spark.arrow.dataset import LakeSoulArrowDataset
+    from lakesoul_spark.mv import AggMV
+
+    src = _tmp("afm_src", sf_dir)
+    mvp = _tmp("afm_view", sf_dir)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_orderpriority"],
+        aggs={
+            "total": ("sum", "o_totalprice"),
+            "mean_price": ("avg", "o_totalprice"),
+            "n_orders": ("count", "*"),
+            "min_price": ("min", "o_totalprice"),
+            "n_months": ("count_distinct",
+                         "date_format(o_orderdate, 'yyyy-MM')"),
+        },
+        hash_bucket_num=4,
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], src, mode="append")
+    assert mv.refresh()["applied"]
+    # the fold must actually FOLD: uncompacted multi-generation buckets
+    assert mv.table.store.snapshot().max_generations_per_bucket() > 1
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ds = LakeSoulArrowDataset(mvp, finalize_mv=True)
+    arrow_rows = sorted(ds.to_table().to_pylist(),
+                        key=lambda r: r["o_orderpriority"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, \
+        f"Spark-free arrow read launched {after - before} jobs"
+
+    # the finalized arrow rows equal the Spark view of the same MV
+    spark_rows = sorted(
+        (r.asDict() for r in mv.to_df().collect()),
+        key=lambda r: r["o_orderpriority"],
+    )
+    assert arrow_rows == spark_rows, "arrow finalize != Spark finalize"
+    return spark.createDataFrame(
+        [tuple(r[c] for c in ("o_orderpriority", "total", "mean_price",
+                              "n_orders", "min_price", "n_months"))
+         for r in arrow_rows],
+        "o_orderpriority string, total double, mean_price double, "
+        "n_orders bigint, min_price double, n_months bigint",
+    )
