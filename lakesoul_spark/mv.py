@@ -477,10 +477,17 @@ class AggMV:
         column-pruned scan of the applied fact window semi-joined
         against the broadcast dim-delta keys — O(fact keys) IO and no
         shuffle, vs rebuild's full scan + re-aggregate + MV rewrite.
-        ``verify=False`` skips the scan for callers with enforced
-        foreign-key integrity (facts never precede their dim rows);
-        compaction-only drift verifies for free either way (the
-        incremental dim delta is empty — re-statements are skipped).
+        ``verify=False`` skips the scan ONLY for callers who can
+        promise BOTH (a) enforced foreign-key integrity (facts never
+        precede their dim rows) and (b) that appends never RE-STATE an
+        existing key: a same-key append passes the append-only window
+        check yet already-applied facts joined the OLD row's values —
+        FK integrity alone does not make the skip sound. On a
+        primary-key dim table an append IS a replace whenever the key
+        exists, so there (b) cannot be promised from outside and
+        ``verify=False`` is refused outright; compaction-only drift
+        verifies for free either way (the incremental dim delta is
+        empty — re-statements are skipped).
         Returns ``{dim_path: (old_pin, new_pin)}`` for the moved dims."""
         src_store = MetaStore(self.source_path)
         applied = self.last_applied_version()
@@ -490,9 +497,21 @@ class AggMV:
         # recorded, mixing dim versions durably
         moved: dict[str, tuple[int, int]] = {}
         for d in self.dims:
-            head = MetaStore(d["path"]).head_version()
+            dim_store = MetaStore(d["path"])
+            head = dim_store.head_version()
             if head == d["version"]:
                 continue
+            if not verify and dim_store.table_info().hash_partitions:
+                # on a PK dim an append with an existing key is a MOR
+                # REPLACE: it passes the append-only commit check, yet
+                # facts already applied joined the superseded values —
+                # exactly what the skipped verification exists to catch
+                raise ValueError(
+                    f"dimension {d['path']} is a primary-key table — "
+                    "appends can re-state (replace) keys already "
+                    "joined, so verify=False is unsound here; use "
+                    "verify=True or rebuild()"
+                )
             try:
                 delta = _window_df(
                     self.spark, MetaStore(d["path"]), d["path"],

@@ -893,3 +893,106 @@ def test_mv_star_dim_repin_append_only(spark, tmp_path):
     write(orders.limit(1), src, mode="append")
     with pytest.raises(ValueError, match="pinned version"):
         mv.refresh()
+
+
+def test_transform_mv_dim_repin_parity_vs_rebuild(spark, tmp_path):
+    """VERDICT r10 task 7: repin_dims on a TransformMV (the shared
+    path's other caller). An append-only dim drift re-pins without
+    recomputing, the next incremental refresh flows facts that
+    reference the NEW keys, and the final rows EQUAL what a full
+    rebuild() computes from head state."""
+    from lakesoul_spark.mv import TransformMV
+
+    orders = _orders(spark)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    src, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    write(cust, dim, mode="overwrite")
+    mv = TransformMV.create(
+        spark, src, str(tmp_path / "mv"),
+        select=["o_orderkey", "o_custkey", "c_nationkey",
+                "CAST(o_totalprice * 0.5 AS DOUBLE) AS half_price"],
+        where="o_orderstatus = 'O'",
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+    )
+    assert mv.refresh()["applied"]
+
+    # dim drift under FRESH keys + a fact batch referencing them
+    new_cust = cust.limit(3).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).select(*cust.columns)
+    write(new_cust, dim, mode="append")
+    write(
+        halves[1].withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 13 == 0,
+                   F.col("o_custkey") % 3 + 1_000_001)
+            .otherwise(F.col("o_custkey")),
+        ),
+        src, mode="append",
+    )
+    with pytest.raises(ValueError, match="pinned version"):
+        mv.refresh()
+    moved = mv.repin_dims()
+    assert list(moved) == [dim] and moved[dim][1] > moved[dim][0]
+    assert mv.refresh()["applied"]
+
+    cols = ("o_orderkey", "o_custkey", "c_nationkey", "half_price")
+    got_repin = sorted(tuple(r[c] for c in cols)
+                       for r in mv.to_df().collect())
+    # parity: the cheap re-pin path equals the full recompute
+    mv.rebuild()
+    got_rebuild = sorted(tuple(r[c] for c in cols)
+                         for r in mv.to_df().collect())
+    assert got_repin == got_rebuild
+    assert len(got_repin) > 0
+
+
+def test_repin_verify_false_refused_on_pk_dim(spark, tmp_path):
+    """ADVICE r10: on a primary-key dim, key RE-STATEMENTS are replaces
+    — verify=False can never be sound there, so repin_dims refuses it
+    outright for ANY PK-dim drift (defense in depth: the engine also
+    refuses plain appends to PK tables at write time, and upserts
+    commit Merge which the append-only window check catches — but the
+    pin-moving path must not rely on every writer having gone through
+    those gates)."""
+    orders = _orders(spark)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    src, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    write(orders.limit(200), src, mode="overwrite")
+    write(cust, dim, mode="overwrite",
+          hash_partitions=["c_custkey"], hash_bucket_num=2)
+    mv = AggMV.create(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["c_nationkey"],
+        aggs={"sum_price": ("sum", "o_totalprice"), "n": ("count", "*")},
+        dims=[{"path": dim, "on": {"o_custkey": "c_custkey"},
+               "columns": ["c_nationkey"]}],
+    )
+    assert mv.refresh()["applied"]
+
+    # the write-time gate: a plain append can never re-state a PK key
+    extra = cust.limit(1).select(
+        F.lit(999_999).cast(cust.schema["c_custkey"].dataType)
+        .alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).select(*cust.columns)
+    with pytest.raises(ValueError, match="upsert"):
+        write(extra, dim, mode="append")
+
+    # drift the PK dim the only way the engine allows (upsert, fresh
+    # key): verify=False is refused by the PK guard BEFORE any window
+    # analysis; verify=True refuses through the append-only window
+    # check (Merge commit) and points at rebuild()
+    LakeSoulTable.for_path(spark, dim).upsert(extra)
+    with pytest.raises(ValueError, match="primary-key"):
+        mv.repin_dims(verify=False)
+    with pytest.raises(ValueError, match="rebuild"):
+        mv.repin_dims()
+    # neither refusal moved any pin
+    from lakesoul_spark.meta.store import MetaStore
+    assert mv.dims[0]["version"] != MetaStore(dim).head_version()
+    assert mv.rebuild()["applied"]
