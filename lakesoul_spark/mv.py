@@ -485,9 +485,10 @@ class AggMV:
         FK integrity alone does not make the skip sound. On a
         primary-key dim table an append IS a replace whenever the key
         exists, so there (b) cannot be promised from outside and
-        ``verify=False`` is refused outright; compaction-only drift
-        verifies for free either way (the incremental dim delta is
-        empty — re-statements are skipped).
+        ``verify=False`` is refused whenever the drift contains
+        appended rows; compaction-only drift verifies for free either
+        way (the incremental dim delta is empty — re-statements are
+        skipped).
         Returns ``{dim_path: (old_pin, new_pin)}`` for the moved dims."""
         src_store = MetaStore(self.source_path)
         applied = self.last_applied_version()
@@ -501,20 +502,9 @@ class AggMV:
             head = dim_store.head_version()
             if head == d["version"]:
                 continue
-            if not verify and dim_store.table_info().hash_partitions:
-                # on a PK dim an append with an existing key is a MOR
-                # REPLACE: it passes the append-only commit check, yet
-                # facts already applied joined the superseded values —
-                # exactly what the skipped verification exists to catch
-                raise ValueError(
-                    f"dimension {d['path']} is a primary-key table — "
-                    "appends can re-state (replace) keys already "
-                    "joined, so verify=False is unsound here; use "
-                    "verify=True or rebuild()"
-                )
             try:
                 delta = _window_df(
-                    self.spark, MetaStore(d["path"]), d["path"],
+                    self.spark, dim_store, d["path"],
                     d["version"], head,
                 )
             except ValueError as e:
@@ -530,6 +520,20 @@ class AggMV:
             fact_keys = (list(on.keys()) if isinstance(on, dict)
                          else list(on))
             new_keys = delta.select(*dim_keys).distinct()
+            if not verify and new_keys.take(1) \
+                    and dim_store.table_info().hash_partitions:
+                # on a PK dim an append with an existing key is a MOR
+                # REPLACE: it passes the append-only commit check, yet
+                # facts already applied joined the superseded values —
+                # exactly what the skipped verification exists to
+                # catch. Compaction-only drift (empty delta) stays
+                # sound and is allowed through, as documented.
+                raise ValueError(
+                    f"dimension {d['path']} is a primary-key table "
+                    "with appended rows — appends can re-state "
+                    "(replace) keys already joined, so verify=False "
+                    "is unsound here; use verify=True or rebuild()"
+                )
             if verify and applied > 0 and new_keys.take(1):
                 facts = _window_df(
                     self.spark, src_store, self.source_path, 0, applied

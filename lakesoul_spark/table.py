@@ -417,15 +417,27 @@ def _descs_matching(
     """The partition descs among ``descs`` whose parsed range values
     satisfy ``condition`` (any Spark SQL boolean over the range
     columns, values cast to their declared types). Raises when the
-    predicate references anything BUT range-partition columns."""
+    predicate references anything BUT range-partition columns, when
+    it references NO range column (``rand() < 0.5`` / ``true`` would
+    be evaluated at partition granularity — not row semantics), or
+    when it is nondeterministic (each partition would get one random
+    draw standing in for all its rows). Partition-granularity
+    evaluation is row-equivalent EXACTLY for deterministic predicates
+    over partition values — this enforces that contract for every
+    caller (replaceWhere expiry, partition-scoped DELETE, the
+    count(*) fast path)."""
     full = table_schema(info)
     types = {f.name: f.dataType for f in full.fields}
+    # the desc carrier column gets an unguessable name so a user
+    # predicate can never resolve against it
+    desc_col = f"__lakesoul_desc_{uuid.uuid4().hex[:12]}"
     rows = []
     for d in descs:
         vals = part_enc.parse_desc(d)
         rows.append((d, *[vals.get(c) for c in info.range_partitions]))
     schema = ", ".join(
-        ["__desc string"] + [f"`{c}` string" for c in info.range_partitions]
+        [f"`{desc_col}` string"]
+        + [f"`{c}` string" for c in info.range_partitions]
     )
     from lakesoul_spark.functions.local_df import local_df
 
@@ -434,7 +446,27 @@ def _descs_matching(
     pdf = local_df(spark, rows, schema)
     for c in info.range_partitions:
         pdf = pdf.withColumn(c, F.col(c).cast(types[c]))
-    return {r["__desc"] for r in pdf.filter(condition).select("__desc").collect()}
+    flt = pdf.filter(condition)
+    # the analyzed Filter's condition carries the resolved expression:
+    # its references must include a range column (and can include
+    # nothing else — anything unknown already failed resolution), and
+    # it must be deterministic
+    jcond = flt._jdf.queryExecution().analyzed().condition()
+    if not jcond.deterministic():
+        raise ValueError(
+            f"nondeterministic predicate {condition!r} cannot prune "
+            "partitions — one draw per partition is not row semantics"
+        )
+    it = jcond.references().iterator()
+    names = set()
+    while it.hasNext():
+        names.add(it.next().name())
+    if not names & set(info.range_partitions):
+        raise ValueError(
+            f"predicate {condition!r} references no range-partition "
+            "column — partition pruning cannot represent it"
+        )
+    return {r[desc_col] for r in flt.select(desc_col).collect()}
 
 
 class LakeSoulTable:
@@ -2143,6 +2175,10 @@ class LakeSoulTable:
             namespace=namespace or src.namespace,
         )
         created_dir = not fsx.exists(target)
+        # bound BEFORE the try: the except path cancels this group, and
+        # a failure anywhere in the body (ops loop, MV-marker scan)
+        # must still reach the rollback, not die on an unbound name
+        job_group = f"lakesoul-clone-{new_info.table_id}"
         MetaStore(target).create_table(new_info)
         try:
             ops = []
@@ -2203,7 +2239,6 @@ class LakeSoulTable:
                     if _EXTRA_END in c.extra:
                         extra[_EXTRA_END] = c.extra[_EXTRA_END]
                         break
-            job_group = f"lakesoul-clone-{new_info.table_id}"
             if copy_via == "spark" and copies:
                 # distributed copy: one task per BYTE-BALANCED slice
                 # (LPT over file sizes — a count-equal slicing lets
@@ -2223,7 +2258,14 @@ class LakeSoulTable:
                         _make_copy_slice_task()
                     )
                 finally:
-                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    # clear ALL the thread-locals setJobGroup set —
+                    # leaking interruptOnCancel=true would flip later
+                    # unrelated jobs into the unsafe interrupt mode
+                    # Spark deliberately defaults off
+                    for prop in ("spark.jobGroup.id",
+                                 "spark.job.description",
+                                 "spark.job.interruptOnCancel"):
+                        sc.setLocalProperty(prop, None)
             else:
                 _parallel_copy([(s, d) for s, d, _sz in copies])
             MetaStore(target).commit(OP_APPEND, ops, extra=extra)

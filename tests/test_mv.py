@@ -983,16 +983,52 @@ def test_repin_verify_false_refused_on_pk_dim(spark, tmp_path):
     with pytest.raises(ValueError, match="upsert"):
         write(extra, dim, mode="append")
 
-    # drift the PK dim the only way the engine allows (upsert, fresh
-    # key): verify=False is refused by the PK guard BEFORE any window
-    # analysis; verify=True refuses through the append-only window
-    # check (Merge commit) and points at rebuild()
+    # compaction-only drift on the PK dim stays allowed with
+    # verify=False (empty delta — the documented free pass); this was
+    # the regression risk of a blanket PK refusal
+    from lakesoul_spark.meta.store import MetaStore
+    LakeSoulTable.for_path(spark, dim).compaction()
+    assert MetaStore(dim).head_version() > mv.dims[0]["version"]
+    moved = mv.repin_dims(verify=False)
+    assert list(moved) == [dim]
+
+    # engine upserts commit Merge: both modes refuse through the
+    # append-only window check and point at rebuild()
     LakeSoulTable.for_path(spark, dim).upsert(extra)
-    with pytest.raises(ValueError, match="primary-key"):
+    with pytest.raises(ValueError, match="rebuild"):
         mv.repin_dims(verify=False)
     with pytest.raises(ValueError, match="rebuild"):
         mv.repin_dims()
     # neither refusal moved any pin
-    from lakesoul_spark.meta.store import MetaStore
     assert mv.dims[0]["version"] != MetaStore(dim).head_version()
     assert mv.rebuild()["applied"]
+
+    # defense in depth: an EXTERNAL writer could land OP_APPEND rows
+    # on a PK dim (every engine writer refuses or commits Merge) —
+    # simulate that window and require the PK guard to refuse the
+    # unverified re-pin while verify=True still runs the fact scan
+    import lakesoul_spark.mv as mv_mod
+    real_window = mv_mod._window_df
+    # "appended" PK rows re-stating keys the applied facts reference
+    restated = cust.join(
+        orders.limit(200).select("o_custkey").distinct(),
+        F.col("c_custkey") == F.col("o_custkey"), "semi",
+    ).limit(2)
+    assert restated.count() == 2
+
+    def fake_window(spark_, store_, path_, last, head):
+        if path_ == mv.dims[0]["path"]:
+            return restated
+        return real_window(spark_, store_, path_, last, head)
+
+    mv_mod._window_df = fake_window
+    try:
+        LakeSoulTable.for_path(spark, dim).compaction()  # drift head
+        with pytest.raises(ValueError, match="primary-key"):
+            mv.repin_dims(verify=False)
+        # verify=True: the fact scan sees applied facts referencing
+        # the "appended" keys and refuses with the stale-fact message
+        with pytest.raises(ValueError, match="already-applied facts"):
+            mv.repin_dims()
+    finally:
+        mv_mod._window_df = real_window

@@ -1437,3 +1437,35 @@ def test_clone_deep_end_to_end_off_posix(spark, tmp_path, monkeypatch):
         t.clone(fail_target)
     assert not any(fail_target in k for k in mem._objects)
     assert seam.calls["rmtree"] >= 1  # remove_tree went through seam
+
+
+def test_clone_spark_engine_prejob_failure_rolls_back(spark, tmp_table,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """copy_via='spark' failure BEFORE any Spark job launches (e.g. in
+    slice planning) must still reach the rollback: the job-group
+    cancel path runs with zero jobs in the group and the half-created
+    target is fully removed, so a retry clone succeeds."""
+    import lakesoul_spark.table as tbl_mod
+
+    write(seed_df(spark, [(i, 0) for i in range(10)], "id int, v int"),
+          tmp_table, mode="overwrite",
+          hash_partitions=["id"], hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, tmp_table)
+
+    def boom(sized, n):
+        raise RuntimeError("slice planning exploded")
+
+    monkeypatch.setattr(tbl_mod, "_balanced_slices", boom)
+    target = str(tmp_path / "prejob")
+    with pytest.raises(RuntimeError, match="slice planning"):
+        t.clone(target, copy_via="spark")
+    assert not os.path.exists(target)
+    monkeypatch.undo()
+    # the path is unwedged: the retry succeeds
+    deep = t.clone(target, copy_via="spark")
+    assert deep.to_df().count() == 10
+    # and the job-group thread-locals were not leaked onto this thread
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+    assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
