@@ -825,49 +825,31 @@ class Catalog:
             ddl += f"\nLOCATION '{info.path}'"
             return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
-        # metadata-only fast path for the single most common ad-hoc
-        # statement: `SELECT count(*) FROM t`, bare or with a
-        # PARTITION-ONLY WHERE, answers from the commit log
-        # (count_fast) with ZERO file IO and zero Spark scan jobs —
+        # metadata-only fast path for the most common ad-hoc probes:
+        # a SELECT of only COUNT(*)/MIN(col)/MAX(col) items over one
+        # table, bare or with a PARTITION-ONLY WHERE (and optional
+        # VERSION AS OF), answers from the commit log (count_fast /
+        # min_max_fast) with ZERO file IO and zero Spark scan jobs —
         # the result is a LocalTableScan whose collect() doesn't even
-        # launch a job. Dispatches only when count_fast can PROVE
+        # launch a job. Dispatches only when EVERY item can PROVE
         # physical == logical (no CDC, no multi-generation PK buckets
-        # in the scoped partitions, every file carries num_rows, and
-        # any WHERE references range-partition columns only —
-        # reference PartitionFilter.scala prunes in PG metadata the
-        # same way); anything unprovable — a data-column predicate, a
-        # GROUP BY tail, any other SELECT shape — falls through to
-        # the relational path below unchanged (never wrong, just a
-        # scan).
-        cm = re.match(
-            r"SELECT\s+COUNT\s*\(\s*(\*|1)\s*\)\s*(?:AS\s+(\w+))?\s+"
-            r"FROM\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+        # in the scoped partitions, num_rows/stats everywhere, exact
+        # stats types for min/max, and any WHERE a deterministic
+        # predicate over range-partition columns only — reference
+        # PartitionFilter.scala prunes in PG metadata the same way);
+        # anything unprovable — a data-column predicate, a GROUP BY
+        # tail, any other SELECT shape — falls through to the
+        # relational path below unchanged (never wrong, just a scan).
+        am = re.match(
+            r"SELECT\s+(.+?)\s+FROM\s+([\w.]+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
             r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
             stmt, re.I | re.S,
         )
-        if cm:
-            ns, name = self._split_name(cm.group(3))
-            if self.table_exists(name, ns):
-                t = self.get_table(spark, name, ns)
-                if cm.group(4) is not None:
-                    t = LakeSoulTable.for_path_snapshot(
-                        spark, t.path, version=int(cm.group(4))
-                    )
-                n = t.count_fast(cm.group(5))
-                if n is not None:
-                    # Spark's analyzer rewrites count(*) to count(1)
-                    # and auto-aliases it "count(1)" — the fast path
-                    # must return the SAME schema the relational
-                    # fallback would for the identical statement
-                    col = cm.group(2) or "count(1)"
-                    # VALUES plans a LocalTableScan, whose collect()
-                    # short-circuits without launching any Spark job
-                    # (createDataFrame would plan a Scan ExistingRDD
-                    # and pay one)
-                    return spark.sql(
-                        f"SELECT * FROM VALUES (CAST({int(n)} AS "
-                        f"BIGINT)) AS t(`{col}`)"
-                    )
+        if am:
+            fast = self._try_metadata_aggs(spark, am)
+            if fast is not None:
+                return fast
 
         # relational fallback: expose the lake as temp views, delegate.
         # Temp views cannot be dot-qualified, so qualified references
@@ -890,6 +872,85 @@ class Catalog:
                 raise
             stmt = self._register_referenced(spark, stmt, register_all=True)
             return spark.sql(stmt)
+
+    _META_AGG_RE = re.compile(
+        r"^COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(\w+))?$"
+        r"|^(MIN|MAX)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
+        re.I,
+    )
+
+    def _try_metadata_aggs(self, spark: SparkSession, m) -> DataFrame | None:
+        """Resolve a SELECT of only ``COUNT(*)``/``MIN(col)``/
+        ``MAX(col)`` items against commit-log metadata. Returns the
+        one-row result as a VALUES-backed LocalTableScan (collect
+        launches no job), or ``None`` whenever ANY item is unprovable
+        — unknown table, non-agg item, float/string min/max (stats
+        may be truncated/NaN-lossy), timestamp min/max (the ISO
+        round-trip through a SQL literal is not byte-safe), CDC /
+        churned tables, or a WHERE the partition pruner refuses.
+        Output column names match the relational fallback's
+        auto-aliases (``count(1)``, ``min(<schema-case name>)``) so
+        the schema never depends on which path answered."""
+        items = [s.strip() for s in m.group(1).split(",")]
+        parsed = []
+        for it in items:
+            im = self._META_AGG_RE.match(it)
+            if im is None:
+                return None
+            if im.group(2):  # MIN/MAX
+                parsed.append((im.group(2).lower(), im.group(3),
+                               im.group(4)))
+            else:
+                parsed.append(("count", None, im.group(1)))
+        ns, name = self._split_name(m.group(2))
+        if not self.table_exists(name, ns):
+            return None
+        t = self.get_table(spark, name, ns)
+        if m.group(3) is not None:
+            t = LakeSoulTable.for_path_snapshot(
+                spark, t.path, version=int(m.group(3))
+            )
+        cond = m.group(4)
+        from lakesoul_spark.io.writer import table_schema
+
+        fields = {f.name.lower(): f for f in table_schema(t.info).fields}
+        sel = []
+        mm_cache: dict[str, tuple] = {}
+        for fn, col, alias in parsed:
+            if fn == "count":
+                n = t.count_fast(cond)
+                if n is None:
+                    return None
+                # Spark's analyzer rewrites count(*) to count(1) and
+                # auto-aliases it "count(1)"
+                sel.append(f"CAST({int(n)} AS BIGINT) AS "
+                           f"`{alias or 'count(1)'}`")
+                continue
+            f = fields.get(col.lower())
+            if f is None:
+                return None
+            cname = f.name  # schema casing drives the auto-alias
+            if cname not in mm_cache:
+                mm = t.min_max_fast(cname, cond)
+                if mm is None:
+                    return None
+                mm_cache[cname] = mm
+            v = mm_cache[cname][0 if fn == "min" else 1]
+            st = f.dataType.simpleString()
+            if st == "date":
+                lit = f"DATE'{v}'"
+            elif st in ("timestamp", "timestamp_ntz"):
+                return None
+            else:  # integer family (min_max_fast's type gate)
+                lit = f"CAST({int(v)} AS {st.upper()})"
+            sel.append(f"{lit} AS `{alias or f'{fn}({cname})'}`")
+        # a projection of literals over VALUES constant-folds into a
+        # LocalRelation → LocalTableScan; collect() launches no job
+        # (a bare SELECT of literals plans Scan OneRowRelation, which
+        # DOES run one)
+        return spark.sql(
+            "SELECT " + ", ".join(sel) + " FROM VALUES (0)"
+        )
 
     _TC_RE = re.compile(
         r"table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",

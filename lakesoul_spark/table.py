@@ -706,7 +706,8 @@ class LakeSoulTable:
         "date", "timestamp", "timestamp_ntz",
     )
 
-    def min_max_fast(self, col: str) -> tuple | None:
+    def min_max_fast(self, col: str,
+                     condition: str | None = None) -> tuple | None:
         """Exact ``(min, max)`` of a column from per-file commit-log
         stats — zero Spark jobs, zero file IO — or ``None`` when
         metadata cannot prove it. Proof requires the
@@ -717,9 +718,11 @@ class LakeSoulTable:
         correctly blocking the proof), AND an integer/date/timestamp
         column type — string footer stats may be truncated prefixes
         and float stats may omit NaN, so those types never claim
-        exactness here. Values are in the stats encoding: integers
-        raw, timestamps/dates ISO strings (order-preserving). SQL
-        min/max semantics — nulls ignored."""
+        exactness here. ``condition`` scopes the extrema to the range
+        partitions a deterministic partition-only predicate selects,
+        same contract as :meth:`count_fast`. Values are in the stats
+        encoding: integers raw, timestamps/dates ISO strings
+        (order-preserving). SQL min/max semantics — nulls ignored."""
         from lakesoul_spark.io.writer import table_schema as _ts
 
         dtype = next(
@@ -728,7 +731,7 @@ class LakeSoulTable:
         )
         if dtype not in self._MINMAX_EXACT_TYPES:
             return None
-        snap = self._provable_snapshot()
+        snap = self._provable_snapshot(condition)
         if snap is None or not snap.files:
             return None
         lo = hi = None

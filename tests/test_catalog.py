@@ -1276,3 +1276,73 @@ def test_sql_count_star_partition_where_fast_path(cat, spark, monkeypatch):
     assert "HashAggregate" in \
         slow._jdf.queryExecution().executedPlan().toString()
     assert slow.collect()[0][0] == 50
+
+
+def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
+    """SELECTs of only COUNT(*)/MIN/MAX items answer from commit-log
+    metadata (count_fast + min_max_fast): zero jobs, plan a
+    LocalTableScan, column names identical to the relational
+    fallback's auto-aliases. Unsupported pieces (float/string/
+    timestamp min, stats-less columns, COUNT(col), churned buckets)
+    fall through and stay correct."""
+    cat.sql(spark, """
+        CREATE TABLE mx (k BIGINT, v DOUBLE, s STRING, d DATE, p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='d')
+    """)
+    cat.sql(spark, """
+        INSERT INTO mx
+        SELECT id, id * 1.5, concat('s', id),
+               DATE_ADD(DATE'1995-01-01', CAST(id AS INT)),
+               CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        FROM range(100)
+    """)
+
+    def boom(self, *a, **k):
+        raise AssertionError("metadata agg fast path planned a scan")
+
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    df = cat.sql(spark, "SELECT MIN(k), MAX(k), COUNT(*) FROM mx")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "Aggregate" not in plan
+    # auto-aliases match what the relational fallback would produce
+    assert df.columns == ["min(k)", "max(k)", "count(1)"]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert tuple(df.collect()[0]) == (0, 99, 100)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+    # partition-scoped, aliased, date-typed, case-insensitive column
+    row = cat.sql(spark, "SELECT min(K) AS lo, MAX(d) FROM mx "
+                         "WHERE p = 'a'").collect()[0]
+    assert row["lo"] == 0
+    import datetime
+    assert row["max(d)"] == datetime.date(1995, 1, 1) \
+        + datetime.timedelta(days=98)
+    monkeypatch.undo()
+
+    # every unsupported shape falls through to the relational path
+    for sql, want in [
+        ("SELECT MIN(v) FROM mx", 0.0),          # float stats NaN-lossy
+        ("SELECT MIN(s) FROM mx", "s0"),         # string stats truncated
+        ("SELECT COUNT(k) FROM mx", 100),        # count(col) != count(*)
+        ("SELECT MIN(v) AS m, COUNT(*) AS c FROM mx", 0.0),  # mixed
+    ]:
+        df = cat.sql(spark, sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Aggregate" in plan, (sql, plan)
+        assert df.collect()[0][0] == want, sql
+    # churn blocks the proof; fallback stays exact; OPTIMIZE restores
+    t = cat.get_table(spark, "mx")
+    t.upsert(spark.createDataFrame([(1, 9.9, "x", None, "b")],
+                                   "k bigint, v double, s string, "
+                                   "d date, p string"))
+    df = cat.sql(spark, "SELECT MIN(k), MAX(k) FROM mx")
+    assert "Aggregate" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert tuple(df.collect()[0]) == (0, 99)
+    cat.sql(spark, "OPTIMIZE mx")
+    df = cat.sql(spark, "SELECT MIN(k), MAX(k) FROM mx")
+    assert "LocalTableScan" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert tuple(df.collect()[0]) == (0, 99)
