@@ -897,7 +897,7 @@ class Catalog:
             im = self._META_AGG_RE.match(it)
             if im is None:
                 return None
-            if im.group(2):  # MIN/MAX
+            if im.group(2):  # MIN/MAX — group(3) keeps the USER casing
                 parsed.append((im.group(2).lower(), im.group(3),
                                im.group(4)))
             else:
@@ -910,15 +910,25 @@ class Catalog:
             t = LakeSoulTable.for_path_snapshot(
                 spark, t.path, version=int(m.group(3))
             )
-        cond = m.group(4)
         from lakesoul_spark.io.writer import table_schema
 
-        fields = {f.name.lower(): f for f in table_schema(t.info).fields}
+        case_sensitive = str(spark.conf.get(
+            "spark.sql.caseSensitive", "false")).lower() == "true"
+        fields = {
+            (f.name if case_sensitive else f.name.lower()): f
+            for f in table_schema(t.info).fields
+        }
+        # resolve the snapshot ONCE per statement: every item reads the
+        # same table version, so a concurrent commit can never produce
+        # a row mixing two versions (the relational path's guarantee)
+        snap = t._provable_snapshot(m.group(4))
+        if snap is None:
+            return None
         sel = []
         mm_cache: dict[str, tuple] = {}
         for fn, col, alias in parsed:
             if fn == "count":
-                n = t.count_fast(cond)
+                n = t._count_from(snap)
                 if n is None:
                     return None
                 # Spark's analyzer rewrites count(*) to count(1) and
@@ -926,24 +936,28 @@ class Catalog:
                 sel.append(f"CAST({int(n)} AS BIGINT) AS "
                            f"`{alias or 'count(1)'}`")
                 continue
-            f = fields.get(col.lower())
+            f = fields.get(col if case_sensitive else col.lower())
             if f is None:
                 return None
-            cname = f.name  # schema casing drives the auto-alias
+            st = f.dataType.simpleString()
+            if st in ("timestamp", "timestamp_ntz"):
+                return None  # before paying the stats pass
+            cname = f.name
             if cname not in mm_cache:
-                mm = t.min_max_fast(cname, cond)
+                mm = t._minmax_from(snap, cname)
                 if mm is None:
                     return None
                 mm_cache[cname] = mm
             v = mm_cache[cname][0 if fn == "min" else 1]
-            st = f.dataType.simpleString()
             if st == "date":
                 lit = f"DATE'{v}'"
-            elif st in ("timestamp", "timestamp_ntz"):
-                return None
             else:  # integer family (min_max_fast's type gate)
                 lit = f"CAST({int(v)} AS {st.upper()})"
-            sel.append(f"{lit} AS `{alias or f'{fn}({cname})'}`")
+            # the fallback's auto-alias lowercases the function but
+            # keeps the QUERY's casing of the argument (backticks
+            # stripped) — replicate exactly so the schema never
+            # depends on which path answered
+            sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
         # a projection of literals over VALUES constant-folds into a
         # LocalRelation → LocalTableScan; collect() launches no job
         # (a bare SELECT of literals plans Scan OneRowRelation, which

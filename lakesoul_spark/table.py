@@ -680,7 +680,14 @@ class LakeSoulTable:
         cannot prove physical == logical (including any condition
         touching a non-partition column), or any live file predates
         the num_rows-recording writer."""
-        snap = self._provable_snapshot(condition)
+        return self._count_from(self._provable_snapshot(condition))
+
+    @staticmethod
+    def _count_from(snap) -> int | None:
+        """Count over an already-resolved provable snapshot — the
+        statement-level SQL fast path resolves ONE snapshot and reads
+        every aggregate from it, so a concurrent commit can never
+        produce a row mixing two table versions."""
         if snap is None:
             return None
         total = 0
@@ -723,6 +730,11 @@ class LakeSoulTable:
         same contract as :meth:`count_fast`. Values are in the stats
         encoding: integers raw, timestamps/dates ISO strings
         (order-preserving). SQL min/max semantics — nulls ignored."""
+        return self._minmax_from(self._provable_snapshot(condition), col)
+
+    def _minmax_from(self, snap, col: str) -> tuple | None:
+        """Min/max over an already-resolved provable snapshot (see
+        :meth:`_count_from` for why the SQL fast path shares one)."""
         from lakesoul_spark.io.writer import table_schema as _ts
 
         dtype = next(
@@ -731,7 +743,6 @@ class LakeSoulTable:
         )
         if dtype not in self._MINMAX_EXACT_TYPES:
             return None
-        snap = self._provable_snapshot(condition)
         if snap is None or not snap.files:
             return None
         lo = hi = None

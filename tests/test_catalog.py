@@ -1319,6 +1319,10 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
     import datetime
     assert row["max(d)"] == datetime.date(1995, 1, 1) \
         + datetime.timedelta(days=98)
+    # the auto-alias keeps the QUERY's casing of the argument — the
+    # relational fallback does (Spark resolves but pretty-prints the
+    # typed name), so the schema must not depend on which path answers
+    assert cat.sql(spark, "SELECT MAX(K) FROM mx").columns == ["max(K)"]
     monkeypatch.undo()
 
     # every unsupported shape falls through to the relational path
