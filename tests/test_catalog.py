@@ -1350,3 +1350,69 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
     assert "LocalTableScan" in \
         df._jdf.queryExecution().executedPlan().toString()
     assert tuple(df.collect()[0]) == (0, 99)
+
+
+def test_partition_count_fast_never_wrong_fuzz(cat, spark):
+    """Property: for ANY predicate, count_fast(cond) is either None
+    (fall through) or EXACTLY the relational count — and predicates
+    that reference a data column or are nondeterministic always
+    refuse. This is the invariant the SQL fast path's correctness
+    rests on ('never wrong, just slower')."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cat.sql(spark, """
+        CREATE TABLE fz (k BIGINT, v BIGINT, p STRING, q INT)
+        USING lakesoul PARTITIONED BY (p, q)
+    """)
+    rows = [
+        (i, i * 7 % 13,
+         [None, "", "a", "b", "c%x"][i % 5], i % 3)
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "k bigint, v bigint, p string, q int"
+    ).createOrReplaceTempView("fz_src")
+    cat.sql(spark, "INSERT INTO fz SELECT * FROM fz_src")
+    t = cat.get_table(spark, "fz")
+    base = t.to_df()
+
+    p_atoms = st.sampled_from([
+        "p = 'a'", "p = 'b'", "p = 'c%x'", "p = ''", "p = 'zz'",
+        "p IS NULL", "p IS NOT NULL", "p != 'a'", "p > 'a'",
+        "p IN ('a', 'b')", "p IN ('', 'c%x')", "q = 0", "q != 1",
+        "q >= 1", "q IN (0, 2)", "q < 0", "q IS NULL",
+    ])
+    # data-column / nondeterministic / column-free atoms: MUST refuse
+    bad_atoms = st.sampled_from([
+        "v = 3", "v < 5", "k % 2 = 0", "rand() < 0.5", "true",
+        "1 = 1", "v = q",
+    ])
+
+    def combine(children):
+        return st.builds(
+            lambda a, op, b: f"({a}) {op} ({b})",
+            children, st.sampled_from(["AND", "OR"]), children,
+        ) | st.builds(lambda a: f"NOT ({a})", children)
+
+    good = st.recursive(p_atoms, combine, max_leaves=3)
+    mixed = st.recursive(p_atoms | bad_atoms, combine, max_leaves=3)
+
+    @settings(max_examples=50, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(cond=mixed, pure=st.booleans(), pure_cond=good)
+    def check(cond, pure, pure_cond):
+        c = pure_cond if pure else cond
+        fast = t.count_fast(c)
+        slow = base.filter(c).count()
+        if fast is not None:
+            assert fast == slow, (c, fast, slow)
+        # refusal requirements
+        if "v " in c or "v =" in c or "k %" in c or "rand" in c:
+            assert fast is None, f"must refuse data/nondet predicate {c!r}"
+        if pure:
+            # every pure partition predicate in the grammar is provable
+            # on this churn-free table
+            assert fast is not None, f"pure partition predicate refused {c!r}"
+
+    check()
