@@ -885,8 +885,8 @@ class Catalog:
         one-row result as a VALUES-backed LocalTableScan (collect
         launches no job), or ``None`` whenever ANY item is unprovable
         — unknown table, non-agg item, float/string min/max (stats
-        may be truncated/NaN-lossy), timestamp min/max (the ISO
-        round-trip through a SQL literal is not byte-safe), CDC /
+        may be truncated/NaN-lossy), timestamp min/max in a non-UTC
+        session (the ISO literal would be reinterpreted), CDC /
         churned tables, or a WHERE the partition pruner refuses.
         Output column names match the relational fallback's
         auto-aliases (``count(1)``, ``min(<schema-case name>)``) so
@@ -940,8 +940,12 @@ class Catalog:
             if f is None:
                 return None
             st = f.dataType.simpleString()
-            if st in ("timestamp", "timestamp_ntz"):
-                return None  # before paying the stats pass
+            if st == "timestamp" and str(spark.conf.get(
+                    "spark.sql.session.timeZone", "")) != "UTC":
+                # stats encode naive-UTC ISO; a TIMESTAMP literal is
+                # reinterpreted in the session zone — only the
+                # engine's pinned-UTC sessions round-trip exactly
+                return None
             cname = f.name
             if cname not in mm_cache:
                 mm = t._minmax_from(snap, cname)
@@ -951,6 +955,13 @@ class Catalog:
             v = mm_cache[cname][0 if fn == "min" else 1]
             if st == "date":
                 lit = f"DATE'{v}'"
+            elif st == "timestamp":
+                # micros-exact: isoformat keeps full precision and the
+                # UTC session parses it back to the identical instant
+                # (verified incl. pre-epoch values)
+                lit = f"TIMESTAMP '{v}'"
+            elif st == "timestamp_ntz":
+                lit = f"TIMESTAMP_NTZ '{v}'"
             else:  # integer family (min_max_fast's type gate)
                 lit = f"CAST({int(v)} AS {st.upper()})"
             # the fallback's auto-alias lowercases the function but

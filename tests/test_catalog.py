@@ -1286,15 +1286,18 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
     timestamp min, stats-less columns, COUNT(col), churned buckets)
     fall through and stay correct."""
     cat.sql(spark, """
-        CREATE TABLE mx (k BIGINT, v DOUBLE, s STRING, d DATE, p STRING)
+        CREATE TABLE mx (k BIGINT, v DOUBLE, s STRING, d DATE,
+                         ts TIMESTAMP, p STRING)
         USING lakesoul PARTITIONED BY (p)
         TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
-                      'lakesoul.statsColumns'='d')
+                      'lakesoul.statsColumns'='d,ts')
     """)
     cat.sql(spark, """
         INSERT INTO mx
         SELECT id, id * 1.5, concat('s', id),
                DATE_ADD(DATE'1995-01-01', CAST(id AS INT)),
+               TIMESTAMP'1995-01-01 00:00:00.000123'
+                 + make_interval(0, 0, 0, 0, 0, 0, id),
                CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
         FROM range(100)
     """)
@@ -1323,7 +1326,28 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
     # relational fallback does (Spark resolves but pretty-prints the
     # typed name), so the schema must not depend on which path answers
     assert cat.sql(spark, "SELECT MAX(K) FROM mx").columns == ["max(K)"]
+    # timestamps answer micros-exact under the engine's pinned-UTC
+    # session (ISO stats literal round-trips the identical instant)
+    trow = cat.sql(spark, "SELECT MIN(ts), MAX(ts) FROM mx").collect()[0]
+    assert trow[0] == datetime.datetime(1995, 1, 1, 0, 0, 0, 123)
+    assert trow[1] == datetime.datetime(1995, 1, 1, 0, 1, 39, 123)
     monkeypatch.undo()
+    # ...and equal the relational fallback exactly
+    rel = spark.sql(
+        "SELECT MIN(ts), MAX(ts) FROM "
+        "(SELECT TIMESTAMP'1995-01-01 00:00:00.000123' "
+        " + make_interval(0, 0, 0, 0, 0, 0, id) AS ts FROM range(100))"
+    ).collect()[0]
+    assert tuple(trow) == tuple(rel)
+    # a non-UTC session must refuse the timestamp fast path (the ISO
+    # literal would be reinterpreted in the session zone)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = cat.sql(spark, "SELECT MIN(ts) FROM mx")
+        assert "Aggregate" in \
+            df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     # every unsupported shape falls through to the relational path
     for sql, want in [
