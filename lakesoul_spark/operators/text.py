@@ -190,6 +190,74 @@ def repetition_stats(col: Column) -> list[Column]:
     ]
 
 
+def ngram_repetition_stats(col: Column, ns=(2, 3, 4)) -> list[Column]:
+    """Gopher-style top-n-gram character fractions (Rae et al. 2021,
+    table A1: "fraction of characters contained within the most
+    frequently-occurring n-gram"), one expression-only projection per
+    n — no shuffle, no UDF, map-only at any corpus size.
+
+    Exact definition (both this and the DuckDB oracle implement it
+    verbatim): tokens = lowercase text split on whitespace; the
+    n-grams are every n consecutive tokens; among the most frequent
+    n-grams the LEXICOGRAPHICALLY SMALLEST is chosen (determinism —
+    engines disagree on hash-map iteration order, never on order);
+    ``frac = freq × token_chars(gram) / total_token_chars`` where
+    token_chars excludes the joining spaces. Documents with fewer
+    than n tokens score 0.
+
+    The single-pass max+argmax uses the same sort + run-length fold
+    as :func:`repetition_stats` — O(tokens·log tokens) per row; an
+    ascending sort makes "keep the first best" equal "smallest among
+    the tied-best"."""
+    toks = tokens(col)
+    n_toks = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    out = []
+    for n in ns:
+        grams = F.transform(
+            F.sequence(F.lit(1), n_toks - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        run = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+                F.lit("").alias("best_gram"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long")),
+                ).alias("best"),
+                # strictly-greater keeps the FIRST (smallest) gram on ties
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("long")) > acc["best"],
+                    x,
+                ).otherwise(acc["best_gram"]).alias("best_gram"),
+            ),
+        )
+        gram_chars = F.length(run["best_gram"]) - (n - 1)
+        out.append(
+            F.when(
+                (n_toks < n) | (total_chars <= 0), F.lit(0.0)
+            ).otherwise(
+                F.round(run["best"] * gram_chars / total_chars, 6)
+            ).alias(f"top{n}gram_char_frac")
+        )
+    return out
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -1286,6 +1286,55 @@ def text_quality_flags(spark, sf_dir):
     return d.select("doc_id", *text.repetition_stats(F.col("text")))
 
 
+def _ngram_frac_oracle(n: int) -> str:
+    """DuckDB twin of one top-n-gram char fraction: n-grams by
+    inclusive list slicing, most frequent with a lexicographic-min
+    tie-break, char fraction over token chars (spaces excluded)."""
+    grams = (
+        f"list_transform(generate_series(1, len({_TOKS}) - {n - 1}), "
+        f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+           CASE WHEN len({_TOKS}) < {n} THEN 0.0 ELSE round(
+             (SELECT max_freq * (length(best) - {n - 1})
+              FROM (SELECT
+                      list_max(list_transform(list_distinct(g),
+                          x -> len(list_filter(g, y -> y = x)))) AS max_freq,
+                      list_min(list_filter(list_distinct(g),
+                          x -> len(list_filter(g, y -> y = x)) =
+                               list_max(list_transform(list_distinct(g),
+                                   z -> len(list_filter(g, y -> y = z))))))
+                        AS best
+                    FROM (SELECT {grams} AS g)))
+             / list_sum(list_transform({_TOKS}, t -> length(t))), 6)
+           END AS top{n}gram_char_frac"""
+
+
+@_register(
+    "text_ngram_repetition",
+    f"""
+    SELECT doc_id,
+           {_ngram_frac_oracle(2)},
+           {_ngram_frac_oracle(3)},
+           {_ngram_frac_oracle(4)}
+    FROM documents
+    """,
+)
+def text_ngram_repetition(spark, sf_dir):
+    """Gopher top-n-gram repetition filters (Rae et al. 2021 table A1
+    — the n=2..4 "fraction of characters in the most frequent n-gram"
+    signals that gate machine-generated/boilerplate text out of
+    pre-training corpora): expression-only, map-only projection; the
+    per-n argmax is a sort + run-length fold with a lexicographic-min
+    tie-break so both engines pick the same gram deterministically.
+    At 100 TB this is one pass over the text column with zero
+    shuffles, like the other quality filters."""
+    d = docs(spark, sf_dir)
+    return d.select(
+        "doc_id", *text.ngram_repetition_stats(F.col("text"), ns=(2, 3, 4))
+    )
+
+
 # ---------------------------------------------------------- PII scrubbing
 
 _PII_ORACLE = r"""

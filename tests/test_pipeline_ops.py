@@ -483,6 +483,33 @@ def test_repetition_stats_values(spark):
     assert r.mean_word_len == 1.0
 
 
+def test_ngram_repetition_stats_values(spark):
+    """Gopher top-n-gram char fractions against hand-computed values,
+    including the lexicographic tie-break, the <n-token zero case,
+    and case folding."""
+    rows = [
+        # "a b a b a b c": 2-grams = [ab, ba, ab, ba, ab, bc] ->
+        # most frequent "a b" (3x), token chars of gram = 2,
+        # total token chars = 7 -> 6/7
+        (1, "a b A b a b c"),
+        # all distinct 2-grams, tie on freq=1 -> smallest gram "p q";
+        # chars 2 * 1 / 6
+        (2, "p q r s t u"),
+        # one token: no 2-gram -> 0.0
+        (3, "solo"),
+    ]
+    df = _df(spark, rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *text.ngram_repetition_stats(F.col("text"), ns=(2, 3))
+    ).collect()}
+    assert abs(got[1].top2gram_char_frac - round(3 * 2 / 7, 6)) < 1e-9
+    # 3-grams of doc1: [aba, bab, aba, bab, abc] -> "a b a" 2x, chars 3
+    assert abs(got[1].top3gram_char_frac - round(2 * 3 / 7, 6)) < 1e-9
+    assert abs(got[2].top2gram_char_frac - round(2 / 6, 6)) < 1e-9
+    assert got[3].top2gram_char_frac == 0.0
+    assert got[3].top3gram_char_frac == 0.0
+
+
 def test_resize_and_frame_sample_plumbing(spark):
     from lakesoul_spark.operators import multimodal as mm
 
