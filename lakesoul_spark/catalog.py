@@ -889,8 +889,10 @@ class Catalog:
         session (the ISO literal would be reinterpreted), CDC /
         churned tables, or a WHERE the partition pruner refuses.
         Output column names match the relational fallback's
-        auto-aliases (``count(1)``, ``min(<schema-case name>)``) so
-        the schema never depends on which path answered."""
+        auto-aliases — ``count(1)``, and for min/max the function
+        lowercased with the argument in the QUERY's casing (backticks
+        stripped) — so the schema never depends on which path
+        answered."""
         items = [s.strip() for s in m.group(1).split(",")]
         parsed = []
         for it in items:
@@ -914,10 +916,16 @@ class Catalog:
 
         case_sensitive = str(spark.conf.get(
             "spark.sql.caseSensitive", "false")).lower() == "true"
-        fields = {
-            (f.name if case_sensitive else f.name.lower()): f
-            for f in table_schema(t.info).fields
-        }
+        fields: dict = {}
+        ambiguous: set = set()
+        for f in table_schema(t.info).fields:
+            key = f.name if case_sensitive else f.name.lower()
+            if key in fields:
+                # two columns collapse under case folding: the
+                # relational path would raise AMBIGUOUS_REFERENCE —
+                # the fast path must refuse, never pick one
+                ambiguous.add(key)
+            fields[key] = f
         # resolve the snapshot ONCE per statement: every item reads the
         # same table version, so a concurrent commit can never produce
         # a row mixing two versions (the relational path's guarantee)
@@ -936,7 +944,10 @@ class Catalog:
                 sel.append(f"CAST({int(n)} AS BIGINT) AS "
                            f"`{alias or 'count(1)'}`")
                 continue
-            f = fields.get(col if case_sensitive else col.lower())
+            key = col if case_sensitive else col.lower()
+            if key in ambiguous:
+                return None
+            f = fields.get(key)
             if f is None:
                 return None
             st = f.dataType.simpleString()

@@ -218,10 +218,10 @@ def ngram_repetition_stats(col: Column, ns=(2, 3, 4)) -> list[Column]:
     )
     out = []
     for n in ns:
-        grams = F.transform(
-            F.sequence(F.lit(1), n_toks - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        # the n_toks < n guard below means this branch only ever
+        # evaluates where word_shingles returns the plain gram list
+        # (its short-doc whole-document collapse is unreachable)
+        grams = word_shingles(toks, n)
         run = F.aggregate(
             F.array_sort(grams),
             F.struct(

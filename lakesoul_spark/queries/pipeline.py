@@ -1294,8 +1294,11 @@ def _ngram_frac_oracle(n: int) -> str:
         f"list_transform(generate_series(1, len({_TOKS}) - {n - 1}), "
         f"i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' '))"
     )
+    # coalesce: a whitespace-only doc has >= n empty tokens but zero
+    # token chars, so the division is 0/0 -> NULL where Spark's
+    # total_chars<=0 guard returns 0.0 — both sides must say 0.0
     return f"""
-           CASE WHEN len({_TOKS}) < {n} THEN 0.0 ELSE round(
+           CASE WHEN len({_TOKS}) < {n} THEN 0.0 ELSE coalesce(round(
              (SELECT max_freq * (length(best) - {n - 1})
               FROM (SELECT
                       list_max(list_transform(list_distinct(g),
@@ -1306,7 +1309,8 @@ def _ngram_frac_oracle(n: int) -> str:
                                    z -> len(list_filter(g, y -> y = z))))))
                         AS best
                     FROM (SELECT {grams} AS g)))
-             / list_sum(list_transform({_TOKS}, t -> length(t))), 6)
+             / nullif(list_sum(list_transform({_TOKS}, t -> length(t))), 0),
+             6), 0.0)
            END AS top{n}gram_char_frac"""
 
 

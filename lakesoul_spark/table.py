@@ -730,6 +730,17 @@ class LakeSoulTable:
         same contract as :meth:`count_fast`. Values are in the stats
         encoding: integers raw, timestamps/dates ISO strings
         (order-preserving). SQL min/max semantics — nulls ignored."""
+        from lakesoul_spark.io.writer import table_schema as _ts
+
+        # cheap type gate FIRST: an unsupported column type refuses
+        # without paying the snapshot resolution (and any
+        # partition-predicate evaluation inside it)
+        dtype = next(
+            (f.dataType.simpleString() for f in _ts(self.info).fields
+             if f.name == col), "",
+        )
+        if dtype not in self._MINMAX_EXACT_TYPES:
+            return None
         return self._minmax_from(self._provable_snapshot(condition), col)
 
     def _minmax_from(self, snap, col: str) -> tuple | None:
