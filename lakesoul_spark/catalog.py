@@ -398,7 +398,7 @@ class Catalog:
             SHOW NAMESPACES
             SHOW TABLES [IN ns]
             SHOW COLUMNS IN|FROM [ns.]t
-            SHOW PARTITIONS [ns.]t
+            SHOW PARTITIONS [ns.]t [EXTENDED]
             SHOW TBLPROPERTIES [ns.]t [('key')]
             DESCRIBE [TABLE] [EXTENDED] [ns.]t
             DESCRIBE HISTORY [ns.]t
@@ -623,17 +623,51 @@ class Catalog:
                 [(f.name,) for f in _ts(info).fields], "col_name string"
             )
         if verb == "SHOW" and verb2 == "PARTITIONS":
-            m = _rx(r"SHOW\s+PARTITIONS\s+([\w.`]+)$", stmt)
+            m = _rx(r"SHOW\s+PARTITIONS\s+([\w.`]+)(\s+EXTENDED)?$", stmt)
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
             from lakesoul_spark.meta.store import NON_PARTITIONED
 
+            snap = t.store.snapshot()
             descs = sorted(
-                {f.partition_desc for f in t.store.snapshot().files}
-                - {NON_PARTITIONED}
+                {f.partition_desc for f in snap.files} - {NON_PARTITIONED}
             )
+            if m.group(2) is None:
+                return spark.createDataFrame(
+                    [(d,) for d in descs] or [], "partition string"
+                )
+            # EXTENDED: per-partition file/byte/row stats from the
+            # commit log alone — the per-partition audit a pipeline
+            # polls, with zero file IO at any table size. num_rows is
+            # NULL when that partition's scope cannot PROVE physical
+            # == logical (CDC table, >1 PK generation in a bucket, a
+            # pre-num_rows file) — same gate as count_fast, applied
+            # per partition so churn in one never hides the others.
+            info = t.info
+            by_desc: dict = {}
+            for f in snap.files:
+                if f.partition_desc != NON_PARTITIONED:
+                    by_desc.setdefault(f.partition_desc, []).append(f)
+            rows = []
+            for d in descs:
+                fs = by_desc[d]
+                gens: dict = {}
+                for f in fs:
+                    gens[f.bucket] = gens.get(f.bucket, 0) + 1
+                provable = (
+                    not info.cdc_column
+                    and (not info.is_pk_table
+                         or max(gens.values()) <= 1)
+                    and all(f.num_rows >= 0 for f in fs)
+                )
+                rows.append((
+                    d, len(fs), sum(f.size for f in fs),
+                    sum(f.num_rows for f in fs) if provable else None,
+                ))
             return spark.createDataFrame(
-                [(d,) for d in descs] or [], "partition string"
+                rows or [],
+                "partition string, n_files bigint, size_bytes bigint, "
+                "num_rows bigint",
             )
         if verb == "SHOW" and verb2 == "TBLPROPERTIES":
             m = _rx(

@@ -742,3 +742,46 @@ def test_finalize_mv_count_distinct_ooo_exact(spark, tmp_path):
     got = {r["g"]: (r["nd"], r["n"]) for r in ds}
     exp = {r["g"]: (r["nd"], r["n"]) for r in mv.to_df().collect()}
     assert got == exp  # EXACT, not tolerance-banded
+
+
+def test_finalize_mv_sharded_workers(spark, tmp_path):
+    """finalize_mv composes with rank/world_size sharding: MV groups
+    are hash-bucketed by the group key, so worker shards are
+    group-DISJOINT and their union equals the unsharded finalized
+    view — N training workers can consume a rollup mid-refresh in
+    parallel with no JVM and no overlap."""
+    from pyspark.sql import functions as F
+
+    from lakesoul_spark.mv import AggMV
+
+    src, mvp = str(tmp_path / "src"), str(tmp_path / "mv")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    halves = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(halves[0], src, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp,
+        group_by=["o_custkey"],
+        aggs={"total": ("sum", "o_totalprice"), "n": ("count", "*")},
+        hash_bucket_num=4,
+    )
+    assert mv.refresh()["applied"]
+    write(halves[1], src, mode="append")
+    assert mv.refresh()["applied"]
+    assert mv.table.store.snapshot().max_generations_per_bucket() > 1
+
+    full = sorted(
+        (r["o_custkey"], r["total"], r["n"])
+        for r in LakeSoulArrowDataset(mvp, finalize_mv=True)
+    )
+    shards = [
+        [(r["o_custkey"], r["total"], r["n"])
+         for r in LakeSoulArrowDataset(mvp, rank=i, world_size=3,
+                                       finalize_mv=True)]
+        for i in range(3)
+    ]
+    assert sorted(sum(shards, [])) == full      # covering
+    keysets = [set(k for k, *_ in s) for s in shards]
+    for i in range(3):
+        for j in range(i + 1,3):
+            assert not (keysets[i] & keysets[j])  # disjoint
+    assert sum(len(s) for s in shards) == len(full)

@@ -1504,3 +1504,45 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         # NULL); counts may stay fast — either way values matched above
 
     check()
+
+
+def test_show_partitions_extended_metadata_only(cat, spark, monkeypatch):
+    """SHOW PARTITIONS ... EXTENDED: per-partition file/byte/row stats
+    from the commit log alone (to_df monkeypatched to raise proves no
+    scan); num_rows goes NULL ONLY for partitions whose scope cannot
+    prove physical == logical, so churn in one partition never hides
+    the others' counts."""
+    cat.sql(spark, """
+        CREATE TABLE sp (k BIGINT, v DOUBLE, p STRING) USING lakesoul
+        PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2')
+    """)
+    cat.sql(spark, """
+        INSERT INTO sp
+        SELECT id, id * 1.0, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        FROM range(100)
+    """)
+    t = cat.get_table(spark, "sp")
+    t.upsert(spark.createDataFrame([(1, 9.9, "b")],
+                                   "k bigint, v double, p string"))
+
+    def boom(self, *a, **k):
+        raise AssertionError("SHOW PARTITIONS EXTENDED planned a scan")
+
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    # plain form unchanged
+    assert [r.partition for r in
+            cat.sql(spark, "SHOW PARTITIONS sp").collect()] == \
+        ["p=a", "p=b"]
+    rows = {r.partition: r for r in
+            cat.sql(spark, "SHOW PARTITIONS sp EXTENDED").collect()}
+    monkeypatch.undo()
+    assert rows["p=a"].num_rows == 50          # unchurned: provable
+    assert rows["p=b"].num_rows is None        # 2 generations: refuse
+    assert rows["p=a"].n_files == 2 and rows["p=b"].n_files >= 3
+    assert rows["p=a"].size_bytes > 0
+    # post-compaction both partitions prove again
+    cat.sql(spark, "OPTIMIZE sp")
+    rows = {r.partition: r for r in
+            cat.sql(spark, "SHOW PARTITIONS sp EXTENDED").collect()}
+    assert rows["p=a"].num_rows == 50 and rows["p=b"].num_rows == 50
