@@ -258,6 +258,63 @@ def ngram_repetition_stats(col: Column, ns=(2, 3, 4)) -> list[Column]:
     return out
 
 
+# Gopher's stop-word set (Rae et al. 2021, table A1): a document
+# passing the rule contains at least 2 of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(col: Column) -> list[Column]:
+    """The remaining Gopher quality-rule signals (Rae et al. 2021,
+    table A1) as pure expressions — with :func:`repetition_stats` and
+    :func:`ngram_repetition_stats` this completes the standard
+    pre-training quality-filter suite, all map-only:
+
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+      (•, -, *) after left-trim (rule: must be < 0.9),
+    - ``ellipsis_line_frac``: fraction of lines ending with ... or …
+      after right-trim (rule: < 0.3),
+    - ``alpha_word_frac``: fraction of tokens containing at least one
+      ASCII letter (rule: > 0.8),
+    - ``stopword_hits``: how many DISTINCT words of Gopher's 8-word
+      stop set appear (rule: >= 2).
+
+    Empty documents score 0 everywhere (they fail the word-count rule
+    before these apply)."""
+    lines = F.split(col, r"\n")
+    n_lines = F.size(lines)
+    toks = tokens(col)
+    n_toks = F.size(toks)
+
+    def line_frac(pred):
+        return F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+            F.round(F.size(F.filter(lines, pred)) / n_lines, 6)
+        )
+
+    bullet = line_frac(
+        lambda ln: F.ltrim(ln).rlike(r"^[•\-\*]")
+    )
+    ellipsis = line_frac(
+        lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+    )
+    alpha = F.when(n_toks <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_toks,
+            6,
+        )
+    )
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        lambda w: F.array_contains(toks, w),
+    )).cast("long")
+    return [
+        bullet.alias("bullet_line_frac"),
+        ellipsis.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    ]
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -30,20 +30,21 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # would otherwise fit (ann_l2_topk, text_tfidf_topk), per the standing
 # displacement rule.
 # ROUND-12 NOTE (window arithmetic, exact): after r11 the pack holds
-# 116 queries — 50 r11-green (this window), 50 r10-green, 15 r9-green
-# which hit the 2-round staleness boundary, and 1 NEVER
-# driver-verified (text_ngram_repetition, added r11-late for the
-# Gopher top-n-gram repetition filters; locally hash-verified at 3
-# SFs).  r12 MUST front the never-verified query first, then the 15
-# r9-green (the _DEFER tuple below is already the full r12-front
-# order: text_ngram_repetition, then oldest-first — ann_l2_topk,
+# 117 queries — 50 r11-green (this window), 50 r10-green, 15 r9-green
+# which hit the 2-round staleness boundary, and 2 NEVER
+# driver-verified (text_ngram_repetition + text_gopher_rules, added
+# r11-late for the Gopher quality-filter suite; both locally
+# hash-verified at 3 SFs).  r12 MUST front the 2 never-verified
+# queries first, then the 15 r9-green (the _DEFER tuple below is
+# already the full r12-front order: text_ngram_repetition,
+# text_gopher_rules, then oldest-first — ann_l2_topk,
 # text_tfidf_topk, ann_index_refresh_hot, streaming_stream_join,
 # lakehouse_bucket_join, lakehouse_convert, lakehouse_rollback,
 # lakehouse_upsert_on_join, lakehouse_incremental_mv,
 # lakehouse_zorder_skipping, lakehouse_star_mv,
 # lakehouse_mv_count_distinct, lakehouse_transform_mv,
 # text_corpus_freq_score, embedding_class_centroids), then fill the
-# window with the 34 oldest r10-green; the 16 r10-green that don't
+# window with the 33 oldest r10-green; the 17 r10-green that don't
 # fit lead the r13 front.  Any NEW r12 oracle queries displace the
 # youngest r10-green slots, same rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
@@ -78,12 +79,12 @@ _FRONT = (
 )
 
 _DEFER = (
-    # r12 front order (ROUND-12 NOTE above): first the r11-late
-    # never-driver-verified query (hash-verified locally at 3 SFs),
+    # r12 front order (ROUND-12 NOTE above): first the 2 r11-late
+    # never-driver-verified queries (hash-verified locally at 3 SFs),
     # then the 15 r9-green that hit the 2-round staleness boundary
     # after r11, oldest-first — the 2 displaced by this round's new
     # queries lead those.
-    "text_ngram_repetition",
+    "text_ngram_repetition", "text_gopher_rules",
     "ann_l2_topk", "text_tfidf_topk",
     "ann_index_refresh_hot", "streaming_stream_join",
     "lakehouse_bucket_join", "lakehouse_convert", "lakehouse_rollback",

@@ -1314,6 +1314,42 @@ def _ngram_frac_oracle(n: int) -> str:
            END AS top{n}gram_char_frac"""
 
 
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+@_register(
+    "text_gopher_rules",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
+             round(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[•\\-\\*]')))
+               / len(lines), 6) END AS bullet_line_frac,
+           CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
+             round(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               / len(lines), 6) END AS ellipsis_line_frac,
+           CASE WHEN len({_TOKS}) <= 0 THEN 0.0 ELSE
+             round(len(list_filter({_TOKS},
+                 t -> regexp_matches(t, '[a-z]')))
+               / len({_TOKS}), 6) END AS alpha_word_frac,
+           CAST(len(list_filter({_GOPHER_STOP_SQL},
+                 w -> list_contains({_TOKS}, w))) AS BIGINT)
+             AS stopword_hits
+    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents)
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The remaining Gopher quality rules (Rae et al. 2021 table A1 —
+    bullet/ellipsis line fractions, alphabetic-word fraction,
+    stop-word hits) as one expression-only projection; together with
+    text_quality_flags and text_ngram_repetition this is the full
+    standard pre-training quality-filter suite. Map-only, zero
+    shuffles at any corpus size."""
+    d = docs(spark, sf_dir)
+    return d.select("doc_id", *text.gopher_rules(F.col("text")))
+
+
 @_register(
     "text_ngram_repetition",
     f"""

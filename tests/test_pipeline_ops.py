@@ -1658,3 +1658,38 @@ def test_index_rows_sql_matches_columns(spark, metric):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb  # bit-identical, not approximately
+
+
+def test_gopher_rules_values(spark):
+    """Gopher rule signals against hand-computed values: bullet and
+    ellipsis line fractions (ASCII and unicode …), alphabetic-word
+    fraction, distinct stop-word hits, empty-doc zeros."""
+    rows = [
+        # 4 lines: "- x" bullet, "* y" bullet, "a..." ellipsis-end,
+        # "plain" -> bullet 2/4, ellipsis 1/4
+        (1, "- x\n* y\na...\nplain"),
+        # unicode bullet char + unicode ellipsis; indented bullet
+        (2, "  • pt\nok…\nz"),
+        # tokens: ["the","be","42","x1"] -> alpha 3/4 wait "42" no
+        # alpha, "x1" has x -> 3/4; stopwords {the, be} -> 2
+        (3, "the be 42 x1"),
+        (4, ""),
+    ]
+    df = _df(spark, rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *text.gopher_rules(F.col("text"))).collect()}
+    assert abs(got[1].bullet_line_frac - 0.5) < 1e-9
+    assert abs(got[1].ellipsis_line_frac - 0.25) < 1e-9
+    assert abs(got[2].bullet_line_frac - round(1 / 3, 6)) < 1e-9
+    assert abs(got[2].ellipsis_line_frac - round(1 / 3, 6)) < 1e-9
+    assert abs(got[3].alpha_word_frac - 0.75) < 1e-9
+    assert got[3].stopword_hits == 2
+    # repeated stop word counts once; "of" in "of of of the" -> 2
+    r5 = df.sql_ctx.sparkSession.createDataFrame(
+        [(5, "of of of the")], "doc_id long, text string"
+    ).select(*text.gopher_rules(F.col("text"))).collect()[0]
+    assert r5.stopword_hits == 2
+    # empty doc: zeros, no division errors ("" splits to one empty
+    # line and one empty token -> fractions 0)
+    assert got[4].alpha_word_frac == 0.0
+    assert got[4].stopword_hits == 0
