@@ -640,30 +640,24 @@ class Catalog:
             # commit log alone — the per-partition audit a pipeline
             # polls, with zero file IO at any table size. num_rows is
             # NULL when that partition's scope cannot PROVE physical
-            # == logical (CDC table, >1 PK generation in a bucket, a
-            # pre-num_rows file) — same gate as count_fast, applied
-            # per partition so churn in one never hides the others.
+            # == logical — LITERALLY the count_fast gate
+            # (_snapshot_provable + _count_from), applied to a
+            # per-partition sub-snapshot so churn in one partition
+            # never hides the others, and so a future unprovable
+            # condition lands here automatically.
+            import dataclasses
+
             info = t.info
-            by_desc: dict = {}
-            for f in snap.files:
-                if f.partition_desc != NON_PARTITIONED:
-                    by_desc.setdefault(f.partition_desc, []).append(f)
+            by_desc = snap.partitions()
+            by_desc.pop(NON_PARTITIONED, None)
             rows = []
             for d in descs:
                 fs = by_desc[d]
-                gens: dict = {}
-                for f in fs:
-                    gens[f.bucket] = gens.get(f.bucket, 0) + 1
-                provable = (
-                    not info.cdc_column
-                    and (not info.is_pk_table
-                         or max(gens.values()) <= 1)
-                    and all(f.num_rows >= 0 for f in fs)
-                )
-                rows.append((
-                    d, len(fs), sum(f.size for f in fs),
-                    sum(f.num_rows for f in fs) if provable else None,
-                ))
+                sub = dataclasses.replace(snap, files=fs)
+                n = (LakeSoulTable._count_from(sub)
+                     if LakeSoulTable._snapshot_provable(info, sub)
+                     else None)
+                rows.append((d, len(fs), sum(f.size for f in fs), n))
             return spark.createDataFrame(
                 rows or [],
                 "partition string, n_files bigint, size_bytes bigint, "

@@ -29,7 +29,9 @@ from lakesoul_spark.operators.text import tokens, word_shingles
 
 
 def normalize_text(col: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    from lakesoul_spark.operators.text import WS_CLASS
+
+    return F.regexp_replace(F.lower(F.trim(col)), f"[{WS_CLASS}]+", " ")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -12,9 +12,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+# the EXPLICIT ASCII whitespace class, spelled out because Java regex
+# \s includes \x0B while RE2's (DuckDB's) does not — every tokenizing
+# expression here and every DuckDB oracle twin must use this same
+# class or a vertical-tab in a document silently shifts token
+# boundaries between engines
+WS_CLASS = " \t\n\x0B\f\r"
+
+
 def tokens(col: Column) -> Column:
-    """Lower-cased whitespace tokens."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Lower-cased whitespace tokens (explicit ASCII class — see
+    WS_CLASS)."""
+    return F.split(F.lower(F.trim(col)), f"[{WS_CLASS}]+")
 
 
 def word_shingles(tok_col: Column, n: int) -> Column:
@@ -160,7 +169,7 @@ def repetition_stats(col: Column) -> list[Column]:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    symbols = F.length(F.regexp_replace(col, f"[A-Za-z0-9{WS_CLASS}]", ""))
     # max token frequency via sort + run-length fold — O(n log n) per
     # row, not the O(n^2) distinct-x-count nested loop
     run = F.aggregate(
@@ -281,7 +290,10 @@ def gopher_rules(col: Column) -> list[Column]:
 
     Empty documents score 0 everywhere (they fail the word-count rule
     before these apply)."""
-    lines = F.split(col, r"\n")
+    # split on \r?\n so CRLF documents don't leave a trailing \r on
+    # every line (Java's $ matches before a final line terminator,
+    # RE2's does not — suffix checks below avoid anchors entirely)
+    lines = F.split(col, r"\r?\n")
     n_lines = F.size(lines)
     toks = tokens(col)
     n_toks = F.size(toks)
@@ -295,7 +307,8 @@ def gopher_rules(col: Column) -> list[Column]:
         lambda ln: F.ltrim(ln).rlike(r"^[•\-\*]")
     )
     ellipsis = line_frac(
-        lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+        lambda ln: F.endswith(F.rtrim(ln), F.lit("..."))
+        | F.endswith(F.rtrim(ln), F.lit("…"))
     )
     alpha = F.when(n_toks <= 0, F.lit(0.0)).otherwise(
         F.round(

@@ -47,7 +47,10 @@ def embs(spark, sf_dir):
 
 
 # shared SQL fragments (the oracle-side twin of operators/text.py)
-_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+# explicit ASCII whitespace class: Java \s includes \x0B, RE2 does
+# not — must match operators/text.py WS_CLASS exactly
+_WS_SQL = r" \t\n\x0b\f\r"
+_TOKS = rf"string_split_regex(lower(trim(text)), '[{_WS_SQL}]+')"
 _SHINGLES3 = (
     f"CASE WHEN len({_TOKS}) >= 3 THEN "
     f"list_transform(generate_series(1, len({_TOKS}) - 2), "
@@ -71,7 +74,7 @@ def _occ(word: str) -> str:
     "dedup_exact",
     """
     SELECT min(doc_id) AS doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS text_hash,
            COUNT(*) AS dup_count
     FROM documents GROUP BY text_hash
     """,
@@ -276,7 +279,7 @@ def _ingest_oracle(num_hashes: int = 32, rows_per_band: int = 2,
         )
         for b in range(bands)
     )
-    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    norm = "md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
     corp_sql = corp_sql or "SELECT * FROM documents WHERE doc_id % 5 <> 0"
     return f"""
     WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
@@ -1266,7 +1269,7 @@ _QUALITY_ORACLE = rf"""
                  / len(lines), 6) AS dup_line_frac,
            round(list_sum(list_transform({_TOKS}, t -> length(t)))
                  / len({_TOKS}), 6) AS mean_word_len,
-           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           round(length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0b\f\r]', '', 'g'))
                  / len({_TOKS}), 6) AS symbol_word_ratio,
            round(list_max(list_transform(list_distinct({_TOKS}),
                      t -> len(list_filter({_TOKS}, x -> x = t))))
@@ -1324,9 +1327,12 @@ _GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
              round(len(list_filter(lines,
                  l -> regexp_matches(ltrim(l), '^[•\\-\\*]')))
                / len(lines), 6) END AS bullet_line_frac,
+           -- suffix check, NOT a $-anchored regex: Java's $ matches
+           -- before a trailing line terminator, RE2's does not
            CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
              round(len(list_filter(lines,
-                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                 l -> (ends_with(rtrim(l), '...')
+                       OR ends_with(rtrim(l), '…'))))
                / len(lines), 6) END AS ellipsis_line_frac,
            CASE WHEN len({_TOKS}) <= 0 THEN 0.0 ELSE
              round(len(list_filter({_TOKS},
@@ -1335,7 +1341,8 @@ _GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
            CAST(len(list_filter({_GOPHER_STOP_SQL},
                  w -> list_contains({_TOKS}, w))) AS BIGINT)
              AS stopword_hits
-    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+    FROM (SELECT doc_id, text,
+                 string_split_regex(text, '\\r?\\n') AS lines
           FROM documents)
     """,
 )
@@ -1650,7 +1657,7 @@ def dedup_ngram_coverage(spark, sf_dir):
     "pipeline_chunk_windows",
     """
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS toks
       FROM documents),
     s AS (
       SELECT doc_id, toks, CAST(g.i / 24 AS BIGINT) AS chunk_id, g.i AS start

@@ -663,9 +663,21 @@ class LakeSoulTable:
         snap = self.store.snapshot(
             version=ver, timestamp_ms=ts, partition_descs=descs
         )
-        if info.is_pk_table and snap.max_generations_per_bucket() > 1:
+        if not self._snapshot_provable(info, snap):
             return None
         return snap
+
+    @staticmethod
+    def _snapshot_provable(info, snap) -> bool:
+        """The scoped physical==logical proof every metadata aggregate
+        shares (count_fast, min_max_fast, DESCRIBE DETAIL, SHOW
+        PARTITIONS EXTENDED): no CDC rewriting, and at most one
+        generation per PK bucket in the scoped file set. Kept as ONE
+        predicate so a future unprovable condition lands everywhere
+        at once."""
+        return (not info.cdc_column
+                and (not info.is_pk_table
+                     or snap.max_generations_per_bucket() <= 1))
 
     def count_fast(self, condition: str | None = None) -> int | None:
         """Exact row count from commit-log metadata alone — zero Spark
