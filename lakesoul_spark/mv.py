@@ -520,8 +520,8 @@ class AggMV:
             fact_keys = (list(on.keys()) if isinstance(on, dict)
                          else list(on))
             new_keys = delta.select(*dim_keys).distinct()
-            if not verify and new_keys.take(1) \
-                    and dim_store.table_info().hash_partitions:
+            if not verify and dim_store.table_info().hash_partitions \
+                    and new_keys.take(1):
                 # on a PK dim an append with an existing key is a MOR
                 # REPLACE: it passes the append-only commit check, yet
                 # facts already applied joined the superseded values —

@@ -461,7 +461,13 @@ def _descs_matching(
     names = set()
     while it.hasNext():
         names.add(it.next().name())
-    if not names & set(info.range_partitions):
+    # References resolve only against the desc carrier (unguessable) +
+    # range columns, so an empty set means a deterministic CONSTANT
+    # predicate ("true", "1=1") — row-equivalent at partition
+    # granularity: the filter below keeps all descs or none.  A
+    # non-empty set missing every range column cannot happen by
+    # construction, but refuse rather than guess if it ever does.
+    if names and not names & set(info.range_partitions):
         raise ValueError(
             f"predicate {condition!r} references no range-partition "
             "column — partition pruning cannot represent it"
@@ -660,6 +666,11 @@ class LakeSoulTable:
                 )
             except Exception:
                 return None
+            # pin the final resolution to the SAME commit-log version
+            # the partition list came from — on a HEAD read a commit
+            # landing between the two resolutions would otherwise
+            # yield an aggregate valid at no single table version
+            ver, ts = base.version, None
         snap = self.store.snapshot(
             version=ver, timestamp_ms=ts, partition_descs=descs
         )

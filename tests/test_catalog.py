@@ -1435,11 +1435,13 @@ def test_partition_count_fast_never_wrong_fuzz(cat, spark):
         if "v " in c or "v =" in c or "k %" in c or "rand" in c:
             assert fast is None, f"must refuse data/nondet predicate {c!r}"
         import re as _re
-        if not _re.search(r"\b[pq]\b", c):
-            # column-free predicates ('true', '1 = 1', rand()) must
-            # refuse too: partition-granularity evaluation is only
-            # row-equivalent for predicates OVER partition values
-            assert fast is None, f"must refuse partition-free {c!r}"
+        if not _re.search(r"\b[pqvk]\b", c) and "rand" not in c:
+            # column-free DETERMINISTIC predicates ('true', '1 = 1',
+            # and their AND/OR/NOT closures) are constants: evaluated
+            # once they keep every partition or none, which IS
+            # row-equivalent — the fast path must answer, not refuse
+            # (replaceWhere="true" relies on the same rule)
+            assert fast is not None, f"constant predicate refused {c!r}"
         if pure:
             # every pure partition predicate in the grammar is provable
             # on this churn-free table

@@ -80,6 +80,29 @@ def test_replace_where_validation(spark, tmp_table):
     assert rows(t.to_df(), "id", "p", "v") == [(2, "y", 2), (9, "x", 9)]
 
 
+def test_replace_where_constant_predicates(spark, tmp_table):
+    """Deterministic constant predicates are row-equivalent at
+    partition granularity: "true" replaces every partition, "1 = 0"
+    none; rand() stays refused (one draw per partition ≠ row
+    semantics)."""
+    df = seed_df(spark, [(1, "x", 1), (2, "y", 2)], "id int, p string, v int")
+    write(df, tmp_table, range_partitions=["p"])
+    write(
+        seed_df(spark, [(9, "x", 9), (8, "y", 8)], "id int, p string, v int"),
+        tmp_table, mode="overwrite", replace_where="true",
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    assert rows(t.to_df(), "id", "p", "v") == [(8, "y", 8), (9, "x", 9)]
+    assert t.count_fast("1 = 1") == 2
+    assert t.count_fast("NOT (1 = 1)") == 0
+    assert t.count_fast("rand() < 2") is None
+    with pytest.raises(ValueError):
+        write(
+            seed_df(spark, [(7, "x", 7)], "id int, p string, v int"),
+            tmp_table, mode="overwrite", replace_where="rand() < 2",
+        )
+
+
 # ----------------------------------------------------------------- upsert
 
 
