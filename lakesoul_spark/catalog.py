@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lakesoul_spark.table import LakeSoulTable, create_table as _create_table
 
+# distinct from None (a legitimate SQL NULL value) in the metadata
+# GROUP BY fast path: "this group cannot be proven — fall back"
+_REFUSE = object()
+
 _NS_FILE = "_namespace.json"
 _TABLES_FILE = "_tables.json"
 _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
@@ -871,11 +875,15 @@ class Catalog:
         am = re.match(
             r"SELECT\s+(.+?)\s+FROM\s+([\w.]+)"
             r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
-            r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            r"(?:\s+WHERE\s+(.+?))?"
+            r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
             stmt, re.I | re.S,
         )
         if am:
-            fast = self._try_metadata_aggs(spark, am)
+            if am.group(5):
+                fast = self._try_metadata_group_by(spark, am)
+            else:
+                fast = self._try_metadata_aggs(spark, am)
             if fast is not None:
                 return fast
 
@@ -903,7 +911,7 @@ class Catalog:
 
     _META_AGG_RE = re.compile(
         r"^COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(\w+))?$"
-        r"|^(MIN|MAX)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
+        r"|^(MIN|MAX|SUM)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
         re.I,
     )
 
@@ -940,20 +948,7 @@ class Catalog:
             t = LakeSoulTable.for_path_snapshot(
                 spark, t.path, version=int(m.group(3))
             )
-        from lakesoul_spark.io.writer import table_schema
-
-        case_sensitive = str(spark.conf.get(
-            "spark.sql.caseSensitive", "false")).lower() == "true"
-        fields: dict = {}
-        ambiguous: set = set()
-        for f in table_schema(t.info).fields:
-            key = f.name if case_sensitive else f.name.lower()
-            if key in fields:
-                # two columns collapse under case folding: the
-                # relational path would raise AMBIGUOUS_REFERENCE —
-                # the fast path must refuse, never pick one
-                ambiguous.add(key)
-            fields[key] = f
+        fields, ambiguous, case_sensitive = self._schema_index(spark, t)
         # resolve the snapshot ONCE per statement: every item reads the
         # same table version, so a concurrent commit can never produce
         # a row mixing two versions (the relational path's guarantee)
@@ -979,6 +974,12 @@ class Catalog:
             if f is None:
                 return None
             st = f.dataType.simpleString()
+            if fn == "sum":
+                lit = self._sum_literal(t, snap, f.name, st)
+                if lit is None:
+                    return None
+                sel.append(f"{lit} AS `{alias or f'sum({col})'}`")
+                continue
             if st == "timestamp" and str(spark.conf.get(
                     "spark.sql.session.timeZone", "")) != "UTC":
                 # stats encode naive-UTC ISO; a TIMESTAMP literal is
@@ -1015,6 +1016,246 @@ class Catalog:
         return spark.sql(
             "SELECT " + ", ".join(sel) + " FROM VALUES (0)"
         )
+
+    @staticmethod
+    def _schema_index(spark: SparkSession, t):
+        """Case-folded column index shared by the metadata fast paths:
+        ``(fields, ambiguous, case_sensitive)``. Two columns that
+        collapse under case folding land in ``ambiguous`` — the
+        relational path would raise AMBIGUOUS_REFERENCE, so a fast
+        path must refuse, never pick one."""
+        from lakesoul_spark.io.writer import table_schema
+
+        case_sensitive = str(spark.conf.get(
+            "spark.sql.caseSensitive", "false")).lower() == "true"
+        fields: dict = {}
+        ambiguous: set = set()
+        for f in table_schema(t.info).fields:
+            key = f.name if case_sensitive else f.name.lower()
+            if key in fields:
+                ambiguous.add(key)
+            fields[key] = f
+        return fields, ambiguous, case_sensitive
+
+    _BARE_COL_RE = re.compile(r"^`?(\w+)`?(?:\s+AS\s+(\w+))?$", re.I)
+
+    def _try_metadata_group_by(self, spark: SparkSession,
+                               m) -> DataFrame | None:
+        """Resolve ``SELECT <group cols + COUNT/MIN/MAX/SUM items>
+        FROM t [WHERE partition-pred] GROUP BY <range-partition cols>``
+        from per-partition commit-log rows — the same metadata SHOW
+        PARTITIONS EXTENDED proves, shaped as a grouped result. Zero
+        scan jobs: groups are the scoped snapshot's partition descs
+        bucketed by the GROUP BY columns' parsed values, each
+        aggregate reads the group's per-file num_rows / [min,max] /
+        [sum,nonnull] entries, and the rows materialize as a
+        LocalRelation (``local_df``) with every column cast to the
+        relational result type. ``None`` — the never-wrong fallback —
+        whenever any piece is unprovable: a GROUP BY column that is
+        not a range partition (or an ordinal), an item outside the
+        provable aggregate family, a churned/CDC snapshot
+        (:meth:`LakeSoulTable._provable_snapshot` scoped by the
+        WHERE), a file missing a stat, or more groups than a
+        LocalRelation should carry. At 100 TB the per-partition
+        rollup a pipeline dashboard polls stops costing a corpus
+        scan. Reference: the PG-side per-partition stats of
+        PartitionInfo + CompactBucketIO.java:220-258."""
+        from lakesoul_spark.functions.local_df import (
+            MAX_LOCAL_ROWS, local_df,
+        )
+        from lakesoul_spark.io import partition as part_enc
+        from lakesoul_spark.meta.store import Snapshot
+
+        ns, name = self._split_name(m.group(2))
+        if not self.table_exists(name, ns):
+            return None
+        t = self.get_table(spark, name, ns)
+        if m.group(3) is not None:
+            t = LakeSoulTable.for_path_snapshot(
+                spark, t.path, version=int(m.group(3))
+            )
+        info = t.info
+        fields, ambiguous, case_sensitive = self._schema_index(spark, t)
+        rset = {c if case_sensitive else c.lower(): c
+                for c in info.range_partitions}
+
+        def _range_col(txt: str) -> str | None:
+            key = txt if case_sensitive else txt.lower()
+            if key in ambiguous:
+                return None
+            return rset.get(key)
+
+        gcols: list[str] = []
+        for g in (s.strip() for s in m.group(5).split(",")):
+            gm = self._BARE_COL_RE.match(g)
+            if gm is None or gm.group(2) or gm.group(1).isdigit():
+                return None  # ordinals/expressions: not representable
+            rc = _range_col(gm.group(1))
+            if rc is None or rc in gcols:
+                return None  # non-partition or duplicate group col
+            gcols.append(rc)
+
+        # (kind, ...) per SELECT item, in order
+        parsed: list[tuple] = []
+        for it in (s.strip() for s in m.group(1).split(",")):
+            im = self._META_AGG_RE.match(it)
+            if im is not None:
+                if im.group(2):
+                    parsed.append(("agg", im.group(2).lower(),
+                                   im.group(3), im.group(4)))
+                else:
+                    parsed.append(("agg", "count", None, im.group(1)))
+                continue
+            cm = self._BARE_COL_RE.match(it)
+            if cm is None or cm.group(1).isdigit():
+                return None
+            rc = _range_col(cm.group(1))
+            if rc is None or rc not in gcols:
+                return None  # a bare item must be a grouping column
+            # a bare reference keeps the QUERY's casing as its output
+            # name (Spark resolves but does not re-case it)
+            parsed.append(("group", rc, cm.group(2) or cm.group(1)))
+
+        snap = t._provable_snapshot(m.group(4))
+        if snap is None:
+            return None
+        utc = str(spark.conf.get(
+            "spark.sql.session.timeZone", "")) == "UTC"
+
+        groups: dict[tuple, list] = {}
+        for f in snap.files:
+            vals = part_enc.parse_desc(f.partition_desc)
+            groups.setdefault(tuple(vals.get(c) for c in gcols),
+                              []).append(f)
+        if len(groups) > MAX_LOCAL_ROWS:
+            return None  # past the LocalRelation budget a scan is fine
+
+        # column spec per item: carrier DDL type for local_df, a final
+        # cast (None = carrier already IS the result type), the output
+        # name, and a per-group value function
+        specs: list[tuple] = []
+        for idx, p in enumerate(parsed):
+            cname = f"c{idx}"
+            if p[0] == "group":
+                _, rc, out = p
+                st = fields[rc if case_sensitive
+                            else rc.lower()].dataType.simpleString()
+                gi = gcols.index(rc)
+                specs.append((cname, "string", st, out,
+                              lambda key, gf, gi=gi: key[gi]))
+                continue
+            _, fn, col, alias = p
+            if fn == "count":
+                def _cnt(key, gf, _s=snap):
+                    n = LakeSoulTable._count_from(Snapshot(
+                        version=_s.version, timestamp_ms=_s.timestamp_ms,
+                        files=gf))
+                    return None if n is None else int(n)
+                specs.append((cname, "bigint", None,
+                              alias or "count(1)", _cnt))
+                continue
+            f = fields.get(col if case_sensitive else col.lower())
+            if f is None or (col if case_sensitive
+                             else col.lower()) in ambiguous:
+                return None
+            st = f.dataType.simpleString()
+            out = alias or f"{fn}({col})"
+            if fn == "sum":
+                if st.startswith("decimal("):
+                    pp, ss = (int(x)
+                              for x in st[len("decimal("):-1].split(","))
+                    rt = f"decimal({min(38, pp + 10)},{ss})"
+                else:
+                    rt = "bigint"
+
+                def _sum(key, gf, _s=snap, _c=f.name, _st=st, _t=t):
+                    r = self._sum_checked(_t, Snapshot(
+                        version=_s.version, timestamp_ms=_s.timestamp_ms,
+                        files=gf), _c, _st)
+                    return _REFUSE if r is None else r[0]
+                specs.append((cname, "string", rt, out, _sum))
+                continue
+            # min/max: the exact-stats type gate lives in _minmax_from;
+            # the timestamp-literal UTC gate is replicated here
+            if st == "timestamp" and not utc:
+                return None
+
+            def _mm(key, gf, _s=snap, _c=f.name, _t=t, _fn=fn):
+                mm = _t._minmax_from(Snapshot(
+                    version=_s.version, timestamp_ms=_s.timestamp_ms,
+                    files=gf), _c)
+                if mm is None:
+                    return _REFUSE
+                return str(mm[0 if _fn == "min" else 1])
+            specs.append((cname, "string", st, out, _mm))
+
+        rows = []
+        for key in sorted(groups,
+                          key=lambda k: tuple((v is None, v or "")
+                                              for v in k)):
+            gf = groups[key]
+            row = []
+            for _, _, _, _, fv in specs:
+                v = fv(key, gf)
+                if v is _REFUSE:
+                    return None
+                row.append(v)
+            rows.append(tuple(row))
+
+        pdf = local_df(
+            spark, rows,
+            ", ".join(f"`{c}` {carrier}" for c, carrier, *_ in specs),
+        )
+        sel = []
+        for c, _, cast_to, out, _fv in specs:
+            e = F.col(f"`{c}`")
+            if cast_to is not None:
+                e = e.cast(cast_to)
+            sel.append(e.alias(out))
+        return pdf.select(*sel)
+
+    @staticmethod
+    def _sum_checked(t, snap, cname: str, st: str):
+        """``(value_string_or_None, result_type)`` for ``SUM(cname)``
+        from commit-log sums, in the relational path's RESULT TYPE
+        (integer family → BIGINT, decimal(p,s) →
+        decimal(min(38,p+10),s)); value ``None`` = SQL NULL (zero
+        non-null rows). Returns ``None`` (refuse → fallback) when the
+        sum is unprovable or would overflow that type — non-ANSI
+        Spark wraps/NULLs there, and the fallback reproduces whatever
+        Spark does rather than guessing."""
+        import decimal
+
+        res = t._sum_from(snap, cname)
+        if res is None:
+            return None
+        total, nonnull = res
+        if st.startswith("decimal("):
+            p, s = (int(x) for x in st[len("decimal("):-1].split(","))
+            rp = min(38, p + 10)
+            rt = f"DECIMAL({rp},{s})"
+            if nonnull == 0:
+                return (None, rt)
+            if abs(total) >= decimal.Decimal(10) ** (rp - s):
+                return None
+            return (str(total), rt)
+        if nonnull == 0:
+            return (None, "BIGINT")
+        if not (-(2 ** 63) <= int(total) < 2 ** 63):
+            return None
+        return (str(int(total)), "BIGINT")
+
+    @classmethod
+    def _sum_literal(cls, t, snap, cname: str, st: str) -> str | None:
+        """:meth:`_sum_checked` rendered as a one-row SQL literal."""
+        r = cls._sum_checked(t, snap, cname, st)
+        if r is None:
+            return None
+        v, rt = r
+        if v is None:
+            return f"CAST(NULL AS {rt})"
+        return (f"CAST('{v}' AS {rt})" if rt.startswith("DECIMAL")
+                else f"CAST({v} AS {rt})")
 
     _TC_RE = re.compile(
         r"table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",

@@ -154,7 +154,16 @@ def local_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
             spark.sparkContext.parallelize(rows, 1), schema_ddl
         )
     if not rows:
-        return spark.createDataFrame([], schema_ddl)
+        # a NULL-typed row filtered by a false literal: the optimizer's
+        # PropagateEmptyRelation folds it to an EMPTY LocalRelation —
+        # zero jobs on collect, unlike createDataFrame([], ...) whose
+        # empty RDD scan still schedules one
+        row_sql = "(" + ",".join(f"CAST(NULL AS {t})"
+                                 for _, t in cols) + ")"
+        col_sql = ",".join(f"`{n}`" for n, _ in cols)
+        return spark.sql(
+            f"SELECT * FROM (VALUES {row_sql}) AS t({col_sql}) WHERE 1=0"
+        )
     row_sql = ",".join(
         "(" + ",".join(_render(v, t) for v, (_, t) in zip(r, cols)) + ")"
         for r in rows

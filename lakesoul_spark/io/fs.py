@@ -66,6 +66,21 @@ def parquet_metadata(native_path: str, fs):
         return pq.ParquetFile(fh).metadata
 
 
+def parquet_metadata_and_sums(native_path: str, fs, sum_cols):
+    """Footer metadata plus exact per-column sums (``io/stats.py
+    file_sums``) in ONE file open — the commit-time bookkeeping read.
+    ``sum_cols`` empty/None skips the data read entirely (footer
+    only, byte-identical cost to :func:`parquet_metadata`)."""
+    import pyarrow.parquet as pq
+
+    from lakesoul_spark.io.stats import file_sums
+
+    with fs.open_input_file(native_path) as fh:
+        pf = pq.ParquetFile(fh)
+        sums = file_sums(pf, sum_cols) if sum_cols else None
+        return pf.metadata, sums
+
+
 def delete_file(native_path: str, fs) -> None:
     """Best-effort delete (missing object is not an error — S3 DELETE
     shape)."""

@@ -56,6 +56,59 @@ def encode_stat_value(v):
     return None
 
 
+def file_sums(pf, cols: list[str]) -> dict | None:
+    """Exact per-column ``[sum, nonnull_count]`` for the integer /
+    decimal columns of ``cols``, read from an open ``ParquetFile``
+    (reference file-level stat shape: ``CompactBucketIO.java:220-258``
+    collects per-file column stats at compaction the same way).
+
+    Unlike min/max these cannot come from the footer — the column
+    chunks are read (columnar: just these columns, not the file). The
+    arithmetic is EXACT: integers sum through ``decimal128(38, 0)``
+    (a raw int64 arrow sum could silently wrap), decimals keep their
+    scale. A column whose sum overflows 38 digits, or whose type is
+    not integer/decimal (float sums are rounding-order-dependent;
+    strings have no sum), is omitted — readers treat a missing entry
+    as "cannot prove" and fall back. ``nonnull_count`` distinguishes
+    the SQL SUM of an all-null column (NULL) from a zero sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = pf.schema_arrow
+    names = set(schema.names)
+    want = []
+    for c in cols:
+        if c not in names:
+            continue
+        t = schema.field(c).type
+        if pa.types.is_integer(t) or pa.types.is_decimal(t):
+            want.append(c)
+    if not want:
+        return None
+    tbl = pf.read(columns=want)
+    out = {}
+    for c in want:
+        col = tbl.column(c)
+        nonnull = len(col) - col.null_count
+        if nonnull == 0:
+            out[c] = [0, 0]
+            continue
+        t = schema.field(c).type
+        try:
+            if pa.types.is_integer(t):
+                s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
+                out[c] = [int(s), nonnull]
+            else:
+                s = pc.sum(col).as_py()
+                # exact string round-trip (JSON floats would round)
+                out[c] = [str(s), nonnull]
+        except Exception:
+            # overflow past 38 digits (or an arrow kernel gap): no
+            # entry = no claim — readers fall back to a real scan
+            continue
+    return out or None
+
+
 def file_stats(pq_meta, cols: list[str]) -> dict | None:
     """Aggregate parquet footer row-group statistics into per-column
     ``[min, max]`` bounds for ``cols``. A column is included only when

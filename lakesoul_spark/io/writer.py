@@ -215,13 +215,20 @@ def _collect_file_ops(
     from concurrent.futures import ThreadPoolExecutor
 
     from lakesoul_spark.io.fs import (
-        filesystem_for, list_files, parquet_metadata, relative_to,
+        filesystem_for, list_files, parquet_metadata_and_sums,
+        relative_to,
     )
     from lakesoul_spark.io.stats import file_stats
 
     rc = set(info.range_partitions)
     exist_cols = [c for c in present if c not in rc]
     stat_cols = _stats_cols(info, exist_cols)
+    # SUM stats only for DECLARED statsColumns (not the PK — summing a
+    # key is meaningless), and only those the file carries; the
+    # integer/decimal type gate lives in file_sums
+    prop = info.properties.get("lakesoul.statsColumns")
+    sum_cols = [c.strip() for c in str(prop).split(",")
+                if c.strip() and c.strip() in exist_cols] if prop else []
     fs_, out_native = filesystem_for(out_dir, fs)
     _, table_native = filesystem_for(info.path, fs)
     listed = list_files(out_dir, fs, suffix=".parquet")
@@ -238,7 +245,7 @@ def _collect_file_ops(
             else:
                 range_comps.append(comp)
         desc = desc_from_dir_components(range_comps)
-        meta = parquet_metadata(full, fs_)
+        meta, sums = parquet_metadata_and_sums(full, fs_, sum_cols)
         return FileOp(
             op="add",
             path=relative_to(full, table_native),
@@ -249,6 +256,7 @@ def _collect_file_ops(
             file_exist_cols=exist_cols,
             # same footer read as num_rows — stats cost nothing extra
             stats=file_stats(meta, stat_cols) if stat_cols else None,
+            sums=sums,
         )
 
     # footer reads are independent IO — a commit of thousands of files

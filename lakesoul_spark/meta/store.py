@@ -97,6 +97,11 @@ class FileOp:
     # aggregated from parquet footers at commit time — scans skip files
     # from metadata alone (reference keeps these in PG; io/stats.py)
     stats: dict | None = None
+    # per-column [sum, nonnull_count] for integer/decimal
+    # lakesoul.statsColumns (reference CompactBucketIO.java:220-258
+    # file-level stat shape) — SUM(col) answers from metadata alone;
+    # ints ride as ints, decimals as exact strings (io/stats.py)
+    sums: dict | None = None
 
 
 @dataclass
@@ -188,6 +193,7 @@ class FileEntry:
     num_rows: int = -1
     level: int = 0
     stats: dict | None = None
+    sums: dict | None = None
 
 
 def _file_entry(c: "CommitInfo", i: int, fo: FileOp) -> FileEntry:
@@ -204,6 +210,7 @@ def _file_entry(c: "CommitInfo", i: int, fo: FileOp) -> FileEntry:
         num_rows=fo.num_rows,
         level=fo.level,
         stats=fo.stats,
+        sums=fo.sums,
     )
 
 

@@ -2065,3 +2065,139 @@ def arrow_finalize_mv(spark, sf_dir):
         "o_orderpriority string, total double, mean_price double, "
         "n_orders bigint, min_price double, n_months bigint",
     )
+
+
+@_register(
+    "lakehouse_groupby_sum_fast",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderpriority AS p
+      FROM orders
+    ), final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN p = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN CAST(price * 2 AS DECIMAL(18,2))
+                  ELSE price END AS price,
+             p
+      FROM base
+    )
+    SELECT p, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM final GROUP BY p
+    """,
+)
+def groupby_sum_fast(spark, sf_dir):
+    """Partition-GROUP-BY + SUM(col) on the zero-job metadata fast
+    path end-to-end (r12 capability): ``SELECT p, count(*), sum/min/
+    max(...) FROM t [WHERE …] GROUP BY p`` answers from the same
+    per-partition commit-log rows SHOW PARTITIONS EXTENDED proves —
+    per-file ``num_rows`` / ``[min,max]`` stats / NEW exact
+    ``[sum, nonnull]`` sums (integer via decimal128 accumulation,
+    decimal at native scale; ``io/stats.py file_sums``, reference
+    file-stat shape ``CompactBucketIO.java:220-258``) — as ONE
+    LocalRelation whose collect launches ZERO Spark jobs (asserted).
+    The proof gate is the shared provable-snapshot rule, WHERE-scoped:
+    a PK upsert churns only partition ``1-URGENT`` mid-lifecycle,
+    after which the unscoped GROUP BY falls back to a real scan
+    (asserted — a sum of superseded MOR rows is not derivable from
+    any union of generations) while the same statement scoped away
+    from the churned partition stays metadata-only with values equal
+    to the relational truth (asserted). SHOW PARTITIONS EXTENDED runs
+    the same gate per partition: ``num_rows`` is NULL for exactly the
+    churned partition and matches a relational recount everywhere
+    else (asserted). Partition-scoped compaction restores the full
+    fast path, which produces the returned rows. At 100 TB: the
+    per-partition rollup a pipeline dashboard polls every few minutes
+    — count, row sums, key ranges per day/priority — stops costing a
+    corpus scan and becomes one driver-side metadata pass."""
+    from lakesoul_spark.catalog import Catalog
+
+    root = _tmp("groupby_sum", sf_dir)
+    cat = Catalog(root)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    orders.createOrReplaceTempView("gbs_src")
+    cat.sql(spark, """
+        CREATE TABLE gbs (o_orderkey BIGINT, o_custkey BIGINT,
+                          price DECIMAL(18,2), p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='4',
+                      'lakesoul.statsColumns'='o_custkey,price')
+    """)
+    cat.sql(spark, "INSERT INTO gbs SELECT * FROM gbs_src")
+    t = cat.get_table(spark, "gbs")
+
+    gb_sql = ("SELECT p, count(*) AS n_rows, sum(o_custkey) AS sum_cust,"
+              " min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,"
+              " sum(price) AS total_price FROM gbs{where} GROUP BY p")
+
+    def run(where: str = "", expect_fast: bool = True):
+        sql = gb_sql.format(where=where)
+        df = cat.sql(spark, sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        fast = ("LocalTableScan" in plan and "HashAggregate" not in plan
+                and "SortAggregate" not in plan)
+        assert fast == expect_fast, f"{sql!r}: fast={fast}\n{plan}"
+        if expect_fast:
+            tracker = spark.sparkContext.statusTracker()
+            before = len(tracker.getJobIdsForGroup(None) or [])
+            rows = df.collect()
+            assert len(tracker.getJobIdsForGroup(None) or []) == before, \
+                f"{sql!r} launched scan jobs"
+        else:
+            rows = df.collect()
+        return sorted(rows, key=lambda r: r["p"])
+
+    pre = run()  # whole table provable: metadata-only
+
+    # churn EXACTLY one partition: PK rewrite doubles some prices —
+    # counts unchanged, sums changed, '1-URGENT' buckets now 2-gen
+    t.upsert(
+        orders.filter((F.col("p") == "1-URGENT")
+                      & (F.col("o_orderkey") % 5 == 0))
+        .withColumn("price",
+                    (F.col("price") * 2).cast("decimal(18,2)"))
+    )
+    mid = run(expect_fast=False)        # unscoped: must fall back
+    scoped = run(" WHERE p != '1-URGENT'")   # scoped proof survives
+    assert scoped == [r for r in mid if r["p"] != "1-URGENT"], \
+        "scoped fast rows diverge from the relational truth"
+    assert [r["n_rows"] for r in mid] == [r["n_rows"] for r in pre]
+    assert next(r for r in mid if r["p"] == "1-URGENT")["total_price"] \
+        != next(r for r in pre if r["p"] == "1-URGENT")["total_price"]
+
+    # SHOW PARTITIONS EXTENDED shares the per-partition proof gate:
+    # num_rows NULL for exactly the churned partition, and equal to a
+    # relational recount everywhere else
+    from lakesoul_spark.io.partition import parse_desc
+
+    ext = {parse_desc(r["partition"])["p"]: r for r in
+           cat.sql(spark, "SHOW PARTITIONS gbs EXTENDED").collect()}
+    recount = {r["p"]: r["n"] for r in
+               t.to_df().groupBy("p").agg(
+                   F.count("*").alias("n")).collect()}
+    for pval, row in ext.items():
+        if pval == "1-URGENT":
+            assert row["num_rows"] is None, "churned scope must refuse"
+        else:
+            assert row["num_rows"] == recount[pval], (pval, row)
+
+    # partition-scoped compaction restores the whole-table proof
+    t.compaction("p=1-URGENT")
+    final = run()
+    assert [r["p"] for r in final] == [r["p"] for r in mid]
+    assert final == mid, "post-compaction fast rows != relational rows"
+    return spark.createDataFrame(
+        [(r["p"], r["n_rows"], r["sum_cust"], r["min_cust"],
+          r["max_cust"], float(r["total_price"])) for r in final],
+        "p string, n_rows bigint, sum_cust bigint, min_cust bigint, "
+        "max_cust bigint, total_price double",
+    )

@@ -789,6 +789,67 @@ class LakeSoulTable:
             hi = fhi if hi is None or fhi > hi else hi
         return (lo, hi)
 
+    def sum_fast(self, col: str,
+                 condition: str | None = None) -> tuple | None:
+        """Exact ``(sum, nonnull_count)`` of an integer/decimal
+        ``lakesoul.statsColumns`` column from per-file commit-log sums
+        — zero Spark jobs, zero file IO — or ``None`` when metadata
+        cannot prove it. Unlike min/max, a SUM is NOT derivable from
+        any union of overlapping generations (the r9 sum_all lesson:
+        union bounds bound extrema, nothing bounds a sum of superseded
+        rows), so the proof needs :meth:`_provable_snapshot` — at most
+        one generation per scoped PK bucket — AND a recorded
+        ``[sum, nonnull]`` for EVERY live file carrying the column
+        (``io/stats.py file_sums``, written at commit from the staged
+        file itself). Files that physically lack the column contribute
+        nothing when its fill is NULL; a declared default would
+        contribute ``default × num_rows`` — refused rather than
+        guessed. ``nonnull_count == 0`` means the SQL result is NULL.
+        ``condition`` scopes to range partitions like
+        :meth:`count_fast`. Sum is a python int for integer columns,
+        ``Decimal`` for decimal columns."""
+        return self._sum_from(self._provable_snapshot(condition), col)
+
+    def _sum_from(self, snap, col: str) -> tuple | None:
+        """Sum over an already-resolved provable snapshot (see
+        :meth:`_count_from` for why the SQL fast path shares one)."""
+        import decimal
+
+        from lakesoul_spark.io.writer import table_schema as _ts
+
+        dtype = next(
+            (f.dataType.simpleString() for f in _ts(self.info).fields
+             if f.name == col), "",
+        )
+        if not (dtype in self._SUM_EXACT_TYPES
+                or dtype.startswith("decimal(")):
+            return None
+        if snap is None:
+            return None
+        has_default = self.info.column_defaults().get(col) is not None
+        total = decimal.Decimal(0)
+        nonnull = 0
+        for f in snap.files:
+            if col not in f.file_exist_cols:
+                if has_default:
+                    # rows read as default × num_rows — metadata holds
+                    # no sum for that; refuse, never guess
+                    return None
+                continue  # NULL fill: contributes nothing to SUM
+            ent = (f.sums or {}).get(col)
+            if ent is None:
+                return None
+            s, nn = ent
+            total += decimal.Decimal(str(s))
+            nonnull += int(nn)
+        if dtype.startswith("decimal("):
+            return (total, nonnull)
+        return (int(total), nonnull)
+
+    _SUM_EXACT_TYPES = (
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+    )
+
     def to_df(self, file_filters: list | None = None) -> DataFrame:
         """Snapshot/incremental view. ``file_filters`` — optional list
         of ``(column, op, value)`` with op in ``=,<,<=,>,>=,in`` —

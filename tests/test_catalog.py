@@ -1451,57 +1451,60 @@ def test_partition_count_fast_never_wrong_fuzz(cat, spark):
 
 
 def test_minmax_sql_fast_path_fuzz(cat, spark):
-    """Property: any SELECT of COUNT/MIN/MAX items (mixed casing,
-    aliases, negative values, optional partition WHERE) returns the
-    same row AND the same column names whether the metadata fast path
-    or the relational fallback answers — checked by comparing against
-    plain Spark SQL over the source rows."""
+    """Property: any SELECT of COUNT/MIN/MAX/SUM items (mixed casing,
+    aliases, negative values, optional partition WHERE, optional
+    GROUP BY over the partition column) returns the same rows AND the
+    same column names whether the metadata fast path or the
+    relational fallback answers — checked by comparing against plain
+    Spark SQL over the source rows."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     cat.sql(spark, """
-        CREATE TABLE fmx (k BIGINT, i INT, d DATE, p STRING)
+        CREATE TABLE fmx (k BIGINT, i INT, d DATE, dd DECIMAL(10,2),
+                          p STRING)
         USING lakesoul PARTITIONED BY (p)
         TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
-                      'lakesoul.statsColumns'='i,d')
+                      'lakesoul.statsColumns'='i,d,dd')
     """)
-    cat.sql(spark, """
-        INSERT INTO fmx
-        SELECT id - 50, CAST(id * 13 % 101 - 50 AS INT),
-               DATE_ADD(DATE'1999-12-25', CAST(id AS INT)),
-               CASE WHEN id % 3 = 0 THEN 'a'
-                    WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
-        FROM range(90)
-    """)
-    spark.sql("""
+    src = """
         SELECT id - 50 AS k, CAST(id * 13 % 101 - 50 AS INT) AS i,
                DATE_ADD(DATE'1999-12-25', CAST(id AS INT)) AS d,
+               CAST((id * 17 % 301 - 150) * 0.25 AS DECIMAL(10,2)) AS dd,
                CASE WHEN id % 3 = 0 THEN 'a'
                     WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p
         FROM range(90)
-    """).createOrReplaceTempView("fmx_truth")
+    """
+    cat.sql(spark, f"INSERT INTO fmx {src}")
+    spark.sql(src).createOrReplaceTempView("fmx_truth")
 
     item = st.sampled_from([
         "COUNT(*)", "count(1)", "MIN(k)", "max(k)", "MIN(K)",
         "MIN(i)", "MAX(i)", "MIN(d)", "MAX(d)", "MAX(i) AS hi",
-        "MIN(k) AS lo",
+        "MIN(k) AS lo", "SUM(i)", "sum(I)", "SUM(dd)", "sum(k)",
+        "SUM(i) AS tot",
     ])
     where = st.sampled_from([
         "", " WHERE p = 'a'", " WHERE p IN ('a','c')", " WHERE p > 'a'",
         " WHERE p = 'nope'",
     ])
 
-    @settings(max_examples=40, deadline=None,
+    @settings(max_examples=50, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(items=st.lists(item, min_size=1, max_size=3, unique=True),
-           w=where)
-    def check(items, w):
+           w=where, gb=st.booleans(), sel_p=st.booleans())
+    def check(items, w, gb, sel_p):
+        if gb and sel_p:
+            items = ["p"] + items
         sel = ", ".join(items)
-        got = cat.sql(spark, f"SELECT {sel} FROM fmx{w}")
-        want = spark.sql(f"SELECT {sel} FROM fmx_truth{w}")
-        assert got.columns == want.columns, (sel, w)
-        g, x = got.collect()[0], want.collect()[0]
-        assert tuple(g) == tuple(x), (sel, w, tuple(g), tuple(x))
+        tail = " GROUP BY p" if gb else ""
+        got = cat.sql(spark, f"SELECT {sel} FROM fmx{w}{tail}")
+        want = spark.sql(f"SELECT {sel} FROM fmx_truth{w}{tail}")
+        assert got.columns == want.columns, (sel, w, tail)
+        key = lambda r: tuple((v is None, str(v)) for v in r)
+        g = sorted(map(tuple, got.collect()), key=key)
+        x = sorted(map(tuple, want.collect()), key=key)
+        assert g == x, (sel, w, tail, g[:3], x[:3])
         # empty-scope min/max must fall through (stats can't prove
         # NULL); counts may stay fast — either way values matched above
 

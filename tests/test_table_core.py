@@ -1130,6 +1130,70 @@ def test_count_fast_metadata_only(spark, tmp_table, tmp_path):
     assert tc.count() == 2
 
 
+def test_sum_fast_metadata_only(spark, tmp_path):
+    """sum_fast answers SUM(col) from per-file [sum, nonnull] commit
+    metadata — exact for integer/decimal statsColumns — and refuses
+    whenever a guess could be wrong: non-stats columns, float types,
+    multi-generation PK buckets (a sum of superseded rows is not
+    derivable from any union — the r9 sum_all lesson), files written
+    without sums, files lacking the column under a declared default."""
+    import decimal
+
+    from lakesoul_spark.table import create_table
+
+    pk = str(tmp_path / "sumpk")
+    write(
+        seed_df(spark,
+                [(i, i % 10, decimal.Decimal(f"{i}.25"), float(i))
+                 for i in range(100)],
+                "id int, v int, d decimal(10,2), f double"),
+        pk, mode="overwrite", hash_partitions=["id"], hash_bucket_num=4,
+        properties={"lakesoul.statsColumns": "v,d,f"},
+    )
+    t = LakeSoulTable.for_path(spark, pk)
+    assert t.sum_fast("v") == (sum(i % 10 for i in range(100)), 100)
+    total_d = sum(decimal.Decimal(f"{i}.25") for i in range(100))
+    assert t.sum_fast("d") == (total_d, 100)
+    assert t.sum_fast("f") is None      # float: rounding-order-dependent
+    assert t.sum_fast("id") is None     # PK not declared for sums
+
+    # churn: overlapping generations make EVERY sum unprovable
+    t.upsert(seed_df(spark, [(5, 999, decimal.Decimal("1.00"), 0.0)],
+                     "id int, v int, d decimal(10,2), f double"))
+    t = LakeSoulTable.for_path(spark, pk)
+    assert t.sum_fast("v") is None
+    t.compaction()
+    t = LakeSoulTable.for_path(spark, pk)
+    got = t.sum_fast("v")
+    want = t.to_df().groupBy().sum("v").collect()[0][0]
+    assert got == (want, 100)           # compaction recomputes sums
+
+    # all-null column → (0, 0): the SQL result is NULL, not 0
+    nn = str(tmp_path / "sumnull")
+    write(
+        seed_df(spark, [(i, None) for i in range(10)],
+                "id int, v int"),
+        nn, mode="overwrite",
+        properties={"lakesoul.statsColumns": "v"},
+    )
+    assert LakeSoulTable.for_path(spark, nn).sum_fast("v") == (0, 0)
+
+    # schema evolution: a file physically lacking the column is a NULL
+    # fill → contributes nothing; with a DECLARED default it must refuse
+    ev = str(tmp_path / "sumev")
+    write(seed_df(spark, [(1,), (2,)], "id int"), ev, mode="overwrite",
+          properties={"lakesoul.statsColumns": "v"})
+    tev = LakeSoulTable.for_path(spark, ev)
+    tev.add_column("v", "int")
+    write(seed_df(spark, [(3, 7), (4, 8)], "id int, v int"),
+          ev, mode="append")
+    tev = LakeSoulTable.for_path(spark, ev)
+    assert tev.sum_fast("v") == (15, 2)
+    tev.set_properties({"default.v": "5"})
+    tev = LakeSoulTable.for_path(spark, ev)
+    assert tev.sum_fast("v") is None    # default × rows is not recorded
+
+
 def test_clone_deep_and_shallow(spark, tmp_table, tmp_path):
     """CLONE: a multi-generation PK snapshot merges identically in the
     clone (order keys preserved); clones evolve independently; shallow
