@@ -753,6 +753,260 @@ class TransformMV:
         return self.table.to_df()
 
 
+_EXTRA_LEFT_END = "mv.left_end_version"
+_EXTRA_RIGHT_END = "mv.right_end_version"
+
+
+class JoinMV:
+    """Incrementally-maintained equi-JOIN view over TWO churning
+    append-only sources — ``SELECT … FROM A JOIN B ON k`` kept fresh
+    without ever re-joining the corpus (reference anchor: the
+    delta-join write benchmarks ``benchmark/io/deltaJoin/
+    UpsertWriteWithJoin.scala`` and ``joinWithTablePathsAndUpsert``,
+    ``LakeSoulTableOperations.scala:113-166``, which hand-roll exactly
+    this maintenance loop).
+
+    Delta algebra per refresh, with ΔA = left commits (lastL, headL]
+    and ΔB = right commits (lastR, headR]::
+
+        new pairs = (ΔA ⋈ B@headR)  ∪  (A@lastL ⋈ ΔB)
+
+    The first term joins the left DELTA against the right side's NEW
+    pinned snapshot (so ΔA⋈ΔB is counted there, once); the second
+    joins the right delta against the left side's OLD applied snapshot
+    (so ΔA⋈ΔB is NOT double-counted). The terms are disjoint by
+    construction — an A-row is in ΔA or in A@lastL, never both — so
+    every joined pair is emitted by exactly one refresh. The result is
+    PK-UPSERTED (``pk`` must uniquely identify a joined row — the
+    union of both sides' row identities for fan-out joins), so MOR
+    folds any restatement instead of duplicating it, and point-lookups
+    on the view stay bucket-pruned.
+
+    At 100 TB: each refresh scans only the two commit windows and
+    joins each against one snapshot — O(ΔA + ΔB) input with AQE free
+    to broadcast the (small) delta side — instead of the A⋈B corpus
+    recompute a naive view pays. Exactly-once: the refresh commit
+    carries BOTH applied source versions in ``extra`` and keys the
+    streaming-sink idempotence dedupe on the window
+    (``query_id=mv:<id>:<headL>``, ``batch_id=headR``), the same
+    contract as :class:`AggMV`. Inner joins only: a left join's
+    NULL-extended rows would need retraction when the match arrives
+    later, which an append-delta cannot express."""
+
+    def __init__(self, spark: SparkSession, mv_path: str):
+        self.spark = spark
+        self.table = LakeSoulTable.for_path(spark, mv_path)
+        spec_json = self.table.info.properties.get(SPEC_PROP)
+        if not spec_json:
+            raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
+        spec = json.loads(spec_json)
+        if spec.get("kind") != "join":
+            raise ValueError(
+                f"{mv_path} is a {spec.get('kind', 'agg')!r} view — open "
+                "it with open_view()"
+            )
+        self.left_path: str = spec["left_path"]
+        self.right_path: str = spec["right_path"]
+        self.on: list[str] = list(spec["on"])
+        self.select: list[str] = list(spec["select"])
+        self.where: str | None = spec.get("where")
+
+    @property
+    def source_path(self) -> str:
+        """Display form for SHOW MATERIALIZED VIEWS."""
+        return f"{self.left_path},{self.right_path}"
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        left_path: str,
+        right_path: str,
+        mv_path: str,
+        *,
+        on: list[str],
+        select: list[str],
+        pk: list[str],
+        hash_bucket_num: int = 4,
+        where: str | None = None,
+    ) -> "JoinMV":
+        """Define the view; the first :meth:`refresh` performs the
+        initial full join (A@head ⋈ B@head arrives as ΔA ⋈ B with an
+        empty applied left). ``on`` is a list of SHARED equi-join
+        column names (the join output carries one copy); ``select`` is
+        a list of selectExpr strings over the joined frame; ``pk``
+        must uniquely identify a joined row and become the view's hash
+        partitions; ``where`` is an optional stateless row filter
+        (applied after the join, so it may reference both sides)."""
+        left = LakeSoulTable.for_path(spark, left_path)
+        right = LakeSoulTable.for_path(spark, right_path)
+        _validate_source(left.info)
+        _validate_source(right.info)
+        if not on:
+            raise ValueError("on must name at least one shared join column")
+        if not select:
+            raise ValueError("select must name at least one expression")
+        if not pk:
+            raise ValueError(
+                "pk must name the columns that uniquely identify a "
+                "joined row (both sides' row identities for fan-out "
+                "joins) — the PK-upsert fold depends on it"
+            )
+        probe = cls._join_select(
+            left.to_df().limit(0), right.to_df().limit(0),
+            list(on), list(select), where,
+        )
+        missing = [c for c in pk if c not in probe.columns]
+        if missing:
+            raise ValueError(f"pk columns {missing} not in the select output")
+        spec = {
+            "kind": "join",
+            "left_path": left.path,
+            "right_path": right.path,
+            "on": list(on),
+            "select": list(select),
+        }
+        if where:
+            spec["where"] = where
+        create_table(
+            spark,
+            mv_path,
+            probe.schema,
+            hash_partitions=list(pk),
+            hash_bucket_num=hash_bucket_num,
+            properties={SPEC_PROP: json.dumps(spec)},
+        )
+        return cls(spark, mv_path)
+
+    @staticmethod
+    def _join_select(ldf, rdf, on, select, where) -> DataFrame:
+        j = ldf.join(rdf, on=on, how="inner")
+        if where:
+            j = j.filter(where)
+        return j.selectExpr(*select)
+
+    # ------------------------------------------------------------ state
+
+    def last_applied(self) -> tuple[int, int]:
+        """(left, right) source versions the view reflects — read from
+        refresh commits' ``extra`` (atomic with the data they applied)."""
+        for c in reversed(self.table.store.commits()):
+            if _EXTRA_LEFT_END in c.extra:
+                return (int(c.extra[_EXTRA_LEFT_END]),
+                        int(c.extra[_EXTRA_RIGHT_END]))
+        return (0, 0)
+
+    def last_applied_version(self) -> int:
+        """SHOW MATERIALIZED VIEWS display hook: the LEFT source's
+        applied version (the full pair is :meth:`last_applied`)."""
+        return self.last_applied()[0]
+
+    # ------------------------------------------------------------ refresh
+
+    def _side_df(self, path: str, version: int) -> DataFrame:
+        if version == 0:
+            return LakeSoulTable.for_path(
+                self.spark, path).to_df().limit(0)
+        return LakeSoulTable.for_path_snapshot(
+            self.spark, path, version=version).to_df()
+
+    def refresh(self, *, max_attempts: int = 5) -> dict:
+        """Apply both sources' new commits as ONE delta-join
+        generation; same concurrency contract as :meth:`AggMV.refresh`
+        (the MV head is captured first; a racing refresh either
+        resolves idempotently on the same window or conflicts and we
+        recompute from the new applied state)."""
+        from lakesoul_spark.meta.store import CommitConflict
+
+        lstore = MetaStore(self.left_path)
+        rstore = MetaStore(self.right_path)
+        for _ in range(max_attempts):
+            mv_base = self.table.store.head_version()
+            head_l, head_r = lstore.head_version(), rstore.head_version()
+            last_l, last_r = self.last_applied()
+            if head_l <= last_l and head_r <= last_r:
+                return {"applied": False,
+                        "left": (last_l, last_l), "right": (last_r, last_r)}
+            parts = []
+            if head_l > last_l:
+                d_a = _window_df(self.spark, lstore, self.left_path,
+                                 last_l, head_l)
+                parts.append(self._join_select(
+                    d_a, self._side_df(self.right_path, head_r),
+                    self.on, self.select, self.where,
+                ))
+            if head_r > last_r and last_l > 0:
+                # A@lastL ⋈ ΔB — with lastL == 0 the old left is empty
+                # and the term vanishes (the initial load is term one)
+                d_b = _window_df(self.spark, rstore, self.right_path,
+                                 last_r, head_r)
+                parts.append(self._join_select(
+                    self._side_df(self.left_path, last_l), d_b,
+                    self.on, self.select, self.where,
+                ))
+            if not parts:
+                # only the right moved while the applied left is still
+                # empty: no pairs can exist, but the marker must still
+                # advance or every refresh re-reads a growing ΔB window
+                parts.append(self._join_select(
+                    self._side_df(self.left_path, 0),
+                    self._side_df(self.right_path, 0),
+                    self.on, self.select, self.where,
+                ))
+            delta = parts[0]
+            for p in parts[1:]:
+                delta = delta.unionByName(p)
+            info = self.table.info
+            ops = write_table_data(delta, info, dedup=False)
+            try:
+                self.table.store.commit(
+                    OP_MERGE, ops,
+                    query_id=f"mv:{info.table_id}:{head_l}",
+                    batch_id=head_r,
+                    extra={_EXTRA_LEFT_END: head_l,
+                           _EXTRA_RIGHT_END: head_r},
+                    base_version=mv_base,
+                )
+            except CommitConflict:
+                continue  # a racing refresh landed: recompute the window
+            return {"applied": True,
+                    "left": (last_l + 1, head_l),
+                    "right": (last_r + 1, head_r)}
+        raise CommitConflict(
+            f"refresh of {self.table.path} lost {max_attempts} races in a row"
+        )
+
+    def rebuild(self) -> dict:
+        """Recovery path (a source stopped being append-only): re-join
+        the two CURRENT snapshots and replace every view generation in
+        one Update commit stamped with both heads."""
+        from lakesoul_spark.meta.store import FileOp
+
+        head_l = MetaStore(self.left_path).head_version()
+        head_r = MetaStore(self.right_path).head_version()
+        out = self._join_select(
+            self._side_df(self.left_path, head_l),
+            self._side_df(self.right_path, head_r),
+            self.on, self.select, self.where,
+        )
+        info = self.table.info
+        adds = write_table_data(out, info, dedup=False)
+        dels = [
+            FileOp(op="del", path=f.path,
+                   partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in self.table.store.snapshot().files
+        ]
+        self.table.store.commit(
+            OP_UPDATE, dels + adds,
+            query_id=f"mv:{info.table_id}:{head_l}", batch_id=head_r,
+            extra={_EXTRA_LEFT_END: head_l, _EXTRA_RIGHT_END: head_r},
+        )
+        return {"applied": True, "left": (1, head_l), "right": (1, head_r)}
+
+    def to_df(self) -> DataFrame:
+        return self.table.to_df()
+
+
 def open_view(spark: SparkSession, mv_path: str):
     """Open a path as whichever view kind its spec declares."""
     store = MetaStore(mv_path)
@@ -760,4 +1014,6 @@ def open_view(spark: SparkSession, mv_path: str):
     if not spec_json:
         raise ValueError(f"{mv_path} is not an mv.py view (no {SPEC_PROP})")
     kind = json.loads(spec_json).get("kind", "agg")
-    return (TransformMV if kind == "transform" else AggMV)(spark, mv_path)
+    return {"transform": TransformMV, "join": JoinMV}.get(kind, AggMV)(
+        spark, mv_path
+    )

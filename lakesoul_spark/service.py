@@ -92,9 +92,12 @@ class CompactionService:
             if spec:
                 import json as _json
 
-                src_head = MetaStore(
-                    _json.loads(spec)["source_path"]
-                ).head_version()
+                sp = _json.loads(spec)
+                if "right_path" in sp:  # JoinMV: two watched sources
+                    src_head = (MetaStore(sp["left_path"]).head_version(),
+                                MetaStore(sp["right_path"]).head_version())
+                else:
+                    src_head = MetaStore(sp["source_path"]).head_version()
             if head == self._last_seen.get(path) and (
                 src_head is None or src_head == self._last_seen_src.get(path)
             ):

@@ -1032,3 +1032,156 @@ def test_repin_verify_false_refused_on_pk_dim(spark, tmp_path):
             mv.repin_dims()
     finally:
         mv_mod._window_df = real_window
+
+
+# ----------------------------------------------------------- JoinMV
+
+
+def _jmv_truth(odf, cdf):
+    return odf.join(
+        cdf.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey", how="inner",
+    ).select("o_orderkey", "o_custkey", "c_nationkey")
+
+
+def _jmv_rows(df):
+    return sorted(map(tuple, df.select(
+        "o_orderkey", "o_custkey", "c_nationkey").collect()))
+
+
+def test_join_mv_delta_algebra(spark, tmp_path):
+    """Every interleave of left/right appends converges to the full
+    A ⋈ B: ΔA joins the right's NEW snapshot (ΔA⋈ΔB counted once),
+    ΔB joins the left's OLD applied snapshot (never twice)."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey")
+    oh = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    ch = [cust.filter(F.col("c_custkey") % 2 == i) for i in range(2)]
+    write(oh[0], A, mode="overwrite")
+    write(ch[0].withColumnRenamed("c_custkey", "o_custkey"), B,
+          mode="overwrite")
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+    assert mv.refresh()["applied"]
+    assert _jmv_rows(mv.to_df()) == _jmv_rows(_jmv_truth(oh[0], ch[0]))
+    assert not mv.refresh()["applied"]          # no-op without commits
+
+    write(oh[1], A, mode="append")              # left only
+    assert mv.refresh()["applied"]
+    assert _jmv_rows(mv.to_df()) == \
+        _jmv_rows(_jmv_truth(oh[0].union(oh[1]), ch[0]))
+
+    write(ch[1].withColumnRenamed("c_custkey", "o_custkey"), B,
+          mode="append")                        # right only
+    write(oh[2], A, mode="append")              # and left again
+    assert mv.refresh()["applied"]              # ONE refresh, both deltas
+    assert _jmv_rows(mv.to_df()) == _jmv_rows(_jmv_truth(orders, cust))
+    assert mv.last_applied() == (3, 2)
+
+    # MOR folds restatements; compaction keeps the value
+    t = LakeSoulTable.for_path(spark, V)
+    t.compaction()
+    assert _jmv_rows(mv.to_df()) == _jmv_rows(_jmv_truth(orders, cust))
+
+
+def test_join_mv_empty_left_then_load(spark, tmp_path):
+    """Right-only churn over a still-empty applied left advances the
+    marker with zero pairs (no unbounded ΔB re-reads), and the pairs
+    appear once the left loads."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    # left exists with a schema but no commits beyond creation
+    write(orders.limit(0), A, mode="overwrite")
+    write(cust, B, mode="overwrite")
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+    r = mv.refresh()
+    assert r["applied"] and mv.to_df().count() == 0
+    write(cust.withColumn("o_custkey", F.col("o_custkey") + 10 ** 7),
+          B, mode="append")
+    assert mv.refresh()["applied"] and mv.to_df().count() == 0
+    write(orders, A, mode="append")
+    assert mv.refresh()["applied"]
+    truth = orders.join(cust, on="o_custkey", how="inner")
+    assert mv.to_df().count() == truth.count()
+
+
+def test_join_mv_refuses_then_rebuilds(spark, tmp_path):
+    """A non-append commit on either side fails the window loudly;
+    rebuild() re-joins the current snapshots. PK/CDC sources and a
+    non-identifying pk are refused at create."""
+    from lakesoul_spark.mv import JoinMV, open_view
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    write(orders, A, mode="overwrite")
+    write(cust, B, mode="overwrite")
+    with pytest.raises(ValueError, match="pk"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"],
+                      select=["o_orderkey"], pk=[])
+    with pytest.raises(ValueError, match="not in the select"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"],
+                      select=["o_orderkey"], pk=["nope"])
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+    assert mv.refresh()["applied"]
+    # delete on the RIGHT breaks the right window
+    LakeSoulTable.for_path(spark, B).delete("o_custkey % 10 = 3")
+    write(orders.limit(0), A, mode="append")
+    with pytest.raises(ValueError, match="non-append"):
+        mv.refresh()
+    mv.rebuild()
+    truth = orders.join(cust.filter("o_custkey % 10 != 3"),
+                        on="o_custkey", how="inner")
+    assert mv.to_df().count() == truth.count()
+    assert type(open_view(spark, V)).__name__ == "JoinMV"
+
+
+def test_join_mv_exactly_once_markers(spark, tmp_path):
+    """The refresh commit carries BOTH applied source versions and the
+    streaming-sink idempotence key: a replayed window resolves to the
+    winner's commit instead of double-applying (parity with AggMV)."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    write(orders, A, mode="overwrite")
+    write(cust, B, mode="overwrite")
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+    # two handles race the SAME window: one applies, the replay
+    # resolves idempotently through the (query_id, batch_id) dedupe
+    mv2 = JoinMV(spark, V)
+    assert mv.refresh()["applied"]
+    n = mv.to_df().count()
+    head = mv.table.store.head_version()
+    assert mv2.refresh()["applied"] is False
+    assert mv.table.store.head_version() == head
+    assert mv.to_df().count() == n
+    c = mv.table.store.read_commit(head)
+    assert c.extra["mv.left_end_version"] == 1
+    assert c.extra["mv.right_end_version"] == 1
