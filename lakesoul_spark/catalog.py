@@ -429,6 +429,11 @@ class Catalog:
             CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
                 AS SELECT <expr> AS a[, …]         -- insert-only
                    FROM [ns.]src [WHERE <cond>]    -- transform pipe
+            CREATE MATERIALIZED VIEW [ns.]v        -- delta-join view,
+                TBLPROPERTIES('primaryKey'='k')    -- both sides may
+                AS SELECT a, b[, …]                -- churn (JoinMV)
+                   FROM [ns.]l JOIN [ns.]r USING (k[, …])
+                   [WHERE <cond>]
             REFRESH MATERIALIZED VIEW [ns.]v [FULL | REPIN]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
             SHOW MATERIALIZED VIEWS [IN ns]
@@ -876,7 +881,9 @@ class Catalog:
             r"SELECT\s+(.+?)\s+FROM\s+([\w.]+)"
             r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
             r"(?:\s+WHERE\s+(.+?))?"
-            r"(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
+            r"(?:\s+GROUP\s+BY\s+(.+?)"
+            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?)?"
+            r"\s*;?\s*$",
             stmt, re.I | re.S,
         )
         if am:
@@ -1064,7 +1071,6 @@ class Catalog:
             MAX_LOCAL_ROWS, local_df,
         )
         from lakesoul_spark.io import partition as part_enc
-        from lakesoul_spark.meta.store import Snapshot
 
         ns, name = self._split_name(m.group(2))
         if not self.table_exists(name, ns):
@@ -1121,6 +1127,12 @@ class Catalog:
             return None
         utc = str(spark.conf.get(
             "spark.sql.session.timeZone", "")) == "UTC"
+        # every per-item gate resolves ONCE here — the per-group value
+        # functions below touch only the group's file list (no
+        # table_info re-reads inside the group loop; this path's whole
+        # point is one driver-side metadata pass)
+        defaults = info.column_defaults()
+        range_set = set(info.range_partitions)
 
         groups: dict[tuple, list] = {}
         for f in snap.files:
@@ -1146,11 +1158,11 @@ class Catalog:
                 continue
             _, fn, col, alias = p
             if fn == "count":
-                def _cnt(key, gf, _s=snap):
-                    n = LakeSoulTable._count_from(Snapshot(
-                        version=_s.version, timestamp_ms=_s.timestamp_ms,
-                        files=gf))
-                    return None if n is None else int(n)
+                def _cnt(key, gf):
+                    n = LakeSoulTable._count_files(gf)
+                    # COUNT is never NULL relationally: an unprovable
+                    # group refuses the whole statement, never guesses
+                    return _REFUSE if n is None else int(n)
                 specs.append((cname, "bigint", None,
                               alias or "count(1)", _cnt))
                 continue
@@ -1161,33 +1173,47 @@ class Catalog:
             st = f.dataType.simpleString()
             out = alias or f"{fn}({col})"
             if fn == "sum":
+                if f.name in range_set:
+                    return None  # see _sum_from: desc-materialized
+                if not (st in LakeSoulTable._SUM_EXACT_TYPES
+                        or st.startswith("decimal(")):
+                    return None
                 if st.startswith("decimal("):
                     pp, ss = (int(x)
                               for x in st[len("decimal("):-1].split(","))
                     rt = f"decimal({min(38, pp + 10)},{ss})"
                 else:
                     rt = "bigint"
+                has_default = defaults.get(f.name) is not None
 
-                def _sum(key, gf, _s=snap, _c=f.name, _st=st, _t=t):
-                    r = self._sum_checked(_t, Snapshot(
-                        version=_s.version, timestamp_ms=_s.timestamp_ms,
-                        files=gf), _c, _st)
+                def _sum(key, gf, _c=f.name, _st=st, _d=has_default):
+                    res = LakeSoulTable._sum_files(gf, _c, _d)
+                    if res is None:
+                        return _REFUSE
+                    r = self._sum_render(res, _st)
                     return _REFUSE if r is None else r[0]
                 specs.append((cname, "string", rt, out, _sum))
                 continue
-            # min/max: the exact-stats type gate lives in _minmax_from;
-            # the timestamp-literal UTC gate is replicated here
+            # min/max: exact-stats types only; timestamp literals
+            # round-trip exactly only under a pinned-UTC session
+            if st not in LakeSoulTable._MINMAX_EXACT_TYPES:
+                return None
             if st == "timestamp" and not utc:
                 return None
 
-            def _mm(key, gf, _s=snap, _c=f.name, _t=t, _fn=fn):
-                mm = _t._minmax_from(Snapshot(
-                    version=_s.version, timestamp_ms=_s.timestamp_ms,
-                    files=gf), _c)
+            def _mm(key, gf, _c=f.name, _fn=fn):
+                mm = LakeSoulTable._minmax_files(gf, _c)
                 if mm is None:
                     return _REFUSE
                 return str(mm[0 if _fn == "min" else 1])
             specs.append((cname, "string", st, out, _mm))
+
+        order_spec = None
+        if m.group(6):
+            order_spec = self._parse_order_by(
+                m.group(6), specs, case_sensitive)
+            if order_spec is None:
+                return None  # unrepresentable ORDER BY: fall back
 
         rows = []
         for key in sorted(groups,
@@ -1202,6 +1228,27 @@ class Catalog:
                 row.append(v)
             rows.append(tuple(row))
 
+        if order_spec is not None:
+            # typed driver-side ORDER BY over the (≤MAX_LOCAL_ROWS)
+            # group rows: layered stable sorts, last item first
+            for idx, key_fn, desc, nulls_first in reversed(order_spec):
+                nb = (1 if nulls_first else 0) if desc \
+                    else (0 if nulls_first else 1)
+
+                def level_key(r, _i=idx, _k=key_fn, _nb=nb):
+                    v = _k(r[_i])
+                    if v is None:
+                        return (_nb, 0)
+                    return (1 - _nb, v)
+                try:
+                    rows.sort(key=level_key, reverse=desc)
+                except TypeError:
+                    return None  # unorderable carrier: fall back
+        if m.group(7) is not None:
+            # LIMIT without ORDER BY keeps the deterministic group
+            # order — any n rows are a valid relational answer
+            rows = rows[:int(m.group(7))]
+
         pdf = local_df(
             spark, rows,
             ", ".join(f"`{c}` {carrier}" for c, carrier, *_ in specs),
@@ -1214,21 +1261,84 @@ class Catalog:
             sel.append(e.alias(out))
         return pdf.select(*sel)
 
-    @staticmethod
-    def _sum_checked(t, snap, cname: str, st: str):
-        """``(value_string_or_None, result_type)`` for ``SUM(cname)``
-        from commit-log sums, in the relational path's RESULT TYPE
-        (integer family → BIGINT, decimal(p,s) →
-        decimal(min(38,p+10),s)); value ``None`` = SQL NULL (zero
-        non-null rows). Returns ``None`` (refuse → fallback) when the
-        sum is unprovable or would overflow that type — non-ANSI
-        Spark wraps/NULLs there, and the fallback reproduces whatever
-        Spark does rather than guessing."""
+    _ORDER_ITEM_RE = re.compile(
+        r"^`?(\w+)`?(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+        re.I,
+    )
+    # carrier-string → typed python sort key per result type family;
+    # ISO date/timestamp strings and UTF-8 strings already sort in
+    # value order (python str compares by codepoint == UTF-8 bytes)
+    _ORDER_KEY_CASTS = {
+        "tinyint": int, "smallint": int, "int": int, "integer": int,
+        "bigint": int, "long": int,
+        "date": str, "timestamp": str, "timestamp_ntz": str,
+        "string": str,
+    }
+
+    @classmethod
+    def _parse_order_by(cls, text: str, specs, case_sensitive):
+        """ORDER BY items resolved against the SELECT output columns →
+        ``[(row_index, key_fn, desc, nulls_first)]``, or ``None`` for
+        anything not exactly representable (expressions, ordinals,
+        non-output columns, unorderable types) — the caller falls back
+        to the relational path. Spark defaults: ASC + NULLS FIRST;
+        DESC + NULLS LAST."""
         import decimal
 
+        by_name = {}
+        for i, (cname, carrier, cast_to, out, _fv) in enumerate(specs):
+            key = out if case_sensitive else out.lower()
+            if key in by_name:
+                by_name[key] = None  # ambiguous output name: refuse
+            else:
+                by_name[key] = (i, carrier, cast_to)
+        out_spec = []
+        for item in (s.strip() for s in text.split(",")):
+            im = cls._ORDER_ITEM_RE.match(item)
+            if im is None or im.group(1).isdigit():
+                return None
+            ref = im.group(1) if case_sensitive else im.group(1).lower()
+            hit = by_name.get(ref)
+            if hit is None:
+                return None
+            i, carrier, cast_to = hit
+            rt = (cast_to or carrier).lower()
+            if rt.startswith("decimal("):
+                def key_fn(v):
+                    return None if v is None else decimal.Decimal(str(v))
+            else:
+                conv = cls._ORDER_KEY_CASTS.get(rt)
+                if conv is None:
+                    return None
+                def key_fn(v, _c=conv):
+                    return None if v is None else _c(v)
+            desc = (im.group(2) or "").upper() == "DESC"
+            nf = im.group(3)
+            nulls_first = (not desc) if nf is None \
+                else nf.upper() == "FIRST"
+            out_spec.append((i, key_fn, desc, nulls_first))
+        return out_spec or None
+
+    @staticmethod
+    def _sum_checked(t, snap, cname: str, st: str):
+        """:meth:`_sum_render` over a snapshot-resolved sum."""
         res = t._sum_from(snap, cname)
         if res is None:
             return None
+        return Catalog._sum_render(res, st)
+
+    @staticmethod
+    def _sum_render(res: tuple, st: str):
+        """``(value_string_or_None, result_type)`` for an exact
+        ``(sum, nonnull)`` pair, in the relational path's RESULT TYPE
+        (integer family → BIGINT, decimal(p,s) →
+        decimal(min(38,p+10),s)); value ``None`` = SQL NULL (zero
+        non-null rows). Returns ``None`` (refuse → fallback) when the
+        sum would overflow that type — non-ANSI Spark wraps/NULLs
+        there, and the fallback reproduces whatever Spark does rather
+        than guessing."""
+        import decimal
+
         total, nonnull = res
         if st.startswith("decimal("):
             p, s = (int(x) for x in st[len("decimal("):-1].split(","))
@@ -1444,6 +1554,8 @@ class Catalog:
                 raise ValueError(f"no such namespace {ns!r}")
         props = _parse_props(m.group(3)) if m.group(3) else {}
         hash_bucket_num = int(props.pop("hashBucketNum", 4))
+        join_pk = [c.strip() for c in str(
+            props.pop("primaryKey", "")).split(",") if c.strip()]
         if props:
             raise ValueError(
                 f"unsupported materialized-view properties {sorted(props)}"
@@ -1462,6 +1574,54 @@ class Catalog:
         if wi >= 0:
             where = src_ref[wi + 5:].strip()
             src_ref = src_ref[:wi].strip()
+        jm = re.fullmatch(
+            r"([\w.`]+)\s+JOIN\s+([\w.`]+)\s+USING\s*\(([^)]*)\)",
+            src_ref, re.I | re.S,
+        )
+        if jm is not None:
+            # two-source delta-join view (JoinMV): shared-key equi-join
+            # spelled USING, row-level select, PK from primaryKey prop
+            from lakesoul_spark.mv import JoinMV
+
+            if gi >= 0:
+                raise ValueError(
+                    "JOIN materialized views are row-level — aggregate "
+                    "the view with a second (GROUP BY) view on top"
+                )
+            if not join_pk:
+                raise ValueError(
+                    "JOIN materialized views need TBLPROPERTIES("
+                    "'primaryKey'='cols that uniquely identify a "
+                    "joined row')"
+                )
+            on = [c.strip().strip("`")
+                  for c in jm.group(3).split(",") if c.strip()]
+            items = [i.strip() for i in _split_top(select_list)]
+            lns, lname = self._split_name(jm.group(1))
+            rns, rname = self._split_name(jm.group(2))
+            left = self.get_table(spark, lname, lns)
+            right = self.get_table(spark, rname, rns)
+            mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))
+            created_dir = not os.path.exists(mv_path)
+            JoinMV.create(
+                spark, left.path, right.path, mv_path,
+                on=on, select=items, pk=join_pk,
+                hash_bucket_num=hash_bucket_num, where=where,
+            )
+            try:
+                self.backend.register_table(ns, name, mv_path)
+            except Exception:
+                if created_dir:
+                    shutil.rmtree(mv_path, ignore_errors=True)
+                raise
+            JoinMV(spark, mv_path).refresh()
+            return None
+        if re.search(r"(?i)\bJOIN\b", src_ref):
+            raise ValueError(
+                "JOIN materialized views take the shared-key form "
+                "FROM a JOIN b USING (k, …) — ON-condition joins are "
+                "not incrementally maintainable here"
+            )
         if not re.fullmatch(r"[\w.`]+", src_ref):
             raise ValueError(
                 "materialized views read ONE source table "
@@ -1538,6 +1698,11 @@ class Catalog:
             )
         if not aggs:
             raise ValueError("materialized view needs at least one aggregate")
+        if join_pk:
+            raise ValueError(
+                "primaryKey is a JOIN-view property — an aggregate "
+                "view is keyed by its GROUP BY columns"
+            )
         src_ns, src_name = self._split_name(src_ref)
         src = self.get_table(spark, src_name, src_ns)
         mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))

@@ -191,14 +191,21 @@ def write_table_data(
     return _collect_file_ops(info, out_dir, present)
 
 
+def _declared_stats_cols(info: TableInfo) -> list[str]:
+    """The ``lakesoul.statsColumns`` property, parsed ONCE for every
+    consumer (min/max stats and sums must never drift apart on how
+    the declaration is read)."""
+    prop = info.properties.get("lakesoul.statsColumns")
+    if not prop:
+        return []
+    return [c.strip() for c in str(prop).split(",") if c.strip()]
+
+
 def _stats_cols(info: TableInfo, exist_cols: list[str]) -> list[str]:
     """Columns whose [min,max] are recorded per file: the PK (serves
     point-lookup and range pruning on the write sort order) plus any
     ``lakesoul.statsColumns`` property columns (comma-separated)."""
-    cols = list(info.hash_partitions)
-    prop = info.properties.get("lakesoul.statsColumns")
-    if prop:
-        cols += [c.strip() for c in str(prop).split(",") if c.strip()]
+    cols = list(info.hash_partitions) + _declared_stats_cols(info)
     seen: set = set()
     return [c for c in cols
             if c in exist_cols and not (c in seen or seen.add(c))]
@@ -226,9 +233,7 @@ def _collect_file_ops(
     # SUM stats only for DECLARED statsColumns (not the PK — summing a
     # key is meaningless), and only those the file carries; the
     # integer/decimal type gate lives in file_sums
-    prop = info.properties.get("lakesoul.statsColumns")
-    sum_cols = [c.strip() for c in str(prop).split(",")
-                if c.strip() and c.strip() in exist_cols] if prop else []
+    sum_cols = [c for c in _declared_stats_cols(info) if c in exist_cols]
     fs_, out_native = filesystem_for(out_dir, fs)
     _, table_native = filesystem_for(info.path, fs)
     listed = list_files(out_dir, fs, suffix=".parquet")

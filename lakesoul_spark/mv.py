@@ -925,7 +925,7 @@ class JoinMV:
             head_l, head_r = lstore.head_version(), rstore.head_version()
             last_l, last_r = self.last_applied()
             if head_l <= last_l and head_r <= last_r:
-                return {"applied": False,
+                return {"applied": False, "end_version": last_l,
                         "left": (last_l, last_l), "right": (last_r, last_r)}
             parts = []
             if head_l > last_l:
@@ -969,11 +969,19 @@ class JoinMV:
                 )
             except CommitConflict:
                 continue  # a racing refresh landed: recompute the window
-            return {"applied": True,
+            return {"applied": True, "end_version": head_l,
                     "left": (last_l + 1, head_l),
                     "right": (last_r + 1, head_r)}
         raise CommitConflict(
             f"refresh of {self.table.path} lost {max_attempts} races in a row"
+        )
+
+    def repin_dims(self, *, verify: bool = True) -> dict:
+        """SQL `REFRESH ... REPIN` hook: join views hold no dimension
+        pins — both sides are first-class churning sources."""
+        raise ValueError(
+            "join views have no dimension pins to re-pin — use "
+            "REFRESH MATERIALIZED VIEW v (incremental) or FULL (rebuild)"
         )
 
     def rebuild(self) -> dict:
@@ -1001,7 +1009,8 @@ class JoinMV:
             query_id=f"mv:{info.table_id}:{head_l}", batch_id=head_r,
             extra={_EXTRA_LEFT_END: head_l, _EXTRA_RIGHT_END: head_r},
         )
-        return {"applied": True, "left": (1, head_l), "right": (1, head_r)}
+        return {"applied": True, "end_version": head_l,
+                "left": (1, head_l), "right": (1, head_r)}
 
     def to_df(self) -> DataFrame:
         return self.table.to_df()

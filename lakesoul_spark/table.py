@@ -417,15 +417,16 @@ def _descs_matching(
     """The partition descs among ``descs`` whose parsed range values
     satisfy ``condition`` (any Spark SQL boolean over the range
     columns, values cast to their declared types). Raises when the
-    predicate references anything BUT range-partition columns, when
-    it references NO range column (``rand() < 0.5`` / ``true`` would
-    be evaluated at partition granularity — not row semantics), or
-    when it is nondeterministic (each partition would get one random
-    draw standing in for all its rows). Partition-granularity
-    evaluation is row-equivalent EXACTLY for deterministic predicates
-    over partition values — this enforces that contract for every
-    caller (replaceWhere expiry, partition-scoped DELETE, the
-    count(*) fast path)."""
+    predicate references anything BUT range-partition columns, or
+    when it is nondeterministic (``rand() < 0.5`` — each partition
+    would get one random draw standing in for all its rows).
+    Deterministic CONSTANT predicates (``true``, ``1 = 1``) are
+    accepted: evaluated once they keep every partition or none, which
+    IS row-equivalent. Partition-granularity evaluation is
+    row-equivalent EXACTLY for deterministic predicates over
+    partition values (constants included) — this enforces that
+    contract for every caller (replaceWhere expiry, partition-scoped
+    DELETE, the count(*) fast path)."""
     full = table_schema(info)
     types = {f.name: f.dataType for f in full.fields}
     # the desc carrier column gets an unguessable name so a user
@@ -713,8 +714,14 @@ class LakeSoulTable:
         produce a row mixing two table versions."""
         if snap is None:
             return None
+        return LakeSoulTable._count_files(snap.files)
+
+    @staticmethod
+    def _count_files(files) -> int | None:
+        """Row count over a live-file list (the GROUP BY fast path
+        calls this per partition group with all gates pre-resolved)."""
         total = 0
-        for f in snap.files:
+        for f in files:
             if f.num_rows < 0:
                 return None
             total += f.num_rows
@@ -779,8 +786,14 @@ class LakeSoulTable:
             return None
         if snap is None or not snap.files:
             return None
+        return self._minmax_files(snap.files, col)
+
+    @staticmethod
+    def _minmax_files(files, col: str) -> tuple | None:
+        """(min, max) over a live-file list's stats entries — type
+        gates are the CALLER's job (see :meth:`min_max_fast`)."""
         lo = hi = None
-        for f in snap.files:
+        for f in files:
             st = (f.stats or {}).get(col)
             if not st:
                 return None
@@ -813,12 +826,18 @@ class LakeSoulTable:
     def _sum_from(self, snap, col: str) -> tuple | None:
         """Sum over an already-resolved provable snapshot (see
         :meth:`_count_from` for why the SQL fast path shares one)."""
-        import decimal
-
         from lakesoul_spark.io.writer import table_schema as _ts
 
+        info = self.info
+        if col in info.range_partitions:
+            # a range-partition column is materialized from the desc —
+            # never physically in files, never NULL — so the
+            # missing-column-means-NULL-fill rule below would claim an
+            # all-NULL sum; its true sum is value × rows per partition,
+            # which nothing here records. Refuse, never guess.
+            return None
         dtype = next(
-            (f.dataType.simpleString() for f in _ts(self.info).fields
+            (f.dataType.simpleString() for f in _ts(info).fields
              if f.name == col), "",
         )
         if not (dtype in self._SUM_EXACT_TYPES
@@ -826,10 +845,25 @@ class LakeSoulTable:
             return None
         if snap is None:
             return None
-        has_default = self.info.column_defaults().get(col) is not None
+        has_default = info.column_defaults().get(col) is not None
+        res = self._sum_files(snap.files, col, has_default)
+        if res is None:
+            return None
+        total, nonnull = res
+        if dtype.startswith("decimal("):
+            return (total, nonnull)
+        return (int(total), nonnull)
+
+    @staticmethod
+    def _sum_files(files, col: str, has_default: bool) -> tuple | None:
+        """Exact ``(Decimal sum, nonnull)`` over a live-file list's
+        recorded sums — type/range-partition gates are the CALLER's
+        job (see :meth:`sum_fast`)."""
+        import decimal
+
         total = decimal.Decimal(0)
         nonnull = 0
-        for f in snap.files:
+        for f in files:
             if col not in f.file_exist_cols:
                 if has_default:
                     # rows read as default × num_rows — metadata holds
@@ -842,9 +876,7 @@ class LakeSoulTable:
             s, nn = ent
             total += decimal.Decimal(str(s))
             nonnull += int(nn)
-        if dtype.startswith("decimal("):
-            return (total, nonnull)
-        return (int(total), nonnull)
+        return (total, nonnull)
 
     _SUM_EXACT_TYPES = (
         "tinyint", "smallint", "int", "integer", "bigint", "long",
@@ -1372,7 +1404,11 @@ class LakeSoulTable:
                     FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
                     for f in self.store.snapshot(partition_descs=parts).files
                 ]
-                self.store.commit(OP_DELETE, dels)
+                if dels:
+                    self.store.commit(OP_DELETE, dels)
+                # an empty match (e.g. a constant-false predicate) must
+                # stay commit-free: a no-row OP_DELETE version would
+                # still break every downstream MV's append-only window
                 return
         cond = F.expr(condition) if isinstance(condition, str) else condition
         parts = self._affected_partitions(cond)

@@ -1239,17 +1239,22 @@ def test_sql_count_star_partition_where_fast_path(cat, spark, monkeypatch):
         assert df.collect()[0][0] == want, sql
     monkeypatch.undo()
 
-    # data-column / mixed predicates and GROUP BY tails fall through
-    # to the relational path (slower, never wrong)
+    # data-column / mixed predicates and non-partition GROUP BYs fall
+    # through to the relational path (slower, never wrong); a
+    # partition-column GROUP BY is a FAST shape since r12
     for sql, want in [
         ("SELECT count(*) FROM pw WHERE v < 30", 30),
         ("SELECT count(*) FROM pw WHERE p = 'a' AND v < 30", 10),
-        ("SELECT count(*) FROM pw WHERE p = 'a' GROUP BY p", 100),
+        ("SELECT count(*) FROM pw GROUP BY v % 2", 150),
     ]:
         df = cat.sql(spark, sql)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan, (sql, plan)
         assert df.collect()[0][0] == want, sql
+    df = cat.sql(spark, "SELECT count(*) FROM pw WHERE p = 'a' GROUP BY p")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "HashAggregate" not in plan, plan
+    assert df.collect()[0][0] == 100
 
     # scoped proof: PK churn in partition 'a' blocks only 'a'
     cat.sql(spark, """
@@ -1551,3 +1556,66 @@ def test_show_partitions_extended_metadata_only(cat, spark, monkeypatch):
     rows = {r.partition: r for r in
             cat.sql(spark, "SHOW PARTITIONS sp EXTENDED").collect()}
     assert rows["p=a"].num_rows == 50 and rows["p=b"].num_rows == 50
+
+
+def test_groupby_fast_path_order_by_limit(cat, spark):
+    """ORDER BY / LIMIT tails on the metadata GROUP BY fast path: the
+    (≤1024) group rows sort driver-side with typed keys (numeric
+    carriers never string-sort), replicating Spark's defaults
+    (ASC+NULLS FIRST, DESC+NULLS LAST) — still a LocalRelation, zero
+    scan jobs. Ordinals, expressions, and non-output columns refuse
+    into the relational path."""
+    cat.sql(spark, """
+        CREATE TABLE obl (k BIGINT, v INT, d DECIMAL(12,2), p STRING,
+                          q INT)
+        USING lakesoul PARTITIONED BY (p, q)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='v,d')
+    """)
+    src = """
+      SELECT id AS k, CAST(id*7%50-25 AS INT) AS v,
+             CAST(id*1.25 AS DECIMAL(12,2)) AS d,
+             CASE WHEN id%3=0 THEN 'a' WHEN id%3=1 THEN 'b'
+                  ELSE NULL END AS p,
+             CAST(id%4 AS INT) AS q
+      FROM range(400)
+    """
+    cat.sql(spark, f"INSERT INTO obl {src}")
+    spark.sql(src).createOrReplaceTempView("obl_truth")
+
+    def check(sql, fast=True):
+        df = cat.sql(spark, sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        is_fast = ("LocalTableScan" in plan
+                   and "HashAggregate" not in plan
+                   and "Exchange" not in plan)
+        assert is_fast == fast, (sql, plan)
+        got = [tuple(r) for r in df.collect()]
+        want = [tuple(r) for r in
+                spark.sql(sql.replace(" obl", " obl_truth")).collect()]
+        assert got == want, (sql, got[:4], want[:4])
+
+    check("SELECT p, count(*) AS n FROM obl GROUP BY p ORDER BY n DESC")
+    check("SELECT q, p, sum(v) AS s FROM obl GROUP BY p, q "
+          "ORDER BY q DESC, p ASC")
+    check("SELECT p, sum(d) AS t FROM obl GROUP BY p ORDER BY t")
+    check("SELECT p, count(*) AS n FROM obl GROUP BY p "
+          "ORDER BY p ASC NULLS LAST")
+    check("SELECT q, min(v) AS lo, max(v) AS hi FROM obl GROUP BY q "
+          "ORDER BY hi DESC, q LIMIT 3")
+    # numeric sort keys: 3 groups of q > 0; string-sorting sums would
+    # misplace "-25"-style carriers — typed keys must not
+    check("SELECT q, sum(v) AS s FROM obl WHERE q > 0 GROUP BY q "
+          "ORDER BY s DESC, q LIMIT 2")
+    # LIMIT only: any n rows are valid — count them
+    assert len(cat.sql(
+        spark, "SELECT p, count(*) FROM obl GROUP BY p LIMIT 2"
+    ).collect()) == 2
+    # ordinal / expression tails refuse into the relational path
+    for sql in (
+        "SELECT p, count(*) AS n FROM obl GROUP BY p ORDER BY 1",
+        "SELECT p, count(*) AS n FROM obl GROUP BY p ORDER BY n + 1",
+    ):
+        plan = cat.sql(spark, sql) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan [" not in plan.split("\n")[0], (sql, plan)

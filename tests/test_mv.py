@@ -248,6 +248,8 @@ def test_mv_sql_rejects_unmaintainable_shapes(spark, tmp_path):
         ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, median(o_totalprice) AS s FROM src GROUP BY o_custkey",
          "non-aggregate"),
         ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM src JOIN src2 ON 1=1 GROUP BY o_custkey",
+         "USING"),
+        ("CREATE MATERIALIZED VIEW v AS SELECT o_custkey, sum(o_totalprice) AS s FROM (SELECT * FROM src) GROUP BY o_custkey",
          "ONE source table"),
         ("REFRESH MATERIALIZED VIEW src", "not a materialized view"),
         ("DROP MATERIALIZED VIEW src", "not a materialized view"),
@@ -1173,8 +1175,7 @@ def test_join_mv_exactly_once_markers(spark, tmp_path):
         select=["o_orderkey", "o_custkey", "c_nationkey"],
         pk=["o_orderkey"], hash_bucket_num=2,
     )
-    # two handles race the SAME window: one applies, the replay
-    # resolves idempotently through the (query_id, batch_id) dedupe
+    # a second handle re-checking the same window no-ops on the marker
     mv2 = JoinMV(spark, V)
     assert mv.refresh()["applied"]
     n = mv.to_df().count()
@@ -1185,3 +1186,114 @@ def test_join_mv_exactly_once_markers(spark, tmp_path):
     c = mv.table.store.read_commit(head)
     assert c.extra["mv.left_end_version"] == 1
     assert c.extra["mv.right_end_version"] == 1
+    # the COMMIT-LAYER dedupe (what a true mid-computation race hits):
+    # a replayed window commit with JoinMV's (query_id, batch_id) key
+    # resolves to the winner's commit instead of landing a duplicate
+    # generation — the state a crashed-and-restarted refresh leaves
+    from lakesoul_spark.io.writer import write_table_data
+    from lakesoul_spark.meta.store import OP_MERGE
+
+    info = mv.table.info
+    dup_ops = write_table_data(
+        mv.to_df().limit(1), info, dedup=False)
+    dup = mv.table.store.commit(
+        OP_MERGE, dup_ops,
+        query_id=f"mv:{info.table_id}:1", batch_id=1,
+        extra={"mv.left_end_version": 1, "mv.right_end_version": 1},
+        base_version=head - 1,  # computed from the pre-winner state
+    )
+    assert dup.seq == head, "duplicate window must return the winner"
+    assert mv.table.store.head_version() == head
+    assert mv.to_df().count() == n
+
+
+def test_join_mv_sql_surface(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW … FROM a JOIN b USING (k) creates a
+    JoinMV through the catalog dispatcher (primaryKey property names
+    the joined-row identity); REFRESH runs the delta algebra, FULL
+    rebuilds, REPIN refuses (no dimension pins), SHOW lists kind
+    'join', and the unmaintainable grammars fail loudly."""
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    orders.createOrReplaceTempView("jsql_o")
+    cust.createOrReplaceTempView("jsql_c")
+    cat.sql(spark, "CREATE TABLE facts (o_orderkey BIGINT, "
+                   "o_custkey BIGINT) USING lakesoul")
+    cat.sql(spark, "CREATE TABLE dims (o_custkey BIGINT, "
+                   "c_nationkey INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO facts SELECT * FROM jsql_o "
+                   "WHERE o_orderkey % 2 = 0")
+    cat.sql(spark, "INSERT INTO dims SELECT * FROM jsql_c")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW jview
+        TBLPROPERTIES('primaryKey'='o_orderkey', 'hashBucketNum'='2')
+        AS SELECT o_orderkey, o_custkey, c_nationkey
+           FROM facts JOIN dims USING (o_custkey)
+           WHERE c_nationkey < 20
+    """)
+    truth = orders.join(cust, "o_custkey").filter("c_nationkey < 20")
+    n1 = cat.sql(spark, "SELECT count(*) FROM jview").collect()[0][0]
+    assert n1 == truth.filter("o_orderkey % 2 = 0").count()
+    cat.sql(spark, "INSERT INTO facts SELECT * FROM jsql_o "
+                   "WHERE o_orderkey % 2 = 1")
+    r = cat.sql(spark, "REFRESH MATERIALIZED VIEW jview").collect()[0]
+    assert r["applied"]
+    n2 = cat.sql(spark, "SELECT count(*) FROM jview").collect()[0][0]
+    assert n2 == truth.count()
+    rows = cat.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+    assert [(x.viewName, x.kind) for x in rows] == [("jview", "join")]
+    with pytest.raises(ValueError, match="no dimension pins"):
+        cat.sql(spark, "REFRESH MATERIALIZED VIEW jview REPIN")
+    r = cat.sql(spark, "REFRESH MATERIALIZED VIEW jview FULL").collect()[0]
+    assert r["applied"]
+    assert cat.sql(spark,
+                   "SELECT count(*) FROM jview").collect()[0][0] == n2
+    for bad, msg in [
+        ("CREATE MATERIALIZED VIEW j2 AS SELECT o_orderkey FROM facts "
+         "JOIN dims ON facts.o_custkey = dims.o_custkey", "USING"),
+        ("CREATE MATERIALIZED VIEW j3 AS SELECT o_orderkey FROM facts "
+         "JOIN dims USING (o_custkey)", "primaryKey"),
+        ("CREATE MATERIALIZED VIEW j4 TBLPROPERTIES("
+         "'primaryKey'='c_nationkey') AS SELECT c_nationkey, "
+         "count(*) AS n FROM facts JOIN dims USING (o_custkey) "
+         "GROUP BY c_nationkey", "row-level"),
+        ("CREATE MATERIALIZED VIEW j5 TBLPROPERTIES("
+         "'primaryKey'='k') AS SELECT o_custkey, count(*) AS n "
+         "FROM facts GROUP BY o_custkey", "JOIN-view property"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            cat.sql(spark, bad)
+
+
+def test_service_auto_refreshes_join_mv(spark, tmp_path):
+    """The daemon watches BOTH sources of a join view: a head move on
+    either side triggers a refresh; quiet rounds skip."""
+    from lakesoul_spark.mv import JoinMV
+    from lakesoul_spark.service import CompactionService
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    orders = _orders(spark).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    A, B, V = str(wh / "a"), str(wh / "b"), str(wh / "v")
+    oh = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    write(oh[0], A, mode="overwrite")
+    write(cust, B, mode="overwrite")
+    JoinMV.create(spark, A, B, V, on=["o_custkey"],
+                  select=["o_orderkey", "o_custkey", "c_nationkey"],
+                  pk=["o_orderkey"], hash_bucket_num=2)
+    svc = CompactionService(spark, warehouse=str(wh))
+    assert svc.run_once()[V]["mv_refreshed"]["applied"]  # initial
+    assert V not in svc.run_once()                       # quiet
+    write(oh[1], A, mode="append")                       # LEFT moves
+    assert svc.run_once()[V]["mv_refreshed"]["applied"]
+    write(cust.withColumn("o_custkey", F.col("o_custkey") + 10 ** 7),
+          B, mode="append")                              # RIGHT moves
+    assert svc.run_once()[V]["mv_refreshed"]["applied"]
+    mv = JoinMV(spark, V)
+    assert mv.to_df().count() == orders.join(cust, "o_custkey").count()

@@ -825,3 +825,59 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r.lid, r.rid) for r in spark.table("ssj_test").collect()
     )
     assert got == [(1, 11), (2, 12)]
+
+
+def test_sessionize_engine_parity(spark, tmp_path):
+    """The two sessionize engines — applyInPandasWithState +
+    EventTimeTimeout vs transformWithStateInPandas (typed ValueState +
+    event-time timers) — emit IDENTICAL sessions on a replay with
+    out-of-order arrivals, cross-batch merges (a late middle event
+    bridging two islands), and multiple interleaved keys. Gated on
+    google.protobuf (the TWS state serializer); the dispatch contract
+    itself ('auto' falls back) is covered by the tws-engine tests."""
+    import datetime as dt
+
+    from lakesoul_spark.streaming.stateful import sessionize
+
+    pytest.importorskip("google.protobuf")
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    schema = "user_id int, ts timestamp"
+    # batches: islands per key delivered out of order; user 1's
+    # events at 0/5 and 30 are later BRIDGED by the 18 s arrival
+    # (gap 15 s: 0-5 | 30 becomes 0-30 once 18 lands); user 2 stays
+    # two sessions; user 99 is the watermark-draining sentinel
+    batches = [
+        [(1, s(0)), (2, s(100)), (1, s(5))],
+        [(1, s(30)), (2, s(200))],
+        [(1, s(18))],                     # late, within watermark delay
+        [(99, s(10_000))],
+        [(99, s(20_000))],
+    ]
+    results = {}
+    for engine in ("apply", "tws"):
+        src = str(tmp_path / f"src_{engine}")
+        for b in batches:
+            _df(spark, b, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src)
+               .withWatermark("ts", "60 seconds"))
+        out = sessionize(sdf, ["user_id"], ts_col="ts", gap_ms=15_000,
+                         engine=engine)
+        name = f"parity_{engine}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", str(tmp_path / f"ck_{engine}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        results[engine] = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(name).collect() if r.user_id != 99
+        )
+    assert results["apply"] == results["tws"], results
+    # and both match the gaps-and-islands truth
+    assert results["apply"] == [
+        (1, s(0), s(30), 4), (2, s(100), s(100), 1),
+        (2, s(200), s(200), 1),
+    ]

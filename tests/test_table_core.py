@@ -101,6 +101,13 @@ def test_replace_where_constant_predicates(spark, tmp_table):
             seed_df(spark, [(7, "x", 7)], "id int, p string, v int"),
             tmp_table, mode="overwrite", replace_where="rand() < 2",
         )
+    # a constant-false DELETE matches no partitions and must stay
+    # COMMIT-FREE: an empty OP_DELETE version would break every
+    # downstream MV's append-only window for nothing
+    head = t.store.head_version()
+    t.delete("1 = 0")
+    assert t.store.head_version() == head
+    assert rows(t.to_df(), "id", "p", "v") == [(8, "y", 8), (9, "x", 9)]
 
 
 # ----------------------------------------------------------------- upsert
@@ -1167,6 +1174,17 @@ def test_sum_fast_metadata_only(spark, tmp_path):
     got = t.sum_fast("v")
     want = t.to_df().groupBy().sum("v").collect()[0][0]
     assert got == (want, 100)           # compaction recomputes sums
+
+    # a range-partition column must REFUSE: it is materialized from
+    # the desc (never physically in files, never NULL), so the
+    # missing-column-means-NULL-fill rule would claim an all-NULL sum
+    rp = str(tmp_path / "sumrp")
+    write(seed_df(spark, [(1, 10), (2, 20)], "id int, day int"),
+          rp, mode="overwrite", range_partitions=["day"],
+          properties={"lakesoul.statsColumns": "day,id"})
+    trp = LakeSoulTable.for_path(spark, rp)
+    assert trp.sum_fast("day") is None
+    assert trp.sum_fast("id") == (3, 2)
 
     # all-null column → (0, 0): the SQL result is NULL, not 0
     nn = str(tmp_path / "sumnull")
