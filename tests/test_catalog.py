@@ -1494,21 +1494,31 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         " WHERE p = 'nope'",
     ])
 
+    order = st.sampled_from([
+        "", " ORDER BY p", " ORDER BY p DESC",
+        " ORDER BY p ASC NULLS LAST", " ORDER BY p DESC LIMIT 2",
+    ])
+
     @settings(max_examples=50, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(items=st.lists(item, min_size=1, max_size=3, unique=True),
-           w=where, gb=st.booleans(), sel_p=st.booleans())
-    def check(items, w, gb, sel_p):
+           w=where, gb=st.booleans(), sel_p=st.booleans(), ob=order)
+    def check(items, w, gb, sel_p, ob):
         if gb and sel_p:
             items = ["p"] + items
         sel = ", ".join(items)
-        tail = " GROUP BY p" if gb else ""
+        # ORDER BY tails only with GROUP BY (the fast path's shape);
+        # p is the unique group key, so the order is tie-free and the
+        # LIMIT cut is deterministic — compare ORDER-SENSITIVELY
+        tail = (" GROUP BY p" + (ob if sel_p else "")) if gb else ""
         got = cat.sql(spark, f"SELECT {sel} FROM fmx{w}{tail}")
         want = spark.sql(f"SELECT {sel} FROM fmx_truth{w}{tail}")
         assert got.columns == want.columns, (sel, w, tail)
-        key = lambda r: tuple((v is None, str(v)) for v in r)
-        g = sorted(map(tuple, got.collect()), key=key)
-        x = sorted(map(tuple, want.collect()), key=key)
+        g = [tuple(r) for r in got.collect()]
+        x = [tuple(r) for r in want.collect()]
+        if not (gb and sel_p and ob):
+            key = lambda r: tuple((v is None, str(v)) for v in r)
+            g, x = sorted(g, key=key), sorted(x, key=key)
         assert g == x, (sel, w, tail, g[:3], x[:3])
         # empty-scope min/max must fall through (stats can't prove
         # NULL); counts may stay fast — either way values matched above
