@@ -863,10 +863,11 @@ class Catalog:
             return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
         # metadata-only fast path for the most common ad-hoc probes:
-        # a SELECT of only COUNT(*)/MIN(col)/MAX(col) items over one
-        # table, bare or with a PARTITION-ONLY WHERE (and optional
-        # VERSION AS OF), answers from the commit log (count_fast /
-        # min_max_fast) with ZERO file IO and zero Spark scan jobs —
+        # a SELECT of only COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG(col)
+        # items over one table, bare or with a PARTITION-ONLY WHERE
+        # (and optional VERSION AS OF / GROUP BY over range-partition
+        # columns), answers from the commit log (count_fast /
+        # min_max_fast / sum_fast) with ZERO file IO and zero scan jobs —
         # the result is a LocalTableScan whose collect() doesn't even
         # launch a job. Dispatches only when EVERY item can PROVE
         # physical == logical (no CDC, no multi-generation PK buckets
@@ -918,24 +919,28 @@ class Catalog:
 
     _META_AGG_RE = re.compile(
         r"^COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(\w+))?$"
-        r"|^(MIN|MAX|SUM)\s*\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
+        r"|^(MIN|MAX|SUM|AVG|COUNT)\s*\("
+        r"\s*`?(?!(?:DISTINCT|ALL)\b)(\w+)`?\s*\)"
+        r"(?:\s+AS\s+(\w+))?$",
         re.I,
     )
 
     def _try_metadata_aggs(self, spark: SparkSession, m) -> DataFrame | None:
-        """Resolve a SELECT of only ``COUNT(*)``/``MIN(col)``/
-        ``MAX(col)`` items against commit-log metadata. Returns the
-        one-row result as a VALUES-backed LocalTableScan (collect
-        launches no job), or ``None`` whenever ANY item is unprovable
-        — unknown table, non-agg item, float/string min/max (stats
-        may be truncated/NaN-lossy), timestamp min/max in a non-UTC
-        session (the ISO literal would be reinterpreted), CDC /
-        churned tables, or a WHERE the partition pruner refuses.
-        Output column names match the relational fallback's
-        auto-aliases — ``count(1)``, and for min/max the function
-        lowercased with the argument in the QUERY's casing (backticks
-        stripped) — so the schema never depends on which path
-        answered."""
+        """Resolve a SELECT of only ``COUNT(*)``/``COUNT(col)``/
+        ``MIN``/``MAX``/``SUM``/``AVG(col)`` items against commit-log
+        metadata. Returns the one-row result as a VALUES-backed
+        LocalTableScan (collect launches no job), or ``None`` whenever
+        ANY item is unprovable — unknown table, non-agg item, float
+        min/max (footer stats are NaN-lossy), string min/max without
+        writer-computed exact extrema, timestamp min/max in a non-UTC
+        session (the ISO literal would be reinterpreted), SUM outside
+        integer/decimal, AVG outside the integer family or past the
+        2^53 double-accumulation proof, CDC / churned tables, or a
+        WHERE the partition pruner refuses. Output column names match
+        the relational fallback's auto-aliases — ``count(1)``, and
+        otherwise the function lowercased with the argument in the
+        QUERY's casing (backticks stripped) — so the schema never
+        depends on which path answered."""
         items = [s.strip() for s in m.group(1).split(",")]
         parsed = []
         for it in items:
@@ -965,7 +970,7 @@ class Catalog:
         sel = []
         mm_cache: dict[str, tuple] = {}
         for fn, col, alias in parsed:
-            if fn == "count":
+            if fn == "count" and col is None:
                 n = t._count_from(snap)
                 if n is None:
                     return None
@@ -981,11 +986,46 @@ class Catalog:
             if f is None:
                 return None
             st = f.dataType.simpleString()
+            if fn == "count":
+                # COUNT(col) = Σ per-file nonnull (any stats-column
+                # type; range-partition columns count via the desc)
+                n = t._count_col_from(snap, f.name)
+                if n is None:
+                    return None
+                sel.append(f"CAST({int(n)} AS BIGINT) AS "
+                           f"`{alias or f'count({col})'}`")
+                continue
+            if fn == "avg":
+                r = t._avg_from(snap, f.name)
+                if r is None:
+                    return None
+                v = r[0]
+                # repr(float) is the shortest round-trip decimal and
+                # Spark's string→double cast is correctly rounded, so
+                # the literal parses back to the identical double
+                lit = ("CAST(NULL AS DOUBLE)" if v is None
+                       else f"CAST('{v!r}' AS DOUBLE)")
+                sel.append(f"{lit} AS `{alias or f'avg({col})'}`")
+                continue
             if fn == "sum":
                 lit = self._sum_literal(t, snap, f.name, st)
                 if lit is None:
                     return None
                 sel.append(f"{lit} AS `{alias or f'sum({col})'}`")
+                continue
+            if st == "string":
+                # exact extrema recorded by the writer from the column
+                # VALUES (footer string stats may be truncated prefixes
+                # — valid bounds, never claimed-exact extrema)
+                if col not in mm_cache:
+                    mm = t._minmax_str_from(snap, f.name)
+                    if mm is None:
+                        return None
+                    mm_cache[col] = mm
+                v = mm_cache[col][0 if fn == "min" else 1]
+                lit = ("CAST(NULL AS STRING)" if v is None
+                       else _sql_str_lit(v))
+                sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
             if st == "timestamp" and str(spark.conf.get(
                     "spark.sql.session.timeZone", "")) != "UTC":
@@ -1157,7 +1197,7 @@ class Catalog:
                               lambda key, gf, gi=gi: key[gi]))
                 continue
             _, fn, col, alias = p
-            if fn == "count":
+            if fn == "count" and col is None:
                 def _cnt(key, gf):
                     n = LakeSoulTable._count_files(gf)
                     # COUNT is never NULL relationally: an unprovable
@@ -1172,6 +1212,44 @@ class Catalog:
                 return None
             st = f.dataType.simpleString()
             out = alias or f"{fn}({col})"
+            has_default = defaults.get(f.name) is not None
+            if fn == "count":
+                # COUNT(col): per-file nonnull counts; range-partition
+                # columns count via the group's descs (non-sentinel
+                # partitions contribute num_rows)
+                if f.name in range_set:
+                    def _cntp(key, gf, _c=f.name):
+                        total = 0
+                        for ff in gf:
+                            if ff.num_rows < 0:
+                                return _REFUSE
+                            v = part_enc.parse_desc(
+                                ff.partition_desc).get(_c)
+                            total += ff.num_rows if v is not None else 0
+                        return total
+                    specs.append((cname, "bigint", None, out, _cntp))
+                    continue
+
+                def _cntc(key, gf, _c=f.name, _d=has_default):
+                    n = LakeSoulTable._count_col_files(gf, _c, _d)
+                    return _REFUSE if n is None else int(n)
+                specs.append((cname, "bigint", None, out, _cntc))
+                continue
+            if fn == "avg":
+                # integer-family only, with the per-group 2^53
+                # double-accumulation proof (see _avg_files)
+                if (f.name in range_set
+                        or st not in LakeSoulTable._SUM_EXACT_TYPES):
+                    return None
+
+                def _avg(key, gf, _c=f.name, _d=has_default):
+                    r = LakeSoulTable._avg_files(gf, _c, _d)
+                    if r is None:
+                        return _REFUSE
+                    # repr round-trips through the string→double cast
+                    return None if r[0] is None else repr(r[0])
+                specs.append((cname, "string", "double", out, _avg))
+                continue
             if fn == "sum":
                 if f.name in range_set:
                     return None  # see _sum_from: desc-materialized
@@ -1184,7 +1262,6 @@ class Catalog:
                     rt = f"decimal({min(38, pp + 10)},{ss})"
                 else:
                     rt = "bigint"
-                has_default = defaults.get(f.name) is not None
 
                 def _sum(key, gf, _c=f.name, _st=st, _d=has_default):
                     res = LakeSoulTable._sum_files(gf, _c, _d)
@@ -1193,6 +1270,17 @@ class Catalog:
                     r = self._sum_render(res, _st)
                     return _REFUSE if r is None else r[0]
                 specs.append((cname, "string", rt, out, _sum))
+                continue
+            if st == "string":
+                # exact extrema recorded by the writer from the
+                # column VALUES (footer string stats may be truncated
+                # prefixes — valid bounds, never claimed extrema)
+                def _mms(key, gf, _c=f.name, _fn=fn, _d=has_default):
+                    mm = LakeSoulTable._minmax_str_files(gf, _c, _d)
+                    if mm is None:
+                        return _REFUSE
+                    return mm[0 if _fn == "min" else 1]  # None = NULL
+                specs.append((cname, "string", None, out, _mms))
                 continue
             # min/max: exact-stats types only; timestamp literals
             # round-trip exactly only under a pinned-UTC session
@@ -1272,7 +1360,7 @@ class Catalog:
         "tinyint": int, "smallint": int, "int": int, "integer": int,
         "bigint": int, "long": int,
         "date": str, "timestamp": str, "timestamp_ntz": str,
-        "string": str,
+        "string": str, "double": float,
     }
 
     @classmethod
@@ -2064,6 +2152,15 @@ class Catalog:
             on_cols.append(lcol)
         merge_into(target, source, on_cols)
         return None
+
+
+def _sql_str_lit(s: str) -> str:
+    """A Spark SQL string literal that parses back to exactly ``s``.
+    Spark's default parser (escapedStringLiterals=false) processes
+    backslash escapes inside quoted literals, so both the backslash
+    and the quote are escaped; every other character — including raw
+    newlines and non-ASCII — passes through the parser verbatim."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _rx(pattern: str, stmt: str) -> "re.Match":

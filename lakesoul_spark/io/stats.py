@@ -57,55 +57,92 @@ def encode_stat_value(v):
 
 
 def file_sums(pf, cols: list[str]) -> dict | None:
-    """Exact per-column ``[sum, nonnull_count]`` for the integer /
-    decimal columns of ``cols``, read from an open ``ParquetFile``
-    (reference file-level stat shape: ``CompactBucketIO.java:220-258``
-    collects per-file column stats at compaction the same way).
+    """Exact per-column commit-log stats for the declared
+    ``lakesoul.statsColumns`` of ``cols``, read from an open
+    ``ParquetFile`` (reference file-level stat shape:
+    ``CompactBucketIO.java:220-258`` collects per-file column stats at
+    compaction the same way). Entry shape, by column type:
 
-    Unlike min/max these cannot come from the footer — the column
-    chunks are read (columnar: just these columns, not the file). The
-    arithmetic is EXACT: integers sum through ``decimal128(38, 0)``
-    (a raw int64 arrow sum could silently wrap), decimals keep their
-    scale. A column whose sum overflows 38 digits, or whose type is
-    not integer/decimal (float sums are rounding-order-dependent;
-    strings have no sum), is omitted — readers treat a missing entry
-    as "cannot prove" and fall back. ``nonnull_count`` distinguishes
-    the SQL SUM of an all-null column (NULL) from a zero sum."""
+    - integer:  ``[sum, nonnull]`` — sum exact through decimal128
+      (a raw int64 arrow sum could silently wrap);
+    - decimal:  ``["sum", nonnull]`` — exact string (JSON floats round);
+    - string:   ``[None, nonnull, lo, hi]`` — EXACT extrema computed
+      from the column values themselves, because footer binary stats
+      may be truncated prefixes (valid bounds, unsound as claimed
+      extrema); an all-null column records ``[None, 0]``;
+    - every other type (float/date/timestamp/bool/...):
+      ``[None, nonnull]`` from footer null counts alone — no data
+      read. Float sums are rounding-order-dependent and float footer
+      extrema may omit NaN, so no value claims are made for them.
+
+    ``None`` in slot 0 = "no sum claim"; a missing ``[lo, hi]`` tail =
+    "no exact-extrema claim" — readers treat any missing piece as
+    "cannot prove" and fall back to a real scan. ``nonnull`` serves
+    ``COUNT(col)`` and distinguishes the SQL SUM/MIN/MAX of an
+    all-null column (NULL) from a zero/valued result."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     schema = pf.schema_arrow
     names = set(schema.names)
-    want = []
+    read_cols, footer_cols = [], []
     for c in cols:
         if c not in names:
             continue
         t = schema.field(c).type
-        if pa.types.is_integer(t) or pa.types.is_decimal(t):
-            want.append(c)
-    if not want:
-        return None
-    tbl = pf.read(columns=want)
+        if (pa.types.is_integer(t) or pa.types.is_decimal(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+            read_cols.append(c)
+        else:
+            footer_cols.append(c)
     out = {}
-    for c in want:
-        col = tbl.column(c)
-        nonnull = len(col) - col.null_count
-        if nonnull == 0:
-            out[c] = [0, 0]
-            continue
-        t = schema.field(c).type
-        try:
-            if pa.types.is_integer(t):
-                s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
-                out[c] = [int(s), nonnull]
-            else:
-                s = pc.sum(col).as_py()
-                # exact string round-trip (JSON floats would round)
-                out[c] = [str(s), nonnull]
-        except Exception:
-            # overflow past 38 digits (or an arrow kernel gap): no
-            # entry = no claim — readers fall back to a real scan
-            continue
+    meta = pf.metadata
+    if footer_cols:
+        idx = {meta.schema.column(j).name: j
+               for j in range(meta.num_columns)}
+        for c in footer_cols:
+            j = idx.get(c)
+            if j is None:
+                continue  # nested-path naming mismatch: no claim
+            nulls = 0
+            ok = True
+            for i in range(meta.num_row_groups):
+                st = meta.row_group(i).column(j).statistics
+                if st is None or not st.has_null_count:
+                    ok = False
+                    break
+                nulls += st.null_count
+            if ok:
+                out[c] = [None, meta.num_rows - nulls]
+    if read_cols:
+        tbl = pf.read(columns=read_cols)
+        for c in read_cols:
+            col = tbl.column(c)
+            nonnull = len(col) - col.null_count
+            t = schema.field(c).type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                if nonnull == 0:
+                    out[c] = [None, 0]
+                else:
+                    mm = pc.min_max(col)
+                    out[c] = [None, nonnull,
+                              mm["min"].as_py(), mm["max"].as_py()]
+                continue
+            if nonnull == 0:
+                out[c] = [0, 0]
+                continue
+            try:
+                if pa.types.is_integer(t):
+                    s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
+                    out[c] = [int(s), nonnull]
+                else:
+                    s = pc.sum(col).as_py()
+                    out[c] = [str(s), nonnull]
+            except Exception:
+                # overflow past 38 digits (or an arrow kernel gap):
+                # the count claim stands, the sum claim is withdrawn —
+                # SUM readers fall back to a real scan
+                out[c] = [None, nonnull]
     return out or None
 
 

@@ -1889,19 +1889,20 @@ def star_mv_repin(spark, sf_dir):
 @_register(
     "lakehouse_count_where_fast",
     """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
     SELECT 'st_F' AS branch, CAST(count(*) AS BIGINT) AS n_rows
-    FROM orders WHERE o_orderstatus = 'F'
+    FROM o WHERE o_orderstatus = 'F'
     UNION ALL SELECT 'st_O', CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_orderstatus = 'O'
+    FROM o WHERE o_orderstatus = 'O'
     UNION ALL SELECT 'st_P', CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_orderstatus = 'P'
+    FROM o WHERE o_orderstatus = 'P'
     UNION ALL SELECT 'in_FO', CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    FROM o WHERE o_orderstatus IN ('F', 'O')
     UNION ALL SELECT 'gt_F', CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_orderstatus > 'F'
+    FROM o WHERE o_orderstatus > 'F'
     UNION ALL SELECT 'null_p', CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_orderstatus IS NULL
-    UNION ALL SELECT 'total', CAST(count(*) AS BIGINT) FROM orders
+    FROM o WHERE o_orderstatus IS NULL
+    UNION ALL SELECT 'total', CAST(count(*) AS BIGINT) FROM o
     """,
 )
 def count_where_fast(spark, sf_dir):
@@ -1920,7 +1921,11 @@ def count_where_fast(spark, sf_dir):
 
     root = _tmp("count_where", sf_dir)
     cat = Catalog(root)
-    orders = _orders(spark, sf_dir).select(
+    # deterministic 1/2 sample: the operator under test is metadata-
+    # only — the fixture write is the whole bench cost, so keep it lean
+    orders = _orders(spark, sf_dir).filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
         "o_orderkey", "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderstatus").alias("p"),
@@ -2075,21 +2080,28 @@ def arrow_finalize_mv(spark, sf_dir):
     WITH base AS (
       SELECT o_orderkey, o_custkey,
              CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE concat('c#', lpad(CAST(o_custkey % 97 AS VARCHAR),
+                                         2, '0')) END AS clerk,
              o_orderpriority AS p
-      FROM orders
+      FROM orders WHERE o_orderkey % 2 = 0
     ), final AS (
       SELECT o_orderkey, o_custkey,
              CASE WHEN p = '1-URGENT' AND o_orderkey % 5 = 0
                   THEN CAST(price * 2 AS DECIMAL(18,2))
                   ELSE price END AS price,
-             p
+             clerk, p
       FROM base
     )
     SELECT p, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
            CAST(min(o_custkey) AS BIGINT) AS min_cust,
            CAST(max(o_custkey) AS BIGINT) AS max_cust,
-           CAST(sum(price) AS DOUBLE) AS total_price
+           CAST(sum(price) AS DOUBLE) AS total_price,
+           CAST(count(clerk) AS BIGINT) AS n_clerk,
+           min(clerk) AS min_clerk,
+           max(clerk) AS max_clerk,
+           avg(o_custkey) AS avg_cust
     FROM final GROUP BY p
     """,
 )
@@ -2103,6 +2115,13 @@ def groupby_sum_fast(spark, sf_dir):
     decimal at native scale; ``io/stats.py file_sums``, reference
     file-stat shape ``CompactBucketIO.java:220-258``) — as ONE
     LocalRelation whose collect launches ZERO Spark jobs (asserted).
+    The same statement carries the r12-late grammar extensions:
+    ``COUNT(clerk)`` (non-null count of a NULL-bearing string column),
+    ``MIN/MAX(clerk)`` (EXACT string extrema computed from column
+    values at write — parquet footer string stats may be truncated
+    prefixes, so they are never claimed exact), and
+    ``AVG(o_custkey)`` (bit-identical to Spark's double accumulation
+    under the provable ``Σ nonnull×max|bound| < 2^53`` condition).
     The proof gate is the shared provable-snapshot rule, WHERE-scoped:
     a PK upsert churns only partition ``1-URGENT`` mid-lifecycle,
     after which the unscoped GROUP BY falls back to a real scan
@@ -2121,25 +2140,38 @@ def groupby_sum_fast(spark, sf_dir):
 
     root = _tmp("groupby_sum", sf_dir)
     cat = Catalog(root)
-    orders = _orders(spark, sf_dir).select(
+    orders = _orders(spark, sf_dir).filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
         "o_orderkey", "o_custkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+         .otherwise(F.concat(
+             F.lit("c#"),
+             F.lpad((F.col("o_custkey") % 97).cast("string"), 2, "0")))
+         .alias("clerk"),
         F.col("o_orderpriority").alias("p"),
     )
     orders.createOrReplaceTempView("gbs_src")
     cat.sql(spark, """
         CREATE TABLE gbs (o_orderkey BIGINT, o_custkey BIGINT,
-                          price DECIMAL(18,2), p STRING)
+                          price DECIMAL(18,2), clerk STRING, p STRING)
         USING lakesoul PARTITIONED BY (p)
         TBLPROPERTIES('hashPartitions'='o_orderkey','hashBucketNum'='4',
-                      'lakesoul.statsColumns'='o_custkey,price')
+                      'lakesoul.statsColumns'='o_custkey,price,clerk')
     """)
     cat.sql(spark, "INSERT INTO gbs SELECT * FROM gbs_src")
     t = cat.get_table(spark, "gbs")
 
+    # r12-late additions ride the same statement: COUNT(col) over a
+    # NULL-bearing string, EXACT string extrema (writer-computed —
+    # footer string stats may be truncated prefixes), and integer AVG
+    # under the 2^53 double-accumulation proof — all zero-job
     gb_sql = ("SELECT p, count(*) AS n_rows, sum(o_custkey) AS sum_cust,"
               " min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,"
-              " sum(price) AS total_price FROM gbs{where} GROUP BY p")
+              " sum(price) AS total_price, count(clerk) AS n_clerk,"
+              " min(clerk) AS min_clerk, max(clerk) AS max_clerk,"
+              " avg(o_custkey) AS avg_cust FROM gbs{where} GROUP BY p")
 
     def run(where: str = "", expect_fast: bool = True):
         sql = gb_sql.format(where=where)
@@ -2199,9 +2231,12 @@ def groupby_sum_fast(spark, sf_dir):
     assert final == mid, "post-compaction fast rows != relational rows"
     return spark.createDataFrame(
         [(r["p"], r["n_rows"], r["sum_cust"], r["min_cust"],
-          r["max_cust"], float(r["total_price"])) for r in final],
+          r["max_cust"], float(r["total_price"]), r["n_clerk"],
+          r["min_clerk"], r["max_clerk"], r["avg_cust"])
+         for r in final],
         "p string, n_rows bigint, sum_cust bigint, min_cust bigint, "
-        "max_cust bigint, total_price double",
+        "max_cust bigint, total_price double, n_clerk bigint, "
+        "min_clerk string, max_clerk string, avg_cust double",
     )
 
 

@@ -871,16 +871,172 @@ class LakeSoulTable:
                     return None
                 continue  # NULL fill: contributes nothing to SUM
             ent = (f.sums or {}).get(col)
-            if ent is None:
+            if ent is None or (ent[0] is None and ent[1] != 0):
+                # no entry, or a count-only entry (slot-0 None with
+                # rows present = the writer withdrew the sum claim)
                 return None
-            s, nn = ent
-            total += decimal.Decimal(str(s))
+            s, nn = ent[0], ent[1]
+            total += decimal.Decimal(str(s or 0))
             nonnull += int(nn)
         return (total, nonnull)
 
     _SUM_EXACT_TYPES = (
         "tinyint", "smallint", "int", "integer", "bigint", "long",
     )
+
+    def count_col_fast(self, col: str,
+                       condition: str | None = None) -> int | None:
+        """Exact ``COUNT(col)`` (non-null count) from commit-log
+        metadata alone — zero Spark jobs, zero file IO — or ``None``
+        when metadata cannot prove it. Works for ANY type of declared
+        ``lakesoul.statsColumns`` column (the writer records
+        ``nonnull`` per file: from the column read for summable/string
+        types, from footer null counts otherwise) and for
+        range-partition columns (the desc IS the value: non-sentinel
+        partitions contribute ``num_rows``, null-sentinel partitions
+        zero). Files that physically lack the column contribute
+        nothing (NULL fill); a declared non-null default would make
+        every row count — derivable, but entangled with later default
+        changes, so refused like :meth:`sum_fast`. ``condition``
+        scopes to range partitions like :meth:`count_fast`."""
+        return self._count_col_from(self._provable_snapshot(condition),
+                                    col)
+
+    def _count_col_from(self, snap, col: str) -> int | None:
+        """COUNT(col) over an already-resolved provable snapshot (see
+        :meth:`_count_from` for why the SQL fast path shares one)."""
+        if snap is None:
+            return None
+        info = self.info
+        if col in info.range_partitions:
+            from lakesoul_spark.io import partition as part_enc
+
+            total = 0
+            for f in snap.files:
+                if f.num_rows < 0:
+                    return None
+                v = part_enc.parse_desc(f.partition_desc).get(col)
+                total += f.num_rows if v is not None else 0
+            return total
+        has_default = info.column_defaults().get(col) is not None
+        return self._count_col_files(snap.files, col, has_default)
+
+    @staticmethod
+    def _count_col_files(files, col: str,
+                         has_default: bool) -> int | None:
+        """Non-null count over a live-file list's recorded stats —
+        range-partition handling is the CALLER's job."""
+        total = 0
+        for f in files:
+            if col not in f.file_exist_cols:
+                if has_default:
+                    # every missing-column row reads as the (non-null)
+                    # default — today that is num_rows, but a later
+                    # default change re-states history; refuse like SUM
+                    return None
+                continue  # NULL fill: contributes nothing to COUNT(col)
+            ent = (f.sums or {}).get(col)
+            if ent is None:
+                return None
+            total += int(ent[1])
+        return total
+
+    def _minmax_str_from(self, snap, col: str) -> tuple | None:
+        """Exact string ``(min, max)`` over a provable snapshot, from
+        the writer's computed-from-values extrema (``io/stats.py
+        file_sums`` — footer binary stats may be truncated prefixes,
+        so the claimed-exact path never uses them). ``(None, None)``
+        = provably all-null (SQL min/max = NULL); ``None`` = cannot
+        prove. A file lacking the column contributes nothing under
+        NULL fill and refuses under a declared default (the default
+        value would be a live extremum candidate nothing records)."""
+        if snap is None:
+            return None
+        has_default = self.info.column_defaults().get(col) is not None
+        return self._minmax_str_files(snap.files, col, has_default)
+
+    @staticmethod
+    def _minmax_str_files(files, col: str,
+                          has_default: bool) -> tuple | None:
+        """Exact string extrema over a live-file list (the GROUP BY
+        fast path calls this per partition group). Python str
+        comparison is codepoint order == UTF-8 byte order — the same
+        total order Spark and DuckDB use for binary collation."""
+        lo = hi = None
+        for f in files:
+            if col not in f.file_exist_cols:
+                if has_default:
+                    return None
+                continue
+            ent = (f.sums or {}).get(col)
+            if ent is None:
+                return None
+            if int(ent[1]) == 0:
+                continue  # provably all-null in this file
+            if len(ent) < 4:
+                return None  # count-only entry: no extrema claim
+            flo, fhi = ent[2], ent[3]
+            lo = flo if lo is None or flo < lo else lo
+            hi = fhi if hi is None or fhi > hi else hi
+        return (lo, hi)
+
+    def _avg_from(self, snap, col: str) -> tuple | None:
+        """Exact ``AVG(col)`` for an integer-family declared stats
+        column, bit-identical to the relational result, or ``None``
+        when unprovable. Spark's ``Average`` accumulates integer input
+        in DOUBLE; a double add is exact while every partial sum stays
+        under 2^53, and partial sums (any grouping Spark's partial-agg
+        tree picks) are bounded by Σ|x| ≤ Σ_files nonnull ×
+        max(|min|,|max|) — provable from the same per-file stats. When
+        that bound holds, double-accumulation equals the exact integer
+        sum in EVERY execution order, and the final ``sum/count``
+        IEEE division here reproduces Spark's bit-for-bit. Returns
+        ``(float_avg_or_None, nonnull)`` — ``None`` avg = SQL NULL
+        (zero non-null rows). Floats/decimals are never claimed
+        (order-dependent rounding / decimal divide semantics)."""
+        from lakesoul_spark.io.writer import table_schema as _ts
+
+        info = self.info
+        if col in info.range_partitions:
+            return None  # desc-materialized: no per-file sums exist
+        dtype = next(
+            (f.dataType.simpleString() for f in _ts(info).fields
+             if f.name == col), "",
+        )
+        if dtype not in self._SUM_EXACT_TYPES:
+            return None
+        if snap is None:
+            return None
+        has_default = info.column_defaults().get(col) is not None
+        return self._avg_files(snap.files, col, has_default)
+
+    @staticmethod
+    def _avg_files(files, col: str, has_default: bool) -> tuple | None:
+        """Provably-exact integer AVG over a live-file list (the GROUP
+        BY fast path calls this per partition group) — type and
+        range-partition gates are the CALLER's job (:meth:`_avg_from`
+        documents the 2^53 double-accumulation proof)."""
+        res = LakeSoulTable._sum_files(files, col, has_default)
+        if res is None:
+            return None
+        total, nonnull = res
+        bound = 0
+        for f in files:
+            if col not in f.file_exist_cols:
+                continue  # NULL fill: no values, no contribution
+            ent = (f.sums or {}).get(col)
+            if int(ent[1]) == 0:
+                continue
+            st = (f.stats or {}).get(col)
+            if (st is None or not isinstance(st[0], int)
+                    or not isinstance(st[1], int)):
+                return None  # no exact per-file extrema: bound unprovable
+            bound += int(ent[1]) * max(abs(st[0]), abs(st[1]))
+        if bound >= 2 ** 53:
+            return None  # double accumulation could round: fall back
+        if nonnull == 0:
+            return (None, 0)
+        return (float(int(total)) / nonnull, nonnull)
 
     def to_df(self, file_filters: list | None = None) -> DataFrame:
         """Snapshot/incremental view. ``file_filters`` — optional list

@@ -1456,26 +1456,33 @@ def test_partition_count_fast_never_wrong_fuzz(cat, spark):
 
 
 def test_minmax_sql_fast_path_fuzz(cat, spark):
-    """Property: any SELECT of COUNT/MIN/MAX/SUM items (mixed casing,
-    aliases, negative values, optional partition WHERE, optional
-    GROUP BY over the partition column) returns the same rows AND the
-    same column names whether the metadata fast path or the
-    relational fallback answers — checked by comparing against plain
-    Spark SQL over the source rows."""
+    """Property: any SELECT of COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG
+    items (mixed casing, aliases, negative values, NULLs in every
+    column, optional partition WHERE, optional GROUP BY over the
+    partition column) returns the same rows AND the same column names
+    whether the metadata fast path or the relational fallback answers
+    — checked by comparing against plain Spark SQL over the source
+    rows."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     cat.sql(spark, """
         CREATE TABLE fmx (k BIGINT, i INT, d DATE, dd DECIMAL(10,2),
-                          p STRING)
+                          s STRING, f DOUBLE, p STRING)
         USING lakesoul PARTITIONED BY (p)
         TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
-                      'lakesoul.statsColumns'='i,d,dd')
+                      'lakesoul.statsColumns'='i,d,dd,s,f')
     """)
     src = """
         SELECT id - 50 AS k, CAST(id * 13 % 101 - 50 AS INT) AS i,
                DATE_ADD(DATE'1999-12-25', CAST(id AS INT)) AS d,
                CAST((id * 17 % 301 - 150) * 0.25 AS DECIMAL(10,2)) AS dd,
+               CASE WHEN id % 5 = 0 THEN NULL
+                    WHEN id % 5 = 1 THEN ''
+                    ELSE concat('x''\\\\-', lpad(CAST(id AS STRING),
+                                                 3, '0')) END AS s,
+               CASE WHEN id % 4 = 0 THEN NULL
+                    ELSE CAST(id AS DOUBLE) * 0.25 - 11.0D END AS f,
                CASE WHEN id % 3 = 0 THEN 'a'
                     WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p
         FROM range(90)
@@ -1488,6 +1495,12 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "MIN(i)", "MAX(i)", "MIN(d)", "MAX(d)", "MAX(i) AS hi",
         "MIN(k) AS lo", "SUM(i)", "sum(I)", "SUM(dd)", "sum(k)",
         "SUM(i) AS tot",
+        # r12: COUNT(col) over every stats-column type + the partition
+        # column, exact string extrema, provably-exact integer AVG
+        "COUNT(i)", "count(s)", "COUNT(f)", "count(d)", "count(p)",
+        "count(dd)", "COUNT(S) AS ns", "MIN(s)", "max(s)",
+        "MIN(s) AS slo", "AVG(i)", "avg(I)", "AVG(i) AS ai",
+        "avg(k)", "AVG(f)", "min(f)", "avg(dd)",
     ])
     where = st.sampled_from([
         "", " WHERE p = 'a'", " WHERE p IN ('a','c')", " WHERE p > 'a'",
@@ -1566,6 +1579,113 @@ def test_show_partitions_extended_metadata_only(cat, spark, monkeypatch):
     rows = {r.partition: r for r in
             cat.sql(spark, "SHOW PARTITIONS sp EXTENDED").collect()}
     assert rows["p=a"].num_rows == 50 and rows["p=b"].num_rows == 50
+
+
+def test_sql_count_col_avg_minmax_str_fast_path(cat, spark, monkeypatch):
+    """r12 fast-path extension: ``COUNT(col)`` (every stats-column
+    type + range-partition columns via descs), exact string MIN/MAX
+    (computed from column VALUES at write — footer string stats may
+    be truncated prefixes), and provably-exact integer AVG (the 2^53
+    double-accumulation bound) answer from commit-log metadata with
+    zero jobs; every unprovable variant falls back and stays
+    correct."""
+    cat.sql(spark, """
+        CREATE TABLE fcx (k BIGINT, i INT, s STRING, f DOUBLE,
+                          big BIGINT, p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='i,s,f,big,s2')
+    """)
+    cat.sql(spark, """
+        INSERT INTO fcx SELECT
+            id,
+            CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS INT) END,
+            CASE WHEN id % 5 = 0 THEN NULL
+                 ELSE concat('v-', lpad(CAST(id AS STRING), 2, '0')) END,
+            CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END,
+            4000000000000000000 + id,
+            CASE WHEN id % 3 = 0 THEN NULL
+                 ELSE concat('p', CAST(id % 2 AS STRING)) END
+        FROM range(60)
+    """)
+    probe = ("SELECT count(i), count(s), count(f), count(p), count(*),"
+             " min(s), max(s), avg(i) FROM fcx")
+    t = cat.get_table(spark, "fcx")
+    truth = tuple(t.to_df().selectExpr(
+        "count(i)", "count(s)", "count(f)", "count(p)", "count(*)",
+        "min(s)", "max(s)", "avg(i)").collect()[0])
+
+    def boom(self, *a, **k):
+        raise AssertionError("fast path planned a table scan")
+
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    df = cat.sql(spark, probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "Scan" not in plan.replace(
+        "LocalTableScan", "")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    # count(p) skips the null-sentinel partition's rows; avg is
+    # bit-identical to Spark's double accumulation (proof: |Σ| < 2^53)
+    assert tuple(df.collect()[0]) == truth
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+    # GROUP BY shape over the same items (null partition sorts first)
+    g = cat.sql(spark, "SELECT p, count(s), min(s), avg(i) FROM fcx "
+                       "GROUP BY p ORDER BY p NULLS FIRST")
+    assert "LocalTableScan" in \
+        g._jdf.queryExecution().executedPlan().toString()
+    grows = [tuple(r) for r in g.collect()]
+    monkeypatch.undo()
+    want = [tuple(r) for r in t.to_df().groupBy("p").agg(
+        F.expr("count(s)"), F.expr("min(s)"), F.expr("avg(i)"))
+        .orderBy(F.col("p").asc_nulls_first()).collect()]
+    assert grows == want
+    # AVG past the 2^53 bound: Σ nonnull×max|bound| overflows double
+    # exactness — must REFUSE into a real scan (answer = whatever the
+    # relational engine computes, not a metadata guess)
+    df2 = cat.sql(spark, "SELECT avg(big) FROM fcx")
+    assert "Scan parquet" in \
+        df2._jdf.queryExecution().executedPlan().toString()
+    # schema evolution: files written before ADD COLUMNS lack s2 —
+    # NULL fill contributes nothing to COUNT/MIN/MAX, still provable
+    cat.sql(spark, "ALTER TABLE fcx ADD COLUMNS (s2 STRING)")
+    # upsert into a FRESH partition: new buckets stay single-generation
+    t.upsert(spark.createDataFrame(
+        [(1000, None, None, None, 0, "p2", "zz"),
+         (1001, None, None, None, 0, "p2", None)],
+        "k bigint, i int, s string, f double, big bigint, "
+        "p string, s2 string"))
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    assert cat.sql(spark, "SELECT count(s2), min(s2), max(s2) FROM fcx"
+                   ).collect() == [(1, "zz", "zz")]
+    # an all-NULL scope is still provable for strings: SQL NULL result
+    assert cat.sql(spark, "SELECT min(s2) FROM fcx WHERE p IS NULL"
+                   ).collect() == [(None,)]
+    monkeypatch.undo()
+    # a declared default re-states missing-column rows: refuse COUNT/
+    # MIN/MAX claims for that column (fallback answers, and agrees)
+    t.set_properties({"default.s2": "dflt"})
+    df3 = cat.sql(spark, "SELECT count(s2), min(s2) FROM fcx")
+    assert "Scan parquet" in \
+        df3._jdf.queryExecution().executedPlan().toString()
+    # 60 default-filled rows + 'zz' (the NULL s2 row stays null)
+    assert df3.collect() == [(61, "dflt")]
+    # churned PK bucket: string extrema refuse like every other claim
+    t.unset_properties(["default.s2"])
+    t.upsert(spark.createDataFrame(
+        [(2, 9, "aaa", 1.0, 0, "p0", None)],
+        "k bigint, i int, s string, f double, big bigint, "
+        "p string, s2 string"))
+    df4 = cat.sql(spark, "SELECT min(s), count(s) FROM fcx")
+    assert "Scan parquet" in \
+        df4._jdf.queryExecution().executedPlan().toString()
+    df4_rows = df4.collect()
+    cat.sql(spark, "OPTIMIZE fcx")
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    # compaction restores provability; the answer is unchanged
+    assert cat.sql(spark, "SELECT min(s), count(s) FROM fcx"
+                   ).collect() == df4_rows
+    monkeypatch.undo()
 
 
 def test_groupby_fast_path_order_by_limit(cat, spark):
