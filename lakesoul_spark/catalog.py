@@ -921,9 +921,33 @@ class Catalog:
         r"^COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(\w+))?$"
         r"|^(MIN|MAX|SUM|AVG|COUNT)\s*\("
         r"\s*`?(?!(?:DISTINCT|ALL)\b)(\w+)`?\s*\)"
+        r"(?:\s+AS\s+(\w+))?$"
+        r"|^COUNT\s*\(\s*DISTINCT\s+`?(\w+)`?\s*\)"
         r"(?:\s+AS\s+(\w+))?$",
         re.I,
     )
+
+    # range-partition desc values order correctly under these declared
+    # types (ints numerically after int(); ISO dates and plain strings
+    # lexicographically); anything else (float/bool/timestamp) refuses
+    _PART_VALUE_KEYS = {
+        "tinyint": int, "smallint": int, "int": int, "integer": int,
+        "bigint": int, "long": int, "date": str, "string": str,
+    }
+
+    @staticmethod
+    def _part_rows_by_desc(files) -> dict | None:
+        """Total live rows per partition desc over a (scoped, provable)
+        file list — ``None`` when any file predates the num_rows-
+        recording writer. A partition contributes its desc VALUE to
+        MIN/MAX/COUNT(DISTINCT) only while it holds >0 rows."""
+        rows: dict = {}
+        for f in files:
+            if f.num_rows < 0:
+                return None
+            rows[f.partition_desc] = (
+                rows.get(f.partition_desc, 0) + f.num_rows)
+        return rows
 
     def _try_metadata_aggs(self, spark: SparkSession, m) -> DataFrame | None:
         """Resolve a SELECT of only ``COUNT(*)``/``COUNT(col)``/
@@ -947,7 +971,9 @@ class Catalog:
             im = self._META_AGG_RE.match(it)
             if im is None:
                 return None
-            if im.group(2):  # MIN/MAX — group(3) keeps the USER casing
+            if im.group(5):  # COUNT(DISTINCT col) — group 5 = USER casing
+                parsed.append(("cntd", im.group(5), im.group(6)))
+            elif im.group(2):  # MIN/MAX — group(3) keeps the USER casing
                 parsed.append((im.group(2).lower(), im.group(3),
                                im.group(4)))
             else:
@@ -969,6 +995,7 @@ class Catalog:
             return None
         sel = []
         mm_cache: dict[str, tuple] = {}
+        prows: dict | None = None
         for fn, col, alias in parsed:
             if fn == "count" and col is None:
                 n = t._count_from(snap)
@@ -986,6 +1013,44 @@ class Catalog:
             if f is None:
                 return None
             st = f.dataType.simpleString()
+            if fn == "cntd" and f.name not in t.info.range_partitions:
+                return None  # data-column DISTINCT needs a real scan
+            if f.name in t.info.range_partitions and fn in (
+                    "cntd", "min", "max"):
+                # desc-materialized values: the scoped snapshot's
+                # partition descs ARE the column's value set — a
+                # partition contributes while it holds >0 rows (exact
+                # under the provable-snapshot gate), so MAX(day) /
+                # COUNT(DISTINCT day) — the most common freshness
+                # probes — cost one driver-side metadata pass
+                key_fn = self._PART_VALUE_KEYS.get(st)
+                if key_fn is None:
+                    return None
+                if prows is None:
+                    prows = self._part_rows_by_desc(snap.files)
+                if prows is None:
+                    return None
+                from lakesoul_spark.io import partition as part_enc
+
+                vals = {part_enc.parse_desc(d).get(f.name)
+                        for d, n in prows.items() if n > 0} - {None}
+                if fn == "cntd":
+                    sel.append(f"CAST({len(vals)} AS BIGINT) AS "
+                               f"`{alias or f'count(DISTINCT {col})'}`")
+                    continue
+                if not vals:
+                    lit = f"CAST(NULL AS {st.upper()})"
+                elif st == "date":
+                    lit = f"DATE'{(min if fn == 'min' else max)(vals)}'"
+                elif st == "string":
+                    lit = _sql_str_lit(
+                        (min if fn == "min" else max)(vals))
+                else:
+                    v = (min if fn == "min" else max)(
+                        int(x) for x in vals)
+                    lit = f"CAST({v} AS {st.upper()})"
+                sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
+                continue
             if fn == "count":
                 # COUNT(col) = Σ per-file nonnull (any stats-column
                 # type; range-partition columns count via the desc)
@@ -1146,7 +1211,10 @@ class Catalog:
         for it in (s.strip() for s in m.group(1).split(",")):
             im = self._META_AGG_RE.match(it)
             if im is not None:
-                if im.group(2):
+                if im.group(5):
+                    parsed.append(("agg", "cntd", im.group(5),
+                                   im.group(6)))
+                elif im.group(2):
                     parsed.append(("agg", im.group(2).lower(),
                                    im.group(3), im.group(4)))
                 else:
@@ -1213,6 +1281,40 @@ class Catalog:
             st = f.dataType.simpleString()
             out = alias or f"{fn}({col})"
             has_default = defaults.get(f.name) is not None
+            if fn == "cntd" and f.name not in range_set:
+                return None  # data-column DISTINCT needs a real scan
+            if f.name in range_set and fn in ("cntd", "min", "max"):
+                # desc-materialized values per group (a group keyed by
+                # a SUBSET of the partition columns may span descs)
+                pk_fn = self._PART_VALUE_KEYS.get(st)
+                if pk_fn is None:
+                    return None
+                if fn == "cntd":
+                    out = alias or f"count(DISTINCT {col})"
+
+                def _pvals(gf, _c=f.name):
+                    prows = self._part_rows_by_desc(gf)
+                    if prows is None:
+                        return None
+                    return {part_enc.parse_desc(d).get(_c)
+                            for d, n in prows.items() if n > 0} - {None}
+
+                if fn == "cntd":
+                    def _cd(key, gf, _pv=_pvals):
+                        vals = _pv(gf)
+                        return _REFUSE if vals is None else len(vals)
+                    specs.append((cname, "bigint", None, out, _cd))
+                    continue
+
+                def _mmd(key, gf, _fn=fn, _k=pk_fn, _pv=_pvals):
+                    vals = _pv(gf)
+                    if vals is None:
+                        return _REFUSE
+                    if not vals:
+                        return None  # no live rows in scope: SQL NULL
+                    return (min if _fn == "min" else max)(vals, key=_k)
+                specs.append((cname, "string", st, out, _mmd))
+                continue
             if fn == "count":
                 # COUNT(col): per-file nonnull counts; range-partition
                 # columns count via the group's descs (non-sentinel

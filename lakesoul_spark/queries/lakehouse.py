@@ -1903,6 +1903,8 @@ def star_mv_repin(spark, sf_dir):
     UNION ALL SELECT 'null_p', CAST(count(*) AS BIGINT)
     FROM o WHERE o_orderstatus IS NULL
     UNION ALL SELECT 'total', CAST(count(*) AS BIGINT) FROM o
+    UNION ALL SELECT 'n_parts',
+        CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM o
     """,
 )
 def count_where_fast(spark, sf_dir):
@@ -1910,7 +1912,9 @@ def count_where_fast(spark, sf_dir):
     ``SELECT count(*) FROM t WHERE <partition predicate>`` answers
     from per-partition commit-log rows — equality, IN, ranges and IS
     NULL all plan a LocalTableScan whose collect launches ZERO Spark
-    jobs (asserted), the reference's PG-side PartitionFilter shape.
+    jobs (asserted), the reference's PG-side PartitionFilter shape;
+    r12-late adds ``COUNT(DISTINCT p)`` derived from the descs of
+    partitions holding >0 live rows.
     The proof gate is scoped: a PK upsert churns ONLY partition 'O'
     mid-lifecycle, so WHERE p='O' falls back to a real scan (asserted,
     still exact) while WHERE p='F' stays metadata-only; OPTIMIZE
@@ -1940,9 +1944,9 @@ def count_where_fast(spark, sf_dir):
     cat.sql(spark, "INSERT INTO cwf SELECT * FROM cwf_src")
     t = cat.get_table(spark, "cwf")
 
-    def fast_count(where: str | None) -> int:
-        sql = "SELECT count(*) FROM cwf" + (f" WHERE {where}" if where
-                                            else "")
+    def fast_count(where: str | None, item: str = "count(*)") -> int:
+        sql = f"SELECT {item} FROM cwf" + (f" WHERE {where}" if where
+                                           else "")
         df = cat.sql(spark, sql)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LocalTableScan" in plan and "HashAggregate" not in plan, \
@@ -1980,6 +1984,9 @@ def count_where_fast(spark, sf_dir):
         ("gt_F", fast_count("p > 'F'")),
         ("null_p", fast_count("p IS NULL")),
         ("total", fast_count(None)),
+        # r12-late: COUNT(DISTINCT partition_col) derives from the
+        # descs of partitions holding >0 rows — same zero-job contract
+        ("n_parts", fast_count(None, "count(DISTINCT p)")),
     ]
     got = dict(rows)
     assert got["st_F"] == n_f and got["st_O"] == n_o_slow

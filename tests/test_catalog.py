@@ -1501,6 +1501,9 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "count(dd)", "COUNT(S) AS ns", "MIN(s)", "max(s)",
         "MIN(s) AS slo", "AVG(i)", "avg(I)", "AVG(i) AS ai",
         "avg(k)", "AVG(f)", "min(f)", "avg(dd)",
+        # partition-column values derive from the descs themselves
+        "min(p)", "MAX(p)", "max(P) AS php", "count(DISTINCT p)",
+        "COUNT(distinct P) AS np", "count(DISTINCT k)",
     ])
     where = st.sampled_from([
         "", " WHERE p = 'a'", " WHERE p IN ('a','c')", " WHERE p > 'a'",
@@ -1688,7 +1691,63 @@ def test_sql_count_col_avg_minmax_str_fast_path(cat, spark, monkeypatch):
     monkeypatch.undo()
 
 
-def test_groupby_fast_path_order_by_limit(cat, spark):
+def test_sql_partition_value_aggs_fast_path(cat, spark, monkeypatch):
+    """MIN/MAX and COUNT(DISTINCT) over range-partition columns derive
+    from the commit log's partition descs (typed: ints numerically,
+    dates/strings lexicographically) — ``SELECT max(day) FROM t``, THE
+    canonical freshness probe, is zero-job. A partition contributes
+    its value only while it holds >0 live rows, so emptying one via
+    DELETE drops it out; COUNT(DISTINCT data_col) refuses into a real
+    scan."""
+    cat.sql(spark, """
+        CREATE TABLE pva (k BIGINT, v INT, d DATE, q INT)
+        USING lakesoul PARTITIONED BY (d, q)
+    """)
+    cat.sql(spark, """
+        INSERT INTO pva SELECT id, CAST(id AS INT),
+            DATE_ADD(DATE'2026-02-26', CAST(id % 3 AS INT)),
+            CAST(id % 4 AS INT) - 2
+        FROM range(40)
+    """)
+
+    def boom(self, *a, **k):
+        raise AssertionError("fast path planned a table scan")
+
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    df = cat.sql(spark, "SELECT max(d), min(d), min(q), max(q), "
+                        "count(DISTINCT d), count(DISTINCT q) FROM pva")
+    assert "LocalTableScan" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    import datetime
+    assert tuple(df.collect()[0]) == (
+        datetime.date(2026, 2, 28), datetime.date(2026, 2, 26),
+        -2, 1, 3, 4)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+    assert df.columns == ["max(d)", "min(d)", "min(q)", "max(q)",
+                          "count(DISTINCT d)", "count(DISTINCT q)"]
+    # int partitions order NUMERICALLY (string order would put -2
+    # after 1); scoped + grouped shapes share the desc derivation
+    assert cat.sql(spark, "SELECT max(q) FROM pva WHERE q < 1"
+                   ).collect() == [(0,)]
+    g = cat.sql(spark, "SELECT d, max(q), count(DISTINCT q) FROM pva "
+                       "GROUP BY d ORDER BY d")
+    assert "LocalTableScan" in \
+        g._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r)[1:] for r in g.collect()] == [(1, 4)] * 3
+    monkeypatch.undo()
+    # COUNT(DISTINCT data_col) is not desc-derivable: real scan
+    dd = cat.sql(spark, "SELECT count(DISTINCT v) FROM pva")
+    assert "Scan parquet" in \
+        dd._jdf.queryExecution().executedPlan().toString()
+    assert dd.collect() == [(40,)]
+    # emptying q=1 drops its value from MAX/COUNT(DISTINCT)
+    cat.sql(spark, "DELETE FROM pva WHERE q = 1")
+    monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+    assert cat.sql(spark, "SELECT max(q), count(DISTINCT q) FROM pva"
+                   ).collect() == [(0, 3)]
+    monkeypatch.undo()
     """ORDER BY / LIMIT tails on the metadata GROUP BY fast path: the
     (≤1024) group rows sort driver-side with typed keys (numeric
     carriers never string-sort), replicating Spark's defaults
