@@ -891,7 +891,19 @@ class Catalog:
             if am.group(5):
                 fast = self._try_metadata_group_by(spark, am)
             else:
-                fast = self._try_metadata_aggs(spark, am)
+                dm = re.match(r"DISTINCT\s+(.+)$", am.group(1),
+                              re.I | re.S)
+                if dm is not None:
+                    # SELECT DISTINCT <range-partition cols> ≡ GROUP BY
+                    # those columns: the distinct partition tuples are
+                    # the commit log's descs (with ≥1 live row) — the
+                    # other canonical freshness probe, zero jobs; any
+                    # non-bare-partition item refuses inside
+                    fast = self._try_metadata_group_by(
+                        spark, am, items_txt=dm.group(1),
+                        group_txt=dm.group(1))
+                else:
+                    fast = self._try_metadata_aggs(spark, am)
             if fast is not None:
                 return fast
 
@@ -1092,8 +1104,7 @@ class Catalog:
                        else _sql_str_lit(v))
                 sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
-            if st == "timestamp" and str(spark.conf.get(
-                    "spark.sql.session.timeZone", "")) != "UTC":
+            if st == "timestamp" and not _session_tz_is_utc(spark):
                 # stats encode naive-UTC ISO; a TIMESTAMP literal is
                 # reinterpreted in the session zone — only the
                 # engine's pinned-UTC sessions round-trip exactly
@@ -1151,8 +1162,10 @@ class Catalog:
 
     _BARE_COL_RE = re.compile(r"^`?(\w+)`?(?:\s+AS\s+(\w+))?$", re.I)
 
-    def _try_metadata_group_by(self, spark: SparkSession,
-                               m) -> DataFrame | None:
+    def _try_metadata_group_by(self, spark: SparkSession, m,
+                               items_txt: str | None = None,
+                               group_txt: str | None = None,
+                               ) -> DataFrame | None:
         """Resolve ``SELECT <group cols + COUNT/MIN/MAX/SUM items>
         FROM t [WHERE partition-pred] GROUP BY <range-partition cols>``
         from per-partition commit-log rows — the same metadata SHOW
@@ -1197,7 +1210,7 @@ class Catalog:
             return rset.get(key)
 
         gcols: list[str] = []
-        for g in (s.strip() for s in m.group(5).split(",")):
+        for g in (s.strip() for s in (group_txt or m.group(5)).split(",")):
             gm = self._BARE_COL_RE.match(g)
             if gm is None or gm.group(2) or gm.group(1).isdigit():
                 return None  # ordinals/expressions: not representable
@@ -1208,7 +1221,7 @@ class Catalog:
 
         # (kind, ...) per SELECT item, in order
         parsed: list[tuple] = []
-        for it in (s.strip() for s in m.group(1).split(",")):
+        for it in (s.strip() for s in (items_txt or m.group(1)).split(",")):
             im = self._META_AGG_RE.match(it)
             if im is not None:
                 if im.group(5):
@@ -1233,8 +1246,7 @@ class Catalog:
         snap = t._provable_snapshot(m.group(4))
         if snap is None:
             return None
-        utc = str(spark.conf.get(
-            "spark.sql.session.timeZone", "")) == "UTC"
+        utc = _session_tz_is_utc(spark)
         # every per-item gate resolves ONCE here — the per-group value
         # functions below touch only the group's file list (no
         # table_info re-reads inside the group loop; this path's whole
@@ -1247,6 +1259,18 @@ class Catalog:
             vals = part_enc.parse_desc(f.partition_desc)
             groups.setdefault(tuple(vals.get(c) for c in gcols),
                               []).append(f)
+        # relational GROUP BY emits a group only where ≥1 live row
+        # exists: a zero-row desc (all rows deleted, an empty write)
+        # must not fabricate one, and a file that predates num_rows
+        # recording can prove neither way — refuse the statement
+        for key in list(groups):
+            n = 0
+            for f in groups[key]:
+                if f.num_rows < 0:
+                    return None
+                n += f.num_rows
+            if n == 0:
+                del groups[key]
         if len(groups) > MAX_LOCAL_ROWS:
             return None  # past the LocalRelation budget a scan is fine
 
@@ -2254,6 +2278,18 @@ class Catalog:
             on_cols.append(lcol)
         merge_into(target, source, on_cols)
         return None
+
+
+def _session_tz_is_utc(spark: SparkSession) -> bool:
+    """Whether the session timezone is pinned UTC. Spark 4's
+    ``conf.get(key, default)`` VALIDATES the supplied default, so a
+    sentinel like ``""`` raises INVALID_CONF_VALUE on sessions that
+    never set the key — read the effective value (the key always has
+    one) and never let a timezone probe crash a fast-path dispatch."""
+    try:
+        return str(spark.conf.get("spark.sql.session.timeZone")) == "UTC"
+    except Exception:
+        return False
 
 
 def _sql_str_lit(s: str) -> str:

@@ -1742,12 +1742,26 @@ def test_sql_partition_value_aggs_fast_path(cat, spark, monkeypatch):
     assert "Scan parquet" in \
         dd._jdf.queryExecution().executedPlan().toString()
     assert dd.collect() == [(40,)]
-    # emptying q=1 drops its value from MAX/COUNT(DISTINCT)
+    # SELECT DISTINCT over partition columns ≡ GROUP BY them: the
+    # distinct tuples are the descs, zero-job; a data column refuses
+    d2 = cat.sql(spark, "SELECT DISTINCT q FROM pva WHERE q >= 0")
+    assert "LocalTableScan" in \
+        d2._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r[0] for r in d2.collect()) == [0, 1]
+    assert d2.columns == ["q"]
+    assert "Scan parquet" in cat.sql(spark, "SELECT DISTINCT v FROM pva"
+        )._jdf.queryExecution().executedPlan().toString()
+    # emptying q=1 drops its value from MAX/COUNT(DISTINCT)/DISTINCT
     cat.sql(spark, "DELETE FROM pva WHERE q = 1")
     monkeypatch.setattr(LakeSoulTable, "to_df", boom)
     assert cat.sql(spark, "SELECT max(q), count(DISTINCT q) FROM pva"
                    ).collect() == [(0, 3)]
+    assert sorted(r[0] for r in cat.sql(
+        spark, "SELECT DISTINCT q FROM pva").collect()) == [-2, -1, 0]
     monkeypatch.undo()
+
+
+def test_groupby_fast_path_order_by_limit(cat, spark):
     """ORDER BY / LIMIT tails on the metadata GROUP BY fast path: the
     (≤1024) group rows sort driver-side with typed keys (numeric
     carriers never string-sort), replicating Spark's defaults
