@@ -1489,6 +1489,23 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
     """
     cat.sql(spark, f"INSERT INTO fmx {src}")
     spark.sql(src).createOrReplaceTempView("fmx_truth")
+    # churned twin: same rows, then a PK upsert rewrites part of
+    # partition 'b' — every value-claiming statement must refuse into
+    # the relational path there (and still match the truth)
+    cat.sql(spark, """
+        CREATE TABLE fmx2 (k BIGINT, i INT, d DATE, dd DECIMAL(10,2),
+                           s STRING, f DOUBLE, p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='i,d,dd,s,f')
+    """)
+    cat.sql(spark, f"INSERT INTO fmx2 {src}")
+    t2 = cat.get_table(spark, "fmx2")
+    delta = spark.sql(src).filter("p = 'b' AND k % 4 = 0") \
+        .selectExpr("k", "CAST(i + 7 AS INT) AS i", "d", "dd",
+                    "concat(s, '!') AS s", "f", "p")
+    t2.upsert(delta)
+    t2.to_df().createOrReplaceTempView("fmx2_truth")
 
     item = st.sampled_from([
         "COUNT(*)", "count(1)", "MIN(k)", "max(k)", "MIN(K)",
@@ -1527,15 +1544,26 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         # p is the unique group key, so the order is tie-free and the
         # LIMIT cut is deterministic — compare ORDER-SENSITIVELY
         tail = (" GROUP BY p" + (ob if sel_p else "")) if gb else ""
-        got = cat.sql(spark, f"SELECT {sel} FROM fmx{w}{tail}")
-        want = spark.sql(f"SELECT {sel} FROM fmx_truth{w}{tail}")
-        assert got.columns == want.columns, (sel, w, tail)
-        g = [tuple(r) for r in got.collect()]
-        x = [tuple(r) for r in want.collect()]
-        if not (gb and sel_p and ob):
-            key = lambda r: tuple((v is None, str(v)) for v in r)
-            g, x = sorted(g, key=key), sorted(x, key=key)
-        assert g == x, (sel, w, tail, g[:3], x[:3])
+        for tbl, tview, churned in (("fmx", "fmx_truth", False),
+                                    ("fmx2", "fmx2_truth", True)):
+            got = cat.sql(spark, f"SELECT {sel} FROM {tbl}{w}{tail}")
+            want = spark.sql(f"SELECT {sel} FROM {tview}{w}{tail}")
+            assert got.columns == want.columns, (tbl, sel, w, tail)
+            g = [tuple(r) for r in got.collect()]
+            x = [tuple(r) for r in want.collect()]
+            if not (gb and sel_p and ob):
+                key = lambda r: tuple((v is None, str(v)) for v in r)
+                g, x = sorted(g, key=key), sorted(x, key=key)
+            assert g == x, (tbl, sel, w, tail, g[:3], x[:3])
+            if churned and not w:
+                # unscoped over a churned PK table: NO statement may
+                # claim a metadata answer (superseded rows could own
+                # any extremum/sum; counts double-count) — a real
+                # parquet scan must appear (the fallback's attach join
+                # contains benign LocalTableScans of file names)
+                plan = got._jdf.queryExecution().executedPlan() \
+                    .toString()
+                assert "Scan parquet" in plan, (sel, tail, plan)
         # empty-scope min/max must fall through (stats can't prove
         # NULL); counts may stay fast — either way values matched above
 

@@ -1207,6 +1207,70 @@ def test_join_mv_exactly_once_markers(spark, tmp_path):
     assert mv.to_df().count() == n
 
 
+def test_join_mv_random_interleave_fuzz(spark, tmp_path):
+    """Property: for ANY interleaving of left/right appends with
+    refreshes at arbitrary points (including consecutive appends on
+    one side between refreshes, and a trailing refresh), the JoinMV
+    equals the full A ⋈ B of everything appended so far — the delta
+    algebra never drops or double-counts ΔA⋈ΔB regardless of which
+    side moved, how many commits landed, or when the view caught up."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lakesoul_spark.mv import JoinMV
+
+    orders = _orders(spark).select("o_orderkey", "o_custkey").limit(600)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey")
+    oh = [orders.filter(F.col("o_orderkey") % 4 == i).cache()
+          for i in range(4)]
+    ch = [cust.filter(F.col("c_custkey") % 3 == i)
+          .withColumnRenamed("c_custkey", "o_custkey").cache()
+          for i in range(3)]
+    case_n = [0]
+
+    # steps: 'L'/'R' append the next unused slice of that side,
+    # 'F' refreshes — exhausted sides make the step a no-op
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(steps=st.lists(
+        st.sampled_from(["L", "R", "F"]), min_size=3, max_size=9))
+    def check(steps):
+        case_n[0] += 1
+        A, B, V = (str(tmp_path / f"f{case_n[0]}{x}") for x in "abv")
+        write(oh[0], A, mode="overwrite")
+        write(ch[0], B, mode="overwrite")
+        mv = JoinMV.create(
+            spark, A, B, V, on=["o_custkey"],
+            select=["o_orderkey", "o_custkey", "c_nationkey"],
+            pk=["o_orderkey"], hash_bucket_num=2,
+        )
+        li, ri = 1, 1
+        for s in steps + ["F"]:
+            if s == "L" and li < len(oh):
+                write(oh[li], A, mode="append")
+                li += 1
+            elif s == "R" and ri < len(ch):
+                write(ch[ri], B, mode="append")
+                ri += 1
+            elif s == "F":
+                mv.refresh()
+                lt = oh[0]
+                for x in oh[1:li]:
+                    lt = lt.union(x)
+                rt = ch[0]
+                for x in ch[1:ri]:
+                    rt = rt.union(x)
+                got = _jmv_rows(mv.to_df())
+                want = sorted(map(tuple, lt.join(
+                    rt, on="o_custkey", how="inner").select(
+                    "o_orderkey", "o_custkey", "c_nationkey")
+                    .collect()))
+                assert got == want, (steps, s, li, ri)
+
+    check()
+
+
 def test_join_mv_sql_surface(spark, tmp_path):
     """CREATE MATERIALIZED VIEW … FROM a JOIN b USING (k) creates a
     JoinMV through the catalog dispatcher (primaryKey property names
