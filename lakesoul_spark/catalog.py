@@ -38,6 +38,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lakesoul_spark.table import LakeSoulTable, create_table as _create_table
 
+
+def _dbl_order_key(s) -> tuple:
+    """NaN-safe sort key for float/double carriers: Spark's total
+    order puts NaN above +Infinity, while a raw ``float`` key would
+    silently break Python sort transitivity (every NaN comparison is
+    False)."""
+    import math
+
+    v = float(s)
+    return (1, 0.0) if math.isnan(v) else (0, v)
+
 # distinct from None (a legitimate SQL NULL value) in the metadata
 # GROUP BY fast path: "this group cannot be proven — fall back"
 _REFUSE = object()
@@ -1090,18 +1101,29 @@ class Catalog:
                     return None
                 sel.append(f"{lit} AS `{alias or f'sum({col})'}`")
                 continue
-            if st == "string":
+            kind = ("str" if st == "string"
+                    else "dec" if st.startswith("decimal(")
+                    else "flt" if st in ("float", "double")
+                    else None)
+            if kind is not None:
                 # exact extrema recorded by the writer from the column
-                # VALUES (footer string stats may be truncated prefixes
-                # — valid bounds, never claimed-exact extrema)
+                # VALUES (footer string stats may be truncated
+                # prefixes, float footer stats may omit NaN — valid
+                # bounds, never claimed-exact extrema)
                 if col not in mm_cache:
-                    mm = t._minmax_str_from(snap, f.name)
+                    mm = t._minmax_exact_from(snap, f.name, kind)
                     if mm is None:
                         return None
                     mm_cache[col] = mm
                 v = mm_cache[col][0 if fn == "min" else 1]
-                lit = ("CAST(NULL AS STRING)" if v is None
-                       else _sql_str_lit(v))
+                if v is None:
+                    lit = f"CAST(NULL AS {st.upper()})"
+                elif kind == "str":
+                    lit = _sql_str_lit(v)
+                elif kind == "dec":
+                    lit = f"CAST('{v}' AS {st.upper()})"
+                else:
+                    lit = f"CAST('{_flt_sql_str(v)}' AS {st.upper()})"
                 sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
             if st == "timestamp" and not _session_tz_is_utc(spark):
@@ -1397,16 +1419,30 @@ class Catalog:
                     return _REFUSE if r is None else r[0]
                 specs.append((cname, "string", rt, out, _sum))
                 continue
-            if st == "string":
+            mm_kind = ("str" if st == "string"
+                       else "dec" if st.startswith("decimal(")
+                       else "flt" if st in ("float", "double")
+                       else None)
+            if mm_kind is not None and fn in ("min", "max"):
                 # exact extrema recorded by the writer from the
                 # column VALUES (footer string stats may be truncated
-                # prefixes — valid bounds, never claimed extrema)
-                def _mms(key, gf, _c=f.name, _fn=fn, _d=has_default):
-                    mm = LakeSoulTable._minmax_str_files(gf, _c, _d)
+                # prefixes, float footer stats may omit NaN — valid
+                # bounds, never claimed extrema)
+                def _mms(key, gf, _c=f.name, _fn=fn, _d=has_default,
+                         _k=mm_kind):
+                    mm = LakeSoulTable._minmax_exact_files(
+                        gf, _c, _d, _k)
                     if mm is None:
                         return _REFUSE
-                    return mm[0 if _fn == "min" else 1]  # None = NULL
-                specs.append((cname, "string", None, out, _mms))
+                    v = mm[0 if _fn == "min" else 1]
+                    if v is None:
+                        return None  # provably all-null: SQL NULL
+                    if _k == "flt":
+                        return _flt_sql_str(v)
+                    return str(v) if _k == "dec" else v
+                specs.append((
+                    cname, "string",
+                    None if mm_kind == "str" else st, out, _mms))
                 continue
             # min/max: exact-stats types only; timestamp literals
             # round-trip exactly only under a pinned-UTC session
@@ -1486,7 +1522,8 @@ class Catalog:
         "tinyint": int, "smallint": int, "int": int, "integer": int,
         "bigint": int, "long": int,
         "date": str, "timestamp": str, "timestamp_ntz": str,
-        "string": str, "double": float,
+        "string": str, "double": _dbl_order_key,
+        "float": _dbl_order_key,
     }
 
     @classmethod
@@ -2290,6 +2327,20 @@ def _session_tz_is_utc(spark: SparkSession) -> bool:
         return str(spark.conf.get("spark.sql.session.timeZone")) == "UTC"
     except Exception:
         return False
+
+
+def _flt_sql_str(v: float) -> str:
+    """A float as the string Spark's string→float/double cast parses
+    back to the identical value: Java ``Double.parseDouble`` accepts
+    ``NaN``/``Infinity``/``-Infinity`` (not Python's ``nan``/``inf``)
+    and is correctly rounded on ``repr``'s shortest decimal."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    return repr(v)
 
 
 def _sql_str_lit(s: str) -> str:

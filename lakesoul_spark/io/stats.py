@@ -64,16 +64,23 @@ def file_sums(pf, cols: list[str]) -> dict | None:
     compaction the same way). Entry shape, by column type:
 
     - integer:  ``[sum, nonnull]`` — sum exact through decimal128
-      (a raw int64 arrow sum could silently wrap);
-    - decimal:  ``["sum", nonnull]`` — exact string (JSON floats round);
+      (a raw int64 arrow sum could silently wrap); extrema come from
+      footer stats, exact for integers;
+    - decimal:  ``["sum", nonnull, "lo", "hi"]`` — exact strings
+      (JSON floats round); sum slot ``None`` past 38 digits while the
+      extrema stay valid;
     - string:   ``[None, nonnull, lo, hi]`` — EXACT extrema computed
       from the column values themselves, because footer binary stats
       may be truncated prefixes (valid bounds, unsound as claimed
       extrema); an all-null column records ``[None, 0]``;
-    - every other type (float/date/timestamp/bool/...):
-      ``[None, nonnull]`` from footer null counts alone — no data
-      read. Float sums are rounding-order-dependent and float footer
-      extrema may omit NaN, so no value claims are made for them.
+    - float/double: ``[None, nonnull, lo, hi, n_nan]`` — extrema over
+      the FINITE-or-infinite (non-NaN) values plus the NaN count,
+      because footer float stats may silently omit NaN which SQL
+      engines order above +Infinity; ``lo``/``hi`` are ``None`` when
+      every non-null value is NaN. Float sums stay unclaimed
+      (rounding-order-dependent);
+    - every other type (date/timestamp/bool/...): ``[None, nonnull]``
+      from footer null counts alone — no data read.
 
     ``None`` in slot 0 = "no sum claim"; a missing ``[lo, hi]`` tail =
     "no exact-extrema claim" — readers treat any missing piece as
@@ -91,7 +98,8 @@ def file_sums(pf, cols: list[str]) -> dict | None:
             continue
         t = schema.field(c).type
         if (pa.types.is_integer(t) or pa.types.is_decimal(t)
-                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                or pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_floating(t)):
             read_cols.append(c)
         else:
             footer_cols.append(c)
@@ -128,16 +136,41 @@ def file_sums(pf, cols: list[str]) -> dict | None:
                     out[c] = [None, nonnull,
                               mm["min"].as_py(), mm["max"].as_py()]
                 continue
+            if pa.types.is_floating(t):
+                if nonnull == 0:
+                    out[c] = [None, 0]
+                    continue
+                # NaN-aware extrema: pc.filter drops nulls (null
+                # selector) AND NaNs, so min/max cover the ordered
+                # (non-NaN) values; the NaN count restores SQL's
+                # NaN-above-+Inf ordering at read time
+                finite = pc.filter(col, pc.invert(pc.is_nan(col)))
+                n_nan = nonnull - len(finite)
+                if len(finite) == 0:
+                    out[c] = [None, nonnull, None, None, n_nan]
+                else:
+                    mm = pc.min_max(finite)
+                    out[c] = [None, nonnull,
+                              float(mm["min"].as_py()),
+                              float(mm["max"].as_py()), n_nan]
+                continue
             if nonnull == 0:
                 out[c] = [0, 0]
                 continue
-            try:
-                if pa.types.is_integer(t):
-                    s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
-                    out[c] = [int(s), nonnull]
-                else:
+            if pa.types.is_decimal(t):
+                mm = pc.min_max(col)
+                ext = [str(mm["min"].as_py()), str(mm["max"].as_py())]
+                try:
                     s = pc.sum(col).as_py()
-                    out[c] = [str(s), nonnull]
+                    out[c] = [str(s), nonnull, *ext]
+                except Exception:
+                    # overflow past 38 digits: the extrema and count
+                    # claims stand, the sum claim is withdrawn
+                    out[c] = [None, nonnull, *ext]
+                continue
+            try:
+                s = pc.sum(col.cast(pa.decimal128(38, 0))).as_py()
+                out[c] = [int(s), nonnull]
             except Exception:
                 # overflow past 38 digits (or an arrow kernel gap):
                 # the count claim stands, the sum claim is withdrawn —

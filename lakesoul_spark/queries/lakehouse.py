@@ -2108,7 +2108,9 @@ def arrow_finalize_mv(spark, sf_dir):
            CAST(count(clerk) AS BIGINT) AS n_clerk,
            min(clerk) AS min_clerk,
            max(clerk) AS max_clerk,
-           avg(o_custkey) AS avg_cust
+           avg(o_custkey) AS avg_cust,
+           CAST(min(price) AS DOUBLE) AS min_price,
+           CAST(max(price) AS DOUBLE) AS max_price
     FROM final GROUP BY p
     """,
 )
@@ -2178,7 +2180,8 @@ def groupby_sum_fast(spark, sf_dir):
               " min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,"
               " sum(price) AS total_price, count(clerk) AS n_clerk,"
               " min(clerk) AS min_clerk, max(clerk) AS max_clerk,"
-              " avg(o_custkey) AS avg_cust FROM gbs{where} GROUP BY p")
+              " avg(o_custkey) AS avg_cust, min(price) AS min_price,"
+              " max(price) AS max_price FROM gbs{where} GROUP BY p")
 
     def run(where: str = "", expect_fast: bool = True):
         sql = gb_sql.format(where=where)
@@ -2239,11 +2242,13 @@ def groupby_sum_fast(spark, sf_dir):
     return spark.createDataFrame(
         [(r["p"], r["n_rows"], r["sum_cust"], r["min_cust"],
           r["max_cust"], float(r["total_price"]), r["n_clerk"],
-          r["min_clerk"], r["max_clerk"], r["avg_cust"])
+          r["min_clerk"], r["max_clerk"], r["avg_cust"],
+          float(r["min_price"]), float(r["max_price"]))
          for r in final],
         "p string, n_rows bigint, sum_cust bigint, min_cust bigint, "
         "max_cust bigint, total_price double, n_clerk bigint, "
-        "min_clerk string, max_clerk string, avg_cust double",
+        "min_clerk string, max_clerk string, avg_cust double, "
+        "min_price double, max_price double",
     )
 
 

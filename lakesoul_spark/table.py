@@ -941,28 +941,42 @@ class LakeSoulTable:
             total += int(ent[1])
         return total
 
-    def _minmax_str_from(self, snap, col: str) -> tuple | None:
-        """Exact string ``(min, max)`` over a provable snapshot, from
-        the writer's computed-from-values extrema (``io/stats.py
-        file_sums`` — footer binary stats may be truncated prefixes,
-        so the claimed-exact path never uses them). ``(None, None)``
-        = provably all-null (SQL min/max = NULL); ``None`` = cannot
-        prove. A file lacking the column contributes nothing under
-        NULL fill and refuses under a declared default (the default
-        value would be a live extremum candidate nothing records)."""
+    def _minmax_exact_from(self, snap, col: str,
+                           kind: str) -> tuple | None:
+        """Exact ``(min, max)`` over a provable snapshot, from the
+        writer's computed-from-values extrema (``io/stats.py
+        file_sums`` — footer binary stats may be truncated prefixes
+        and float footer stats may omit NaN, so the claimed-exact
+        path never uses them). ``(None, None)`` = provably all-null
+        (SQL min/max = NULL); ``None`` = cannot prove. A file lacking
+        the column contributes nothing under NULL fill and refuses
+        under a declared default (the default value would be a live
+        extremum candidate nothing records)."""
         if snap is None:
             return None
         has_default = self.info.column_defaults().get(col) is not None
-        return self._minmax_str_files(snap.files, col, has_default)
+        return self._minmax_exact_files(snap.files, col, has_default,
+                                        kind)
 
     @staticmethod
-    def _minmax_str_files(files, col: str,
-                          has_default: bool) -> tuple | None:
-        """Exact string extrema over a live-file list (the GROUP BY
-        fast path calls this per partition group). Python str
-        comparison is codepoint order == UTF-8 byte order — the same
-        total order Spark and DuckDB use for binary collation."""
+    def _minmax_exact_files(files, col: str, has_default: bool,
+                            kind: str) -> tuple | None:
+        """Exact extrema over a live-file list (the GROUP BY fast
+        path calls this per partition group). ``kind``:
+
+        - ``'str'`` — Python str comparison is codepoint order ==
+          UTF-8 byte order, the total order Spark and DuckDB use for
+          binary collation;
+        - ``'dec'`` — exact ``Decimal`` comparison over the recorded
+          strings (values returned as ``Decimal``);
+        - ``'flt'`` — IEEE comparison over the recorded non-NaN
+          extrema, then SQL's total order (NaN above +Infinity)
+          restored from the per-file NaN counts: any NaN forces
+          ``max = NaN``, and all-NaN forces ``min = NaN`` too."""
+        import decimal
+
         lo = hi = None
+        saw_nan = False
         for f in files:
             if col not in f.file_exist_cols:
                 if has_default:
@@ -973,11 +987,26 @@ class LakeSoulTable:
                 return None
             if int(ent[1]) == 0:
                 continue  # provably all-null in this file
-            if len(ent) < 4:
+            if kind == "flt":
+                if len(ent) < 5:
+                    return None  # no NaN-aware extrema claim
+                saw_nan = saw_nan or int(ent[4]) > 0
+                if ent[2] is None:
+                    continue  # every non-null value NaN in this file
+                flo, fhi = float(ent[2]), float(ent[3])
+            elif len(ent) < 4:
                 return None  # count-only entry: no extrema claim
-            flo, fhi = ent[2], ent[3]
+            elif kind == "dec":
+                flo = decimal.Decimal(str(ent[2]))
+                fhi = decimal.Decimal(str(ent[3]))
+            else:
+                flo, fhi = ent[2], ent[3]
             lo = flo if lo is None or flo < lo else lo
             hi = fhi if hi is None or fhi > hi else hi
+        if kind == "flt" and saw_nan:
+            hi = float("nan")
+            if lo is None:
+                lo = float("nan")
         return (lo, hi)
 
     def _avg_from(self, snap, col: str) -> tuple | None:

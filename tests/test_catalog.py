@@ -1482,6 +1482,8 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
                     ELSE concat('x''\\\\-', lpad(CAST(id AS STRING),
                                                  3, '0')) END AS s,
                CASE WHEN id % 4 = 0 THEN NULL
+                    WHEN id % 23 = 0 THEN CAST('NaN' AS DOUBLE)
+                    WHEN id % 19 = 0 THEN CAST('-Infinity' AS DOUBLE)
                     ELSE CAST(id AS DOUBLE) * 0.25 - 11.0D END AS f,
                CASE WHEN id % 3 = 0 THEN 'a'
                     WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p
@@ -1518,6 +1520,8 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "count(dd)", "COUNT(S) AS ns", "MIN(s)", "max(s)",
         "MIN(s) AS slo", "AVG(i)", "avg(I)", "AVG(i) AS ai",
         "avg(k)", "AVG(f)", "min(f)", "avg(dd)",
+        # exact float/decimal extrema (NaN above +Inf; -Inf present)
+        "max(f)", "MAX(F) AS fhi", "MIN(dd)", "max(dd) AS dhi",
         # partition-column values derive from the descs themselves
         "min(p)", "MAX(p)", "max(P) AS php", "count(DISTINCT p)",
         "COUNT(distinct P) AS np", "count(DISTINCT k)",
@@ -1549,11 +1553,14 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
             got = cat.sql(spark, f"SELECT {sel} FROM {tbl}{w}{tail}")
             want = spark.sql(f"SELECT {sel} FROM {tview}{w}{tail}")
             assert got.columns == want.columns, (tbl, sel, w, tail)
-            g = [tuple(r) for r in got.collect()]
-            x = [tuple(r) for r in want.collect()]
+            # canonical tuples: str(float) is repr (shortest
+            # round-trip, so equality-preserving) and makes NaN
+            # comparable (NaN != NaN would fail raw tuples)
+            canon = lambda r: tuple((v is None, str(v)) for v in r)
+            g = [canon(r) for r in got.collect()]
+            x = [canon(r) for r in want.collect()]
             if not (gb and sel_p and ob):
-                key = lambda r: tuple((v is None, str(v)) for v in r)
-                g, x = sorted(g, key=key), sorted(x, key=key)
+                g, x = sorted(g), sorted(x)
             assert g == x, (tbl, sel, w, tail, g[:3], x[:3])
             if churned and not w:
                 # unscoped over a churned PK table: NO statement may
