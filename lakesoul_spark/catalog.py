@@ -977,13 +977,14 @@ class Catalog:
         ``MIN``/``MAX``/``SUM``/``AVG(col)`` items against commit-log
         metadata. Returns the one-row result as a VALUES-backed
         LocalTableScan (collect launches no job), or ``None`` whenever
-        ANY item is unprovable — unknown table, non-agg item, float
-        min/max (footer stats are NaN-lossy), string min/max without
-        writer-computed exact extrema, timestamp min/max in a non-UTC
-        session (the ISO literal would be reinterpreted), SUM outside
-        integer/decimal, AVG outside the integer family or past the
-        2^53 double-accumulation proof, CDC / churned tables, or a
-        WHERE the partition pruner refuses. Output column names match
+        ANY item is unprovable — unknown table, non-agg item,
+        string/float/decimal min/max without writer-computed exact
+        extrema (footer strings may be truncated, footer floats
+        NaN-lossy), SUM outside integer/decimal, AVG outside the
+        integer family or past the 2^53 double-accumulation proof,
+        CDC / churned tables, or a WHERE the partition pruner refuses.
+        Timestamp extrema render as Z-suffixed literals, exact in any
+        session timezone. Output column names match
         the relational fallback's auto-aliases — ``count(1)``, and
         otherwise the function lowercased with the argument in the
         QUERY's casing (backticks stripped) — so the schema never
@@ -1126,11 +1127,6 @@ class Catalog:
                     lit = f"CAST('{_flt_sql_str(v)}' AS {st.upper()})"
                 sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
-            if st == "timestamp" and not _session_tz_is_utc(spark):
-                # stats encode naive-UTC ISO; a TIMESTAMP literal is
-                # reinterpreted in the session zone — only the
-                # engine's pinned-UTC sessions round-trip exactly
-                return None
             cname = f.name
             if cname not in mm_cache:
                 mm = t._minmax_from(snap, cname)
@@ -1141,10 +1137,12 @@ class Catalog:
             if st == "date":
                 lit = f"DATE'{v}'"
             elif st == "timestamp":
-                # micros-exact: isoformat keeps full precision and the
-                # UTC session parses it back to the identical instant
-                # (verified incl. pre-epoch values)
-                lit = f"TIMESTAMP '{v}'"
+                # micros-exact: stats encode naive-UTC ISO, and the
+                # explicit Z suffix pins the literal to that instant
+                # in EVERY session timezone (a bare literal would be
+                # reinterpreted in the session zone; verified incl.
+                # pre-epoch values)
+                lit = f"TIMESTAMP '{v}Z'"
             elif st == "timestamp_ntz":
                 lit = f"TIMESTAMP_NTZ '{v}'"
             else:  # integer family (min_max_fast's type gate)
@@ -1268,7 +1266,6 @@ class Catalog:
         snap = t._provable_snapshot(m.group(4))
         if snap is None:
             return None
-        utc = _session_tz_is_utc(spark)
         # every per-item gate resolves ONCE here — the per-group value
         # functions below touch only the group's file list (no
         # table_info re-reads inside the group loop; this path's whole
@@ -1444,18 +1441,20 @@ class Catalog:
                     cname, "string",
                     None if mm_kind == "str" else st, out, _mms))
                 continue
-            # min/max: exact-stats types only; timestamp literals
-            # round-trip exactly only under a pinned-UTC session
+            # min/max: exact-stats types only
             if st not in LakeSoulTable._MINMAX_EXACT_TYPES:
                 return None
-            if st == "timestamp" and not utc:
-                return None
 
-            def _mm(key, gf, _c=f.name, _fn=fn):
+            def _mm(key, gf, _c=f.name, _fn=fn,
+                    _z=(st == "timestamp")):
                 mm = LakeSoulTable._minmax_files(gf, _c)
                 if mm is None:
                     return _REFUSE
-                return str(mm[0 if _fn == "min" else 1])
+                v = str(mm[0 if _fn == "min" else 1])
+                # naive-UTC ISO carrier + Z suffix: the string→
+                # timestamp cast honors the zone, so the instant is
+                # session-timezone-independent
+                return v + "Z" if _z else v
             specs.append((cname, "string", st, out, _mm))
 
         order_spec = None
@@ -2315,32 +2314,6 @@ class Catalog:
             on_cols.append(lcol)
         merge_into(target, source, on_cols)
         return None
-
-
-def _session_tz_is_utc(spark: SparkSession) -> bool:
-    """Whether the session timezone is pinned UTC. Spark 4's
-    ``conf.get(key, default)`` VALIDATES the supplied default, so a
-    sentinel like ``""`` raises INVALID_CONF_VALUE on sessions that
-    never set the key — read the effective value (the key always has
-    one) and never let a timezone probe crash a fast-path dispatch."""
-    try:
-        return str(spark.conf.get("spark.sql.session.timeZone")) == "UTC"
-    except Exception:
-        return False
-
-
-def _flt_sql_str(v: float) -> str:
-    """A float as the string Spark's string→float/double cast parses
-    back to the identical value: Java ``Double.parseDouble`` accepts
-    ``NaN``/``Infinity``/``-Infinity`` (not Python's ``nan``/``inf``)
-    and is correctly rounded on ``repr``'s shortest decimal."""
-    import math
-
-    if math.isnan(v):
-        return "NaN"
-    if math.isinf(v):
-        return "Infinity" if v > 0 else "-Infinity"
-    return repr(v)
 
 
 def _sql_str_lit(s: str) -> str:

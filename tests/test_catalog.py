@@ -1344,15 +1344,25 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
         " + make_interval(0, 0, 0, 0, 0, 0, id) AS ts FROM range(100))"
     ).collect()[0]
     assert tuple(trow) == tuple(rel)
-    # a non-UTC session must refuse the timestamp fast path (the ISO
-    # literal would be reinterpreted in the session zone)
+    # non-UTC sessions answer fast too: the Z-suffixed literal pins
+    # the instant regardless of the session zone (compare as epoch —
+    # wall-clock rendering legitimately differs per zone)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        df = cat.sql(spark, "SELECT MIN(ts) FROM mx")
-        assert "Aggregate" in \
-            df._jdf.queryExecution().executedPlan().toString()
+        monkeypatch.setattr(LakeSoulTable, "to_df", boom)
+        inner = cat.sql(spark, "SELECT MIN(ts) AS mn FROM mx")
+        assert "LocalTableScan" in \
+            inner._jdf.queryExecution().executedPlan().toString()
+        monkeypatch.undo()
+        e_fast = inner.selectExpr("CAST(mn AS LONG)").collect()[0][0]
+        e_rel = spark.sql(
+            "SELECT CAST(MIN(TIMESTAMP'1995-01-01 00:00:00.000123Z' "
+            " + make_interval(0, 0, 0, 0, 0, 0, id)) AS LONG) "
+            "FROM range(100)").collect()[0][0]
+        assert e_fast == e_rel
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        monkeypatch.undo()
 
     # every unsupported shape falls through to the relational path
     for sql, want in [
