@@ -425,6 +425,7 @@ class Catalog:
             SELECT … FROM [ns.]t TIMESTAMP AS OF <ms | 'iso datetime'>
             SELECT … FROM table_changes('[ns.]t', startV [, endV])
             OPTIMIZE [ns.]t [LEVELED | ZORDER BY (a, b[, …])]
+                     [WHERE partition-pred]   (not with ZORDER)
             VACUUM [ns.]t [RETAIN n HOURS] [DRY RUN]
             CHECK TABLE [ns.]t
             CONVERT TO LAKESOUL '/path/to/parquet' [AS [ns.]t]
@@ -704,16 +705,41 @@ class Catalog:
             # `my_leveled` would otherwise trip a suffix check
             m = _rx(
                 r"OPTIMIZE\s+([\w.`]+)"
-                r"(?:(\s+LEVELED)|\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+                r"(?:(\s+LEVELED)|\s+ZORDER\s+BY\s*\(([^)]*)\))?"
+                r"(?:\s+WHERE\s+(.+?))?\s*$",
                 stmt,
             )
             ns, name = self._split_name(m.group(1))
             t = self.get_table(spark, name, ns)
+            where = m.group(4)
             if m.group(3) is not None:
+                if where:
+                    raise ValueError(
+                        "OPTIMIZE ... ZORDER BY cannot take WHERE — "
+                        "z-ordering is a whole-table clustering rewrite"
+                    )
                 cols = [c.strip().strip("`")
                         for c in m.group(3).split(",") if c.strip()]
                 t.optimize_zorder(cols)
-            elif m.group(2):
+                return None
+            if where:
+                # compact ONLY the partitions a deterministic
+                # partition predicate selects (the 100 TB maintenance
+                # shape: rewrite churned partitions, skip the quiet
+                # ones) — same evaluator as replaceWhere/DELETE, so a
+                # data-column or nondeterministic predicate raises
+                from lakesoul_spark.table import _descs_matching
+
+                descs = {f.partition_desc
+                         for f in t.store.snapshot().files}
+                for d in sorted(_descs_matching(
+                        spark, t.info, sorted(descs), where)):
+                    if m.group(2):
+                        t.leveled_compaction(d)
+                    else:
+                        t.compaction(d, force=True)
+                return None
+            if m.group(2):
                 t.leveled_compaction()
             else:
                 t.compaction(force=True)

@@ -2234,8 +2234,10 @@ def groupby_sum_fast(spark, sf_dir):
         else:
             assert row["num_rows"] == recount[pval], (pval, row)
 
-    # partition-scoped compaction restores the whole-table proof
-    t.compaction("p=1-URGENT")
+    # partition-scoped compaction restores the whole-table proof —
+    # via the SQL verb (r12-late): OPTIMIZE ... WHERE compacts only
+    # the partitions the predicate selects
+    cat.sql(spark, "OPTIMIZE gbs WHERE p = '1-URGENT'")
     final = run()
     assert [r["p"] for r in final] == [r["p"] for r in mid]
     assert final == mid, "post-compaction fast rows != relational rows"

@@ -1736,6 +1736,52 @@ def test_sql_count_col_avg_minmax_str_fast_path(cat, spark, monkeypatch):
     monkeypatch.undo()
 
 
+def test_sql_optimize_where_partition_scoped(cat, spark):
+    """``OPTIMIZE t [LEVELED] WHERE <partition-pred>`` compacts ONLY
+    the matching partitions (quiet partitions keep their file layout —
+    the 100 TB maintenance shape), reuses the replaceWhere/DELETE
+    predicate evaluator (data-column and nondeterministic predicates
+    raise), and refuses to combine WHERE with ZORDER."""
+    cat.sql(spark, """
+        CREATE TABLE ow (k BIGINT, v INT, p STRING) USING lakesoul
+        PARTITIONED BY (p)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2')
+    """)
+    cat.sql(spark, """
+        INSERT INTO ow SELECT id, CAST(id AS INT), concat('p', id % 3)
+        FROM range(60)
+    """)
+    t = cat.get_table(spark, "ow")
+    t.upsert(spark.createDataFrame(
+        [(0, 100, "p0"), (1, 101, "p1")], "k bigint, v int, p string"))
+    before = t.to_df().collect()
+
+    def files_by_desc():
+        out = {}
+        for f in t.store.snapshot().files:
+            out[f.partition_desc] = out.get(f.partition_desc, 0) + 1
+        return out
+
+    pre = files_by_desc()
+    cat.sql(spark, "OPTIMIZE ow WHERE p = 'p0'")
+    mid = files_by_desc()
+    assert mid["p=p0"] < pre["p=p0"], "matching partition must compact"
+    assert mid["p=p1"] == pre["p=p1"] and mid["p=p2"] == pre["p=p2"], \
+        "non-matching partitions must keep their layout"
+    # leveled form accepts the same scope; data unchanged throughout
+    cat.sql(spark, "OPTIMIZE ow LEVELED WHERE p IN ('p1', 'p2')")
+    assert sorted(map(tuple, t.to_df().collect())) == \
+        sorted(map(tuple, before))
+    # a data column never resolves against the partition-values
+    # relation (same loud refusal replaceWhere and DELETE give)
+    with pytest.raises(Exception, match="`v`|cannot be resolved"):
+        cat.sql(spark, "OPTIMIZE ow WHERE v > 5")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql(spark, "OPTIMIZE ow WHERE rand() < 0.5")
+    with pytest.raises(ValueError, match="ZORDER"):
+        cat.sql(spark, "OPTIMIZE ow ZORDER BY (v) WHERE p = 'p0'")
+
+
 def test_sql_partition_value_aggs_fast_path(cat, spark, monkeypatch):
     """MIN/MAX and COUNT(DISTINCT) over range-partition columns derive
     from the commit log's partition descs (typed: ints numerically,
