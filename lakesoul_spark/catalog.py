@@ -916,19 +916,21 @@ class Catalog:
         # tail, any other SELECT shape — falls through to the
         # relational path below unchanged (never wrong, just a scan).
         am = re.match(
-            r"SELECT\s+(.+?)\s+FROM\s+([\w.]+)"
-            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
-            r"(?:\s+WHERE\s+(.+?))?"
-            r"(?:\s+GROUP\s+BY\s+(.+?)"
-            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?)?"
+            r"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<tbl>[\w.]+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+))?"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+GROUP\s+BY\s+(?P<gby>.+?)"
+            r"(?:\s+ORDER\s+BY\s+(?P<oby>.+?))?"
+            r"(?:\s+LIMIT\s+(?P<lim>\d+))?)?"
             r"\s*;?\s*$",
             stmt, re.I | re.S,
         )
         if am:
-            if am.group(5):
+            if am.group("gby"):
                 fast = self._try_metadata_group_by(spark, am)
             else:
-                dm = re.match(r"DISTINCT\s+(.+)$", am.group(1),
+                dm = re.match(r"DISTINCT\s+(.+)$", am.group("items"),
                               re.I | re.S)
                 if dm is not None:
                     # SELECT DISTINCT <range-partition cols> ≡ GROUP BY
@@ -1015,7 +1017,7 @@ class Catalog:
         otherwise the function lowercased with the argument in the
         QUERY's casing (backticks stripped) — so the schema never
         depends on which path answered."""
-        items = [s.strip() for s in m.group(1).split(",")]
+        items = [s.strip() for s in m.group("items").split(",")]
         parsed = []
         for it in items:
             im = self._META_AGG_RE.match(it)
@@ -1028,19 +1030,26 @@ class Catalog:
                                im.group(4)))
             else:
                 parsed.append(("count", None, im.group(1)))
-        ns, name = self._split_name(m.group(2))
+        ns, name = self._split_name(m.group("tbl"))
         if not self.table_exists(name, ns):
             return None
         t = self.get_table(spark, name, ns)
-        if m.group(3) is not None:
+        if m.group("ver") is not None:
             t = LakeSoulTable.for_path_snapshot(
-                spark, t.path, version=int(m.group(3))
+                spark, t.path, version=int(m.group("ver"))
+            )
+        elif m.group("ts") is not None:
+            # epoch millis or a quoted ISO datetime (naive = UTC) —
+            # the same literal grammar _register_time_travel accepts
+            t = LakeSoulTable.for_path_snapshot(
+                spark, t.path,
+                end_ts_ms=_parse_ts_literal(m.group("ts").strip("'")),
             )
         fields, ambiguous, case_sensitive = self._schema_index(spark, t)
         # resolve the snapshot ONCE per statement: every item reads the
         # same table version, so a concurrent commit can never produce
         # a row mixing two versions (the relational path's guarantee)
-        snap = t._provable_snapshot(m.group(4))
+        snap = t._provable_snapshot(m.group("where"))
         if snap is None:
             return None
         sel = []
@@ -1236,13 +1245,20 @@ class Catalog:
         )
         from lakesoul_spark.io import partition as part_enc
 
-        ns, name = self._split_name(m.group(2))
+        ns, name = self._split_name(m.group("tbl"))
         if not self.table_exists(name, ns):
             return None
         t = self.get_table(spark, name, ns)
-        if m.group(3) is not None:
+        if m.group("ver") is not None:
             t = LakeSoulTable.for_path_snapshot(
-                spark, t.path, version=int(m.group(3))
+                spark, t.path, version=int(m.group("ver"))
+            )
+        elif m.group("ts") is not None:
+            # epoch millis or a quoted ISO datetime (naive = UTC) —
+            # the same literal grammar _register_time_travel accepts
+            t = LakeSoulTable.for_path_snapshot(
+                spark, t.path,
+                end_ts_ms=_parse_ts_literal(m.group("ts").strip("'")),
             )
         info = t.info
         fields, ambiguous, case_sensitive = self._schema_index(spark, t)
@@ -1256,7 +1272,7 @@ class Catalog:
             return rset.get(key)
 
         gcols: list[str] = []
-        for g in (s.strip() for s in (group_txt or m.group(5)).split(",")):
+        for g in (s.strip() for s in (group_txt or m.group("gby")).split(",")):
             gm = self._BARE_COL_RE.match(g)
             if gm is None or gm.group(2) or gm.group(1).isdigit():
                 return None  # ordinals/expressions: not representable
@@ -1267,7 +1283,7 @@ class Catalog:
 
         # (kind, ...) per SELECT item, in order
         parsed: list[tuple] = []
-        for it in (s.strip() for s in (items_txt or m.group(1)).split(",")):
+        for it in (s.strip() for s in (items_txt or m.group("items")).split(",")):
             im = self._META_AGG_RE.match(it)
             if im is not None:
                 if im.group(5):
@@ -1289,7 +1305,7 @@ class Catalog:
             # name (Spark resolves but does not re-case it)
             parsed.append(("group", rc, cm.group(2) or cm.group(1)))
 
-        snap = t._provable_snapshot(m.group(4))
+        snap = t._provable_snapshot(m.group("where"))
         if snap is None:
             return None
         # every per-item gate resolves ONCE here — the per-group value
@@ -1484,9 +1500,9 @@ class Catalog:
             specs.append((cname, "string", st, out, _mm))
 
         order_spec = None
-        if m.group(6):
+        if m.group("oby"):
             order_spec = self._parse_order_by(
-                m.group(6), specs, case_sensitive)
+                m.group("oby"), specs, case_sensitive)
             if order_spec is None:
                 return None  # unrepresentable ORDER BY: fall back
 
@@ -1519,10 +1535,10 @@ class Catalog:
                     rows.sort(key=level_key, reverse=desc)
                 except TypeError:
                     return None  # unorderable carrier: fall back
-        if m.group(7) is not None:
+        if m.group("lim") is not None:
             # LIMIT without ORDER BY keeps the deterministic group
             # order — any n rows are a valid relational answer
-            rows = rows[:int(m.group(7))]
+            rows = rows[:int(m.group("lim"))]
 
         pdf = local_df(
             spark, rows,
@@ -2340,6 +2356,20 @@ class Catalog:
             on_cols.append(lcol)
         merge_into(target, source, on_cols)
         return None
+
+
+def _flt_sql_str(v: float) -> str:
+    """A float as the string Spark's string→float/double cast parses
+    back to the identical value: Java ``Double.parseDouble`` accepts
+    ``NaN``/``Infinity``/``-Infinity`` (not Python's ``nan``/``inf``)
+    and is correctly rounded on ``repr``'s shortest decimal."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    return repr(v)
 
 
 def _sql_str_lit(s: str) -> str:

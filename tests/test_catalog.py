@@ -1193,6 +1193,14 @@ def test_sql_count_star_fast_path(cat, spark, monkeypatch):
     assert cat.sql(
         spark, f"SELECT count(*) FROM cf VERSION AS OF {v1}"
     ).collect() == [(500,)]
+    # ...and so does TIMESTAMP AS OF (epoch-millis literal), still
+    # through the fast path
+    ts1 = t.store.read_commit(v1).timestamp_ms
+    df_ts = cat.sql(spark,
+                    f"SELECT count(*) FROM cf TIMESTAMP AS OF {ts1}")
+    assert "LocalTableScan" in \
+        df_ts._jdf.queryExecution().executedPlan().toString()
+    assert df_ts.collect() == [(500,)]
     # non-bare count shapes never dispatch here
     assert cat.sql(spark, "SELECT count(*) FROM cf WHERE id < 10") \
         .collect() == [(10,)]
