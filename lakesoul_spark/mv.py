@@ -910,6 +910,49 @@ class JoinMV:
         return LakeSoulTable.for_path_snapshot(
             self.spark, path, version=version).to_df()
 
+    def _side_scoped(self, path: str, version: int,
+                     delta: DataFrame) -> DataFrame:
+        """Pinned side snapshot for a delta-join term, FILE-PRUNED by
+        the other delta's join-key bounds: an inner-join pair shares
+        its key, so side rows outside the delta keys' [min, max] can
+        never pair — files whose per-file commit-log stats exclude the
+        range are dropped before Spark schedules a task for them (and
+        the same range predicate reaches the parquet scan, pruning row
+        groups inside kept files). One bounded probe job — min/max
+        over the small delta — buys it. At 100 TB this turns 'scan all
+        of B every refresh' into 'scan the files the delta's key range
+        touches' whenever the side declares stats on the join columns
+        (``lakesoul.statsColumns``) and keys are at all clustered
+        (time-ordered ids, monotonic event keys); without stats the
+        predicate still prunes row groups via parquet footers. A
+        delta whose keys are all NULL (or empty) joins nothing — the
+        term short-circuits to an empty frame."""
+        if version == 0:
+            return self._side_df(path, 0)
+        t = LakeSoulTable.for_path_snapshot(
+            self.spark, path, version=version)
+        # probe only when the side's files actually carry stats for
+        # every join column (one driver-side metadata pass): without
+        # them prune_files keeps everything and the min/max probe job
+        # would be pure per-refresh overhead
+        files = t.store.snapshot(version=version).files
+        if not files or any((f.stats or {}).get(c) is None
+                            for f in files for c in self.on):
+            return t.to_df()
+        aggs = []
+        for c in self.on:
+            aggs += [F.min(c).alias(f"__lo_{c}"),
+                     F.max(c).alias(f"__hi_{c}")]
+        row = delta.agg(*aggs).collect()[0]
+        filters: list = []
+        for c in self.on:
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if lo is None:
+                # every delta row is NULL in c: no inner-join pairs
+                return t.to_df().limit(0)
+            filters += [(c, ">=", lo), (c, "<=", hi)]
+        return t.to_df(file_filters=filters)
+
     def refresh(self, *, max_attempts: int = 5) -> dict:
         """Apply both sources' new commits as ONE delta-join
         generation; same concurrency contract as :meth:`AggMV.refresh`
@@ -932,7 +975,8 @@ class JoinMV:
                 d_a = _window_df(self.spark, lstore, self.left_path,
                                  last_l, head_l)
                 parts.append(self._join_select(
-                    d_a, self._side_df(self.right_path, head_r),
+                    d_a, self._side_scoped(self.right_path, head_r,
+                                           d_a),
                     self.on, self.select, self.where,
                 ))
             if head_r > last_r and last_l > 0:
@@ -941,8 +985,8 @@ class JoinMV:
                 d_b = _window_df(self.spark, rstore, self.right_path,
                                  last_r, head_r)
                 parts.append(self._join_select(
-                    self._side_df(self.left_path, last_l), d_b,
-                    self.on, self.select, self.where,
+                    self._side_scoped(self.left_path, last_l, d_b),
+                    d_b, self.on, self.select, self.where,
                 ))
             if not parts:
                 # only the right moved while the applied left is still

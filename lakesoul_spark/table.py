@@ -1221,7 +1221,15 @@ class LakeSoulTable:
         buckets = {
             bucket_of(list(k), pk_types, info.hash_bucket_num) for k in keys
         }
-        snap = self.store.snapshot(partition_descs=self._partition_filter())
+        # respect a pinned snapshot: a lookup on a time-travel handle
+        # must read the pinned file set, not HEAD's
+        snap = self.store.snapshot(
+            version=self.version if self.read_type == READ_SNAPSHOT
+            else None,
+            timestamp_ms=self.timestamp_ms
+            if self.read_type == READ_SNAPSHOT else None,
+            partition_descs=self._partition_filter(),
+        )
         from lakesoul_spark.io.stats import prune_files
         from lakesoul_spark.meta.store import Snapshot
 

@@ -1271,6 +1271,69 @@ def test_join_mv_random_interleave_fuzz(spark, tmp_path):
     check()
 
 
+def test_join_mv_delta_scoped_side_scan(spark, tmp_path, monkeypatch):
+    """A refresh's ΔA⋈B term scans only the B files the delta's
+    join-key range can touch: B is written in key-sorted slices (so
+    per-file stats partition the key space), a narrow ΔA lands, and
+    the pruned file set must shrink while the view still equals the
+    full join. An all-NULL-key delta short-circuits to zero pairs
+    without scanning B at all."""
+    from lakesoul_spark.io import stats as stats_mod
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    # B: append-only, key-sorted slices → disjoint per-file key ranges
+    for s in range(4):
+        write(spark.range(s * 100, (s + 1) * 100)
+              .selectExpr("id AS o_custkey",
+                          "CAST(id % 25 AS INT) AS c_nationkey"),
+              B, mode="overwrite" if s == 0 else "append",
+              properties={"lakesoul.statsColumns": "o_custkey"}
+              if s == 0 else None)
+    write(spark.range(0, 400, 7)
+          .selectExpr("id AS o_orderkey", "id AS o_custkey"),
+          A, mode="overwrite")
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+    mv.refresh()
+    # narrow delta: keys 150..160 live in ONE of B's four key slices
+    write(spark.range(150, 160)
+          .selectExpr("id + 10000 AS o_orderkey", "id AS o_custkey"),
+          A, mode="append")
+    pruned = []
+    orig = stats_mod.prune_files
+
+    def spy(files, preds, *, group_wise):
+        out = orig(files, preds, group_wise=group_wise)
+        pruned.append((len(files), len(out)))
+        return out
+
+    monkeypatch.setattr(stats_mod, "prune_files", spy)
+    mv.refresh()
+    monkeypatch.undo()
+    assert pruned, "delta-join refresh must route through file pruning"
+    assert any(kept < total for total, kept in pruned), pruned
+    want = _jmv_rows(_jmv_truth(
+        spark.range(0, 400, 7)
+        .selectExpr("id AS o_orderkey", "id AS o_custkey")
+        .union(spark.range(150, 160).selectExpr(
+            "id + 10000 AS o_orderkey", "id AS o_custkey")),
+        spark.range(400).selectExpr("id AS c_custkey",
+                                    "CAST(id % 25 AS INT) AS c_nationkey"),
+    ))
+    assert _jmv_rows(mv.to_df()) == want
+    # an all-NULL-key delta joins nothing and never scans B
+    write(spark.sql("SELECT CAST(90001 AS BIGINT) AS o_orderkey, "
+                    "CAST(NULL AS BIGINT) AS o_custkey"),
+          A, mode="append")
+    r = mv.refresh()
+    assert r["applied"]
+    assert _jmv_rows(mv.to_df()) == want, "NULL keys must add no pairs"
+
+
 def test_join_mv_sql_surface(spark, tmp_path):
     """CREATE MATERIALIZED VIEW … FROM a JOIN b USING (k) creates a
     JoinMV through the catalog dispatcher (primaryKey property names

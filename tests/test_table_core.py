@@ -1574,3 +1574,21 @@ def test_clone_spark_engine_prejob_failure_rolls_back(spark, tmp_table,
     sc = spark.sparkContext
     assert sc.getLocalProperty("spark.jobGroup.id") is None
     assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
+
+
+def test_point_lookup_respects_snapshot_pin(spark, tmp_path):
+    """point_lookup on a time-travel handle must read the PINNED file
+    set — it previously resolved HEAD's snapshot, silently returning
+    post-pin values for pre-pin lookups."""
+    path = str(tmp_path / "plpin")
+    write(spark.range(100).selectExpr("id AS k", "id AS v"),
+          path, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, path)
+    v1 = t.store.head_version()
+    t.upsert(spark.createDataFrame([(7, 999), (200, 1)],
+                                   "k bigint, v bigint"))
+    pinned = LakeSoulTable.for_path_snapshot(spark, path, version=v1)
+    assert [r.v for r in pinned.point_lookup(k=7).collect()] == [7]
+    assert pinned.point_lookup(k=200).count() == 0  # key born post-pin
+    assert [r.v for r in t.point_lookup(k=7).collect()] == [999]
