@@ -1091,8 +1091,15 @@ class Catalog:
                     return None
                 from lakesoul_spark.io import partition as part_enc
 
-                vals = {part_enc.parse_desc(d).get(f.name)
-                        for d, n in prows.items() if n > 0} - {None}
+                raw = {part_enc.parse_desc(d).get(f.name)
+                       for d, n in prows.items() if n > 0} - {None}
+                try:
+                    # TYPED values: distinct desc encodings of one
+                    # typed value (imported '01' vs written '1') must
+                    # collapse exactly as the relational cast does
+                    vals = {key_fn(v) for v in raw}
+                except (TypeError, ValueError):
+                    return None  # unparseable desc value: fall back
                 if fn == "cntd":
                     sel.append(f"CAST({len(vals)} AS BIGINT) AS "
                                f"`{alias or f'count(DISTINCT {col})'}`")
@@ -1103,11 +1110,12 @@ class Catalog:
                     lit = f"DATE'{(min if fn == 'min' else max)(vals)}'"
                 elif st == "string":
                     lit = _sql_str_lit(
-                        (min if fn == "min" else max)(vals))
+                        (min if fn == "min" else max)(vals), spark)
+                    if lit is None:
+                        return None  # unescapable under this parser
                 else:
-                    v = (min if fn == "min" else max)(
-                        int(x) for x in vals)
-                    lit = f"CAST({v} AS {st.upper()})"
+                    v = (min if fn == "min" else max)(vals)
+                    lit = f"CAST({int(v)} AS {st.upper()})"
                 sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
             if fn == "count":
@@ -1155,7 +1163,9 @@ class Catalog:
                 if v is None:
                     lit = f"CAST(NULL AS {st.upper()})"
                 elif kind == "str":
-                    lit = _sql_str_lit(v)
+                    lit = _sql_str_lit(v, spark)
+                    if lit is None:
+                        return None  # unescapable under this parser
                 elif kind == "dec":
                     lit = f"CAST('{v}' AS {st.upper()})"
                 else:
@@ -1279,6 +1289,10 @@ class Catalog:
             rc = _range_col(gm.group(1))
             if rc is None or rc in gcols:
                 return None  # non-partition or duplicate group col
+            st = fields[rc if case_sensitive
+                        else rc.lower()].dataType.simpleString()
+            if self._PART_VALUE_KEYS.get(st) is None:
+                return None  # no canonical typed form: fall back
             gcols.append(rc)
 
         # (kind, ...) per SELECT item, in order
@@ -1315,11 +1329,24 @@ class Catalog:
         defaults = info.column_defaults()
         range_set = set(info.range_partitions)
 
+        # bucket by the TYPED value, not the raw desc string: two
+        # encodings of one typed value (e.g. 'p=01' from an imported
+        # hive layout and 'p=1' from this writer, both int 1) must land
+        # in ONE group, exactly as the relational cast merges them
+        gconv = [self._PART_VALUE_KEYS[
+            fields[c if case_sensitive
+                   else c.lower()].dataType.simpleString()]
+            for c in gcols]
         groups: dict[tuple, list] = {}
         for f in snap.files:
             vals = part_enc.parse_desc(f.partition_desc)
-            groups.setdefault(tuple(vals.get(c) for c in gcols),
-                              []).append(f)
+            try:
+                key = tuple(
+                    None if vals.get(c) is None else conv(vals.get(c))
+                    for c, conv in zip(gcols, gconv))
+            except (TypeError, ValueError):
+                return None  # unparseable desc value: fall back
+            groups.setdefault(key, []).append(f)
         # relational GROUP BY emits a group only where ≥1 live row
         # exists: a zero-row desc (all rows deleted, an empty write)
         # must not fabricate one, and a file that predates num_rows
@@ -1347,7 +1374,8 @@ class Catalog:
                             else rc.lower()].dataType.simpleString()
                 gi = gcols.index(rc)
                 specs.append((cname, "string", st, out,
-                              lambda key, gf, gi=gi: key[gi]))
+                              lambda key, gf, gi=gi:
+                              None if key[gi] is None else str(key[gi])))
                 continue
             _, fn, col, alias = p
             if fn == "count" and col is None:
@@ -1377,12 +1405,17 @@ class Catalog:
                 if fn == "cntd":
                     out = alias or f"count(DISTINCT {col})"
 
-                def _pvals(gf, _c=f.name):
+                def _pvals(gf, _c=f.name, _k=pk_fn):
                     prows = self._part_rows_by_desc(gf)
                     if prows is None:
                         return None
-                    return {part_enc.parse_desc(d).get(_c)
-                            for d, n in prows.items() if n > 0} - {None}
+                    raw = {part_enc.parse_desc(d).get(_c)
+                           for d, n in prows.items() if n > 0} - {None}
+                    try:
+                        # typed: duplicate desc encodings collapse
+                        return {_k(v) for v in raw}
+                    except (TypeError, ValueError):
+                        return None
 
                 if fn == "cntd":
                     def _cd(key, gf, _pv=_pvals):
@@ -1391,13 +1424,13 @@ class Catalog:
                     specs.append((cname, "bigint", None, out, _cd))
                     continue
 
-                def _mmd(key, gf, _fn=fn, _k=pk_fn, _pv=_pvals):
+                def _mmd(key, gf, _fn=fn, _pv=_pvals):
                     vals = _pv(gf)
                     if vals is None:
                         return _REFUSE
                     if not vals:
                         return None  # no live rows in scope: SQL NULL
-                    return (min if _fn == "min" else max)(vals, key=_k)
+                    return str((min if _fn == "min" else max)(vals))
                 specs.append((cname, "string", st, out, _mmd))
                 continue
             if fn == "count":
@@ -1443,12 +1476,7 @@ class Catalog:
                 if not (st in LakeSoulTable._SUM_EXACT_TYPES
                         or st.startswith("decimal(")):
                     return None
-                if st.startswith("decimal("):
-                    pp, ss = (int(x)
-                              for x in st[len("decimal("):-1].split(","))
-                    rt = f"decimal({min(38, pp + 10)},{ss})"
-                else:
-                    rt = "bigint"
+                rt = self._sum_result_type(st)
 
                 def _sum(key, gf, _c=f.name, _st=st, _d=has_default):
                     res = LakeSoulTable._sum_files(gf, _c, _d)
@@ -1508,7 +1536,7 @@ class Catalog:
 
         rows = []
         for key in sorted(groups,
-                          key=lambda k: tuple((v is None, v or "")
+                          key=lambda k: tuple((v is None, str(v))
                                               for v in k)):
             gf = groups[key]
             row = []
@@ -1620,11 +1648,23 @@ class Catalog:
         return Catalog._sum_render(res, st)
 
     @staticmethod
+    def _sum_result_type(st: str) -> str:
+        """Spark's SUM result type for an exact input type: integer
+        family → ``bigint``; ``decimal(p,s)`` →
+        ``decimal(min(38,p+10),s)``. The ONE source both the GROUP BY
+        carrier cast and :meth:`_sum_render`'s overflow bound use —
+        drifting copies would let a value pass a bound its cast type
+        cannot hold."""
+        if st.startswith("decimal("):
+            p, s = (int(x) for x in st[len("decimal("):-1].split(","))
+            return f"decimal({min(38, p + 10)},{s})"
+        return "bigint"
+
+    @staticmethod
     def _sum_render(res: tuple, st: str):
         """``(value_string_or_None, result_type)`` for an exact
         ``(sum, nonnull)`` pair, in the relational path's RESULT TYPE
-        (integer family → BIGINT, decimal(p,s) →
-        decimal(min(38,p+10),s)); value ``None`` = SQL NULL (zero
+        (:meth:`_sum_result_type`); value ``None`` = SQL NULL (zero
         non-null rows). Returns ``None`` (refuse → fallback) when the
         sum would overflow that type — non-ANSI Spark wraps/NULLs
         there, and the fallback reproduces whatever Spark does rather
@@ -1632,13 +1672,13 @@ class Catalog:
         import decimal
 
         total, nonnull = res
-        if st.startswith("decimal("):
-            p, s = (int(x) for x in st[len("decimal("):-1].split(","))
-            rp = min(38, p + 10)
-            rt = f"DECIMAL({rp},{s})"
+        rt = Catalog._sum_result_type(st).upper()
+        if rt.startswith("DECIMAL("):
+            rp, rs = (int(x)
+                      for x in rt[len("DECIMAL("):-1].split(","))
             if nonnull == 0:
                 return (None, rt)
-            if abs(total) >= decimal.Decimal(10) ** (rp - s):
+            if abs(total) >= decimal.Decimal(10) ** (rp - rs):
                 return None
             return (str(total), rt)
         if nonnull == 0:
@@ -2372,12 +2412,28 @@ def _flt_sql_str(v: float) -> str:
     return repr(v)
 
 
-def _sql_str_lit(s: str) -> str:
-    """A Spark SQL string literal that parses back to exactly ``s``.
-    Spark's default parser (escapedStringLiterals=false) processes
-    backslash escapes inside quoted literals, so both the backslash
-    and the quote are escaped; every other character — including raw
-    newlines and non-ASCII — passes through the parser verbatim."""
+def _sql_str_lit(s: str, spark: SparkSession | None = None) -> str | None:
+    """A Spark SQL string literal that parses back to exactly ``s``,
+    or ``None`` when no such literal exists under the session's parser
+    mode (caller falls back to the relational path). Default mode
+    (escapedStringLiterals=false) processes backslash escapes inside
+    quoted literals, so backslash and quote are escaped; with
+    ``spark.sql.parser.escapedStringLiterals=true`` backslashes are
+    literal and there is NO portable in-literal quote escape (``''``
+    does not collapse in that mode) — a value containing a quote
+    refuses."""
+    esc = False
+    if spark is not None:
+        try:
+            esc = str(spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals")).lower() \
+                == "true"
+        except Exception:
+            esc = False
+    if esc:
+        if "'" in s:
+            return None
+        return "'" + s + "'"
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 

@@ -939,6 +939,8 @@ class JoinMV:
         if not files or any((f.stats or {}).get(c) is None
                             for f in files for c in self.on):
             return t.to_df()
+        import math
+
         aggs = []
         for c in self.on:
             aggs += [F.min(c).alias(f"__lo_{c}"),
@@ -950,6 +952,16 @@ class JoinMV:
             if lo is None:
                 # every delta row is NULL in c: no inner-join pairs
                 return t.to_df().limit(0)
+            if any(isinstance(v, float) and (math.isnan(v)
+                                             or math.isinf(v))
+                   for v in (lo, hi)):
+                # NaN bounds poison both the Python stats compare
+                # (lo <= NaN is False → every file would drop) and the
+                # row predicate (Spark pairs NaN = NaN in joins); ±Inf
+                # bounds are orderable but the stats encoding skips
+                # them — scan the full side rather than reason about
+                # IEEE specials
+                return t.to_df()
             filters += [(c, ">=", lo), (c, "<=", hi)]
         return t.to_df(file_filters=filters)
 

@@ -1860,6 +1860,58 @@ def test_sql_partition_value_aggs_fast_path(cat, spark, monkeypatch):
     monkeypatch.undo()
 
 
+def test_groupby_fast_path_typed_desc_collapse(cat, spark, tmp_path):
+    """Two desc encodings of ONE typed partition value (an imported
+    hive dir ``p=01`` plus this writer's ``p=1``) must land in one
+    GROUP BY group / one DISTINCT value on the metadata fast path,
+    exactly as the relational cast merges them — and string MIN/MAX
+    literals refuse under escapedStringLiterals=true when the value
+    holds a quote (no portable in-literal escape exists there)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "hv")
+    for d, vals in [("p=01", [1, 2]), ("p=1", [3]), ("p=2", [4])]:
+        os.makedirs(f"{root}/{d}")
+        pq.write_table(pa.table({"k": pa.array(vals, pa.int64())}),
+                       f"{root}/{d}/part-0.parquet")
+    cat.sql(spark, f"CONVERT TO LAKESOUL '{root}' AS hv")
+    t = cat.get_table(spark, "hv")
+    descs = {f.partition_desc for f in t.store.snapshot().files}
+    assert descs == {"p=01", "p=1", "p=2"}, descs  # raw dirs preserved
+    g = cat.sql(spark, "SELECT p, count(*) AS n FROM hv GROUP BY p "
+                       "ORDER BY p")
+    assert "LocalTableScan" in \
+        g._jdf.queryExecution().executedPlan().toString()
+    assert [tuple(r) for r in g.collect()] == [(1, 3), (2, 1)]
+    one = cat.sql(spark,
+                  "SELECT count(DISTINCT p), min(p), max(p) FROM hv")
+    assert "LocalTableScan" in \
+        one._jdf.queryExecution().executedPlan().toString()
+    assert one.collect() == [(2, 1, 2)]
+    # escapedStringLiterals=true: a quoted extremum cannot be rendered
+    cat.sql(spark, """
+        CREATE TABLE esq (k BIGINT, s STRING) USING lakesoul
+        TBLPROPERTIES('lakesoul.statsColumns'='s')
+    """)
+    cat.sql(spark, "INSERT INTO esq SELECT id, concat('x''y-', id) "
+                   "FROM range(10)")
+    fast = cat.sql(spark, "SELECT min(s) FROM esq")
+    assert "LocalTableScan" in \
+        fast._jdf.queryExecution().executedPlan().toString()
+    want = fast.collect()
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        df = cat.sql(spark, "SELECT min(s) FROM esq")
+        assert "Scan parquet" in \
+            df._jdf.queryExecution().executedPlan().toString()
+        assert df.collect() == want
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
 def test_groupby_fast_path_order_by_limit(cat, spark):
     """ORDER BY / LIMIT tails on the metadata GROUP BY fast path: the
     (≤1024) group rows sort driver-side with typed keys (numeric

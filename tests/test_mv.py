@@ -1334,6 +1334,38 @@ def test_join_mv_delta_scoped_side_scan(spark, tmp_path, monkeypatch):
     assert _jmv_rows(mv.to_df()) == want, "NULL keys must add no pairs"
 
 
+def test_join_mv_nan_key_delta_scans_full_side(spark, tmp_path):
+    """A NaN join key in the delta must NOT poison the side-scan
+    pruning: Python stats comparisons treat every ``lo <= NaN`` as
+    False (all files would drop) while Spark pairs NaN = NaN in joins
+    — the probe detects the NaN bound and falls back to the full
+    side scan, so the NaN pair and every in-range pair survive."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    side = spark.sql("""
+        SELECT CAST(id AS DOUBLE) + 0.5 AS x,
+               CAST(id AS INT) AS nk FROM range(20)
+        UNION ALL SELECT CAST('NaN' AS DOUBLE), 99
+    """)
+    write(side, B, mode="overwrite",
+          properties={"lakesoul.statsColumns": "x"})
+    write(spark.sql("SELECT CAST(1 AS BIGINT) AS rid, "
+                    "CAST(0.5 AS DOUBLE) AS x"), A, mode="overwrite")
+    mv = JoinMV.create(spark, A, B, V, on=["x"],
+                       select=["rid", "x", "nk"], pk=["rid"],
+                       hash_bucket_num=2)
+    mv.refresh()
+    write(spark.sql("""
+        SELECT CAST(2 AS BIGINT) AS rid, CAST(5.5 AS DOUBLE) AS x
+        UNION ALL SELECT 3, CAST('NaN' AS DOUBLE)
+    """), A, mode="append")
+    mv.refresh()
+    got = sorted((r.rid, r.nk) for r in mv.to_df().collect())
+    # Spark joins NaN = NaN: rid 3 pairs with the side's NaN row
+    assert got == [(1, 0), (2, 5), (3, 99)], got
+
+
 def test_join_mv_sql_surface(spark, tmp_path):
     """CREATE MATERIALIZED VIEW … FROM a JOIN b USING (k) creates a
     JoinMV through the catalog dispatcher (primaryKey property names
