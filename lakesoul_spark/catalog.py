@@ -53,6 +53,40 @@ def _dbl_order_key(s) -> tuple:
 # GROUP BY fast path: "this group cannot be proven — fall back"
 _REFUSE = object()
 
+_INT_DESC_RE = re.compile(r"^[+-]?[0-9]+$")
+
+
+def _int_desc(v: str, bits: int) -> int:
+    """STRICT integer parse of a partition-desc value: only the forms
+    Spark's string→int CAST accepts and only in-range values (Python's
+    int() would happily parse '1_0' as 10 and any magnitude, where the
+    CAST yields NULL — the metadata answer must never merge or order
+    groups differently than the relational one)."""
+    if not _INT_DESC_RE.match(v):
+        raise ValueError(f"non-canonical int desc value {v!r}")
+    n = int(v)
+    if not (-(1 << (bits - 1)) <= n < (1 << (bits - 1))):
+        raise ValueError(f"desc value {v!r} overflows {bits}-bit int")
+    return n
+
+
+_DATE_DESC_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _date_desc(v: str):
+    """STRICT ISO date parse (zero-padded extended form only): a
+    CONVERT TO LAKESOUL import can carry 'd=2024-1-2' dirs, which
+    Spark's CAST merges with '2024-01-02' while a string key would
+    keep them distinct and order them wrong — parse canonically or
+    raise (→ fall back to a scan). The regex guard exists because
+    Python ≥3.11 ``fromisoformat`` also accepts the BASIC form
+    '20240102', which Spark's CAST does not."""
+    import datetime
+
+    if not _DATE_DESC_RE.match(v):
+        raise ValueError(f"non-canonical date desc value {v!r}")
+    return datetime.date.fromisoformat(v)
+
 _NS_FILE = "_namespace.json"
 _TABLES_FILE = "_tables.json"
 _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
@@ -979,11 +1013,24 @@ class Catalog:
     )
 
     # range-partition desc values order correctly under these declared
-    # types (ints numerically after int(); ISO dates and plain strings
-    # lexicographically); anything else (float/bool/timestamp) refuses
+    # types (ints numerically after the strict parse; dates as
+    # datetime.date; plain strings lexicographically); anything else
+    # (float/bool/timestamp) refuses. The typed parses are STRICT —
+    # exactly the strings Spark's string→type CAST accepts, normalized
+    # to one canonical value per equivalence class: Python's bare
+    # int() accepts '1_0' (→ 10) where the CAST yields NULL, and a
+    # CONVERT TO LAKESOUL import can bring non-zero-padded date dirs
+    # ('2024-1-2') whose lexicographic order and distinctness diverge
+    # from the relational cast. Any unparseable / out-of-range desc
+    # value raises → the statement falls back to a real scan.
     _PART_VALUE_KEYS = {
-        "tinyint": int, "smallint": int, "int": int, "integer": int,
-        "bigint": int, "long": int, "date": str, "string": str,
+        "tinyint": lambda v: _int_desc(v, 8),
+        "smallint": lambda v: _int_desc(v, 16),
+        "int": lambda v: _int_desc(v, 32),
+        "integer": lambda v: _int_desc(v, 32),
+        "bigint": lambda v: _int_desc(v, 64),
+        "long": lambda v: _int_desc(v, 64),
+        "date": _date_desc, "string": str,
     }
 
     @staticmethod
@@ -1104,18 +1151,20 @@ class Catalog:
                     sel.append(f"CAST({len(vals)} AS BIGINT) AS "
                                f"`{alias or f'count(DISTINCT {col})'}`")
                     continue
+                # value renders go through a string cast (or nullif):
+                # relational MIN/MAX is nullable=True and the schema
+                # must not depend on which path answered
                 if not vals:
                     lit = f"CAST(NULL AS {st.upper()})"
                 elif st == "date":
-                    lit = f"DATE'{(min if fn == 'min' else max)(vals)}'"
+                    v = (min if fn == "min" else max)(vals)
+                    lit = f"CAST('{v}' AS DATE)"
                 elif st == "string":
-                    lit = _sql_str_lit(
-                        (min if fn == "min" else max)(vals), spark)
-                    if lit is None:
-                        return None  # unescapable under this parser
+                    lit = _nullable_str_lit(
+                        (min if fn == "min" else max)(vals))
                 else:
                     v = (min if fn == "min" else max)(vals)
-                    lit = f"CAST({int(v)} AS {st.upper()})"
+                    lit = f"CAST('{int(v)}' AS {st.upper()})"
                 sel.append(f"{lit} AS `{alias or f'{fn}({col})'}`")
                 continue
             if fn == "count":
@@ -1128,6 +1177,18 @@ class Catalog:
                            f"`{alias or f'count({col})'}`")
                 continue
             if fn == "avg":
+                if st.startswith("decimal("):
+                    # exact decimal AVG from the recorded exact sums +
+                    # nonnull counts (result type decimal(p+4,s+4),
+                    # HALF_UP — proof in _avg_dec_files)
+                    r = t._avg_dec_from(snap, f.name, st)
+                    if r is None:
+                        return None
+                    v, rt = r
+                    lit = (f"CAST(NULL AS {rt.upper()})" if v is None
+                           else f"CAST('{v}' AS {rt.upper()})")
+                    sel.append(f"{lit} AS `{alias or f'avg({col})'}`")
+                    continue
                 r = t._avg_from(snap, f.name)
                 if r is None:
                     return None
@@ -1163,9 +1224,7 @@ class Catalog:
                 if v is None:
                     lit = f"CAST(NULL AS {st.upper()})"
                 elif kind == "str":
-                    lit = _sql_str_lit(v, spark)
-                    if lit is None:
-                        return None  # unescapable under this parser
+                    lit = _nullable_str_lit(v)
                 elif kind == "dec":
                     lit = f"CAST('{v}' AS {st.upper()})"
                 else:
@@ -1179,19 +1238,24 @@ class Catalog:
                     return None
                 mm_cache[cname] = mm
             v = mm_cache[cname][0 if fn == "min" else 1]
+            # every render is a STRING cast: it parses to the same
+            # typed value as the bare literal form (a typed literal IS
+            # defined as the cast of its string) and, unlike a plain
+            # literal, analyzes as nullable=True — the relational
+            # MIN/MAX schema
             if st == "date":
-                lit = f"DATE'{v}'"
+                lit = f"CAST('{v}' AS DATE)"
             elif st == "timestamp":
                 # micros-exact: stats encode naive-UTC ISO, and the
-                # explicit Z suffix pins the literal to that instant
-                # in EVERY session timezone (a bare literal would be
+                # explicit Z suffix pins the cast to that instant
+                # in EVERY session timezone (a bare string would be
                 # reinterpreted in the session zone; verified incl.
                 # pre-epoch values)
-                lit = f"TIMESTAMP '{v}Z'"
+                lit = f"CAST('{v}Z' AS TIMESTAMP)"
             elif st == "timestamp_ntz":
-                lit = f"TIMESTAMP_NTZ '{v}'"
+                lit = f"CAST('{v}' AS TIMESTAMP_NTZ)"
             else:  # integer family (min_max_fast's type gate)
-                lit = f"CAST({int(v)} AS {st.upper()})"
+                lit = f"CAST('{int(v)}' AS {st.upper()})"
             # the fallback's auto-alias lowercases the function but
             # keeps the QUERY's casing of the argument (backticks
             # stripped) — replicate exactly so the schema never
@@ -1456,10 +1520,29 @@ class Catalog:
                 specs.append((cname, "bigint", None, out, _cntc))
                 continue
             if fn == "avg":
-                # integer-family only, with the per-group 2^53
+                if f.name in range_set:
+                    return None
+                if st.startswith("decimal("):
+                    # exact per-group decimal AVG (result type
+                    # decimal(p+4,s+4) HALF_UP; proof in
+                    # _avg_dec_files); the p≤34 type gate is
+                    # group-independent — check it once here
+                    if int(st[len("decimal("):-1].split(",")[0]) > 34:
+                        return None
+                    drt = Catalog._avg_dec_result_type(st)
+
+                    def _avgd(key, gf, _c=f.name, _d=has_default,
+                              _st=st):
+                        r = LakeSoulTable._avg_dec_files(
+                            gf, _c, _d, _st)
+                        if r is None:
+                            return _REFUSE
+                        return r[0]
+                    specs.append((cname, "string", drt, out, _avgd))
+                    continue
+                # integer family, with the per-group 2^53
                 # double-accumulation proof (see _avg_files)
-                if (f.name in range_set
-                        or st not in LakeSoulTable._SUM_EXACT_TYPES):
+                if st not in LakeSoulTable._SUM_EXACT_TYPES:
                     return None
 
                 def _avg(key, gf, _c=f.name, _d=has_default):
@@ -1573,10 +1656,25 @@ class Catalog:
             ", ".join(f"`{c}` {carrier}" for c, carrier, *_ in specs),
         )
         sel = []
-        for c, _, cast_to, out, _fv in specs:
+        for c, carrier, cast_to, out, _fv in specs:
             e = F.col(f"`{c}`")
             if cast_to is not None:
                 e = e.cast(cast_to)
+            if carrier != "bigint":
+                # group keys and MIN/MAX/SUM/AVG are nullable=True in
+                # the relational plan (parquet scan columns and
+                # aggregates over them); the LocalRelation carrier may
+                # analyze non-nullable when no group happens to hold a
+                # NULL, so add nullability with an identity nullif
+                # (still collapses to LocalTableScan).
+                e = F.nullif(e, F.lit(None))
+            else:
+                # COUNT rides the bigint carrier and is non-nullable
+                # relationally; a ZERO-group result materializes as an
+                # empty LocalRelation whose columns analyze nullable —
+                # coalesce is a no-op on values (COUNT is never NULL)
+                # that pins the schema to the relational one
+                e = F.coalesce(e, F.lit(0).cast("bigint"))
             sel.append(e.alias(out))
         return pdf.select(*sel)
 
@@ -1648,6 +1746,14 @@ class Catalog:
         return Catalog._sum_render(res, st)
 
     @staticmethod
+    def _avg_dec_result_type(st: str) -> str:
+        """Spark's AVG result type for a decimal input:
+        ``decimal(p,s)`` → ``decimal(p+4, s+4)`` (callers refuse
+        p+4 > 38 before asking)."""
+        p, s = (int(x) for x in st[len("decimal("):-1].split(","))
+        return f"decimal({p + 4},{s + 4})"
+
+    @staticmethod
     def _sum_result_type(st: str) -> str:
         """Spark's SUM result type for an exact input type: integer
         family → ``bigint``; ``decimal(p,s)`` →
@@ -1696,8 +1802,9 @@ class Catalog:
         v, rt = r
         if v is None:
             return f"CAST(NULL AS {rt})"
-        return (f"CAST('{v}' AS {rt})" if rt.startswith("DECIMAL")
-                else f"CAST({v} AS {rt})")
+        # string-cast render: the relational SUM is nullable=True and
+        # a bare int literal cast would analyze non-nullable
+        return f"CAST('{v}' AS {rt})"
 
     _TC_RE = re.compile(
         r"table_changes\(\s*'([\w.`]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
@@ -2412,29 +2519,18 @@ def _flt_sql_str(v: float) -> str:
     return repr(v)
 
 
-def _sql_str_lit(s: str, spark: SparkSession | None = None) -> str | None:
-    """A Spark SQL string literal that parses back to exactly ``s``,
-    or ``None`` when no such literal exists under the session's parser
-    mode (caller falls back to the relational path). Default mode
-    (escapedStringLiterals=false) processes backslash escapes inside
-    quoted literals, so backslash and quote are escaped; with
-    ``spark.sql.parser.escapedStringLiterals=true`` backslashes are
-    literal and there is NO portable in-literal quote escape (``''``
-    does not collapse in that mode) — a value containing a quote
-    refuses."""
-    esc = False
-    if spark is not None:
-        try:
-            esc = str(spark.conf.get(
-                "spark.sql.parser.escapedStringLiterals")).lower() \
-                == "true"
-        except Exception:
-            esc = False
-    if esc:
-        if "'" in s:
-            return None
-        return "'" + s + "'"
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+def _nullable_str_lit(s: str) -> str:
+    """A string value as a SQL expression that (a) parses back to
+    exactly ``s`` under EVERY parser mode — base64 transport, no
+    literal-escaping hazards (the ``local_df`` rendering contract) —
+    and (b) analyzes as ``nullable=True``, matching the relational
+    MIN/MAX aggregate's schema (a plain literal or a binary→string
+    cast is non-nullable; ``nullif(x, NULL)`` is an identity that
+    adds nullability and still constant-folds to a LocalRelation)."""
+    import base64
+
+    enc = base64.b64encode(s.encode("utf-8")).decode("ascii")
+    return f"nullif(CAST(unbase64('{enc}') AS STRING), NULL)"
 
 
 def _rx(pattern: str, stmt: str) -> "re.Match":

@@ -24,6 +24,7 @@ or column without stats is simply kept.
 from __future__ import annotations
 
 import datetime
+import math
 
 # ops understood by the pruner; "in" takes a list/tuple value
 OPS = ("=", "<", "<=", ">", ">=", "in")
@@ -47,6 +48,12 @@ def encode_stat_value(v):
     (bytes, Decimal) — the column is then skipped for that file."""
     if isinstance(v, bool) or v is None:
         return None  # booleans are useless bounds; None = no stat
+    if isinstance(v, float) and not math.isfinite(v):
+        # NaN bounds poison every comparison, and json.dump would emit
+        # the non-RFC 'Infinity' token — any strict-JSON consumer of
+        # the commit log (the Spark-free arrow/Torch readers) would
+        # fail to parse the whole record. No claim = file kept: safe.
+        return None
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
@@ -54,6 +61,26 @@ def encode_stat_value(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     return None
+
+
+def _json_flt(v: float):
+    """Float extremum → RFC-JSON-safe slot value. ±Infinity would
+    serialize as the non-RFC ``Infinity`` token and break any
+    strict-JSON consumer of the commit log (the Spark-free
+    arrow/Torch readers parse these records), so infinite extrema
+    ride as the Java-parseable sentinel strings ``"Infinity"`` /
+    ``"-Infinity"`` — every Python reader already funnels the slot
+    through ``float()`` (which accepts them), and the SQL renderer
+    (``_flt_sql_str``) spells them the same way."""
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    return v
+
+
+def decode_stat_float(v) -> float:
+    """Inverse of :func:`_json_flt` — accepts the raw float or the
+    infinite-sentinel string."""
+    return float(v)
 
 
 def file_sums(pf, cols: list[str]) -> dict | None:
@@ -151,8 +178,9 @@ def file_sums(pf, cols: list[str]) -> dict | None:
                 else:
                     mm = pc.min_max(finite)
                     out[c] = [None, nonnull,
-                              float(mm["min"].as_py()),
-                              float(mm["max"].as_py()), n_nan]
+                              _json_flt(float(mm["min"].as_py())),
+                              _json_flt(float(mm["max"].as_py())),
+                              n_nan]
                 continue
             if nonnull == 0:
                 out[c] = [0, 0]

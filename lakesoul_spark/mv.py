@@ -939,16 +939,39 @@ class JoinMV:
         if not files or any((f.stats or {}).get(c) is None
                             for f in files for c in self.on):
             return t.to_df()
+        import datetime
         import math
 
+        from pyspark.sql.types import TimestampType
+
+        # TIMESTAMP join keys: collect() renders TimestampType in the
+        # DRIVER SESSION's timezone as a naive datetime, while the
+        # commit-log stats are naive-UTC ISO — on a non-UTC session a
+        # naive bound would over-prune side files and silently drop
+        # join pairs. Collect epoch micros instead and rebuild
+        # tz-AWARE UTC datetimes: prune_files collapses aware values
+        # to naive UTC (one comparison domain with the stats), and the
+        # row-predicate F.lit() resolves an aware datetime to the same
+        # instant in every session timezone.
+        dtypes = {f.name: f.dataType for f in delta.schema.fields}
+        ts_cols = {c for c in self.on
+                   if isinstance(dtypes.get(c), TimestampType)}
         aggs = []
         for c in self.on:
-            aggs += [F.min(c).alias(f"__lo_{c}"),
-                     F.max(c).alias(f"__hi_{c}")]
+            lo_e, hi_e = F.min(c), F.max(c)
+            if c in ts_cols:
+                lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
+            aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
         row = delta.agg(*aggs).collect()[0]
+        epoch = datetime.datetime(1970, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
         filters: list = []
         for c in self.on:
             lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if c in ts_cols and lo is not None:
+                # timedelta arithmetic is exact at micros (no float)
+                lo = epoch + datetime.timedelta(microseconds=int(lo))
+                hi = epoch + datetime.timedelta(microseconds=int(hi))
             if lo is None:
                 # every delta row is NULL in c: no inner-join pairs
                 return t.to_df().limit(0)

@@ -863,21 +863,28 @@ class LakeSoulTable:
 
         total = decimal.Decimal(0)
         nonnull = 0
-        for f in files:
-            if col not in f.file_exist_cols:
-                if has_default:
-                    # rows read as default × num_rows — metadata holds
-                    # no sum for that; refuse, never guess
+        # the DEFAULT decimal context rounds at 28 significant digits —
+        # a sum of decimal(38,s) per-file entries can exceed that and
+        # would silently round where this path claims exactness; a
+        # wide local context keeps every addition exact (per-file sums
+        # are ≤38 digits and file counts add ~log10(n_files) more)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 200
+            for f in files:
+                if col not in f.file_exist_cols:
+                    if has_default:
+                        # rows read as default × num_rows — metadata
+                        # holds no sum for that; refuse, never guess
+                        return None
+                    continue  # NULL fill: contributes nothing to SUM
+                ent = (f.sums or {}).get(col)
+                if ent is None or (ent[0] is None and ent[1] != 0):
+                    # no entry, or a count-only entry (slot-0 None with
+                    # rows present = the writer withdrew the sum claim)
                     return None
-                continue  # NULL fill: contributes nothing to SUM
-            ent = (f.sums or {}).get(col)
-            if ent is None or (ent[0] is None and ent[1] != 0):
-                # no entry, or a count-only entry (slot-0 None with
-                # rows present = the writer withdrew the sum claim)
-                return None
-            s, nn = ent[0], ent[1]
-            total += decimal.Decimal(str(s or 0))
-            nonnull += int(nn)
+                s, nn = ent[0], ent[1]
+                total += decimal.Decimal(str(s or 0))
+                nonnull += int(nn)
         return (total, nonnull)
 
     _SUM_EXACT_TYPES = (
@@ -1038,6 +1045,74 @@ class LakeSoulTable:
             return None
         has_default = info.column_defaults().get(col) is not None
         return self._avg_files(snap.files, col, has_default)
+
+    def _avg_dec_from(self, snap, col: str, st: str) -> tuple | None:
+        """Exact ``AVG(col)`` for a DECIMAL declared stats column —
+        ``(value_string_or_None, result_type)`` with value ``None`` =
+        SQL NULL — or ``None`` when unprovable (see
+        :meth:`_avg_dec_files` for the proof obligations)."""
+        info = self.info
+        if col in info.range_partitions or snap is None:
+            return None
+        has_default = info.column_defaults().get(col) is not None
+        return self._avg_dec_files(snap.files, col, has_default, st)
+
+    @staticmethod
+    def _avg_dec_files(files, col: str, has_default: bool,
+                       st: str) -> tuple | None:
+        """Provably-exact DECIMAL AVG over a live-file list, from the
+        writer's exact per-file decimal sums. Spark's
+        ``avg(decimal(p,s))`` has result type ``decimal(p+4, s+4)``
+        (refused past 38 — precision-loss adjustment changes the
+        scale) and is computed as ``sum::decimal(p+10,s) / count``
+        with an INTERMEDIATE decimal division rounding before the
+        final HALF_UP cast to scale ``s+4``. A single exact HALF_UP
+        rounding of the true quotient at scale ``s+4`` (integer
+        arithmetic below, no context precision in play) equals that
+        two-step result whenever the intermediate rounding cannot
+        cross a tie at ``s+4``: the quotient's fractional part at
+        scale ``s+4`` is a multiple of ``1/nonnull``, so its distance
+        from 1/2 is either 0 (both paths round up) or at least
+        ``1/(2·nonnull)`` — with ``nonnull < 10^15`` that is ≥
+        5·10^-16, far outside anything a ≥17-guard-digit intermediate
+        can move (verified empirically across p/s/denominator
+        combinations in the fast-path fuzz). Gates: ``p ≤ 34``
+        (result precision), ``nonnull < 10^15`` (tie-distance proof),
+        ``|sum| < 10^(p+10-s)`` (sum accumulator type)."""
+        import decimal
+
+        p, s = (int(x) for x in st[len("decimal("):-1].split(","))
+        if p + 4 > 38:
+            return None
+        rt = f"decimal({p + 4},{s + 4})"
+        res = LakeSoulTable._sum_files(files, col, has_default)
+        if res is None:
+            return None
+        total, nonnull = res
+        if nonnull == 0:
+            return (None, rt)
+        if nonnull >= 10 ** 15:
+            return None
+        if abs(total) >= decimal.Decimal(10) ** (p + 10 - s):
+            return None  # sum accumulator decimal(p+10,s) overflows
+        # exact integer HALF_UP at scale s+4: total has scale ≤ s, so
+        # total·10^(s+4) is an exact integer numerator (wide context:
+        # the default one rounds scaleb at 28 significant digits)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 200
+            scaled = total.scaleb(s)
+            num = int(scaled)
+            if scaled != num:  # a sum of scale-≤s entries can't get
+                return None    # here; refuse rather than truncate
+            num *= 10 ** 4
+            sign = -1 if num < 0 else 1
+            q, r = divmod(abs(num), nonnull)
+            if 2 * r >= nonnull:
+                q += 1
+            avg = decimal.Decimal(sign * q).scaleb(-(s + 4))
+        # str() keeps the full s+4 scale (trailing zeros included) —
+        # the string→decimal cast parses it back exactly
+        return (str(avg), rt)
 
     @staticmethod
     def _avg_files(files, col: str, has_default: bool) -> tuple | None:

@@ -1509,6 +1509,12 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
     """
     cat.sql(spark, f"INSERT INTO fmx {src}")
     spark.sql(src).createOrReplaceTempView("fmx_truth")
+    # the RELATIONAL fallback's schema twin (same to_df view the
+    # fallback registers): fmx_truth is VALUES-derived and carries
+    # different nullability than a parquet scan, so NULLABILITY parity
+    # — which must not depend on which path answered — compares here
+    cat.get_table(spark, "fmx").to_df().createOrReplaceTempView(
+        "fmx_rel")
     # churned twin: same rows, then a PK upsert rewrites part of
     # partition 'b' — every value-claiming statement must refuse into
     # the relational path there (and still match the truth)
@@ -1538,6 +1544,8 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "count(dd)", "COUNT(S) AS ns", "MIN(s)", "max(s)",
         "MIN(s) AS slo", "AVG(i)", "avg(I)", "AVG(i) AS ai",
         "avg(k)", "AVG(f)", "min(f)", "avg(dd)",
+        # r13: exact decimal AVG (result decimal(p+4,s+4), HALF_UP)
+        "AVG(dd) AS adv", "avg(DD)",
         # exact float/decimal extrema (NaN above +Inf; -Inf present)
         "max(f)", "MAX(F) AS fhi", "MIN(dd)", "max(dd) AS dhi",
         # partition-column values derive from the descs themselves
@@ -1571,6 +1579,16 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
             got = cat.sql(spark, f"SELECT {sel} FROM {tbl}{w}{tail}")
             want = spark.sql(f"SELECT {sel} FROM {tview}{w}{tail}")
             assert got.columns == want.columns, (tbl, sel, w, tail)
+            if not churned:
+                # r13: full schema parity incl. NULLABILITY vs the
+                # relational fallback's own plan (fmx_rel) — a
+                # consumer persisting the result schema must get the
+                # same answer whichever path served it
+                rel = spark.sql(f"SELECT {sel} FROM fmx_rel{w}{tail}")
+                assert [(fl.name, fl.dataType, fl.nullable)
+                        for fl in got.schema.fields] == \
+                    [(fl.name, fl.dataType, fl.nullable)
+                     for fl in rel.schema.fields], (sel, w, tail)
             # canonical tuples: str(float) is repr (shortest
             # round-trip, so equality-preserving) and makes NaN
             # comparable (NaN != NaN would fail raw tuples)
@@ -1865,8 +1883,9 @@ def test_groupby_fast_path_typed_desc_collapse(cat, spark, tmp_path):
     hive dir ``p=01`` plus this writer's ``p=1``) must land in one
     GROUP BY group / one DISTINCT value on the metadata fast path,
     exactly as the relational cast merges them — and string MIN/MAX
-    literals refuse under escapedStringLiterals=true when the value
-    holds a quote (no portable in-literal escape exists there)."""
+    renders are parser-mode-proof (base64 transport: a value with a
+    quote answers fast even under escapedStringLiterals=true, where
+    no portable in-literal escape exists)."""
     import os
 
     import pyarrow as pa
@@ -1891,25 +1910,149 @@ def test_groupby_fast_path_typed_desc_collapse(cat, spark, tmp_path):
     assert "LocalTableScan" in \
         one._jdf.queryExecution().executedPlan().toString()
     assert one.collect() == [(2, 1, 2)]
-    # escapedStringLiterals=true: a quoted extremum cannot be rendered
+    # escapedStringLiterals=true: the base64 string render is
+    # parser-mode-independent — a quoted extremum still answers fast
     cat.sql(spark, """
         CREATE TABLE esq (k BIGINT, s STRING) USING lakesoul
         TBLPROPERTIES('lakesoul.statsColumns'='s')
     """)
-    cat.sql(spark, "INSERT INTO esq SELECT id, concat('x''y-', id) "
+    cat.sql(spark, "INSERT INTO esq SELECT id, concat('x''y\\\\-', id) "
                    "FROM range(10)")
     fast = cat.sql(spark, "SELECT min(s) FROM esq")
     assert "LocalTableScan" in \
         fast._jdf.queryExecution().executedPlan().toString()
     want = fast.collect()
+    assert want[0][0].startswith("x'y\\-")
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try:
         df = cat.sql(spark, "SELECT min(s) FROM esq")
-        assert "Scan parquet" in \
+        assert "LocalTableScan" in \
             df._jdf.queryExecution().executedPlan().toString()
         assert df.collect() == want
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_part_value_keys_strict_typed_parse():
+    """The typed desc parses accept EXACTLY the canonical forms whose
+    relational-cast semantics they claim (ADVICE r12): Python's bare
+    int() parses '1_0' as 10 where Spark CAST yields NULL; Python
+    ≥3.11 fromisoformat accepts the basic form '20240102' which the
+    CAST does not; out-of-range ints CAST to NULL. Every divergent
+    form must raise → the statement falls back to a real scan."""
+    import datetime
+
+    import pytest
+
+    from lakesoul_spark.catalog import Catalog
+
+    keys = Catalog._PART_VALUE_KEYS
+    assert keys["int"]("01") == 1        # hive-import collapse
+    assert keys["bigint"]("+7") == 7
+    assert keys["int"]("-0") == 0
+    for bad in ("1_0", " 1", "1 ", "0x10", "1.0", ""):
+        with pytest.raises(ValueError):
+            keys["int"](bad)
+    with pytest.raises(ValueError):
+        keys["tinyint"]("300")           # overflows → CAST NULL
+    with pytest.raises(ValueError):
+        keys["smallint"]("40000")
+    with pytest.raises(ValueError):
+        keys["int"]("99999999999")
+    assert keys["bigint"]("99999999999") == 99999999999
+    assert keys["date"]("2024-01-02") == datetime.date(2024, 1, 2)
+    for bad in ("2024-1-2", "20240102", "2024", "2024-13-01"):
+        with pytest.raises(ValueError):
+            keys["date"](bad)
+
+
+def test_avg_decimal_fast_path_exact(cat, spark):
+    """AVG over a high-precision DECIMAL stats column answers from the
+    commit log (exact sums + nonnull counts, one integer HALF_UP
+    division at scale s+4) with zero scan jobs, bit-equal to the
+    relational result — including a DECIMAL(30,2) whose exact sum
+    exceeds the default 28-digit Python decimal context (the wide-
+    context fix), NULL groups, and the p>34 refusal."""
+    cat.sql(spark, """
+        CREATE TABLE avd (k BIGINT, d1 DECIMAL(30,2), d2 DECIMAL(36,4),
+                          p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('lakesoul.statsColumns'='d1,d2')
+    """)
+    cat.sql(spark, """
+        INSERT INTO avd SELECT id,
+            CASE WHEN id % 7 = 0 THEN NULL
+                 ELSE CAST('999999999999999999999999999.13' AS
+                           DECIMAL(30,2)) + id END,
+            CAST(id AS DECIMAL(36,4)) / 3,
+            CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        FROM range(23)
+    """)
+    t = cat.get_table(spark, "avd")
+    t.to_df().createOrReplaceTempView("avd_rel")
+    for stmt in ("SELECT AVG(d1) FROM avd",
+                 "SELECT avg(d1) AS a FROM avd WHERE p = 'a'",
+                 "SELECT p, AVG(d1) FROM avd GROUP BY p ORDER BY p"):
+        got = cat.sql(spark, stmt)
+        assert "LocalTableScan" in \
+            got._jdf.queryExecution().executedPlan().toString(), stmt
+        want = spark.sql(stmt.replace("FROM avd", "FROM avd_rel"))
+        # (full StructType equality would also compare field METADATA,
+        # where the relational plan carries auto-alias annotations)
+        assert [(fl.name, fl.dataType, fl.nullable)
+                for fl in got.schema.fields] == \
+            [(fl.name, fl.dataType, fl.nullable)
+             for fl in want.schema.fields], stmt
+        assert [tuple(r) for r in got.collect()] == \
+            [tuple(r) for r in want.collect()], stmt
+    # p+4 > 38: result precision would need the precision-loss
+    # adjustment — refuse into the relational path, values still equal
+    df = cat.sql(spark, "SELECT AVG(d2) FROM avd")
+    assert "Scan parquet" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert df.collect() == \
+        spark.sql("SELECT AVG(d2) FROM avd_rel").collect()
+
+
+def test_float_stats_infinity_json_safe(cat, spark):
+    """±Infinity double extrema ride the commit log as sentinel
+    strings (ADVICE r12): every commit record stays strict-RFC JSON
+    (a non-Python consumer can parse it), while the fast-path extrema
+    still answer exactly — including the SQL total order's
+    NaN-above-+Infinity."""
+    import glob
+    import json
+    import os
+
+    cat.sql(spark, """
+        CREATE TABLE infx (k BIGINT, f DOUBLE, p STRING)
+        USING lakesoul PARTITIONED BY (p)
+        TBLPROPERTIES('lakesoul.statsColumns'='f')
+    """)
+    cat.sql(spark, """
+        INSERT INTO infx SELECT id,
+            CASE WHEN id = 1 THEN CAST('Infinity' AS DOUBLE)
+                 WHEN id = 2 THEN CAST('-Infinity' AS DOUBLE)
+                 WHEN id = 3 THEN CAST('NaN' AS DOUBLE)
+                 ELSE CAST(id AS DOUBLE) END,
+            'a' FROM range(8)
+    """)
+    t = cat.get_table(spark, "infx")
+
+    def _raise(c):
+        raise ValueError(f"non-RFC JSON token {c!r} in commit log")
+    for fp in glob.glob(os.path.join(t.path, "**", "*.json"),
+                        recursive=True):
+        json.loads(open(fp).read(), parse_constant=_raise)
+    got = cat.sql(spark, "SELECT MIN(f), MAX(f) FROM infx")
+    assert "LocalTableScan" in \
+        got._jdf.queryExecution().executedPlan().toString()
+    import math
+    row = got.collect()[0]
+    assert row[0] == float("-inf") and math.isnan(row[1])
+    rel = spark.sql("SELECT MIN(f), MAX(f) FROM {d}",
+                    d=t.to_df()).collect()[0]
+    assert rel[0] == row[0] and math.isnan(rel[1])
 
 
 def test_groupby_fast_path_order_by_limit(cat, spark):
