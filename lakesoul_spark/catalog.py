@@ -478,8 +478,12 @@ class Catalog:
             CREATE MATERIALIZED VIEW [ns.]v        -- delta-join view,
                 TBLPROPERTIES('primaryKey'='k')    -- both sides may
                 AS SELECT a, b[, …]                -- churn (JoinMV)
-                   FROM [ns.]l JOIN [ns.]r USING (k[, …])
-                   [WHERE <cond>]
+                   FROM [ns.]l [INNER | LEFT [OUTER]] JOIN [ns.]r
+                        USING (k[, …])
+                   [WHERE <cond>]                  -- inner views only;
+                       -- LEFT needs a unique right key + left-identity
+                       -- primaryKey; a source whose PK == k may churn
+                       -- by upsert
             REFRESH MATERIALIZED VIEW [ns.]v [FULL | REPIN]
             DROP MATERIALIZED VIEW [IF EXISTS] [ns.]v
             SHOW MATERIALIZED VIEWS [IN ns]
@@ -2014,14 +2018,18 @@ class Catalog:
             where = src_ref[wi + 5:].strip()
             src_ref = src_ref[:wi].strip()
         jm = re.fullmatch(
-            r"([\w.`]+)\s+JOIN\s+([\w.`]+)\s+USING\s*\(([^)]*)\)",
+            r"([\w.`]+)\s+(?:(LEFT)(?:\s+OUTER)?\s+|(?:INNER\s+)?)"
+            r"JOIN\s+([\w.`]+)\s+USING\s*\(([^)]*)\)",
             src_ref, re.I | re.S,
         )
         if jm is not None:
             # two-source delta-join view (JoinMV): shared-key equi-join
-            # spelled USING, row-level select, PK from primaryKey prop
+            # spelled USING (INNER default, LEFT [OUTER] for the
+            # unique-right-key left view), row-level select, PK from
+            # the primaryKey property
             from lakesoul_spark.mv import JoinMV
 
+            how = "left" if jm.group(2) else "inner"
             if gi >= 0:
                 raise ValueError(
                     "JOIN materialized views are row-level — aggregate "
@@ -2034,10 +2042,10 @@ class Catalog:
                     "joined row')"
                 )
             on = [c.strip().strip("`")
-                  for c in jm.group(3).split(",") if c.strip()]
+                  for c in jm.group(4).split(",") if c.strip()]
             items = [i.strip() for i in _split_top(select_list)]
             lns, lname = self._split_name(jm.group(1))
-            rns, rname = self._split_name(jm.group(2))
+            rns, rname = self._split_name(jm.group(3))
             left = self.get_table(spark, lname, lns)
             right = self.get_table(spark, rname, rns)
             mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))
@@ -2046,6 +2054,7 @@ class Catalog:
                 spark, left.path, right.path, mv_path,
                 on=on, select=items, pk=join_pk,
                 hash_bucket_num=hash_bucket_num, where=where,
+                how=how,
             )
             try:
                 self.backend.register_table(ns, name, mv_path)
@@ -2058,8 +2067,10 @@ class Catalog:
         if re.search(r"(?i)\bJOIN\b", src_ref):
             raise ValueError(
                 "JOIN materialized views take the shared-key form "
-                "FROM a JOIN b USING (k, …) — ON-condition joins are "
-                "not incrementally maintainable here"
+                "FROM a [INNER | LEFT [OUTER]] JOIN b USING (k, …) — "
+                "ON-condition joins and RIGHT/FULL OUTER are not "
+                "incrementally maintainable here (their retractions "
+                "key on the right identity)"
             )
         if not re.fullmatch(r"[\w.`]+", src_ref):
             raise ValueError(

@@ -157,6 +157,33 @@ def _validate_source(info) -> None:
         raise ValueError("MV sources must not be CDC tables")
 
 
+def _validate_join_source(info, on: list[str], side: str) -> str:
+    """JoinMV source admission → churn mode ``"append"`` | ``"pk"``.
+
+    A primary-key source is allowed when its PK equals the JOIN KEY
+    SET: an upsert then restates whole key groups — the key cannot
+    change, so re-joining the restated rows re-emits exactly the
+    affected pairs and the view's PK-upsert fold replaces them (no
+    stale pair can survive; the reference's delta-join benchmark
+    ``benchmark/io/deltaJoin/UpsertWriteWithJoin.scala`` churns its
+    dim side exactly this way). A PK source whose key is NOT the join
+    key still refuses: a changed join-key value would strand the pairs
+    emitted under the old value with no retraction delta."""
+    if info.cdc_column:
+        raise ValueError(f"JOIN view {side} source must not be a CDC table")
+    if not info.hash_partitions:
+        return "append"
+    if set(info.hash_partitions) == set(on):
+        return "pk"
+    raise ValueError(
+        f"JOIN view {side} source is a primary-key table whose PK "
+        f"{sorted(info.hash_partitions)} differs from the join key "
+        f"{sorted(on)} — an upsert could move a row to another join "
+        "key and the pairs emitted under the old key would never be "
+        "retracted. PK sources are supported only with PK == join key."
+    )
+
+
 def _window_df(
     spark: SparkSession, src_store: MetaStore, source_path: str,
     last: int, head: int,
@@ -789,9 +816,36 @@ class JoinMV:
     carries BOTH applied source versions in ``extra`` and keys the
     streaming-sink idempotence dedupe on the window
     (``query_id=mv:<id>:<headL>``, ``batch_id=headR``), the same
-    contract as :class:`AggMV`. Inner joins only: a left join's
-    NULL-extended rows would need retraction when the match arrives
-    later, which an append-delta cannot express."""
+    contract as :class:`AggMV`.
+
+    ``how="left"`` (r13): LEFT OUTER with a UNIQUE right key. The view
+    PK is the LEFT row identity, so PK-upsert already expresses the
+    retraction a late match needs: the ΔA term emits NULL-extended
+    left rows, and when the match lands in a later ΔB the
+    ``A@old ⋈ ΔB`` term (always INNER) re-emits those left rows WITH
+    the match and the fold replaces the NULL-extended generation.
+    Right-key uniqueness is what makes "replace" correct (two matches
+    would collide on the left-identity PK): it is structural when the
+    right source's PK is the join key, and otherwise verified per
+    refresh over the delta's keys only (reference anchor: left_outer
+    is the shape the reference's own join-upsert uses,
+    ``LakeSoulTableOperations.scala:112-135``). ``where`` is refused
+    for left views — a post-join filter over right columns would need
+    a retraction when a late match FAILS it, which upsert re-emission
+    cannot express.
+
+    PK-KEYED (upsert-churning) sources (r13): a source whose PK
+    equals the join key may churn by upsert. Its delta is the
+    RESTATEMENT of the touched keys — the touched-key set from the
+    commit window joined back against the source's head snapshot
+    (partial-column upserts restate correctly only through the full
+    MOR fold) — and since the key cannot change, re-joining it
+    replaces exactly the affected pairs. The opposite term then
+    anti-excludes the touched keys from its pinned old snapshot
+    (stale versions of those keys live there); for append sources the
+    old snapshot already equals "head minus delta" and no anti-join
+    is paid. ``where`` is refused when a side churns by PK — a
+    restatement could flip the filter and strand pairs."""
 
     def __init__(self, spark: SparkSession, mv_path: str):
         self.spark = spark
@@ -810,6 +864,7 @@ class JoinMV:
         self.on: list[str] = list(spec["on"])
         self.select: list[str] = list(spec["select"])
         self.where: str | None = spec.get("where")
+        self.how: str = spec.get("how", "inner")
 
     @property
     def source_path(self) -> str:
@@ -829,6 +884,7 @@ class JoinMV:
         pk: list[str],
         hash_bucket_num: int = 4,
         where: str | None = None,
+        how: str = "inner",
     ) -> "JoinMV":
         """Define the view; the first :meth:`refresh` performs the
         initial full join (A@head ⋈ B@head arrives as ΔA ⋈ B with an
@@ -837,11 +893,28 @@ class JoinMV:
         a list of selectExpr strings over the joined frame; ``pk``
         must uniquely identify a joined row and become the view's hash
         partitions; ``where`` is an optional stateless row filter
-        (applied after the join, so it may reference both sides)."""
+        (applied after the join, so it may reference both sides —
+        inner views over append-only sources only); ``how`` is
+        ``"inner"`` or ``"left"`` (class docstring has the left-view
+        contract: pk = LEFT row identity, unique right key, no
+        where)."""
         left = LakeSoulTable.for_path(spark, left_path)
         right = LakeSoulTable.for_path(spark, right_path)
-        _validate_source(left.info)
-        _validate_source(right.info)
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"how must be 'inner' or 'left', got {how!r} — right/"
+                "full outer need retractions on the RIGHT identity, "
+                "which the left-identity PK fold cannot express"
+            )
+        lmode = _validate_join_source(left.info, on, "left")
+        rmode = _validate_join_source(right.info, on, "right")
+        if where and (lmode == "pk" or rmode == "pk"):
+            raise ValueError(
+                "where is not supported with a PK-churning source: an "
+                "upsert that flips the filter would need to retract "
+                "previously-emitted pairs, which re-emission cannot "
+                "express — filter the source or drop the churn"
+            )
         if not on:
             raise ValueError("on must name at least one shared join column")
         if not select:
@@ -850,11 +923,31 @@ class JoinMV:
             raise ValueError(
                 "pk must name the columns that uniquely identify a "
                 "joined row (both sides' row identities for fan-out "
-                "joins) — the PK-upsert fold depends on it"
+                "joins; the LEFT row identity for left views) — the "
+                "PK-upsert fold depends on it"
             )
+        if how == "left":
+            if where:
+                raise ValueError(
+                    "where is not supported on left views: a late "
+                    "match that FAILS a post-join filter would need "
+                    "to retract nothing while one that passes must "
+                    "replace the NULL-extended row — the filter makes "
+                    "the two indistinguishable to the fold. Filter "
+                    "the left source instead."
+                )
+            lcols = set(left.to_df().columns)
+            bad = [c for c in pk if c not in lcols]
+            if bad:
+                raise ValueError(
+                    f"left-view pk columns {bad} are not LEFT-side "
+                    "columns — the view PK must be the left row "
+                    "identity (it is what lets PK-upsert replace a "
+                    "NULL-extended row when its match arrives)"
+                )
         probe = cls._join_select(
             left.to_df().limit(0), right.to_df().limit(0),
-            list(on), list(select), where,
+            list(on), list(select), where, how,
         )
         missing = [c for c in pk if c not in probe.columns]
         if missing:
@@ -868,6 +961,8 @@ class JoinMV:
         }
         if where:
             spec["where"] = where
+        if how != "inner":
+            spec["how"] = how
         create_table(
             spark,
             mv_path,
@@ -879,8 +974,8 @@ class JoinMV:
         return cls(spark, mv_path)
 
     @staticmethod
-    def _join_select(ldf, rdf, on, select, where) -> DataFrame:
-        j = ldf.join(rdf, on=on, how="inner")
+    def _join_select(ldf, rdf, on, select, where, how="inner") -> DataFrame:
+        j = ldf.join(rdf, on=on, how=how)
         if where:
             j = j.filter(where)
         return j.selectExpr(*select)
@@ -988,6 +1083,83 @@ class JoinMV:
             filters += [(c, ">=", lo), (c, "<=", hi)]
         return t.to_df(file_filters=filters)
 
+    def _source_mode(self, path: str, side: str) -> str:
+        """Churn mode of one side (``"append"`` | ``"pk"``),
+        re-validated per refresh (a source that later gained CDC
+        semantics must fail loudly, not corrupt the delta algebra)."""
+        info = LakeSoulTable.for_path(self.spark, path).info
+        return _validate_join_source(info, self.on, side)
+
+    def _pk_window_keys(self, store, path: str,
+                        last: int, head: int) -> DataFrame:
+        """DISTINCT join keys touched by a PK source in commits
+        (last, head] — read from the window's delta files alone (PK
+        columns are present in every upsert, partial or not). Only
+        upsert/append/compaction commits are representable; a
+        delete/rewrite fails loudly toward :meth:`rebuild`."""
+        window = store.commits(last + 1, head)
+        bad = [c.commit_op for c in window
+               if c.commit_op not in (OP_APPEND, OP_MERGE,
+                                      OP_COMPACTION)]
+        if bad:
+            raise ValueError(
+                f"PK source has non-upsert commits {sorted(set(bad))} "
+                f"in versions ({last}, {head}] — not representable as "
+                "a restatement delta; call rebuild()"
+            )
+        return LakeSoulTable.for_path_incremental_versions(
+            self.spark, path, last + 1, head
+        ).to_df().select(*self.on).distinct()
+
+    def _delta(self, store, path: str, last: int, head: int,
+               mode: str) -> tuple:
+        """``(delta_df, touched_keys_or_None)`` for one side's commits
+        (last, head]. Append mode: the committed rows themselves
+        (:func:`_window_df`). PK mode: the RESTATEMENT of the touched
+        keys — head-snapshot rows semi-joined to the touched-key set
+        (the full MOR fold is what makes partial-column upserts
+        restate whole rows), with the side files pruned by the key
+        set's bounds first. O(Δ) either way at 100 TB."""
+        if mode == "append" or last == 0:
+            # a PK side's initial load is the full snapshot too —
+            # everything is the delta and no key can be stale yet
+            return (_window_df(self.spark, store, path, last, head),
+                    None)
+        keys = self._pk_window_keys(store, path, last, head)
+        restated = self._side_scoped(path, head, keys).join(
+            keys, on=self.on, how="left_semi")
+        return restated, keys
+
+    def _assert_unique_right(self, version: int,
+                             keys: DataFrame | None) -> None:
+        """Left views require at most ONE right row per join key (two
+        matches would collide on the left-identity view PK and the
+        upsert fold would silently keep one). Structural when the
+        right source's PK is the join key; otherwise verified here —
+        over the WHOLE pinned snapshot at the initial load, then only
+        over the delta's keys (one bounded job on the stats-scoped
+        side, O(ΔB) at 100 TB). NULL keys never match and are
+        ignored."""
+        if version == 0:
+            return
+        side = (self._side_scoped(self.right_path, version, keys)
+                if keys is not None
+                else self._side_df(self.right_path, version))
+        for c in self.on:
+            side = side.filter(F.col(c).isNotNull())
+        if keys is not None:
+            side = side.join(keys.select(*self.on).distinct(),
+                             on=self.on, how="left_semi")
+        dup = (side.groupBy(*self.on).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            k = {c: dup[0][c] for c in self.on}
+            raise ValueError(
+                f"left view requires a UNIQUE right key, but join key "
+                f"{k} has {dup[0]['count']} right rows — deduplicate "
+                "the right source or declare its PK as the join key"
+            )
+
     def refresh(self, *, max_attempts: int = 5) -> dict:
         """Apply both sources' new commits as ONE delta-join
         generation; same concurrency contract as :meth:`AggMV.refresh`
@@ -998,6 +1170,8 @@ class JoinMV:
 
         lstore = MetaStore(self.left_path)
         rstore = MetaStore(self.right_path)
+        lmode = self._source_mode(self.left_path, "left")
+        rmode = self._source_mode(self.right_path, "right")
         for _ in range(max_attempts):
             mv_base = self.table.store.head_version()
             head_l, head_r = lstore.head_version(), rstore.head_version()
@@ -1005,23 +1179,45 @@ class JoinMV:
             if head_l <= last_l and head_r <= last_r:
                 return {"applied": False, "end_version": last_l,
                         "left": (last_l, last_l), "right": (last_r, last_r)}
+            if self.how == "left" and rmode != "pk" and last_l == 0:
+                # initial load joins the WHOLE right snapshot — verify
+                # uniqueness over all of it once, before any commit
+                self._assert_unique_right(head_r, None)
             parts = []
+            keys_a = None
             if head_l > last_l:
-                d_a = _window_df(self.spark, lstore, self.left_path,
-                                 last_l, head_l)
+                d_a, keys_a = self._delta(lstore, self.left_path,
+                                          last_l, head_l, lmode)
                 parts.append(self._join_select(
                     d_a, self._side_scoped(self.right_path, head_r,
                                            d_a),
-                    self.on, self.select, self.where,
+                    self.on, self.select, self.where, self.how,
                 ))
             if head_r > last_r and last_l > 0:
                 # A@lastL ⋈ ΔB — with lastL == 0 the old left is empty
-                # and the term vanishes (the initial load is term one)
-                d_b = _window_df(self.spark, rstore, self.right_path,
-                                 last_r, head_r)
+                # and the term vanishes (the initial load is term one).
+                # ALWAYS INNER, even on left views: this term only
+                # re-emits left rows that gained/changed a match, and
+                # the PK-upsert fold replaces their previous
+                # (NULL-extended or stale) generation.
+                d_b, _ = self._delta(rstore, self.right_path,
+                                     last_r, head_r, rmode)
+                if self.how == "left" and rmode != "pk" and last_l > 0:
+                    self._assert_unique_right(head_r, d_b)
+                old_left = self._side_scoped(self.left_path, last_l,
+                                             d_b)
+                if keys_a is not None:
+                    # the left side churned by PK: its OLD snapshot
+                    # still holds stale versions of the touched keys —
+                    # term one re-emits those pairs from the
+                    # restatement, so exclude them here (for append
+                    # sources the old snapshot already equals
+                    # "head minus delta" and no anti-join is paid)
+                    old_left = old_left.join(keys_a, on=self.on,
+                                             how="left_anti")
                 parts.append(self._join_select(
-                    self._side_scoped(self.left_path, last_l, d_b),
-                    d_b, self.on, self.select, self.where,
+                    old_left, d_b, self.on, self.select, self.where,
+                    "inner",
                 ))
             if not parts:
                 # only the right moved while the applied left is still
@@ -1030,7 +1226,7 @@ class JoinMV:
                 parts.append(self._join_select(
                     self._side_df(self.left_path, 0),
                     self._side_df(self.right_path, 0),
-                    self.on, self.select, self.where,
+                    self.on, self.select, self.where, self.how,
                 ))
             delta = parts[0]
             for p in parts[1:]:
@@ -1074,7 +1270,7 @@ class JoinMV:
         out = self._join_select(
             self._side_df(self.left_path, head_l),
             self._side_df(self.right_path, head_r),
-            self.on, self.select, self.where,
+            self.on, self.select, self.where, self.how,
         )
         info = self.table.info
         adds = write_table_data(out, info, dedup=False)

@@ -1208,12 +1208,14 @@ def test_join_mv_exactly_once_markers(spark, tmp_path):
 
 
 def test_join_mv_random_interleave_fuzz(spark, tmp_path):
-    """Property: for ANY interleaving of left/right appends with
-    refreshes at arbitrary points (including consecutive appends on
-    one side between refreshes, and a trailing refresh), the JoinMV
-    equals the full A ⋈ B of everything appended so far — the delta
-    algebra never drops or double-counts ΔA⋈ΔB regardless of which
-    side moved, how many commits landed, or when the view caught up."""
+    """Property: for ANY interleaving of left appends and right
+    UPSERTS (the right is a PK-keyed churning source, r13: new-key
+    inserts AND restatements of already-joined keys) with refreshes
+    at arbitrary points (including consecutive commits on one side
+    between refreshes, and a trailing refresh), the JoinMV equals the
+    full A ⋈ B of the CURRENT states — the delta algebra never drops,
+    double-counts, or leaves a stale pair regardless of which side
+    moved, how many commits landed, or when the view caught up."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -1227,46 +1229,62 @@ def test_join_mv_random_interleave_fuzz(spark, tmp_path):
     ch = [cust.filter(F.col("c_custkey") % 3 == i)
           .withColumnRenamed("c_custkey", "o_custkey").cache()
           for i in range(3)]
+    # upsert slices: restate nationkey for key subsets that overlap
+    # every ch slice (so already-emitted pairs must be REPLACED)
+    uh = [cust.filter(F.col("c_custkey") % 5 == i)
+          .selectExpr("c_custkey AS o_custkey",
+                      f"CAST(90 + {i} AS INT) AS c_nationkey").cache()
+          for i in range(2)]
     case_n = [0]
 
-    # steps: 'L'/'R' append the next unused slice of that side,
-    # 'F' refreshes — exhausted sides make the step a no-op
+    # steps: 'L' appends the next left slice, 'R' upserts the next
+    # right slice (new keys), 'U' upserts the next churn slice
+    # (restatements), 'F' refreshes — exhausted sides are no-ops
     @settings(max_examples=6, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(steps=st.lists(
-        st.sampled_from(["L", "R", "F"]), min_size=3, max_size=9))
+        st.sampled_from(["L", "R", "U", "F"]), min_size=3, max_size=9))
     def check(steps):
         case_n[0] += 1
         A, B, V = (str(tmp_path / f"f{case_n[0]}{x}") for x in "abv")
         write(oh[0], A, mode="overwrite")
-        write(ch[0], B, mode="overwrite")
+        write(ch[0], B, mode="overwrite",
+              hash_partitions=["o_custkey"], hash_bucket_num=2)
         mv = JoinMV.create(
             spark, A, B, V, on=["o_custkey"],
             select=["o_orderkey", "o_custkey", "c_nationkey"],
             pk=["o_orderkey"], hash_bucket_num=2,
         )
-        li, ri = 1, 1
+        dim_t = LakeSoulTable.for_path(spark, B)
+        applied = [ch[0]]  # right-state model: latest write per key
+        li, ri, ui = 1, 1, 0
         for s in steps + ["F"]:
             if s == "L" and li < len(oh):
                 write(oh[li], A, mode="append")
                 li += 1
             elif s == "R" and ri < len(ch):
-                write(ch[ri], B, mode="append")
+                dim_t.upsert(ch[ri])
+                applied.append(ch[ri])
                 ri += 1
+            elif s == "U" and ui < len(uh):
+                dim_t.upsert(uh[ui])
+                applied.append(uh[ui])
+                ui += 1
             elif s == "F":
                 mv.refresh()
                 lt = oh[0]
                 for x in oh[1:li]:
                     lt = lt.union(x)
-                rt = ch[0]
-                for x in ch[1:ri]:
-                    rt = rt.union(x)
+                rt = applied[0]
+                for x in applied[1:]:
+                    rt = rt.join(x.select("o_custkey"), "o_custkey",
+                                 "left_anti").unionByName(x)
                 got = _jmv_rows(mv.to_df())
                 want = sorted(map(tuple, lt.join(
                     rt, on="o_custkey", how="inner").select(
                     "o_orderkey", "o_custkey", "c_nationkey")
                     .collect()))
-                assert got == want, (steps, s, li, ri)
+                assert got == want, (steps, s, li, ri, ui)
 
     check()
 
@@ -1366,6 +1384,270 @@ def test_join_mv_nan_key_delta_scans_full_side(spark, tmp_path):
     assert got == [(1, 0), (2, 5), (3, 99)], got
 
 
+def test_join_mv_left_outer_late_match(spark, tmp_path):
+    """LEFT view (r13): the ΔA term emits NULL-extended left rows and
+    a late-arriving match re-emits them via the (always-inner)
+    A@old⋈ΔB term — PK-upsert on the LEFT row identity IS the
+    retraction. The create contract (no where, left-identity pk,
+    inner/left only) and the unique-right-key guard (full check at
+    the initial load, delta-scoped afterwards) refuse loudly."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select(
+        "o_orderkey", "o_custkey").limit(400).cache()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey").cache()
+    ch = [cust.filter(F.col("o_custkey") % 2 == i) for i in range(2)]
+    write(orders, A, mode="overwrite")
+    write(ch[0], B, mode="overwrite")
+
+    sel = ["o_orderkey", "o_custkey", "c_nationkey"]
+    with pytest.raises(ValueError, match="left views"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"], select=sel,
+                      pk=["o_orderkey"], where="c_nationkey < 20",
+                      how="left")
+    with pytest.raises(ValueError, match="left row identity"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"], select=sel,
+                      pk=["c_nationkey"], how="left")
+    with pytest.raises(ValueError, match="how must be"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"], select=sel,
+                      pk=["o_orderkey"], how="full")
+
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"], select=sel,
+        pk=["o_orderkey"], hash_bucket_num=2, how="left",
+    )
+
+    def truth(lt, rt):
+        return sorted(map(tuple, lt.join(rt, on="o_custkey",
+                                         how="left")
+                          .select(*sel).collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().select(*sel).collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders, ch[0])
+    n_null = mv.to_df().filter("c_nationkey IS NULL").count()
+    assert n_null > 0, "fixture must leave unmatched left rows"
+    assert mv.to_df().count() == orders.count()
+
+    # the other customer half arrives LATE: every NULL-extended row
+    # whose match landed must be REPLACED (same count, no dup)
+    write(ch[1], B, mode="append")
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders, cust)
+    assert mv.to_df().count() == orders.count()
+    assert mv.to_df().filter("c_nationkey IS NULL").count() < n_null
+
+    # both sides move in ONE refresh
+    more = orders.withColumn("o_orderkey",
+                             F.col("o_orderkey") + 10 ** 9)
+    shifted = cust.withColumn("o_custkey",
+                              F.col("o_custkey") + 10 ** 7)
+    write(more, A, mode="append")
+    write(shifted, B, mode="append")
+    assert mv.refresh()["applied"]
+    lt, rt = orders.union(more), cust.union(shifted)
+    assert got() == truth(lt, rt)
+    assert mv.to_df().count() == lt.count()
+
+    # a duplicate right key in a later ΔB refuses BEFORE committing
+    write(ch[0].limit(1), B, mode="append")
+    before = got()
+    with pytest.raises(ValueError, match="UNIQUE right key"):
+        mv.refresh()
+    assert got() == before, "failed refresh must not commit"
+
+    # ... and a dup inside the INITIAL right snapshot refuses too
+    B2, V2 = str(tmp_path / "b2"), str(tmp_path / "v2")
+    write(ch[0].union(ch[0].limit(1)), B2, mode="overwrite")
+    mv2 = JoinMV.create(spark, A, B2, V2, on=["o_custkey"],
+                        select=sel, pk=["o_orderkey"],
+                        hash_bucket_num=2, how="left")
+    with pytest.raises(ValueError, match="UNIQUE right key"):
+        mv2.refresh()
+
+
+def test_join_mv_pk_churning_dim(spark, tmp_path):
+    """A source whose PK equals the join key may churn by UPSERT
+    (r13; the reference's delta-join workload,
+    ``benchmark/io/deltaJoin/UpsertWriteWithJoin.scala``): the delta
+    is the touched-key RESTATEMENT — head-snapshot rows for the keys
+    the window touched, so partial-column upserts restate whole rows
+    — and the fold replaces exactly the affected pairs. PK != join
+    key refuses at create; ``where`` refuses with a PK side; a DELETE
+    in the window fails loudly toward rebuild()."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select(
+        "o_orderkey", "o_custkey").limit(400).cache()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal")).cache()
+    write(orders, A, mode="overwrite")
+    write(cust, B, mode="overwrite",
+          hash_partitions=["o_custkey"], hash_bucket_num=2)
+
+    sel = ["o_orderkey", "o_custkey", "c_nationkey", "c_acctbal"]
+    # PK-keyed sources refuse a post-join filter
+    with pytest.raises(ValueError, match="PK-churning"):
+        JoinMV.create(spark, A, B, V, on=["o_custkey"], select=sel,
+                      pk=["o_orderkey"], where="c_nationkey < 20")
+    # a PK table whose key is NOT the join key still refuses
+    W = str(tmp_path / "w")
+    write(cust.withColumn("w_id", F.col("o_custkey") + 1), W,
+          mode="overwrite", hash_partitions=["w_id"],
+          hash_bucket_num=2)
+    with pytest.raises(ValueError, match="PK == join key"):
+        JoinMV.create(spark, A, W, V, on=["o_custkey"],
+                      select=["o_orderkey"], pk=["o_orderkey"])
+
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"], select=sel,
+        pk=["o_orderkey"], hash_bucket_num=2,
+    )
+
+    def truth(lt, rt):
+        return sorted(map(tuple, lt.join(rt, on="o_custkey",
+                                         how="inner")
+                          .select(*sel).collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().select(*sel).collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders, cust)
+
+    dim_t = LakeSoulTable.for_path(spark, B)
+    # PARTIAL-column upsert: only (key, nationkey) — the restatement
+    # must still carry the untouched c_acctbal (full MOR fold)
+    churn1 = cust.filter("o_custkey % 5 = 0").select(
+        "o_custkey", (F.lit(77)).cast("int").alias("c_nationkey"))
+    dim_t.upsert(churn1)
+    state1 = cust.withColumn(
+        "c_nationkey",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(77))
+        .otherwise(F.col("c_nationkey")).cast("int"))
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders, state1)
+
+    # BOTH sides move: new facts + full-row dim upsert (updates AND
+    # new keys) in one refresh
+    more = orders.withColumn("o_orderkey",
+                             F.col("o_orderkey") + 10 ** 9)
+    write(more, A, mode="append")
+    churn2 = state1.filter("o_custkey % 7 = 0").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0).union(
+        state1.filter("o_custkey <= 5").withColumn(
+            "o_custkey", F.col("o_custkey") + 10 ** 7))
+    dim_t.upsert(churn2)
+    state2 = state1.join(churn2.select("o_custkey"), "o_custkey",
+                         "left_anti").union(churn2)
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders.union(more), state2)
+
+    # replay no-op + marker parity
+    assert mv.refresh()["applied"] is False
+
+    # LEFT view over a PK right side: uniqueness is structural; a new
+    # dim key arriving by upsert replaces the NULL-extended row
+    V2 = str(tmp_path / "v2")
+    A2 = str(tmp_path / "a2")
+    write(orders.withColumn(
+        "o_custkey", F.col("o_custkey") + 10 ** 8), A2,
+        mode="overwrite")
+    mv2 = JoinMV.create(spark, A2, B, V2, on=["o_custkey"],
+                        select=sel, pk=["o_orderkey"],
+                        hash_bucket_num=2, how="left")
+    assert mv2.refresh()["applied"]
+    assert mv2.to_df().filter("c_nationkey IS NULL").count() == \
+        mv2.to_df().count()
+    late = state2.filter("o_custkey BETWEEN 1 AND 100").withColumn(
+        "o_custkey", F.col("o_custkey") + 10 ** 8)
+    dim_t.upsert(late)
+    assert mv2.refresh()["applied"]
+    state3 = state2.join(late.select("o_custkey"), "o_custkey",
+                         "left_anti").union(late)
+    lt2 = orders.withColumn("o_custkey",
+                            F.col("o_custkey") + 10 ** 8)
+    assert sorted(map(tuple, mv2.to_df().select(*sel).collect())) == \
+        sorted(map(tuple, lt2.join(state3, on="o_custkey", how="left")
+                   .select(*sel).collect()))
+
+    # a DELETE on the PK side is not a restatement: refuse → rebuild
+    dim_t.delete("o_custkey % 10 = 3")
+    with pytest.raises(ValueError, match="non-upsert"):
+        mv.refresh()
+    mv.rebuild()
+    state4 = state3.filter("o_custkey % 10 != 3")
+    assert got() == truth(orders.union(more), state4)
+
+
+def test_join_mv_timestamp_key_probe_non_utc_session(spark, tmp_path):
+    """ADVICE r12: the side-scan probe collects TIMESTAMP join-key
+    bounds as epoch micros and rebuilds tz-aware UTC datetimes, so a
+    non-UTC driver session can no longer over-prune side files (a
+    naive local-time bound compared against naive-UTC stats was hours
+    off). Asserts BOTH no dropped pairs AND that pruning still
+    engages (the fix must not degrade to a full scan)."""
+    from lakesoul_spark.io import stats as stats_mod
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    # B: four ts-sorted slices → disjoint per-file key ranges
+    for s in range(4):
+        write(spark.sql(f"""
+            SELECT TIMESTAMP'2024-03-01 00:00:00Z'
+                   + make_interval(0,0,0,0, CAST({s} * 100 + id AS INT), 0, 0)
+                   AS ts, CAST({s} * 100 + id AS INT) AS payload
+            FROM range(100)
+        """), B, mode="overwrite" if s == 0 else "append",
+            properties={"lakesoul.statsColumns": "ts"}
+            if s == 0 else None)
+    write(spark.sql("""
+        SELECT CAST(id AS BIGINT) AS rid,
+               TIMESTAMP'2024-03-01 00:00:00Z'
+               + make_interval(0,0,0,0, CAST(id * 3 AS INT), 0, 0) AS ts
+        FROM range(20)
+    """), A, mode="overwrite")
+    mv = JoinMV.create(spark, A, B, V, on=["ts"],
+                       select=["rid", "ts", "payload"], pk=["rid"],
+                       hash_bucket_num=2)
+    mv.refresh()
+    # narrow ΔA inside slice 1 (hours 150..159), refreshed under a
+    # NON-UTC session timezone
+    write(spark.sql("""
+        SELECT CAST(id + 1000 AS BIGINT) AS rid,
+               TIMESTAMP'2024-03-01 00:00:00Z'
+               + make_interval(0,0,0,0, CAST(150 + id AS INT), 0, 0) AS ts
+        FROM range(10)
+    """), A, mode="append")
+    pruned = []
+    orig = stats_mod.prune_files
+
+    def spy(files, preds, *, group_wise):
+        out = orig(files, preds, group_wise=group_wise)
+        pruned.append((len(files), len(out)))
+        return out
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    import unittest.mock as mock
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with mock.patch.object(stats_mod, "prune_files", spy):
+            mv.refresh()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert pruned and any(kept < total for total, kept in pruned), \
+        pruned
+    got = sorted(r.rid for r in mv.to_df().collect())
+    assert got == sorted(list(range(20)) + list(range(1000, 1010))), \
+        "non-UTC session dropped join pairs"
+
+
 def test_join_mv_sql_surface(spark, tmp_path):
     """CREATE MATERIALIZED VIEW … FROM a JOIN b USING (k) creates a
     JoinMV through the catalog dispatcher (primaryKey property names
@@ -1411,9 +1693,43 @@ def test_join_mv_sql_surface(spark, tmp_path):
     assert r["applied"]
     assert cat.sql(spark,
                    "SELECT count(*) FROM jview").collect()[0][0] == n2
+    # LEFT [OUTER] JOIN grammar (r13): unmatched facts surface
+    # NULL-extended and a late dim arrival replaces them
+    cat.sql(spark, "CREATE TABLE dims2 (o_custkey BIGINT, "
+                   "c_nationkey INT) USING lakesoul")
+    cat.sql(spark, "INSERT INTO dims2 SELECT * FROM jsql_c "
+                   "WHERE o_custkey % 2 = 0")
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW ljview
+        TBLPROPERTIES('primaryKey'='o_orderkey', 'hashBucketNum'='2')
+        AS SELECT o_orderkey, o_custkey, c_nationkey
+           FROM facts LEFT OUTER JOIN dims2 USING (o_custkey)
+    """)
+    n_fact = cat.sql(spark,
+                     "SELECT count(*) FROM facts").collect()[0][0]
+    assert cat.sql(spark, "SELECT count(*) FROM ljview"
+                   ).collect()[0][0] == n_fact
+    n_null = cat.sql(spark, "SELECT count(*) FROM ljview "
+                            "WHERE c_nationkey IS NULL").collect()[0][0]
+    assert n_null > 0
+    cat.sql(spark, "INSERT INTO dims2 SELECT * FROM jsql_c "
+                   "WHERE o_custkey % 2 = 1")
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW ljview")
+    assert cat.sql(spark, "SELECT count(*) FROM ljview"
+                   ).collect()[0][0] == n_fact, "late match must replace"
+    assert cat.sql(spark, "SELECT count(*) FROM ljview "
+                          "WHERE c_nationkey IS NULL"
+                   ).collect()[0][0] < n_null
     for bad, msg in [
         ("CREATE MATERIALIZED VIEW j2 AS SELECT o_orderkey FROM facts "
          "JOIN dims ON facts.o_custkey = dims.o_custkey", "USING"),
+        ("CREATE MATERIALIZED VIEW j6 TBLPROPERTIES("
+         "'primaryKey'='o_orderkey') AS SELECT o_orderkey FROM facts "
+         "RIGHT JOIN dims USING (o_custkey)", "USING|RIGHT/FULL"),
+        ("CREATE MATERIALIZED VIEW j7 TBLPROPERTIES("
+         "'primaryKey'='o_orderkey') AS SELECT o_orderkey, o_custkey, "
+         "c_nationkey FROM facts LEFT JOIN dims USING (o_custkey) "
+         "WHERE c_nationkey < 20", "left views"),
         ("CREATE MATERIALIZED VIEW j3 AS SELECT o_orderkey FROM facts "
          "JOIN dims USING (o_custkey)", "primaryKey"),
         ("CREATE MATERIALIZED VIEW j4 TBLPROPERTIES("
