@@ -2130,7 +2130,11 @@ def groupby_sum_fast(spark, sf_dir):
     values at write — parquet footer string stats may be truncated
     prefixes, so they are never claimed exact), and
     ``AVG(o_custkey)`` (bit-identical to Spark's double accumulation
-    under the provable ``Σ nonnull×max|bound| < 2^53`` condition).
+    under the provable ``Σ nonnull×max|bound| < 2^53`` condition),
+    plus the r13 ``AVG(price)`` DECIMAL branch (exact
+    decimal(p+4,s+4) HALF_UP from the recorded sums — checked
+    bit-exact against the relational rows by the scoped-vs-fallback
+    row equality inside this lifecycle).
     The proof gate is the shared provable-snapshot rule, WHERE-scoped:
     a PK upsert churns only partition ``1-URGENT`` mid-lifecycle,
     after which the unscoped GROUP BY falls back to a real scan
@@ -2176,11 +2180,17 @@ def groupby_sum_fast(spark, sf_dir):
     # NULL-bearing string, EXACT string extrema (writer-computed —
     # footer string stats may be truncated prefixes), and integer AVG
     # under the 2^53 double-accumulation proof — all zero-job
+    # avg(price) is the r13 DECIMAL AVG branch: exact decimal(22,6)
+    # from recorded sums + nonnull counts (one HALF_UP integer
+    # division) — the scoped-vs-relational row equality below IS its
+    # bit-exactness check (the relational path computes the same
+    # statement through Spark's own decimal Average)
     gb_sql = ("SELECT p, count(*) AS n_rows, sum(o_custkey) AS sum_cust,"
               " min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,"
               " sum(price) AS total_price, count(clerk) AS n_clerk,"
               " min(clerk) AS min_clerk, max(clerk) AS max_clerk,"
-              " avg(o_custkey) AS avg_cust, min(price) AS min_price,"
+              " avg(o_custkey) AS avg_cust, avg(price) AS avg_price,"
+              " min(price) AS min_price,"
               " max(price) AS max_price FROM gbs{where} GROUP BY p")
 
     def run(where: str = "", expect_fast: bool = True):
@@ -2279,7 +2289,8 @@ def incremental_join_mv(spark, sf_dir):
     PK-upserting so MOR folds restatements. Lifecycle: initial load →
     left-only append → one refresh absorbing appends on BOTH sides
     (3 refreshes total), with the view checked against a full Spark
-    re-join after each (row counts + exact key checksum, asserted),
+    re-join at the initial load and the final state (row counts +
+    exact key checksum, asserted; the oracle re-checks the end state),
     exactly-once markers carrying both applied source versions
     (asserted, AggMV parity), a no-op replay (asserted), and
     compaction invariance (asserted). Cost per refresh is O(ΔA + ΔB):
@@ -2331,9 +2342,10 @@ def incremental_join_mv(spark, sf_dir):
     assert checksum(mv.to_df()) == checksum(truth(oh[0], ch[0]))
 
     write(oh[1], A, mode="append")              # left-only churn
-    assert mv.refresh()["applied"]              # 2: ΔA ⋈ B
-    assert checksum(mv.to_df()) == \
-        checksum(truth(oh[0].union(oh[1]), ch[0]))
+    assert mv.refresh()["applied"]              # 2: ΔA ⋈ B (value
+    # checked by the final checksum + oracle — one full re-join truth
+    # check per lifecycle is enough, the middle one was pure bench
+    # cost; r12 VERDICT task 6)
 
     write(ch[1], B, mode="append")              # BOTH sides churn
     write(oh[2], A, mode="append")
@@ -2364,5 +2376,207 @@ def incremental_join_mv(spark, sf_dir):
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
             .cast("double").alias("total_price"),
+        )
+    )
+
+
+@_register(
+    "lakehouse_left_join_mv",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(c_nationkey) AS BIGINT) AS n_matched,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders LEFT JOIN
+         (SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_custkey % 4 <> 3) c
+         ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def left_join_mv(spark, sf_dir):
+    """LEFT-OUTER incrementally-maintained JOIN view (r13 capability;
+    reference anchor: ``left_outer`` is the shape the reference's own
+    join-upsert uses, ``LakeSoulTableOperations.scala:112-135``): the
+    view PK is the LEFT row identity, the ΔA term emits NULL-extended
+    left rows, and a LATE-arriving right row makes the A@old⋈ΔB term
+    re-emit the matched rows — PK-upsert replaces the NULL-extended
+    generation, retraction for free. Lifecycle: initial load against
+    a QUARTER of the dim (NULL-extended majority, asserted) → two
+    late dim arrivals + interleaved fact appends over 3 more
+    refreshes, row count pinned to the fact count THROUGHOUT
+    (replacement, never duplication — asserted after every refresh),
+    NULL-extended count strictly decreasing (asserted), exactly-once
+    markers + replay no-op (asserted). A quarter of the dim NEVER
+    arrives, so the final state still carries NULL-extended rows the
+    DuckDB LEFT JOIN oracle must reproduce. At 100 TB each refresh is
+    O(ΔA + ΔB) — the unique-right-key guard itself only scans the
+    delta's keys on the stats-scoped side."""
+    from lakesoul_spark.mv import JoinMV, open_view
+
+    A = _tmp("ljmv_orders", sf_dir)
+    B = _tmp("ljmv_cust", sf_dir)
+    V = _tmp("ljmv_view", sf_dir)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey",
+    )
+    oh = [orders.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    ch = [cust.filter(F.col("o_custkey") % 4 == i) for i in range(3)]
+    write(oh[0], A, mode="overwrite")
+    write(ch[0], B, mode="overwrite")
+    mv = JoinMV.create(
+        spark, A, B, V,
+        on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey"],
+        pk=["o_orderkey"], hash_bucket_num=4, how="left",
+    )
+
+    def counts():
+        r = mv.to_df().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_nationkey").alias("m"),
+        ).collect()[0]
+        return (r["n"], r["m"])
+
+    assert mv.refresh()["applied"]          # 1: initial, 3/4 dim absent
+    n, m = counts()
+    assert n == oh[0].count() and 0 < m < n, (n, m)
+
+    write(ch[1], B, mode="append")          # late dim arrival
+    assert mv.refresh()["applied"]          # 2: matches REPLACE nulls
+    n2, m2 = counts()
+    assert n2 == n and m2 > m, "late match must replace, not duplicate"
+
+    write(oh[1], A, mode="append")          # both sides move at once
+    write(ch[2], B, mode="append")
+    assert mv.refresh()["applied"]          # 3: ΔA left⋈ B ∪ A@old⋈ΔB
+    n3, m3 = counts()
+    assert n3 == orders.count(), "view rows must equal fact rows"
+    assert m3 < n3, "the never-arriving dim quarter stays NULL-extended"
+
+    # exactly-once markers + replay no-op (AggMV/JoinMV parity)
+    assert mv.last_applied() == (2, 3)
+    head = mv.table.store.head_version()
+    assert open_view(spark, V).refresh()["applied"] is False
+    assert mv.table.store.head_version() == head
+
+    return (
+        mv.to_df()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("c_nationkey").cast("bigint").alias("n_matched"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+@_register(
+    "lakehouse_pk_join_mv",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(acct AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+    FROM orders JOIN
+         (SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey BETWEEN 100 AND 199
+                      THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                      ELSE CAST(c_acctbal AS DOUBLE) END AS acct
+          FROM customer) c
+         ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def pk_join_mv(spark, sf_dir):
+    """JOIN view over a PK-keyed UPSERT-CHURNING dimension (r13
+    capability; the reference's actual delta-join workload —
+    ``benchmark/io/deltaJoin/UpsertWriteWithJoin.scala`` churns its
+    dim side by upsert exactly like this): the dim's PK is the join
+    key, so an upsert restates whole key groups and the refresh joins
+    only the TOUCHED-KEY restatement — the fold replaces exactly the
+    affected pairs, no stale pair survives. The fact table is written
+    in JOIN-KEY-SORTED slices with declared stats, and the query
+    asserts the 100 TB claim in-line: the narrow dim churn's
+    A@old⋈ΔB term plans FEWER fact files than the snapshot holds
+    (commit-log stats pruning, spied via prune_files), while the
+    values stay exact. Also asserted: partial-column restatement
+    correctness rides the MOR fold (the churn upsert carries only
+    key+acctbal), marker parity, and a replay no-op. Oracle: DuckDB
+    re-applies the churn as a CASE over the dim and re-joins."""
+    from lakesoul_spark.io import stats as stats_mod
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.mv import JoinMV, open_view
+
+    A = _tmp("pkjmv_orders", sf_dir)
+    B = _tmp("pkjmv_cust", sf_dir)
+    V = _tmp("pkjmv_view", sf_dir)
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acct"),
+    )
+    cmax = cust.agg(F.max("o_custkey")).collect()[0][0]
+    # fact slices partition the JOIN-KEY space → disjoint per-file
+    # stats ranges (the time-ordered-id layout a real pipeline has)
+    bounds = [0, cmax // 4, cmax // 2, (3 * cmax) // 4, cmax + 1]
+    write(orders.filter(
+        (F.col("o_custkey") >= bounds[0])
+        & (F.col("o_custkey") < bounds[1])), A, mode="overwrite",
+        properties={"lakesoul.statsColumns": "o_custkey"})
+    for i in range(1, 4):
+        write(orders.filter(
+            (F.col("o_custkey") >= bounds[i])
+            & (F.col("o_custkey") < bounds[i + 1])), A, mode="append")
+    write(cust, B, mode="overwrite",
+          hash_partitions=["o_custkey"], hash_bucket_num=4)
+    mv = JoinMV.create(
+        spark, A, B, V,
+        on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey", "acct"],
+        pk=["o_orderkey"], hash_bucket_num=4,
+    )
+    assert mv.refresh()["applied"]          # 1: initial full join
+
+    # NARROW dim churn: PARTIAL-column upsert (key + acct only — the
+    # restatement must carry c_nationkey through the MOR fold)
+    dim_t = LakeSoulTable.for_path(spark, B)
+    dim_t.upsert(cust.filter("o_custkey BETWEEN 100 AND 199")
+                 .select("o_custkey",
+                         (F.col("acct") + 100.0).alias("acct")))
+    pruned = []
+    orig = stats_mod.prune_files
+
+    def spy(files, preds, *, group_wise):
+        out = orig(files, preds, group_wise=group_wise)
+        pruned.append((len(files), len(out)))
+        return out
+
+    stats_mod.prune_files = spy
+    try:
+        assert mv.refresh()["applied"]      # 2: touched-key restatement
+    finally:
+        stats_mod.prune_files = orig
+    # the 100 TB claim, in-query: the narrow delta's side scan PLANS
+    # fewer fact files than the snapshot holds
+    assert pruned and any(kept < total for total, kept in pruned), (
+        "delta-scoped refresh must prune side files", pruned)
+
+    # markers reflect both heads; replay no-ops
+    assert mv.last_applied() == (MetaStore(A).head_version(),
+                                 MetaStore(B).head_version())
+    head = mv.table.store.head_version()
+    assert open_view(spark, V).refresh()["applied"] is False
+    assert mv.table.store.head_version() == head
+
+    return (
+        mv.to_df()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(F.col("acct").cast("decimal(18,6)"))
+            .cast("double").alias("bal_sum"),
         )
     )
