@@ -959,6 +959,7 @@ class Catalog:
             r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+))?"
             r"(?:\s+WHERE\s+(?P<where>.+?))?"
             r"(?:\s+GROUP\s+BY\s+(?P<gby>.+?)"
+            r"(?:\s+HAVING\s+(?P<hav>.+?))?"
             r"(?:\s+ORDER\s+BY\s+(?P<oby>.+?))?"
             r"(?:\s+LIMIT\s+(?P<lim>\d+))?)?"
             r"\s*;?\s*$",
@@ -1387,6 +1388,37 @@ class Catalog:
             # name (Spark resolves but does not re-case it)
             parsed.append(("group", rc, cm.group(2) or cm.group(1)))
 
+        # HAVING / aggregate ORDER BY items resolve against grouping
+        # columns, output aliases, and aggregate expressions — hidden
+        # items are APPENDED to ``parsed`` (Spark computes an
+        # unselected HAVING/ORDER BY aggregate the same way) and ride
+        # the ordinary spec machinery below, so every provability gate
+        # applies to them too; the final projection drops them.
+        n_visible = len(parsed)
+        hav_ast = None
+        if m.group("hav") is not None:
+            hav_ast = self._parse_having_text(
+                m.group("hav"), parsed, gcols, case_sensitive, rset,
+                ambiguous)
+            if hav_ast is None:
+                return None
+        oby_txt = m.group("oby")
+        order_extra: dict[str, int] = {}
+        if oby_txt is not None:
+            oby_txt = self._rewrite_order_aggs(
+                oby_txt, parsed, gcols, case_sensitive, rset,
+                ambiguous, order_extra)
+            if oby_txt is None:
+                return None
+            if hav_ast is not None and order_extra:
+                # HAVING + aggregate ORDER BY items together: Spark's
+                # own analyzer REJECTS some of these combinations
+                # (hidden sort aggregates fail to resolve across the
+                # having filter, measured on 4.1) — never answer a
+                # statement the relational path might error on; the
+                # fallback reproduces Spark's exact accept/reject
+                return None
+
         snap = t._provable_snapshot(m.group("where"))
         if snap is None:
             return None
@@ -1615,11 +1647,16 @@ class Catalog:
             specs.append((cname, "string", st, out, _mm))
 
         order_spec = None
-        if m.group("oby"):
+        if oby_txt:
             order_spec = self._parse_order_by(
-                m.group("oby"), specs, case_sensitive)
+                oby_txt, specs, case_sensitive, extra=order_extra)
             if order_spec is None:
                 return None  # unrepresentable ORDER BY: fall back
+        hav_pred = None
+        if hav_ast is not None:
+            hav_pred = self._hav_predicate(hav_ast, specs)
+            if hav_pred is None:
+                return None  # no provable comparison domain: fall back
 
         rows = []
         for key in sorted(groups,
@@ -1633,6 +1670,12 @@ class Catalog:
                     return None
                 row.append(v)
             rows.append(tuple(row))
+
+        if hav_pred is not None:
+            # SQL filter semantics: a group survives only on TRUE
+            # (Kleene 3-valued — NULL comparisons drop the row), and
+            # HAVING applies BEFORE ORDER BY / LIMIT
+            rows = [r for r in rows if hav_pred(r) is True]
 
         if order_spec is not None:
             # typed driver-side ORDER BY over the (≤MAX_LOCAL_ROWS)
@@ -1660,7 +1703,7 @@ class Catalog:
             ", ".join(f"`{c}` {carrier}" for c, carrier, *_ in specs),
         )
         sel = []
-        for c, carrier, cast_to, out, _fv in specs:
+        for c, carrier, cast_to, out, _fv in specs[:n_visible]:
             e = F.col(f"`{c}`")
             if cast_to is not None:
                 e = e.cast(cast_to)
@@ -1698,13 +1741,16 @@ class Catalog:
     }
 
     @classmethod
-    def _parse_order_by(cls, text: str, specs, case_sensitive):
+    def _parse_order_by(cls, text: str, specs, case_sensitive,
+                        extra: dict | None = None):
         """ORDER BY items resolved against the SELECT output columns →
         ``[(row_index, key_fn, desc, nulls_first)]``, or ``None`` for
         anything not exactly representable (expressions, ordinals,
         non-output columns, unorderable types) — the caller falls back
         to the relational path. Spark defaults: ASC + NULLS FIRST;
-        DESC + NULLS LAST."""
+        DESC + NULLS LAST. ``extra`` maps placeholder names (from
+        :meth:`_rewrite_order_aggs` — aggregate items resolved to
+        possibly-hidden spec indexes) straight to spec positions."""
         import decimal
 
         by_name = {}
@@ -1719,8 +1765,13 @@ class Catalog:
             im = cls._ORDER_ITEM_RE.match(item)
             if im is None or im.group(1).isdigit():
                 return None
-            ref = im.group(1) if case_sensitive else im.group(1).lower()
-            hit = by_name.get(ref)
+            if extra and im.group(1) in extra:
+                i2 = extra[im.group(1)]
+                hit = (i2, specs[i2][1], specs[i2][2])
+            else:
+                ref = (im.group(1) if case_sensitive
+                       else im.group(1).lower())
+                hit = by_name.get(ref)
             if hit is None:
                 return None
             i, carrier, cast_to = hit
@@ -1740,6 +1791,372 @@ class Catalog:
                 else nf.upper() == "FIRST"
             out_spec.append((i, key_fn, desc, nulls_first))
         return out_spec or None
+
+    # ------------------------------------------------- HAVING tails
+    # (r13) HAVING on the GROUP BY fast path: atoms are
+    # <operand> <cmp> <literal> / <operand> IS [NOT] NULL composed
+    # with AND/OR/NOT and parentheses; operands are grouping columns,
+    # output aliases, or aggregate expressions of the provable family
+    # (Spark resolves ALL of these — measured — computing unselected
+    # aggregates as hidden columns, which is exactly what the hidden
+    # ``parsed`` items replicate). Anything else refuses → relational.
+
+    _HAV_LIT_INT = re.compile(r"^[+-]?\d+$")
+    _HAV_LIT_DEC = re.compile(r"^[+-]?(\d+\.\d*|\.\d+)$")
+    _HAV_LIT_DBL = re.compile(
+        r"^[+-]?(\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+[dD]?|[dD])$")
+    _HAV_LIT_STR = re.compile(r"^'([^'\\]*)'$", re.S)
+    _HAV_CMP_RE = re.compile(
+        r"^(?P<lhs>.+?)\s*(?P<op><=|>=|<>|!=|==|=|<|>)\s*(?P<lit>.+)$",
+        re.S)
+    _HAV_NULL_RE = re.compile(
+        r"^(?P<lhs>.+?)\s+IS\s+(?P<neg>NOT\s+)?NULL$", re.I | re.S)
+
+    @staticmethod
+    def _parsed_out_name(p) -> str:
+        """Output name of one parsed item — the spec loop's auto-alias
+        formula, shared so HAVING/ORDER BY resolution and the built
+        specs can never disagree."""
+        if p[0] == "group":
+            return p[2]
+        _, fn, col, alias = p
+        if alias:
+            return alias
+        if fn == "count" and col is None:
+            return "count(1)"
+        if fn == "cntd":
+            return f"count(DISTINCT {col})"
+        return f"{fn}({col})"
+
+    def _resolve_having_operand(self, text: str, parsed: list,
+                                gcols: list, case_sensitive: bool,
+                                rset: dict, ambiguous) -> int | None:
+        """Operand text → index into ``parsed`` (appending a HIDDEN
+        item for an expression not in the SELECT); ``None`` = outside
+        the grammar (caller falls back). Resolution order mirrors
+        Spark: grouping columns and aggregate expressions first, then
+        output aliases; an operand matching two outputs refuses (the
+        relational path would raise AMBIGUOUS_REFERENCE — never
+        answer a statement Spark itself rejects)."""
+        text = text.strip()
+        im = self._META_AGG_RE.match(text)
+        if im is not None:
+            if im.group(1) or im.group(4) or im.group(6):
+                return None  # an alias inside an operand is not SQL
+            if im.group(5):
+                fnk, col = "cntd", im.group(5)
+            elif im.group(2):
+                fnk, col = im.group(2).lower(), im.group(3)
+            else:
+                fnk, col = "count", None
+            colk = (col if case_sensitive or col is None
+                    else col.lower())
+            for i, p in enumerate(parsed):
+                if p[0] != "agg" or p[1] != fnk:
+                    continue
+                pk = (p[2] if case_sensitive or p[2] is None
+                      else p[2].lower())
+                if pk == colk:
+                    return i
+            parsed.append(("agg", fnk, col, f"__hav{len(parsed)}"))
+            return len(parsed) - 1
+        bm = self._BARE_COL_RE.match(text)
+        if bm is None or bm.group(2) or bm.group(1).isdigit():
+            return None
+        key = bm.group(1) if case_sensitive else bm.group(1).lower()
+        if key in ambiguous:
+            return None
+        rc = rset.get(key)
+        if rc is not None and rc in gcols:
+            for i, p in enumerate(parsed):
+                if p[0] == "group" and p[1] == rc:
+                    return i
+            parsed.append(("group", rc, f"__hav{len(parsed)}"))
+            return len(parsed) - 1
+        hits = [i for i, p in enumerate(parsed)
+                if (self._parsed_out_name(p) if case_sensitive
+                    else self._parsed_out_name(p).lower()) == key]
+        return hits[0] if len(hits) == 1 else None
+
+    @staticmethod
+    def _hav_tokens(text: str) -> list | None:
+        """HAVING text → tokens: LP/RP (top-level grouping parens),
+        AND/OR/NOT keywords, and ATOM runs. Parens inside an already-
+        started atom (``count(*)``) and anything inside quotes stay in
+        the atom; an unbalanced tail returns None."""
+        toks: list = []
+        buf = ""
+        depth = 0
+        i, n = 0, len(text)
+
+        def flush():
+            nonlocal buf
+            if buf.strip():
+                toks.append(("ATOM", buf.strip()))
+            buf = ""
+
+        while i < n:
+            c = text[i]
+            if c == "'":
+                j = text.find("'", i + 1)
+                if j < 0:
+                    return None
+                buf += text[i:j + 1]
+                i = j + 1
+                continue
+            if c == "(":
+                if not buf.strip():
+                    flush()
+                    toks.append(("LP", "("))
+                else:
+                    depth += 1
+                    buf += c
+                i += 1
+                continue
+            if c == ")":
+                if depth == 0:
+                    flush()
+                    toks.append(("RP", ")"))
+                else:
+                    depth -= 1
+                    buf += c
+                i += 1
+                continue
+            if depth == 0:
+                mkw = re.match(r"(AND|OR|NOT)\b", text[i:], re.I)
+                if mkw and (i == 0 or not (text[i - 1].isalnum()
+                                           or text[i - 1] == "_")):
+                    # the NOT of `IS NOT NULL` belongs to the atom,
+                    # not to the boolean structure
+                    if (mkw.group(1).upper() == "NOT"
+                            and re.search(r"\bIS\s*$", buf, re.I)):
+                        buf += mkw.group(1)
+                        i += len(mkw.group(1))
+                        continue
+                    flush()
+                    toks.append((mkw.group(1).upper(), mkw.group(1)))
+                    i += len(mkw.group(1))
+                    continue
+            buf += c
+            i += 1
+        if depth != 0:
+            return None
+        flush()
+        return toks
+
+    def _parse_having_text(self, text, parsed, gcols, case_sensitive,
+                           rset, ambiguous):
+        toks = self._hav_tokens(text)
+        if toks is None:
+            return None
+        ctx = (parsed, gcols, case_sensitive, rset, ambiguous)
+        ast, pos = self._hav_expr(toks, 0, ctx)
+        if ast is None or pos != len(toks):
+            return None
+        return ast
+
+    def _hav_expr(self, toks, pos, ctx):
+        left, pos = self._hav_term(toks, pos, ctx)
+        if left is None:
+            return None, pos
+        while pos < len(toks) and toks[pos][0] == "OR":
+            right, pos = self._hav_term(toks, pos + 1, ctx)
+            if right is None:
+                return None, pos
+            left = ("or", left, right)
+        return left, pos
+
+    def _hav_term(self, toks, pos, ctx):
+        left, pos = self._hav_factor(toks, pos, ctx)
+        if left is None:
+            return None, pos
+        while pos < len(toks) and toks[pos][0] == "AND":
+            right, pos = self._hav_factor(toks, pos + 1, ctx)
+            if right is None:
+                return None, pos
+            left = ("and", left, right)
+        return left, pos
+
+    def _hav_factor(self, toks, pos, ctx):
+        if pos >= len(toks):
+            return None, pos
+        kind, _val = toks[pos]
+        if kind == "NOT":
+            inner, pos = self._hav_factor(toks, pos + 1, ctx)
+            if inner is None:
+                return None, pos
+            return ("not", inner), pos
+        if kind == "LP":
+            inner, pos = self._hav_expr(toks, pos + 1, ctx)
+            if (inner is None or pos >= len(toks)
+                    or toks[pos][0] != "RP"):
+                return None, pos
+            return inner, pos + 1
+        if kind == "ATOM":
+            atom = self._hav_atom(_val, ctx)
+            if atom is None:
+                return None, pos
+            return atom, pos + 1
+        return None, pos
+
+    def _hav_atom(self, text, ctx):
+        parsed, gcols, case_sensitive, rset, ambiguous = ctx
+        nm = self._HAV_NULL_RE.match(text)
+        if nm is not None:
+            idx = self._resolve_having_operand(
+                nm.group("lhs"), parsed, gcols, case_sensitive, rset,
+                ambiguous)
+            if idx is None:
+                return None
+            return ("null", idx, bool(nm.group("neg")))
+        cm = self._HAV_CMP_RE.match(text)
+        if cm is None:
+            return None
+        lit = cm.group("lit").strip()
+        if self._HAV_LIT_INT.match(lit) or self._HAV_LIT_DEC.match(lit):
+            # Spark parses bare fractional literals as DECIMALS —
+            # exact against int/decimal operands
+            lk, lv = "exact", lit
+        elif self._HAV_LIT_DBL.match(lit):
+            lk, lv = "double", lit.rstrip("dD")
+        else:
+            sm = self._HAV_LIT_STR.match(lit)
+            if sm is None:
+                return None  # escapes/dates/columns: fall back
+            lk, lv = "str", sm.group(1)
+        idx = self._resolve_having_operand(
+            cm.group("lhs"), parsed, gcols, case_sensitive, rset,
+            ambiguous)
+        if idx is None:
+            return None
+        op = cm.group("op")
+        op = "!=" if op == "<>" else ("=" if op == "==" else op)
+        return ("cmp", idx, op, lk, lv)
+
+    @staticmethod
+    def _hav_predicate(ast, specs):
+        """AST → row predicate returning Kleene True/False/None (a
+        group survives only on TRUE), or ``None`` when an operand's
+        type has no provable comparison domain. Domains replicate
+        Spark's coercions (measured): fractional literals are
+        DECIMALS (exact against int/decimal operands); scientific /
+        D-suffixed literals and float/double operands force the
+        DOUBLE domain, where ``_dbl_order_key`` reproduces Spark's
+        NaN-above-everything comparison semantics (``NaN = NaN`` is
+        true, ``NaN > 1e308`` is true) and ``float(Decimal)`` is the
+        same correctly-rounded cast Spark applies; strings compare
+        binary (codepoint == UTF-8 byte order)."""
+        import decimal
+
+        _OPS = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        _INTS = ("tinyint", "smallint", "int", "integer", "bigint",
+                 "long")
+
+        def build(node):
+            tag = node[0]
+            if tag in ("and", "or"):
+                lf, rf = build(node[1]), build(node[2])
+                if lf is None or rf is None:
+                    return None
+                if tag == "and":
+                    def f(row, _l=lf, _r=rf):
+                        a, b = _l(row), _r(row)
+                        if a is False or b is False:
+                            return False
+                        if a is None or b is None:
+                            return None
+                        return True
+                else:
+                    def f(row, _l=lf, _r=rf):
+                        a, b = _l(row), _r(row)
+                        if a is True or b is True:
+                            return True
+                        if a is None or b is None:
+                            return None
+                        return False
+                return f
+            if tag == "not":
+                inner = build(node[1])
+                if inner is None:
+                    return None
+
+                def f(row, _i=inner):
+                    v = _i(row)
+                    return None if v is None else (not v)
+                return f
+            if tag == "null":
+                _, idx, neg = node
+
+                def f(row, _i=idx, _n=neg):
+                    isnull = row[_i] is None
+                    return (not isnull) if _n else isnull
+                return f
+            _, idx, op, lk, lv = node
+            rt = (specs[idx][2] or specs[idx][1]).lower()
+            if lk == "str":
+                if rt != "string":
+                    return None
+                conv, lit = str, lv
+            elif rt in ("double", "float") or lk == "double":
+                if not (rt in ("double", "float") or rt in _INTS
+                        or rt.startswith("decimal(")):
+                    return None
+
+                def conv(v):
+                    return _dbl_order_key(float(v))
+                lit = _dbl_order_key(float(lv))
+            elif rt in _INTS or rt.startswith("decimal("):
+                def conv(v):
+                    return decimal.Decimal(str(v))
+                lit = decimal.Decimal(lv)
+            else:
+                return None  # dates/timestamps: fall back
+
+            def f(row, _i=idx, _c=conv, _lit=lit, _op=_OPS[op]):
+                v = row[_i]
+                if v is None:
+                    return None  # SQL: comparison with NULL = unknown
+                return _op(_c(v), _lit)
+            return f
+
+        return build(ast)
+
+    def _rewrite_order_aggs(self, text, parsed, gcols, case_sensitive,
+                            rset, ambiguous, extra: dict):
+        """ORDER BY tail with AGGREGATE-EXPRESSION items resolved to
+        (possibly hidden) spec positions — Spark sorts by the
+        aggregate value whether or not it is selected. Rewrites each
+        such item to a placeholder recorded in ``extra`` (auto-named
+        outputs like ``sum(x)`` are not word-shaped, so a textual
+        rewrite to the output name could not resolve); plain items
+        pass through. ``None`` = outside the grammar."""
+        out_items = []
+        for item in _split_top(text):
+            item = item.strip()
+            if self._ORDER_ITEM_RE.match(item):
+                out_items.append(item)
+                continue
+            sm = re.match(r"^(?P<body>.+?)(?P<suf>(?:\s+(?:ASC|DESC))?"
+                          r"(?:\s+NULLS\s+(?:FIRST|LAST))?)$",
+                          item, re.I | re.S)
+            body = sm.group("body").strip()
+            if self._META_AGG_RE.match(body) is None:
+                return None
+            idx = self._resolve_having_operand(
+                body, parsed, gcols, case_sensitive, rset, ambiguous)
+            if idx is None:
+                return None
+            ph = f"__ob{len(extra)}"
+            extra[ph] = idx
+            out_items.append(ph + sm.group("suf"))
+        return ", ".join(out_items)
 
     @staticmethod
     def _sum_checked(t, snap, cname: str, st: str):

@@ -2212,6 +2212,22 @@ def groupby_sum_fast(spark, sf_dir):
 
     pre = run()  # whole table provable: metadata-only
 
+    # r13: HAVING + aggregate ORDER BY ride the same zero-job proof —
+    # the unselected HAVING/ORDER aggregates are computed as hidden
+    # metadata columns, exactly as Spark resolves them (values checked
+    # against the relational plan over the same table, order-sensitive)
+    hv_sql = ("SELECT p, count(*) AS n_rows FROM gbs GROUP BY p "
+              "HAVING count(clerk) > 1 AND min(clerk) IS NOT NULL "
+              "ORDER BY n_rows DESC, p LIMIT 3")
+    hv = cat.sql(spark, hv_sql)
+    hv_plan = hv._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in hv_plan and "Scan parquet" not in hv_plan
+    t.to_df().createOrReplaceTempView("gbs_rel")
+    assert [tuple(r) for r in hv.collect()] == \
+        [tuple(r) for r in
+         spark.sql(hv_sql.replace("FROM gbs", "FROM gbs_rel"))
+         .collect()], "HAVING fast rows != relational rows"
+
     # churn EXACTLY one partition: PK rewrite doubles some prices —
     # counts unchanged, sums changed, '1-URGENT' buckets now 2-gen
     t.upsert(

@@ -1561,19 +1561,33 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "", " ORDER BY p", " ORDER BY p DESC",
         " ORDER BY p ASC NULLS LAST", " ORDER BY p DESC LIMIT 2",
     ])
+    # r13: HAVING tails (atoms over aggregates incl. UNSELECTED ones,
+    # aliases, the group key; AND/OR/NOT; IS [NOT] NULL) — the fast
+    # path filters driver-side with Kleene semantics, the relational
+    # path must agree on every surviving group
+    having = st.sampled_from([
+        "", " HAVING count(*) > 25", " HAVING count(i) >= 10",
+        " HAVING max(i) > 0 AND min(i) < 0",
+        " HAVING min(s) IS NOT NULL OR count(*) < 3",
+        " HAVING p > 'a'", " HAVING NOT (sum(i) > 100)",
+        " HAVING avg(dd) >= -2.5", " HAVING sum(dd) <> 0.25",
+        " HAVING max(f) >= 1e300", " HAVING count(*) > 5.5",
+    ])
 
     @settings(max_examples=50, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(items=st.lists(item, min_size=1, max_size=3, unique=True),
-           w=where, gb=st.booleans(), sel_p=st.booleans(), ob=order)
-    def check(items, w, gb, sel_p, ob):
+           w=where, gb=st.booleans(), sel_p=st.booleans(), ob=order,
+           hv=having)
+    def check(items, w, gb, sel_p, ob, hv):
         if gb and sel_p:
             items = ["p"] + items
         sel = ", ".join(items)
         # ORDER BY tails only with GROUP BY (the fast path's shape);
         # p is the unique group key, so the order is tie-free and the
         # LIMIT cut is deterministic — compare ORDER-SENSITIVELY
-        tail = (" GROUP BY p" + (ob if sel_p else "")) if gb else ""
+        tail = (" GROUP BY p" + hv + (ob if sel_p else "")) if gb \
+            else ""
         for tbl, tview, churned in (("fmx", "fmx_truth", False),
                                     ("fmx2", "fmx2_truth", True)):
             got = cat.sql(spark, f"SELECT {sel} FROM {tbl}{w}{tail}")
@@ -1931,6 +1945,100 @@ def test_groupby_fast_path_typed_desc_collapse(cat, spark, tmp_path):
         assert df.collect() == want
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_groupby_fast_path_having_and_order_aggs(cat, spark):
+    """HAVING tails and aggregate ORDER BY items on the metadata
+    GROUP BY fast path (r13): atoms over aggregates (including ones
+    NOT in the SELECT — computed as hidden columns, exactly as Spark
+    resolves them), output aliases, and grouping columns, composed
+    with AND/OR/NOT, parentheses, and IS [NOT] NULL — all still a
+    zero-scan LocalRelation. Comparison domains replicate Spark's
+    coercions (fractional literals are decimals; scientific/D
+    literals and double operands compare as doubles with NaN above
+    everything). Everything outside the grammar refuses into the
+    relational path, including statements Spark itself rejects."""
+    cat.sql(spark, """
+        CREATE TABLE hvq (k BIGINT, i INT, dd DECIMAL(10,2), s STRING,
+                          f DOUBLE, p STRING, q INT)
+        USING lakesoul PARTITIONED BY (p, q)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='i,dd,s,f')
+    """)
+    src = """
+        SELECT id AS k, CAST(id % 11 AS INT) AS i,
+               CAST(id * 0.25 AS DECIMAL(10,2)) AS dd,
+               CASE WHEN id % 5 = 0 THEN NULL
+                    ELSE concat('x', id % 7) END AS s,
+               CASE WHEN id % 9 = 0 THEN CAST('NaN' AS DOUBLE)
+                    ELSE CAST(id AS DOUBLE) / 4 END AS f,
+               CASE WHEN id % 3 = 0 THEN 'a'
+                    WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p,
+               CAST(id % 2 AS INT) AS q
+        FROM range(60)
+    """
+    cat.sql(spark, f"INSERT INTO hvq {src}")
+    cat.get_table(spark, "hvq").to_df().createOrReplaceTempView(
+        "hvq_rel")
+    fast_cases = [
+        "SELECT p, count(*) AS n FROM hvq GROUP BY p HAVING n > 15",
+        "SELECT p FROM hvq GROUP BY p HAVING count(*) > 19",
+        "SELECT p FROM hvq GROUP BY p HAVING max(i) >= 10 AND min(i) <= 0",
+        "SELECT p, q, sum(i) AS si FROM hvq GROUP BY p, q "
+        "HAVING sum(i) > 50 OR q = 0",
+        "SELECT p FROM hvq GROUP BY p "
+        "HAVING (count(*) > 19 AND max(i) > 9) OR p = 'zz'",
+        "SELECT p, max(s) AS ms FROM hvq GROUP BY p HAVING ms > 'x1'",
+        "SELECT p FROM hvq GROUP BY p HAVING sum(dd) > 100.5",
+        "SELECT p FROM hvq GROUP BY p HAVING avg(i) >= 5.0e0",
+        "SELECT p FROM hvq GROUP BY p HAVING max(f) >= 1e308",
+        "SELECT p FROM hvq GROUP BY p HAVING count(s) <> 20",
+        "SELECT p FROM hvq GROUP BY p HAVING min(s) IS NOT NULL",
+        "SELECT p FROM hvq GROUP BY p "
+        "HAVING p IS NOT NULL AND NOT (count(*) > 100)",
+        "SELECT p, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING count(*) >= 20 ORDER BY n DESC, p LIMIT 2",
+        "SELECT p FROM hvq GROUP BY p ORDER BY sum(i) DESC",
+        "SELECT p FROM hvq GROUP BY p ORDER BY max(i) ASC, p DESC",
+        "SELECT p FROM hvq WHERE q = 1 GROUP BY p HAVING count(*) > 9",
+    ]
+    for stq in fast_cases:
+        got = cat.sql(spark, stq)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "Scan parquet" not in plan, \
+            (stq, plan)
+        want = spark.sql(stq.replace("FROM hvq", "FROM hvq_rel"))
+        assert [(fl.name, fl.dataType, fl.nullable)
+                for fl in got.schema.fields] == \
+            [(fl.name, fl.dataType, fl.nullable)
+             for fl in want.schema.fields], stq
+        canon = lambda r: tuple((v is None, str(v)) for v in r)
+        g = [canon(r) for r in got.collect()]
+        x = [canon(r) for r in want.collect()]
+        if "ORDER BY" not in stq:
+            g, x = sorted(g), sorted(x)
+        assert g == x, (stq, g[:3], x[:3])
+    # outside the grammar: refuse into the relational path (values
+    # still right there) — column-vs-column, expressions
+    for stq in [
+        "SELECT p FROM hvq GROUP BY p HAVING max(i) > count(*)",
+        "SELECT p FROM hvq GROUP BY p HAVING count(*) + 1 > 3",
+        # HAVING + aggregate ORDER BY: Spark's analyzer rejects some
+        # of these combinations, so the fast path always defers —
+        # this particular one Spark accepts, and the fallback answers
+        "SELECT p, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING count(*) >= 20 ORDER BY sum(i) DESC LIMIT 2",
+    ]:
+        got = cat.sql(spark, stq)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan, stq
+        want = spark.sql(stq.replace("FROM hvq", "FROM hvq_rel"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect())), stq
+    # error parity: a non-grouped data column in HAVING must surface
+    # Spark's own analysis error, never a fast-path answer
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        cat.sql(spark, "SELECT p FROM hvq GROUP BY p HAVING i > 3")
 
 
 def test_part_value_keys_strict_typed_parse():
