@@ -1039,6 +1039,38 @@ class Catalog:
     }
 
     @staticmethod
+    def _part_sum_files(files, col: str, key_fn) -> tuple | None:
+        """Exact ``(sum, nonnull, Σ|value|)`` of an INT-FAMILY
+        range-partition column over a live-file list: the desc IS the
+        value, so the sum is ``Σ typed(desc) × num_rows`` over
+        non-sentinel partitions (the NULL-sentinel partition holds SQL
+        NULLs — contributes nothing to SUM/AVG). Sound under the
+        shared provable-snapshot gate for the same reason COUNT(*) is:
+        at most one generation per scoped PK bucket, so ``num_rows``
+        sums to the relational row count. ``Σ|value|`` feeds AVG's
+        2^53 double-accumulation proof (it bounds every partial sum in
+        any execution order). ``None`` when a file predates num_rows
+        recording or a desc value is outside the canonical typed
+        grammar (→ fall back to a scan)."""
+        from lakesoul_spark.io import partition as part_enc
+
+        total = nonnull = bound = 0
+        for f in files:
+            if f.num_rows < 0:
+                return None
+            v = part_enc.parse_desc(f.partition_desc).get(col)
+            if v is None:
+                continue
+            try:
+                tv = key_fn(v)
+            except (TypeError, ValueError):
+                return None
+            total += tv * f.num_rows
+            bound += abs(tv) * f.num_rows
+            nonnull += f.num_rows
+        return (total, nonnull, bound)
+
+    @staticmethod
     def _part_rows_by_desc(files) -> dict | None:
         """Total live rows per partition desc over a (scoped, provable)
         file list — ``None`` when any file predates the num_rows-
@@ -1182,6 +1214,24 @@ class Catalog:
                            f"`{alias or f'count({col})'}`")
                 continue
             if fn == "avg":
+                if f.name in t.info.range_partitions:
+                    # desc-derived: avg = Σ value×rows / Σ rows, exact
+                    # in Spark's double accumulation under the 2^53
+                    # Σ|value| bound (int family only — Spark coerces
+                    # other types through casts this path won't mimic)
+                    if st not in LakeSoulTable._SUM_EXACT_TYPES:
+                        return None
+                    kf = self._PART_VALUE_KEYS.get(st)
+                    r = kf and self._part_sum_files(snap.files,
+                                                    f.name, kf)
+                    if not r or r[2] >= 2 ** 53:
+                        return None
+                    total, nonnull, _b = r
+                    lit = ("CAST(NULL AS DOUBLE)" if nonnull == 0 else
+                           f"CAST('{float(total) / nonnull!r}' "
+                           f"AS DOUBLE)")
+                    sel.append(f"{lit} AS `{alias or f'avg({col})'}`")
+                    continue
                 if st.startswith("decimal("):
                     # exact decimal AVG from the recorded exact sums +
                     # nonnull counts (result type decimal(p+4,s+4),
@@ -1206,6 +1256,23 @@ class Catalog:
                 sel.append(f"{lit} AS `{alias or f'avg({col})'}`")
                 continue
             if fn == "sum":
+                if f.name in t.info.range_partitions:
+                    # desc-derived: sum = Σ value×rows (int family;
+                    # overflow refused through the shared result-type
+                    # bound, exactly like data-column sums)
+                    if st not in LakeSoulTable._SUM_EXACT_TYPES:
+                        return None
+                    kf = self._PART_VALUE_KEYS.get(st)
+                    r = kf and self._part_sum_files(snap.files,
+                                                    f.name, kf)
+                    rr = r and self._sum_render((r[0], r[1]), st)
+                    if not rr:
+                        return None
+                    v, rt = rr
+                    lit = (f"CAST(NULL AS {rt})" if v is None
+                           else f"CAST('{v}' AS {rt})")
+                    sel.append(f"{lit} AS `{alias or f'sum({col})'}`")
+                    continue
                 lit = self._sum_literal(t, snap, f.name, st)
                 if lit is None:
                     return None
@@ -1557,7 +1624,25 @@ class Catalog:
                 continue
             if fn == "avg":
                 if f.name in range_set:
-                    return None
+                    # desc-derived per group: Σ value×rows / Σ rows,
+                    # exact under the 2^53 Σ|value| bound (int family)
+                    if st not in LakeSoulTable._SUM_EXACT_TYPES:
+                        return None
+                    pk_fn2 = self._PART_VALUE_KEYS.get(st)
+                    if pk_fn2 is None:
+                        return None
+
+                    def _avgp(key, gf, _c=f.name, _k=pk_fn2):
+                        r = self._part_sum_files(gf, _c, _k)
+                        if r is None or r[2] >= 2 ** 53:
+                            return _REFUSE
+                        total, nonnull, _b = r
+                        if nonnull == 0:
+                            return None  # all rows NULL: SQL NULL
+                        return repr(float(total) / nonnull)
+                    specs.append((cname, "string", "double", out,
+                                  _avgp))
+                    continue
                 if st.startswith("decimal("):
                     # exact per-group decimal AVG (result type
                     # decimal(p+4,s+4) HALF_UP; proof in
@@ -1591,7 +1676,25 @@ class Catalog:
                 continue
             if fn == "sum":
                 if f.name in range_set:
-                    return None  # see _sum_from: desc-materialized
+                    # desc-derived per group: Σ value×rows (int
+                    # family; shared overflow bound via _sum_render)
+                    if st not in LakeSoulTable._SUM_EXACT_TYPES:
+                        return None
+                    pk_fn2 = self._PART_VALUE_KEYS.get(st)
+                    if pk_fn2 is None:
+                        return None
+
+                    def _sump(key, gf, _c=f.name, _k=pk_fn2):
+                        r = self._part_sum_files(gf, _c, _k)
+                        rr = r and self._sum_render((r[0], r[1]),
+                                                    "bigint")
+                        if not rr:
+                            return _REFUSE
+                        return rr[0]
+                    specs.append((cname, "string",
+                                  self._sum_result_type(st), out,
+                                  _sump))
+                    continue
                 if not (st in LakeSoulTable._SUM_EXACT_TYPES
                         or st.startswith("decimal(")):
                     return None

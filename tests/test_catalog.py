@@ -1486,8 +1486,8 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
 
     cat.sql(spark, """
         CREATE TABLE fmx (k BIGINT, i INT, d DATE, dd DECIMAL(10,2),
-                          s STRING, f DOUBLE, p STRING)
-        USING lakesoul PARTITIONED BY (p)
+                          s STRING, f DOUBLE, p STRING, q INT)
+        USING lakesoul PARTITIONED BY (p, q)
         TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
                       'lakesoul.statsColumns'='i,d,dd,s,f')
     """)
@@ -1504,7 +1504,9 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
                     WHEN id % 19 = 0 THEN CAST('-Infinity' AS DOUBLE)
                     ELSE CAST(id AS DOUBLE) * 0.25 - 11.0D END AS f,
                CASE WHEN id % 3 = 0 THEN 'a'
-                    WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p
+                    WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS p,
+               CASE WHEN id % 11 = 0 THEN NULL
+                    ELSE CAST(id % 4 - 1 AS INT) END AS q
         FROM range(90)
     """
     cat.sql(spark, f"INSERT INTO fmx {src}")
@@ -1520,8 +1522,8 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
     # the relational path there (and still match the truth)
     cat.sql(spark, """
         CREATE TABLE fmx2 (k BIGINT, i INT, d DATE, dd DECIMAL(10,2),
-                           s STRING, f DOUBLE, p STRING)
-        USING lakesoul PARTITIONED BY (p)
+                           s STRING, f DOUBLE, p STRING, q INT)
+        USING lakesoul PARTITIONED BY (p, q)
         TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
                       'lakesoul.statsColumns'='i,d,dd,s,f')
     """)
@@ -1529,7 +1531,7 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
     t2 = cat.get_table(spark, "fmx2")
     delta = spark.sql(src).filter("p = 'b' AND k % 4 = 0") \
         .selectExpr("k", "CAST(i + 7 AS INT) AS i", "d", "dd",
-                    "concat(s, '!') AS s", "f", "p")
+                    "concat(s, '!') AS s", "f", "p", "q")
     t2.upsert(delta)
     t2.to_df().createOrReplaceTempView("fmx2_truth")
 
@@ -1546,6 +1548,10 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         "avg(k)", "AVG(f)", "min(f)", "avg(dd)",
         # r13: exact decimal AVG (result decimal(p+4,s+4), HALF_UP)
         "AVG(dd) AS adv", "avg(DD)",
+        # r13: desc-derived SUM/AVG of an int partition column
+        # (value x rows per non-sentinel partition)
+        "sum(q)", "SUM(q) AS sq", "avg(q)", "AVG(Q) AS aq",
+        "min(q)", "count(q)",
         # exact float/decimal extrema (NaN above +Inf; -Inf present)
         "max(f)", "MAX(F) AS fhi", "MIN(dd)", "max(dd) AS dhi",
         # partition-column values derive from the descs themselves
@@ -2039,6 +2045,67 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
     # Spark's own analysis error, never a fast-path answer
     with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
         cat.sql(spark, "SELECT p FROM hvq GROUP BY p HAVING i > 3")
+
+
+def test_partition_sum_avg_fast_path(cat, spark):
+    """SUM/AVG of an INT-FAMILY range-partition column answer from
+    the descs alone (value × num_rows per non-sentinel partition;
+    the NULL-sentinel partition holds SQL NULLs and contributes
+    nothing), zero scan jobs — and the AVG 2^53 double-accumulation
+    proof plus the SUM bigint overflow bound refuse into the
+    relational path with identical values."""
+    cat.sql(spark, """
+        CREATE TABLE psa (k BIGINT, v INT, p STRING, q INT, b BIGINT)
+        USING lakesoul PARTITIONED BY (p, q, b)
+    """)
+    cat.sql(spark, """
+        INSERT INTO psa SELECT id, CAST(id AS INT),
+            CASE WHEN id % 2 = 0 THEN 'a' ELSE 'z' END,
+            CASE WHEN id % 7 = 0 THEN NULL
+                 ELSE CAST(id % 4 - 2 AS INT) END,
+            CASE WHEN id % 3 = 0 THEN CAST(4611686018427387904 AS BIGINT)
+                 ELSE CAST(id % 2 AS BIGINT) END
+        FROM range(60)
+    """)
+    t = cat.get_table(spark, "psa")
+    t.to_df().createOrReplaceTempView("psa_rel")
+    for stq in ("SELECT sum(q), avg(q), count(q), count(*) FROM psa",
+                "SELECT sum(q) AS s FROM psa WHERE p = 'a'",
+                "SELECT p, sum(q), AVG(q) AS aq FROM psa GROUP BY p "
+                "ORDER BY p",
+                "SELECT p, count(*) AS n FROM psa GROUP BY p "
+                "HAVING sum(q) < 0 ORDER BY p"):
+        got = cat.sql(spark, stq)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "Scan parquet" not in plan, \
+            (stq, plan)
+        want = spark.sql(stq.replace("FROM psa", "FROM psa_rel"))
+        assert [(fl.name, fl.dataType, fl.nullable)
+                for fl in got.schema.fields] == \
+            [(fl.name, fl.dataType, fl.nullable)
+             for fl in want.schema.fields], stq
+        canon = lambda r: tuple((v is None, str(v)) for v in r)
+        assert [canon(r) for r in got.collect()] == \
+            [canon(r) for r in want.collect()], stq
+    # b holds 2^62-sized partition values: the exact bigint SUM
+    # overflows and the AVG 2^53 proof fails — both refuse into a
+    # real scan, and the fallback reproduces whatever Spark does
+    # (Spark 4 RAISES on long-sum overflow even non-ANSI — the fast
+    # path answering a number there would be the divergence)
+    for stq in ("SELECT sum(b) FROM psa", "SELECT avg(b) FROM psa"):
+        got = cat.sql(spark, stq)
+        assert "Scan parquet" in \
+            got._jdf.queryExecution().executedPlan().toString(), stq
+        canon = lambda r: tuple((v is None, str(v)) for v in r)
+        try:
+            g = [canon(r) for r in got.collect()]
+        except Exception as ge:
+            with pytest.raises(type(ge)):
+                spark.sql(stq.replace("FROM psa", "FROM psa_rel")) \
+                    .collect()
+            continue
+        assert g == [canon(r) for r in spark.sql(
+            stq.replace("FROM psa", "FROM psa_rel")).collect()], stq
 
 
 def test_part_value_keys_strict_typed_parse():
