@@ -1006,7 +1006,8 @@ class JoinMV:
             self.spark, path, version=version).to_df()
 
     def _side_scoped(self, path: str, version: int,
-                     delta: DataFrame) -> DataFrame:
+                     delta: DataFrame,
+                     bucket_filter: set | None = None) -> DataFrame:
         """Pinned side snapshot for a delta-join term, FILE-PRUNED by
         the other delta's join-key bounds: an inner-join pair shares
         its key, so side rows outside the delta keys' [min, max] can
@@ -1033,7 +1034,7 @@ class JoinMV:
         files = t.store.snapshot(version=version).files
         if not files or any((f.stats or {}).get(c) is None
                             for f in files for c in self.on):
-            return t.to_df()
+            return t.to_df(bucket_filter=bucket_filter)
         import datetime
         import math
 
@@ -1079,9 +1080,10 @@ class JoinMV:
                 # bounds are orderable but the stats encoding skips
                 # them — scan the full side rather than reason about
                 # IEEE specials
-                return t.to_df()
+                return t.to_df(bucket_filter=bucket_filter)
             filters += [(c, ">=", lo), (c, "<=", hi)]
-        return t.to_df(file_filters=filters)
+        return t.to_df(file_filters=filters,
+                       bucket_filter=bucket_filter)
 
     def _source_mode(self, path: str, side: str) -> str:
         """Churn mode of one side (``"append"`` | ``"pk"``),
@@ -1126,7 +1128,22 @@ class JoinMV:
             return (_window_df(self.spark, store, path, last, head),
                     None)
         keys = self._pk_window_keys(store, path, last, head)
-        restated = self._side_scoped(path, head, keys).join(
+        # the join key IS this side's PK, so a touched key's rows live
+        # in exactly ONE murmur3 bucket — the restatement scan keeps
+        # only the buckets the delta's keys hash into (the writer's
+        # own pmod(hash(*pk), n) expression, so the ids agree by
+        # construction; ≤ hash_bucket_num distinct values collected).
+        # At 100 TB this turns 'semi-join all dim buckets' into 'read
+        # the touched buckets', on top of the stats-range pruning.
+        info = LakeSoulTable.for_path(self.spark, path).info
+        bset = {
+            r["__b"] for r in keys.select(F.pmod(
+                F.hash(*[F.col(c) for c in info.hash_partitions]),
+                F.lit(info.hash_bucket_num)).alias("__b"))
+            .distinct().collect()
+        }
+        restated = self._side_scoped(path, head, keys,
+                                     bucket_filter=bset).join(
             keys, on=self.on, how="left_semi")
         return restated, keys
 

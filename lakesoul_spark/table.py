@@ -1142,7 +1142,8 @@ class LakeSoulTable:
             return (None, 0)
         return (float(int(total)) / nonnull, nonnull)
 
-    def to_df(self, file_filters: list | None = None) -> DataFrame:
+    def to_df(self, file_filters: list | None = None,
+              bucket_filter: set | None = None) -> DataFrame:
         """Snapshot/incremental view. ``file_filters`` — optional list
         of ``(column, op, value)`` with op in ``=,<,<=,>,>=,in`` —
         prunes data files from COMMIT METADATA via their per-file
@@ -1154,7 +1155,15 @@ class LakeSoulTable:
         pruning is merge-group-wise (union bounds — dropping one
         generation would resurface superseded rows), and it is skipped
         when custom merge operators are registered (a sum can satisfy
-        a predicate no single generation does)."""
+        a predicate no single generation does).
+
+        ``bucket_filter`` — optional set of hash-bucket ids: on a PK
+        table, keep only files of those buckets (point-lookup-style
+        pruning for callers that KNOW the key set they will join/
+        filter on — a key's rows never leave its murmur3 bucket, so
+        dropping whole other-bucket merge groups is sound even with
+        custom merge operators; files without a recorded bucket are
+        always kept). Snapshot reads only."""
         info = self.info
         if self.read_type == READ_INCREMENTAL:
             if self.start_version is not None:
@@ -1179,6 +1188,16 @@ class LakeSoulTable:
             timestamp_ms=self.timestamp_ms if self.read_type == READ_SNAPSHOT else None,
             partition_descs=self._partition_filter(),
         )
+        if bucket_filter is not None and info.hash_partitions:
+            from lakesoul_spark.meta.store import Snapshot
+
+            snap = Snapshot(
+                version=snap.version,
+                timestamp_ms=snap.timestamp_ms,
+                files=[f for f in snap.files
+                       if f.bucket is None or f.bucket < 0
+                       or f.bucket in bucket_filter],
+            )
         if file_filters and not self._merge_ops:
             from lakesoul_spark.io.stats import prune_files
             from lakesoul_spark.meta.store import Snapshot

@@ -1586,6 +1586,57 @@ def test_join_mv_pk_churning_dim(spark, tmp_path):
     assert got() == truth(orders.union(more), state4)
 
 
+def test_join_mv_pk_restatement_bucket_pruning(spark, tmp_path,
+                                               monkeypatch):
+    """The PK-churn restatement scan keeps only the murmur3 BUCKETS
+    the delta's keys hash into (a key's rows never leave its bucket,
+    so whole other-bucket merge groups drop — sound even with custom
+    merge operators): a one-key churn over an 8-bucket dim must plan
+    fewer dim files than the snapshot holds, while the view stays
+    exact. Composes with (does not depend on) stats-range pruning."""
+    from lakesoul_spark.io import reader as reader_mod
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    facts = spark.range(400).selectExpr("id AS rid", "id % 50 AS k",
+                                        "id * 2 AS v")
+    dim = spark.range(50).selectExpr("id AS k", "CAST(id % 7 AS INT)"
+                                     " AS grp")
+    write(facts, A, mode="overwrite")
+    write(dim, B, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=8)
+    mv = JoinMV.create(
+        spark, A, B, V, on=["k"], select=["rid", "k", "grp"],
+        pk=["rid"], hash_bucket_num=2,
+    )
+    assert mv.refresh()["applied"]
+    # churn exactly ONE dim key by upsert
+    LakeSoulTable.for_path(spark, B).upsert(
+        spark.sql("SELECT CAST(7 AS BIGINT) AS k, "
+                  "CAST(77 AS INT) AS grp"))
+    seen = []
+    orig = reader_mod.merge_view
+
+    def spy(spark_, info, snap, **kw):
+        seen.append((info.table_id, len(snap.files)))
+        return orig(spark_, info, snap, **kw)
+
+    monkeypatch.setattr(reader_mod, "merge_view", spy)
+    assert mv.refresh()["applied"]
+    monkeypatch.undo()
+    dim_total = len(LakeSoulTable.for_path(
+        spark, B).store.snapshot().files)
+    dim_id = LakeSoulTable.for_path(spark, B).info.table_id
+    dim_scans = [n for tid, n in seen if tid == dim_id]
+    assert dim_scans and min(dim_scans) < dim_total, (seen, dim_total)
+    got = sorted((r.rid, r.grp) for r in mv.to_df().collect())
+    truth = facts.join(
+        dim.withColumn("grp", F.when(F.col("k") == 7, 77)
+                       .otherwise(F.col("grp")).cast("int")),
+        on="k", how="inner")
+    assert got == sorted((r.rid, r.grp) for r in truth.collect())
+
+
 def test_join_mv_timestamp_key_probe_non_utc_session(spark, tmp_path):
     """ADVICE r12: the side-scan probe collects TIMESTAMP join-key
     bounds as epoch micros and rebuilds tz-aware UTC datetimes, so a
