@@ -157,7 +157,9 @@ def _validate_source(info) -> None:
         raise ValueError("MV sources must not be CDC tables")
 
 
-def _validate_join_source(info, on: list[str], side: str) -> str:
+def _validate_join_source(info, on: list[str], side: str, *,
+                          how: str = "inner",
+                          view_pk: list[str] | None = None) -> str:
     """JoinMV source admission → churn mode ``"append"`` | ``"pk"``.
 
     A primary-key source is allowed when its PK equals the JOIN KEY
@@ -166,21 +168,37 @@ def _validate_join_source(info, on: list[str], side: str) -> str:
     affected pairs and the view's PK-upsert fold replaces them (no
     stale pair can survive; the reference's delta-join benchmark
     ``benchmark/io/deltaJoin/UpsertWriteWithJoin.scala`` churns its
-    dim side exactly this way). A PK source whose key is NOT the join
-    key still refuses: a changed join-key value would strand the pairs
-    emitted under the old value with no retraction delta."""
+    dim side exactly this way).
+
+    The LEFT side of a ``how="left"`` view is admitted with ANY PK,
+    as long as the VIEW's PK contains it: the view row identity IS
+    the left identity, so a restated left row REPLACES its own view
+    row whatever its join-key value now is — join-key churn needs no
+    retraction there. This is what makes left views CHAIN into N-way
+    joins (a JoinMV output is itself a PK table keyed by the left
+    identity; a second view can take it as its LEFT source joining on
+    any other column — the reference's N-table
+    ``joinWithTablesAndUpsert`` shape, maintained). Everywhere else a
+    PK source whose key is NOT the join key refuses: a changed
+    join-key value would strand pairs whose view identity includes
+    the OTHER side's rows."""
     if info.cdc_column:
         raise ValueError(f"JOIN view {side} source must not be a CDC table")
     if not info.hash_partitions:
         return "append"
     if set(info.hash_partitions) == set(on):
         return "pk"
+    if (side == "left" and how == "left" and view_pk is not None
+            and set(info.hash_partitions) <= set(view_pk)):
+        return "pk"
     raise ValueError(
         f"JOIN view {side} source is a primary-key table whose PK "
         f"{sorted(info.hash_partitions)} differs from the join key "
         f"{sorted(on)} — an upsert could move a row to another join "
         "key and the pairs emitted under the old key would never be "
-        "retracted. PK sources are supported only with PK == join key."
+        "retracted. PK sources are supported with PK == join key, or "
+        "as the LEFT side of a how='left' view whose pk contains the "
+        "source PK (the left-identity fold replaces restated rows)."
     )
 
 
@@ -906,8 +924,10 @@ class JoinMV:
                 "full outer need retractions on the RIGHT identity, "
                 "which the left-identity PK fold cannot express"
             )
-        lmode = _validate_join_source(left.info, on, "left")
-        rmode = _validate_join_source(right.info, on, "right")
+        lmode = _validate_join_source(left.info, on, "left",
+                                      how=how, view_pk=list(pk))
+        rmode = _validate_join_source(right.info, on, "right",
+                                      how=how)
         if where and (lmode == "pk" or rmode == "pk"):
             raise ValueError(
                 "where is not supported with a PK-churning source: an "
@@ -1007,7 +1027,8 @@ class JoinMV:
 
     def _side_scoped(self, path: str, version: int,
                      delta: DataFrame,
-                     bucket_filter: set | None = None) -> DataFrame:
+                     bucket_filter: set | None = None,
+                     cols: list | None = None) -> DataFrame:
         """Pinned side snapshot for a delta-join term, FILE-PRUNED by
         the other delta's join-key bounds: an inner-join pair shares
         its key, so side rows outside the delta keys' [min, max] can
@@ -1023,17 +1044,18 @@ class JoinMV:
         predicate still prunes row groups via parquet footers. A
         delta whose keys are all NULL (or empty) joins nothing — the
         term short-circuits to an empty frame."""
+        cols = list(cols) if cols is not None else list(self.on)
         if version == 0:
             return self._side_df(path, 0)
         t = LakeSoulTable.for_path_snapshot(
             self.spark, path, version=version)
         # probe only when the side's files actually carry stats for
-        # every join column (one driver-side metadata pass): without
-        # them prune_files keeps everything and the min/max probe job
-        # would be pure per-refresh overhead
+        # every scoping column (one driver-side metadata pass):
+        # without them prune_files keeps everything and the min/max
+        # probe job would be pure per-refresh overhead
         files = t.store.snapshot(version=version).files
         if not files or any((f.stats or {}).get(c) is None
-                            for f in files for c in self.on):
+                            for f in files for c in cols):
             return t.to_df(bucket_filter=bucket_filter)
         import datetime
         import math
@@ -1050,10 +1072,10 @@ class JoinMV:
         # row-predicate F.lit() resolves an aware datetime to the same
         # instant in every session timezone.
         dtypes = {f.name: f.dataType for f in delta.schema.fields}
-        ts_cols = {c for c in self.on
+        ts_cols = {c for c in cols
                    if isinstance(dtypes.get(c), TimestampType)}
         aggs = []
-        for c in self.on:
+        for c in cols:
             lo_e, hi_e = F.min(c), F.max(c)
             if c in ts_cols:
                 lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
@@ -1062,7 +1084,7 @@ class JoinMV:
         epoch = datetime.datetime(1970, 1, 1,
                                   tzinfo=datetime.timezone.utc)
         filters: list = []
-        for c in self.on:
+        for c in cols:
             lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
             if c in ts_cols and lo is not None:
                 # timedelta arithmetic is exact at micros (no float)
@@ -1090,11 +1112,13 @@ class JoinMV:
         re-validated per refresh (a source that later gained CDC
         semantics must fail loudly, not corrupt the delta algebra)."""
         info = LakeSoulTable.for_path(self.spark, path).info
-        return _validate_join_source(info, self.on, side)
+        return _validate_join_source(
+            info, self.on, side, how=self.how,
+            view_pk=list(self.table.info.hash_partitions))
 
-    def _pk_window_keys(self, store, path: str,
-                        last: int, head: int) -> DataFrame:
-        """DISTINCT join keys touched by a PK source in commits
+    def _pk_window_keys(self, store, path: str, last: int, head: int,
+                        pk_cols: list) -> DataFrame:
+        """DISTINCT PK tuples touched by a PK source in commits
         (last, head] — read from the window's delta files alone (PK
         columns are present in every upsert, partial or not). Only
         upsert/append/compaction commits are representable; a
@@ -1111,41 +1135,47 @@ class JoinMV:
             )
         return LakeSoulTable.for_path_incremental_versions(
             self.spark, path, last + 1, head
-        ).to_df().select(*self.on).distinct()
+        ).to_df().select(*pk_cols).distinct()
 
     def _delta(self, store, path: str, last: int, head: int,
                mode: str) -> tuple:
-        """``(delta_df, touched_keys_or_None)`` for one side's commits
-        (last, head]. Append mode: the committed rows themselves
-        (:func:`_window_df`). PK mode: the RESTATEMENT of the touched
-        keys — head-snapshot rows semi-joined to the touched-key set
-        (the full MOR fold is what makes partial-column upserts
-        restate whole rows), with the side files pruned by the key
-        set's bounds first. O(Δ) either way at 100 TB."""
+        """``(delta_df, (touched_keys, pk_cols) or None)`` for one
+        side's commits (last, head]. Append mode: the committed rows
+        themselves (:func:`_window_df`). PK mode: the RESTATEMENT of
+        the touched PK tuples — head-snapshot rows semi-joined to the
+        touched set (the full MOR fold is what makes partial-column
+        upserts restate whole rows), with the side files pruned by
+        the tuple set's bounds first. O(Δ) either way at 100 TB."""
         if mode == "append" or last == 0:
             # a PK side's initial load is the full snapshot too —
             # everything is the delta and no key can be stale yet
             return (_window_df(self.spark, store, path, last, head),
                     None)
-        keys = self._pk_window_keys(store, path, last, head)
-        # the join key IS this side's PK, so a touched key's rows live
-        # in exactly ONE murmur3 bucket — the restatement scan keeps
-        # only the buckets the delta's keys hash into (the writer's
-        # own pmod(hash(*pk), n) expression, so the ids agree by
-        # construction; ≤ hash_bucket_num distinct values collected).
-        # At 100 TB this turns 'semi-join all dim buckets' into 'read
-        # the touched buckets', on top of the stats-range pruning.
+        # restatement is keyed by the SOURCE's PK — equal to the join
+        # key for dims, and possibly a different column set for the
+        # left side of a left view (chained views join on non-PK
+        # columns; the left-identity fold makes that sound)
         info = LakeSoulTable.for_path(self.spark, path).info
+        pk_cols = list(info.hash_partitions)
+        keys = self._pk_window_keys(store, path, last, head, pk_cols)
+        # a touched tuple's rows live in exactly ONE murmur3 bucket —
+        # the restatement scan keeps only the buckets the delta's
+        # tuples hash into (the writer's own pmod(hash(*pk), n)
+        # expression, so the ids agree by construction;
+        # ≤ hash_bucket_num distinct values collected). At 100 TB this
+        # turns 'semi-join all buckets' into 'read the touched
+        # buckets', on top of the stats-range pruning.
         bset = {
             r["__b"] for r in keys.select(F.pmod(
-                F.hash(*[F.col(c) for c in info.hash_partitions]),
+                F.hash(*[F.col(c) for c in pk_cols]),
                 F.lit(info.hash_bucket_num)).alias("__b"))
             .distinct().collect()
         }
         restated = self._side_scoped(path, head, keys,
-                                     bucket_filter=bset).join(
-            keys, on=self.on, how="left_semi")
-        return restated, keys
+                                     bucket_filter=bset,
+                                     cols=pk_cols).join(
+            keys, on=pk_cols, how="left_semi")
+        return restated, (keys, pk_cols)
 
     def _assert_unique_right(self, version: int,
                              keys: DataFrame | None) -> None:
@@ -1225,12 +1255,14 @@ class JoinMV:
                                              d_b)
                 if keys_a is not None:
                     # the left side churned by PK: its OLD snapshot
-                    # still holds stale versions of the touched keys —
+                    # still holds stale versions of the touched rows —
                     # term one re-emits those pairs from the
-                    # restatement, so exclude them here (for append
-                    # sources the old snapshot already equals
-                    # "head minus delta" and no anti-join is paid)
-                    old_left = old_left.join(keys_a, on=self.on,
+                    # restatement, so exclude them here BY THE LEFT
+                    # PK (for append sources the old snapshot already
+                    # equals "head minus delta" and no anti-join is
+                    # paid)
+                    ka, ka_cols = keys_a
+                    old_left = old_left.join(ka, on=ka_cols,
                                              how="left_anti")
                 parts.append(self._join_select(
                     old_left, d_b, self.on, self.select, self.where,

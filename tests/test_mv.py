@@ -1243,17 +1243,21 @@ def test_join_mv_random_interleave_fuzz(spark, tmp_path):
     @settings(max_examples=6, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(steps=st.lists(
-        st.sampled_from(["L", "R", "U", "F"]), min_size=3, max_size=9))
-    def check(steps):
+        st.sampled_from(["L", "R", "U", "F"]), min_size=3, max_size=9),
+        how=st.sampled_from(["inner", "left"]))
+    def check(steps, how):
         case_n[0] += 1
         A, B, V = (str(tmp_path / f"f{case_n[0]}{x}") for x in "abv")
         write(oh[0], A, mode="overwrite")
         write(ch[0], B, mode="overwrite",
               hash_partitions=["o_custkey"], hash_bucket_num=2)
+        # a PK-keyed right side is structurally unique, so the LEFT
+        # view draws ride the same interleavings: late-arriving dim
+        # keys must REPLACE the NULL-extended rows at every prefix
         mv = JoinMV.create(
             spark, A, B, V, on=["o_custkey"],
             select=["o_orderkey", "o_custkey", "c_nationkey"],
-            pk=["o_orderkey"], hash_bucket_num=2,
+            pk=["o_orderkey"], hash_bucket_num=2, how=how,
         )
         dim_t = LakeSoulTable.for_path(spark, B)
         applied = [ch[0]]  # right-state model: latest write per key
@@ -1281,10 +1285,10 @@ def test_join_mv_random_interleave_fuzz(spark, tmp_path):
                                  "left_anti").unionByName(x)
                 got = _jmv_rows(mv.to_df())
                 want = sorted(map(tuple, lt.join(
-                    rt, on="o_custkey", how="inner").select(
+                    rt, on="o_custkey", how=how).select(
                     "o_orderkey", "o_custkey", "c_nationkey")
                     .collect()))
-                assert got == want, (steps, s, li, ri, ui)
+                assert got == want, (steps, s, how, li, ri, ui)
 
     check()
 
@@ -1584,6 +1588,115 @@ def test_join_mv_pk_churning_dim(spark, tmp_path):
     mv.rebuild()
     state4 = state3.filter("o_custkey % 10 != 3")
     assert got() == truth(orders.union(more), state4)
+
+
+def test_join_mv_left_pk_churn_join_key_change(spark, tmp_path):
+    """The LEFT side of a how='left' view may churn by PK even when
+    its join key is NOT its PK (r13-late): the view row identity is
+    the left identity, so a restated left row REPLACES its own view
+    row whatever its join-key value now is — an upsert that MOVES a
+    row to another join key re-pairs it with the new match (or
+    NULL-extends it) with no stale pair left behind. The same shape
+    on an INNER view still refuses (pair identity includes the right
+    side there)."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    left = spark.range(40).selectExpr(
+        "id AS rid", "id % 10 AS k", "id * 3 AS v")
+    dim = spark.range(10).selectExpr("id AS k",
+                                     "CAST(id * 11 AS INT) AS tag")
+    write(left, A, mode="overwrite", hash_partitions=["rid"],
+          hash_bucket_num=2)
+    write(dim, B, mode="overwrite")
+    with pytest.raises(ValueError, match="PK == join key"):
+        JoinMV.create(spark, A, B, str(tmp_path / "vx"), on=["k"],
+                      select=["rid", "k", "tag"], pk=["rid", "k"],
+                      how="inner")
+    mv = JoinMV.create(
+        spark, A, B, V, on=["k"], select=["rid", "k", "tag"],
+        pk=["rid"], hash_bucket_num=2, how="left",
+    )
+    assert mv.refresh()["applied"]
+
+    def truth(lt, rt):
+        return sorted(map(tuple, lt.join(rt, on="k", how="left")
+                          .select("rid", "k", "tag").collect()))
+
+    def got():
+        return sorted(map(tuple,
+                          mv.to_df().select("rid", "k", "tag")
+                          .collect()))
+
+    assert got() == truth(left, dim)
+    # upsert MOVES rows to other join keys (incl. one with NO match)
+    lt2 = left.withColumn(
+        "k", F.when(F.col("rid") % 8 == 0, F.col("k") + 3)
+        .when(F.col("rid") % 8 == 1, F.lit(999))
+        .otherwise(F.col("k")))
+    churn = lt2.filter("rid % 8 < 2")
+    LakeSoulTable.for_path(spark, A).upsert(churn)
+    assert mv.refresh()["applied"]
+    assert got() == truth(lt2, dim)
+    assert mv.to_df().count() == 40, "moved rows must replace, not add"
+    # the row moved to key 999 is NULL-extended now
+    assert mv.to_df().filter("tag IS NULL").count() == \
+        lt2.join(dim, "k", "left_anti").count()
+
+
+def test_join_mv_chain_two_dims(spark, tmp_path):
+    """N-way maintained joins by CHAINING left views (the reference's
+    joinWithTablesAndUpsert N-table shape, kept fresh): V1 = A LEFT
+    JOIN B1 USING (k1); V2 = V1 LEFT JOIN B2 USING (k2). V1's output
+    is a PK table keyed by the left identity that churns by upsert —
+    admitted as V2's LEFT source because V2's pk contains it — so
+    refreshing V1 then V2 cascades deltas end-to-end with no corpus
+    re-join anywhere."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B1, B2 = (str(tmp_path / x) for x in ("a", "b1", "b2"))
+    V1, V2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    facts = spark.range(60).selectExpr(
+        "id AS rid", "id % 8 AS k1", "id % 5 AS k2")
+    d1 = spark.range(8).selectExpr("id AS k1",
+                                   "CAST(id * 7 AS INT) AS x1")
+    d2 = spark.range(5).selectExpr("id AS k2",
+                                   "CAST(id * 13 AS INT) AS x2")
+    write(facts, A, mode="overwrite")
+    write(d1.filter("k1 < 5"), B1, mode="overwrite")
+    write(d2.filter("k2 < 3"), B2, mode="overwrite")
+    mv1 = JoinMV.create(
+        spark, A, B1, V1, on=["k1"],
+        select=["rid", "k1", "k2", "x1"], pk=["rid"],
+        hash_bucket_num=2, how="left",
+    )
+    mv2 = JoinMV.create(
+        spark, V1, B2, V2, on=["k2"],
+        select=["rid", "k1", "k2", "x1", "x2"], pk=["rid"],
+        hash_bucket_num=2, how="left",
+    )
+
+    def truth(ft, dd1, dd2):
+        return sorted(map(tuple, ft.join(dd1, "k1", "left")
+                          .join(dd2, "k2", "left")
+                          .select("rid", "x1", "x2").collect()))
+
+    def refresh_chain():
+        mv1.refresh()
+        mv2.refresh()
+        return sorted(map(tuple, mv2.to_df()
+                          .select("rid", "x1", "x2").collect()))
+
+    assert refresh_chain() == truth(facts, d1.filter("k1 < 5"),
+                                    d2.filter("k2 < 3"))
+    # late arrivals on BOTH dims + more facts, cascaded
+    write(d1.filter("k1 >= 5"), B1, mode="append")
+    write(d2.filter("k2 >= 3"), B2, mode="append")
+    more = facts.withColumn("rid", F.col("rid") + 1000)
+    write(more, A, mode="append")
+    assert refresh_chain() == truth(facts.union(more), d1, d2)
+    assert mv2.to_df().count() == 120
+    assert mv2.to_df().filter("x1 IS NULL OR x2 IS NULL").count() == 0
 
 
 def test_join_mv_pk_restatement_bucket_pruning(spark, tmp_path,
