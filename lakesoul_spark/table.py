@@ -476,6 +476,33 @@ def _descs_matching(
     return {r[desc_col] for r in flt.select(desc_col).collect()}
 
 
+def _predicate_refs(
+    spark: SparkSession, info: TableInfo, condition: str
+) -> tuple[set[str], bool] | None:
+    """``(referenced column names, deterministic?)`` of a predicate
+    resolved against the FULL table schema, or ``None`` when it does
+    not analyze (unknown columns / parse errors — the caller's real
+    scan then surfaces Spark's own error to the user). Dispatch gates
+    (partition-scoped DELETE) pre-split predicates with this instead
+    of probing a partition-columns-only frame and catching the
+    AnalysisException: the probe-and-catch pattern made Spark's
+    SQLQueryContextLogger emit an ERROR-level unresolved-column stack
+    for every ordinary mixed-predicate statement on its way to a
+    SOUND fallback (reference ``DeleteCommand.scala:48-111`` splits
+    the predicate the same way before choosing a path). The empty
+    LocalRelation analyzes driver-side — no job, no log noise."""
+    try:
+        flt = spark.createDataFrame([], table_schema(info)).filter(condition)
+        jcond = flt._jdf.queryExecution().analyzed().condition()
+        it = jcond.references().iterator()
+        names = set()
+        while it.hasNext():
+            names.add(it.next().name())
+        return names, bool(jcond.deterministic())
+    except Exception:
+        return None
+
+
 class LakeSoulTable:
     """Handle on a LakeSoul-format table (optionally pinned to a
     snapshot or an incremental window)."""
@@ -1682,10 +1709,22 @@ class LakeSoulTable:
             return
         cond_str = condition if isinstance(condition, str) else None
         if cond_str is not None and info.range_partitions:
-            try:
-                parts = _partitions_matching(self.spark, info, self.store, cond_str)
-            except Exception:
-                parts = None
+            # pre-split the predicate's columns against the partition
+            # set (resolved once against the full schema) instead of
+            # probing a partition-only frame and catching the analyzer
+            # error — a mixed partition+data predicate now takes the
+            # scan path with ZERO exceptions raised or logged along
+            # the way (reference DeleteCommand.scala:48-111 dispatches
+            # on the same split). refs ⊆ partition columns includes
+            # the deterministic-constant case (empty refs); a
+            # nondeterministic or unanalyzable predicate falls through
+            # for the scan path to evaluate or reject as Spark would.
+            refs = _predicate_refs(self.spark, info, cond_str)
+            parts = None
+            if refs is not None and refs[1] \
+                    and refs[0] <= set(info.range_partitions):
+                parts = _partitions_matching(
+                    self.spark, info, self.store, cond_str)
             if parts is not None:
                 dels = [
                     FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)

@@ -283,6 +283,54 @@ def test_delete_partition_metadata_only(spark, tmp_table):
     assert all(fo.op == "del" for fo in c.file_ops)  # no rewrite happened
 
 
+def test_delete_mixed_predicate_probe_is_silent(spark, tmp_table):
+    """A partition+data predicate dispatches to the scan path by
+    PRE-SPLITTING the predicate's resolved columns against the
+    partition set — no AnalysisException is raised (and therefore
+    none is logged by Spark's ERROR-level SQLQueryContextLogger) on
+    the way to the sound fallback."""
+    import lakesoul_spark.table as tbl
+
+    write(
+        seed_df(spark, [(i, "x" if i < 3 else "y", i) for i in range(6)],
+                "id int, p string, v int"),
+        tmp_table,
+        range_partitions=["p"],
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+    calls = []
+    orig = tbl._partitions_matching
+
+    def spy(*a, **k):
+        calls.append(a[-1])
+        return orig(*a, **k)
+
+    tbl._partitions_matching = spy
+    try:
+        # mixed predicate: the analyzer probe must never even run
+        # against the partition-only frame (that's what used to raise)
+        t.delete("p = 'x' AND v % 2 = 0")
+        assert calls == []
+        # partition-only predicate still takes the metadata-only path
+        head_before = t.store.head_version()
+        t.delete("p = 'y'")
+        assert calls == ["p = 'y'"]
+        c = t.store.read_commit(head_before + 1)
+        assert all(fo.op == "del" for fo in c.file_ops)
+    finally:
+        tbl._partitions_matching = orig
+    assert rows(t.to_df(), "id", "v") == [(1, 1)]
+
+    # the refs helper resolves mixed predicates cleanly (no exception
+    # swallowed anywhere): data column present, deterministic
+    refs = tbl._predicate_refs(spark, t.info, "p = 'x' AND v % 2 = 0")
+    assert refs == ({"p", "v"}, True)
+    # nondeterministic predicates fall to the scan path (one draw per
+    # partition is not row semantics)
+    refs = tbl._predicate_refs(spark, t.info, "rand() < 2")
+    assert refs is not None and refs[1] is False
+
+
 def test_delete_all(spark, tmp_table):
     write(seed_df(spark, [(1, 1)], "id int, v int"), tmp_table)
     t = LakeSoulTable.for_path(spark, tmp_table)
