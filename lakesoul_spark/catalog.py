@@ -2538,18 +2538,22 @@ class Catalog:
             where = src_ref[wi + 5:].strip()
             src_ref = src_ref[:wi].strip()
         jm = re.fullmatch(
-            r"([\w.`]+)\s+(?:(LEFT)(?:\s+OUTER)?\s+|(?:INNER\s+)?)"
+            r"([\w.`]+)\s+(?:(LEFT|RIGHT)(?:\s+OUTER)?\s+|(?:INNER\s+)?)"
             r"JOIN\s+([\w.`]+)\s+USING\s*\(([^)]*)\)",
             src_ref, re.I | re.S,
         )
         if jm is not None:
             # two-source delta-join view (JoinMV): shared-key equi-join
             # spelled USING (INNER default, LEFT [OUTER] for the
-            # unique-right-key left view), row-level select, PK from
+            # unique-right-key left view; RIGHT [OUTER] canonicalizes
+            # to the left view with the sides swapped inside
+            # JoinMV.create — primaryKey names the preserved side's
+            # row identity either way), row-level select, PK from
             # the primaryKey property
             from lakesoul_spark.mv import JoinMV
 
-            how = "left" if jm.group(2) else "inner"
+            how = {"LEFT": "left", "RIGHT": "right"}.get(
+                (jm.group(2) or "").upper(), "inner")
             if gi >= 0:
                 raise ValueError(
                     "JOIN materialized views are row-level — aggregate "
@@ -2587,10 +2591,10 @@ class Catalog:
         if re.search(r"(?i)\bJOIN\b", src_ref):
             raise ValueError(
                 "JOIN materialized views take the shared-key form "
-                "FROM a [INNER | LEFT [OUTER]] JOIN b USING (k, …) — "
-                "ON-condition joins and RIGHT/FULL OUTER are not "
-                "incrementally maintainable here (their retractions "
-                "key on the right identity)"
+                "FROM a [INNER | LEFT [OUTER] | RIGHT [OUTER]] JOIN b "
+                "USING (k, …) — ON-condition joins and FULL OUTER are "
+                "not incrementally maintainable here (full-outer "
+                "retractions key on both row identities)"
             )
         if not re.fullmatch(r"[\w.`]+", src_ref):
             raise ValueError(

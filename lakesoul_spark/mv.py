@@ -913,16 +913,28 @@ class JoinMV:
         partitions; ``where`` is an optional stateless row filter
         (applied after the join, so it may reference both sides —
         inner views over append-only sources only); ``how`` is
-        ``"inner"`` or ``"left"`` (class docstring has the left-view
-        contract: pk = LEFT row identity, unique right key, no
-        where)."""
+        ``"inner"``, ``"left"`` or ``"right"`` (the class docstring
+        has the left-view contract: pk = preserved-side row identity,
+        unique other-side key, no where; ``"right"`` canonicalizes to
+        the left view with the sides swapped)."""
+        if how == "right":
+            # A RIGHT [OUTER] JOIN B ≡ B LEFT JOIN A: canonicalize by
+            # swapping the sides once at create time — the maintained
+            # view IS a left view whose PK is the preserved (right)
+            # row identity, and every refresh/retraction invariant
+            # applies verbatim to the swapped roles. USING-style
+            # shared keys and name-based select exprs are side-order
+            # agnostic, so nothing else changes.
+            left_path, right_path = right_path, left_path
+            how = "left"
         left = LakeSoulTable.for_path(spark, left_path)
         right = LakeSoulTable.for_path(spark, right_path)
         if how not in ("inner", "left"):
             raise ValueError(
-                f"how must be 'inner' or 'left', got {how!r} — right/"
-                "full outer need retractions on the RIGHT identity, "
-                "which the left-identity PK fold cannot express"
+                f"how must be 'inner', 'left' or 'right', got {how!r} "
+                "— full outer needs retractions on BOTH row "
+                "identities, which the single-identity PK fold cannot "
+                "express"
             )
         lmode = _validate_join_source(left.info, on, "left",
                                       how=how, view_pk=list(pk))

@@ -1474,6 +1474,71 @@ def test_join_mv_left_outer_late_match(spark, tmp_path):
         mv2.refresh()
 
 
+def test_join_mv_right_outer_canonicalized(spark, tmp_path):
+    """RIGHT [OUTER] view (r14): ``A RIGHT JOIN B ≡ B LEFT JOIN A``
+    — create() swaps the sides once, the spec records the canonical
+    left view, and the whole left-view lifecycle (NULL extension on
+    the preserved side, late-match replacement via PK-upsert) holds
+    under the swap. ``pk`` names the PRESERVED (right) row identity."""
+    from lakesoul_spark.mv import JoinMV, open_view
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    orders = _orders(spark).select(
+        "o_orderkey", "o_custkey").limit(400).cache()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey").cache()
+    ch = [cust.filter(F.col("o_custkey") % 2 == i) for i in range(2)]
+    write(ch[0], A, mode="overwrite")   # the NULLABLE (dim) side
+    write(orders, B, mode="overwrite")  # the PRESERVED side
+
+    sel = ["o_orderkey", "o_custkey", "c_nationkey"]
+    mv = JoinMV.create(
+        spark, A, B, V, on=["o_custkey"], select=sel,
+        pk=["o_orderkey"], hash_bucket_num=2, how="right",
+    )
+    # canonicalization is persisted: the spec IS a left view with the
+    # sides swapped, so any later open sees the maintained shape
+    reopened = open_view(spark, V)
+    assert isinstance(reopened, JoinMV)
+    assert reopened.how == "left"
+    assert (reopened.left_path, reopened.right_path) == (
+        LakeSoulTable.for_path(spark, B).path,
+        LakeSoulTable.for_path(spark, A).path)
+
+    def truth(dim_half):
+        return sorted(map(tuple, orders.join(dim_half, on="o_custkey",
+                                             how="left")
+                          .select(*sel).collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().select(*sel).collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth(ch[0])
+    n_null = mv.to_df().filter("c_nationkey IS NULL").count()
+    assert n_null > 0, "fixture must leave unmatched preserved rows"
+    assert mv.to_df().count() == orders.count()
+
+    # the other dim half arrives LATE on the nullable side: every
+    # NULL-extended preserved row whose match landed is REPLACED
+    write(ch[1], A, mode="append")
+    assert mv.refresh()["applied"]
+    assert got() == truth(cust)
+    assert mv.to_df().count() == orders.count()
+    assert mv.to_df().filter("c_nationkey IS NULL").count() < n_null
+
+    # pk must be the PRESERVED side's identity (the swapped left)
+    with pytest.raises(ValueError, match="left row identity"):
+        JoinMV.create(spark, A, B, str(tmp_path / "v2"),
+                      on=["o_custkey"], select=sel,
+                      pk=["c_nationkey"], how="right")
+    # full outer still refuses
+    with pytest.raises(ValueError, match="how must be"):
+        JoinMV.create(spark, A, B, str(tmp_path / "v3"),
+                      on=["o_custkey"], select=sel,
+                      pk=["o_orderkey"], how="full")
+
+
 def test_join_mv_pk_churning_dim(spark, tmp_path):
     """A source whose PK equals the join key may churn by UPSERT
     (r13; the reference's delta-join workload,
@@ -1884,12 +1949,27 @@ def test_join_mv_sql_surface(spark, tmp_path):
     assert cat.sql(spark, "SELECT count(*) FROM ljview "
                           "WHERE c_nationkey IS NULL"
                    ).collect()[0][0] < n_null
+    # RIGHT [OUTER] JOIN grammar (r14): canonicalized to the left
+    # view with the sides swapped — primaryKey names the preserved
+    # (facts) row identity
+    cat.sql(spark, """
+        CREATE MATERIALIZED VIEW rjview
+        TBLPROPERTIES('primaryKey'='o_orderkey', 'hashBucketNum'='2')
+        AS SELECT o_orderkey, o_custkey, c_nationkey
+           FROM dims2 RIGHT OUTER JOIN facts USING (o_custkey)
+    """)
+    assert cat.sql(spark, "SELECT count(*) FROM rjview"
+                   ).collect()[0][0] == n_fact
+    assert sorted(map(tuple,
+                      cat.sql(spark, "SELECT * FROM rjview").collect())) \
+        == sorted(map(tuple,
+                      cat.sql(spark, "SELECT * FROM ljview").collect()))
     for bad, msg in [
         ("CREATE MATERIALIZED VIEW j2 AS SELECT o_orderkey FROM facts "
          "JOIN dims ON facts.o_custkey = dims.o_custkey", "USING"),
         ("CREATE MATERIALIZED VIEW j6 TBLPROPERTIES("
          "'primaryKey'='o_orderkey') AS SELECT o_orderkey FROM facts "
-         "RIGHT JOIN dims USING (o_custkey)", "USING|RIGHT/FULL"),
+         "FULL OUTER JOIN dims USING (o_custkey)", "USING|FULL"),
         ("CREATE MATERIALIZED VIEW j7 TBLPROPERTIES("
          "'primaryKey'='o_orderkey') AS SELECT o_orderkey, o_custkey, "
          "c_nationkey FROM facts LEFT JOIN dims USING (o_custkey) "
