@@ -1469,6 +1469,10 @@ class Catalog:
                 ambiguous)
             if hav_ast is None:
                 return None
+        # hidden-item boundary: HAVING operands outside the SELECT
+        # (aggregates OR unselected grouping columns) were appended
+        # past n_visible by the parse above
+        hav_hidden = len(parsed) > n_visible
         oby_txt = m.group("oby")
         order_extra: dict[str, int] = {}
         if oby_txt is not None:
@@ -1477,13 +1481,18 @@ class Catalog:
                 ambiguous, order_extra)
             if oby_txt is None:
                 return None
-            if hav_ast is not None and order_extra:
-                # HAVING + aggregate ORDER BY items together: Spark's
-                # own analyzer REJECTS some of these combinations
-                # (hidden sort aggregates fail to resolve across the
-                # having filter, measured on 4.1) — never answer a
-                # statement the relational path might error on; the
-                # fallback reproduces Spark's exact accept/reject
+            if hav_hidden and order_extra:
+                # ERROR PARITY (measured on Spark 4.1, r14): the
+                # analyzer rejects a HAVING that resolved to ANY
+                # hidden item (an unselected aggregate or grouping
+                # column) combined with ANY aggregate-expression
+                # ORDER BY item — even one the SELECT carries
+                # (UNSUPPORTED_EXPR_FOR_OPERATOR) — the hidden having
+                # column breaks sort-aggregate resolution. A HAVING
+                # over selected outputs with hidden sort aggregates
+                # resolves fine (and is answered below), as does a
+                # hidden HAVING with alias/plain ORDER BY items —
+                # never answer the one combination Spark errors on
                 return None
 
         snap = t._provable_snapshot(m.group("where"))

@@ -1566,6 +1566,13 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
     order = st.sampled_from([
         "", " ORDER BY p", " ORDER BY p DESC",
         " ORDER BY p ASC NULLS LAST", " ORDER BY p DESC LIMIT 2",
+        # r14: aggregate-expression ORDER BY items (selected or
+        # hidden), p-tie-broken so order-sensitive compare is sound.
+        # Combined with a HAVING that resolved to hidden items Spark
+        # itself rejects these — the check below asserts ERROR PARITY
+        # for exactly those draws instead of a value match.
+        " ORDER BY sum(i) DESC, p", " ORDER BY avg(dd), p",
+        " ORDER BY count(*) DESC, p LIMIT 2",
     ])
     # r13: HAVING tails (atoms over aggregates incl. UNSELECTED ones,
     # aliases, the group key; AND/OR/NOT; IS [NOT] NULL) — the fast
@@ -1596,8 +1603,17 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
             else ""
         for tbl, tview, churned in (("fmx", "fmx_truth", False),
                                     ("fmx2", "fmx2_truth", True)):
+            try:
+                want = spark.sql(f"SELECT {sel} FROM {tview}{w}{tail}")
+            except Exception:
+                # Spark's analyzer rejects this draw (hidden HAVING
+                # refs + an aggregate ORDER BY item, measured on 4.1)
+                # — ERROR PARITY: ours must reject too, never answer
+                with pytest.raises(Exception):
+                    cat.sql(spark,
+                            f"SELECT {sel} FROM {tbl}{w}{tail}")
+                continue
             got = cat.sql(spark, f"SELECT {sel} FROM {tbl}{w}{tail}")
-            want = spark.sql(f"SELECT {sel} FROM {tview}{w}{tail}")
             assert got.columns == want.columns, (tbl, sel, w, tail)
             if not churned:
                 # r13: full schema parity incl. NULLABILITY vs the
@@ -2007,6 +2023,19 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
         "SELECT p FROM hvq GROUP BY p ORDER BY sum(i) DESC",
         "SELECT p FROM hvq GROUP BY p ORDER BY max(i) ASC, p DESC",
         "SELECT p FROM hvq WHERE q = 1 GROUP BY p HAVING count(*) > 9",
+        # r14: HAVING over SELECTED outputs + hidden aggregate ORDER
+        # BY items — Spark accepts these (the hidden-item reject needs
+        # a hidden HAVING ref), so the fast path answers zero-scan
+        "SELECT p, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING count(*) >= 20 ORDER BY sum(i) DESC, p LIMIT 2",
+        "SELECT p, count(*) FROM hvq GROUP BY p "
+        "HAVING count(*) > 10 ORDER BY avg(dd) DESC, p LIMIT 5",
+        "SELECT p, sum(i) AS si FROM hvq GROUP BY p "
+        "HAVING si > 50 ORDER BY max(i) DESC, p",
+        "SELECT p, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING sum(i) > 50 ORDER BY n DESC, p",
+        "SELECT p, count(*) FROM hvq GROUP BY p "
+        "HAVING count(*) > 10 ORDER BY count(*) DESC, p",
     ]
     for stq in fast_cases:
         got = cat.sql(spark, stq)
@@ -2029,11 +2058,6 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
     for stq in [
         "SELECT p FROM hvq GROUP BY p HAVING max(i) > count(*)",
         "SELECT p FROM hvq GROUP BY p HAVING count(*) + 1 > 3",
-        # HAVING + aggregate ORDER BY: Spark's analyzer rejects some
-        # of these combinations, so the fast path always defers —
-        # this particular one Spark accepts, and the fallback answers
-        "SELECT p, count(*) AS n FROM hvq GROUP BY p "
-        "HAVING count(*) >= 20 ORDER BY sum(i) DESC LIMIT 2",
     ]:
         got = cat.sql(spark, stq)
         plan = got._jdf.queryExecution().executedPlan().toString()
@@ -2045,6 +2069,25 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
     # Spark's own analysis error, never a fast-path answer
     with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
         cat.sql(spark, "SELECT p FROM hvq GROUP BY p HAVING i > 3")
+    # error parity (r14): a HAVING that resolved to a HIDDEN item (an
+    # unselected aggregate or grouping column) combined with ANY
+    # aggregate-expression ORDER BY item is rejected by Spark's own
+    # analyzer (even when the sort aggregate IS selected) — the fast
+    # path must defer so the fallback surfaces that exact error
+    for stq in [
+        "SELECT p FROM hvq GROUP BY p HAVING sum(i) > 50 "
+        "ORDER BY sum(i)",
+        "SELECT p, count(*) FROM hvq GROUP BY p HAVING sum(i) > 50 "
+        "ORDER BY count(*)",
+        "SELECT p, count(*) FROM hvq GROUP BY p, q HAVING q > -1 "
+        "ORDER BY avg(i)",
+    ]:
+        with pytest.raises(Exception,
+                           match="UNRESOLVED|UNSUPPORTED_EXPR|"
+                                 "cannot be resolved|unsupported"):
+            cat.sql(spark, stq).collect()
+        with pytest.raises(Exception):
+            spark.sql(stq.replace("FROM hvq", "FROM hvq_rel")).collect()
 
 
 def test_partition_sum_avg_fast_path(cat, spark):
