@@ -53,6 +53,15 @@ representable as row deltas at all. ``refresh()`` therefore verifies
 every source commit in the window is an append (compactions are fine —
 incremental reads skip them as re-statements) and fails loudly
 otherwise; ``rebuild()`` is the recovery path.
+
+The PK-source exception (r14): a PRIMARY-KEY source's pre-image IS
+readable — the last-applied snapshot holds the superseded versions of
+exactly the keys the commit window touched — so :class:`AggMV` folds
+SIGNED restatement deltas (new rows +1, old rows −1) for sum/count/avg
+and a maintained JOIN view (a PK table) composes into a maintained
+rollup. Deletes/rewrites still refuse toward ``rebuild()``, and
+min/max/count_distinct refuse at create (retraction can evict an
+extremum; sketches cannot unhash).
 """
 
 from __future__ import annotations
@@ -80,16 +89,21 @@ _MERGE_OP = {"sum": "sum_all", "count": "sum_all", "min": "min_all",
              "max": "max_all", "count_distinct": "hll_union_all"}
 
 
-def _merge_ops_str(aggs: dict) -> str:
+def _merge_ops_str(aggs: dict, mode: str = "append") -> str:
     """The ``lakesoul.columnMergeOps`` value for an agg spec. ``avg``
     stores TWO physical partials (``name__s`` exact decimal sum,
-    ``name__c`` count), both summed on merge; finalize divides."""
+    ``name__c`` count), both summed on merge; finalize divides. In
+    ``"pk"`` (retraction) mode SUM gets the same pair (the nonnull
+    count decides NULL-vs-0 once retractions can cancel a sum to 0)
+    and a hidden ``__live`` signed row count tracks group existence."""
     parts = []
     for name, (fn, _e) in aggs.items():
-        if fn == "avg":
+        if fn == "avg" or (mode == "pk" and fn == "sum"):
             parts += [f"{name}__s:sum_all", f"{name}__c:sum_all"]
         else:
             parts.append(f"{name}:{_MERGE_OP[fn]}")
+    if mode == "pk":
+        parts.append("__live:sum_all")
     return ",".join(parts)
 
 
@@ -146,6 +160,54 @@ def _partial_aggs(aggs: dict) -> list:
     return out
 
 
+def _signed_partial_aggs(aggs: dict) -> list:
+    """Partial-aggregate Columns for the RETRACTION-AWARE (``"pk"``
+    source) rollup: the input frame carries ``__sign`` (+1 for rows
+    the window adds, −1 for the superseded versions it replaces), and
+    every partial is a SIGNED sum, so the MOR ``sum_all`` fold nets
+    out churn exactly — the standard retraction-aware MV cascade
+    (reference anchor: the ``SumAll``/``SumLast`` merge operators,
+    ``merge_operator.rs:22-50``, exist precisely to aggregate over
+    upsert churn on the multi-stream wide table).
+
+    SUM carries a ``(sum, nonnull)`` pair like AVG: once retraction
+    can cancel a group's contributions to zero, only the netted
+    nonnull count can distinguish SQL NULL (no surviving non-null
+    row) from a true zero sum. A hidden ``__live`` signed row count
+    tracks group existence — a group whose rows all churned away
+    nets to ``__live = 0`` and is dropped at read, exactly as a
+    relational GROUP BY never emits it. Decimal(18,6) per-row domain
+    as everywhere (identical casts on the +1 and −1 copies make the
+    retraction bit-exact)."""
+    sg = F.col("__sign")
+    out = []
+    for name, (fn, expr) in aggs.items():
+        if "__" in name:
+            raise ValueError(
+                f"MV output column {name!r} may not contain '__' "
+                "(reserved for partial pairs)"
+            )
+        if fn in ("sum", "avg"):
+            e = F.expr(expr).cast("decimal(18,6)")
+            out.append(F.sum(e * sg).cast("decimal(28,6)")
+                       .alias(f"{name}__s"))
+            out.append(F.sum(F.when(e.isNotNull(), sg).otherwise(0))
+                       .cast("bigint").alias(f"{name}__c"))
+        elif fn == "count":
+            if expr in (None, "*"):
+                c = sg
+            else:
+                c = F.when(F.expr(expr).isNotNull(), sg).otherwise(0)
+            out.append(F.sum(c).cast("bigint").alias(name))
+        else:
+            raise ValueError(
+                f"unsupported retraction-aware aggregate {fn!r} for "
+                f"{name!r}; supported over a PK source: sum, count, avg"
+            )
+    out.append(F.sum(sg).cast("bigint").alias("__live"))
+    return out
+
+
 def _validate_source(info) -> None:
     if info.hash_partitions:
         raise ValueError(
@@ -155,6 +217,47 @@ def _validate_source(info) -> None:
         )
     if info.cdc_column:
         raise ValueError("MV sources must not be CDC tables")
+
+
+def _validate_agg_source(info, aggs: dict) -> str:
+    """AggMV source admission → churn mode ``"append"`` | ``"pk"``.
+
+    A PRIMARY-KEY source (r14) may churn by upsert: its commit window
+    names the touched keys, and both the superseded rows (old
+    snapshot) and their replacements (head snapshot) are readable, so
+    the rollup folds exact signed (new − old) group deltas — the
+    maintained-join → maintained-rollup composition (a JoinMV output
+    IS a PK table). Only sum/count/avg net out under retraction;
+    min/max would need a rescan when the extremum's row churns and a
+    HLL sketch cannot unhash a value, so both refuse toward an
+    append-only source or a rebuild-style view. An AggMV used as the
+    source refuses too: its physical columns are merge-partial
+    carriers that only ``to_df()`` finalizes — chain on the JOIN view
+    or the base table instead."""
+    if info.cdc_column:
+        raise ValueError("MV sources must not be CDC tables")
+    if not info.hash_partitions:
+        return "append"
+    spec_json = info.properties.get(SPEC_PROP)
+    if spec_json and json.loads(spec_json).get("kind", "agg") == "agg":
+        raise ValueError(
+            "an aggregate view cannot source another aggregate view: "
+            "its stored columns are merge-partial carriers (exact "
+            "decimal sums, avg pairs, HLL sketches) that only "
+            "to_df() finalizes — roll up the base table or the JOIN "
+            "view instead"
+        )
+    bad = sorted({fn for fn, _e in aggs.values()}
+                 - {"sum", "count", "avg"})
+    if bad:
+        raise ValueError(
+            f"aggregates {bad} are not maintainable over a PK "
+            "(upsert-churning) source: retracting a superseded row "
+            "can evict the current extremum (min/max) or a sketched "
+            "value (count_distinct), which partial re-emission "
+            "cannot express — use an append-only source for those"
+        )
+    return "pk"
 
 
 def _validate_join_source(info, on: list[str], side: str, *,
@@ -266,6 +369,123 @@ def _joined(
     return df
 
 
+def _scoped_snapshot(spark: SparkSession, path: str, version: int,
+                     delta: DataFrame, cols: list,
+                     bucket_filter: set | None = None) -> DataFrame:
+    """Pinned snapshot for a delta-join/restatement term, FILE-PRUNED
+    by the delta's key bounds over ``cols``: a matching row shares its
+    key, so side rows outside the delta keys' [min, max] can never
+    pair — files whose per-file commit-log stats exclude the range are
+    dropped before Spark schedules a task for them (and the same range
+    predicate reaches the parquet scan, pruning row groups inside kept
+    files). One bounded probe job — min/max over the small delta —
+    buys it. At 100 TB this turns 'scan the whole side every refresh'
+    into 'scan the files the delta's key range touches' whenever the
+    side declares stats on the key columns (``lakesoul.statsColumns``)
+    and keys are at all clustered (time-ordered ids, monotonic event
+    keys); without stats the predicate still prunes row groups via
+    parquet footers. A delta whose keys are all NULL (or empty) joins
+    nothing — the term short-circuits to an empty frame."""
+    if version == 0:
+        return LakeSoulTable.for_path(spark, path).to_df().limit(0)
+    t = LakeSoulTable.for_path_snapshot(spark, path, version=version)
+    # probe only when the side's files actually carry stats for
+    # every scoping column (one driver-side metadata pass):
+    # without them prune_files keeps everything and the min/max
+    # probe job would be pure per-refresh overhead
+    files = t.store.snapshot(version=version).files
+    if not files or any((f.stats or {}).get(c) is None
+                        for f in files for c in cols):
+        return t.to_df(bucket_filter=bucket_filter)
+    import datetime
+    import math
+
+    from pyspark.sql.types import TimestampType
+
+    # TIMESTAMP join keys: collect() renders TimestampType in the
+    # DRIVER SESSION's timezone as a naive datetime, while the
+    # commit-log stats are naive-UTC ISO — on a non-UTC session a
+    # naive bound would over-prune side files and silently drop
+    # join pairs. Collect epoch micros instead and rebuild
+    # tz-AWARE UTC datetimes: prune_files collapses aware values
+    # to naive UTC (one comparison domain with the stats), and the
+    # row-predicate F.lit() resolves an aware datetime to the same
+    # instant in every session timezone.
+    dtypes = {f.name: f.dataType for f in delta.schema.fields}
+    ts_cols = {c for c in cols
+               if isinstance(dtypes.get(c), TimestampType)}
+    aggs = []
+    for c in cols:
+        lo_e, hi_e = F.min(c), F.max(c)
+        if c in ts_cols:
+            lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
+        aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
+    row = delta.agg(*aggs).collect()[0]
+    epoch = datetime.datetime(1970, 1, 1,
+                              tzinfo=datetime.timezone.utc)
+    filters: list = []
+    for c in cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if c in ts_cols and lo is not None:
+            # timedelta arithmetic is exact at micros (no float)
+            lo = epoch + datetime.timedelta(microseconds=int(lo))
+            hi = epoch + datetime.timedelta(microseconds=int(hi))
+        if lo is None:
+            # every delta row is NULL in c: no inner-join pairs
+            return t.to_df().limit(0)
+        if any(isinstance(v, float) and (math.isnan(v)
+                                         or math.isinf(v))
+               for v in (lo, hi)):
+            # NaN bounds poison both the Python stats compare
+            # (lo <= NaN is False → every file would drop) and the
+            # row predicate (Spark pairs NaN = NaN in joins); ±Inf
+            # bounds are orderable but the stats encoding skips
+            # them — scan the full side rather than reason about
+            # IEEE specials
+            return t.to_df(bucket_filter=bucket_filter)
+        filters += [(c, ">=", lo), (c, "<=", hi)]
+    return t.to_df(file_filters=filters,
+                   bucket_filter=bucket_filter)
+
+
+def _pk_window_keys(spark: SparkSession, store, path: str, last: int,
+                    head: int, pk_cols: list) -> DataFrame:
+    """DISTINCT PK tuples touched by a PK source in commits
+    (last, head] — read from the window's delta files alone (PK
+    columns are present in every upsert, partial or not). Only
+    upsert/append/compaction commits are representable; a
+    delete/rewrite fails loudly toward rebuild()."""
+    window = store.commits(last + 1, head)
+    bad = [c.commit_op for c in window
+           if c.commit_op not in (OP_APPEND, OP_MERGE,
+                                  OP_COMPACTION)]
+    if bad:
+        raise ValueError(
+            f"PK source has non-upsert commits {sorted(set(bad))} "
+            f"in versions ({last}, {head}] — not representable as "
+            "a restatement delta; call rebuild()"
+        )
+    return LakeSoulTable.for_path_incremental_versions(
+        spark, path, last + 1, head
+    ).to_df().select(*pk_cols).distinct()
+
+
+def _touched_buckets(keys: DataFrame, pk_cols: list, info) -> set:
+    """Murmur3 bucket ids of the touched PK tuples — a tuple's rows
+    never leave its bucket (the writer's own ``pmod(hash(*pk), n)``
+    expression, so the ids agree by construction), so restatement
+    scans keep only these buckets' merge groups on top of the stats-
+    range pruning (≤ hash_bucket_num distinct values collected). At
+    100 TB this turns 'semi-join all buckets' into 'read the touched
+    buckets'."""
+    return {
+        r["__b"] for r in keys.select(F.pmod(
+            F.hash(*[F.col(c) for c in pk_cols]),
+            F.lit(info.hash_bucket_num)).alias("__b"))
+        .distinct().collect()
+    }
+
+
 def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
     """Shared refresh driver for both view kinds.
 
@@ -286,8 +506,7 @@ def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
             return {"start_version": last + 1, "end_version": last,
                     "applied": False}
         view._check_dims_pinned()
-        inc = _window_df(view.spark, src_store, view.source_path, last, head)
-        out = view._delta(inc)
+        out = view._delta_window(src_store, last, head)
         info = view.table.info
         ops = write_table_data(out, info, dedup=False)
         try:
@@ -328,11 +547,17 @@ class AggMV:
         # {out_col: [fn, expr]}
         self.aggs: dict = {k: tuple(v) for k, v in spec["aggs"].items()}
         # optional row filter — stateless, so it distributes over
-        # append batches and stays incrementally maintainable
+        # append batches and stays incrementally maintainable (and,
+        # in pk mode, applies identically to a row's old and new
+        # versions — a churn that flips the filter retracts/adds
+        # exactly the right contribution)
         self.where: str | None = spec.get("where")
         # optional star-schema dimensions, each PINNED to the snapshot
         # version recorded at create/rebuild time (see create())
         self.dims: list[dict] = list(spec.get("dims", []))
+        # "append" (partials only ever add) | "pk" (r14: signed
+        # restatement deltas net out upsert churn — see create())
+        self.source_mode: str = spec.get("source_mode", "append")
 
     # ------------------------------------------------------------ factory
 
@@ -367,9 +592,22 @@ class AggMV:
         snapshot (concurrent dim writes can't skew a batch) and REFUSE
         to run once the dim's head moves past the pin — ``rebuild()``
         re-pins. Dims are broadcast (the star-schema contract: small
-        dimension, huge fact); group-by columns may come from dims."""
+        dimension, huge fact); group-by columns may come from dims.
+
+        A PRIMARY-KEY source (r14) is admitted for sum/count/avg: the
+        view maintains the rollup through upsert churn by folding
+        SIGNED restatement deltas — each refresh reads the touched
+        keys' OLD rows (pinned last-applied snapshot) with sign −1
+        and their NEW rows (head snapshot) with sign +1, both scans
+        pruned to the touched murmur3 buckets and the key range, so a
+        maintained JOIN view (whose output IS a PK table) composes
+        into a maintained rollup with no corpus re-aggregation
+        (reference anchor: ``SumAll``/``SumLast`` merge operators,
+        ``merge_operator.rs:22-50``, and the multi-stream wide-table
+        rollup tutorial). min/max/count_distinct refuse — a churned
+        extremum needs a rescan and a sketch cannot unhash a value."""
         src = LakeSoulTable.for_path(spark, source_path)
-        _validate_source(src.info)
+        mode = _validate_agg_source(src.info, aggs)
         if not group_by:
             raise ValueError("group_by must name at least one column")
         pinned = []
@@ -390,14 +628,21 @@ class AggMV:
             })
         # derive the MV schema from the partial-agg plan (no job); this
         # also validates the where/join expressions against the schema
-        probe = _joined(spark, src.to_df().limit(0), pinned, where)
-        probe = probe.groupBy(*group_by).agg(*_partial_aggs(aggs))
-        merge_ops = _merge_ops_str(aggs)
+        probe_src = src.to_df().limit(0)
+        if mode == "pk":
+            probe_src = probe_src.withColumn("__sign", F.lit(1))
+        probe = _joined(spark, probe_src, pinned, where)
+        probe = probe.groupBy(*group_by).agg(
+            *(_signed_partial_aggs(aggs) if mode == "pk"
+              else _partial_aggs(aggs)))
+        merge_ops = _merge_ops_str(aggs, mode)
         spec = {
             "source_path": src.path,
             "group_by": list(group_by),
             "aggs": {k: list(v) for k, v in aggs.items()},
         }
+        if mode != "append":
+            spec["source_mode"] = mode
         if where:
             spec["where"] = where
         if pinned:
@@ -418,8 +663,51 @@ class AggMV:
     # ------------------------------------------------------------ refresh
 
     def _delta(self, df: DataFrame) -> DataFrame:
+        if self.source_mode == "pk":
+            if "__sign" not in df.columns:
+                # full loads (initial refresh, rebuild) are all-adds
+                df = df.withColumn("__sign", F.lit(1))
+            df = _joined(self.spark, df, self.dims, self.where)
+            return df.groupBy(*self.group_by).agg(
+                *_signed_partial_aggs(self.aggs))
         df = _joined(self.spark, df, self.dims, self.where)
         return df.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
+
+    def _delta_window(self, src_store: MetaStore, last: int,
+                      head: int) -> DataFrame:
+        """One partial generation for source commits (last, head].
+
+        Append mode: the window's committed rows through the ordinary
+        partial aggregation. PK mode past the initial load: the
+        SIGNED restatement — the touched keys' head-snapshot rows
+        (+1) unioned with their last-applied-snapshot rows (−1), so
+        the netted partials retract exactly what the superseded
+        versions contributed. Both snapshot scans read only the
+        touched buckets' files, further scoped by the key set's
+        stats range (:func:`_scoped_snapshot`) — O(Δ keys) IO at
+        100 TB, never a corpus re-aggregation. Keys new in the window
+        simply have no old rows; a key whose churn flips the WHERE
+        filter (or moves it to another group) nets out per group by
+        construction."""
+        if self.source_mode == "pk" and last > 0:
+            info = LakeSoulTable.for_path(self.spark,
+                                          self.source_path).info
+            pk_cols = list(info.hash_partitions)
+            keys = _pk_window_keys(self.spark, src_store,
+                                   self.source_path, last, head,
+                                   pk_cols)
+            bset = _touched_buckets(keys, pk_cols, info)
+            new = _scoped_snapshot(
+                self.spark, self.source_path, head, keys, pk_cols,
+                bset).join(keys, on=pk_cols, how="left_semi") \
+                .withColumn("__sign", F.lit(1))
+            old = _scoped_snapshot(
+                self.spark, self.source_path, last, keys, pk_cols,
+                bset).join(keys, on=pk_cols, how="left_semi") \
+                .withColumn("__sign", F.lit(-1))
+            return self._delta(new.unionByName(old))
+        return self._delta(_window_df(
+            self.spark, src_store, self.source_path, last, head))
 
     def _check_dims_pinned(self) -> None:
         for d in self.dims:
@@ -641,11 +929,29 @@ class AggMV:
             df = pinned.to_df()
         else:
             df = self.table.to_df()
+        if self.source_mode == "pk":
+            # a group exists only while it has live rows — churn that
+            # drained a group nets its signed row count to zero, and
+            # a relational GROUP BY would not emit it
+            df = df.filter(F.col("__live") > 0)
         sel = list(self.group_by)
         for name, (fn, _e) in self.aggs.items():
             if fn == "avg":
-                c = (F.col(f"{name}__s").cast("double")
-                     / F.col(f"{name}__c"))
+                # try_divide: a group with zero non-null values reads
+                # SQL NULL (AVG over nothing) instead of erroring
+                # under ANSI division — reachable in append mode via
+                # an all-NULL group, and routinely in pk mode once
+                # churn retracts every non-null contribution
+                c = F.try_divide(F.col(f"{name}__s").cast("double"),
+                                 F.col(f"{name}__c"))
+                sel.append(c.alias(name))
+                continue
+            if fn == "sum" and self.source_mode == "pk":
+                # SQL SUM is NULL iff no non-null row survives; after
+                # retraction only the netted nonnull count can tell
+                # that apart from a true zero sum
+                c = F.when(F.col(f"{name}__c") > 0,
+                           F.col(f"{name}__s").cast("double"))
                 sel.append(c.alias(name))
                 continue
             c = F.col(name)
@@ -748,6 +1054,12 @@ class TransformMV:
     _check_dims_pinned = AggMV._check_dims_pinned
     last_applied_version = AggMV.last_applied_version
     repin_dims = AggMV.repin_dims
+
+    def _delta_window(self, src_store, last: int, head: int):
+        """Transform pipes are append-source-only — the window's rows
+        through the transform (the pre-r14 refresh shape)."""
+        return self._delta(_window_df(
+            self.spark, src_store, self.source_path, last, head))
 
     def refresh(self) -> dict:
         """Append the transform of source commits (last_applied, head];
@@ -1041,83 +1353,13 @@ class JoinMV:
                      delta: DataFrame,
                      bucket_filter: set | None = None,
                      cols: list | None = None) -> DataFrame:
-        """Pinned side snapshot for a delta-join term, FILE-PRUNED by
-        the other delta's join-key bounds: an inner-join pair shares
-        its key, so side rows outside the delta keys' [min, max] can
-        never pair — files whose per-file commit-log stats exclude the
-        range are dropped before Spark schedules a task for them (and
-        the same range predicate reaches the parquet scan, pruning row
-        groups inside kept files). One bounded probe job — min/max
-        over the small delta — buys it. At 100 TB this turns 'scan all
-        of B every refresh' into 'scan the files the delta's key range
-        touches' whenever the side declares stats on the join columns
-        (``lakesoul.statsColumns``) and keys are at all clustered
-        (time-ordered ids, monotonic event keys); without stats the
-        predicate still prunes row groups via parquet footers. A
-        delta whose keys are all NULL (or empty) joins nothing — the
-        term short-circuits to an empty frame."""
-        cols = list(cols) if cols is not None else list(self.on)
-        if version == 0:
-            return self._side_df(path, 0)
-        t = LakeSoulTable.for_path_snapshot(
-            self.spark, path, version=version)
-        # probe only when the side's files actually carry stats for
-        # every scoping column (one driver-side metadata pass):
-        # without them prune_files keeps everything and the min/max
-        # probe job would be pure per-refresh overhead
-        files = t.store.snapshot(version=version).files
-        if not files or any((f.stats or {}).get(c) is None
-                            for f in files for c in cols):
-            return t.to_df(bucket_filter=bucket_filter)
-        import datetime
-        import math
-
-        from pyspark.sql.types import TimestampType
-
-        # TIMESTAMP join keys: collect() renders TimestampType in the
-        # DRIVER SESSION's timezone as a naive datetime, while the
-        # commit-log stats are naive-UTC ISO — on a non-UTC session a
-        # naive bound would over-prune side files and silently drop
-        # join pairs. Collect epoch micros instead and rebuild
-        # tz-AWARE UTC datetimes: prune_files collapses aware values
-        # to naive UTC (one comparison domain with the stats), and the
-        # row-predicate F.lit() resolves an aware datetime to the same
-        # instant in every session timezone.
-        dtypes = {f.name: f.dataType for f in delta.schema.fields}
-        ts_cols = {c for c in cols
-                   if isinstance(dtypes.get(c), TimestampType)}
-        aggs = []
-        for c in cols:
-            lo_e, hi_e = F.min(c), F.max(c)
-            if c in ts_cols:
-                lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
-            aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
-        row = delta.agg(*aggs).collect()[0]
-        epoch = datetime.datetime(1970, 1, 1,
-                                  tzinfo=datetime.timezone.utc)
-        filters: list = []
-        for c in cols:
-            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-            if c in ts_cols and lo is not None:
-                # timedelta arithmetic is exact at micros (no float)
-                lo = epoch + datetime.timedelta(microseconds=int(lo))
-                hi = epoch + datetime.timedelta(microseconds=int(hi))
-            if lo is None:
-                # every delta row is NULL in c: no inner-join pairs
-                return t.to_df().limit(0)
-            if any(isinstance(v, float) and (math.isnan(v)
-                                             or math.isinf(v))
-                   for v in (lo, hi)):
-                # NaN bounds poison both the Python stats compare
-                # (lo <= NaN is False → every file would drop) and the
-                # row predicate (Spark pairs NaN = NaN in joins); ±Inf
-                # bounds are orderable but the stats encoding skips
-                # them — scan the full side rather than reason about
-                # IEEE specials
-                return t.to_df(bucket_filter=bucket_filter)
-            filters += [(c, ">=", lo), (c, "<=", hi)]
-        return t.to_df(file_filters=filters,
-                       bucket_filter=bucket_filter)
+        """Pinned side snapshot for a delta-join term, file-pruned by
+        the other delta's join-key bounds (:func:`_scoped_snapshot` —
+        shared with the retraction-aware AggMV restatement)."""
+        return _scoped_snapshot(
+            self.spark, path, version, delta,
+            list(cols) if cols is not None else list(self.on),
+            bucket_filter)
 
     def _source_mode(self, path: str, side: str) -> str:
         """Churn mode of one side (``"append"`` | ``"pk"``),
@@ -1128,27 +1370,6 @@ class JoinMV:
             info, self.on, side, how=self.how,
             view_pk=list(self.table.info.hash_partitions))
 
-    def _pk_window_keys(self, store, path: str, last: int, head: int,
-                        pk_cols: list) -> DataFrame:
-        """DISTINCT PK tuples touched by a PK source in commits
-        (last, head] — read from the window's delta files alone (PK
-        columns are present in every upsert, partial or not). Only
-        upsert/append/compaction commits are representable; a
-        delete/rewrite fails loudly toward :meth:`rebuild`."""
-        window = store.commits(last + 1, head)
-        bad = [c.commit_op for c in window
-               if c.commit_op not in (OP_APPEND, OP_MERGE,
-                                      OP_COMPACTION)]
-        if bad:
-            raise ValueError(
-                f"PK source has non-upsert commits {sorted(set(bad))} "
-                f"in versions ({last}, {head}] — not representable as "
-                "a restatement delta; call rebuild()"
-            )
-        return LakeSoulTable.for_path_incremental_versions(
-            self.spark, path, last + 1, head
-        ).to_df().select(*pk_cols).distinct()
-
     def _delta(self, store, path: str, last: int, head: int,
                mode: str) -> tuple:
         """``(delta_df, (touched_keys, pk_cols) or None)`` for one
@@ -1157,7 +1378,8 @@ class JoinMV:
         the touched PK tuples — head-snapshot rows semi-joined to the
         touched set (the full MOR fold is what makes partial-column
         upserts restate whole rows), with the side files pruned by
-        the tuple set's bounds first. O(Δ) either way at 100 TB."""
+        the touched-bucket set and the tuple set's stats bounds
+        first. O(Δ) either way at 100 TB."""
         if mode == "append" or last == 0:
             # a PK side's initial load is the full snapshot too —
             # everything is the delta and no key can be stale yet
@@ -1169,20 +1391,9 @@ class JoinMV:
         # columns; the left-identity fold makes that sound)
         info = LakeSoulTable.for_path(self.spark, path).info
         pk_cols = list(info.hash_partitions)
-        keys = self._pk_window_keys(store, path, last, head, pk_cols)
-        # a touched tuple's rows live in exactly ONE murmur3 bucket —
-        # the restatement scan keeps only the buckets the delta's
-        # tuples hash into (the writer's own pmod(hash(*pk), n)
-        # expression, so the ids agree by construction;
-        # ≤ hash_bucket_num distinct values collected). At 100 TB this
-        # turns 'semi-join all buckets' into 'read the touched
-        # buckets', on top of the stats-range pruning.
-        bset = {
-            r["__b"] for r in keys.select(F.pmod(
-                F.hash(*[F.col(c) for c in pk_cols]),
-                F.lit(info.hash_bucket_num)).alias("__b"))
-            .distinct().collect()
-        }
+        keys = _pk_window_keys(self.spark, store, path, last, head,
+                               pk_cols)
+        bset = _touched_buckets(keys, pk_cols, info)
         restated = self._side_scoped(path, head, keys,
                                      bucket_filter=bset,
                                      cols=pk_cols).join(

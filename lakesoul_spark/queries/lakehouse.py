@@ -2596,3 +2596,174 @@ def pk_join_mv(spark, sf_dir):
             .cast("double").alias("bal_sum"),
         )
     )
+
+
+@_register(
+    "lakehouse_join_mv_rollup",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 1 AND c_custkey % 4 <> 3
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer
+    ), n AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey = 3 THEN n_regionkey + 10
+                  ELSE n_regionkey END AS n_regionkey
+      FROM nation
+    )
+    SELECT n.n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.price AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           CAST(sum(CAST(o.price AS DECIMAL(18,6))) AS DOUBLE)
+               / count(o.price) AS avg_price
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 9 < 2) o
+    LEFT JOIN c ON o.o_custkey = c.c_custkey
+    LEFT JOIN n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def join_mv_rollup(spark, sf_dir):
+    """Maintained join → maintained ROLLUP (r14 capability): a chained
+    pair of left JoinMVs (orders ⟕ customer ⟕ nation) feeds a
+    retraction-aware AggMV — the rollup's source is a PK table, so
+    each refresh folds SIGNED restatement deltas (touched keys' old
+    rows −1, replacements +1) and SUM/COUNT/AVG stay exact through
+    upsert churn at EVERY level of the cascade, with no corpus
+    re-aggregation anywhere (reference anchor: the multi-stream
+    wide-table rollup shape the SumAll/SumLast merge operators serve,
+    ``merge_operator.rs:22-50``). Lifecycle (3 rollup refreshes +
+    replay): initial load with a quarter of the dim missing (the NULL
+    region group exists and the DuckDB oracle must NOT see it at the
+    end) → dim-1 PK churn that MOVES rows between nation groups +
+    a fact append, mid-state verified against a full Spark re-join →
+    dim-2 churn that MOVES a whole nation across regions (new group
+    appears) + the late dim-1 quarter (the NULL group DRAINS — the
+    hidden signed row count drops it, a relational GROUP BY parity
+    the oracle checks) → replay no-op + marker parity. In-query 100TB
+    evidence: the rollup's restatement reads BOTH pinned source
+    snapshots (old and head) with the touched-bucket filter engaged
+    (the strict one-bucket count claim is pinned by
+    ``test_agg_mv_pk_restatement_scan_is_pruned``)."""
+    import lakesoul_spark.mv as mvmod
+    from lakesoul_spark.mv import AggMV, JoinMV
+
+    A = _tmp("jmr_orders", sf_dir)
+    B = _tmp("jmr_cust", sf_dir)
+    C = _tmp("jmr_nation", sf_dir)
+    V1 = _tmp("jmr_v1", sf_dir)
+    V2 = _tmp("jmr_v2", sf_dir)
+    R = _tmp("jmr_rollup", sf_dir)
+    # the fact slice is a fixed fifth of orders (lifecycle cost is
+    # dominated by the ~12 refresh commits, not fact volume — the
+    # mechanics exercised are identical; the oracle applies the same
+    # o_orderkey % 9 < 2 cut)
+    orders = _orders(spark, sf_dir).filter("o_orderkey % 9 < 2").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")
+    oh = [orders.filter(F.col("o_orderkey") % 9 == i) for i in range(2)]
+    write(oh[0], A, mode="overwrite")
+    write(cust.filter("o_custkey % 4 <> 3"), B, mode="overwrite",
+          hash_partitions=["o_custkey"], hash_bucket_num=2)
+    write(nation, C, mode="overwrite",
+          hash_partitions=["c_nationkey"], hash_bucket_num=2)
+    mv1 = JoinMV.create(
+        spark, A, B, V1, on=["o_custkey"],
+        select=["o_orderkey", "o_custkey", "c_nationkey", "price"],
+        pk=["o_orderkey"], hash_bucket_num=2, how="left")
+    mv2 = JoinMV.create(
+        spark, V1, C, V2, on=["c_nationkey"],
+        select=["o_orderkey", "c_nationkey", "n_regionkey", "price"],
+        pk=["o_orderkey"], hash_bucket_num=2, how="left")
+    roll = AggMV.create(
+        spark, V2, R, group_by=["n_regionkey"],
+        aggs={"n_orders": ("count", "*"),
+              "total_price": ("sum", "price"),
+              "avg_price": ("avg", "price")},
+        hash_bucket_num=2)
+
+    def cascade():
+        assert mv1.refresh()["applied"]
+        assert mv2.refresh()["applied"]
+        assert roll.refresh()["applied"]
+
+    cascade()                               # 1: initial loads
+    g1 = {r["n_regionkey"] for r in
+          roll.to_df().select("n_regionkey").collect()}
+    assert None in g1, \
+        "the missing dim quarter must surface as the NULL region group"
+
+    # dim-1 PK churn MOVES rows between nation groups (the rollup
+    # must retract from the old group and add to the new) + facts
+    bt = LakeSoulTable.for_path(spark, B)
+    bt.upsert(cust.filter("o_custkey % 7 = 1 AND o_custkey % 4 <> 3")
+              .withColumn("c_nationkey",
+                          (F.col("c_nationkey") + 1) % 25))
+    write(oh[1], A, mode="append")
+    cascade()                               # 2: retraction mid-state
+    truth = (orders
+             .join(bt.to_df(), on="o_custkey", how="left")
+             .join(LakeSoulTable.for_path(spark, C).to_df(),
+                   on="c_nationkey", how="left")
+             .groupBy("n_regionkey")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                  F.sum(F.col("price").cast("decimal(18,6)"))
+                  .cast("double").alias("total_price"),
+                  F.try_divide(
+                      F.sum(F.col("price").cast("decimal(18,6)"))
+                      .cast("double"),
+                      F.count("price")).alias("avg_price")))
+    canon = lambda rows: sorted(
+        tuple((v is None, str(v)) for v in r) for r in rows)
+    assert canon(roll.to_df().collect()) == canon(truth.collect()), \
+        "mid-state rollup must equal a full re-join + re-aggregate"
+
+    # dim-2 churn moves nation 3 to a NEW region group; the late
+    # dim-1 quarter lands and the NULL region group must DRAIN
+    LakeSoulTable.for_path(spark, C).upsert(
+        nation.filter("c_nationkey = 3")
+        .withColumn("n_regionkey", F.col("n_regionkey") + 10))
+    bt.upsert(cust.filter("o_custkey % 4 = 3"))
+    assert mv1.refresh()["applied"]
+    assert mv2.refresh()["applied"]
+    seen = []
+    orig = mvmod._scoped_snapshot
+
+    def spy(spark_, path, version, delta, cols, bucket_filter=None):
+        seen.append((version, bucket_filter))
+        return orig(spark_, path, version, delta, cols, bucket_filter)
+
+    mvmod._scoped_snapshot = spy
+    try:
+        assert roll.refresh()["applied"]    # 3: restatement, spied
+    finally:
+        mvmod._scoped_snapshot = orig
+    assert len(seen) == 2 and all(bf is not None for _v, bf in seen), \
+        ("both pinned source snapshots must carry the touched-bucket "
+         "filter", seen)
+    g3 = {r["n_regionkey"] for r in
+          roll.to_df().select("n_regionkey").collect()}
+    assert None not in g3, \
+        "the drained NULL group must vanish (signed row count)"
+    assert len({g for g in g3 if g is not None and g >= 10}) == 1, \
+        "the churned nation must surface its new region group"
+
+    # exactly-once markers + replay no-op
+    assert roll.last_applied_version() == \
+        LakeSoulTable.for_path(spark, V2).store.head_version()
+    head = roll.table.store.head_version()
+    assert roll.refresh()["applied"] is False
+    assert roll.table.store.head_version() == head
+
+    return roll.to_df().select(
+        "n_regionkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "total_price", "avg_price")

@@ -2016,3 +2016,200 @@ def test_service_auto_refreshes_join_mv(spark, tmp_path):
     assert svc.run_once()[V]["mv_refreshed"]["applied"]
     mv = JoinMV(spark, V)
     assert mv.to_df().count() == orders.join(cust, "o_custkey").count()
+
+
+# ---------------------------------------- retraction-aware rollups (r14)
+
+
+def _pk_canon(rows):
+    return sorted(tuple((v is None, str(v)) for v in r) for r in rows)
+
+
+def test_agg_mv_over_pk_source_retraction(spark, tmp_path):
+    """Maintained join → maintained rollup (r14): an AggMV over a PK
+    (upsert-churning) source folds SIGNED restatement deltas — the
+    touched keys' old rows retract (−1), their replacements add (+1)
+    — so SUM/COUNT/AVG stay exact through value churn, group-key
+    churn, NULL churn, and drained groups, with no corpus
+    re-aggregation (reference anchor: SumAll/SumLast,
+    ``merge_operator.rs:22-50``)."""
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i), i % 5) for i in range(60)],
+        "k int, g string, v double, w int")
+    write(base, src, mode="overwrite",
+          hash_partitions=["k"], hash_bucket_num=4)
+    mv = AggMV.create(
+        spark, src, mvp, group_by=["g"],
+        aggs={"total": ("sum", "v"), "n": ("count", "*"),
+              "nv": ("count", "v"), "av": ("avg", "v")},
+        hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        return _pk_canon(t.to_df().groupBy("g").agg(
+            F.when(F.count("v") > 0,
+                   F.sum(F.col("v").cast("decimal(18,6)"))
+                   .cast("double")).alias("total"),
+            F.count("*").alias("n"), F.count("v").alias("nv"),
+            F.try_divide(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double"),
+                F.count("v")).alias("av"),
+        ).collect())
+
+    def got():
+        return _pk_canon(mv.to_df().collect())
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+
+    # value churn: half the keys get new v (same group)
+    t.upsert(base.filter("k % 2 = 0")
+             .withColumn("v", F.col("v") * 10))
+    mv.refresh()
+    assert got() == truth()
+
+    # group-key churn: rows MOVE between groups (old group retracts,
+    # new group adds)
+    t.upsert(base.filter("k % 4 = 1").withColumn("g", F.lit("g9")))
+    mv.refresh()
+    assert got() == truth()
+
+    # NULL churn: values become NULL (sum/avg lose them, count(*)
+    # keeps the rows)
+    t.upsert(base.filter("k % 3 = 0")
+             .withColumn("v", F.lit(None).cast("double")))
+    mv.refresh()
+    assert got() == truth()
+
+    # drain a whole group: every g9 row churns back out — the group
+    # must VANISH from the view (relational GROUP BY never emits it)
+    t.upsert(base.filter("k % 4 = 1").withColumn("g", F.lit("g0")))
+    mv.refresh()
+    assert got() == truth()
+    assert mv.to_df().filter("g = 'g9'").count() == 0
+
+    # replay is a no-op; compaction folds signed partials losslessly
+    assert not mv.refresh()["applied"]
+    assert got() == truth()
+    LakeSoulTable.for_path(spark, mvp).compaction()
+    assert got() == truth()
+
+
+def test_agg_mv_pk_source_null_vs_zero_sum(spark, tmp_path):
+    """After retraction only the netted nonnull count distinguishes
+    SQL NULL (no surviving non-null row) from a true zero sum — churn
+    a group's only value to NULL and its SUM must read NULL, not 0."""
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    write(spark.createDataFrame([(1, "a", 5.0), (2, "b", 7.0)],
+                                "k int, g string, v double"),
+          src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"s": ("sum", "v"), "n": ("count", "*"),
+                            "av": ("avg", "v")},
+                      hash_bucket_num=2)
+    mv.refresh()
+    t = LakeSoulTable.for_path(spark, src)
+    t.upsert(spark.createDataFrame([(1, "a", None)],
+                                   "k int, g string, v double"))
+    mv.refresh()
+    rows = {r["g"]: r for r in mv.to_df().collect()}
+    assert rows["a"]["s"] is None and rows["a"]["av"] is None
+    assert rows["a"]["n"] == 1
+    assert rows["b"]["s"] == 7.0 and rows["b"]["n"] == 1
+    # and back: the NULL retracts, the value returns
+    t.upsert(spark.createDataFrame([(1, "a", 3.0)],
+                                   "k int, g string, v double"))
+    mv.refresh()
+    rows = {r["g"]: r for r in mv.to_df().collect()}
+    assert rows["a"]["s"] == 3.0 and rows["a"]["n"] == 1
+
+
+def test_agg_mv_pk_source_admission_and_guards(spark, tmp_path):
+    """PK sources admit only sum/count/avg (min/max/count_distinct
+    refuse — retraction can evict an extremum, sketches can't
+    unhash); aggregate views refuse as sources (their columns are
+    partial carriers); a DELETE in the window refuses toward
+    rebuild(), which recovers."""
+    src = str(tmp_path / "src")
+    write(spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(20)],
+        "k int, g string, v double"),
+        src, mode="overwrite", hash_partitions=["k"],
+        hash_bucket_num=2)
+    for fn in ("min", "max", "count_distinct"):
+        with pytest.raises(ValueError, match="not maintainable"):
+            AggMV.create(spark, src, str(tmp_path / f"m_{fn}"),
+                         group_by=["g"], aggs={"x": (fn, "v")})
+    mvp = str(tmp_path / "mv")
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"s": ("sum", "v"), "n": ("count", "*")},
+                      hash_bucket_num=2)
+    mv.refresh()
+    # an agg view (PK table of partial carriers) refuses as a source
+    with pytest.raises(ValueError, match="aggregate view"):
+        AggMV.create(spark, mvp, str(tmp_path / "mv2"),
+                     group_by=["g"], aggs={"x": ("count", "*")})
+    # a delete is not representable as a restatement delta
+    t = LakeSoulTable.for_path(spark, src)
+    t.delete("k = 3")
+    with pytest.raises(ValueError, match="rebuild"):
+        mv.refresh()
+    mv.rebuild()
+    want = _pk_canon(t.to_df().groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+        .alias("s"), F.count("*").alias("n")).collect())
+    assert _pk_canon(mv.to_df().collect()) == want
+    # ... and incremental refreshes resume after the rebuild
+    t.upsert(spark.createDataFrame([(1, "g0", 99.0)],
+                                   "k int, g string, v double"))
+    assert mv.refresh()["applied"]
+    want = _pk_canon(t.to_df().groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+        .alias("s"), F.count("*").alias("n")).collect())
+    assert _pk_canon(mv.to_df().collect()) == want
+
+
+def test_agg_mv_pk_restatement_scan_is_pruned(spark, tmp_path):
+    """The 100 TB claim, asserted on the plan inputs: a refresh after
+    churn touching ONE key reads only that key's murmur3 bucket from
+    each pinned snapshot — strictly fewer files than the snapshots
+    hold (on top of the stats-range scoping shared with JoinMV)."""
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    write(spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(200)],
+        "k int, g string, v double"),
+        src, mode="overwrite", hash_partitions=["k"],
+        hash_bucket_num=8)
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"s": ("sum", "v")}, hash_bucket_num=2)
+    mv.refresh()
+    t = LakeSoulTable.for_path(spark, src)
+    t.upsert(spark.createDataFrame([(7, "g1", 700.0)],
+                                   "k int, g string, v double"))
+    import lakesoul_spark.mv as mvmod
+
+    seen = []
+    orig = mvmod._scoped_snapshot
+
+    def spy(spark_, path, version, delta, cols, bucket_filter=None):
+        df = orig(spark_, path, version, delta, cols, bucket_filter)
+        seen.append((version, bucket_filter))
+        return df
+
+    mvmod._scoped_snapshot = spy
+    try:
+        assert mv.refresh()["applied"]
+    finally:
+        mvmod._scoped_snapshot = orig
+    # both pinned snapshots (old and head) were scoped to ONE bucket
+    assert len(seen) == 2
+    assert all(bf is not None and len(bf) == 1 for _v, bf in seen)
+    want = _pk_canon(t.to_df().groupBy("g").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+        .alias("s")).collect())
+    assert _pk_canon(mv.to_df().collect()) == want
