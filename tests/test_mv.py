@@ -2213,3 +2213,58 @@ def test_agg_mv_pk_restatement_scan_is_pruned(spark, tmp_path):
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
         .alias("s")).collect())
     assert _pk_canon(mv.to_df().collect()) == want
+
+
+def test_service_auto_refreshes_rollup_cascade(spark, tmp_path):
+    """The daemon converges a maintained join → maintained rollup
+    cascade: churn on a base table propagates JoinMV → pk-mode AggMV
+    across rounds (each round refreshes every view whose watched
+    source moved), and a quiet round does nothing."""
+    from lakesoul_spark.mv import AggMV, JoinMV
+    from lakesoul_spark.service import CompactionService
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    A, B, V, R = (str(wh / x) for x in "abvr")
+    facts = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(100)],
+        "k int, ck int, v double")
+    dim = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(10)], "ck int, g string")
+    write(facts, A, mode="overwrite")
+    write(dim, B, mode="overwrite", hash_partitions=["ck"],
+          hash_bucket_num=2)
+    JoinMV.create(spark, A, B, V, on=["ck"],
+                  select=["k", "ck", "g", "v"], pk=["k"],
+                  hash_bucket_num=2, how="left")
+    AggMV.create(spark, V, R, group_by=["g"],
+                 aggs={"s": ("sum", "v"), "n": ("count", "*")},
+                 hash_bucket_num=2)
+    svc = CompactionService(spark, warehouse=str(wh))
+    r1 = svc.run_once()
+    assert r1[V]["mv_refreshed"]["applied"]
+    # the rollup may land in the same round (discovery order) or the
+    # next; converged = a later round reports nothing
+    for _ in range(2):
+        svc.run_once()
+    assert svc.run_once() == {}
+
+    def truth():
+        j = LakeSoulTable.for_path(spark, A).to_df().join(
+            LakeSoulTable.for_path(spark, B).to_df(),
+            on="ck", how="left")
+        return _pk_canon(j.groupBy("g").agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            .alias("s"), F.count("*").alias("n")).collect())
+
+    roll = AggMV(spark, R)
+    assert _pk_canon(roll.to_df().collect()) == truth()
+
+    # dim churn: rows move groups; the daemon cascades it through
+    LakeSoulTable.for_path(spark, B).upsert(
+        spark.createDataFrame([(2, "g9"), (5, "g9")],
+                              "ck int, g string"))
+    for _ in range(3):
+        svc.run_once()
+    assert svc.run_once() == {}
+    assert _pk_canon(roll.to_df().collect()) == truth()
