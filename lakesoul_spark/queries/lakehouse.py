@@ -2675,10 +2675,17 @@ def join_mv_rollup(spark, sf_dir):
           hash_partitions=["o_custkey"], hash_bucket_num=2)
     write(nation, C, mode="overwrite",
           hash_partitions=["c_nationkey"], hash_bucket_num=2)
+    # V1 is SPELLED as a RIGHT join (r14: dims RIGHT JOIN facts) and
+    # canonicalized at create into the maintained left view with the
+    # sides swapped — the oracle's facts-LEFT-JOIN-dims shape is the
+    # same view, so this lifecycle doubles as the RIGHT-join oracle
+    # branch
     mv1 = JoinMV.create(
-        spark, A, B, V1, on=["o_custkey"],
+        spark, B, A, V1, on=["o_custkey"],
         select=["o_orderkey", "o_custkey", "c_nationkey", "price"],
-        pk=["o_orderkey"], hash_bucket_num=2, how="left")
+        pk=["o_orderkey"], hash_bucket_num=2, how="right")
+    assert mv1.how == "left" and mv1.left_path.endswith(
+        os.path.basename(A)), "right view must canonicalize"
     mv2 = JoinMV.create(
         spark, V1, C, V2, on=["c_nationkey"],
         select=["o_orderkey", "c_nationkey", "n_regionkey", "price"],

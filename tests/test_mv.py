@@ -2268,3 +2268,102 @@ def test_service_auto_refreshes_rollup_cascade(spark, tmp_path):
         svc.run_once()
     assert svc.run_once() == {}
     assert _pk_canon(roll.to_df().collect()) == truth()
+
+
+def test_agg_mv_pk_source_with_where_and_dims(spark, tmp_path):
+    """pk-mode rollups compose with the append-mode features: a
+    stateless WHERE applies identically to a row's old and new
+    versions (a churn that FLIPS the filter retracts/adds exactly the
+    right contribution), and pinned broadcast dims join the old and
+    new rows against the SAME snapshot, so retraction stays exact."""
+    src, dimp, mvp = (str(tmp_path / x) for x in ("s", "d", "m"))
+    base = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)],
+        "k int, fk int, v double")
+    dim = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(4)], "fk int, g string")
+    write(base, src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    write(dim, dimp, mode="overwrite")
+    mv = AggMV.create(
+        spark, src, mvp, group_by=["g"],
+        aggs={"s": ("sum", "v"), "n": ("count", "*")},
+        where="v >= 10", hash_bucket_num=2,
+        dims=[{"path": dimp, "on": ["fk"], "how": "inner"}])
+    mv.refresh()
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        j = t.to_df().filter("v >= 10").join(dim, on="fk")
+        return _pk_canon(j.groupBy("g").agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            .alias("s"), F.count("*").alias("n")).collect())
+
+    assert _pk_canon(mv.to_df().collect()) == truth()
+    # churn BOTH directions across the filter boundary: rows that
+    # passed now fail (retract only), rows that failed now pass (add
+    # only), plus in-filter value churn and fk (group) moves
+    t.upsert(base.filter("k % 3 = 0").selectExpr(
+        "k", "CAST((fk + 1) % 4 AS INT) AS fk",
+        "CAST(CASE WHEN v >= 10 THEN v - 35 ELSE v + 20 END "
+        "AS DOUBLE) AS v"))
+    mv.refresh()
+    assert _pk_canon(mv.to_df().collect()) == truth()
+    # a dim move still refuses toward rebuild (pins are pins) — the
+    # pin check fires once the source has a window to apply
+    write(dim.limit(1), dimp, mode="append")
+    t.upsert(spark.createDataFrame([(1, 1, 50.0)],
+                                   "k int, fk int, v double"))
+    with pytest.raises(ValueError, match="rebuild"):
+        mv.refresh()
+
+
+def test_sql_rollup_over_join_view(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... GROUP BY over a JOIN view (a PK
+    table) goes through the r14 retraction-aware path via SQL alone:
+    churn cascades with REFRESH verbs, min/max refuse with the
+    pk-source message, and agg views refuse as sources."""
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.sql(spark, "CREATE NAMESPACE default")
+    cat.sql(spark, "CREATE TABLE f (k BIGINT, ck BIGINT, v DOUBLE) "
+                   "USING lakesoul")
+    cat.sql(spark, "CREATE TABLE d (ck BIGINT, g INT) USING lakesoul "
+            "TBLPROPERTIES('hashPartitions'='ck','hashBucketNum'='2')")
+    cat.sql(spark, "INSERT INTO f SELECT id, id % 20, "
+                   "CAST(id AS DOUBLE) FROM range(200)")
+    cat.sql(spark, "INSERT INTO d SELECT id, CAST(id % 5 AS INT) "
+                   "FROM range(20)")
+    cat.sql(spark, "CREATE MATERIALIZED VIEW jv TBLPROPERTIES("
+                   "'primaryKey'='k','hashBucketNum'='2') AS "
+                   "SELECT k, ck, g, v FROM f LEFT JOIN d USING (ck)")
+    cat.sql(spark, "CREATE MATERIALIZED VIEW rv AS SELECT g, "
+                   "sum(v) AS total, count(*) AS n FROM jv GROUP BY g")
+    # churn the dim (rows move groups), cascade with REFRESH verbs
+    LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/d")) \
+        .upsert(spark.sql("SELECT id AS ck, CAST((id % 5 + 1) % 5 AS "
+                          "INT) AS g FROM range(0, 20, 2)"))
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW jv")
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW rv")
+    truth = spark.sql("""
+        SELECT d.g,
+               CAST(sum(CAST(f.v AS DECIMAL(18,6))) AS DOUBLE) total,
+               count(*) n
+        FROM (SELECT id k, id % 20 ck, CAST(id AS DOUBLE) v
+              FROM range(200)) f
+        LEFT JOIN (SELECT id ck,
+                          CAST(CASE WHEN id % 2 = 0
+                               THEN (id % 5 + 1) % 5
+                               ELSE id % 5 END AS INT) g
+                   FROM range(20)) d USING (ck)
+        GROUP BY d.g""")
+    got = cat.sql(spark, "SELECT * FROM rv")
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
+    with pytest.raises(ValueError, match="not maintainable"):
+        cat.sql(spark, "CREATE MATERIALIZED VIEW bad AS SELECT g, "
+                       "max(v) AS m FROM jv GROUP BY g")
+    with pytest.raises(ValueError, match="aggregate view"):
+        cat.sql(spark, "CREATE MATERIALIZED VIEW bad2 AS SELECT g, "
+                       "count(*) AS n FROM rv GROUP BY g")
