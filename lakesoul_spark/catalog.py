@@ -1906,12 +1906,15 @@ class Catalog:
 
     # ------------------------------------------------- HAVING tails
     # (r13) HAVING on the GROUP BY fast path: atoms are
-    # <operand> <cmp> <literal> / <operand> IS [NOT] NULL composed
-    # with AND/OR/NOT and parentheses; operands are grouping columns,
-    # output aliases, or aggregate expressions of the provable family
-    # (Spark resolves ALL of these — measured — computing unselected
-    # aggregates as hidden columns, which is exactly what the hidden
-    # ``parsed`` items replicate). Anything else refuses → relational.
+    # <operand> <cmp> <literal> / <operand> IS [NOT] NULL — plus
+    # (r14) <operand> [NOT] BETWEEN <lit> AND <lit> and <operand>
+    # [NOT] IN (<lit>, …), both desugared onto the cmp machinery —
+    # composed with AND/OR/NOT and parentheses; operands are grouping
+    # columns, output aliases, or aggregate expressions of the
+    # provable family (Spark resolves ALL of these — measured —
+    # computing unselected aggregates as hidden columns, which is
+    # exactly what the hidden ``parsed`` items replicate). Anything
+    # else refuses → relational.
 
     _HAV_LIT_INT = re.compile(r"^[+-]?\d+$")
     _HAV_LIT_DEC = re.compile(r"^[+-]?(\d+\.\d*|\.\d+)$")
@@ -1923,6 +1926,29 @@ class Catalog:
         re.S)
     _HAV_NULL_RE = re.compile(
         r"^(?P<lhs>.+?)\s+IS\s+(?P<neg>NOT\s+)?NULL$", re.I | re.S)
+    # r14: BETWEEN / IN-list atoms — desugared onto the cmp machinery
+    _HAV_BETWEEN_RE = re.compile(
+        r"^(?P<lhs>.+?)\s+(?P<neg>NOT\s+)?BETWEEN\s+(?P<lo>.+?)"
+        r"\s+AND\s+(?P<hi>.+)$", re.I | re.S)
+    _HAV_IN_RE = re.compile(
+        r"^(?P<lhs>.+?)\s+(?P<neg>NOT\s+)?IN\s*\((?P<list>.*)\)$",
+        re.I | re.S)
+
+    @classmethod
+    def _hav_literal(cls, lit: str):
+        """``(kind, value)`` of one comparison literal — exact
+        (int/bare-fractional, Spark parses those as DECIMALS),
+        double (scientific / D-suffixed), or str — ``None`` outside
+        the grammar (escapes, dates, column references)."""
+        lit = lit.strip()
+        if cls._HAV_LIT_INT.match(lit) or cls._HAV_LIT_DEC.match(lit):
+            return ("exact", lit)
+        if cls._HAV_LIT_DBL.match(lit):
+            return ("double", lit.rstrip("dD"))
+        sm = cls._HAV_LIT_STR.match(lit)
+        if sm is None:
+            return None
+        return ("str", sm.group(1))
 
     @staticmethod
     def _parsed_out_name(p) -> str:
@@ -2038,15 +2064,28 @@ class Catalog:
                 mkw = re.match(r"(AND|OR|NOT)\b", text[i:], re.I)
                 if mkw and (i == 0 or not (text[i - 1].isalnum()
                                            or text[i - 1] == "_")):
-                    # the NOT of `IS NOT NULL` belongs to the atom,
-                    # not to the boolean structure
-                    if (mkw.group(1).upper() == "NOT"
-                            and re.search(r"\bIS\s*$", buf, re.I)):
+                    kw = mkw.group(1).upper()
+                    # a NOT after atom text belongs to the atom (`IS
+                    # NOT NULL`, `NOT BETWEEN`, `NOT IN`): boolean NOT
+                    # only ever starts a factor, where the buffer is
+                    # empty (r14)
+                    if kw == "NOT" and buf.strip():
+                        buf += mkw.group(1)
+                        i += len(mkw.group(1))
+                        continue
+                    # the first AND after an unclosed BETWEEN is the
+                    # range separator, not a boolean conjunction
+                    # (quoted spans stripped so a 'BETWEEN' inside a
+                    # string literal can't absorb a real AND) (r14)
+                    if kw == "AND" and re.search(
+                            r"\bBETWEEN\b(?!.*\bAND\b)",
+                            re.sub(r"'[^']*'", "", buf),
+                            re.I | re.S):
                         buf += mkw.group(1)
                         i += len(mkw.group(1))
                         continue
                     flush()
-                    toks.append((mkw.group(1).upper(), mkw.group(1)))
+                    toks.append((kw, mkw.group(1)))
                     i += len(mkw.group(1))
                     continue
             buf += c
@@ -2113,37 +2152,67 @@ class Catalog:
 
     def _hav_atom(self, text, ctx):
         parsed, gcols, case_sensitive, rset, ambiguous = ctx
+
+        def resolve(lhs):
+            return self._resolve_having_operand(
+                lhs, parsed, gcols, case_sensitive, rset, ambiguous)
+
         nm = self._HAV_NULL_RE.match(text)
         if nm is not None:
-            idx = self._resolve_having_operand(
-                nm.group("lhs"), parsed, gcols, case_sensitive, rset,
-                ambiguous)
+            idx = resolve(nm.group("lhs"))
             if idx is None:
                 return None
             return ("null", idx, bool(nm.group("neg")))
         cm = self._HAV_CMP_RE.match(text)
-        if cm is None:
-            return None
-        lit = cm.group("lit").strip()
-        if self._HAV_LIT_INT.match(lit) or self._HAV_LIT_DEC.match(lit):
-            # Spark parses bare fractional literals as DECIMALS —
-            # exact against int/decimal operands
-            lk, lv = "exact", lit
-        elif self._HAV_LIT_DBL.match(lit):
-            lk, lv = "double", lit.rstrip("dD")
-        else:
-            sm = self._HAV_LIT_STR.match(lit)
-            if sm is None:
+        if cm is not None:
+            lit = self._hav_literal(cm.group("lit"))
+            if lit is None:
                 return None  # escapes/dates/columns: fall back
-            lk, lv = "str", sm.group(1)
-        idx = self._resolve_having_operand(
-            cm.group("lhs"), parsed, gcols, case_sensitive, rset,
-            ambiguous)
-        if idx is None:
-            return None
-        op = cm.group("op")
-        op = "!=" if op == "<>" else ("=" if op == "==" else op)
-        return ("cmp", idx, op, lk, lv)
+            idx = resolve(cm.group("lhs"))
+            if idx is None:
+                return None
+            op = cm.group("op")
+            op = "!=" if op == "<>" else ("=" if op == "==" else op)
+            return ("cmp", idx, op, *lit)
+        bm = self._HAV_BETWEEN_RE.match(text)
+        if bm is not None:
+            # Spark itself desugars Between(a,l,u) to a>=l AND a<=u
+            # with each comparison coerced INDEPENDENTLY — exactly
+            # this AST, so mixed-kind bounds need no guard
+            lo = self._hav_literal(bm.group("lo"))
+            hi = self._hav_literal(bm.group("hi"))
+            if lo is None or hi is None:
+                return None
+            idx = resolve(bm.group("lhs"))
+            if idx is None:
+                return None
+            ast = ("and", ("cmp", idx, ">=", *lo),
+                   ("cmp", idx, "<=", *hi))
+            return ("not", ast) if bm.group("neg") else ast
+        im = self._HAV_IN_RE.match(text)
+        if im is not None:
+            parts = _split_top(im.group("list"))
+            if not parts:
+                return None  # IN () is a Spark parse error — surface it
+            lits = [self._hav_literal(p) for p in parts]
+            if any(lt is None for lt in lits):
+                return None
+            if len({k for k, _v in lits}) > 1:
+                # Spark coerces the WHOLE in-list + operand to one
+                # common type; a mixed exact+double list collapses
+                # int operands past 2^53 where per-element domains
+                # would not — refuse rather than risk divergence
+                return None
+            idx = resolve(im.group("lhs"))
+            if idx is None:
+                return None
+            ast = ("cmp", idx, "=", *lits[0])
+            for lt in lits[1:]:
+                ast = ("or", ast, ("cmp", idx, "=", *lt))
+            # x NOT IN (a, b) ≡ NOT(x = a OR x = b), Kleene-exact:
+            # a NULL operand stays NULL through the negation
+            return ("not", ast) if im.group("neg") else ast
+        return None
 
     @staticmethod
     def _hav_predicate(ast, specs):

@@ -1585,6 +1585,15 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         " HAVING p > 'a'", " HAVING NOT (sum(i) > 100)",
         " HAVING avg(dd) >= -2.5", " HAVING sum(dd) <> 0.25",
         " HAVING max(f) >= 1e300", " HAVING count(*) > 5.5",
+        # r14: BETWEEN / IN-list atoms (incl. NOT forms, NULL
+        # operands via min(s), boolean composition around them)
+        " HAVING count(*) BETWEEN 20 AND 40",
+        " HAVING sum(i) NOT BETWEEN 0 AND 100",
+        " HAVING avg(dd) BETWEEN -2.5 AND 1e4",
+        " HAVING p IN ('a', 'c')", " HAVING p NOT IN ('a', 'zz')",
+        " HAVING min(s) IN ('', 'nope')",
+        " HAVING count(i) IN (10, 20, 30) OR p = 'b'",
+        " HAVING NOT (count(*) BETWEEN 0 AND 5) AND p IN ('a','b','c')",
     ])
 
     @settings(max_examples=50, deadline=None,
@@ -2036,6 +2045,19 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
         "HAVING sum(i) > 50 ORDER BY n DESC, p",
         "SELECT p, count(*) FROM hvq GROUP BY p "
         "HAVING count(*) > 10 ORDER BY count(*) DESC, p",
+        # r14: BETWEEN / IN-list atoms, desugared zero-scan
+        "SELECT p FROM hvq GROUP BY p HAVING count(*) BETWEEN 15 "
+        "AND 25",
+        "SELECT p FROM hvq GROUP BY p HAVING sum(i) NOT BETWEEN 0 "
+        "AND 90 OR p = 'a'",
+        "SELECT p, q FROM hvq GROUP BY p, q HAVING q IN (0, 1) "
+        "AND p NOT IN ('zz')",
+        "SELECT p, max(s) AS ms FROM hvq GROUP BY p "
+        "HAVING ms IN ('x6', 'x5') ORDER BY p",
+        "SELECT p FROM hvq GROUP BY p "
+        "HAVING avg(dd) BETWEEN 2.0 AND 1e4",
+        "SELECT p FROM hvq GROUP BY p "
+        "HAVING NOT (count(i) IN (10, 20, 21))",
     ]
     for stq in fast_cases:
         got = cat.sql(spark, stq)
@@ -2058,6 +2080,13 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
     for stq in [
         "SELECT p FROM hvq GROUP BY p HAVING max(i) > count(*)",
         "SELECT p FROM hvq GROUP BY p HAVING count(*) + 1 > 3",
+        # a MIXED exact+double IN list: Spark coerces the whole list
+        # to one common type, which per-element domains can diverge
+        # from past 2^53 — must refuse into the relational path
+        "SELECT p FROM hvq GROUP BY p HAVING count(*) IN (20, 2.1e1)",
+        # BETWEEN with a column bound is outside the literal grammar
+        "SELECT p FROM hvq GROUP BY p "
+        "HAVING count(i) BETWEEN 0 AND count(*)",
     ]:
         got = cat.sql(spark, stq)
         plan = got._jdf.queryExecution().executedPlan().toString()
