@@ -2167,13 +2167,20 @@ class Catalog:
         if cm is not None:
             lit = self._hav_literal(cm.group("lit"))
             if lit is None:
-                return None  # escapes/dates/columns: fall back
-            idx = resolve(cm.group("lhs"))
-            if idx is None:
-                return None
-            op = cm.group("op")
-            op = "!=" if op == "<>" else ("=" if op == "==" else op)
-            return ("cmp", idx, op, *lit)
+                # escapes/dates/columns fall back — but first let the
+                # BETWEEN/IN matchers below try the atom: a string
+                # literal CONTAINING an operator char (p IN ('a=b'),
+                # x BETWEEN 'a<b' AND 'z') greedily matches the CMP
+                # regex with a truncated "literal", while the
+                # quote-aware matchers parse it whole
+                cm = None
+            else:
+                idx = resolve(cm.group("lhs"))
+                if idx is None:
+                    return None
+                op = cm.group("op")
+                op = "!=" if op == "<>" else ("=" if op == "==" else op)
+                return ("cmp", idx, op, *lit)
         bm = self._HAV_BETWEEN_RE.match(text)
         if bm is not None:
             # Spark itself desugars Between(a,l,u) to a>=l AND a<=u

@@ -59,9 +59,23 @@ readable — the last-applied snapshot holds the superseded versions of
 exactly the keys the commit window touched — so :class:`AggMV` folds
 SIGNED restatement deltas (new rows +1, old rows −1) for sum/count/avg
 and a maintained JOIN view (a PK table) composes into a maintained
-rollup. Deletes/rewrites still refuse toward ``rebuild()``, and
-min/max/count_distinct refuse at create (retraction can evict an
-extremum; sketches cannot unhash).
+rollup. min/max/count_distinct refuse at create (retraction can evict
+an extremum; sketches cannot unhash).
+
+Deletes and CDC (r15): a PK source's DELETE / UPDATE commits are
+representable too — the touched keys are read from the window's
+del-files via the pinned old snapshot, the standard head(+1) ∪
+old(−1) restatement nets survivors to zero and deleted keys to pure
+retraction, and a CDC source is the same algebra with the change
+kind spelled in-row (its snapshot reads filter delete markers, so
+insert / update / delete all fold with zero new machinery; reference
+anchors ``DeleteCommand.scala:48-111`` and
+``ProcessCDCTableMergeOnRead.scala:17-57``). :class:`JoinMV` deletes
+the view rows of vanished keys (left views NULL-extend a vanished
+RIGHT match instead), and :class:`TransformMV` maintains a
+PK-preserving transform of a churning source as a PK output table.
+Deletes in an APPEND-ONLY source's window still refuse toward
+``rebuild()`` — with no key there is no pre-image to retract.
 """
 
 from __future__ import annotations
@@ -75,6 +89,7 @@ from lakesoul_spark.meta.store import (
     MetaStore,
     OP_APPEND,
     OP_COMPACTION,
+    OP_DELETE,
     OP_MERGE,
     OP_UPDATE,
 )
@@ -208,18 +223,40 @@ def _signed_partial_aggs(aggs: dict) -> list:
     return out
 
 
-def _validate_source(info) -> None:
-    if info.hash_partitions:
+def _validate_transform_source(info, select: list[str]) -> str:
+    """TransformMV source admission → churn mode ``"append"`` |
+    ``"pk"`` (r15). A PRIMARY-KEY (or CDC) source is maintainable
+    exactly when the select CARRIES the source PK verbatim: the
+    output is then a PK table keyed by the source PK, a restated key
+    overwrites its own output row through the MOR fold, and a key
+    whose transform emits nothing (source delete, WHERE flip,
+    inner-dim drop) is deleted from the output by the refresh. A
+    select that renames or computes over a PK column refuses — the
+    engine cannot prove the output row identity still equals the
+    source identity."""
+    if info.cdc_column and not info.hash_partitions:
         raise ValueError(
-            "MV sources must be append-only: a primary-key source "
-            "upserts in place and its CDC rows carry no pre-image, so "
-            "a sum partial cannot retract the superseded value"
+            "CDC transform sources must be primary-key tables (the "
+            "restatement reads pre/post images by key)"
         )
-    if info.cdc_column:
-        raise ValueError("MV sources must not be CDC tables")
+    if not info.hash_partitions:
+        return "append"
+    bare = {s.strip().strip("`") for s in select}
+    missing = [c for c in info.hash_partitions if c not in bare]
+    if missing:
+        raise ValueError(
+            f"a transform view over a PK (upsert-churning) source "
+            f"must carry the source PK verbatim in its select — "
+            f"{missing} are not bare select items. The output row "
+            "identity must equal the source identity for restated "
+            "keys to overwrite (and vanished keys to delete) their "
+            "own output rows."
+        )
+    return "pk"
 
 
-def _validate_agg_source(info, aggs: dict) -> str:
+def _validate_agg_source(info, aggs: dict,
+                         group_by: list[str] | None = None) -> str:
     """AggMV source admission → churn mode ``"append"`` | ``"pk"``.
 
     A PRIMARY-KEY source (r14) may churn by upsert: its commit window
@@ -227,15 +264,22 @@ def _validate_agg_source(info, aggs: dict) -> str:
     snapshot) and their replacements (head snapshot) are readable, so
     the rollup folds exact signed (new − old) group deltas — the
     maintained-join → maintained-rollup composition (a JoinMV output
-    IS a PK table). Only sum/count/avg net out under retraction;
+    IS a PK table). A CDC source (r15) is the same algebra with the
+    change kind spelled in-row: its snapshot reads already filter
+    delete markers (``ProcessCDCTableMergeOnRead.scala:17-57``), so
+    the identical head(+1) ∪ old(−1) restatement nets inserts,
+    updates AND deletes. Only sum/count/avg net out under retraction;
     min/max would need a rescan when the extremum's row churns and a
     HLL sketch cannot unhash a value, so both refuse toward an
     append-only source or a rebuild-style view. An AggMV used as the
     source refuses too: its physical columns are merge-partial
     carriers that only ``to_df()`` finalizes — chain on the JOIN view
     or the base table instead."""
-    if info.cdc_column:
-        raise ValueError("MV sources must not be CDC tables")
+    if info.cdc_column and not info.hash_partitions:
+        raise ValueError(
+            "CDC rollup sources must be primary-key tables (the "
+            "restatement reads pre/post images by key)"
+        )
     if not info.hash_partitions:
         return "append"
     spec_json = info.properties.get(SPEC_PROP)
@@ -256,6 +300,25 @@ def _validate_agg_source(info, aggs: dict) -> str:
             "can evict the current extremum (min/max) or a sketched "
             "value (count_distinct), which partial re-emission "
             "cannot express — use an append-only source for those"
+        )
+    # reserved-name collisions in pk mode: a source column literally
+    # named __sign would be folded as the retraction sign by _delta,
+    # and a group_by name containing '__' can collide with the hidden
+    # __live / *__s / *__c partials — refuse at create, mirroring the
+    # check _signed_partial_aggs applies to agg OUTPUT names
+    from lakesoul_spark.io.writer import table_schema as _ts
+    if "__sign" in {f.name for f in _ts(info).fields}:
+        raise ValueError(
+            "PK/CDC rollup sources may not carry a column named "
+            "'__sign' — it is the retraction-sign carrier of the "
+            "signed restatement fold"
+        )
+    bad_g = [g for g in (group_by or []) if "__" in g]
+    if bad_g:
+        raise ValueError(
+            f"group_by columns {bad_g} may not contain '__' over a "
+            "PK/CDC source (reserved for the hidden __live and "
+            "partial-pair columns)"
         )
     return "pk"
 
@@ -284,9 +347,17 @@ def _validate_join_source(info, on: list[str], side: str, *,
     ``joinWithTablesAndUpsert`` shape, maintained). Everywhere else a
     PK source whose key is NOT the join key refuses: a changed
     join-key value would strand pairs whose view identity includes
-    the OTHER side's rows."""
-    if info.cdc_column:
-        raise ValueError(f"JOIN view {side} source must not be a CDC table")
+    the OTHER side's rows.
+
+    A CDC source (r15) rides the same pk admission: its change rows
+    name the touched keys, snapshot reads already filter delete
+    markers, and a key whose rows are all deleted simply restates to
+    nothing — the refresh's vanished-key handling retracts its pairs."""
+    if info.cdc_column and not info.hash_partitions:
+        raise ValueError(
+            f"JOIN view {side} CDC source must be a primary-key table "
+            "(the restatement reads pre/post images by key)"
+        )
     if not info.hash_partitions:
         return "append"
     if set(info.hash_partitions) == set(on):
@@ -451,23 +522,80 @@ def _scoped_snapshot(spark: SparkSession, path: str, version: int,
 def _pk_window_keys(spark: SparkSession, store, path: str, last: int,
                     head: int, pk_cols: list) -> DataFrame:
     """DISTINCT PK tuples touched by a PK source in commits
-    (last, head] — read from the window's delta files alone (PK
-    columns are present in every upsert, partial or not). Only
-    upsert/append/compaction commits are representable; a
-    delete/rewrite fails loudly toward rebuild()."""
+    (last, head].
+
+    Every commit kind is representable (r15): append/upsert adds from
+    the window's delta files; DELETE and UPDATE rewrites from BOTH
+    sides of the rewrite — their del-files (the pre-image: a key that
+    vanishes appears nowhere else) and their add-files (rewrite
+    survivors, which the head(+1) ∪ old(−1) restatement then nets to
+    a no-op). CDC delete markers ride the ordinary add-files.
+    Reference anchor: deletes are first-class commits whose file set
+    names exactly the touched data (``DeleteCommand.scala:48-111``).
+
+    Files are read DIRECTLY by path with a PK-only schema — PK
+    columns are present in every file, partial-column upserts
+    included — so no snapshot replay, MOR merge, or data-column IO is
+    paid: the probe is O(window files) at their PK column width.
+    Logically-deleted files stay on disk until cleanup/vacuum (the
+    same contract time travel relies on); a window older than the
+    retention fails loudly toward rebuild(). Compaction commits are
+    skipped (re-statements of already-counted rows)."""
+    import os
+
+    from lakesoul_spark.io.writer import data_schema
+    from pyspark.sql.types import StructType
+
     window = store.commits(last + 1, head)
-    bad = [c.commit_op for c in window
-           if c.commit_op not in (OP_APPEND, OP_MERGE,
-                                  OP_COMPACTION)]
-    if bad:
-        raise ValueError(
-            f"PK source has non-upsert commits {sorted(set(bad))} "
-            f"in versions ({last}, {head}] — not representable as "
-            "a restatement delta; call rebuild()"
-        )
-    return LakeSoulTable.for_path_incremental_versions(
-        spark, path, last + 1, head
-    ).to_df().select(*pk_cols).distinct()
+    rels: dict[str, None] = {}
+    for c in window:
+        if c.commit_op == OP_COMPACTION:
+            continue
+        if c.commit_op in (OP_APPEND, OP_MERGE):
+            for fo in c.file_ops:
+                if fo.op == "add":
+                    rels[fo.path] = None
+        elif c.commit_op in (OP_UPDATE, OP_DELETE):
+            for fo in c.file_ops:
+                rels[fo.path] = None
+        else:  # pragma: no cover - the op set is closed
+            raise ValueError(
+                f"PK source has unrecognized commit op "
+                f"{c.commit_op!r} in versions ({last}, {head}] — "
+                "call rebuild()"
+            )
+    empty = LakeSoulTable.for_path(spark, path).to_df() \
+        .select(*pk_cols).limit(0)
+    if not rels:
+        return empty
+    info = store.table_info()
+    sub = StructType([f for f in data_schema(info).fields
+                      if f.name in pk_cols])
+    return spark.read.schema(sub).parquet(
+        *[os.path.join(path, r) for r in rels]
+    ).select(*pk_cols).distinct()
+
+
+def _release_pins(view) -> None:
+    """Unpersist the touched-key frames a refresh pinned — one cache
+    per window, populated by the first bucket-collect and reused by
+    the probes, semi-joins and vanished-key anti-joins instead of
+    re-running the window read for each (the r14 shape re-executed
+    it ~5×)."""
+    for df in getattr(view, "_pins", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    view._pins = []
+
+
+def _pin(view, df: DataFrame) -> DataFrame:
+    df = df.persist()
+    if not hasattr(view, "_pins"):
+        view._pins = []
+    view._pins.append(df)
+    return df
 
 
 def _touched_buckets(keys: DataFrame, pk_cols: list, info) -> set:
@@ -506,9 +634,21 @@ def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
             return {"start_version": last + 1, "end_version": last,
                     "applied": False}
         view._check_dims_pinned()
-        out = view._delta_window(src_store, last, head)
-        info = view.table.info
-        ops = write_table_data(out, info, dedup=False)
+        view._vanished = None
+        try:
+            out = view._delta_window(src_store, last, head)
+            info = view.table.info
+            ops = write_table_data(out, info, dedup=False)
+            # keys whose restatement produced no output row (source
+            # delete, WHERE flip, inner-dim drop) are DELETED from the
+            # view before the marker commit: a crash in between leaves
+            # the marker unadvanced, so the replay recomputes the same
+            # vanished set and the delete degenerates to a no-op
+            gone = getattr(view, "_vanished", None)
+            if gone is not None and gone.take(1):
+                view.table.delete_matching(gone)
+        finally:
+            _release_pins(view)
         try:
             view.table.store.commit(
                 commit_op,
@@ -607,9 +747,16 @@ class AggMV:
         rollup tutorial). min/max/count_distinct refuse — a churned
         extremum needs a rescan and a sketch cannot unhash a value."""
         src = LakeSoulTable.for_path(spark, source_path)
-        mode = _validate_agg_source(src.info, aggs)
+        mode = _validate_agg_source(src.info, aggs, group_by)
         if not group_by:
             raise ValueError("group_by must name at least one column")
+        clash = set(group_by) & {f"{n}__{s}" for n in aggs
+                                 for s in ("s", "c")}
+        if clash:
+            raise ValueError(
+                f"group_by columns {sorted(clash)} collide with the "
+                "hidden partial-pair columns of the agg spec"
+            )
         pinned = []
         for d in dims or []:
             how = d.get("how", "inner")
@@ -688,14 +835,21 @@ class AggMV:
         100 TB, never a corpus re-aggregation. Keys new in the window
         simply have no old rows; a key whose churn flips the WHERE
         filter (or moves it to another group) nets out per group by
-        construction."""
+        construction. DELETE / UPDATE commits (r15) need no new
+        algebra: their keys come from the window's del-files, a
+        deleted key has no head rows so the restatement is pure
+        retraction, and survivors of a rewrite net to a no-op; CDC
+        delete markers behave identically because both snapshot scans
+        already filter them. The key frame is cached for the window —
+        the bucket collect, the two min/max probes and the two
+        semi-joins all reuse one materialization."""
         if self.source_mode == "pk" and last > 0:
             info = LakeSoulTable.for_path(self.spark,
                                           self.source_path).info
             pk_cols = list(info.hash_partitions)
-            keys = _pk_window_keys(self.spark, src_store,
-                                   self.source_path, last, head,
-                                   pk_cols)
+            keys = _pin(self, _pk_window_keys(
+                self.spark, src_store, self.source_path, last, head,
+                pk_cols))
             bset = _touched_buckets(keys, pk_cols, info)
             new = _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
@@ -967,13 +1121,24 @@ class AggMV:
 
 class TransformMV:
     """Incrementally-maintained TRANSFORMED copy — the map-only
-    counterpart of :class:`AggMV` (the "insert-only pipe" every ETL
-    stack rebuilds by hand): select expressions + optional WHERE +
-    optional pinned broadcast dims over an append-only source,
-    materialized as a non-PK table. Each refresh APPENDS the transform
-    of exactly the new commits; there is no merge at all, so reads are
-    plain scans and per-refresh cost is O(new rows) in, O(selected
-    rows) out. Same exactly-once commit marker as AggMV."""
+    counterpart of :class:`AggMV` (the "normalize/enrich a corpus"
+    pipe every ETL stack rebuilds by hand): select expressions +
+    optional WHERE + optional pinned broadcast dims.
+
+    Over an APPEND-ONLY source the output is a non-PK table and each
+    refresh APPENDS the transform of exactly the new commits — no
+    merge at all, plain-scan reads, O(new rows) per refresh.
+
+    Over a PRIMARY-KEY or CDC source (r15) the select must carry the
+    source PK verbatim; the output is then a PK table keyed by it and
+    each refresh RESTATES the touched keys — transform their head
+    rows and upsert (the MOR fold replaces each key's previous output
+    row), and DELETE from the output the keys whose transform emitted
+    nothing (source delete, CDC delete marker, WHERE flip, inner-dim
+    drop). Retraction is the PK overwrite itself, exactly the JoinMV
+    fold; per-refresh cost is O(touched keys) with the same
+    bucket + stats-range scan pruning as the rollup restatement.
+    Same exactly-once commit marker as AggMV either way."""
 
     def __init__(self, spark: SparkSession, mv_path: str):
         self.spark = spark
@@ -990,6 +1155,7 @@ class TransformMV:
         self.select: list[str] = list(spec["select"])
         self.where: str | None = spec.get("where")
         self.dims: list[dict] = list(spec.get("dims", []))
+        self.source_mode: str = spec.get("source_mode", "append")
 
     @classmethod
     def create(
@@ -1002,14 +1168,26 @@ class TransformMV:
         where: str | None = None,
         dims: list[dict] | None = None,
         range_partitions: list[str] | None = None,
+        hash_bucket_num: int = 4,
     ) -> "TransformMV":
         """``select`` is a list of selectExpr strings (``"expr AS
         name"`` / bare columns). ``range_partitions`` optionally
-        partitions the OUTPUT (the exprs must produce those columns)."""
+        partitions the OUTPUT (the exprs must produce those columns).
+        ``hash_bucket_num`` sizes the output PK table when the source
+        churns by PK (ignored for append-only sources)."""
         src = LakeSoulTable.for_path(spark, source_path)
-        _validate_source(src.info)
+        mode = _validate_transform_source(src.info, select)
         if not select:
             raise ValueError("select must name at least one expression")
+        if mode == "pk" and range_partitions and \
+                not set(range_partitions) <= set(src.info.hash_partitions):
+            raise ValueError(
+                "PK-source transform outputs may only range-partition "
+                "by source PK columns: the PK fold replaces rows per "
+                "(partition, bucket) group, so a restated key whose "
+                "non-PK partition value changed would leave its stale "
+                "output row in the old partition"
+            )
         pinned = []
         for d in dims or []:
             how = d.get("how", "inner")
@@ -1033,6 +1211,8 @@ class TransformMV:
             "source_path": src.path,
             "select": list(select),
         }
+        if mode != "append":
+            spec["source_mode"] = mode
         if where:
             spec["where"] = where
         if pinned:
@@ -1042,6 +1222,9 @@ class TransformMV:
             mv_path,
             probe.schema,
             range_partitions=list(range_partitions or []),
+            hash_partitions=(list(src.info.hash_partitions)
+                             if mode == "pk" else []),
+            hash_bucket_num=hash_bucket_num,
             properties={SPEC_PROP: json.dumps(spec)},
         )
         return cls(spark, mv_path)
@@ -1056,15 +1239,40 @@ class TransformMV:
     repin_dims = AggMV.repin_dims
 
     def _delta_window(self, src_store, last: int, head: int):
-        """Transform pipes are append-source-only — the window's rows
-        through the transform (the pre-r14 refresh shape)."""
+        """Append mode: the window's rows through the transform (the
+        pre-r14 refresh shape). PK mode past the initial load: the
+        touched keys' head rows through the transform — the PK fold
+        replaces each key's previous output row — with keys whose
+        transform emitted NOTHING handed to the refresh loop as the
+        vanished set to delete (retraction). Scans are pruned to the
+        touched buckets + the key set's stats range, exactly the
+        rollup restatement's shape."""
+        if self.source_mode == "pk" and last > 0:
+            info = LakeSoulTable.for_path(self.spark,
+                                          self.source_path).info
+            pk_cols = list(info.hash_partitions)
+            keys = _pin(self, _pk_window_keys(
+                self.spark, src_store, self.source_path, last, head,
+                pk_cols))
+            bset = _touched_buckets(keys, pk_cols, info)
+            restated = _scoped_snapshot(
+                self.spark, self.source_path, head, keys, pk_cols,
+                bset).join(keys, on=pk_cols, how="left_semi")
+            out = self._transform(restated)
+            self._vanished = keys.join(
+                out.select(*pk_cols).distinct(),
+                on=pk_cols, how="left_anti")
+            return out
         return self._delta(_window_df(
             self.spark, src_store, self.source_path, last, head))
 
     def refresh(self) -> dict:
-        """Append the transform of source commits (last_applied, head];
+        """Apply the transform of source commits (last_applied, head] —
+        an append generation for append-only sources, a PK-upsert
+        restatement (plus vanished-key deletes) for PK/CDC sources;
         same concurrency contract as :meth:`AggMV.refresh`."""
-        return _refresh_loop(self, OP_APPEND)
+        return _refresh_loop(
+            self, OP_MERGE if self.source_mode == "pk" else OP_APPEND)
 
     def rebuild(self) -> dict:
         """Re-pin dims and recompute from the current source snapshot.
@@ -1391,8 +1599,8 @@ class JoinMV:
         # columns; the left-identity fold makes that sound)
         info = LakeSoulTable.for_path(self.spark, path).info
         pk_cols = list(info.hash_partitions)
-        keys = _pk_window_keys(self.spark, store, path, last, head,
-                               pk_cols)
+        keys = _pin(self, _pk_window_keys(
+            self.spark, store, path, last, head, pk_cols))
         bset = _touched_buckets(keys, pk_cols, info)
         restated = self._side_scoped(path, head, keys,
                                      bucket_filter=bset,
@@ -1430,12 +1638,59 @@ class JoinMV:
                 "the right source or declare its PK as the join key"
             )
 
+    def _vanished_view_keys(self, gone: DataFrame, gone_cols: list,
+                            last_l: int, last_r: int,
+                            side: str) -> DataFrame:
+        """Frame identifying the view rows whose ``side`` source keys
+        VANISHED this window (delete commit, CDC delete marker) —
+        :meth:`LakeSoulTable.delete_matching` removes every view row
+        matching it on its columns. When the view output carries the
+        vanished key columns themselves the gone frame IS the match
+        set (zero extra scan); otherwise the stale pairs are
+        re-derived from the two PINNED old snapshots — both scans
+        scoped by the gone set's stats bounds — and projected onto
+        the view PK."""
+        view_cols = {f.name for f in self.table.schema().fields}
+        if set(gone_cols) <= view_cols:
+            return gone
+        if side == "left":
+            old_rows = self._side_scoped(
+                self.left_path, last_l, gone, cols=gone_cols).join(
+                gone, on=gone_cols, how="left_semi")
+            pairs = self._join_select(
+                old_rows,
+                self._side_scoped(self.right_path, last_r, old_rows),
+                self.on, self.select, self.where, self.how)
+        else:
+            old_rows = self._side_scoped(
+                self.right_path, last_r, gone, cols=gone_cols).join(
+                gone, on=gone_cols, how="left_semi")
+            pairs = self._join_select(
+                self._side_scoped(self.left_path, last_l, old_rows),
+                old_rows, self.on, self.select, self.where, "inner")
+        return pairs.select(*self.table.info.hash_partitions)
+
     def refresh(self, *, max_attempts: int = 5) -> dict:
         """Apply both sources' new commits as ONE delta-join
         generation; same concurrency contract as :meth:`AggMV.refresh`
         (the MV head is captured first; a racing refresh either
         resolves idempotently on the same window or conflicts and we
-        recompute from the new applied state)."""
+        recompute from the new applied state).
+
+        Vanished keys (r15 — a PK side's DELETE/UPDATE commit or a
+        CDC side's delete markers): a key with no surviving head rows
+        restates to nothing, so its stale view rows are DELETED from
+        the view (PK re-emission cannot retract) — on left views a
+        vanished LEFT identity drops its view row, while a vanished
+        RIGHT key instead NULL-EXTENDS its left rows (the left-join
+        re-emission term below replaces the stale matched
+        generation). The deletes land before the marker commit: a
+        crash in between replays the window from the same pinned
+        versions and the re-run delete finds nothing to match. A
+        reader between the two commits sees deletions before
+        restatements (the same transient a mid-refresh reader of any
+        two-term window sees); downstream MVs converge because the
+        marker commit's files restate every remaining touched key."""
         from lakesoul_spark.meta.store import CommitConflict
 
         lstore = MetaStore(self.left_path)
@@ -1454,57 +1709,101 @@ class JoinMV:
                 # uniqueness over all of it once, before any commit
                 self._assert_unique_right(head_r, None)
             parts = []
+            vanished = []  # (gone keys, key cols, side) to delete
             keys_a = None
-            if head_l > last_l:
-                d_a, keys_a = self._delta(lstore, self.left_path,
-                                          last_l, head_l, lmode)
-                parts.append(self._join_select(
-                    d_a, self._side_scoped(self.right_path, head_r,
-                                           d_a),
-                    self.on, self.select, self.where, self.how,
-                ))
-            if head_r > last_r and last_l > 0:
-                # A@lastL ⋈ ΔB — with lastL == 0 the old left is empty
-                # and the term vanishes (the initial load is term one).
-                # ALWAYS INNER, even on left views: this term only
-                # re-emits left rows that gained/changed a match, and
-                # the PK-upsert fold replaces their previous
-                # (NULL-extended or stale) generation.
-                d_b, _ = self._delta(rstore, self.right_path,
-                                     last_r, head_r, rmode)
-                if self.how == "left" and rmode != "pk" and last_l > 0:
-                    self._assert_unique_right(head_r, d_b)
-                old_left = self._side_scoped(self.left_path, last_l,
-                                             d_b)
-                if keys_a is not None:
-                    # the left side churned by PK: its OLD snapshot
-                    # still holds stale versions of the touched rows —
-                    # term one re-emits those pairs from the
-                    # restatement, so exclude them here BY THE LEFT
-                    # PK (for append sources the old snapshot already
-                    # equals "head minus delta" and no anti-join is
-                    # paid)
-                    ka, ka_cols = keys_a
-                    old_left = old_left.join(ka, on=ka_cols,
-                                             how="left_anti")
-                parts.append(self._join_select(
-                    old_left, d_b, self.on, self.select, self.where,
-                    "inner",
-                ))
-            if not parts:
-                # only the right moved while the applied left is still
-                # empty: no pairs can exist, but the marker must still
-                # advance or every refresh re-reads a growing ΔB window
-                parts.append(self._join_select(
-                    self._side_df(self.left_path, 0),
-                    self._side_df(self.right_path, 0),
-                    self.on, self.select, self.where, self.how,
-                ))
-            delta = parts[0]
-            for p in parts[1:]:
-                delta = delta.unionByName(p)
-            info = self.table.info
-            ops = write_table_data(delta, info, dedup=False)
+            try:
+                if head_l > last_l:
+                    d_a, keys_a = self._delta(lstore, self.left_path,
+                                              last_l, head_l, lmode)
+                    parts.append(self._join_select(
+                        d_a, self._side_scoped(self.right_path, head_r,
+                                               d_a),
+                        self.on, self.select, self.where, self.how,
+                    ))
+                    if keys_a is not None:
+                        # touched keys with NO surviving head rows:
+                        # their view rows must be deleted
+                        ka, ka_cols = keys_a
+                        gone_a = ka.join(
+                            d_a.select(*ka_cols).distinct(),
+                            on=ka_cols, how="left_anti")
+                        vanished.append((gone_a, ka_cols, "left"))
+                if head_r > last_r and last_l > 0:
+                    # A@lastL ⋈ ΔB — with lastL == 0 the old left is
+                    # empty and the term vanishes (the initial load is
+                    # term one). INNER everywhere except the left-view
+                    # pk-right case below: the inner term only re-emits
+                    # left rows that gained/changed a match, and the
+                    # PK-upsert fold replaces their previous
+                    # (NULL-extended or stale) generation.
+                    d_b, keys_b = self._delta(rstore, self.right_path,
+                                              last_r, head_r, rmode)
+                    if self.how == "left" and rmode != "pk" \
+                            and last_l > 0:
+                        self._assert_unique_right(head_r, d_b)
+                    # scope the old left by the TOUCHED key set when
+                    # the right churns by PK (a deleted key has no
+                    # restated rows, but its left rows still need
+                    # re-emission), by the delta's key bounds otherwise
+                    old_left = self._side_scoped(
+                        self.left_path, last_l,
+                        keys_b[0] if keys_b is not None else d_b)
+                    if keys_a is not None:
+                        # the left side churned by PK: its OLD snapshot
+                        # still holds stale versions of the touched
+                        # rows — term one re-emits those pairs from the
+                        # restatement, so exclude them here BY THE LEFT
+                        # PK (for append sources the old snapshot
+                        # already equals "head minus delta" and no
+                        # anti-join is paid)
+                        ka, ka_cols = keys_a
+                        old_left = old_left.join(ka, on=ka_cols,
+                                                 how="left_anti")
+                    if keys_b is not None and self.how == "left":
+                        # left view over a pk/CDC-churning right: LEFT-
+                        # join the old left's TOUCHED-key rows to the
+                        # restatement — an upserted key re-pairs, a
+                        # deleted key NULL-extends, and either way the
+                        # left-identity fold replaces the stale row
+                        kb, _ = keys_b
+                        affected = old_left.join(
+                            kb.select(*self.on).distinct(),
+                            on=self.on, how="left_semi")
+                        parts.append(self._join_select(
+                            affected, d_b, self.on, self.select,
+                            self.where, "left"))
+                    else:
+                        parts.append(self._join_select(
+                            old_left, d_b, self.on, self.select,
+                            self.where, "inner"))
+                        if keys_b is not None:
+                            kb, kb_cols = keys_b
+                            gone_b = kb.join(
+                                d_b.select(*kb_cols).distinct(),
+                                on=kb_cols, how="left_anti")
+                            vanished.append((gone_b, kb_cols, "right"))
+                if not parts:
+                    # only the right moved while the applied left is
+                    # still empty: no pairs can exist, but the marker
+                    # must still advance or every refresh re-reads a
+                    # growing ΔB window
+                    parts.append(self._join_select(
+                        self._side_df(self.left_path, 0),
+                        self._side_df(self.right_path, 0),
+                        self.on, self.select, self.where, self.how,
+                    ))
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+                info = self.table.info
+                ops = write_table_data(delta, info, dedup=False)
+                for gone, gcols, side in vanished:
+                    if gone.take(1):
+                        self.table.delete_matching(
+                            self._vanished_view_keys(
+                                gone, gcols, last_l, last_r, side))
+            finally:
+                _release_pins(self)
             try:
                 self.table.store.commit(
                     OP_MERGE, ops,

@@ -1809,15 +1809,34 @@ class LakeSoulTable:
                 .join(keys, key_cols, "anti")
             self._rewrite_files(keep, touched, OP_DELETE)
             return
+        snap = self.store.snapshot(partition_descs=parts)
+        files = snap.files
+        if set(info.hash_partitions) <= set(key_cols):
+            # a key tuple's every generation lives in ONE murmur3
+            # bucket (the writer's own pmod(hash(*pk), n) expression),
+            # so when the tombstones carry the full PK the rewrite
+            # touches only those buckets' merge groups — at 100 TB a
+            # churn-day delete rewrites O(touched buckets), not the
+            # partition (≤ hash_bucket_num ids collected here)
+            bset = {
+                r["__b"] for r in keys.select(F.pmod(
+                    F.hash(*[F.col(c) for c in info.hash_partitions]),
+                    F.lit(info.hash_bucket_num)).alias("__b"))
+                .distinct().collect()
+            }
+            files = [f for f in files if f.bucket in bset]
+        if not files:
+            return
+        from lakesoul_spark.meta.store import Snapshot
         view = rdr.merge_view(
             self.spark,
             info,
-            self.store.snapshot(partition_descs=parts),
+            Snapshot(version=-1, timestamp_ms=0, files=files),
             merge_ops=self._merge_ops,
             apply_cdc_filter=False,
         )
         keep = view.join(keys, key_cols, "anti")
-        self._rewrite_partitions(keep, parts, OP_DELETE)
+        self._rewrite_files(keep, files, OP_DELETE)
 
     # ----------------------------------------------------------- DDL / ALTER
 

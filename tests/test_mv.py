@@ -1547,7 +1547,8 @@ def test_join_mv_pk_churning_dim(spark, tmp_path):
     the window touched, so partial-column upserts restate whole rows
     — and the fold replaces exactly the affected pairs. PK != join
     key refuses at create; ``where`` refuses with a PK side; a DELETE
-    in the window fails loudly toward rebuild()."""
+    in the window (r15) retracts the vanished keys' pairs from the
+    view incrementally."""
     from lakesoul_spark.mv import JoinMV
 
     A, B, V = (str(tmp_path / x) for x in "abv")
@@ -1646,13 +1647,24 @@ def test_join_mv_pk_churning_dim(spark, tmp_path):
         sorted(map(tuple, lt2.join(state3, on="o_custkey", how="left")
                    .select(*sel).collect()))
 
-    # a DELETE on the PK side is not a restatement: refuse → rebuild
+    # a DELETE on the PK side (r15): the touched keys come from the
+    # window's del-files, the deleted keys restate to nothing, and
+    # their stale pairs are DELETED from the view — no rebuild. The
+    # window here also carries the earlier `late` upserts, so mixed
+    # upsert+delete windows fold in one refresh.
     dim_t.delete("o_custkey % 10 = 3")
-    with pytest.raises(ValueError, match="non-upsert"):
-        mv.refresh()
-    mv.rebuild()
+    assert mv.refresh()["applied"]
     state4 = state3.filter("o_custkey % 10 != 3")
     assert got() == truth(orders.union(more), state4)
+    # ... and incremental refreshes continue past the delete
+    dim_t.upsert(state4.filter("o_custkey % 10 = 4").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 5.0))
+    state5 = state4.withColumn(
+        "c_acctbal",
+        F.when(F.col("o_custkey") % 10 == 4,
+               F.col("c_acctbal") + 5.0).otherwise(F.col("c_acctbal")))
+    assert mv.refresh()["applied"]
+    assert got() == truth(orders.union(more), state5)
 
 
 def test_join_mv_left_pk_churn_join_key_change(spark, tmp_path):
@@ -2132,8 +2144,8 @@ def test_agg_mv_pk_source_admission_and_guards(spark, tmp_path):
     """PK sources admit only sum/count/avg (min/max/count_distinct
     refuse — retraction can evict an extremum, sketches can't
     unhash); aggregate views refuse as sources (their columns are
-    partial carriers); a DELETE in the window refuses toward
-    rebuild(), which recovers."""
+    partial carriers); a DELETE in the window (r15) retracts the
+    deleted keys' contributions incrementally — no rebuild."""
     src = str(tmp_path / "src")
     write(spark.createDataFrame(
         [(i, f"g{i % 2}", float(i)) for i in range(20)],
@@ -2153,19 +2165,21 @@ def test_agg_mv_pk_source_admission_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="aggregate view"):
         AggMV.create(spark, mvp, str(tmp_path / "mv2"),
                      group_by=["g"], aggs={"x": ("count", "*")})
-    # a delete is not representable as a restatement delta
+    # a DELETE is a restatement too (r15): its touched keys come from
+    # the window's del-files, and the head(+1) ∪ old(−1) fold nets
+    # the deleted keys to pure retraction — refresh, not rebuild
     t = LakeSoulTable.for_path(spark, src)
     t.delete("k = 3")
-    with pytest.raises(ValueError, match="rebuild"):
-        mv.refresh()
-    mv.rebuild()
+    assert mv.refresh()["applied"]
     want = _pk_canon(t.to_df().groupBy("g").agg(
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
         .alias("s"), F.count("*").alias("n")).collect())
     assert _pk_canon(mv.to_df().collect()) == want
-    # ... and incremental refreshes resume after the rebuild
+    # ... and incremental refreshes continue past the delete; a mixed
+    # upsert+delete window folds in one refresh
     t.upsert(spark.createDataFrame([(1, "g0", 99.0)],
                                    "k int, g string, v double"))
+    t.delete("k >= 15")
     assert mv.refresh()["applied"]
     want = _pk_canon(t.to_df().groupBy("g").agg(
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
@@ -2367,3 +2381,335 @@ def test_sql_rollup_over_join_view(spark, tmp_path):
     with pytest.raises(ValueError, match="aggregate view"):
         cat.sql(spark, "CREATE MATERIALIZED VIEW bad2 AS SELECT g, "
                        "count(*) AS n FROM rv GROUP BY g")
+
+
+def test_agg_mv_pk_reserved_name_guards(spark, tmp_path):
+    """pk-mode reserved names refuse at create: a source column
+    literally named __sign would be folded as the retraction sign,
+    and a group_by containing '__' can collide with the hidden
+    __live / partial-pair columns."""
+    src = str(tmp_path / "src")
+    write(spark.createDataFrame([(1, 2, 3.0, 1)],
+                                "k int, g__x int, v double, __sign int"),
+          src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    with pytest.raises(ValueError, match="__sign"):
+        AggMV.create(spark, src, str(tmp_path / "m1"),
+                     group_by=["g__x"], aggs={"s": ("sum", "v")})
+    src2 = str(tmp_path / "src2")
+    write(spark.createDataFrame([(1, 2, 3.0)],
+                                "k int, g__x int, v double"),
+          src2, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    with pytest.raises(ValueError, match="group_by"):
+        AggMV.create(spark, src2, str(tmp_path / "m2"),
+                     group_by=["g__x"], aggs={"s": ("sum", "v")})
+    # append-mode partial-pair collision refuses too
+    src3 = str(tmp_path / "src3")
+    write(spark.createDataFrame([(1, 3.0)], "av__s int, v double"),
+          src3, mode="overwrite")
+    with pytest.raises(ValueError, match="collide"):
+        AggMV.create(spark, src3, str(tmp_path / "m3"),
+                     group_by=["av__s"], aggs={"av": ("avg", "v")})
+
+
+def test_agg_mv_cdc_source(spark, tmp_path):
+    """A CDC source (r15) feeds a maintained rollup: change rows name
+    the touched keys, both pinned snapshot reads filter delete
+    markers, and the signed restatement nets insert / update / delete
+    — including a group drained purely by CDC deletes."""
+    from lakesoul_spark.table import create_table
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    tbl = create_table(
+        spark, src, "k int, g string, v double, change_kind string",
+        hash_partitions=["k"], hash_bucket_num=4,
+        properties={"lakesoul_cdc_change_column": "change_kind"})
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "k int, g string, v double")
+    tbl.upsert(base.withColumn("change_kind", F.lit("insert")))
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"s": ("sum", "v"), "n": ("count", "*"),
+                            "av": ("avg", "v")},
+                      hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        return _pk_canon(t.to_df().groupBy("g").agg(
+            F.when(F.count("v") > 0,
+                   F.sum(F.col("v").cast("decimal(18,6)"))
+                   .cast("double")).alias("s"),
+            F.count("*").alias("n"),
+            F.try_divide(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double"),
+                F.count("v")).alias("av")).collect())
+
+    def got():
+        return _pk_canon(mv.to_df().collect())
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # updates (new values) + deletes in ONE change batch
+    tbl.upsert(base.filter("k % 2 = 0")
+               .withColumn("v", F.col("v") * 10)
+               .withColumn("change_kind", F.lit("update"))
+               .unionByName(base.filter("k % 5 = 1")
+                            .withColumn("change_kind",
+                                        F.lit("delete"))))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # drain group g2 entirely by CDC deletes — it must VANISH
+    tbl.upsert(base.filter("k % 3 = 2")
+               .withColumn("change_kind", F.lit("delete")))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.to_df().filter("g = 'g2'").count() == 0
+    # replay no-op, then inserts resurrect the group
+    assert mv.refresh()["applied"] is False
+    tbl.upsert(spark.createDataFrame(
+        [(2, "g2", 77.0, "insert")],
+        "k int, g string, v double, change_kind string"))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+
+
+def test_join_mv_left_view_delete_semantics(spark, tmp_path):
+    """Left view with BOTH sides churning by PK (r15 deletes): a
+    vanished LEFT identity drops its view row; a vanished RIGHT key
+    NULL-extends its left rows; a mixed upsert+delete window on both
+    sides folds in one refresh."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    left = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(60)],
+        "rid int, k int, v double")
+    right = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "k int, name string")
+    write(left, A, mode="overwrite", hash_partitions=["rid"],
+          hash_bucket_num=4)
+    write(right, B, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    sel = ["rid", "k", "v", "name"]
+    mv = JoinMV.create(spark, A, B, V, on=["k"], select=sel,
+                       pk=["rid"], hash_bucket_num=4, how="left")
+    lt = LakeSoulTable.for_path(spark, A)
+    rt = LakeSoulTable.for_path(spark, B)
+
+    def truth():
+        return sorted(map(tuple, lt.to_df().join(
+            rt.to_df(), "k", "left").select(*sel).collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().select(*sel).collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # delete LEFT identities -> their view rows vanish
+    lt.delete("rid % 4 = 0")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # delete RIGHT keys -> their left rows NULL-extend (NOT vanish)
+    rt.delete("k IN (3, 7)")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.to_df().filter("k = 3 AND name IS NULL").count() == \
+        lt.to_df().filter("k = 3").count() > 0
+    # mixed window: upserts AND deletes on BOTH sides at once; one
+    # left upsert MOVES a row to a now-deleted join key
+    lt.upsert(spark.createDataFrame(
+        [(1, 99, 111.0), (200, 3, 5.0)], "rid int, k int, v double"))
+    lt.delete("rid = 2")
+    rt.upsert(spark.createDataFrame([(3, "d3b")], "k int, name string"))
+    rt.delete("k = 5")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.refresh()["applied"] is False
+    assert got() == truth()
+
+
+def test_join_mv_inner_delete_without_join_cols_in_view(spark,
+                                                        tmp_path):
+    """INNER view whose select DROPS the join key: a vanished right
+    key's stale pairs are re-derived from the two PINNED old
+    snapshots and deleted by the view PK (the fast path — matching
+    the gone keys directly — needs the key columns in the view)."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V = (str(tmp_path / x) for x in "abv")
+    left = spark.createDataFrame(
+        [(i, i % 6, float(i)) for i in range(36)],
+        "rid int, k int, v double")
+    right = spark.createDataFrame(
+        [(i, i * 100) for i in range(6)], "k int, bonus int")
+    write(left, A, mode="overwrite")
+    write(right, B, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    sel = ["rid", "v", "bonus"]  # join key k NOT carried
+    mv = JoinMV.create(spark, A, B, V, on=["k"], select=sel,
+                       pk=["rid"], hash_bucket_num=4)
+    rt = LakeSoulTable.for_path(spark, B)
+
+    def truth():
+        return sorted(map(tuple, left.join(
+            rt.to_df(), "k", "inner").select(*sel).collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().select(*sel).collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    rt.delete("k IN (1, 4)")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # and upserts keep folding after the delete
+    rt.upsert(spark.createDataFrame([(1, 111)], "k int, bonus int"))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+
+
+def test_transform_mv_pk_source(spark, tmp_path):
+    """TransformMV over a PK source (r15): the output is a PK table
+    keyed by the source PK; restated keys overwrite their own output
+    rows; keys whose transform emits nothing (WHERE flip, DELETE) are
+    deleted from the output; non-PK-preserving selects and non-PK
+    range partitions refuse at create; the output chains into a
+    maintained rollup."""
+    from lakesoul_spark.mv import TransformMV
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i)) for i in range(40)],
+        "k int, cat string, v double")
+    write(base, src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=4)
+    with pytest.raises(ValueError, match="carry the source PK"):
+        TransformMV.create(spark, src, str(tmp_path / "bad"),
+                           select=["k + 1 AS k", "cat"])
+    with pytest.raises(ValueError, match="range-partition"):
+        TransformMV.create(spark, src, str(tmp_path / "bad2"),
+                           select=["k", "cat", "v"],
+                           range_partitions=["cat"])
+    mvp = str(tmp_path / "mv")
+    mv = TransformMV.create(
+        spark, src, mvp,
+        select=["k", "upper(cat) AS cat_u", "v * 2 AS v2"],
+        where="v >= 4", hash_bucket_num=2)
+    assert mv.table.info.hash_partitions == ["k"]
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        return sorted(map(tuple, t.to_df().filter("v >= 4").selectExpr(
+            "k", "upper(cat) AS cat_u", "v * 2 AS v2").collect()))
+
+    def got():
+        return sorted(map(tuple, mv.to_df().collect()))
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    # value churn + WHERE flips BOTH ways: k=10 drops below the
+    # filter (its output row must be deleted), k=2 rises above it
+    t.upsert(spark.createDataFrame([(10, "s0", 1.0), (2, "s0", 9.0)],
+                                   "k int, cat string, v double"))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.to_df().filter("k = 10").count() == 0
+    # source DELETE -> output rows vanish
+    t.delete("k % 5 = 3")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.refresh()["applied"] is False
+    # chain: the maintained transform feeds a maintained rollup;
+    # churn + deletes propagate through BOTH maintained hops
+    mvr = str(tmp_path / "rollup")
+    roll = AggMV.create(spark, mvp, mvr, group_by=["cat_u"],
+                        aggs={"s2": ("sum", "v2"),
+                              "n": ("count", "*")},
+                        hash_bucket_num=2)
+    assert roll.refresh()["applied"]
+
+    def rtruth():
+        return _pk_canon(mv.to_df().groupBy("cat_u").agg(
+            F.when(F.count("v2") > 0,
+                   F.sum(F.col("v2").cast("decimal(18,6)"))
+                   .cast("double")).alias("s2"),
+            F.count("*").alias("n")).collect())
+
+    assert _pk_canon(roll.to_df().collect()) == rtruth()
+    t.upsert(spark.createDataFrame([(7, "s1", 70.0)],
+                                   "k int, cat string, v double"))
+    t.delete("k IN (4, 8)")
+    assert mv.refresh()["applied"]
+    assert roll.refresh()["applied"]
+    assert got() == truth()
+    assert _pk_canon(roll.to_df().collect()) == rtruth()
+
+
+def test_mv_cascade_join_rollup_through_delete(spark, tmp_path):
+    """The r15 flagship shape: maintained join -> maintained rollup
+    through DELETEs on both base sources. A dim delete NULL-extends
+    the left view's rows (moving facts to the NULL group); a fact
+    delete drops view rows via an OP_DELETE commit on the VIEW, which
+    the downstream rollup's window then reads del-files from —
+    deletes stop forcing rebuilds anywhere in the cascade."""
+    from lakesoul_spark.mv import JoinMV
+
+    A, B, V, R = (str(tmp_path / x) for x in ("a", "b", "v", "r"))
+    facts = spark.createDataFrame(
+        [(i, i % 8, float(i)) for i in range(80)],
+        "fid int, k int, amt double")
+    dim = spark.createDataFrame(
+        [(i, f"grp{i % 3}") for i in range(8)], "k int, g string")
+    write(facts, A, mode="overwrite", hash_partitions=["fid"],
+          hash_bucket_num=4)
+    write(dim, B, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    mv = JoinMV.create(spark, A, B, V, on=["k"],
+                       select=["fid", "k", "amt", "g"],
+                       pk=["fid"], hash_bucket_num=4, how="left")
+    assert mv.refresh()["applied"]
+    roll = AggMV.create(spark, V, R, group_by=["g"],
+                        aggs={"s": ("sum", "amt"),
+                              "n": ("count", "*")},
+                        hash_bucket_num=2)
+    assert roll.refresh()["applied"]
+    ft = LakeSoulTable.for_path(spark, A)
+    dt = LakeSoulTable.for_path(spark, B)
+
+    def truth():
+        j = ft.to_df().join(dt.to_df(), "k", "left")
+        return _pk_canon(j.groupBy("g").agg(
+            F.when(F.count("amt") > 0,
+                   F.sum(F.col("amt").cast("decimal(18,6)"))
+                   .cast("double")).alias("s"),
+            F.count("*").alias("n")).collect())
+
+    def got():
+        return _pk_canon(roll.to_df().collect())
+
+    assert got() == truth()
+    # predicate DELETE on the dim: its facts move to the NULL group
+    dt.delete("k IN (2, 5)")
+    assert mv.refresh()["applied"]
+    assert roll.refresh()["applied"]
+    assert got() == truth()
+    # DELETE on the facts: view rows vanish; the rollup retracts them
+    # from its groups by reading the view's del-files
+    ft.delete("fid % 3 = 1")
+    assert mv.refresh()["applied"]
+    assert roll.refresh()["applied"]
+    assert got() == truth()
+    # churn after the deletes keeps folding: a fact moves to a
+    # deleted-then-resurrected dim key
+    ft.upsert(spark.createDataFrame([(0, 5, 500.0), (300, 2, 7.0)],
+                                    "fid int, k int, amt double"))
+    dt.upsert(spark.createDataFrame([(5, "grp9")], "k int, g string"))
+    assert mv.refresh()["applied"]
+    assert roll.refresh()["applied"]
+    assert got() == truth()
+    # replays are no-ops end to end
+    assert mv.refresh()["applied"] is False
+    assert roll.refresh()["applied"] is False
+    assert got() == truth()
