@@ -2697,16 +2697,19 @@ class Catalog:
                 raise ValueError(
                     f"aggregates {aggy} need a GROUP BY clause"
                 )
-            if m.group(3):
+            if join_pk:
                 raise ValueError(
-                    "transform views (no GROUP BY) take no properties"
+                    "primaryKey is a JOIN-view property — a transform "
+                    "view over a PK source is keyed by the source PK "
+                    "(carry it in the select)"
                 )
             src_ns, src_name = self._split_name(src_ref)
             src = self.get_table(spark, src_name, src_ns)
             mv_path = os.path.abspath(os.path.join(self._ns_dir(ns), name))
             created_dir = not os.path.exists(mv_path)
             TransformMV.create(
-                spark, src.path, mv_path, select=items, where=where
+                spark, src.path, mv_path, select=items, where=where,
+                hash_bucket_num=hash_bucket_num,
             )
             try:
                 self.backend.register_table(ns, name, mv_path)

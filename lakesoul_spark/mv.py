@@ -440,9 +440,64 @@ def _joined(
     return df
 
 
+def _key_bounds(delta: DataFrame, cols: list):
+    """``[(col, lo, hi)]`` of the delta's key ranges — ONE bounded
+    min/max job, computed once per refresh window and SHARED by every
+    pinned-snapshot term that scopes on the same delta (the r14 shape
+    re-ran the probe per term). Returns ``"empty"`` when every delta
+    row is NULL in some key (no pair can match) and ``"unscoped"``
+    when a NaN/Inf bound poisons the comparison domains (callers scan
+    the full side rather than reason about IEEE specials).
+
+    TIMESTAMP keys: collect() renders TimestampType in the DRIVER
+    SESSION's timezone as a naive datetime, while the commit-log
+    stats are naive-UTC ISO — on a non-UTC session a naive bound
+    would over-prune side files and silently drop join pairs. Collect
+    epoch micros instead and rebuild tz-AWARE UTC datetimes:
+    prune_files collapses aware values to naive UTC (one comparison
+    domain with the stats), and the row-predicate F.lit() resolves an
+    aware datetime to the same instant in every session timezone."""
+    import datetime
+    import math
+
+    from pyspark.sql.types import TimestampType
+
+    dtypes = {f.name: f.dataType for f in delta.schema.fields}
+    ts_cols = {c for c in cols
+               if isinstance(dtypes.get(c), TimestampType)}
+    aggs = []
+    for c in cols:
+        lo_e, hi_e = F.min(c), F.max(c)
+        if c in ts_cols:
+            lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
+        aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
+    row = delta.agg(*aggs).collect()[0]
+    epoch = datetime.datetime(1970, 1, 1,
+                              tzinfo=datetime.timezone.utc)
+    out: list = []
+    for c in cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if c in ts_cols and lo is not None:
+            # timedelta arithmetic is exact at micros (no float)
+            lo = epoch + datetime.timedelta(microseconds=int(lo))
+            hi = epoch + datetime.timedelta(microseconds=int(hi))
+        if lo is None:
+            return "empty"
+        if any(isinstance(v, float) and (math.isnan(v)
+                                         or math.isinf(v))
+               for v in (lo, hi)):
+            # NaN bounds poison both the Python stats compare
+            # (lo <= NaN is False → every file would drop) and the
+            # row predicate (Spark pairs NaN = NaN in joins)
+            return "unscoped"
+        out.append((c, lo, hi))
+    return out
+
+
 def _scoped_snapshot(spark: SparkSession, path: str, version: int,
                      delta: DataFrame, cols: list,
-                     bucket_filter: set | None = None) -> DataFrame:
+                     bucket_filter: set | None = None,
+                     bounds=None) -> DataFrame:
     """Pinned snapshot for a delta-join/restatement term, FILE-PRUNED
     by the delta's key bounds over ``cols``: a matching row shares its
     key, so side rows outside the delta keys' [min, max] can never
@@ -450,10 +505,12 @@ def _scoped_snapshot(spark: SparkSession, path: str, version: int,
     dropped before Spark schedules a task for them (and the same range
     predicate reaches the parquet scan, pruning row groups inside kept
     files). One bounded probe job — min/max over the small delta —
-    buys it. At 100 TB this turns 'scan the whole side every refresh'
-    into 'scan the files the delta's key range touches' whenever the
-    side declares stats on the key columns (``lakesoul.statsColumns``)
-    and keys are at all clustered (time-ordered ids, monotonic event
+    buys it, and ``bounds`` lets the caller run that probe ONCE for
+    all the terms scoping on the same delta (:func:`_key_bounds`). At
+    100 TB this turns 'scan the whole side every refresh' into 'scan
+    the files the delta's key range touches' whenever the side
+    declares stats on the key columns (``lakesoul.statsColumns``) and
+    keys are at all clustered (time-ordered ids, monotonic event
     keys); without stats the predicate still prunes row groups via
     parquet footers. A delta whose keys are all NULL (or empty) joins
     nothing — the term short-circuits to an empty frame."""
@@ -468,52 +525,14 @@ def _scoped_snapshot(spark: SparkSession, path: str, version: int,
     if not files or any((f.stats or {}).get(c) is None
                         for f in files for c in cols):
         return t.to_df(bucket_filter=bucket_filter)
-    import datetime
-    import math
-
-    from pyspark.sql.types import TimestampType
-
-    # TIMESTAMP join keys: collect() renders TimestampType in the
-    # DRIVER SESSION's timezone as a naive datetime, while the
-    # commit-log stats are naive-UTC ISO — on a non-UTC session a
-    # naive bound would over-prune side files and silently drop
-    # join pairs. Collect epoch micros instead and rebuild
-    # tz-AWARE UTC datetimes: prune_files collapses aware values
-    # to naive UTC (one comparison domain with the stats), and the
-    # row-predicate F.lit() resolves an aware datetime to the same
-    # instant in every session timezone.
-    dtypes = {f.name: f.dataType for f in delta.schema.fields}
-    ts_cols = {c for c in cols
-               if isinstance(dtypes.get(c), TimestampType)}
-    aggs = []
-    for c in cols:
-        lo_e, hi_e = F.min(c), F.max(c)
-        if c in ts_cols:
-            lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
-        aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
-    row = delta.agg(*aggs).collect()[0]
-    epoch = datetime.datetime(1970, 1, 1,
-                              tzinfo=datetime.timezone.utc)
+    if bounds is None:
+        bounds = _key_bounds(delta, cols)
+    if bounds == "empty":
+        return t.to_df().limit(0)
+    if bounds == "unscoped":
+        return t.to_df(bucket_filter=bucket_filter)
     filters: list = []
-    for c in cols:
-        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-        if c in ts_cols and lo is not None:
-            # timedelta arithmetic is exact at micros (no float)
-            lo = epoch + datetime.timedelta(microseconds=int(lo))
-            hi = epoch + datetime.timedelta(microseconds=int(hi))
-        if lo is None:
-            # every delta row is NULL in c: no inner-join pairs
-            return t.to_df().limit(0)
-        if any(isinstance(v, float) and (math.isnan(v)
-                                         or math.isinf(v))
-               for v in (lo, hi)):
-            # NaN bounds poison both the Python stats compare
-            # (lo <= NaN is False → every file would drop) and the
-            # row predicate (Spark pairs NaN = NaN in joins); ±Inf
-            # bounds are orderable but the stats encoding skips
-            # them — scan the full side rather than reason about
-            # IEEE specials
-            return t.to_df(bucket_filter=bucket_filter)
+    for c, lo, hi in bounds:
         filters += [(c, ">=", lo), (c, "<=", hi)]
     return t.to_df(file_filters=filters,
                    bucket_filter=bucket_filter)
@@ -851,13 +870,16 @@ class AggMV:
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
             bset = _touched_buckets(keys, pk_cols, info)
+            kb = _key_bounds(keys, pk_cols)
             new = _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset).join(keys, on=pk_cols, how="left_semi") \
+                bset, bounds=kb).join(keys, on=pk_cols,
+                                      how="left_semi") \
                 .withColumn("__sign", F.lit(1))
             old = _scoped_snapshot(
                 self.spark, self.source_path, last, keys, pk_cols,
-                bset).join(keys, on=pk_cols, how="left_semi") \
+                bset, bounds=kb).join(keys, on=pk_cols,
+                                      how="left_semi") \
                 .withColumn("__sign", F.lit(-1))
             return self._delta(new.unionByName(old))
         return self._delta(_window_df(
@@ -1255,9 +1277,12 @@ class TransformMV:
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
             bset = _touched_buckets(keys, pk_cols, info)
-            restated = _scoped_snapshot(
+            # the restatement feeds BOTH the output write and the
+            # vanished-key anti-join — pin it so the scoped scan +
+            # transform run once
+            restated = _pin(self, _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset).join(keys, on=pk_cols, how="left_semi")
+                bset).join(keys, on=pk_cols, how="left_semi"))
             out = self._transform(restated)
             self._vanished = keys.join(
                 out.select(*pk_cols).distinct(),
@@ -1602,10 +1627,11 @@ class JoinMV:
         keys = _pin(self, _pk_window_keys(
             self.spark, store, path, last, head, pk_cols))
         bset = _touched_buckets(keys, pk_cols, info)
-        restated = self._side_scoped(path, head, keys,
-                                     bucket_filter=bset,
-                                     cols=pk_cols).join(
-            keys, on=pk_cols, how="left_semi")
+        # the restatement feeds the delta-join term AND the
+        # vanished-key anti-join — pin it so the scoped scan runs once
+        restated = _pin(self, self._side_scoped(
+            path, head, keys, bucket_filter=bset, cols=pk_cols).join(
+            keys, on=pk_cols, how="left_semi"))
         return restated, (keys, pk_cols)
 
     def _assert_unique_right(self, version: int,

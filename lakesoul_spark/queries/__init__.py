@@ -15,79 +15,57 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 
 
 # Module order determines the external correctness-check window (the driver
-# verifies a 50-query prefix of this dict).  Round 14 executes the r13
-# ROUND-14 NOTE / VERDICT task 1 verbatim.  Ledger after r13: 50
-# queries r13-green, 50 r12-green, 21 r11-green at the 2-round
-# staleness boundary.  The window holds 50: FRONT the 21 stale
-# r11-green in the pinned order, then the 1 NEW r14 oracle query
-# covering r14-new capability (lakehouse_join_mv_rollup →
-# retraction-aware AggMV over a PK-churning JoinMV source: maintained
-# join feeding a maintained SUM/COUNT/AVG rollup via signed
-# restatement deltas), then the 28 OLDEST r12-green (by first
-# appearance in git history) — the NEW query displaces the youngest
-# of the 29 that would otherwise fit (lakehouse_schema_evolution,
-# first appearing one commit after the streaming/point-lookup pair),
-# per the standing displacement rule.
-# ROUND-15 NOTE (window arithmetic, exact): after r14 the pack holds
-# 122 queries — 50 r14-green (this window), 50 r13-green, and 22
-# r12-green which hit the 2-round staleness boundary (the _DEFER
-# tuple below is already the full r15-front order, oldest-first by
-# first git appearance: lakehouse_schema_evolution — displaced by
-# this round's new query — then q2_min_cost_supplier,
-# q7_nation_volume, ann_l2_topk, text_tfidf_topk,
-# ann_index_refresh_hot, streaming_stream_join,
-# lakehouse_bucket_join, lakehouse_convert, lakehouse_rollback,
-# lakehouse_upsert_on_join, lakehouse_incremental_mv,
-# lakehouse_zorder_skipping, lakehouse_star_mv,
-# lakehouse_mv_count_distinct, lakehouse_transform_mv,
-# text_corpus_freq_score, embedding_class_centroids,
-# text_ngram_repetition, text_gopher_rules,
-# lakehouse_incremental_join_mv, lakehouse_groupby_sum_fast).
-# r15 MUST front those 22, then fill the window with the 28 oldest
-# r13-green (by first appearance in git history: the TPC-H q8-q21
-# block and the early lakehouse/streaming fixtures lead, the
-# r13-refreshed dedup/ANN/text block next); the 22 r13-green that
-# don't fit lead the r16 front.  Any NEW r15 oracle queries displace
-# the youngest r13-green slots, same rule as this round.
+# verifies a 50-query prefix of this dict).  Round 15 executes the r14
+# ROUND-15 NOTE / VERDICT task 1 verbatim.  Ledger after r14: 50
+# queries r14-green, 50 r13-green, 22 r12-green at the 2-round
+# staleness boundary.  The window holds 50: FRONT the 22 stale
+# r12-green in the pinned order, then the 3 NEW r15 oracle queries
+# covering r15-new capability (lakehouse_mv_delete_cascade →
+# DELETE/UPDATE commits representable in PK-source MV windows via
+# del-file key reads; lakehouse_cdc_mv_rollup → CDC tables as MV
+# sources; lakehouse_pk_transform_mv → maintained PK-preserving
+# transforms), then the 25 OLDEST r13-green (by first appearance in
+# git history) — the 3 NEW queries displace the 3 youngest of the 28
+# that would otherwise fit (dedup_clusters,
+# lakehouse_leveled_compaction, ann_index_search), per the standing
+# displacement rule.
+# ROUND-16 NOTE (window arithmetic, exact): after r15 the pack holds
+# 125 queries — 50 r15-green (this window), 50 r14-green, and 25
+# r13-green which hit the 2-round staleness boundary (the _DEFER
+# tuple below is already the full r16-front order, oldest-first by
+# first git appearance — the 3 displaced by this round's new queries
+# lead: ann_index_search, lakehouse_leveled_compaction,
+# dedup_clusters, then pipeline_stratified_sample, text_pii_scrub,
+# pipeline_contamination, text_quality_flags, lakehouse_merge_into,
+# multimodal_frame_sample, lakehouse_sql_surface,
+# streaming_stateful_dedup, streaming_sessionize,
+# pipeline_pack_sequences, pipeline_shuffle_shards,
+# pipeline_weighted_mix, text_vocab_topk, dedup_ngram_coverage,
+# lakehouse_stats_skipping, pipeline_chunk_windows,
+# pipeline_source_cap, lakehouse_metadata_count, lakehouse_clone,
+# lakehouse_delete_matching, lakehouse_left_join_mv,
+# lakehouse_pk_join_mv).  r16 MUST front those 25, then fill the
+# window with the 25 OLDEST r14-green (by first git appearance, the
+# exact order: q1_pricing_summary, q3_unshipped_revenue,
+# q4_order_priority, w_top_orders_per_customer,
+# w_running_user_value, w_sessionization, rollup_region_customers,
+# setop_repeat_customers, json_event_props, lakehouse_upsert_mor,
+# lakehouse_partial_upsert, lakehouse_merge_operators,
+# lakehouse_cdc_read, lakehouse_time_travel, lakehouse_incremental,
+# lakehouse_update_delete, lakehouse_compaction,
+# lakehouse_partition_overwrite, q5_local_supplier_volume,
+# q6_forecast_revenue, q9_profit_by_nation_year, q10_returned_items,
+# q14_promo_revenue, q18_large_volume_customer,
+# q19_disjunctive_predicates); the 25 r14-green that don't fit
+# (q22_idle_customers onward by the same ranking) lead the r17
+# front.  Any NEW r16 oracle queries displace the youngest r14-green
+# slots, same rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
 
 _FRONT = (
-    # --- 21 r11-green at the 2-round staleness boundary (the pinned
-    # ROUND-14 front, oldest-first; the 2 displaced by r13's new
-    # queries lead) ---
-    "lakehouse_multikey_lookup", "dedup_chunk_global",
-    "multimodal_audio_features", "ann_index_refresh",
-    "dedup_incremental_ingest", "embedding_pca_project",
-    "ann_pca_ivf_topk", "ann_index_estimator",
-    "lakehouse_column_ddl", "ann_multibit_topk",
-    "streaming_latest_state", "lakehouse_arrow_writer",
-    "pipeline_corpus_profile", "text_bm25_topk", "text_bm25_batch",
-    "dedup_index_refresh", "w_asof_join", "w_interval_join",
-    "lakehouse_star_mv_repin", "lakehouse_count_where_fast",
-    "lakehouse_arrow_finalize_mv",
-    # --- 1 NEW r14 query: driver row for r14-new capability ---
-    "lakehouse_join_mv_rollup",
-    # --- 28 oldest r12-green (the 29 minus the 1 displaced) ---
-    "q1_pricing_summary", "q3_unshipped_revenue", "q4_order_priority",
-    "w_top_orders_per_customer", "w_running_user_value",
-    "w_sessionization", "rollup_region_customers",
-    "setop_repeat_customers", "json_event_props",
-    "lakehouse_upsert_mor", "lakehouse_partial_upsert",
-    "lakehouse_merge_operators", "lakehouse_cdc_read",
-    "lakehouse_time_travel", "lakehouse_incremental",
-    "lakehouse_update_delete", "lakehouse_compaction",
-    "lakehouse_partition_overwrite", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q9_profit_by_nation_year",
-    "q10_returned_items", "q14_promo_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q22_idle_customers", "lakehouse_pk_point_lookup",
-    "streaming_sink_sum",
-)
-
-_DEFER = (
-    # r15 front order (ROUND-15 NOTE above): the 22 r12-green that
-    # hit the 2-round staleness boundary after r14, oldest-first —
-    # the 1 displaced by this round's new query leads.
+    # --- 22 r12-green at the 2-round staleness boundary (the pinned
+    # ROUND-15 front, oldest-first; the 1 displaced by r14's new
+    # query leads) ---
     "lakehouse_schema_evolution", "q2_min_cost_supplier",
     "q7_nation_volume", "ann_l2_topk", "text_tfidf_topk",
     "ann_index_refresh_hot", "streaming_stream_join",
@@ -98,6 +76,38 @@ _DEFER = (
     "text_corpus_freq_score", "embedding_class_centroids",
     "text_ngram_repetition", "text_gopher_rules",
     "lakehouse_incremental_join_mv", "lakehouse_groupby_sum_fast",
+    # --- 3 NEW r15 queries: driver rows for r15-new capability ---
+    "lakehouse_mv_delete_cascade", "lakehouse_cdc_mv_rollup",
+    "lakehouse_pk_transform_mv",
+    # --- 25 oldest r13-green (the 28 minus the 3 displaced) ---
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
+    "ann_ivf_topk", "text_stats", "text_langid", "text_fingerprint",
+    "multimodal_features", "q8_market_share", "q11_important_parts",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q15_top_supplier", "q16_part_supplier_variety",
+    "q17_small_quantity_revenue", "q20_heavy_suppliers",
+    "lakehouse_cdc_incremental", "streaming_tumbling_window",
+    "dedup_embedding_blocked", "lakehouse_custom_merge_op",
+    "lakehouse_upsert_cow", "q21_waiting_suppliers",
+)
+
+_DEFER = (
+    # r16 front order (ROUND-16 NOTE above): the 25 r13-green that
+    # hit the 2-round staleness boundary after r15, oldest-first —
+    # the 3 displaced by this round's new queries lead.
+    "ann_index_search", "lakehouse_leveled_compaction",
+    "dedup_clusters", "pipeline_stratified_sample", "text_pii_scrub",
+    "pipeline_contamination", "text_quality_flags",
+    "lakehouse_merge_into", "multimodal_frame_sample",
+    "lakehouse_sql_surface", "streaming_stateful_dedup",
+    "streaming_sessionize", "pipeline_pack_sequences",
+    "pipeline_shuffle_shards", "pipeline_weighted_mix",
+    "text_vocab_topk", "dedup_ngram_coverage",
+    "lakehouse_stats_skipping", "pipeline_chunk_windows",
+    "pipeline_source_cap", "lakehouse_metadata_count",
+    "lakehouse_clone", "lakehouse_delete_matching",
+    "lakehouse_left_join_mv", "lakehouse_pk_join_mv",
 )
 
 

@@ -2210,8 +2210,10 @@ def test_agg_mv_pk_restatement_scan_is_pruned(spark, tmp_path):
     seen = []
     orig = mvmod._scoped_snapshot
 
-    def spy(spark_, path, version, delta, cols, bucket_filter=None):
-        df = orig(spark_, path, version, delta, cols, bucket_filter)
+    def spy(spark_, path, version, delta, cols, bucket_filter=None,
+            **kw):
+        df = orig(spark_, path, version, delta, cols, bucket_filter,
+                  **kw)
         seen.append((version, bucket_filter))
         return df
 
