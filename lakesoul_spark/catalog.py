@@ -1471,14 +1471,19 @@ class Catalog:
                 return None
         # hidden-item boundary: HAVING operands outside the SELECT
         # (aggregates OR unselected grouping columns) were appended
-        # past n_visible by the parse above
-        hav_hidden = len(parsed) > n_visible
+        # past n_visible by the parse above. An ("expr", …) item whose
+        # leaves all resolved to SELECTED items does NOT count —
+        # measured (r15): Spark resolves HAVING arithmetic over
+        # selected aggregates fine even combined with aggregate ORDER
+        # BY items; only a hidden LEAF (an unselected aggregate or
+        # grouping column) trips the analyzer rejection below
+        hav_hidden = any(p[0] != "expr" for p in parsed[n_visible:])
         oby_txt = m.group("oby")
         order_extra: dict[str, int] = {}
         if oby_txt is not None:
             oby_txt = self._rewrite_order_aggs(
                 oby_txt, parsed, gcols, case_sensitive, rset,
-                ambiguous, order_extra)
+                ambiguous, order_extra, n_visible=n_visible)
             if oby_txt is None:
                 return None
             if hav_hidden and order_extra:
@@ -1552,6 +1557,16 @@ class Catalog:
                 specs.append((cname, "string", st, out,
                               lambda key, gf, gi=gi:
                               None if key[gi] is None else str(key[gi])))
+                continue
+            if p[0] == "expr":
+                # hidden arithmetic over earlier operands (their spec
+                # entries already exist — leaves resolve before the
+                # expr item is appended)
+                es = self._expr_spec(p[1], specs)
+                if es is None:
+                    return None
+                carrier, cast_to, efv = es
+                specs.append((cname, carrier, cast_to, p[3], efv))
                 continue
             _, fn, col, alias = p
             if fn == "count" and col is None:
@@ -1777,7 +1792,9 @@ class Catalog:
             gf = groups[key]
             row = []
             for _, _, _, _, fv in specs:
-                v = fv(key, gf)
+                v = (fv(key, gf, row)
+                     if getattr(fv, "_needs_row", False)
+                     else fv(key, gf))
                 if v is _REFUSE:
                     return None
                 row.append(v)
@@ -1934,17 +1951,25 @@ class Catalog:
         r"^(?P<lhs>.+?)\s+(?P<neg>NOT\s+)?IN\s*\((?P<list>.*)\)$",
         re.I | re.S)
 
+    _HAV_LIT_DATE = re.compile(r"^DATE\s+'(\d{4}-\d{2}-\d{2})'$",
+                               re.I)
+
     @classmethod
     def _hav_literal(cls, lit: str):
         """``(kind, value)`` of one comparison literal — exact
         (int/bare-fractional, Spark parses those as DECIMALS),
-        double (scientific / D-suffixed), or str — ``None`` outside
-        the grammar (escapes, dates, column references)."""
+        double (scientific / D-suffixed), date (``DATE '…'`` in the
+        strict zero-padded ISO form — looser spellings refuse to the
+        fallback, which applies Spark's own cast), or str — ``None``
+        outside the grammar (escapes, column references)."""
         lit = lit.strip()
         if cls._HAV_LIT_INT.match(lit) or cls._HAV_LIT_DEC.match(lit):
             return ("exact", lit)
         if cls._HAV_LIT_DBL.match(lit):
             return ("double", lit.rstrip("dD"))
+        dm = cls._HAV_LIT_DATE.match(lit)
+        if dm is not None:
+            return ("date", dm.group(1))
         sm = cls._HAV_LIT_STR.match(lit)
         if sm is None:
             return None
@@ -2015,6 +2040,186 @@ class Catalog:
                 if (self._parsed_out_name(p) if case_sensitive
                     else self._parsed_out_name(p).lower()) == key]
         return hits[0] if len(hits) == 1 else None
+
+    # ------------------------------------- arithmetic operand exprs
+    # (r15) HAVING / ORDER BY items may be ARITHMETIC over provable
+    # operands — ratios and sums of aggregates (sum(a)/count(*),
+    # sum(a)+sum(b)-count(*), avg chains) and comparisons between two
+    # operands — all derivable from the recorded exact stats. The
+    # replicated Spark 4.1 semantics (measured):
+    #   - int-family ÷ int-family and anything involving double is
+    #     DOUBLE IEEE arithmetic (bigint/bigint division IS double
+    #     division: float(a)/float(b) bit-for-bit);
+    #   - int-family +/- promotes to the wider operand type and, under
+    #     ANSI, ERRORS on overflow — a value outside the result type's
+    #     range REFUSES the statement so the relational path raises;
+    #   - division by zero ERRORS under ANSI — same refusal;
+    #   - decimal/float operands refuse (decimal precision algebra and
+    #     float32 rounding are not replicated — fall back);
+    #   - NULL operands propagate to NULL (dropped by HAVING, ordered
+    #     by the NULLS clause).
+
+    _INT_ARITH_BOUNDS = {
+        "tinyint": 1 << 7, "smallint": 1 << 15, "int": 1 << 31,
+        "integer": 1 << 31, "bigint": 1 << 63, "long": 1 << 63,
+    }
+
+    @classmethod
+    def _split_arith(cls, text: str) -> list | None:
+        """``"sum(a)/count(*) + x"`` → ``["sum(a)", "/", "count(*)",
+        "+", "x"]`` split at depth-0 unquoted +, -, / — ``None`` when
+        there is no operator (not an expression) or a piece is empty
+        (unary signs, trailing operators: refuse)."""
+        parts, buf, depth, i, n = [], "", 0, 0, len(text)
+        in_q = False
+        while i < n:
+            c = text[i]
+            if in_q:
+                buf += c
+                in_q = c != "'"
+            elif c == "'":
+                buf += c
+                in_q = True
+            elif c == "(":
+                depth += 1
+                buf += c
+            elif c == ")":
+                depth -= 1
+                buf += c
+            elif depth == 0 and c in "+-/":
+                if not buf.strip():
+                    return None  # unary / doubled operator
+                parts += [buf.strip(), c]
+                buf = ""
+            else:
+                buf += c
+            i += 1
+        if depth != 0 or in_q or not buf.strip() or len(parts) < 2:
+            return None
+        parts.append(buf.strip())
+        return parts
+
+    def _resolve_operand_expr(self, text: str, parsed: list,
+                              gcols: list, case_sensitive: bool,
+                              rset: dict, ambiguous,
+                              visible_only: int | None = None
+                              ) -> int | None:
+        """Operand text → index into ``parsed``: a simple operand via
+        :meth:`_resolve_having_operand`, else an ARITHMETIC expression
+        over simple operands appended as a hidden ``("expr", node)``
+        item (node = leaf index | ("arith", op, l, r), '/' binding
+        tighter than +/-, left-associative). ``visible_only`` bounds
+        every LEAF to the SELECT items — the measured Spark-4.1 rule
+        for aggregate-expression ORDER BY items, whose leaves must
+        resolve against the project output (an unselected aggregate
+        leaf is an analyzer error the fallback reproduces)."""
+        idx = self._resolve_having_operand(
+            text, parsed, gcols, case_sensitive, rset, ambiguous)
+        if idx is not None:
+            if visible_only is not None and idx >= visible_only:
+                return None
+            return idx
+        parts = self._split_arith(text)
+        if parts is None:
+            return None
+        leaves = []
+        for j in range(0, len(parts), 2):
+            li = self._resolve_having_operand(
+                parts[j], parsed, gcols, case_sensitive, rset,
+                ambiguous)
+            if li is None or (visible_only is not None
+                              and li >= visible_only):
+                return None
+            leaves.append(li)
+        # precedence: fold '/' chains into terms first, then +/-
+        terms: list = [leaves[0]]
+        ops: list = []
+        for j, op in enumerate(parts[1::2]):
+            nxt = leaves[j + 1]
+            if op == "/":
+                terms[-1] = ("arith", "/", terms[-1], nxt)
+            else:
+                ops.append(op)
+                terms.append(nxt)
+        node = terms[0]
+        for op, t in zip(ops, terms[1:]):
+            node = ("arith", op, node, t)
+        parsed.append(("expr", node, None, f"__hx{len(parsed)}"))
+        return len(parsed) - 1
+
+    @classmethod
+    def _arith_result_type(cls, op: str, lt: str, rt: str):
+        """Spark's result type for one arithmetic step, or ``None``
+        for any pairing outside the replicated set (decimals, float32,
+        strings, dates — fall back)."""
+        ints = cls._INT_ARITH_BOUNDS
+        num = lambda t: t in ints or t == "double"  # noqa: E731
+        if not (num(lt) and num(rt)):
+            return None
+        if op == "/" or lt == "double" or rt == "double":
+            return "double"
+        return lt if ints[lt] >= ints[rt] else rt
+
+    def _expr_spec(self, node, specs):
+        """Spec entry pieces for an ``("expr", node)`` parsed item:
+        ``(carrier, cast_to, value_fn)`` with the value_fn taking the
+        row-so-far (leaf indices are always lower — operands resolve
+        before the expr is appended), or ``None`` when any type step
+        is outside the replicated arithmetic."""
+        def ntype(nd):
+            if isinstance(nd, int):
+                return (specs[nd][2] or specs[nd][1]).lower()
+            _, op, l, r = nd
+            lt, rt = ntype(l), ntype(r)
+            if lt is None or rt is None:
+                return None
+            return self._arith_result_type(op, lt, rt)
+
+        rt = ntype(node)
+        if rt is None:
+            return None
+        ints = self._INT_ARITH_BOUNDS
+
+        def ev(nd, row):
+            if isinstance(nd, int):
+                v = row[nd]
+                if v is None or v is _REFUSE:
+                    return v
+                t = (specs[nd][2] or specs[nd][1]).lower()
+                return float(v) if t == "double" else int(v)
+            _, op, l, r = nd
+            lv, rv = ev(l, row), ev(r, row)
+            if lv is _REFUSE or rv is _REFUSE:
+                return _REFUSE
+            if lv is None or rv is None:
+                return None
+            t = ntype(nd)
+            if t == "double":
+                lf, rf = float(lv), float(rv)
+                if op == "/":
+                    if rf == 0.0:
+                        # ANSI DIVIDE_BY_ZERO: the relational path
+                        # raises — never answer what Spark rejects
+                        return _REFUSE
+                    return lf / rf
+                return lf + rf if op == "+" else lf - rf
+            res = lv + rv if op == "+" else lv - rv
+            if not (-ints[t] <= res < ints[t]):
+                return _REFUSE  # ANSI overflow: the fallback raises
+            return res
+
+        carrier = "string" if rt == "double" else "bigint"
+        cast_to = "double" if rt == "double" else (
+            None if rt in ("bigint", "long") else rt)
+
+        def fv(key, gf, row):
+            v = ev(node, row)
+            if v is _REFUSE or v is None:
+                return v
+            return repr(v) if rt == "double" else int(v)
+
+        fv._needs_row = True
+        return carrier, cast_to, fv
 
     @staticmethod
     def _hav_tokens(text: str) -> list | None:
@@ -2154,7 +2359,8 @@ class Catalog:
         parsed, gcols, case_sensitive, rset, ambiguous = ctx
 
         def resolve(lhs):
-            return self._resolve_having_operand(
+            # r15: operands may be arithmetic over simple operands
+            return self._resolve_operand_expr(
                 lhs, parsed, gcols, case_sensitive, rset, ambiguous)
 
         nm = self._HAV_NULL_RE.match(text)
@@ -2164,15 +2370,18 @@ class Catalog:
                 return None
             return ("null", idx, bool(nm.group("neg")))
         cm = self._HAV_CMP_RE.match(text)
+        cm_saved = cm
         if cm is not None:
             lit = self._hav_literal(cm.group("lit"))
             if lit is None:
-                # escapes/dates/columns fall back — but first let the
+                # escapes/columns fall back — but first let the
                 # BETWEEN/IN matchers below try the atom: a string
                 # literal CONTAINING an operator char (p IN ('a=b'),
                 # x BETWEEN 'a<b' AND 'z') greedily matches the CMP
                 # regex with a truncated "literal", while the
-                # quote-aware matchers parse it whole
+                # quote-aware matchers parse it whole; an
+                # operand-shaped RHS (sum(a) > sum(b)) is retried as
+                # an operand comparison after those
                 cm = None
             else:
                 idx = resolve(cm.group("lhs"))
@@ -2219,6 +2428,19 @@ class Catalog:
             # x NOT IN (a, b) ≡ NOT(x = a OR x = b), Kleene-exact:
             # a NULL operand stays NULL through the negation
             return ("not", ast) if im.group("neg") else ast
+        if cm_saved is not None:
+            # r15: comparison between two OPERANDS (sum(a) > sum(b),
+            # sum(a)+sum(b) > count(*)) — both sides resolve as
+            # (possibly arithmetic) operand expressions
+            ridx = resolve(cm_saved.group("lit"))
+            if ridx is None:
+                return None
+            lidx = resolve(cm_saved.group("lhs"))
+            if lidx is None:
+                return None
+            op = cm_saved.group("op")
+            op = "!=" if op == "<>" else ("=" if op == "==" else op)
+            return ("cmpop", lidx, op, ridx)
         return None
 
     @staticmethod
@@ -2286,9 +2508,64 @@ class Catalog:
                     isnull = row[_i] is None
                     return (not isnull) if _n else isnull
                 return f
+            if tag == "cmpop":
+                # r15: comparison between two OPERANDS — a common
+                # comparison domain must be provable for both result
+                # types (exact↔exact compares as DECIMAL, any double
+                # forces the IEEE domain with NaN-above-everything,
+                # string↔string binary, date↔date as dates — mixed
+                # families refuse to the relational coercion)
+                _, li, op, ri = node
+                lrt = (specs[li][2] or specs[li][1]).lower()
+                rrt = (specs[ri][2] or specs[ri][1]).lower()
+
+                def dom(rt0):
+                    if rt0 in _INTS or rt0.startswith("decimal("):
+                        return "exact"
+                    if rt0 in ("double", "float"):
+                        return "double"
+                    return rt0
+                ld, rd = dom(lrt), dom(rrt)
+                if {ld, rd} <= {"exact", "double"}:
+                    if "double" in (ld, rd):
+                        def conv2(v):
+                            return _dbl_order_key(float(v))
+                    else:
+                        def conv2(v):
+                            return decimal.Decimal(str(v))
+                elif ld == rd == "string":
+                    conv2 = str
+                elif ld == rd == "date":
+                    import datetime as _dt
+
+                    def conv2(v):
+                        return _dt.date.fromisoformat(str(v))
+                else:
+                    return None
+
+                def f(row, _l=li, _r=ri, _c=conv2, _op=_OPS[op]):
+                    a, b = row[_l], row[_r]
+                    if a is None or b is None:
+                        return None
+                    return _op(_c(a), _c(b))
+                return f
             _, idx, op, lk, lv = node
             rt = (specs[idx][2] or specs[idx][1]).lower()
-            if lk == "str":
+            if rt == "date" and lk in ("str", "date"):
+                # strict zero-padded ISO literal only — Spark's cast
+                # also accepts loose forms ('2024-1-2'), which refuse
+                # into the fallback rather than risk a different parse
+                import datetime as _dt
+                try:
+                    lit = _date_desc(lv)
+                except ValueError:
+                    return None
+
+                def conv(v):
+                    return _dt.date.fromisoformat(str(v))
+            elif lk == "date":
+                return None  # a DATE literal against a non-date operand
+            elif lk == "str":
                 if rt != "string":
                     return None
                 conv, lit = str, lv
@@ -2317,14 +2594,20 @@ class Catalog:
         return build(ast)
 
     def _rewrite_order_aggs(self, text, parsed, gcols, case_sensitive,
-                            rset, ambiguous, extra: dict):
-        """ORDER BY tail with AGGREGATE-EXPRESSION items resolved to
-        (possibly hidden) spec positions — Spark sorts by the
-        aggregate value whether or not it is selected. Rewrites each
-        such item to a placeholder recorded in ``extra`` (auto-named
-        outputs like ``sum(x)`` are not word-shaped, so a textual
-        rewrite to the output name could not resolve); plain items
-        pass through. ``None`` = outside the grammar."""
+                            rset, ambiguous, extra: dict,
+                            n_visible: int | None = None):
+        """ORDER BY tail with AGGREGATE (or r15: ARITHMETIC) items
+        resolved to (possibly hidden) spec positions — Spark sorts by
+        the aggregate value whether or not it is selected, and by
+        arithmetic over SELECTED outputs (an expression with an
+        unselected aggregate leaf is an analyzer error — measured —
+        so expression leaves are bounded to the first ``n_visible``
+        items and anything past that refuses into the fallback, which
+        reproduces the error). Rewrites each such item to a
+        placeholder recorded in ``extra`` (auto-named outputs like
+        ``sum(x)`` are not word-shaped, so a textual rewrite to the
+        output name could not resolve); plain items pass through.
+        ``None`` = outside the grammar."""
         out_items = []
         for item in _split_top(text):
             item = item.strip()
@@ -2335,10 +2618,20 @@ class Catalog:
                           r"(?:\s+NULLS\s+(?:FIRST|LAST))?)$",
                           item, re.I | re.S)
             body = sm.group("body").strip()
-            if self._META_AGG_RE.match(body) is None:
-                return None
-            idx = self._resolve_having_operand(
-                body, parsed, gcols, case_sensitive, rset, ambiguous)
+            if self._META_AGG_RE.match(body) is not None:
+                idx = self._resolve_having_operand(
+                    body, parsed, gcols, case_sensitive, rset,
+                    ambiguous)
+            else:
+                idx = self._resolve_operand_expr(
+                    body, parsed, gcols, case_sensitive, rset,
+                    ambiguous, visible_only=n_visible)
+                if idx is not None and parsed[idx][0] != "expr":
+                    # a plain non-agg body (e.g. a bare alias the
+                    # ORDER_ITEM regex already covers, or a grouping
+                    # column) gained nothing here — keep the strict
+                    # grammar: only genuine expressions pass
+                    return None
             if idx is None:
                 return None
             ph = f"__ob{len(extra)}"

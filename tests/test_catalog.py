@@ -1573,6 +1573,11 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         # for exactly those draws instead of a value match.
         " ORDER BY sum(i) DESC, p", " ORDER BY avg(dd), p",
         " ORDER BY count(*) DESC, p LIMIT 2",
+        # r15: ARITHMETIC sort items — leaves must be SELECTED or the
+        # analyzer rejects (error-parity branch below covers those
+        # draws); count(*) denominators are never zero in a group
+        " ORDER BY sum(i)+count(i) DESC, p",
+        " ORDER BY sum(i)/count(*), p",
     ])
     # r13: HAVING tails (atoms over aggregates incl. UNSELECTED ones,
     # aliases, the group key; AND/OR/NOT; IS [NOT] NULL) — the fast
@@ -1594,6 +1599,18 @@ def test_minmax_sql_fast_path_fuzz(cat, spark):
         " HAVING min(s) IN ('', 'nope')",
         " HAVING count(i) IN (10, 20, 30) OR p = 'b'",
         " HAVING NOT (count(*) BETWEEN 0 AND 5) AND p IN ('a','b','c')",
+        # r15: arithmetic over provable operands + operand-vs-operand
+        # comparisons + strict DATE literals (count denominators are
+        # never 0 in a group — a zero denominator would be an ANSI
+        # error both paths must surface, covered in the non-fuzz test)
+        " HAVING sum(i)/count(*) > 0.1",
+        " HAVING sum(i)+count(i) > 30",
+        " HAVING max(i) > count(*)",
+        " HAVING avg(i) <= avg(k) OR p = 'a'",
+        " HAVING max(s) > min(s)",
+        " HAVING sum(i)-count(*) NOT BETWEEN 0 AND 10",
+        " HAVING min(d) <= DATE '2000-01-15'",
+        " HAVING max(d) BETWEEN DATE '2000-01-05' AND DATE '2000-03-01'",
     ])
 
     @settings(max_examples=50, deadline=None,
@@ -2058,6 +2075,33 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
         "HAVING avg(dd) BETWEEN 2.0 AND 1e4",
         "SELECT p FROM hvq GROUP BY p "
         "HAVING NOT (count(i) IN (10, 20, 21))",
+        # r15: ARITHMETIC over provable operands (ratios and sums of
+        # aggregates, alias arithmetic) and comparisons between two
+        # operands — all zero-scan; double steps are IEEE
+        # (bigint/bigint division IS double division), int steps are
+        # exact with ANSI overflow refusal
+        "SELECT p, sum(i) AS si, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING sum(i)/count(*) > 2 ORDER BY sum(dd) DESC, p",
+        "SELECT p, sum(i) AS si, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING si/n > 2 ORDER BY p",
+        "SELECT p FROM hvq GROUP BY p HAVING sum(i)/count(*) > 2",
+        "SELECT p, sum(i) AS si, count(i) AS ci FROM hvq GROUP BY p "
+        "HAVING sum(i)+count(i)-count(*) > 50 ORDER BY p",
+        "SELECT p, sum(i) AS si, count(i) AS ci FROM hvq GROUP BY p "
+        "ORDER BY sum(i)+count(i) DESC, p",
+        "SELECT p, sum(i) AS si, count(i) AS ci FROM hvq GROUP BY p "
+        "ORDER BY si/ci DESC, p LIMIT 2",
+        "SELECT p, max(i) AS mi, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING max(i) > count(*) ORDER BY p",
+        "SELECT p FROM hvq GROUP BY p HAVING max(i) > count(*)",
+        "SELECT p, avg(i) AS a1, avg(dd) AS a2 FROM hvq GROUP BY p "
+        "HAVING avg(i) <= avg(dd) ORDER BY p",
+        "SELECT p, max(s) AS hi, min(s) AS lo FROM hvq GROUP BY p "
+        "HAVING max(s) > min(s) ORDER BY p",
+        "SELECT p, max(f) AS mf, count(*) AS n FROM hvq GROUP BY p "
+        "HAVING max(f)+count(*) > 3 ORDER BY p",
+        "SELECT p, q, sum(i) AS si FROM hvq GROUP BY p, q "
+        "HAVING sum(i)/count(*) BETWEEN 2 AND 9 ORDER BY p, q",
     ]
     for stq in fast_cases:
         got = cat.sql(spark, stq)
@@ -2076,10 +2120,13 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
             g, x = sorted(g), sorted(x)
         assert g == x, (stq, g[:3], x[:3])
     # outside the grammar: refuse into the relational path (values
-    # still right there) — column-vs-column, expressions
+    # still right there) — literal arithmetic, decimal arithmetic
     for stq in [
-        "SELECT p FROM hvq GROUP BY p HAVING max(i) > count(*)",
         "SELECT p FROM hvq GROUP BY p HAVING count(*) + 1 > 3",
+        # decimal +/- and division: Spark's precision-adjustment
+        # algebra is not replicated — fall back
+        "SELECT p FROM hvq GROUP BY p HAVING sum(dd)+sum(dd) > 0",
+        "SELECT p FROM hvq GROUP BY p HAVING sum(dd)/count(*) > 1",
         # a MIXED exact+double IN list: Spark coerces the whole list
         # to one common type, which per-element domains can diverge
         # from past 2^53 — must refuse into the relational path
@@ -2117,6 +2164,77 @@ def test_groupby_fast_path_having_and_order_aggs(cat, spark):
             cat.sql(spark, stq).collect()
         with pytest.raises(Exception):
             spark.sql(stq.replace("FROM hvq", "FROM hvq_rel")).collect()
+    # error parity (r15): a division whose denominator is ZERO in some
+    # group is an ANSI DIVIDE_BY_ZERO error — the expr evaluator
+    # refuses the statement and the fallback raises Spark's own error
+    # (group 'a' contains id=0, so min(i)=0 there)
+    stq = ("SELECT p, sum(i) AS si, min(i) AS mi FROM hvq GROUP BY p "
+           "HAVING sum(i)/min(i) > 1")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cat.sql(spark, stq).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql(stq.replace("FROM hvq", "FROM hvq_rel")).collect()
+
+
+def test_groupby_fast_path_date_literals(cat, spark):
+    """DATE literals in HAVING atoms (r15): the strict zero-padded
+    ``DATE '…'`` / quoted-ISO forms answer zero-scan against date
+    grouping columns and date MIN/MAX stats (BETWEEN and IN ride the
+    same desugaring; date↔date operand comparisons too); any looser
+    spelling Spark's cast would accept refuses into the relational
+    path, which applies that cast itself."""
+    cat.sql(spark, """
+        CREATE TABLE hvd (k BIGINT, dt DATE, v INT, d DATE)
+        USING lakesoul PARTITIONED BY (d)
+        TBLPROPERTIES('hashPartitions'='k','hashBucketNum'='2',
+                      'lakesoul.statsColumns'='dt,v')
+    """)
+    cat.sql(spark, """INSERT INTO hvd
+        SELECT id AS k,
+               date_add(DATE '2024-01-01', CAST(id % 20 AS INT)) AS dt,
+               CAST(id % 7 AS INT) AS v,
+               date_add(DATE '2024-03-01', CAST(id % 4 AS INT)) AS d
+        FROM range(40)""")
+    cat.get_table(spark, "hvd").to_df().createOrReplaceTempView(
+        "hvd_rel")
+    fast_cases = [
+        "SELECT d, count(*) AS n FROM hvd GROUP BY d "
+        "HAVING d > DATE '2024-03-02' ORDER BY d",
+        "SELECT d, max(dt) AS mx FROM hvd GROUP BY d "
+        "HAVING max(dt) >= DATE '2024-01-15' ORDER BY d",
+        "SELECT d FROM hvd GROUP BY d "
+        "HAVING d BETWEEN DATE '2024-03-01' AND DATE '2024-03-03'",
+        "SELECT d FROM hvd GROUP BY d "
+        "HAVING d IN (DATE '2024-03-01', DATE '2024-03-03')",
+        "SELECT d, max(dt) AS mx, min(dt) AS mn FROM hvd GROUP BY d "
+        "HAVING max(dt) > min(dt) ORDER BY d",
+        "SELECT d FROM hvd GROUP BY d HAVING d = '2024-03-02'",
+    ]
+    for stq in fast_cases:
+        got = cat.sql(spark, stq)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "Scan parquet" not in plan, \
+            (stq, plan)
+        want = spark.sql(stq.replace("FROM hvd", "FROM hvd_rel"))
+        assert [(fl.name, fl.dataType, fl.nullable)
+                for fl in got.schema.fields] == \
+            [(fl.name, fl.dataType, fl.nullable)
+             for fl in want.schema.fields], stq
+        canon = lambda r: tuple((v is None, str(v)) for v in r)
+        g = [canon(r) for r in got.collect()]
+        x = [canon(r) for r in want.collect()]
+        if "ORDER BY" not in stq:
+            g, x = sorted(g), sorted(x)
+        assert g == x, (stq, g[:3], x[:3])
+    # loose date spellings Spark's cast accepts refuse into the
+    # relational path (same values, real scan)
+    stq = "SELECT d FROM hvd GROUP BY d HAVING d > '2024-3-2'"
+    got = cat.sql(spark, stq)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan, plan
+    want = spark.sql(stq.replace("FROM hvd", "FROM hvd_rel"))
+    assert sorted(map(str, got.collect())) == \
+        sorted(map(str, want.collect()))
 
 
 def test_partition_sum_avg_fast_path(cat, spark):
