@@ -467,11 +467,14 @@ class Catalog:
             RESTORE [TABLE] [ns.]t TO TIMESTAMP [AS OF]
                 'iso-datetime' | epoch_millis
             CREATE MATERIALIZED VIEW [IF NOT EXISTS] [ns.]v
-                [TBLPROPERTIES('hashBucketNum'='8')]
+                [TBLPROPERTIES('hashBucketNum'='8'
+                    [, 'allowExtremumRescan'='true'])]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
                           min(x) AS c, max(x) AS d,
                           approx_count_distinct(x) AS e
                    FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
+                -- allowExtremumRescan opts min/max in over a PK/CDC
+                -- (upsert-churning) source: evict-triggered rescans
             CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
                 AS SELECT <expr> AS a[, …]         -- insert-only
                    FROM [ns.]src [WHERE <cond>]    -- transform pipe
@@ -2897,6 +2900,10 @@ class Catalog:
         hash_bucket_num = int(props.pop("hashBucketNum", 4))
         join_pk = [c.strip() for c in str(
             props.pop("primaryKey", "")).split(",") if c.strip()]
+        # r15: opt min/max over a PK source into evict-triggered
+        # group rescans (AggMV allow_extremum_rescan)
+        extremum_rescan = str(props.pop("allowExtremumRescan",
+                                        "false")).lower() == "true"
         if props:
             raise ValueError(
                 f"unsupported materialized-view properties {sorted(props)}"
@@ -3066,6 +3073,7 @@ class Catalog:
             spark, src.path, mv_path,
             group_by=group_by, aggs=aggs,
             hash_bucket_num=hash_bucket_num, where=where,
+            allow_extremum_rescan=extremum_rescan,
         )
         try:
             self.backend.register_table(ns, name, mv_path)

@@ -109,12 +109,18 @@ def _merge_ops_str(aggs: dict, mode: str = "append") -> str:
     stores TWO physical partials (``name__s`` exact decimal sum,
     ``name__c`` count), both summed on merge; finalize divides. In
     ``"pk"`` (retraction) mode SUM gets the same pair (the nonnull
-    count decides NULL-vs-0 once retractions can cancel a sum to 0)
-    and a hidden ``__live`` signed row count tracks group existence."""
+    count decides NULL-vs-0 once retractions can cancel a sum to 0),
+    a hidden ``__live`` signed row count tracks group existence, and
+    MIN/MAX (admitted only with ``allow_extremum_rescan``) fold
+    ``use_last``: each refresh emits the group's EXACT new extremum
+    (folding would resurrect an evicted value), so the newest
+    generation wins."""
     parts = []
     for name, (fn, _e) in aggs.items():
         if fn == "avg" or (mode == "pk" and fn == "sum"):
             parts += [f"{name}__s:sum_all", f"{name}__c:sum_all"]
+        elif mode == "pk" and fn in ("min", "max"):
+            parts.append(f"{name}:use_last")
         else:
             parts.append(f"{name}:{_MERGE_OP[fn]}")
     if mode == "pk":
@@ -223,6 +229,69 @@ def _signed_partial_aggs(aggs: dict) -> list:
     return out
 
 
+def _split_extrema(aggs: dict) -> tuple[dict, dict]:
+    """``(min/max aggs, everything else)`` — the pk-mode split: the
+    signed fold nets sums/counts, extrema ride the separate
+    evict-triggered machinery (:meth:`AggMV._extremum_frame`)."""
+    mm = {n: v for n, v in aggs.items() if v[0] in ("min", "max")}
+    return mm, {n: v for n, v in aggs.items() if n not in mm}
+
+
+def _pk_load_aggs(aggs: dict) -> list:
+    """Aggregate Columns for a pk-mode FULL load (initial refresh,
+    rebuild — all rows carry sign +1): signed partials for
+    sum/count/avg plus PLAIN extrema for min/max (nothing to retract
+    on a full load, and the ``use_last`` fold makes each generation's
+    emitted extremum authoritative)."""
+    mm, rest = _split_extrema(aggs)
+    out = _signed_partial_aggs(rest)
+    for n, (fn, e) in mm.items():
+        if "__" in n:
+            raise ValueError(
+                f"MV output column {n!r} may not contain '__' "
+                "(reserved for partial pairs)"
+            )
+        out.append((F.min if fn == "min" else F.max)(F.expr(e))
+                   .alias(n))
+    return out
+
+
+def _nsjoin(left: DataFrame, right: DataFrame, cols: list,
+            how: str) -> DataFrame:
+    """Join on ``cols`` with NULL-SAFE equality (a NULL group key is a
+    real GROUP BY group; a plain equi-join would drop it), keeping one
+    copy of the key columns."""
+    la, ra = left.alias("__nl"), right.alias("__nr")
+    cond = None
+    for c in cols:
+        e = F.col(f"__nl.{c}").eqNullSafe(F.col(f"__nr.{c}"))
+        cond = e if cond is None else (cond & e)
+    j = la.join(ra, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return j
+    keep = [F.col(f"__nl.{c}") for c in left.columns]
+    keep += [F.col(f"__nr.{c}") for c in right.columns
+             if c not in cols]
+    return j.select(*keep)
+
+
+def _reject_agg_view_source(info, what: str) -> None:
+    """An aggregate view's physical columns are merge-partial
+    carriers (exact decimal sums, avg pairs, the hidden __live count,
+    HLL sketches) that only ``AggMV.to_df()`` finalizes — reading
+    them as a source would fold raw partials into downstream rows.
+    JOIN and TRANSFORM view outputs are plain row tables and chain
+    freely."""
+    spec_json = info.properties.get(SPEC_PROP)
+    if spec_json and json.loads(spec_json).get("kind", "agg") == "agg":
+        raise ValueError(
+            f"an aggregate view cannot source a {what} view: its "
+            "stored columns are merge-partial carriers that only "
+            "to_df() finalizes — chain on the base table or a "
+            "JOIN/TRANSFORM view instead"
+        )
+
+
 def _validate_transform_source(info, select: list[str]) -> str:
     """TransformMV source admission → churn mode ``"append"`` |
     ``"pk"`` (r15). A PRIMARY-KEY (or CDC) source is maintainable
@@ -239,6 +308,7 @@ def _validate_transform_source(info, select: list[str]) -> str:
             "CDC transform sources must be primary-key tables (the "
             "restatement reads pre/post images by key)"
         )
+    _reject_agg_view_source(info, "transform")
     if not info.hash_partitions:
         return "append"
     bare = {s.strip().strip("`") for s in select}
@@ -256,7 +326,8 @@ def _validate_transform_source(info, select: list[str]) -> str:
 
 
 def _validate_agg_source(info, aggs: dict,
-                         group_by: list[str] | None = None) -> str:
+                         group_by: list[str] | None = None,
+                         allow_extremum_rescan: bool = False) -> str:
     """AggMV source admission → churn mode ``"append"`` | ``"pk"``.
 
     A PRIMARY-KEY source (r14) may churn by upsert: its commit window
@@ -291,15 +362,20 @@ def _validate_agg_source(info, aggs: dict,
             "to_df() finalizes — roll up the base table or the JOIN "
             "view instead"
         )
-    bad = sorted({fn for fn, _e in aggs.values()}
-                 - {"sum", "count", "avg"})
+    allowed = {"sum", "count", "avg"}
+    if allow_extremum_rescan:
+        allowed |= {"min", "max"}
+    bad = sorted({fn for fn, _e in aggs.values()} - allowed)
     if bad:
+        hint = ("pass allow_extremum_rescan=True to maintain min/max "
+                "via evict-triggered group rescans, or "
+                if {"min", "max"} & set(bad) else "")
         raise ValueError(
             f"aggregates {bad} are not maintainable over a PK "
             "(upsert-churning) source: retracting a superseded row "
             "can evict the current extremum (min/max) or a sketched "
-            "value (count_distinct), which partial re-emission "
-            "cannot express — use an append-only source for those"
+            f"value (count_distinct), which partial re-emission "
+            f"cannot express — {hint}use an append-only source"
         )
     # reserved-name collisions in pk mode: a source column literally
     # named __sign would be folded as the retraction sign by _delta,
@@ -358,6 +434,7 @@ def _validate_join_source(info, on: list[str], side: str, *,
             f"JOIN view {side} CDC source must be a primary-key table "
             "(the restatement reads pre/post images by key)"
         )
+    _reject_agg_view_source(info, "JOIN")
     if not info.hash_partitions:
         return "append"
     if set(info.hash_partitions) == set(on):
@@ -717,6 +794,8 @@ class AggMV:
         # "append" (partials only ever add) | "pk" (r14: signed
         # restatement deltas net out upsert churn — see create())
         self.source_mode: str = spec.get("source_mode", "append")
+        # r15: min/max over a pk source via evict-triggered rescans
+        self.extremum_rescan: bool = bool(spec.get("extremum_rescan"))
 
     # ------------------------------------------------------------ factory
 
@@ -732,6 +811,7 @@ class AggMV:
         hash_bucket_num: int = 4,
         where: str | None = None,
         dims: list[dict] | None = None,
+        allow_extremum_rescan: bool = False,
     ) -> "AggMV":
         """Define the view and load nothing: the first :meth:`refresh`
         covers the source's full history through one incremental read
@@ -763,10 +843,17 @@ class AggMV:
         into a maintained rollup with no corpus re-aggregation
         (reference anchor: ``SumAll``/``SumLast`` merge operators,
         ``merge_operator.rs:22-50``, and the multi-stream wide-table
-        rollup tutorial). min/max/count_distinct refuse — a churned
-        extremum needs a rescan and a sketch cannot unhash a value."""
+        rollup tutorial). min/max/count_distinct refuse by default —
+        a churned extremum needs a rescan and a sketch cannot unhash
+        a value. ``allow_extremum_rescan=True`` (r15) opts min/max
+        in: refreshes fold new candidates for free and trigger ONE
+        group-scoped head rescan only when a retracted row could own
+        a touched group's current extremum (see
+        :meth:`_extremum_frame` for the exact trigger and the
+        documented worst case)."""
         src = LakeSoulTable.for_path(spark, source_path)
-        mode = _validate_agg_source(src.info, aggs, group_by)
+        mode = _validate_agg_source(src.info, aggs, group_by,
+                                    allow_extremum_rescan)
         if not group_by:
             raise ValueError("group_by must name at least one column")
         clash = set(group_by) & {f"{n}__{s}" for n in aggs
@@ -799,7 +886,7 @@ class AggMV:
             probe_src = probe_src.withColumn("__sign", F.lit(1))
         probe = _joined(spark, probe_src, pinned, where)
         probe = probe.groupBy(*group_by).agg(
-            *(_signed_partial_aggs(aggs) if mode == "pk"
+            *(_pk_load_aggs(aggs) if mode == "pk"
               else _partial_aggs(aggs)))
         merge_ops = _merge_ops_str(aggs, mode)
         spec = {
@@ -809,6 +896,8 @@ class AggMV:
         }
         if mode != "append":
             spec["source_mode"] = mode
+            if allow_extremum_rescan and _split_extrema(aggs)[0]:
+                spec["extremum_rescan"] = True
         if where:
             spec["where"] = where
         if pinned:
@@ -830,12 +919,12 @@ class AggMV:
 
     def _delta(self, df: DataFrame) -> DataFrame:
         if self.source_mode == "pk":
-            if "__sign" not in df.columns:
-                # full loads (initial refresh, rebuild) are all-adds
-                df = df.withColumn("__sign", F.lit(1))
+            # full loads only (initial refresh, rebuild — all-adds);
+            # the incremental restatement lives in _delta_window
+            df = df.withColumn("__sign", F.lit(1))
             df = _joined(self.spark, df, self.dims, self.where)
             return df.groupBy(*self.group_by).agg(
-                *_signed_partial_aggs(self.aggs))
+                *_pk_load_aggs(self.aggs))
         df = _joined(self.spark, df, self.dims, self.where)
         return df.groupBy(*self.group_by).agg(*_partial_aggs(self.aggs))
 
@@ -874,16 +963,100 @@ class AggMV:
             new = _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
                 bset, bounds=kb).join(keys, on=pk_cols,
-                                      how="left_semi") \
-                .withColumn("__sign", F.lit(1))
+                                      how="left_semi")
             old = _scoped_snapshot(
                 self.spark, self.source_path, last, keys, pk_cols,
                 bset, bounds=kb).join(keys, on=pk_cols,
-                                      how="left_semi") \
-                .withColumn("__sign", F.lit(-1))
-            return self._delta(new.unionByName(old))
+                                      how="left_semi")
+            jn = _joined(self.spark,
+                         new.withColumn("__sign", F.lit(1)),
+                         self.dims, self.where)
+            jo = _joined(self.spark,
+                         old.withColumn("__sign", F.lit(-1)),
+                         self.dims, self.where)
+            mm, rest = _split_extrema(self.aggs)
+            out = jn.unionByName(jo).groupBy(*self.group_by).agg(
+                *_signed_partial_aggs(rest))
+            if mm:
+                out = _nsjoin(out,
+                              self._extremum_frame(jn, jo, mm, head),
+                              self.group_by, "left")
+            return out
         return self._delta(_window_df(
             self.spark, src_store, self.source_path, last, head))
+
+    def _extremum_frame(self, jn: DataFrame, jo: DataFrame, mm: dict,
+                        head: int) -> DataFrame:
+        """Per-TOUCHED-GROUP exact extrema for the opted-in MIN/MAX
+        columns (``allow_extremum_rescan``), emitted use_last so the
+        newest generation is authoritative.
+
+        Cheap path (the common refresh): a group's new extremum is
+        fold(current, extremum of the window's ADDED rows) — no extra
+        scan. A retraction can EVICT the extremum only when a
+        retracted value REACHES the group's current one, so the
+        trigger is exact: only groups where that holds are rescanned
+        from the head snapshot, all in ONE scan semi-joined to those
+        groups — and when no group triggers (the usual case) the scan
+        is skipped entirely. Worst case, documented: the rescan reads
+        the source at full width filtered by the triggering groups —
+        partition-prunable only when the group columns align with the
+        source's range partitions; a workload that churns extrema
+        every refresh should prefer an append-only source or
+        rebuild(). All group joins are NULL-SAFE (a NULL group key is
+        a real group)."""
+        gb = list(self.group_by)
+        touched = jn.select(*gb).unionByName(jo.select(*gb)).distinct()
+        # current extrema of LIVE touched groups: a drained group's
+        # stale value must not resurrect through the fold
+        cur = _nsjoin(
+            self.table.to_df().filter(F.col("__live") > 0).select(
+                *gb, *[F.col(n).alias(f"__cur_{n}") for n in mm]),
+            touched, gb, "left_semi")
+        mk = [(n, fn, e, (F.min if fn == "min" else F.max))
+              for n, (fn, e) in mm.items()]
+        j = _nsjoin(touched, cur, gb, "left")
+        j = _nsjoin(j, jn.groupBy(*gb).agg(
+            *[agg(F.expr(e)).alias(f"__new_{n}")
+              for n, fn, e, agg in mk]), gb, "left")
+        j = _nsjoin(j, jo.groupBy(*gb).agg(
+            *[agg(F.expr(e)).alias(f"__old_{n}")
+              for n, fn, e, agg in mk]), gb, "left")
+        evict = None
+        for n, fn, _e, _agg in mk:
+            hit = (F.col(f"__old_{n}") <= F.col(f"__cur_{n}")
+                   if fn == "min"
+                   else F.col(f"__old_{n}") >= F.col(f"__cur_{n}"))
+            evict = hit if evict is None else (evict | hit)
+        j = _pin(self, j)
+        rescan_groups = j.filter(evict).select(*gb)
+        rs = None
+        self._rescanned = False
+        if rescan_groups.take(1):
+            self._rescanned = True
+            head_df = _joined(
+                self.spark,
+                LakeSoulTable.for_path_snapshot(
+                    self.spark, self.source_path,
+                    version=head).to_df(),
+                self.dims, self.where)
+            rs = _nsjoin(head_df, rescan_groups, gb, "left_semi") \
+                .groupBy(*gb).agg(*[
+                    agg(F.expr(e)).alias(f"__rs_{n}")
+                    for n, fn, e, agg in mk])
+            rs = _nsjoin(rescan_groups.withColumn("__rsflag",
+                                                  F.lit(1)),
+                         rs, gb, "left")
+            j = _nsjoin(j, rs, gb, "left")
+        sel = list(gb)
+        for n, fn, _e, _agg in mk:
+            fold = (F.least if fn == "min" else F.greatest)(
+                F.col(f"__cur_{n}"), F.col(f"__new_{n}"))
+            v = (F.when(F.col("__rsflag").isNotNull(),
+                        F.col(f"__rs_{n}")).otherwise(fold)
+                 if rs is not None else fold)
+            sel.append(v.alias(n))
+        return j.select(*sel)
 
     def _check_dims_pinned(self) -> None:
         for d in self.dims:

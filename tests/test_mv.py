@@ -2383,6 +2383,23 @@ def test_sql_rollup_over_join_view(spark, tmp_path):
     with pytest.raises(ValueError, match="aggregate view"):
         cat.sql(spark, "CREATE MATERIALIZED VIEW bad2 AS SELECT g, "
                        "count(*) AS n FROM rv GROUP BY g")
+    # r15: allowExtremumRescan opts min/max in over the PK view and
+    # stays exact through a churn that EVICTS a group's max
+    cat.sql(spark, "CREATE MATERIALIZED VIEW mm TBLPROPERTIES("
+                   "'allowExtremumRescan'='true') AS SELECT g, "
+                   "max(v) AS m, min(v) AS lo FROM jv GROUP BY g")
+    LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/f")) \
+        .upsert(spark.sql("SELECT 199 AS k, CAST(19 AS BIGINT) AS ck,"
+                          " CAST(-1 AS DOUBLE) AS v"))
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW jv")
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW mm")
+    jvt = cat.get_table(spark, "jv").to_df()
+    want = sorted(map(tuple, jvt.groupBy("g").agg(
+        F.max("v").alias("m"), F.min("v").alias("lo")).collect()),
+        key=str)
+    assert sorted(map(tuple,
+                      cat.sql(spark, "SELECT * FROM mm").collect()),
+                  key=str) == want
 
 
 def test_agg_mv_pk_reserved_name_guards(spark, tmp_path):
@@ -2714,4 +2731,156 @@ def test_mv_cascade_join_rollup_through_delete(spark, tmp_path):
     # replays are no-ops end to end
     assert mv.refresh()["applied"] is False
     assert roll.refresh()["applied"] is False
+    assert got() == truth()
+
+
+def test_agg_mv_pk_min_max_extremum_rescan(spark, tmp_path):
+    """min/max over a PK source (r15, ``allow_extremum_rescan``):
+    refreshes fold new candidates for free; ONLY a retraction that
+    reaches a touched group's current extremum triggers the
+    group-scoped head rescan (the ``_rescanned`` hook proves both the
+    trigger and the skip); values stay exact through value churn,
+    extremum eviction, group moves, NULL churn, DELETEs, a drained
+    group, compaction and replay. Without the flag min/max still
+    refuse at create."""
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(60)],
+        "k int, g string, v double")
+    write(base, src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=4)
+    with pytest.raises(ValueError, match="allow_extremum_rescan"):
+        AggMV.create(spark, src, str(tmp_path / "bad"),
+                     group_by=["g"], aggs={"lo": ("min", "v")})
+    mv = AggMV.create(
+        spark, src, mvp, group_by=["g"],
+        aggs={"lo": ("min", "v"), "hi": ("max", "v"),
+              "s": ("sum", "v"), "n": ("count", "*")},
+        hash_bucket_num=2, allow_extremum_rescan=True)
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        return _pk_canon(t.to_df().groupBy("g").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.when(F.count("v") > 0,
+                   F.sum(F.col("v").cast("decimal(18,6)"))
+                   .cast("double")).alias("s"),
+            F.count("*").alias("n")).collect())
+
+    def got():
+        return _pk_canon(mv.to_df().select("g", "lo", "hi", "s", "n")
+                         .collect())
+
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+
+    # non-evicting value churn (middle values move): NO rescan
+    t.upsert(spark.createDataFrame([(30, "g0", 31.5), (31, "g1", 29.5)],
+                                   "k int, g string, v double"))
+    assert mv.refresh()["applied"]
+    assert mv._rescanned is False
+    assert got() == truth()
+
+    # pure inserts (new keys): still no rescan, extrema may extend
+    t.upsert(spark.createDataFrame([(100, "g0", 99.5), (101, "g1", -9.5)],
+                                   "k int, g string, v double"))
+    assert mv.refresh()["applied"]
+    assert mv._rescanned is False
+    assert got() == truth()
+
+    # EVICT the g0 max owner (k=100, v=99.5 -> tiny): rescan fires
+    t.upsert(spark.createDataFrame([(100, "g0", 1.25)],
+                                   "k int, g string, v double"))
+    assert mv.refresh()["applied"]
+    assert mv._rescanned is True
+    assert got() == truth()
+
+    # group-key churn MOVES the g1 min owner (k=101) to a NEW group
+    t.upsert(spark.createDataFrame([(101, "g9", -9.5)],
+                                   "k int, g string, v double"))
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+
+    # NULL churn on an extremum owner + a DELETE of another
+    t.upsert(spark.createDataFrame([(57, "g0", None)],
+                                   "k int, g string, v double"))
+    t.delete("k = 0")
+    assert mv.refresh()["applied"]
+    assert mv._rescanned is True
+    assert got() == truth()
+
+    # drain the g9 group entirely: it must vanish
+    t.delete("k = 101")
+    assert mv.refresh()["applied"]
+    assert got() == truth()
+    assert mv.to_df().filter("g = 'g9'").count() == 0
+
+    # replay no-op; compaction keeps use_last extrema + signed sums
+    assert mv.refresh()["applied"] is False
+    LakeSoulTable.for_path(spark, mvp).compaction()
+    assert got() == truth()
+
+
+def test_mv_chain_rules_and_transform_into_join(spark, tmp_path):
+    """Chain-composition rules (r15): an AggMV output (merge-partial
+    carriers) refuses as a JOIN or TRANSFORM view source; a
+    TransformMV output (a plain PK row table) chains as the pk-mode
+    LEFT side of a left JoinMV, with churn + deletes flowing through
+    transform → join."""
+    from lakesoul_spark.mv import JoinMV, TransformMV
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)],
+        "k int, r int, v double")
+    write(base, src, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=4)
+    agg = AggMV.create(spark, src, str(tmp_path / "agg"),
+                       group_by=["r"], aggs={"s": ("sum", "v")},
+                       hash_bucket_num=2)
+    agg.refresh()
+    with pytest.raises(ValueError, match="aggregate view"):
+        JoinMV.create(spark, agg.table.path, src,
+                      str(tmp_path / "bad1"), on=["r"],
+                      select=["r"], pk=["r"])
+    with pytest.raises(ValueError, match="aggregate view"):
+        TransformMV.create(spark, agg.table.path,
+                           str(tmp_path / "bad2"), select=["r"])
+
+    # transform → join chain: normalized copy feeds a left view
+    tx = TransformMV.create(
+        spark, src, str(tmp_path / "tx"),
+        select=["k", "r", "v * 2 AS v2"], hash_bucket_num=4)
+    tx.refresh()
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)],
+                                "r int, name string")
+    D = str(tmp_path / "dim")
+    write(dim, D, mode="overwrite", hash_partitions=["r"],
+          hash_bucket_num=2)
+    jv = JoinMV.create(spark, tx.table.path, D,
+                       str(tmp_path / "jv"), on=["r"],
+                       select=["k", "r", "v2", "name"], pk=["k"],
+                       hash_bucket_num=4, how="left")
+    jv.refresh()
+    t = LakeSoulTable.for_path(spark, src)
+
+    def truth():
+        j = (t.to_df().selectExpr("k", "r", "v * 2 AS v2")
+             .join(LakeSoulTable.for_path(spark, D).to_df(),
+                   "r", "left"))
+        return sorted(map(tuple, j.select("k", "r", "v2", "name")
+                          .collect()))
+
+    def got():
+        return sorted(map(tuple, jv.to_df()
+                          .select("k", "r", "v2", "name").collect()))
+
+    assert got() == truth()
+    # churn + delete on the BASE propagate transform → join
+    t.upsert(spark.createDataFrame([(3, 4, 99.0), (100, 1, 5.0)],
+                                   "k int, r int, v double"))
+    t.delete("k % 7 = 2")
+    assert tx.refresh()["applied"]
+    assert jv.refresh()["applied"]
     assert got() == truth()
