@@ -1887,6 +1887,12 @@ class Catalog:
 
         by_name = {}
         for i, (cname, carrier, cast_to, out, _fv) in enumerate(specs):
+            if out.startswith("__"):
+                # hidden machinery items (__havN/__hxN): reachable
+                # only via ``extra`` placeholders — a user-written
+                # ORDER BY naming one is an unresolved column in the
+                # relational plan and must refuse, never resolve here
+                continue
             key = out if case_sensitive else out.lower()
             if key in by_name:
                 by_name[key] = None  # ambiguous output name: refuse
@@ -2039,6 +2045,13 @@ class Catalog:
                     return i
             parsed.append(("group", rc, f"__hav{len(parsed)}"))
             return len(parsed) - 1
+        if key.startswith("__"):
+            # hidden machinery names (__havN/__hxN) are not user
+            # addressables — an operand spelling one is an unresolved
+            # column in the relational plan (and a user alias that
+            # happens to start with '__' refuses into the fallback,
+            # which resolves it itself)
+            return None
         hits = [i for i, p in enumerate(parsed)
                 if (self._parsed_out_name(p) if case_sensitive
                     else self._parsed_out_name(p).lower()) == key]

@@ -672,6 +672,19 @@ def _pk_window_keys(spark: SparkSession, store, path: str, last: int,
     ).select(*pk_cols).distinct()
 
 
+def _window_may_vanish(store, info, last: int, head: int) -> bool:
+    """``False`` when NO key can restate to nothing in commits
+    (last, head]: a non-CDC PK source only loses keys through
+    DELETE / UPDATE rewrites (an upsert always leaves head rows), so
+    upsert-only windows skip the vanished-key probe entirely — the
+    common churn path pays ZERO new jobs for delete support. CDC
+    sources always probe (delete markers ride ordinary upserts)."""
+    if info.cdc_column:
+        return True
+    return any(c.commit_op in (OP_DELETE, OP_UPDATE)
+               for c in store.commits(last + 1, head))
+
+
 def _release_pins(view) -> None:
     """Unpersist the touched-key frames a refresh pinned — one cache
     per window, populated by the first bucket-collect and reused by
@@ -1457,9 +1470,15 @@ class TransformMV:
                 self.spark, self.source_path, head, keys, pk_cols,
                 bset).join(keys, on=pk_cols, how="left_semi"))
             out = self._transform(restated)
-            self._vanished = keys.join(
-                out.select(*pk_cols).distinct(),
-                on=pk_cols, how="left_anti")
+            if (self.where or self.dims
+                    or _window_may_vanish(src_store, info, last, head)):
+                # a key can lose its output row through a source
+                # delete / CDC marker (window probe) OR a WHERE flip /
+                # inner-dim drop (any window) — otherwise skip the
+                # vanished anti-join entirely
+                self._vanished = keys.join(
+                    out.select(*pk_cols).distinct(),
+                    on=pk_cols, how="left_anti")
             return out
         return self._delta(_window_df(
             self.spark, src_store, self.source_path, last, head))
@@ -1805,7 +1824,8 @@ class JoinMV:
         restated = _pin(self, self._side_scoped(
             path, head, keys, bucket_filter=bset, cols=pk_cols).join(
             keys, on=pk_cols, how="left_semi"))
-        return restated, (keys, pk_cols)
+        return restated, (keys, pk_cols,
+                          _window_may_vanish(store, info, last, head))
 
     def _assert_unique_right(self, version: int,
                              keys: DataFrame | None) -> None:
@@ -1919,10 +1939,12 @@ class JoinMV:
                                                d_a),
                         self.on, self.select, self.where, self.how,
                     ))
-                    if keys_a is not None:
+                    if keys_a is not None and keys_a[2]:
                         # touched keys with NO surviving head rows:
-                        # their view rows must be deleted
-                        ka, ka_cols = keys_a
+                        # their view rows must be deleted (probed only
+                        # when the window CAN vanish keys — see
+                        # _window_may_vanish)
+                        ka, ka_cols = keys_a[0], keys_a[1]
                         gone_a = ka.join(
                             d_a.select(*ka_cols).distinct(),
                             on=ka_cols, how="left_anti")
@@ -1955,7 +1977,7 @@ class JoinMV:
                         # PK (for append sources the old snapshot
                         # already equals "head minus delta" and no
                         # anti-join is paid)
-                        ka, ka_cols = keys_a
+                        ka, ka_cols = keys_a[0], keys_a[1]
                         old_left = old_left.join(ka, on=ka_cols,
                                                  how="left_anti")
                     if keys_b is not None and self.how == "left":
@@ -1964,7 +1986,7 @@ class JoinMV:
                         # restatement — an upserted key re-pairs, a
                         # deleted key NULL-extends, and either way the
                         # left-identity fold replaces the stale row
-                        kb, _ = keys_b
+                        kb = keys_b[0]
                         affected = old_left.join(
                             kb.select(*self.on).distinct(),
                             on=self.on, how="left_semi")
@@ -1975,8 +1997,8 @@ class JoinMV:
                         parts.append(self._join_select(
                             old_left, d_b, self.on, self.select,
                             self.where, "inner"))
-                        if keys_b is not None:
-                            kb, kb_cols = keys_b
+                        if keys_b is not None and keys_b[2]:
+                            kb, kb_cols = keys_b[0], keys_b[1]
                             gone_b = kb.join(
                                 d_b.select(*kb_cols).distinct(),
                                 on=kb_cols, how="left_anti")
