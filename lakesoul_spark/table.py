@@ -1817,10 +1817,18 @@ class LakeSoulTable:
             # so when the tombstones carry the full PK the rewrite
             # touches only those buckets' merge groups — at 100 TB a
             # churn-day delete rewrites O(touched buckets), not the
-            # partition (≤ hash_bucket_num ids collected here)
+            # partition (≤ hash_bucket_num ids collected here).
+            # Hash the TABLE-typed values: murmur3 is type-sensitive
+            # (int 5 and bigint 5 hash differently), so a tombstone
+            # frame carrying a narrower/wider/string spelling of the
+            # PK must be cast to the writer's types first; a key
+            # try_cast sends out-of-range to NULL, which the join
+            # cannot match anyway
+            ts = {f.name: f.dataType for f in self.schema().fields}
             bset = {
                 r["__b"] for r in keys.select(F.pmod(
-                    F.hash(*[F.col(c) for c in info.hash_partitions]),
+                    F.hash(*[F.col(c).try_cast(ts[c])
+                             for c in info.hash_partitions]),
                     F.lit(info.hash_bucket_num)).alias("__b"))
                 .distinct().collect()
             }

@@ -1124,6 +1124,44 @@ def test_delete_matching_tombstone_join(spark, tmp_table, tmp_path):
         t.delete_matching(spark.range(1).selectExpr("id AS nope"))
 
 
+def test_delete_matching_coerced_tombstone_types(spark, tmp_table):
+    """delete_matching buckets tombstones by the TABLE's PK types:
+    murmur3 is type-sensitive (int 11 and bigint 11 hash differently),
+    so a tombstone frame carrying a narrower spelling of the PK must
+    be cast to the writer's type before the bucket probe or the
+    bucket filter silently misses the matching merge groups."""
+    write(
+        spark.range(4000).selectExpr("id", "id * 2 AS v"),
+        tmp_table, mode="overwrite",
+        hash_partitions=["id"], hash_bucket_num=4,
+    )
+    t = LakeSoulTable.for_path(spark, tmp_table)
+
+    captured = []
+    orig = LakeSoulTable._rewrite_files
+
+    def spy(self, new_df, files, op):
+        captured.append(list(files))
+        return orig(self, new_df, files, op)
+
+    LakeSoulTable._rewrite_files = spy
+    try:
+        # bigint 11 lands in bucket 3, int 11 in bucket 1 — an
+        # unconverted probe would rewrite the wrong merge group and
+        # leave the row alive
+        t.delete_matching(
+            spark.range(11, 12).select(F.col("id").cast("int").alias("id"))
+        )
+    finally:
+        LakeSoulTable._rewrite_files = orig
+
+    assert t.to_df().count() == 3999
+    assert t.to_df().where("id = 11").count() == 0
+    # the rewrite touched exactly the one bucket bigint-11 lands in
+    (files,) = captured
+    assert len({f.bucket for f in files}) == 1
+
+
 def test_count_fast_metadata_only(spark, tmp_table, tmp_path):
     """count() answers from commit-log num_rows with ZERO Spark jobs
     when metadata proves exactness, and falls back (correctly) when it
