@@ -391,6 +391,12 @@ class Catalog:
         path = self.backend.unregister_table(ns, name)
         import shutil
 
+        from lakesoul_spark.mv import companion_paths
+
+        # exact count_distinct companions live in sibling dirs and
+        # follow the view's lifecycle
+        for dv in companion_paths(path):
+            shutil.rmtree(dv, ignore_errors=True)
         shutil.rmtree(path, ignore_errors=True)
 
     # ------------------------------------------------------------------ SQL
@@ -468,13 +474,17 @@ class Catalog:
                 'iso-datetime' | epoch_millis
             CREATE MATERIALIZED VIEW [IF NOT EXISTS] [ns.]v
                 [TBLPROPERTIES('hashBucketNum'='8'
-                    [, 'allowExtremumRescan'='true'])]
+                    [, 'allowExtremumRescan'='true']
+                    [, 'exactDistinct'='true'])]
                 AS SELECT k[, …], sum(x) AS a, count(*) AS b,
                           min(x) AS c, max(x) AS d,
-                          approx_count_distinct(x) AS e
+                          approx_count_distinct(x) AS e,
+                          count(DISTINCT x) AS f   -- exactDistinct only
                    FROM [ns.]src [WHERE <cond>] GROUP BY k[, …]
                 -- allowExtremumRescan opts min/max in over a PK/CDC
                 -- (upsert-churning) source: evict-triggered rescans
+                -- exactDistinct opts count(DISTINCT …) in over a
+                -- PK/CDC source: exact per-value companion tables
             CREATE MATERIALIZED VIEW [ns.]v        -- no GROUP BY:
                 AS SELECT <expr> AS a[, …]         -- insert-only
                    FROM [ns.]src [WHERE <cond>]    -- transform pipe
@@ -2917,6 +2927,12 @@ class Catalog:
         # group rescans (AggMV allow_extremum_rescan)
         extremum_rescan = str(props.pop("allowExtremumRescan",
                                         "false")).lower() == "true"
+        # r15: opt count_distinct over a PK source into EXACT
+        # maintenance via per-value companion tables (AggMV
+        # exact_distinct) — this is also what legitimizes the
+        # count(DISTINCT …) spelling below
+        exact_distinct = str(props.pop("exactDistinct",
+                                       "false")).lower() == "true"
         if props:
             raise ValueError(
                 f"unsupported materialized-view properties {sorted(props)}"
@@ -3047,19 +3063,29 @@ class Catalog:
                 if fn == "count" and expr == "*":
                     expr = None
                 elif fn == "count" and re.match(r"(?i)DISTINCT\s", expr):
-                    # the incremental maintenance of a distinct count is
-                    # an HLL sketch: exact only below the sketch's
-                    # sparse-mode threshold, approximate past it. A SQL
-                    # reader of `count(DISTINCT …)` expects exact — make
-                    # the contract explicit in the spelling instead of
-                    # silently degrading.
-                    raise ValueError(
-                        "count(DISTINCT …) in a materialized view is "
-                        "maintained as an HLL sketch and becomes "
-                        "APPROXIMATE at high per-group cardinality — "
-                        "spell it approx_count_distinct(…) to "
-                        "acknowledge the approximation"
-                    )
+                    # the default incremental maintenance of a distinct
+                    # count is an HLL sketch: exact only below the
+                    # sketch's sparse-mode threshold, approximate past
+                    # it. A SQL reader of `count(DISTINCT …)` expects
+                    # exact — the spelling is only honored when
+                    # 'exactDistinct'='true' opts into the per-value
+                    # companion maintenance that actually delivers it
+                    # (PK sources); otherwise make the contract
+                    # explicit with approx_count_distinct(…).
+                    if not exact_distinct:
+                        raise ValueError(
+                            "count(DISTINCT …) in a materialized view "
+                            "is maintained as an HLL sketch and "
+                            "becomes APPROXIMATE at high per-group "
+                            "cardinality — spell it "
+                            "approx_count_distinct(…) to acknowledge "
+                            "the approximation, or set TBLPROPERTIES("
+                            "'exactDistinct'='true') on a primary-key "
+                            "source for exact companion-table "
+                            "maintenance"
+                        )
+                    fn = "count_distinct"
+                    expr = re.sub(r"(?i)^DISTINCT\s+", "", expr).strip()
                 elif fn == "approx_count_distinct":
                     fn = "count_distinct"
                 aggs[am.group(3)] = (fn, expr)
@@ -3087,6 +3113,7 @@ class Catalog:
             group_by=group_by, aggs=aggs,
             hash_bucket_num=hash_bucket_num, where=where,
             allow_extremum_rescan=extremum_rescan,
+            exact_distinct=exact_distinct,
         )
         try:
             self.backend.register_table(ns, name, mv_path)

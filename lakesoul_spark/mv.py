@@ -59,8 +59,12 @@ readable — the last-applied snapshot holds the superseded versions of
 exactly the keys the commit window touched — so :class:`AggMV` folds
 SIGNED restatement deltas (new rows +1, old rows −1) for sum/count/avg
 and a maintained JOIN view (a PK table) composes into a maintained
-rollup. min/max/count_distinct refuse at create (retraction can evict
-an extremum; sketches cannot unhash).
+rollup. min/max refuse at create by default (retraction can evict an
+extremum) — ``allow_extremum_rescan`` opts them in via evict-triggered
+group rescans — and count_distinct refuses by default (a sketch cannot
+unhash) — ``exact_distinct`` opts it in EXACTLY via per-value
+companion PK tables whose signed occurrence counts retract like any
+sum (the view folds only the 0↔>0 transitions).
 
 Deletes and CDC (r15): a PK source's DELETE / UPDATE commits are
 representable too — the touched keys are read from the window's
@@ -121,6 +125,11 @@ def _merge_ops_str(aggs: dict, mode: str = "append") -> str:
             parts += [f"{name}__s:sum_all", f"{name}__c:sum_all"]
         elif mode == "pk" and fn in ("min", "max"):
             parts.append(f"{name}:use_last")
+        elif mode == "pk" and fn == "count_distinct":
+            # r15 exact mode: the stored value is a signed TRANSITION
+            # count (values whose live occurrence count crossed 0), so
+            # the fold is additive like any signed partial
+            parts.append(f"{name}:sum_all")
         else:
             parts.append(f"{name}:{_MERGE_OP[fn]}")
     if mode == "pk":
@@ -237,22 +246,55 @@ def _split_extrema(aggs: dict) -> tuple[dict, dict]:
     return mm, {n: v for n, v in aggs.items() if n not in mm}
 
 
+def _split_cdist(aggs: dict) -> tuple[dict, dict]:
+    """``(count_distinct aggs, everything else)`` — the pk-mode
+    split: exact distinct counts ride the per-value companion-table
+    machinery (:meth:`AggMV._exact_distinct_frame`)."""
+    cd = {n: v for n, v in aggs.items() if v[0] == "count_distinct"}
+    return cd, {n: v for n, v in aggs.items() if n not in cd}
+
+
+def companion_paths(path: str) -> list[str]:
+    """Companion-table paths of the view at ``path`` (empty for
+    non-views and views without exact count_distinct columns) — the
+    lifecycle hook shared by catalog DROP (remove them with the view)
+    and the maintenance daemon (compact them alongside it). Reads the
+    commit log only; safe on any path."""
+    try:
+        info = MetaStore(path).table_info()
+        spec = json.loads(info.properties.get(SPEC_PROP) or "{}")
+    except Exception:
+        return []
+    if not spec.get("exact_distinct"):
+        return []
+    base = info.path.rstrip("/")
+    return [f"{base}__dv_{n}" for n, v in spec.get("aggs", {}).items()
+            if v[0] == "count_distinct"]
+
+
 def _pk_load_aggs(aggs: dict) -> list:
     """Aggregate Columns for a pk-mode FULL load (initial refresh,
     rebuild — all rows carry sign +1): signed partials for
-    sum/count/avg plus PLAIN extrema for min/max (nothing to retract
+    sum/count/avg, PLAIN extrema for min/max (nothing to retract
     on a full load, and the ``use_last`` fold makes each generation's
-    emitted extremum authoritative)."""
+    emitted extremum authoritative), and PLAIN exact distinct counts
+    for count_distinct (on a full load every live value transitions
+    0→1 exactly once, so the transition sum IS the distinct count)."""
     mm, rest = _split_extrema(aggs)
+    cd, rest = _split_cdist(rest)
     out = _signed_partial_aggs(rest)
-    for n, (fn, e) in mm.items():
+    for n, (fn, e) in {**mm, **cd}.items():
         if "__" in n:
             raise ValueError(
                 f"MV output column {n!r} may not contain '__' "
                 "(reserved for partial pairs)"
             )
-        out.append((F.min if fn == "min" else F.max)(F.expr(e))
-                   .alias(n))
+        if fn == "count_distinct":
+            out.append(F.count_distinct(F.expr(e)).cast("bigint")
+                       .alias(n))
+        else:
+            out.append((F.min if fn == "min" else F.max)(F.expr(e))
+                       .alias(n))
     return out
 
 
@@ -327,7 +369,8 @@ def _validate_transform_source(info, select: list[str]) -> str:
 
 def _validate_agg_source(info, aggs: dict,
                          group_by: list[str] | None = None,
-                         allow_extremum_rescan: bool = False) -> str:
+                         allow_extremum_rescan: bool = False,
+                         exact_distinct: bool = False) -> str:
     """AggMV source admission → churn mode ``"append"`` | ``"pk"``.
 
     A PRIMARY-KEY source (r14) may churn by upsert: its commit window
@@ -342,7 +385,11 @@ def _validate_agg_source(info, aggs: dict,
     updates AND deletes. Only sum/count/avg net out under retraction;
     min/max would need a rescan when the extremum's row churns and a
     HLL sketch cannot unhash a value, so both refuse toward an
-    append-only source or a rebuild-style view. An AggMV used as the
+    append-only source or a rebuild-style view —
+    ``allow_extremum_rescan`` opts min/max in, and
+    ``exact_distinct`` (r15) opts count_distinct in by replacing the
+    sketch with an EXACT per-value companion table whose signed
+    occurrence counts retract like any sum. An AggMV used as the
     source refuses too: its physical columns are merge-partial
     carriers that only ``to_df()`` finalizes — chain on the JOIN view
     or the base table instead."""
@@ -352,6 +399,14 @@ def _validate_agg_source(info, aggs: dict,
             "restatement reads pre/post images by key)"
         )
     if not info.hash_partitions:
+        if exact_distinct:
+            raise ValueError(
+                "exact_distinct targets PK (upsert-churning) sources, "
+                "where a sketch cannot retract; an append-only "
+                "source keeps the mergeable HLL representation — "
+                "drop the flag (the sketch is exact below its "
+                "sparse-mode threshold)"
+            )
         return "append"
     spec_json = info.properties.get(SPEC_PROP)
     if spec_json and json.loads(spec_json).get("kind", "agg") == "agg":
@@ -365,11 +420,19 @@ def _validate_agg_source(info, aggs: dict,
     allowed = {"sum", "count", "avg"}
     if allow_extremum_rescan:
         allowed |= {"min", "max"}
+    if exact_distinct:
+        allowed |= {"count_distinct"}
     bad = sorted({fn for fn, _e in aggs.values()} - allowed)
     if bad:
-        hint = ("pass allow_extremum_rescan=True to maintain min/max "
-                "via evict-triggered group rescans, or "
-                if {"min", "max"} & set(bad) else "")
+        hints = []
+        if {"min", "max"} & set(bad):
+            hints.append("pass allow_extremum_rescan=True to maintain "
+                         "min/max via evict-triggered group rescans")
+        if "count_distinct" in bad:
+            hints.append("pass exact_distinct=True to maintain exact "
+                         "distinct counts via a per-value companion "
+                         "table")
+        hint = "; ".join(hints) + "; or " if hints else ""
         raise ValueError(
             f"aggregates {bad} are not maintainable over a PK "
             "(upsert-churning) source: retracting a superseded row "
@@ -809,6 +872,16 @@ class AggMV:
         self.source_mode: str = spec.get("source_mode", "append")
         # r15: min/max over a pk source via evict-triggered rescans
         self.extremum_rescan: bool = bool(spec.get("extremum_rescan"))
+        # r15: exact count_distinct over a pk source via per-value
+        # companion tables (one per count_distinct output column)
+        self.exact_distinct: bool = bool(spec.get("exact_distinct"))
+
+    def _dv_path(self, name: str) -> str:
+        """Companion-table path for exact count_distinct column
+        ``name`` — a SIBLING directory of the view (never nested
+        under it, so directory listings of the view see only its own
+        files)."""
+        return self.table.path.rstrip("/") + f"__dv_{name}"
 
     # ------------------------------------------------------------ factory
 
@@ -825,6 +898,7 @@ class AggMV:
         where: str | None = None,
         dims: list[dict] | None = None,
         allow_extremum_rescan: bool = False,
+        exact_distinct: bool = False,
     ) -> "AggMV":
         """Define the view and load nothing: the first :meth:`refresh`
         covers the source's full history through one incremental read
@@ -863,10 +937,16 @@ class AggMV:
         group-scoped head rescan only when a retracted row could own
         a touched group's current extremum (see
         :meth:`_extremum_frame` for the exact trigger and the
-        documented worst case)."""
+        documented worst case). ``exact_distinct=True`` (r15) opts
+        count_distinct in EXACTLY: each such column gets a companion
+        PK table keyed by (group_by…, value) whose signed occurrence
+        counts retract like any sum, and the view stores the per-group
+        sum of 0↔>0 TRANSITIONS — see :meth:`_exact_distinct_frame`
+        for the per-refresh cost (O(churned (group, value) pairs))."""
         src = LakeSoulTable.for_path(spark, source_path)
         mode = _validate_agg_source(src.info, aggs, group_by,
-                                    allow_extremum_rescan)
+                                    allow_extremum_rescan,
+                                    exact_distinct)
         if not group_by:
             raise ValueError("group_by must name at least one column")
         clash = set(group_by) & {f"{n}__{s}" for n in aggs
@@ -897,8 +977,8 @@ class AggMV:
         probe_src = src.to_df().limit(0)
         if mode == "pk":
             probe_src = probe_src.withColumn("__sign", F.lit(1))
-        probe = _joined(spark, probe_src, pinned, where)
-        probe = probe.groupBy(*group_by).agg(
+        probe_j = _joined(spark, probe_src, pinned, where)
+        probe = probe_j.groupBy(*group_by).agg(
             *(_pk_load_aggs(aggs) if mode == "pk"
               else _partial_aggs(aggs)))
         merge_ops = _merge_ops_str(aggs, mode)
@@ -907,10 +987,13 @@ class AggMV:
             "group_by": list(group_by),
             "aggs": {k: list(v) for k, v in aggs.items()},
         }
+        cd = _split_cdist(aggs)[0] if exact_distinct else {}
         if mode != "append":
             spec["source_mode"] = mode
             if allow_extremum_rescan and _split_extrema(aggs)[0]:
                 spec["extremum_rescan"] = True
+            if cd:
+                spec["exact_distinct"] = True
         if where:
             spec["where"] = where
         if pinned:
@@ -926,7 +1009,30 @@ class AggMV:
                 "lakesoul.columnMergeOps": merge_ops,
             },
         )
-        return cls(spark, mv_path)
+        view = cls(spark, mv_path)
+        for n, (_fn, e) in cd.items():
+            # companion PK table, one per exact count_distinct column:
+            # keyed by (group_by…, value), one signed occurrence count
+            # folded sum_all. The PK gate (check_pk_type inside
+            # create_table) refuses value expressions the murmur3
+            # bucketing can't hash — exactly the types that couldn't
+            # be grouped deterministically anyway. PK stats give the
+            # restatement the same file pruning as every MV scan.
+            dv_schema = probe_j.select(
+                *group_by, F.expr(e).alias("__v"),
+                F.lit(0).cast("bigint").alias("__n")).schema
+            create_table(
+                spark,
+                view._dv_path(n),
+                dv_schema,
+                hash_partitions=list(group_by) + ["__v"],
+                hash_bucket_num=hash_bucket_num,
+                properties={
+                    "lakesoul.columnMergeOps": "__n:sum_all",
+                    "lakesoul.mv.companion": mv_path,
+                },
+            )
+        return view
 
     # ------------------------------------------------------------ refresh
 
@@ -988,15 +1094,35 @@ class AggMV:
                          old.withColumn("__sign", F.lit(-1)),
                          self.dims, self.where)
             mm, rest = _split_extrema(self.aggs)
+            cd, rest = (_split_cdist(rest) if self.exact_distinct
+                        else ({}, rest))
             out = jn.unionByName(jo).groupBy(*self.group_by).agg(
                 *_signed_partial_aggs(rest))
             if mm:
                 out = _nsjoin(out,
                               self._extremum_frame(jn, jo, mm, head),
                               self.group_by, "left")
+            for n, spec in cd.items():
+                g = self._exact_distinct_frame(n, spec[1], jn, jo,
+                                               last, head)
+                if g is not None:
+                    out = _nsjoin(out, g, self.group_by, "left")
             return out
-        return self._delta(_window_df(
-            self.spark, src_store, self.source_path, last, head))
+        df = _window_df(self.spark, src_store, self.source_path,
+                        last, head)
+        if self.source_mode == "pk":
+            # initial full load (last == 0): all rows carry sign +1;
+            # exact-distinct companions load their full per-value
+            # occurrence counts in the same pass
+            joined = _joined(self.spark,
+                             df.withColumn("__sign", F.lit(1)),
+                             self.dims, self.where)
+            if self.exact_distinct:
+                self._dv_full_load(joined, _split_cdist(self.aggs)[0],
+                                   head, replace=False)
+            return joined.groupBy(*self.group_by).agg(
+                *_pk_load_aggs(self.aggs))
+        return self._delta(df)
 
     def _extremum_frame(self, jn: DataFrame, jo: DataFrame, mm: dict,
                         head: int) -> DataFrame:
@@ -1071,6 +1197,129 @@ class AggMV:
             sel.append(v.alias(n))
         return j.select(*sel)
 
+    # ------------------------------------------- exact count_distinct
+
+    def _dv_qid(self) -> str:
+        return f"mvdv:{self.table.info.table_id}"
+
+    def _dv_full_load(self, joined: DataFrame, cd: dict, batch: int,
+                      *, replace: bool) -> None:
+        """Full per-value occurrence counts into every companion —
+        initial load (append commit) and :meth:`rebuild` (replace
+        commit). Idempotent by ``(qid, batch)``: a replay after a
+        crash between the companion commit and the view commit skips
+        the already-landed contribution (the back-scan in
+        :meth:`_exact_distinct_frame` re-aligns the pre-image even
+        when the source head moved in between)."""
+        from lakesoul_spark.meta.store import FileOp
+
+        qid = self._dv_qid()
+        for n, (_fn, e) in cd.items():
+            dvt = LakeSoulTable.for_path(self.spark, self._dv_path(n))
+            if dvt.store.has_batch(qid, batch):
+                continue
+            rows = joined.filter(F.expr(e).isNotNull()).groupBy(
+                *self.group_by, F.expr(e).alias("__v")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("__n"))
+            ops = write_table_data(rows, dvt.info, dedup=False)
+            if replace:
+                dels = [FileOp(op="del", path=f.path,
+                               partition_desc=f.partition_desc,
+                               bucket=f.bucket)
+                        for f in dvt.store.snapshot().files]
+                dvt.store.commit(OP_UPDATE, dels + ops,
+                                 query_id=qid, batch_id=batch)
+            else:
+                dvt.store.commit(OP_MERGE, ops,
+                                 query_id=qid, batch_id=batch)
+
+    def _exact_distinct_frame(self, n: str, expr: str, jn: DataFrame,
+                              jo: DataFrame, last: int, head: int):
+        """Per-touched-group signed TRANSITION sums for one exact
+        count_distinct column, maintained against its per-value
+        companion table (PK = (group_by…, value), one signed
+        occurrence count ``__n`` folded sum_all).
+
+        A value's occurrence count is a sum, so it retracts exactly
+        under the same head(+1) ∪ old(−1) restatement as every other
+        signed partial; the VIEW's distinct count then moves only on
+        0↔>0 crossings of that count — the transition is decided
+        against the companion state aligned with source@``last``
+        (walking back over commits a crashed refresh left ahead of
+        the view marker; their already-applied part is subtracted
+        from this window's upsert, so replay is exact even when the
+        source head moved in between). Per-refresh cost: O(churned
+        (group, value) pairs) — the companion reads are touched-
+        bucket + PK-stats pruned like every restatement scan, and a
+        window that churns no values for this column skips
+        everything. Returns ``None`` in that case (the caller's
+        left-join then writes NULL, which the additive fold
+        ignores)."""
+        gb = list(self.group_by)
+        qid = self._dv_qid()
+        vd = (jn.select(*gb, F.expr(expr).alias("__v"), "__sign")
+              .unionByName(
+                  jo.select(*gb, F.expr(expr).alias("__v"), "__sign"))
+              .filter(F.col("__v").isNotNull())
+              .groupBy(*gb, "__v")
+              .agg(F.sum("__sign").cast("bigint").alias("__d"))
+              .filter(F.col("__d") != 0))
+        vd = _pin(self, vd)
+        if not vd.take(1):
+            return None
+        dvp = self._dv_path(n)
+        dvt = LakeSoulTable.for_path(self.spark, dvp)
+        dvs = dvt.store
+        dv_head = dvs.head_version()
+        pre = dv_head
+        seq = dv_head
+        while seq > 0:
+            c = dvs.read_commit(seq)
+            if c.commit_op == OP_COMPACTION:
+                # state-neutral re-statement; keep walking
+                seq -= 1
+                continue
+            if c.query_id == qid and c.batch_id > last:
+                # ahead of the view marker: a crashed refresh's
+                # contribution — the pre-image must predate it
+                pre = seq - 1
+                seq -= 1
+                continue
+            break
+        pkc = gb + ["__v"]
+        bset = _touched_buckets(vd, pkc, dvt.info)
+        kb = _key_bounds(vd, pkc)
+        old = _scoped_snapshot(self.spark, dvp, pre, vd, pkc,
+                               bset, bounds=kb) \
+            .select(*pkc, F.col("__n").alias("__old"))
+        j = _nsjoin(vd, old, pkc, "left")
+        old0 = F.coalesce(F.col("__old"), F.lit(0))
+        if dv_head > pre:
+            cur = _scoped_snapshot(self.spark, dvp, dv_head, vd, pkc,
+                                   bset, bounds=kb) \
+                .select(*pkc, F.col("__n").alias("__cur"))
+            j = _nsjoin(j, cur, pkc, "left")
+            applied = F.coalesce(F.col("__cur"), F.lit(0)) - old0
+        else:
+            applied = F.lit(0)
+        j = _pin(self, j)
+        # companion upsert FIRST, idempotent by (qid, head); the
+        # transition frame below reads only version-PINNED snapshots
+        # and pinned frames, so its lazy re-execution during the view
+        # write is immune to this commit landing
+        if not dvs.has_batch(qid, head):
+            need = (j.withColumn("__need", F.col("__d") - applied)
+                    .filter(F.col("__need") != 0)
+                    .select(*pkc, F.col("__need").alias("__n")))
+            if need.take(1):
+                ops = write_table_data(need, dvt.info, dedup=False)
+                dvs.commit(OP_MERGE, ops, query_id=qid, batch_id=head)
+        new_n = old0 + F.col("__d")
+        trans = (F.when((new_n > 0) & (old0 <= 0), 1)
+                 .when((new_n <= 0) & (old0 > 0), -1)
+                 .otherwise(0))
+        return j.groupBy(*gb).agg(F.sum(trans).cast("bigint").alias(n))
+
     def _check_dims_pinned(self) -> None:
         for d in self.dims:
             head = MetaStore(d["path"]).head_version()
@@ -1129,7 +1378,21 @@ class AggMV:
         try:
             src = LakeSoulTable.for_path(self.spark, self.source_path)
             head = src.store.head_version()
-            delta = self._delta(src.to_df())
+            if self.source_mode == "pk" and self.exact_distinct:
+                # companion replace FIRST (idempotent by (qid, head)):
+                # a failed view commit leaves the companion ahead of
+                # the view marker, which the next refresh's back-scan
+                # + applied-correction re-aligns exactly
+                joined = _joined(
+                    self.spark,
+                    src.to_df().withColumn("__sign", F.lit(1)),
+                    self.dims, self.where)
+                self._dv_full_load(joined, _split_cdist(self.aggs)[0],
+                                   head, replace=True)
+                delta = joined.groupBy(*self.group_by).agg(
+                    *_pk_load_aggs(self.aggs))
+            else:
+                delta = self._delta(src.to_df())
             info = self.table.info
             adds = write_table_data(delta, info, dedup=False)
             dels = [
@@ -1315,6 +1578,15 @@ class AggMV:
                 c = F.when(F.col(f"{name}__c") > 0,
                            F.col(f"{name}__s").cast("double"))
                 sel.append(c.alias(name))
+                continue
+            if fn == "count_distinct" and self.source_mode == "pk":
+                # exact mode (the only admitted pk spelling): the
+                # stored value is the 0↔>0 transition sum — already
+                # the distinct count. A live group whose values are
+                # all NULL reads 0, as COUNT(DISTINCT) over no
+                # non-null values does.
+                sel.append(F.coalesce(F.col(name).cast("bigint"),
+                                      F.lit(0)).alias(name))
                 continue
             c = F.col(name)
             if fn == "sum":

@@ -137,6 +137,22 @@ class CompactionService:
                     report["compacted"] = {
                         f"{d}/b{b}->L{lv}": n for (d, b, lv), n in merged.items()
                     }
+                # exact count_distinct companions churn one generation
+                # per refresh; they are unregistered internals, so the
+                # view's maintenance pass is what keeps their MOR read
+                # bounded
+                from lakesoul_spark.mv import companion_paths
+
+                for dv in companion_paths(path):
+                    dvm = LakeSoulTable.for_path(
+                        self.spark, dv).leveled_compaction(
+                        l0_file_num_limit=self.l0_file_num_limit,
+                        level_file_num_limit=self.level_file_num_limit,
+                        max_bytes_for_level_base=self.max_bytes_for_level_base,
+                    )
+                    if dvm:
+                        report.setdefault("companion_compacted", {})[
+                            dv] = sum(dvm.values())
                 # declarative re-clustering: a table carrying
                 # lakesoul.zorder.columns is re-z-ordered once enough
                 # commits accumulated since the last clustering pass

@@ -2884,3 +2884,223 @@ def test_mv_chain_rules_and_transform_into_join(spark, tmp_path):
     assert tx.refresh()["applied"]
     assert jv.refresh()["applied"]
     assert got() == truth()
+
+
+def test_agg_mv_pk_exact_count_distinct(spark, tmp_path):
+    """Exact COUNT(DISTINCT) over a PK source (r15,
+    ``exact_distinct``): a per-value companion PK table keyed by
+    (group…, value) holds signed occurrence counts, and the view
+    folds only the 0↔>0 TRANSITIONS — values stay bit-equal to a
+    full recompute through value churn, deletes, a drained group, a
+    NULL group key, an all-NULL-value group, rebuild and replay.
+    Without the flag count_distinct still refuses with the hint;
+    with an append-only source the flag itself refuses toward HLL;
+    an unbucketable value expression refuses at create."""
+    import os
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+
+    def rows(*tups):
+        return spark.createDataFrame(
+            [Row(id=i, g=g, v=v) for i, g, v in tups],
+            "id bigint, g string, v string")
+
+    write(rows((1, "a", "x"), (2, "a", "y"), (3, "a", "x"),
+               (4, "b", "x"), (5, "b", None), (6, None, "z")),
+          src, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, src)
+
+    with pytest.raises(ValueError, match="exact_distinct=True"):
+        AggMV.create(spark, src, str(tmp_path / "bad"),
+                     group_by=["g"],
+                     aggs={"d": ("count_distinct", "v")})
+    ap = str(tmp_path / "ap")
+    write(rows((1, "a", "x")).drop("id"), ap, mode="overwrite")
+    with pytest.raises(ValueError, match="HLL"):
+        AggMV.create(spark, ap, str(tmp_path / "bad2"),
+                     group_by=["g"],
+                     aggs={"d": ("count_distinct", "v")},
+                     exact_distinct=True)
+    with pytest.raises(ValueError, match="unsupported PK type"):
+        AggMV.create(spark, src, str(tmp_path / "bad3"),
+                     group_by=["g"],
+                     aggs={"d": ("count_distinct", "array(v)")},
+                     exact_distinct=True)
+
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"d": ("count_distinct", "v"),
+                            "n": ("count", "*"),
+                            "s": ("sum", "length(v)")},
+                      hash_bucket_num=2, exact_distinct=True)
+    assert os.path.isdir(mv._dv_path("d"))
+    mv.refresh()
+
+    def truth():
+        return {tuple(r) for r in t.to_df().groupBy("g").agg(
+            F.count_distinct("v").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("v")).cast("double").alias("s")).collect()}
+
+    def got():
+        return {tuple(r)
+                for r in mv.to_df().select("g", "d", "n", "s").collect()}
+
+    assert got() == truth()
+    # churn: value moves, group move, NULL-out, new keys
+    t.upsert(rows((1, "a", "w"), (3, "a", "y"), (7, "b", "x"),
+                  (5, "b", "q"), (6, "c", "z")))
+    mv.refresh()
+    assert got() == truth()
+    # drain value x from b; drain group c via DELETE
+    t.upsert(rows((4, "b", "y")))
+    t.delete("id = 6")
+    t.delete("id = 7")
+    mv.refresh()
+    assert got() == truth()
+    # resurrect a drained value + an all-NULL-value group (d = 0)
+    t.upsert(rows((8, "c", None), (9, "b", "x"), (2, "a", "w")))
+    mv.refresh()
+    assert got() == truth()
+    assert {r["g"]: r["d"] for r in mv.to_df().collect()}["c"] == 0
+    # replay no-op + rebuild equivalence + post-rebuild increments
+    assert mv.refresh()["applied"] is False
+    mv.rebuild()
+    assert got() == truth()
+    t.upsert(rows((1, "a", "x"), (9, "b", "w")))
+    t.delete("id = 3")
+    mv.refresh()
+    assert got() == truth()
+
+
+def test_agg_mv_exact_distinct_crash_replay(spark, tmp_path):
+    """A crash between the companion commit and the view's marker
+    commit leaves the companion AHEAD; the next refresh re-aligns by
+    walking back over ahead commits (pre-image at source@last) and
+    subtracting their already-applied part from the upsert — exact
+    even when the source head MOVED in between, and through a double
+    crash."""
+    from lakesoul_spark.meta.store import MetaStore
+    from lakesoul_spark.mv import _release_pins
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+
+    def rows(*tups):
+        return spark.createDataFrame(
+            [Row(id=i, g=g, v=v) for i, g, v in tups],
+            "id bigint, g string, v string")
+
+    write(rows((1, "a", "x"), (2, "a", "y"), (3, "b", "x")),
+          src, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, src)
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"d": ("count_distinct", "v")},
+                      hash_bucket_num=2, exact_distinct=True)
+    mv.refresh()
+    src_store = MetaStore(src)
+
+    def truth():
+        return {tuple(r) for r in t.to_df().groupBy("g").agg(
+            F.count_distinct("v").alias("d")).collect()}
+
+    def crash_once():
+        # computing the window commits the companion; discarding the
+        # frame before the view write simulates the crash
+        last, head = mv.last_applied_version(), src_store.head_version()
+        out = mv._delta_window(src_store, last, head)
+        out.collect()
+        _release_pins(mv)
+        return head
+
+    # same-head replay
+    t.upsert(rows((1, "a", "z"), (4, "b", "y")))
+    head = crash_once()
+    dvs = MetaStore(mv._dv_path("d"))
+    assert dvs.read_commit(dvs.head_version()).batch_id == head
+    mv2 = AggMV(spark, mvp)
+    mv2.refresh()
+    assert {tuple(r) for r in mv2.to_df().collect()} == truth()
+
+    # moved-head replay: head advances past the crashed window
+    t.upsert(rows((2, "a", "w"), (5, "c", "k")))
+    crash_once()
+    t.upsert(rows((5, "c", "m"), (3, "b", "z")))
+    t.delete("id = 4")
+    mv3 = AggMV(spark, mvp)
+    mv3.refresh()
+    assert {tuple(r) for r in mv3.to_df().collect()} == truth()
+
+    # double crash, two ahead commits, then a clean replay
+    t.upsert(rows((1, "a", "x")))
+    crash_once()
+    t.upsert(rows((2, "a", "x")))
+    crash_once()
+    t.upsert(rows((6, "b", "x")))
+    mv4 = AggMV(spark, mvp)
+    mv4.refresh()
+    assert {tuple(r) for r in mv4.to_df().collect()} == truth()
+
+
+def test_sql_exact_distinct_view_lifecycle(spark, tmp_path):
+    """SQL surface of exact_distinct: count(DISTINCT …) refuses
+    without 'exactDistinct'='true' (the HLL-approximation message),
+    is honored with it over a PK source, cascades over a JOIN view,
+    and DROP MATERIALIZED VIEW removes the companion directories with
+    the view."""
+    import os
+
+    from lakesoul_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.sql(spark, "CREATE NAMESPACE default")
+    cat.sql(spark, "CREATE TABLE f (k BIGINT, ck BIGINT, v STRING) "
+            "USING lakesoul TBLPROPERTIES('hashPartitions'='k',"
+            "'hashBucketNum'='2')")
+    cat.sql(spark, "INSERT INTO f SELECT id, id % 4, "
+                   "concat('v', id % 7) FROM range(50)")
+    with pytest.raises(ValueError, match="approx_count_distinct"):
+        cat.sql(spark, "CREATE MATERIALIZED VIEW bad AS SELECT ck, "
+                       "count(DISTINCT v) AS d FROM f GROUP BY ck")
+    cat.sql(spark, "CREATE MATERIALIZED VIEW rv TBLPROPERTIES("
+                   "'exactDistinct'='true') AS SELECT ck, "
+                   "count(DISTINCT v) AS d, count(*) AS n "
+                   "FROM f GROUP BY ck")
+    rvp = str(tmp_path / "cat/default/rv")
+    assert os.path.isdir(rvp + "__dv_d")
+
+    def truth():
+        t = LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/f"))
+        return {tuple(r) for r in t.to_df().groupBy("ck").agg(
+            F.count_distinct("v").alias("d"),
+            F.count(F.lit(1)).alias("n")).collect()}
+
+    q = "SELECT ck, d, n FROM rv"
+    assert {tuple(r) for r in cat.sql(spark, q).collect()} == truth()
+    # churn by PK upsert, refresh via the verb, stays exact
+    LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/f")) \
+        .upsert(spark.sql("SELECT id AS k, id % 4 AS ck, 'v0' AS v "
+                          "FROM range(10)"))
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW rv")
+    assert {tuple(r) for r in cat.sql(spark, q).collect()} == truth()
+    # the maintenance daemon refreshes the view AND keeps its
+    # companions compacted (they are unregistered internals, so this
+    # pass is their only maintenance)
+    from lakesoul_spark.service import CompactionService
+
+    LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/f")) \
+        .upsert(spark.sql("SELECT id AS k, id % 4 AS ck, 'v1' AS v "
+                          "FROM range(3)"))
+    svc = CompactionService(spark, warehouse=str(tmp_path / "cat"),
+                            l0_file_num_limit=2)
+    for _ in range(3):
+        svc.run_once()
+    assert {tuple(r) for r in cat.sql(spark, q).collect()} == truth()
+    dvt = LakeSoulTable.for_path(spark, rvp + "__dv_d")
+    assert dvt.store.snapshot().max_generations_per_bucket() <= 2
+
+    cat.sql(spark, "DROP MATERIALIZED VIEW rv")
+    assert not os.path.exists(rvp)
+    assert not os.path.exists(rvp + "__dv_d")
