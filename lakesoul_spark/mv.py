@@ -1265,11 +1265,15 @@ class AggMV:
               .agg(F.sum("__sign").cast("bigint").alias("__d"))
               .filter(F.col("__d") != 0))
         vd = _pin(self, vd)
-        if not vd.take(1):
-            return None
         dvp = self._dv_path(n)
         dvt = LakeSoulTable.for_path(self.spark, dvp)
         dvs = dvt.store
+        pkc = gb + ["__v"]
+        # ONE materializing job: the bucket collect fills the pin and
+        # doubles as the emptiness probe (empty set ⇔ no value churn)
+        bset = _touched_buckets(vd, pkc, dvt.info)
+        if not bset:
+            return None
         dv_head = dvs.head_version()
         pre = dv_head
         seq = dv_head
@@ -1286,8 +1290,6 @@ class AggMV:
                 seq -= 1
                 continue
             break
-        pkc = gb + ["__v"]
-        bset = _touched_buckets(vd, pkc, dvt.info)
         kb = _key_bounds(vd, pkc)
         old = _scoped_snapshot(self.spark, dvp, pre, vd, pkc,
                                bset, bounds=kb) \
@@ -1311,8 +1313,11 @@ class AggMV:
             need = (j.withColumn("__need", F.col("__d") - applied)
                     .filter(F.col("__need") != 0)
                     .select(*pkc, F.col("__need").alias("__n")))
-            if need.take(1):
-                ops = write_table_data(need, dvt.info, dedup=False)
+            ops = write_table_data(need, dvt.info, dedup=False)
+            if ops:
+                # an all-netted window commits nothing; the companion
+                # marker simply doesn't advance (the back-scan treats
+                # a gap as zero contribution, exactly what it was)
                 dvs.commit(OP_MERGE, ops, query_id=qid, batch_id=head)
         new_n = old0 + F.col("__d")
         trans = (F.when((new_n > 0) & (old0 <= 0), 1)

@@ -19,22 +19,25 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # ROUND-15 NOTE / VERDICT task 1 verbatim.  Ledger after r14: 50
 # queries r14-green, 50 r13-green, 22 r12-green at the 2-round
 # staleness boundary.  The window holds 50: FRONT the 22 stale
-# r12-green in the pinned order, then the 3 NEW r15 oracle queries
+# r12-green in the pinned order, then the 4 NEW r15 oracle queries
 # covering r15-new capability (lakehouse_mv_delete_cascade →
 # DELETE/UPDATE commits representable in PK-source MV windows via
 # del-file key reads; lakehouse_cdc_mv_rollup → CDC tables as MV
 # sources; lakehouse_pk_transform_mv → maintained PK-preserving
-# transforms), then the 25 OLDEST r13-green (by first appearance in
-# git history) — the 3 NEW queries displace the 3 youngest of the 28
-# that would otherwise fit (dedup_clusters,
+# transforms; lakehouse_mv_exact_distinct → exact COUNT(DISTINCT)
+# over PK sources via per-value companion tables), then the 24
+# OLDEST r13-green (by first appearance in git history) — the 4 NEW
+# queries displace the 4 youngest of the 28 that would otherwise fit
+# (q21_waiting_suppliers, dedup_clusters,
 # lakehouse_leveled_compaction, ann_index_search), per the standing
 # displacement rule.
 # ROUND-16 NOTE (window arithmetic, exact): after r15 the pack holds
-# 125 queries — 50 r15-green (this window), 50 r14-green, and 25
+# 126 queries — 50 r15-green (this window), 50 r14-green, and 26
 # r13-green which hit the 2-round staleness boundary (the _DEFER
 # tuple below is already the full r16-front order, oldest-first by
-# first git appearance — the 3 displaced by this round's new queries
-# lead: ann_index_search, lakehouse_leveled_compaction,
+# first git appearance — the 4 displaced by this round's new queries
+# lead: q21_waiting_suppliers, ann_index_search,
+# lakehouse_leveled_compaction,
 # dedup_clusters, then pipeline_stratified_sample, text_pii_scrub,
 # pipeline_contamination, text_quality_flags, lakehouse_merge_into,
 # multimodal_frame_sample, lakehouse_sql_surface,
@@ -44,8 +47,8 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # lakehouse_stats_skipping, pipeline_chunk_windows,
 # pipeline_source_cap, lakehouse_metadata_count, lakehouse_clone,
 # lakehouse_delete_matching, lakehouse_left_join_mv,
-# lakehouse_pk_join_mv).  r16 MUST front those 25, then fill the
-# window with the 25 OLDEST r14-green (by first git appearance, the
+# lakehouse_pk_join_mv).  r16 MUST front those 26, then fill the
+# window with the 24 OLDEST r14-green (by first git appearance, the
 # exact order: q1_pricing_summary, q3_unshipped_revenue,
 # q4_order_priority, w_top_orders_per_customer,
 # w_running_user_value, w_sessionization, rollup_region_customers,
@@ -55,9 +58,9 @@ from lakesoul_spark.queries import lakehouse, pipeline, tpch
 # lakehouse_update_delete, lakehouse_compaction,
 # lakehouse_partition_overwrite, q5_local_supplier_volume,
 # q6_forecast_revenue, q9_profit_by_nation_year, q10_returned_items,
-# q14_promo_revenue, q18_large_volume_customer,
-# q19_disjunctive_predicates); the 25 r14-green that don't fit
-# (q22_idle_customers onward by the same ranking) lead the r17
+# q14_promo_revenue, q18_large_volume_customer); the 26 r14-green
+# that don't fit (q19_disjunctive_predicates, then
+# q22_idle_customers onward by the same ranking) lead the r17
 # front.  Any NEW r16 oracle queries displace the youngest r14-green
 # slots, same rule as this round.
 _MODULE_ORDER = (pipeline, tpch, lakehouse)
@@ -78,8 +81,8 @@ _FRONT = (
     "lakehouse_incremental_join_mv", "lakehouse_groupby_sum_fast",
     # --- 3 NEW r15 queries: driver rows for r15-new capability ---
     "lakehouse_mv_delete_cascade", "lakehouse_cdc_mv_rollup",
-    "lakehouse_pk_transform_mv",
-    # --- 25 oldest r13-green (the 28 minus the 3 displaced) ---
+    "lakehouse_pk_transform_mv", "lakehouse_mv_exact_distinct",
+    # --- 24 oldest r13-green (the 28 minus the 4 displaced) ---
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "ann_cosine_topk",
     "ann_ivf_topk", "text_stats", "text_langid", "text_fingerprint",
@@ -89,13 +92,14 @@ _FRONT = (
     "q17_small_quantity_revenue", "q20_heavy_suppliers",
     "lakehouse_cdc_incremental", "streaming_tumbling_window",
     "dedup_embedding_blocked", "lakehouse_custom_merge_op",
-    "lakehouse_upsert_cow", "q21_waiting_suppliers",
+    "lakehouse_upsert_cow",
 )
 
 _DEFER = (
-    # r16 front order (ROUND-16 NOTE above): the 25 r13-green that
+    # r16 front order (ROUND-16 NOTE above): the 26 r13-green that
     # hit the 2-round staleness boundary after r15, oldest-first —
-    # the 3 displaced by this round's new queries lead.
+    # the 4 displaced by this round's new queries lead.
+    "q21_waiting_suppliers",
     "ann_index_search", "lakehouse_leveled_compaction",
     "dedup_clusters", "pipeline_stratified_sample", "text_pii_scrub",
     "pipeline_contamination", "text_quality_flags",

@@ -3039,3 +3039,88 @@ def pk_transform_mv(spark, sf_dir):
             "a key whose churn flipped the WHERE out must be deleted"
     assert mv.refresh()["applied"] is False
     return mv.to_df().select("doc_id", "lang_u", "tok")
+
+
+@_register(
+    "lakehouse_mv_exact_distinct",
+    """
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 2
+                  THEN DATE '1995-01-01'
+                       + CAST(o_custkey % 30 AS INTEGER)
+                  ELSE o_orderdate END AS od,
+             CASE WHEN o_orderkey % 50 = 2
+                  THEN '9-SYNTH' ELSE o_orderpriority END AS pri,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 70 <> 6
+    )
+    SELECT pri,
+           CAST(count(DISTINCT od) AS BIGINT) AS d_dates,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM f GROUP BY pri
+    """,
+)
+def mv_exact_distinct(spark, sf_dir):
+    """EXACT COUNT(DISTINCT) maintained over a churning PK source
+    (r15, ``exact_distinct=True``): a per-value companion PK table
+    keyed by (group, value) holds signed occurrence counts — a sum,
+    so it retracts under the standard head(+1) ∪ old(−1) restatement
+    — and the view folds only the per-group 0↔>0 TRANSITIONS, exact
+    where the HLL spelling is approximate (reference contrast: the
+    count-distinct merge operator family is sketch-based,
+    ``merge_operator.rs``). Lifecycle: initial load (an orders half)
+    → ONE churn window with new-key ingest, date reassignment on a
+    key slice (values vanish and appear), a group move (priority
+    rewritten to a synthetic group) and a predicate DELETE → replay
+    no-op. In-query 100TB evidence: the churn refresh lands ONE
+    companion upsert commit (never a rebuild), and the view read
+    touches only the view (O(groups), never the companion)."""
+    from lakesoul_spark.mv import AggMV
+
+    A = _tmp("xd_src", sf_dir)
+    V = _tmp("xd_mv", sf_dir)
+    shutil.rmtree(V + "__dv_d_dates", ignore_errors=True)
+    base = _orders(spark, sf_dir).filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").alias("od"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("double").alias("price"))
+    write(base.filter("o_orderkey % 30 <> 4"), A, mode="overwrite",
+          hash_partitions=["o_orderkey"], hash_bucket_num=2)
+    mv = AggMV.create(
+        spark, A, V, group_by=["pri"],
+        aggs={"d_dates": ("count_distinct", "od"),
+              "n_orders": ("count", "*"),
+              "total": ("sum", "price")},
+        hash_bucket_num=2, exact_distinct=True)
+    assert mv.refresh()["applied"]
+
+    t = LakeSoulTable.for_path(spark, A)
+    dv_store = LakeSoulTable.for_path(
+        spark, mv._dv_path("d_dates")).store
+    dv_head0 = dv_store.head_version()
+    # ONE churn window: held-out third ingested, clerks reassigned +
+    # priorities moved to a synthetic group on a key slice, a
+    # predicate DELETE
+    sl = F.col("o_orderkey") % 50 == 2
+    t.upsert(base.filter(sl | (F.col("o_orderkey") % 30 == 4))
+             .withColumn("od", F.when(sl, F.date_add(
+                 F.lit("1995-01-01").cast("date"),
+                 (F.col("o_custkey") % 30).cast("int")))
+                 .otherwise(F.col("od")))
+             .withColumn("pri", F.when(sl, F.lit("9-SYNTH"))
+                         .otherwise(F.col("pri"))))
+    t.delete("o_orderkey % 70 = 6")
+    assert mv.refresh()["applied"]
+    # incremental evidence: exactly ONE companion upsert for the
+    # churn window (signed per-value deltas, not a reload)
+    dvc = dv_store.commits(dv_head0 + 1)
+    assert len(dvc) == 1 and dvc[0].commit_op == "merge", dvc
+    # the view read never touches the companion
+    plan = mv.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "__dv_" not in plan
+    assert mv.refresh()["applied"] is False
+    return mv.to_df().select("pri", "d_dates", "n_orders", "total")
