@@ -819,6 +819,13 @@ def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
             gone = getattr(view, "_vanished", None)
             if gone is not None and gone.take(1):
                 view.table.delete_matching(gone)
+        except CommitConflict:
+            # a compute-phase commit lost a race (an exact-distinct
+            # companion upsert, or the vanished-key view delete,
+            # against a concurrent refresher): recompute from the new
+            # state like a view-commit conflict — files an aborted
+            # attempt wrote are never committed; vacuum reclaims them
+            continue
         finally:
             _release_pins(view)
         try:
