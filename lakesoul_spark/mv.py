@@ -1037,6 +1037,11 @@ class AggMV:
                 properties={
                     "lakesoul.columnMergeOps": "__n:sum_all",
                     "lakesoul.mv.companion": mv_path,
+                    # drained values (occurrence count netted to 0)
+                    # are semantically absent — full-fold compaction
+                    # garbage-collects their rows, bounding companion
+                    # growth under long-lived churn
+                    "lakesoul.compaction.dropWhere": "__n <= 0",
                 },
             )
         return view

@@ -140,19 +140,21 @@ class CompactionService:
                 # exact count_distinct companions churn one generation
                 # per refresh; they are unregistered internals, so the
                 # view's maintenance pass is what keeps their MOR read
-                # bounded
+                # bounded. FULL per-hot-partition compaction (not
+                # leveled): only a full fold may apply the companions'
+                # drained-row GC (`lakesoul.compaction.dropWhere` —
+                # a leveled run's partial fold must keep netting rows)
                 from lakesoul_spark.mv import companion_paths
 
                 for dv in companion_paths(path):
-                    dvm = LakeSoulTable.for_path(
-                        self.spark, dv).leveled_compaction(
-                        l0_file_num_limit=self.l0_file_num_limit,
-                        level_file_num_limit=self.level_file_num_limit,
-                        max_bytes_for_level_base=self.max_bytes_for_level_base,
-                    )
-                    if dvm:
+                    dvt = LakeSoulTable.for_path(self.spark, dv)
+                    before = len(dvt.store.snapshot().files)
+                    dvt.compaction(force=False,
+                                   file_num_limit=self.l0_file_num_limit)
+                    after = len(dvt.store.snapshot().files)
+                    if after < before:
                         report.setdefault("companion_compacted", {})[
-                            dv] = sum(dvm.values())
+                            dv] = before - after
                 # declarative re-clustering: a table carrying
                 # lakesoul.zorder.columns is re-z-ordered once enough
                 # commits accumulated since the last clustering pass

@@ -2246,6 +2246,20 @@ class LakeSoulTable:
                     F.col(cdc)
                 ),
             )
+        drop = info.properties.get("lakesoul.compaction.dropWhere")
+        if drop:
+            # declarative row GC at compaction — the same shape as the
+            # CDC delete-row drop above, property-driven: rows whose
+            # FULLY-FOLDED value matches the predicate are dropped from
+            # the rewritten generation. Sound ONLY here, where the
+            # rewrite covers every generation of the selected
+            # partitions; a leveled run folds a SUBSET of generations,
+            # where a netted-to-zero row still retracts live values
+            # below it — leveled_compaction therefore never applies
+            # this property. Set by machinery that can prove absence ≡
+            # matched-value (the exact-distinct companions' drained
+            # `__n <= 0` value counts), not a general delete verb.
+            view = view.filter(~F.coalesce(F.expr(drop), F.lit(False)))
         dels = [
             FileOp(op="del", path=f.path, partition_desc=f.partition_desc, bucket=f.bucket)
             for f in snap.files

@@ -3085,22 +3085,85 @@ def test_sql_exact_distinct_view_lifecycle(spark, tmp_path):
                           "FROM range(10)"))
     cat.sql(spark, "REFRESH MATERIALIZED VIEW rv")
     assert {tuple(r) for r in cat.sql(spark, q).collect()} == truth()
-    # the maintenance daemon refreshes the view AND keeps its
-    # companions compacted (they are unregistered internals, so this
-    # pass is their only maintenance)
+    # the maintenance daemon (pointed at the NAMESPACE dir — the dir
+    # whose children are table dirs) refreshes the view AND keeps its
+    # companions compacted via threshold-triggered FULL compaction
+    # (they are unregistered internals, so this pass is their only
+    # maintenance; full-fold is what may apply the drained-row GC).
+    # The churn uses globally-new values so a vacuously-stale view
+    # CANNOT match the truth.
     from lakesoul_spark.service import CompactionService
 
+    stale = {tuple(r) for r in cat.sql(spark, q).collect()}
     LakeSoulTable.for_path(spark, str(tmp_path / "cat/default/f")) \
-        .upsert(spark.sql("SELECT id AS k, id % 4 AS ck, 'v1' AS v "
-                          "FROM range(3)"))
-    svc = CompactionService(spark, warehouse=str(tmp_path / "cat"),
+        .upsert(spark.sql("SELECT id AS k, id % 4 AS ck, "
+                          "concat('zz', id) AS v FROM range(3)"))
+    assert {tuple(r) for r in cat.sql(spark, q).collect()} != truth()
+    svc = CompactionService(spark,
+                            warehouse=str(tmp_path / "cat/default"),
                             l0_file_num_limit=2)
     for _ in range(3):
         svc.run_once()
-    assert {tuple(r) for r in cat.sql(spark, q).collect()} == truth()
+    got = {tuple(r) for r in cat.sql(spark, q).collect()}
+    assert got == truth() and got != stale
     dvt = LakeSoulTable.for_path(spark, rvp + "__dv_d")
     assert dvt.store.snapshot().max_generations_per_bucket() <= 2
 
     cat.sql(spark, "DROP MATERIALIZED VIEW rv")
     assert not os.path.exists(rvp)
     assert not os.path.exists(rvp + "__dv_d")
+
+
+def test_exact_distinct_companion_gc_on_compaction(spark, tmp_path):
+    """Drained value rows (occurrence count netted to 0) are
+    physically dropped from the companion at FULL compaction
+    (`lakesoul.compaction.dropWhere`, set by create) — growth stays
+    bounded under long-lived churn — and a later refresh that
+    RESURRECTS a GC'd value still transitions 0→1 exactly (absence ≡
+    netted zero for the pre-image read)."""
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+
+    def rows(*tups):
+        return spark.createDataFrame(
+            [Row(id=i, g=g, v=v) for i, g, v in tups],
+            "id bigint, g string, v string")
+
+    write(rows((1, "a", "x"), (2, "a", "y"), (3, "a", "z"),
+               (4, "b", "x")),
+          src, mode="overwrite", hash_partitions=["id"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, src)
+    mv = AggMV.create(spark, src, mvp, group_by=["g"],
+                      aggs={"d": ("count_distinct", "v")},
+                      hash_bucket_num=2, exact_distinct=True)
+    mv.refresh()
+    # drain x and y from a (value moves / key delete)
+    t.upsert(rows((1, "a", "z"), (2, "a", "z")))
+    mv.refresh()
+    t.delete("id = 4")
+    mv.refresh()
+
+    dvt = LakeSoulTable.for_path(spark, mv._dv_path("d"))
+    live = {(r["g"], r["__v"]): r["__n"]
+            for r in dvt.to_df().collect()}
+    assert live[("a", "x")] == 0 and live[("a", "y")] == 0
+    dvt.compaction()
+    # drained rows physically gone from the folded generation
+    after = {(r["g"], r["__v"]): r["__n"]
+             for r in dvt.to_df().collect()}
+    assert ("a", "x") not in after and ("a", "y") not in after
+    assert ("b", "x") not in after
+    assert after == {("a", "z"): 3}
+    assert dvt.store.snapshot().max_generations_per_bucket() == 1
+
+    def truth():
+        return {tuple(r) for r in t.to_df().groupBy("g").agg(
+            F.count_distinct("v").alias("d")).collect()}
+
+    assert {tuple(r) for r in mv.to_df().collect()} == truth()
+    # resurrect a GC'd value + drain another, post-GC
+    t.upsert(rows((5, "a", "x"), (1, "a", "w"), (2, "a", "w")))
+    mv.refresh()
+    assert {tuple(r) for r in mv.to_df().collect()} == truth()
+    assert {r["g"]: r["d"] for r in mv.to_df().collect()}["a"] == 3
