@@ -143,6 +143,31 @@ def _make_copy_slice_task():
     return copy_slice
 
 
+def _is_naive_dt(value) -> bool:
+    import datetime as _dt
+
+    return isinstance(value, _dt.datetime) and value.tzinfo is None
+
+
+def _pred_lit(schema, col: str, value):
+    """Literal for a row predicate against ``col``.
+
+    NAIVE datetimes are rendered wall-clock-exact through a string
+    cast to the column's OWN type: ``F.lit(naive_datetime)`` builds a
+    session-time literal through the PYTHON PROCESS timezone, which
+    shifts the instant by the driver's UTC offset on a non-UTC
+    machine — and for a TIMESTAMP_NTZ column (what parquet without
+    isAdjustedToUTC reads as) the wall clock IS the value, so the
+    shift silently drops boundary rows from scoped reads. Tz-AWARE
+    datetimes convert correctly through ``F.lit`` and every other
+    type is tz-free; both pass through."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime) and value.tzinfo is None:
+        return F.lit(value.isoformat(sep=" ")).cast(schema[col].dataType)
+    return F.lit(value)
+
+
 def create_table(
     spark: SparkSession,
     path: str,
@@ -1264,20 +1289,27 @@ class LakeSoulTable:
     def _row_filter(df: DataFrame, file_filters: list | None) -> DataFrame:
         if not file_filters:
             return df
+        sch = df.schema
         cond = None
         for col, op, value in file_filters:
             if op == "in":
-                e = F.col(col).isin(*value)
+                if any(_is_naive_dt(v) for v in value):
+                    e = None
+                    for v in value:
+                        t = F.col(col) == _pred_lit(sch, col, v)
+                        e = t if e is None else (e | t)
+                else:
+                    e = F.col(col).isin(*value)
             elif op == "=":
-                e = F.col(col) == F.lit(value)
+                e = F.col(col) == _pred_lit(sch, col, value)
             elif op == "<":
-                e = F.col(col) < F.lit(value)
+                e = F.col(col) < _pred_lit(sch, col, value)
             elif op == "<=":
-                e = F.col(col) <= F.lit(value)
+                e = F.col(col) <= _pred_lit(sch, col, value)
             elif op == ">":
-                e = F.col(col) > F.lit(value)
+                e = F.col(col) > _pred_lit(sch, col, value)
             elif op == ">=":
-                e = F.col(col) >= F.lit(value)
+                e = F.col(col) >= _pred_lit(sch, col, value)
             else:
                 raise ValueError(f"unsupported file_filters op {op!r}")
             cond = e if cond is None else (cond & e)
@@ -1370,12 +1402,15 @@ class LakeSoulTable:
             files=files,
         )
         df = rdr.merge_view(self.spark, info, pruned, merge_ops=self._merge_ops)
-        # exact key-tuple match (NOT the per-column cross product)
+        # exact key-tuple match (NOT the per-column cross product);
+        # naive-datetime keys render via _pred_lit (wall-clock-exact
+        # on non-UTC drivers)
+        sch = table_schema(info)
         cond = None
         for k in keys:
             kc = None
             for i, c in enumerate(info.hash_partitions):
-                e = F.col(c) == F.lit(k[i])
+                e = F.col(c) == _pred_lit(sch, c, k[i])
                 kc = e if kc is None else (kc & e)
             cond = kc if cond is None else (cond | kc)
         return df.filter(cond)

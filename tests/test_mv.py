@@ -3167,3 +3167,68 @@ def test_exact_distinct_companion_gc_on_compaction(spark, tmp_path):
     mv.refresh()
     assert {tuple(r) for r in mv.to_df().collect()} == truth()
     assert {r["g"]: r["d"] for r in mv.to_df().collect()}["a"] == 3
+
+
+def test_exact_distinct_ntz_values_non_utc_driver(spark, tmp_path):
+    """TIMESTAMP_NTZ companion values on a NON-UTC DRIVER (the OS
+    timezone, not the session timezone — ``F.lit(naive_datetime)``
+    converts through the PYTHON process tz): the scoped pre-image
+    row predicate must stay wall-clock-exact, or boundary values read
+    old_n=0 and over-count a transition. Regression for the
+    ``_pred_lit`` string-cast rendering; also covers point_lookup on
+    an NTZ PK."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    ev = spark.sql("""
+        SELECT id AS event_id,
+               CAST(element_at(array('a','b','c'), CAST(id % 3 + 1 AS INT))
+                    AS STRING) AS g,
+               TIMESTAMP_NTZ'2024-01-01 00:00:00'
+               + make_interval(0,0,0,0,0, CAST(id * 97 % 500 AS INT), 0)
+               AS ts
+        FROM range(400)
+    """)
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    write(ev.filter("event_id % 3 <> 1"), src, mode="overwrite",
+          hash_partitions=["event_id"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, src)
+    mv = AggMV.create(spark, src, str(tmp_path / "mv"),
+                      group_by=["g"],
+                      aggs={"d": ("count_distinct", "ts")},
+                      hash_bucket_num=2, exact_distinct=True)
+    mv.refresh()
+
+    def truth():
+        return {tuple(r) for r in t.to_df().groupBy("g").agg(
+            F.count_distinct("ts").alias("d")).collect()}
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Caracas"
+    time.tzset()
+    try:
+        # churn entirely under the non-UTC driver tz: ingest, shift a
+        # slice's wall clocks (values vanish + appear near the range
+        # edges), delete a slice
+        t.upsert(ev.filter("event_id % 3 = 1"))
+        t.upsert(ev.filter("event_id % 10 = 4").withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 30 MINUTES")))
+        t.delete("event_id % 17 = 3")
+        mv.refresh()
+        assert {tuple(r) for r in mv.to_df().collect()} == truth()
+        # NTZ PK point lookup with a naive-datetime key
+        pk = str(tmp_path / "pk")
+        write(ev.select("ts", "event_id").dropDuplicates(["ts"]), pk,
+              mode="overwrite", hash_partitions=["ts"],
+              hash_bucket_num=4)
+        probe = ev.selectExpr("min(ts) AS ts").collect()[0]["ts"]
+        got = LakeSoulTable.for_path(spark, pk) \
+            .point_lookup(ts=probe).collect()
+        assert len(got) == 1 and got[0]["ts"] == probe
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
