@@ -749,11 +749,11 @@ def _window_may_vanish(store, info, last: int, head: int) -> bool:
 
 
 def _release_pins(view) -> None:
-    """Unpersist the touched-key frames a refresh pinned — one cache
-    per window, populated by the first bucket-collect and reused by
-    the probes, semi-joins and vanished-key anti-joins instead of
-    re-running the window read for each (the r14 shape re-executed
-    it ~5×)."""
+    """Drop the refresh's pinned frames — one materialization per
+    window, reused by the probes, semi-joins and vanished-key
+    anti-joins instead of re-running the window read for each (the
+    r14 shape re-executed it ~5×). Checkpoint blocks are reclaimed by
+    the ContextCleaner once the Python references drop."""
     for df in getattr(view, "_pins", []):
         try:
             df.unpersist()
@@ -763,7 +763,20 @@ def _release_pins(view) -> None:
 
 
 def _pin(view, df: DataFrame) -> DataFrame:
-    df = df.persist()
+    """Materialize-once pin via ``localCheckpoint`` (lazy): the first
+    action computes the frame; every later plan sees a LEAF instead of
+    the full window-read lineage. A refresh window replays each pinned
+    frame in up to five downstream plans, and with plain ``persist``
+    each of those plans still carries (and re-analyzes) the whole
+    multi-snapshot subtree — truncating the lineage is worth more than
+    the cached rows themselves at local job sizes, and at 100 TB it
+    keeps restatement plan depth independent of how many terms scope
+    on the delta (guide: materializing an intermediate truncates the
+    plan). Stats are lost at the cut, so every site that builds a
+    hash side from a pinned frame hints ``F.broadcast`` explicitly
+    (the frames are bounded by the window's touched-key set — the
+    same bound that made them cacheable)."""
+    df = df.localCheckpoint(eager=False)
     if not hasattr(view, "_pins"):
         view._pins = []
     view._pins.append(df)
@@ -784,6 +797,54 @@ def _touched_buckets(keys: DataFrame, pk_cols: list, info) -> set:
             F.lit(info.hash_bucket_num)).alias("__b"))
         .distinct().collect()
     }
+
+
+def _probe_window(keys: DataFrame, pk_cols: list, info):
+    """``(bucket set, key bounds)`` of a window's touched-key frame in
+    ONE aggregation job — the fusion of :func:`_touched_buckets` and
+    :func:`_key_bounds`, which the r14/r15-build shape ran as two
+    scheduler round-trips per window (each re-reading the pinned
+    keys). The single collect also materializes the pin. Semantics
+    are identical: bucket ids by the writer's own ``pmod(hash(*pk),
+    n)`` expression (≤ hash_bucket_num distinct values via
+    ``collect_set``), bounds with the same TIMESTAMP-as-epoch-micros
+    and ``"empty"``/``"unscoped"`` contract as :func:`_key_bounds` —
+    an empty keys frame reads as ``(set(), "empty")`` and every
+    scoped term short-circuits."""
+    import datetime
+    import math
+
+    from pyspark.sql.types import TimestampType
+
+    dtypes = {f.name: f.dataType for f in keys.schema.fields}
+    ts_cols = {c for c in pk_cols
+               if isinstance(dtypes.get(c), TimestampType)}
+    aggs = [F.collect_set(F.pmod(
+        F.hash(*[F.col(c) for c in pk_cols]),
+        F.lit(info.hash_bucket_num))).alias("__bset")]
+    for c in pk_cols:
+        lo_e, hi_e = F.min(c), F.max(c)
+        if c in ts_cols:
+            lo_e, hi_e = F.unix_micros(lo_e), F.unix_micros(hi_e)
+        aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
+    row = keys.agg(*aggs).collect()[0]
+    bset = set(row["__bset"])
+    epoch = datetime.datetime(1970, 1, 1,
+                              tzinfo=datetime.timezone.utc)
+    bounds: list = []
+    for c in pk_cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if c in ts_cols and lo is not None:
+            lo = epoch + datetime.timedelta(microseconds=int(lo))
+            hi = epoch + datetime.timedelta(microseconds=int(hi))
+        if lo is None:
+            return bset, "empty"
+        if any(isinstance(v, float) and (math.isnan(v)
+                                         or math.isinf(v))
+               for v in (lo, hi)):
+            return bset, "unscoped"
+        bounds.append((c, lo, hi))
+    return bset, bounds
 
 
 def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
@@ -817,8 +878,13 @@ def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
             # the marker unadvanced, so the replay recomputes the same
             # vanished set and the delete degenerates to a no-op
             gone = getattr(view, "_vanished", None)
-            if gone is not None and gone.take(1):
-                view.table.delete_matching(gone)
+            if gone is not None:
+                # pinned: take(1), the partition/bucket probes and the
+                # rewrite anti-join inside delete_matching otherwise
+                # each replay the whole anti-join lineage
+                gone = _pin(view, gone)
+                if gone.take(1):
+                    view.table.delete_matching(gone)
         except CommitConflict:
             # a compute-phase commit lost a race (an exact-distinct
             # companion upsert, or the vanished-key view delete,
@@ -1089,15 +1155,14 @@ class AggMV:
             keys = _pin(self, _pk_window_keys(
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
-            bset = _touched_buckets(keys, pk_cols, info)
-            kb = _key_bounds(keys, pk_cols)
+            bset, kb = _probe_window(keys, pk_cols, info)
             new = _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset, bounds=kb).join(keys, on=pk_cols,
+                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
                                       how="left_semi")
             old = _scoped_snapshot(
                 self.spark, self.source_path, last, keys, pk_cols,
-                bset, bounds=kb).join(keys, on=pk_cols,
+                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
                                       how="left_semi")
             jn = _joined(self.spark,
                          new.withColumn("__sign", F.lit(1)),
@@ -1281,9 +1346,10 @@ class AggMV:
         dvt = LakeSoulTable.for_path(self.spark, dvp)
         dvs = dvt.store
         pkc = gb + ["__v"]
-        # ONE materializing job: the bucket collect fills the pin and
+        # ONE materializing job: the fused probe fills the pin,
         # doubles as the emptiness probe (empty set ⇔ no value churn)
-        bset = _touched_buckets(vd, pkc, dvt.info)
+        # and carries the key bounds for both companion scans
+        bset, kb = _probe_window(vd, pkc, dvt.info)
         if not bset:
             return None
         dv_head = dvs.head_version()
@@ -1302,7 +1368,6 @@ class AggMV:
                 seq -= 1
                 continue
             break
-        kb = _key_bounds(vd, pkc)
         old = _scoped_snapshot(self.spark, dvp, pre, vd, pkc,
                                bset, bounds=kb) \
             .select(*pkc, F.col("__n").alias("__old"))
@@ -1751,13 +1816,14 @@ class TransformMV:
             keys = _pin(self, _pk_window_keys(
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
-            bset = _touched_buckets(keys, pk_cols, info)
+            bset, kb = _probe_window(keys, pk_cols, info)
             # the restatement feeds BOTH the output write and the
             # vanished-key anti-join — pin it so the scoped scan +
             # transform run once
             restated = _pin(self, _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset).join(keys, on=pk_cols, how="left_semi"))
+                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
+                                      how="left_semi"))
             out = self._transform(restated)
             if (self.where or self.dims
                     or _window_may_vanish(src_store, info, last, head)):
@@ -1766,7 +1832,7 @@ class TransformMV:
                 # inner-dim drop (any window) — otherwise skip the
                 # vanished anti-join entirely
                 self._vanished = keys.join(
-                    out.select(*pk_cols).distinct(),
+                    F.broadcast(out.select(*pk_cols).distinct()),
                     on=pk_cols, how="left_anti")
             return out
         return self._delta(_window_df(
@@ -2066,14 +2132,18 @@ class JoinMV:
     def _side_scoped(self, path: str, version: int,
                      delta: DataFrame,
                      bucket_filter: set | None = None,
-                     cols: list | None = None) -> DataFrame:
+                     cols: list | None = None,
+                     bounds=None) -> DataFrame:
         """Pinned side snapshot for a delta-join term, file-pruned by
         the other delta's join-key bounds (:func:`_scoped_snapshot` —
-        shared with the retraction-aware AggMV restatement)."""
+        shared with the retraction-aware AggMV restatement).
+        ``bounds`` forwards a probe already paid by the caller (the
+        fused bucket+bounds job) so the term adds no collect of its
+        own."""
         return _scoped_snapshot(
             self.spark, path, version, delta,
             list(cols) if cols is not None else list(self.on),
-            bucket_filter)
+            bucket_filter, bounds=bounds)
 
     def _source_mode(self, path: str, side: str) -> str:
         """Churn mode of one side (``"append"`` | ``"pk"``),
@@ -2107,12 +2177,13 @@ class JoinMV:
         pk_cols = list(info.hash_partitions)
         keys = _pin(self, _pk_window_keys(
             self.spark, store, path, last, head, pk_cols))
-        bset = _touched_buckets(keys, pk_cols, info)
+        bset, kb = _probe_window(keys, pk_cols, info)
         # the restatement feeds the delta-join term AND the
         # vanished-key anti-join — pin it so the scoped scan runs once
         restated = _pin(self, self._side_scoped(
-            path, head, keys, bucket_filter=bset, cols=pk_cols).join(
-            keys, on=pk_cols, how="left_semi"))
+            path, head, keys, bucket_filter=bset, cols=pk_cols,
+            bounds=kb).join(F.broadcast(keys), on=pk_cols,
+                            how="left_semi"))
         return restated, (keys, pk_cols,
                           _window_may_vanish(store, info, last, head))
 
@@ -2134,8 +2205,9 @@ class JoinMV:
         for c in self.on:
             side = side.filter(F.col(c).isNotNull())
         if keys is not None:
-            side = side.join(keys.select(*self.on).distinct(),
-                             on=self.on, how="left_semi")
+            side = side.join(
+                F.broadcast(keys.select(*self.on).distinct()),
+                on=self.on, how="left_semi")
         dup = (side.groupBy(*self.on).count()
                .filter(F.col("count") > 1).limit(1).collect())
         if dup:
@@ -2164,7 +2236,7 @@ class JoinMV:
         if side == "left":
             old_rows = self._side_scoped(
                 self.left_path, last_l, gone, cols=gone_cols).join(
-                gone, on=gone_cols, how="left_semi")
+                F.broadcast(gone), on=gone_cols, how="left_semi")
             pairs = self._join_select(
                 old_rows,
                 self._side_scoped(self.right_path, last_r, old_rows),
@@ -2172,7 +2244,7 @@ class JoinMV:
         else:
             old_rows = self._side_scoped(
                 self.right_path, last_r, gone, cols=gone_cols).join(
-                gone, on=gone_cols, how="left_semi")
+                F.broadcast(gone), on=gone_cols, how="left_semi")
             pairs = self._join_select(
                 self._side_scoped(self.left_path, last_l, old_rows),
                 old_rows, self.on, self.select, self.where, "inner")
@@ -2235,7 +2307,8 @@ class JoinMV:
                         # _window_may_vanish)
                         ka, ka_cols = keys_a[0], keys_a[1]
                         gone_a = ka.join(
-                            d_a.select(*ka_cols).distinct(),
+                            F.broadcast(
+                                d_a.select(*ka_cols).distinct()),
                             on=ka_cols, how="left_anti")
                         vanished.append((gone_a, ka_cols, "left"))
                 if head_r > last_r and last_l > 0:
@@ -2267,8 +2340,9 @@ class JoinMV:
                         # already equals "head minus delta" and no
                         # anti-join is paid)
                         ka, ka_cols = keys_a[0], keys_a[1]
-                        old_left = old_left.join(ka, on=ka_cols,
-                                                 how="left_anti")
+                        old_left = old_left.join(
+                            F.broadcast(ka), on=ka_cols,
+                            how="left_anti")
                     if keys_b is not None and self.how == "left":
                         # left view over a pk/CDC-churning right: LEFT-
                         # join the old left's TOUCHED-key rows to the
@@ -2277,7 +2351,8 @@ class JoinMV:
                         # left-identity fold replaces the stale row
                         kb = keys_b[0]
                         affected = old_left.join(
-                            kb.select(*self.on).distinct(),
+                            F.broadcast(
+                                kb.select(*self.on).distinct()),
                             on=self.on, how="left_semi")
                         parts.append(self._join_select(
                             affected, d_b, self.on, self.select,
@@ -2289,7 +2364,8 @@ class JoinMV:
                         if keys_b is not None and keys_b[2]:
                             kb, kb_cols = keys_b[0], keys_b[1]
                             gone_b = kb.join(
-                                d_b.select(*kb_cols).distinct(),
+                                F.broadcast(
+                                    d_b.select(*kb_cols).distinct()),
                                 on=kb_cols, how="left_anti")
                             vanished.append((gone_b, kb_cols, "right"))
                 if not parts:
@@ -2308,6 +2384,7 @@ class JoinMV:
                 info = self.table.info
                 ops = write_table_data(delta, info, dedup=False)
                 for gone, gcols, side in vanished:
+                    gone = _pin(self, gone)
                     if gone.take(1):
                         self.table.delete_matching(
                             self._vanished_view_keys(

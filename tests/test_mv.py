@@ -3232,3 +3232,39 @@ def test_exact_distinct_ntz_values_non_utc_driver(spark, tmp_path):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_probe_window_matches_split_probes(spark, tmp_path):
+    """The r15-opt fused probe (ONE collect for touched buckets + key
+    bounds) must agree exactly with the two split helpers it replaced,
+    including the TIMESTAMP epoch-micros rendering and the empty-frame
+    short-circuit."""
+    import datetime
+
+    from lakesoul_spark.mv import (
+        _key_bounds, _probe_window, _touched_buckets,
+    )
+
+    src = str(tmp_path / "probe_src")
+    ev = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)
+                           + F.col("id") * 60_000_000).alias("ts"),
+        (F.col("id") % 7).alias("v"),
+    )
+    write(ev, src, mode="overwrite",
+          hash_partitions=["k", "ts"], hash_bucket_num=4)
+    t = LakeSoulTable.for_path(spark, src)
+    keys = t.to_df().filter("k % 5 = 2").select("k", "ts")
+    pk = ["k", "ts"]
+    bset, kb = _probe_window(keys, pk, t.info)
+    assert bset == _touched_buckets(keys, pk, t.info)
+    assert kb == _key_bounds(keys, pk)
+    # timestamp bounds must be tz-aware UTC (prune_files domain)
+    for _c, lo, hi in kb:
+        if isinstance(lo, datetime.datetime):
+            assert lo.tzinfo is not None and hi.tzinfo is not None
+    # empty frame: no buckets, "empty" bounds (terms short-circuit)
+    ebset, ekb = _probe_window(keys.limit(0), pk, t.info)
+    assert ebset == set() and ekb == "empty"
+    assert _key_bounds(keys.limit(0), pk) == "empty"
