@@ -997,7 +997,6 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     changed_ids = (
         spark.read.parquet(*paths).select(id_col).distinct()
     ).cache()
-    n_changed = changed_ids.count()
 
     # old cells: which cells did the changed ids USED to live in?
     # The index's PK is the vector id, so the answer lives in the
@@ -1005,7 +1004,10 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
     # files (O(changed ids' buckets), not O(index)). Bucket ids are
     # computed distributed (pmod(hash) is the writer's own bucket
     # expression, io/writer.py:114); the driver payload is the
-    # DISTINCT bucket set, bounded by hash_bucket_num.
+    # DISTINCT bucket set, bounded by hash_bucket_num. ONE fused job
+    # (r15-opt) counts the changed ids AND collects their bucket set
+    # — the r14 shape paid a second scheduler round-trip for the
+    # buckets — and doubles as the cache materialization.
     idx_info = idx.info
     idx_snap = MetaStore(idx_path).snapshot()
     n_idx_files = len(idx_snap.files)
@@ -1013,12 +1015,12 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         from lakesoul_spark.meta.store import Snapshot as _Snapshot
 
         n_b = idx_info.hash_bucket_num
-        buckets = {
-            r["b"]
-            for r in changed_ids.select(
-                F.pmod(F.hash(id_col), F.lit(n_b)).alias("b")
-            ).distinct().collect()
-        }
+        probe = changed_ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.pmod(F.hash(id_col), F.lit(n_b))).alias("bs"),
+        ).collect()[0]
+        n_changed, buckets = probe["n"], set(probe["bs"])
         scan_files = [
             f for f in idx_snap.files if f.bucket in buckets or f.bucket == -1
         ]
@@ -1034,6 +1036,7 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         # legacy index without a PK: column-pruned full (id, cell) scan
         scan_files = idx_snap.files
         old_src = idx.to_df()
+        n_changed = changed_ids.count()
     n_scanned = len(scan_files)
     # fresh rows: current MOR values of the changed ids (a CDC-deleted
     # or rewritten-away id simply yields no row here)
@@ -1076,7 +1079,11 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         rdr.merge_view(spark, idx.info, snap)
         .join(changed_ids, id_col, "anti")
     )
-    content = survivors.select(*fresh.columns).unionByName(fresh)
+    # checkpoint: the survivors∪fresh union is consumed TWICE (the
+    # written-cells probe and the overwrite write) — the r14 shape
+    # recomputed the whole anti-join + encode per consumer (r15-opt)
+    content = (survivors.select(*fresh.columns).unionByName(fresh)
+               .localCheckpoint(eager=False))
     written = {r["cell"] for r in content.select("cell").distinct().collect()}
     if written:
         write(
