@@ -577,12 +577,20 @@ def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
     # (delete_matching anti-joins it against the index), so a
     # million-delete churn day costs one distributed join instead of a
     # million-literal isin plan; only its COUNT reaches the driver.
-    vanished_df = changed_ids.join(
-        fresh.select(id_col).distinct(), id_col, "anti"
-    ).cache()
-    n_vanished = vanished_df.count()
-    if n_vanished:
-        idx.delete_matching(vanished_df)
+    # Probed ONLY when the window can vanish ids at all (r15-opt):
+    # rewrite commits already routed to rebuild above, so a non-CDC
+    # corpus window is append/upsert-only — every changed id has a
+    # current MOR row and the anti-join is empty by construction
+    # (same gate as mv._window_may_vanish).
+    n_vanished = 0
+    if table.info.cdc_column:
+        vanished_df = changed_ids.join(
+            fresh.select(id_col).distinct(), id_col, "anti"
+        ).cache()
+        n_vanished = vanished_df.count()
+        if n_vanished:
+            idx.delete_matching(vanished_df)
+        vanished_df.unpersist()
     # evidence: the upsert commit appended delta files into the changed
     # ids' buckets only — nothing pre-existing was rewritten
     files_added, buckets = 0, set()
@@ -597,7 +605,6 @@ def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
                 rewritten += 1
     changed_ids.unpersist()
     fresh.unpersist()
-    vanished_df.unpersist()
     idx.set_properties({"dedup.base_version": str(head)})
     # changed = live changed (postings_rows / bands, exact by
     # construction) + vanished — no extra count job over the delta set
