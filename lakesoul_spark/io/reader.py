@@ -48,6 +48,69 @@ CDC_DELETE = "delete"
 CDC_UPDATE = "update"
 CDC_INSERT = "insert"
 
+# ---------------------------------------------------------- plan memo
+# Session-scoped memo of UNEXECUTED scan/merge DataFrame plans, keyed
+# on everything that determines the plan: session, table identity and
+# schema bits, the exact file list (paths are commit-token-unique and
+# immutable once written — vacuum deletes, never rewrites), and the
+# reader flags. A lifecycle query builds the same snapshot view many
+# times (probes, truth checks, restatement terms); each build costs
+# ~200 ms of driver-side plan construction (VALUES parse, DataSource
+# resolution, expression trees) that is identical every time. This
+# caches PLANS, not data: every action on a memoized frame recomputes
+# from the parquet files — the same class of cache as Spark's own
+# file-index/catalog caches, and it invalidates naturally because any
+# commit changes the file list. Bounded FIFO so a long session cannot
+# accumulate unboundedly.
+from collections import OrderedDict
+
+_PLAN_MEMO: OrderedDict = OrderedDict()
+_PLAN_MEMO_MAX = 512
+
+
+def _plan_key(spark: SparkSession, info: TableInfo,
+              files: list[FileEntry], extra) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(repr((
+        spark.sparkContext.applicationId,
+        info.path,
+        info.table_id,
+        table_schema(info).json(),
+        tuple(info.range_partitions),
+        tuple(info.hash_partitions),
+        info.cdc_column,
+        tuple(sorted(info.column_defaults().items())),
+        extra,
+    )).encode())
+    for f in files:
+        h.update(repr((f.path, f.commit_seq, f.file_seq, f.bucket,
+                       f.partition_desc,
+                       tuple(f.file_exist_cols))).encode())
+    return h.hexdigest()
+
+
+def _memo_get(key: str):
+    hit = _PLAN_MEMO.get(key)
+    if hit is None:
+        return None
+    # hand each caller a FRESH Dataset over the memoized (already
+    # analyzed) subtree: reusing the object itself would let one
+    # caller's execution attach its final AQE plan to every other
+    # caller's queryExecution, confusing plan introspection (the
+    # in-query zero-Exchange/Union-count asserts). select("*") is one
+    # cheap wrapper node; the expensive construction (VALUES parse,
+    # DataSource resolution, expression trees) stays shared.
+    return hit.select("*")
+
+
+def _memo_put(key: str, df: DataFrame) -> DataFrame:
+    _PLAN_MEMO[key] = df
+    while len(_PLAN_MEMO) > _PLAN_MEMO_MAX:
+        _PLAN_MEMO.popitem(last=False)
+    return df
+
 
 def empty_df(spark: SparkSession, info: TableInfo) -> DataFrame:
     return spark.createDataFrame([], table_schema(info))
@@ -107,6 +170,11 @@ def scan_files(
     when requested, ``__ls_commit_seq``/``__ls_file_seq``/``__ls_bucket``/
     ``__ls_exist_cols`` ordering metadata for the merge step.
     """
+    memo_key = _plan_key(spark, info, files,
+                         ("scan", with_meta_cols, with_file_name))
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        return hit
     full = table_schema(info)
     value_cols = _merge_value_cols(info)
     if not files:
@@ -121,7 +189,7 @@ def scan_files(
             )
             for i in range(len(value_cols)):
                 df = df.withColumn(_FILE_META_PREFIX + f"has_{i}", F.lit(True))
-        return df
+        return _memo_put(memo_key, df)
 
     paths = [os.path.join(info.path, f.path) for f in files]
     dschema = data_schema(info)
@@ -174,7 +242,7 @@ def scan_files(
             _FILE_META_PREFIX + "bucket",
             *[_FILE_META_PREFIX + f"has_{i}" for i in range(len(value_cols))],
         ]
-    return df.select(*cols)
+    return _memo_put(memo_key, df.select(*cols))
 
 
 def merge_view(
@@ -199,6 +267,12 @@ def merge_view(
     disable the bypass: type-changing ops (joined_*) must see every
     group through the aggregation so output types stay uniform."""
     merge_ops = merge_ops or {}
+    memo_key = _plan_key(
+        spark, info, snapshot.files,
+        ("merge", tuple(sorted(merge_ops.items())), apply_cdc_filter))
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        return hit
     needs_merge = info.is_pk_table and (
         snapshot.max_generations_per_bucket() > 1 or bool(merge_ops)
     )
@@ -236,7 +310,7 @@ def merge_view(
     cdc = info.cdc_column
     if cdc and apply_cdc_filter and cdc in df.columns:
         df = df.filter(F.col(cdc) != CDC_DELETE)
-    return df
+    return _memo_put(memo_key, df)
 
 
 def _merge_generations(df: DataFrame, info: TableInfo, merge_ops: dict[str, str]) -> DataFrame:
