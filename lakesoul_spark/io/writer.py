@@ -171,6 +171,19 @@ def write_table_data(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if part_dirs:
         writer = writer.partitionBy(*part_dirs)
+    # Commit-protocol trim (measured ~0.3-0.5 s per commit locally, and
+    # a whole serial rename phase on object stores): task-commit renames
+    # (v2) instead of a sequential job-commit rename pass, and no
+    # _SUCCESS marker — both safe HERE because files land in a unique
+    # staging dir and only become visible via the metadata commit (the
+    # engine's own commit protocol is the atomicity boundary, reference
+    # DelayedCommitProtocol); the reader lists *.parquet and never looks
+    # for _SUCCESS. Writer options merge into this job's Hadoop conf
+    # only — the user's session conf is untouched.
+    writer = (
+        writer.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    )
     # Spark's default INT96 timestamp encoding carries NO footer
     # min/max — stats skipping and row-group pushdown on timestamp
     # columns would silently never fire. Write modern TIMESTAMP_MICROS
