@@ -962,8 +962,12 @@ def duplicate_clusters(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None \
-            else df.localCheckpoint()
+        # LAZY cut: lineage is truncated at the first action over the
+        # frame, so the convergence count below doubles as the round's
+        # materialization job — one job per round instead of an eager
+        # checkpoint job plus a count job
+        return df.checkpoint(eager=False) if checkpoint_dir is not None \
+            else df.localCheckpoint(eager=False)
 
     # materialize the (symmetrized) edge set ONCE — every round joins
     # against it; the checkpoint also cuts the (possibly expensive)
@@ -989,9 +993,9 @@ def duplicate_clusters(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        # one job per round: materialize next labels (checkpoint cuts
-        # lineage so round N doesn't replay rounds 1..N-1), then the
-        # convergence check is a cheap count over the materialized frame
+        # one job per round: the convergence count materializes the
+        # lazily-checkpointed next labels (lineage still cut, so round
+        # N never replays rounds 1..N-1)
         updated = cut(
             labels.join(neigh, "id", "left")
             .select(
