@@ -3191,11 +3191,11 @@ class Catalog:
                     continue
                 if c in statics:
                     src = src.withColumn(
-                        c, F.lit(statics[c]).cast(target_fields[c].dataType)
+                        c, F.lit(statics[c]).cast(target_fields[c].dataType.simpleString())
                     )
                 else:
                     src = src.withColumn(
-                        c, F.lit(None).cast(target_fields[c].dataType)
+                        c, F.lit(None).cast(target_fields[c].dataType.simpleString())
                     )
             src = src.select(*target_cols)
         else:
@@ -3208,7 +3208,7 @@ class Catalog:
             src = src.toDF(*expect)
             for c, v in statics.items():
                 src = src.withColumn(
-                    c, F.lit(v).cast(target_fields[c].dataType)
+                    c, F.lit(v).cast(target_fields[c].dataType.simpleString())
                 )
             src = src.select(*target_cols)
 

@@ -209,7 +209,9 @@ def scan_files(
         F.broadcast(meta), _FILE_META_PREFIX + "name", "inner"
     )
 
-    types = {f.name: f.dataType for f in full.fields}
+    # string-form casts: a DataType-object cast pays getActiveSession +
+    # parseDataType py4j round-trips per call (pyspark classic Column.cast)
+    types = {f.name: f.dataType.simpleString() for f in full.fields}
     for i, c in enumerate(info.range_partitions):
         df = df.withColumn(
             c,

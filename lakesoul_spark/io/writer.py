@@ -46,6 +46,11 @@ BUCKET_COL = "__bucket"
 ROW_SEQ_COL = "__row_seq"
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string expressions."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def table_schema(info: TableInfo) -> StructType:
     return StructType.fromJson(json.loads(info.schema_json))
 
@@ -84,7 +89,15 @@ def _align(df: DataFrame, info: TableInfo) -> DataFrame:
             f"CDC table batches must carry the change column {cdc!r} "
             "(e.g. lit('insert')/'update'/'delete' per row)"
         )
-    return df.select(*[F.col(c).cast(types[c]).alias(c) for c in present])
+    # ONE selectExpr call instead of 3-4 py4j round-trips per column
+    # (col + DataType cast, which additionally pays a per-cast
+    # getActiveSession + parseDataType round-trip) — _align runs once
+    # per write and the write path is the hottest shared driver code
+    # in every lifecycle (measured in OPTIMIZATION_r15.md §7)
+    return df.selectExpr(*[
+        f"CAST({_bq(c)} AS {types[c].simpleString()}) AS {_bq(c)}"
+        for c in present
+    ])
 
 
 def write_table_data(
@@ -110,19 +123,24 @@ def write_table_data(
 
     if pk:
         df = df.withColumn(ROW_SEQ_COL, F.monotonically_increasing_id())
-        df = df.repartition(n, *[F.col(c) for c in pk])
+        df = df.repartition(n, *pk)
         if dedup:
             keys = rc + pk
             others = [c for c in present if c not in keys]
             if others:
-                aggs = [F.max_by(F.col(c), F.col(ROW_SEQ_COL)).alias(c) for c in others]
+                # expression strings: 1 py4j call per column instead of 4
+                aggs = [
+                    F.expr(f"max_by({_bq(c)}, {_bq(ROW_SEQ_COL)})").alias(c)
+                    for c in others
+                ]
                 df = df.groupBy(*keys).agg(*aggs).select(*present)
             else:
                 df = df.select(*keys).distinct().select(*present)
         else:
             df = df.drop(ROW_SEQ_COL)
         df = df.withColumn(
-            BUCKET_COL, F.pmod(F.hash(*[F.col(c) for c in pk]), F.lit(n))
+            BUCKET_COL,
+            F.expr(f"pmod(hash({', '.join(_bq(c) for c in pk)}), {int(n)})"),
         )
         df = df.sortWithinPartitions(*rc, BUCKET_COL, *pk)
         part_dirs = rc + [BUCKET_COL]

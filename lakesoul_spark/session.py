@@ -46,6 +46,30 @@ def lakesoul_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python DataSource filter pushdown (format("lakesoul") pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spark 4's PySpark DataFrame error context wraps EVERY Column/
+        # functions call in a hook that, when enabled (the default),
+        # pays a conf read + a JVM origin set/clear (py4j round-trips)
+        # plus a Python stack walk PER CALL — measured 15-20 ms/op vs
+        # 8-12 ms/op disabled on this box (interleaved in-process A/B,
+        # 3 cycles). The engine builds thousands of Column expressions
+        # per lifecycle query, all driver-side; this is pure per-call
+        # overhead on any cluster size (it buys richer error call-site
+        # attribution, which the oracle/test suites don't need).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The engine always hands Spark EXPLICIT leaf-file lists from
+        # the commit-log manifest (never directories), so "listing"
+        # only stats known files for their sizes. Above this path
+        # count Spark launches a distributed listing JOB (~0.2 s of
+        # scheduler latency per scan, measured on the 64-file ANN
+        # index) — pure overhead for manifest-backed scans of modest
+        # file counts. 4096 keeps those driver-side; genuinely huge
+        # snapshots (100 TB scans with >4096 files) still parallelize.
+        # Env-overridable: slow per-object stat stores (S3 without
+        # batched HEAD) may want it lower.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("LAKESOUL_LIST_JOB_THRESHOLD", "4096"),
+        )
         .config("spark.ui.enabled", "false")
         # local[N] runs every task thread in the driver JVM — size the
         # heap for N concurrent tasks, not for a thin cluster driver

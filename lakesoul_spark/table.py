@@ -164,7 +164,10 @@ def _pred_lit(schema, col: str, value):
     import datetime as _dt
 
     if isinstance(value, _dt.datetime) and value.tzinfo is None:
-        return F.lit(value.isoformat(sep=" ")).cast(schema[col].dataType)
+        # string-form cast: a DataType cast pays getActiveSession +
+        # parseDataType py4j round-trips per call
+        return F.lit(value.isoformat(sep=" ")).cast(
+            schema[col].dataType.simpleString())
     return F.lit(value)
 
 
@@ -453,7 +456,7 @@ def _descs_matching(
     contract for every caller (replaceWhere expiry, partition-scoped
     DELETE, the count(*) fast path)."""
     full = table_schema(info)
-    types = {f.name: f.dataType for f in full.fields}
+    types = {f.name: f.dataType.simpleString() for f in full.fields}
     # the desc carrier column gets an unguessable name so a user
     # predicate can never resolve against it
     desc_col = f"__lakesoul_desc_{uuid.uuid4().hex[:12]}"

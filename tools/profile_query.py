@@ -3,7 +3,14 @@ then summarize where wall-clock went — per-job durations (JVM compute)
 vs the gaps between jobs (driver-side Python: plan building, commit-log
 IO, py4j round-trips).
 
-Usage: python tools/profile_query.py <query> [sf_dir] [--jobs]
+Usage: python tools/profile_query.py <query> [sf_dir] [--jobs] [--warm]
+
+``--warm`` runs the query once UNMEASURED first (queries are
+self-contained lifecycles over fresh tmp tables, so a second run is
+independent): the first execution of each distinct plan shape pays
+one-time janino/codegen compilation that the bench amortizes across
+its warm-up and 3 repeats — a cold single run overstates gap time by
+several ×.
 
 Prints total wall, job count, summed job time, gap time, and the top
 jobs/gaps with their job descriptions, so optimization targets the
@@ -48,6 +55,10 @@ def main() -> None:
 
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count() \
         .write.format("noop").mode("overwrite").save()
+
+    if "--warm" in sys.argv:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
