@@ -137,6 +137,11 @@ def _merge_ops_str(aggs: dict, mode: str = "append") -> str:
     return ",".join(parts)
 
 
+def _bqa(name: str) -> str:
+    """Backtick-quote an alias for embedding in an ``F.expr`` string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _partial_aggs(aggs: dict) -> list:
     """One partial-aggregate Column per MV output column.
 
@@ -144,6 +149,11 @@ def _partial_aggs(aggs: dict) -> list:
     per-row domain); the partial is widened to decimal(28,6) so both
     the per-refresh sum and the MOR sum-of-partials stay exact —
     ``finalize`` casts to double at the very end.
+
+    Each partial is ONE ``F.expr`` string (r16-opt, guide §7.3-class
+    driver overhead): the Column-API chain paid ~6 py4j round-trips
+    per output column, per agg construction, per refresh — the parsed
+    SQL resolves to the identical analyzed tree.
     """
     out = []
     for name, (fn, expr) in aggs.items():
@@ -155,24 +165,25 @@ def _partial_aggs(aggs: dict) -> list:
         if fn == "avg":
             # exact sum + count pair; finalize divides (one double
             # division of exact partials — the q1 avg determinism shape)
-            out.append(
-                F.sum(F.expr(expr).cast("decimal(18,6)"))
-                .cast("decimal(28,6)").alias(f"{name}__s")
-            )
-            out.append(F.count(F.expr(expr)).cast("bigint").alias(f"{name}__c"))
+            out.append(F.expr(
+                f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS "
+                f"DECIMAL(28,6)) AS {_bqa(name + '__s')}"))
+            out.append(F.expr(
+                f"CAST(COUNT(({expr})) AS BIGINT) "
+                f"AS {_bqa(name + '__c')}"))
             continue
         if fn == "sum":
-            out.append(
-                F.sum(F.expr(expr).cast("decimal(18,6)"))
-                .cast("decimal(28,6)").alias(name)
-            )
+            out.append(F.expr(
+                f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS "
+                f"DECIMAL(28,6)) AS {_bqa(name)}"))
         elif fn == "count":
-            col = F.lit(1) if expr in (None, "*") else F.expr(expr)
-            out.append(F.count(col).cast("bigint").alias(name))
+            src = "1" if expr in (None, "*") else f"({expr})"
+            out.append(F.expr(
+                f"CAST(COUNT({src}) AS BIGINT) AS {_bqa(name)}"))
         elif fn == "min":
-            out.append(F.min(F.expr(expr)).alias(name))
+            out.append(F.expr(f"MIN(({expr})) AS {_bqa(name)}"))
         elif fn == "max":
-            out.append(F.max(F.expr(expr)).alias(name))
+            out.append(F.expr(f"MAX(({expr})) AS {_bqa(name)}"))
         elif fn == "count_distinct":
             # distinct counting is the classically non-incremental
             # aggregate; a Datasketches HLL sketch partial makes it
@@ -181,7 +192,8 @@ def _partial_aggs(aggs: dict) -> list:
             # Exact below the sketch's sparse-mode threshold
             # (~hundreds of distincts per group at the default lgK=12),
             # approx_count_distinct semantics beyond it.
-            out.append(F.hll_sketch_agg(F.expr(expr)).alias(name))
+            out.append(F.expr(
+                f"hll_sketch_agg(({expr})) AS {_bqa(name)}"))
         else:
             raise ValueError(
                 f"unsupported MV aggregate {fn!r} for {name!r}; "
@@ -209,7 +221,6 @@ def _signed_partial_aggs(aggs: dict) -> list:
     relational GROUP BY never emits it. Decimal(18,6) per-row domain
     as everywhere (identical casts on the +1 and −1 copies make the
     retraction bit-exact)."""
-    sg = F.col("__sign")
     out = []
     for name, (fn, expr) in aggs.items():
         if "__" in name:
@@ -218,23 +229,29 @@ def _signed_partial_aggs(aggs: dict) -> list:
                 "(reserved for partial pairs)"
             )
         if fn in ("sum", "avg"):
-            e = F.expr(expr).cast("decimal(18,6)")
-            out.append(F.sum(e * sg).cast("decimal(28,6)")
-                       .alias(f"{name}__s"))
-            out.append(F.sum(F.when(e.isNotNull(), sg).otherwise(0))
-                       .cast("bigint").alias(f"{name}__c"))
+            # one F.expr per partial (r16-opt): identical analyzed tree
+            # to the former Column chain at ~1/6th the py4j round-trips
+            e = f"CAST(({expr}) AS DECIMAL(18,6))"
+            out.append(F.expr(
+                f"CAST(SUM({e} * __sign) AS DECIMAL(28,6)) "
+                f"AS {_bqa(name + '__s')}"))
+            out.append(F.expr(
+                f"CAST(SUM(CASE WHEN {e} IS NOT NULL THEN __sign "
+                f"ELSE 0 END) AS BIGINT) AS {_bqa(name + '__c')}"))
         elif fn == "count":
             if expr in (None, "*"):
-                c = sg
+                c = "__sign"
             else:
-                c = F.when(F.expr(expr).isNotNull(), sg).otherwise(0)
-            out.append(F.sum(c).cast("bigint").alias(name))
+                c = (f"CASE WHEN ({expr}) IS NOT NULL THEN __sign "
+                     "ELSE 0 END")
+            out.append(F.expr(
+                f"CAST(SUM({c}) AS BIGINT) AS {_bqa(name)}"))
         else:
             raise ValueError(
                 f"unsupported retraction-aware aggregate {fn!r} for "
                 f"{name!r}; supported over a PK source: sum, count, avg"
             )
-    out.append(F.sum(sg).cast("bigint").alias("__live"))
+    out.append(F.expr("CAST(SUM(__sign) AS BIGINT) AS __live"))
     return out
 
 
@@ -290,11 +307,12 @@ def _pk_load_aggs(aggs: dict) -> list:
                 "(reserved for partial pairs)"
             )
         if fn == "count_distinct":
-            out.append(F.count_distinct(F.expr(e)).cast("bigint")
-                       .alias(n))
+            out.append(F.expr(
+                f"CAST(COUNT(DISTINCT ({e})) AS BIGINT) AS {_bqa(n)}"))
         else:
-            out.append((F.min if fn == "min" else F.max)(F.expr(e))
-                       .alias(n))
+            out.append(F.expr(
+                f"{'MIN' if fn == 'min' else 'MAX'}(({e})) "
+                f"AS {_bqa(n)}"))
     return out
 
 
@@ -752,8 +770,11 @@ def _release_pins(view) -> None:
     """Drop the refresh's pinned frames — one materialization per
     window, reused by the probes, semi-joins and vanished-key
     anti-joins instead of re-running the window read for each (the
-    r14 shape re-executed it ~5×). Checkpoint blocks are reclaimed by
-    the ContextCleaner once the Python references drop."""
+    r14 shape re-executed it ~5×). Cluster pins are ``persist``-ed and
+    released here; local pins are lazy localCheckpoints, for which
+    ``unpersist`` is a no-op — their blocks are reclaimed by the
+    ContextCleaner once the Python references drop (acceptable on
+    local[*], where blocks live in the one driver-side store)."""
     for df in getattr(view, "_pins", []):
         try:
             df.unpersist()
@@ -762,25 +783,102 @@ def _release_pins(view) -> None:
     view._pins = []
 
 
+# Process-local cache of full-snapshot uniqueness PROOFS
+# (_assert_unique_right): keyed on the exact (table_id, join cols,
+# version) verified — immutable facts, so a hit can never go stale
+# (a commit moves the head to a version the cache has never seen).
+# Bounded FIFO; dies with the process.
+from collections import OrderedDict as _OrderedDict
+
+_UNIQUE_CERTS: _OrderedDict = _OrderedDict()
+_UNIQUE_CERTS_MAX = 4096
+
+
+def _is_local_master(spark: SparkSession) -> bool:
+    """``True`` for local[*] masters, cached on the session object (one
+    py4j round-trip total, not one per pin)."""
+    v = getattr(spark, "_ls_local_master", None)
+    if v is None:
+        v = str(spark.sparkContext.master).startswith("local")
+        spark._ls_local_master = v
+    return v
+
+
 def _pin(view, df: DataFrame) -> DataFrame:
-    """Materialize-once pin via ``localCheckpoint`` (lazy): the first
-    action computes the frame; every later plan sees a LEAF instead of
-    the full window-read lineage. A refresh window replays each pinned
-    frame in up to five downstream plans, and with plain ``persist``
-    each of those plans still carries (and re-analyzes) the whole
-    multi-snapshot subtree — truncating the lineage is worth more than
-    the cached rows themselves at local job sizes, and at 100 TB it
-    keeps restatement plan depth independent of how many terms scope
-    on the delta (guide: materializing an intermediate truncates the
-    plan). Stats are lost at the cut, so every site that builds a
-    hash side from a pinned frame hints ``F.broadcast`` explicitly
-    (the frames are bounded by the window's touched-key set — the
-    same bound that made them cacheable)."""
-    df = df.localCheckpoint(eager=False)
+    """Materialize-once pin: the first action computes the frame; every
+    later plan reuses it. A refresh window replays each pinned frame in
+    up to five downstream plans.
+
+    Local masters use lazy ``localCheckpoint`` — downstream plans see a
+    LEAF instead of the full window-read lineage, so restatement plan
+    depth stays independent of how many terms scope on the delta
+    (guide: materializing an intermediate truncates the plan), and on
+    local[*] executor loss cannot happen. On a CLUSTER master the same
+    cut would make the refresh unrecoverable (localCheckpoint blocks
+    are unreplicated and lineage is gone once an executor dies), so
+    there we ``persist`` instead: plans stay deeper but every pinned
+    frame can recompute. Stats are lost at the checkpoint cut, so
+    sites that build a hash side from a pinned frame hint
+    ``F.broadcast`` explicitly — gated by the window's probed key
+    count (:func:`_bcast`) so a heavy-churn window can never force an
+    unbounded broadcast."""
+    if _is_local_master(df.sparkSession):
+        df = df.localCheckpoint(eager=False)
+    else:
+        df = df.persist()
     if not hasattr(view, "_pins"):
         view._pins = []
     view._pins.append(df)
     return df
+
+
+def _max_broadcast_keys(df: DataFrame) -> int:
+    """Row bound under which a probed key frame may carry an explicit
+    ``F.broadcast`` hint: 4× the session's autoBroadcastJoinThreshold
+    divided by the frame's estimated row width (broadcasts stay
+    profitable past the auto threshold; the guard exists to stop a
+    churn window that touches a large fraction of a 100 TB table's
+    keys from OOMing the driver — above the bound the join is left to
+    AQE's runtime conversion, which sees the materialized pin's true
+    size). Override: ``LAKESOUL_MV_BROADCAST_MAX_KEYS``. A disabled
+    auto threshold (≤ 0) disables hinting too."""
+    import os as _os
+
+    env = _os.environ.get("LAKESOUL_MV_BROADCAST_MAX_KEYS")
+    if env:
+        return int(env)
+    thresh = str(df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024 ** 2), ("gb", 1024 ** 3),
+                   ("tb", 1024 ** 4), ("k", 1024), ("m", 1024 ** 2),
+                   ("g", 1024 ** 3), ("t", 1024 ** 4), ("b", 1)):
+        if thresh.endswith(suf):
+            mult, thresh = m, thresh[: -len(suf)]
+            break
+    tbytes = int(float(thresh) * mult)
+    if tbytes <= 0:
+        return 0
+    width = 0
+    for f in df.schema.fields:
+        width += {"boolean": 1, "tinyint": 1, "smallint": 2, "int": 4,
+                  "float": 4, "date": 4, "bigint": 8, "double": 8,
+                  "timestamp": 8, "timestamp_ntz": 8,
+                  }.get(f.dataType.simpleString(), 24)
+    return max(1, (4 * tbytes) // max(width, 8))
+
+
+def _bcast(df: DataFrame, nkeys) -> DataFrame:
+    """``F.broadcast(df)`` only when the window's probed key count is
+    under :func:`_max_broadcast_keys` — the frame (or its subset: gone
+    keys, distinct join keys, restated rows ≤ one per touched PK) is
+    bounded by that count, so the gate is exact, costs zero extra jobs
+    (the count rides the fused ``_probe_window`` aggregation), and a
+    large-churn window falls back to whatever join AQE picks from the
+    pin's runtime size."""
+    if nkeys is not None and nkeys > _max_broadcast_keys(df):
+        return df
+    return F.broadcast(df)
 
 
 def _touched_buckets(keys: DataFrame, pk_cols: list, info) -> set:
@@ -800,17 +898,19 @@ def _touched_buckets(keys: DataFrame, pk_cols: list, info) -> set:
 
 
 def _probe_window(keys: DataFrame, pk_cols: list, info):
-    """``(bucket set, key bounds)`` of a window's touched-key frame in
-    ONE aggregation job — the fusion of :func:`_touched_buckets` and
-    :func:`_key_bounds`, which the r14/r15-build shape ran as two
-    scheduler round-trips per window (each re-reading the pinned
-    keys). The single collect also materializes the pin. Semantics
-    are identical: bucket ids by the writer's own ``pmod(hash(*pk),
-    n)`` expression (≤ hash_bucket_num distinct values via
-    ``collect_set``), bounds with the same TIMESTAMP-as-epoch-micros
-    and ``"empty"``/``"unscoped"`` contract as :func:`_key_bounds` —
-    an empty keys frame reads as ``(set(), "empty")`` and every
-    scoped term short-circuits."""
+    """``(bucket set, key bounds, key count)`` of a window's
+    touched-key frame in ONE aggregation job — the fusion of
+    :func:`_touched_buckets` and :func:`_key_bounds`, which the
+    r14/r15-build shape ran as two scheduler round-trips per window
+    (each re-reading the pinned keys). The single collect also
+    materializes the pin. Semantics are identical: bucket ids by the
+    writer's own ``pmod(hash(*pk), n)`` expression (≤ hash_bucket_num
+    distinct values via ``collect_set``), bounds with the same
+    TIMESTAMP-as-epoch-micros and ``"empty"``/``"unscoped"`` contract
+    as :func:`_key_bounds` — an empty keys frame reads as
+    ``(set(), "empty", 0)`` and every scoped term short-circuits. The
+    count (``keys`` is already DISTINCT) rides the same job and gates
+    the downstream ``F.broadcast`` hints (:func:`_bcast`)."""
     import datetime
     import math
 
@@ -821,7 +921,8 @@ def _probe_window(keys: DataFrame, pk_cols: list, info):
                if isinstance(dtypes.get(c), TimestampType)}
     aggs = [F.collect_set(F.pmod(
         F.hash(*[F.col(c) for c in pk_cols]),
-        F.lit(info.hash_bucket_num))).alias("__bset")]
+        F.lit(info.hash_bucket_num))).alias("__bset"),
+        F.count(F.lit(1)).alias("__nkeys")]
     for c in pk_cols:
         lo_e, hi_e = F.min(c), F.max(c)
         if c in ts_cols:
@@ -829,6 +930,7 @@ def _probe_window(keys: DataFrame, pk_cols: list, info):
         aggs += [lo_e.alias(f"__lo_{c}"), hi_e.alias(f"__hi_{c}")]
     row = keys.agg(*aggs).collect()[0]
     bset = set(row["__bset"])
+    nkeys = int(row["__nkeys"])
     epoch = datetime.datetime(1970, 1, 1,
                               tzinfo=datetime.timezone.utc)
     bounds: list = []
@@ -838,13 +940,13 @@ def _probe_window(keys: DataFrame, pk_cols: list, info):
             lo = epoch + datetime.timedelta(microseconds=int(lo))
             hi = epoch + datetime.timedelta(microseconds=int(hi))
         if lo is None:
-            return bset, "empty"
+            return bset, "empty", nkeys
         if any(isinstance(v, float) and (math.isnan(v)
                                          or math.isinf(v))
                for v in (lo, hi)):
-            return bset, "unscoped"
+            return bset, "unscoped", nkeys
         bounds.append((c, lo, hi))
-    return bset, bounds
+    return bset, bounds, nkeys
 
 
 def _refresh_loop(view, commit_op: str, *, max_attempts: int = 5) -> dict:
@@ -1049,7 +1151,7 @@ class AggMV:
         # also validates the where/join expressions against the schema
         probe_src = src.to_df().limit(0)
         if mode == "pk":
-            probe_src = probe_src.withColumn("__sign", F.lit(1))
+            probe_src = probe_src.selectExpr("*", "1 AS __sign")
         probe_j = _joined(spark, probe_src, pinned, where)
         probe = probe_j.groupBy(*group_by).agg(
             *(_pk_load_aggs(aggs) if mode == "pk"
@@ -1118,7 +1220,7 @@ class AggMV:
         if self.source_mode == "pk":
             # full loads only (initial refresh, rebuild — all-adds);
             # the incremental restatement lives in _delta_window
-            df = df.withColumn("__sign", F.lit(1))
+            df = df.selectExpr("*", "1 AS __sign")
             df = _joined(self.spark, df, self.dims, self.where)
             return df.groupBy(*self.group_by).agg(
                 *_pk_load_aggs(self.aggs))
@@ -1155,20 +1257,20 @@ class AggMV:
             keys = _pin(self, _pk_window_keys(
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
-            bset, kb = _probe_window(keys, pk_cols, info)
+            bset, kb, nk = _probe_window(keys, pk_cols, info)
             new = _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
+                bset, bounds=kb).join(_bcast(keys, nk), on=pk_cols,
                                       how="left_semi")
             old = _scoped_snapshot(
                 self.spark, self.source_path, last, keys, pk_cols,
-                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
+                bset, bounds=kb).join(_bcast(keys, nk), on=pk_cols,
                                       how="left_semi")
             jn = _joined(self.spark,
-                         new.withColumn("__sign", F.lit(1)),
+                         new.selectExpr("*", "1 AS __sign"),
                          self.dims, self.where)
             jo = _joined(self.spark,
-                         old.withColumn("__sign", F.lit(-1)),
+                         old.selectExpr("*", "-1 AS __sign"),
                          self.dims, self.where)
             mm, rest = _split_extrema(self.aggs)
             cd, rest = (_split_cdist(rest) if self.exact_distinct
@@ -1192,7 +1294,7 @@ class AggMV:
             # exact-distinct companions load their full per-value
             # occurrence counts in the same pass
             joined = _joined(self.spark,
-                             df.withColumn("__sign", F.lit(1)),
+                             df.selectExpr("*", "1 AS __sign"),
                              self.dims, self.where)
             if self.exact_distinct:
                 self._dv_full_load(joined, _split_cdist(self.aggs)[0],
@@ -1349,7 +1451,7 @@ class AggMV:
         # ONE materializing job: the fused probe fills the pin,
         # doubles as the emptiness probe (empty set ⇔ no value churn)
         # and carries the key bounds for both companion scans
-        bset, kb = _probe_window(vd, pkc, dvt.info)
+        bset, kb, _nvd = _probe_window(vd, pkc, dvt.info)
         if not bset:
             return None
         dv_head = dvs.head_version()
@@ -1467,7 +1569,7 @@ class AggMV:
                 # + applied-correction re-aligns exactly
                 joined = _joined(
                     self.spark,
-                    src.to_df().withColumn("__sign", F.lit(1)),
+                    src.to_df().selectExpr("*", "1 AS __sign"),
                     self.dims, self.where)
                 self._dv_full_load(joined, _split_cdist(self.aggs)[0],
                                    head, replace=True)
@@ -1574,11 +1676,21 @@ class AggMV:
                     "(replace) keys already joined, so verify=False "
                     "is unsound here; use verify=True or rebuild()"
                 )
-            if verify and applied > 0 and new_keys.take(1):
+            n_new = 0
+            if verify and applied > 0:
+                # ONE bounded job doubles as the emptiness probe
+                # (take(1) before) and the broadcast-size gate: count
+                # stops at bound+1, so a huge dim delta costs the same
+                # job and simply loses the hint (AQE decides instead)
+                bound = _max_broadcast_keys(new_keys)
+                n_new = new_keys.limit(bound + 1).count()
+            if verify and applied > 0 and n_new:
                 facts = _window_df(
                     self.spark, src_store, self.source_path, 0, applied
                 ).select(*fact_keys)
-                nk = F.broadcast(new_keys.alias("__nk"))
+                nk = new_keys.alias("__nk")
+                if n_new <= bound:
+                    nk = F.broadcast(nk)
                 cond = None
                 for fk, dk in zip(fact_keys, dim_keys):
                     e = F.col(f"__fk.{fk}") == F.col(f"__nk.{dk}")
@@ -1816,13 +1928,13 @@ class TransformMV:
             keys = _pin(self, _pk_window_keys(
                 self.spark, src_store, self.source_path, last, head,
                 pk_cols))
-            bset, kb = _probe_window(keys, pk_cols, info)
+            bset, kb, nk = _probe_window(keys, pk_cols, info)
             # the restatement feeds BOTH the output write and the
             # vanished-key anti-join — pin it so the scoped scan +
             # transform run once
             restated = _pin(self, _scoped_snapshot(
                 self.spark, self.source_path, head, keys, pk_cols,
-                bset, bounds=kb).join(F.broadcast(keys), on=pk_cols,
+                bset, bounds=kb).join(_bcast(keys, nk), on=pk_cols,
                                       how="left_semi"))
             out = self._transform(restated)
             if (self.where or self.dims
@@ -1832,7 +1944,7 @@ class TransformMV:
                 # inner-dim drop (any window) — otherwise skip the
                 # vanished anti-join entirely
                 self._vanished = keys.join(
-                    F.broadcast(out.select(*pk_cols).distinct()),
+                    _bcast(out.select(*pk_cols).distinct(), nk),
                     on=pk_cols, how="left_anti")
             return out
         return self._delta(_window_df(
@@ -2177,28 +2289,46 @@ class JoinMV:
         pk_cols = list(info.hash_partitions)
         keys = _pin(self, _pk_window_keys(
             self.spark, store, path, last, head, pk_cols))
-        bset, kb = _probe_window(keys, pk_cols, info)
+        bset, kb, nk = _probe_window(keys, pk_cols, info)
         # the restatement feeds the delta-join term AND the
         # vanished-key anti-join — pin it so the scoped scan runs once
         restated = _pin(self, self._side_scoped(
             path, head, keys, bucket_filter=bset, cols=pk_cols,
-            bounds=kb).join(F.broadcast(keys), on=pk_cols,
+            bounds=kb).join(_bcast(keys, nk), on=pk_cols,
                             how="left_semi"))
         return restated, (keys, pk_cols,
-                          _window_may_vanish(store, info, last, head))
+                          _window_may_vanish(store, info, last, head),
+                          nk)
 
     def _assert_unique_right(self, version: int,
-                             keys: DataFrame | None) -> None:
+                             keys: DataFrame | None,
+                             nkeys=None) -> None:
         """Left views require at most ONE right row per join key (two
         matches would collide on the left-identity view PK and the
         upsert fold would silently keep one). Structural when the
         right source's PK is the join key; otherwise verified here —
         over the WHOLE pinned snapshot at the initial load, then only
         over the delta's keys (one bounded job on the stats-scoped
-        side, O(ΔB) at 100 TB). NULL keys never match and are
-        ignored."""
+        side, O(ΔB) at 100 TB).
+
+        The full-snapshot proof is MEMOIZED (r16-opt): uniqueness of
+        snapshot ``version`` on ``on`` is an immutable fact once
+        verified — a second view over the same right table (or a
+        conflict-retry of the same initial load) skips the O(right)
+        scan. The certificate is a cached PROOF, not new metadata: it
+        is keyed on the exact (table, join cols, version) it proved,
+        so any later commit simply probes a different version and
+        re-scans; it dies with the process. NULL keys never match and
+        are ignored."""
         if version == 0:
             return
+        cert = None
+        if keys is None:
+            cert = (LakeSoulTable.for_path(
+                self.spark, self.right_path).info.table_id,
+                tuple(self.on), int(version))
+            if cert in _UNIQUE_CERTS:
+                return
         side = (self._side_scoped(self.right_path, version, keys)
                 if keys is not None
                 else self._side_df(self.right_path, version))
@@ -2206,7 +2336,7 @@ class JoinMV:
             side = side.filter(F.col(c).isNotNull())
         if keys is not None:
             side = side.join(
-                F.broadcast(keys.select(*self.on).distinct()),
+                _bcast(keys.select(*self.on).distinct(), nkeys),
                 on=self.on, how="left_semi")
         dup = (side.groupBy(*self.on).count()
                .filter(F.col("count") > 1).limit(1).collect())
@@ -2217,10 +2347,14 @@ class JoinMV:
                 f"{k} has {dup[0]['count']} right rows — deduplicate "
                 "the right source or declare its PK as the join key"
             )
+        if cert is not None:
+            _UNIQUE_CERTS[cert] = True
+            while len(_UNIQUE_CERTS) > _UNIQUE_CERTS_MAX:
+                _UNIQUE_CERTS.popitem(last=False)
 
     def _vanished_view_keys(self, gone: DataFrame, gone_cols: list,
                             last_l: int, last_r: int,
-                            side: str) -> DataFrame:
+                            side: str, nkeys=None) -> DataFrame:
         """Frame identifying the view rows whose ``side`` source keys
         VANISHED this window (delete commit, CDC delete marker) —
         :meth:`LakeSoulTable.delete_matching` removes every view row
@@ -2236,7 +2370,7 @@ class JoinMV:
         if side == "left":
             old_rows = self._side_scoped(
                 self.left_path, last_l, gone, cols=gone_cols).join(
-                F.broadcast(gone), on=gone_cols, how="left_semi")
+                _bcast(gone, nkeys), on=gone_cols, how="left_semi")
             pairs = self._join_select(
                 old_rows,
                 self._side_scoped(self.right_path, last_r, old_rows),
@@ -2244,7 +2378,7 @@ class JoinMV:
         else:
             old_rows = self._side_scoped(
                 self.right_path, last_r, gone, cols=gone_cols).join(
-                F.broadcast(gone), on=gone_cols, how="left_semi")
+                _bcast(gone, nkeys), on=gone_cols, how="left_semi")
             pairs = self._join_select(
                 self._side_scoped(self.left_path, last_l, old_rows),
                 old_rows, self.on, self.select, self.where, "inner")
@@ -2307,10 +2441,11 @@ class JoinMV:
                         # _window_may_vanish)
                         ka, ka_cols = keys_a[0], keys_a[1]
                         gone_a = ka.join(
-                            F.broadcast(
-                                d_a.select(*ka_cols).distinct()),
+                            _bcast(d_a.select(*ka_cols).distinct(),
+                                   keys_a[3]),
                             on=ka_cols, how="left_anti")
-                        vanished.append((gone_a, ka_cols, "left"))
+                        vanished.append((gone_a, ka_cols, "left",
+                                         keys_a[3]))
                 if head_r > last_r and last_l > 0:
                     # A@lastL ⋈ ΔB — with lastL == 0 the old left is
                     # empty and the term vanishes (the initial load is
@@ -2323,7 +2458,9 @@ class JoinMV:
                                               last_r, head_r, rmode)
                     if self.how == "left" and rmode != "pk" \
                             and last_l > 0:
-                        self._assert_unique_right(head_r, d_b)
+                        self._assert_unique_right(
+                            head_r, d_b,
+                            keys_b[3] if keys_b is not None else None)
                     # scope the old left by the TOUCHED key set when
                     # the right churns by PK (a deleted key has no
                     # restated rows, but its left rows still need
@@ -2341,7 +2478,7 @@ class JoinMV:
                         # anti-join is paid)
                         ka, ka_cols = keys_a[0], keys_a[1]
                         old_left = old_left.join(
-                            F.broadcast(ka), on=ka_cols,
+                            _bcast(ka, keys_a[3]), on=ka_cols,
                             how="left_anti")
                     if keys_b is not None and self.how == "left":
                         # left view over a pk/CDC-churning right: LEFT-
@@ -2351,8 +2488,8 @@ class JoinMV:
                         # left-identity fold replaces the stale row
                         kb = keys_b[0]
                         affected = old_left.join(
-                            F.broadcast(
-                                kb.select(*self.on).distinct()),
+                            _bcast(kb.select(*self.on).distinct(),
+                                   keys_b[3]),
                             on=self.on, how="left_semi")
                         parts.append(self._join_select(
                             affected, d_b, self.on, self.select,
@@ -2364,10 +2501,11 @@ class JoinMV:
                         if keys_b is not None and keys_b[2]:
                             kb, kb_cols = keys_b[0], keys_b[1]
                             gone_b = kb.join(
-                                F.broadcast(
-                                    d_b.select(*kb_cols).distinct()),
+                                _bcast(d_b.select(*kb_cols).distinct(),
+                                       keys_b[3]),
                                 on=kb_cols, how="left_anti")
-                            vanished.append((gone_b, kb_cols, "right"))
+                            vanished.append((gone_b, kb_cols, "right",
+                                             keys_b[3]))
                 if not parts:
                     # only the right moved while the applied left is
                     # still empty: no pairs can exist, but the marker
@@ -2383,12 +2521,13 @@ class JoinMV:
                     delta = delta.unionByName(p)
                 info = self.table.info
                 ops = write_table_data(delta, info, dedup=False)
-                for gone, gcols, side in vanished:
+                for gone, gcols, side, gnk in vanished:
                     gone = _pin(self, gone)
                     if gone.take(1):
                         self.table.delete_matching(
                             self._vanished_view_keys(
-                                gone, gcols, last_l, last_r, side))
+                                gone, gcols, last_l, last_r, side,
+                                gnk))
             finally:
                 _release_pins(self)
             try:
