@@ -3153,6 +3153,7 @@ class Catalog:
 
         target_fields = {f.name: f for f in t.schema().fields}
         target_cols = [f.name for f in t.schema().fields]
+        from lakesoul_spark.io.writer import cast_type as _ct
 
         statics: dict[str, str] = {}
         if part_spec:
@@ -3191,11 +3192,11 @@ class Catalog:
                     continue
                 if c in statics:
                     src = src.withColumn(
-                        c, F.lit(statics[c]).cast(target_fields[c].dataType.simpleString())
+                        c, F.lit(statics[c]).cast(_ct(target_fields[c].dataType))
                     )
                 else:
                     src = src.withColumn(
-                        c, F.lit(None).cast(target_fields[c].dataType.simpleString())
+                        c, F.lit(None).cast(_ct(target_fields[c].dataType))
                     )
             src = src.select(*target_cols)
         else:
@@ -3208,7 +3209,7 @@ class Catalog:
             src = src.toDF(*expect)
             for c, v in statics.items():
                 src = src.withColumn(
-                    c, F.lit(v).cast(target_fields[c].dataType.simpleString())
+                    c, F.lit(v).cast(_ct(target_fields[c].dataType))
                 )
             src = src.select(*target_cols)
 

@@ -68,6 +68,22 @@ _PLAN_MEMO: OrderedDict = OrderedDict()
 _PLAN_MEMO_MAX = 512
 
 
+def _session_token(spark: SparkSession) -> str:
+    """Identity of THIS SparkSession, not just its SparkContext:
+    sibling sessions from ``spark.newSession()`` share one
+    applicationId but carry their own conf (timezone, shuffle
+    partitions), so a plan memoized under one must never be returned
+    to another. Cached on the session object (one py4j call ever)."""
+    tok = getattr(spark, "_ls_session_token", None)
+    if tok is None:
+        try:
+            tok = str(spark._jsparkSession.sessionUUID())
+        except Exception:
+            tok = str(id(spark))
+        spark._ls_session_token = tok
+    return tok
+
+
 def _plan_key(spark: SparkSession, info: TableInfo,
               files: list[FileEntry], extra) -> str:
     import hashlib
@@ -75,6 +91,7 @@ def _plan_key(spark: SparkSession, info: TableInfo,
     h = hashlib.md5()
     h.update(repr((
         spark.sparkContext.applicationId,
+        _session_token(spark),
         info.path,
         info.table_id,
         table_schema(info).json(),
@@ -209,9 +226,13 @@ def scan_files(
         F.broadcast(meta), _FILE_META_PREFIX + "name", "inner"
     )
 
-    # string-form casts: a DataType-object cast pays getActiveSession +
-    # parseDataType py4j round-trips per call (pyspark classic Column.cast)
-    types = {f.name: f.dataType.simpleString() for f in full.fields}
+    # string-form casts where the DDL round-trips: a DataType-object
+    # cast pays getActiveSession + parseDataType py4j round-trips per
+    # call (pyspark classic Column.cast); non-round-trippable types
+    # (quoted nested names, UDTs) keep the object cast
+    from lakesoul_spark.io.writer import cast_type
+
+    types = {f.name: cast_type(f.dataType) for f in full.fields}
     for i, c in enumerate(info.range_partitions):
         df = df.withColumn(
             c,

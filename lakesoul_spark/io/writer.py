@@ -51,6 +51,41 @@ def _bq(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+_IDENT_RE = None
+
+
+def ddl_safe(dt) -> bool:
+    """Whether ``dt.simpleString()`` round-trips through the SQL type
+    parser: string-form casts save py4j round-trips per call (the hot
+    engine paths use them), but ``simpleString`` does not quote nested
+    struct field names and UDTs have no parseable rendering — such
+    types must fall back to the DataType-object cast."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    from pyspark.sql.types import (
+        ArrayType, MapType, StructType, UserDefinedType,
+    )
+
+    if isinstance(dt, UserDefinedType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_IDENT_RE.match(f.name) and ddl_safe(f.dataType)
+                   for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return ddl_safe(dt.elementType)
+    if isinstance(dt, MapType):
+        return ddl_safe(dt.keyType) and ddl_safe(dt.valueType)
+    return True
+
+
+def cast_type(dt):
+    """The cheapest cast target for ``dt``: its DDL string when that
+    round-trips (1 py4j call per cast), else the DataType object."""
+    return dt.simpleString() if ddl_safe(dt) else dt
+
+
 def table_schema(info: TableInfo) -> StructType:
     return StructType.fromJson(json.loads(info.schema_json))
 
@@ -93,10 +128,16 @@ def _align(df: DataFrame, info: TableInfo) -> DataFrame:
     # (col + DataType cast, which additionally pays a per-cast
     # getActiveSession + parseDataType round-trip) — _align runs once
     # per write and the write path is the hottest shared driver code
-    # in every lifecycle (measured in OPTIMIZATION_r15.md §7)
-    return df.selectExpr(*[
-        f"CAST({_bq(c)} AS {types[c].simpleString()}) AS {_bq(c)}"
-        for c in present
+    # in every lifecycle (measured in OPTIMIZATION_r15.md §7). Types
+    # whose simpleString cannot round-trip (nested field names that
+    # need quoting, UDTs) fall back to the DataType-object cast.
+    if all(ddl_safe(types[c]) for c in present):
+        return df.selectExpr(*[
+            f"CAST({_bq(c)} AS {types[c].simpleString()}) AS {_bq(c)}"
+            for c in present
+        ])
+    return df.select(*[
+        F.col(c).cast(types[c]).alias(c) for c in present
     ])
 
 

@@ -1678,3 +1678,29 @@ def test_point_lookup_respects_snapshot_pin(spark, tmp_path):
     assert [r.v for r in pinned.point_lookup(k=7).collect()] == [7]
     assert pinned.point_lookup(k=200).count() == 0  # key born post-pin
     assert [r.v for r in t.point_lookup(k=7).collect()] == [999]
+
+
+def test_write_commit_protocol_leaves_no_markers(spark, tmp_path):
+    """Regression guard for the r15 commit-protocol writer options
+    (io/writer.py: committer algorithm v2 + no _SUCCESS marker): a
+    full upsert→compaction lifecycle must leave neither _SUCCESS nor
+    any _temporary residue under the table — if the options silently
+    revert, Spark's default committer writes _SUCCESS again and this
+    fails."""
+    import glob as _glob
+
+    p = str(tmp_path / "proto")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string")
+    write(df, p, mode="overwrite", hash_partitions=["k"],
+          hash_bucket_num=2)
+    t = LakeSoulTable.for_path(spark, p)
+    t.upsert(df.withColumn("v", F.concat(F.col("v"), F.lit("x"))))
+    t.compaction()
+    residue = [
+        f for f in _glob.glob(p + "/**", recursive=True)
+        if os.path.basename(f) == "_SUCCESS" or "_temporary" in f
+    ]
+    assert residue == []
+    # and the data survived the lifecycle intact
+    assert t.to_df().count() == 50
