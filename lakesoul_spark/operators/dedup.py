@@ -184,7 +184,13 @@ def ngram_jaccard_pairs(
     # coalescing but still eligible for AQE skew-splitting, and it IS
     # the distribution the window + self-join below need, so no extra
     # exchange is paid (ReusedExchange as before).
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except ValueError:
+        # "auto" on some platforms — fall back to the cluster's
+        # default parallelism, the same scale-adaptive intent
+        n_part = int(docs.sparkSession.sparkContext.defaultParallelism)
     sh = sh.repartition(n_part, "sh")
     if max_shingle_doc_freq is None:
         # fully exact: candidate generation and intersection counting
@@ -576,13 +582,34 @@ def refresh_dedup_index(table, *, on_rewrite: str = "rebuild") -> dict:
     )
     fresh = _band_postings(
         fresh_src, id_col, text_col, n, num_hashes, rows_per_band
-    ).select(F.col("id").alias(id_col), "band", "key", "h").cache()
-    n_rows = fresh.count()
+    ).select(F.col("id").alias(id_col), "band", "key", "h")
+    if table.info.cdc_column:
+        # consumed twice on CDC corpora (the upsert write AND the
+        # vanished-id anti-join below); append/upsert-only corpora
+        # have a single consumer — no cache
+        fresh = fresh.cache()
     bands = num_hashes // rows_per_band
     idx_store = MetaStore(idx_path)
+    # ONE pass (r16-opt, guide §1.4): the postings count comes from the
+    # written files' parquet footers (FileOp.num_rows, read anyway for
+    # the commit) — the r15 shape paid a separate fresh.count() job
+    # first just to decide whether to upsert. Gating the MERGE commit
+    # on the ops actually produced is the same decision (zero rows ⇔
+    # zero files ⇔ no commit), one scheduler round-trip cheaper per
+    # refresh. Exact: fresh is unique on the index PK (one posting per
+    # (id, band)), so the write-side dedup collapses nothing. (An
+    # df.observe() metric would be cheaper still, but AQE's
+    # empty-relation propagation drops the CollectMetrics node when
+    # the frame turns out runtime-empty — a delete-only churn window —
+    # leaving the observation unreadable.)
+    from lakesoul_spark.io.writer import write_table_data as _wtd
+    from lakesoul_spark.meta.store import OP_MERGE as _OP_MERGE
+
+    ops = _wtd(fresh, idx.info)
+    n_rows = sum(max(o.num_rows, 0) for o in ops if o.op == "add")
     up_v = None
-    if n_rows:
-        idx.upsert(fresh)
+    if ops:
+        idx_store.commit(_OP_MERGE, ops)
         up_v = idx_store.head_version()
     # vanished ids: changed on the base table but absent from the MOR
     # view (deleted). The tombstone set stays a DataFrame end to end

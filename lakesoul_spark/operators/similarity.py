@@ -1079,17 +1079,38 @@ def refresh_vector_index(table, *, on_rewrite: str = "rebuild") -> dict:
         rdr.merge_view(spark, idx.info, snap)
         .join(changed_ids, id_col, "anti")
     )
-    # checkpoint: the survivors∪fresh union is consumed TWICE (the
-    # written-cells probe and the overwrite write) — the r14 shape
-    # recomputed the whole anti-join + encode per consumer (r15-opt)
-    content = (survivors.select(*fresh.columns).unionByName(fresh)
-               .localCheckpoint(eager=False))
-    written = {r["cell"] for r in content.select("cell").distinct().collect()}
-    if written:
-        write(
-            content.filter(F.col("cell").isin(*[int(c) for c in written])),
-            idx_path, mode="overwrite",
-        )  # dynamic partition overwrite: expires only written partitions
+    # ONE pass (r16-opt, guide §1.4): the written-cells set is read off
+    # the write's own FileOps (each op's partition_desc is its
+    # ``cell=<v>`` directory) — the r15 shape paid a separate probe job
+    # (plus a checkpoint materialization) just to learn which cells
+    # received rows before filtering the write to them; the filter was
+    # a no-op (every content row's cell is written by definition), so
+    # the probe's only real product was the written set. The
+    # dynamic-partition-overwrite commit is gated on the ops actually
+    # produced — an all-vanished window (no content rows) writes zero
+    # files and commits NOTHING, exactly the r15 skip-the-write
+    # behavior. (Not an df.observe() metric: AQE's empty-relation
+    # propagation drops the CollectMetrics node on runtime-empty
+    # frames, leaving the observation unreadable.)
+    from lakesoul_spark.io.writer import write_table_data as _wtd
+    from lakesoul_spark.meta.store import OP_UPDATE, FileOp as _FileOp
+
+    content = survivors.select(*fresh.columns).unionByName(fresh)
+    ops = _wtd(content, idx.info)
+    written = {int(o.partition_desc.split("=", 1)[1]) for o in ops
+               if o.op == "add"}
+    if ops:
+        # dynamic partition overwrite: expire exactly the partitions
+        # that received files (the table.write overwrite contract)
+        st = MetaStore(idx_path)
+        written_parts = {o.partition_desc for o in ops}
+        dels = [
+            _FileOp(op="del", path=f.path,
+                    partition_desc=f.partition_desc, bucket=f.bucket)
+            for f in st.snapshot().files
+            if f.partition_desc in written_parts
+        ]
+        st.commit(OP_UPDATE, dels + ops)
     empty = set(affected) - written
     if empty:
         # every row of these cells was a changed id that moved away —
