@@ -19,6 +19,7 @@ def _build(spark, path):
     return t
 
 
+@pytest.mark.slow
 def test_arrow_dataset_matches_mor_view(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _build(spark, path)
@@ -609,6 +610,7 @@ def test_fuzz_arrow_merge_ops_parity(spark, tmp_path, seed):
     assert canon(iter(LakeSoulArrowDataset(path))) == spark_view
 
 
+@pytest.mark.slow
 def test_stats_pruning_never_drops_sum_all_merges(spark, tmp_path):
     """Regression: per-file [min,max] bounds do NOT bound a sum_all
     merge (partials 60+60 fold to 120, which no file contains), so a

@@ -735,6 +735,7 @@ def test_sql_explain_passthrough(cat, spark):
     assert "Scan" in plan[0][0] or "Physical" in plan[0][0]
 
 
+@pytest.mark.slow
 def test_dedup_against_corpus_property(spark):
     """Property: the classifier partitions every new doc into exactly
     one status, exact matches agree with an independent normalized-hash
@@ -1399,6 +1400,7 @@ def test_sql_min_max_metadata_fast_path(cat, spark, monkeypatch):
     assert tuple(df.collect()[0]) == (0, 99)
 
 
+@pytest.mark.slow
 def test_partition_count_fast_never_wrong_fuzz(cat, spark):
     """Property: for ANY predicate, count_fast(cond) is either None
     (fall through) or EXACTLY the relational count — and predicates
@@ -1473,6 +1475,7 @@ def test_partition_count_fast_never_wrong_fuzz(cat, spark):
     check()
 
 
+@pytest.mark.slow
 def test_minmax_sql_fast_path_fuzz(cat, spark):
     """Property: any SELECT of COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG
     items (mixed casing, aliases, negative values, NULLs in every
@@ -1995,6 +1998,7 @@ def test_groupby_fast_path_typed_desc_collapse(cat, spark, tmp_path):
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
 
 
+@pytest.mark.slow
 def test_groupby_fast_path_having_and_order_aggs(cat, spark):
     """HAVING tails and aggregate ORDER BY items on the metadata
     GROUP BY fast path (r13): atoms over aggregates (including ones

@@ -18,6 +18,7 @@ def _df(spark, data, schema):
     return spark.createDataFrame(data, schema)
 
 
+@pytest.mark.slow
 def test_mor_read_after_many_uncompacted_upserts(spark, tmp_table):
     """30 uncompacted upsert generations on one table: the MOR read is
     still correct, and compaction collapses every bucket to one file
@@ -78,6 +79,7 @@ ops_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=ops_strategy)
 def test_random_op_sequences_match_dict_model(hypo_spark, tmp_path_factory, ops):
     """Any sequence of upsert/delete batches produces exactly the state
@@ -111,6 +113,7 @@ def test_random_op_sequences_match_dict_model(hypo_spark, tmp_path_factory, ops)
     assert got == model
 
 
+@pytest.mark.slow
 def test_hot_bucket_100_generations_plan_and_walltime(spark, tmp_table):
     """Skew churn: ONE murmur3 bucket accumulates 100 upsert generations
     (the reference's published "−15% after 100 upserts" shape,
@@ -205,6 +208,7 @@ ddl_ops_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(ops=ddl_ops_strategy)
 def test_random_ddl_and_dml_sequences_match_model(hypo_spark, tmp_path_factory, ops):
     """Randomized DML + schema evolution (the reference's random

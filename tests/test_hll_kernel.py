@@ -37,6 +37,7 @@ def _est(spark, b):
             .select(F.hll_sketch_estimate("s")).collect()[0][0])
 
 
+@pytest.mark.slow
 def test_union_byte_exact_across_mode_boundaries(spark):
     cases = [
         [(1, 0, 1), (2, 100, 1)],              # tiny lists
@@ -75,6 +76,7 @@ def test_union_byte_exact_across_mode_boundaries(spark):
             f"byte mismatch for {case}"
 
 
+@pytest.mark.slow
 def test_pairwise_fold_estimates_equal_one_shot(spark):
     """The arrow fold unions all generations per row in one shot; this
     pins that even chained (pairwise) unions — which may differ in
@@ -166,6 +168,7 @@ def test_composite_estimate_exact_vs_spark_all_regimes(spark):
         assert round(estimate(img)) == row["e"], n
 
 
+@pytest.mark.slow
 def test_union_byte_exact_random_domains(spark):
     """Seeded fuzz over non-integer value domains (strings, doubles,
     negative ints — different hash bit distributions than range()) and

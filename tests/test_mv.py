@@ -1207,6 +1207,7 @@ def test_join_mv_exactly_once_markers(spark, tmp_path):
     assert mv.to_df().count() == n
 
 
+@pytest.mark.slow
 def test_join_mv_random_interleave_fuzz(spark, tmp_path):
     """Property: for ANY interleaving of left appends and right
     UPSERTS (the right is a PK-keyed churning source, r13: new-key
@@ -1539,6 +1540,7 @@ def test_join_mv_right_outer_canonicalized(spark, tmp_path):
                       pk=["o_orderkey"], how="full")
 
 
+@pytest.mark.slow
 def test_join_mv_pk_churning_dim(spark, tmp_path):
     """A source whose PK equals the join key may churn by UPSERT
     (r13; the reference's delta-join workload,
@@ -2037,6 +2039,7 @@ def _pk_canon(rows):
     return sorted(tuple((v is None, str(v)) for v in r) for r in rows)
 
 
+@pytest.mark.slow
 def test_agg_mv_over_pk_source_retraction(spark, tmp_path):
     """Maintained join → maintained rollup (r14): an AggMV over a PK
     (upsert-churning) source folds SIGNED restatement deltas — the
@@ -2334,6 +2337,7 @@ def test_agg_mv_pk_source_with_where_and_dims(spark, tmp_path):
         mv.refresh()
 
 
+@pytest.mark.slow
 def test_sql_rollup_over_join_view(spark, tmp_path):
     """CREATE MATERIALIZED VIEW ... GROUP BY over a JOIN view (a PK
     table) goes through the r14 retraction-aware path via SQL alone:
@@ -2432,6 +2436,7 @@ def test_agg_mv_pk_reserved_name_guards(spark, tmp_path):
                      group_by=["av__s"], aggs={"av": ("avg", "v")})
 
 
+@pytest.mark.slow
 def test_agg_mv_cdc_source(spark, tmp_path):
     """A CDC source (r15) feeds a maintained rollup: change rows name
     the touched keys, both pinned snapshot reads filter delete
@@ -2494,6 +2499,7 @@ def test_agg_mv_cdc_source(spark, tmp_path):
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_join_mv_left_view_delete_semantics(spark, tmp_path):
     """Left view with BOTH sides churning by PK (r15 deletes): a
     vanished LEFT identity drops its view row; a vanished RIGHT key
@@ -2549,6 +2555,7 @@ def test_join_mv_left_view_delete_semantics(spark, tmp_path):
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_join_mv_inner_delete_without_join_cols_in_view(spark,
                                                         tmp_path):
     """INNER view whose select DROPS the join key: a vanished right
@@ -2589,6 +2596,7 @@ def test_join_mv_inner_delete_without_join_cols_in_view(spark,
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_transform_mv_pk_source(spark, tmp_path):
     """TransformMV over a PK source (r15): the output is a PK table
     keyed by the source PK; restated keys overwrite their own output
@@ -2666,6 +2674,7 @@ def test_transform_mv_pk_source(spark, tmp_path):
     assert _pk_canon(roll.to_df().collect()) == rtruth()
 
 
+@pytest.mark.slow
 def test_mv_cascade_join_rollup_through_delete(spark, tmp_path):
     """The r15 flagship shape: maintained join -> maintained rollup
     through DELETEs on both base sources. A dim delete NULL-extends
@@ -2734,6 +2743,7 @@ def test_mv_cascade_join_rollup_through_delete(spark, tmp_path):
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_agg_mv_pk_min_max_extremum_rescan(spark, tmp_path):
     """min/max over a PK source (r15, ``allow_extremum_rescan``):
     refreshes fold new candidates for free; ONLY a retraction that
@@ -2886,6 +2896,7 @@ def test_mv_chain_rules_and_transform_into_join(spark, tmp_path):
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_agg_mv_pk_exact_count_distinct(spark, tmp_path):
     """Exact COUNT(DISTINCT) over a PK source (r15,
     ``exact_distinct``): a per-value companion PK table keyed by
@@ -2974,6 +2985,7 @@ def test_agg_mv_pk_exact_count_distinct(spark, tmp_path):
     assert got() == truth()
 
 
+@pytest.mark.slow
 def test_agg_mv_exact_distinct_crash_replay(spark, tmp_path):
     """A crash between the companion commit and the view's marker
     commit leaves the companion AHEAD; the next refresh re-aligns by
@@ -3044,6 +3056,7 @@ def test_agg_mv_exact_distinct_crash_replay(spark, tmp_path):
     assert {tuple(r) for r in mv4.to_df().collect()} == truth()
 
 
+@pytest.mark.slow
 def test_sql_exact_distinct_view_lifecycle(spark, tmp_path):
     """SQL surface of exact_distinct: count(DISTINCT …) refuses
     without 'exactDistinct'='true' (the HLL-approximation message),
@@ -3114,6 +3127,7 @@ def test_sql_exact_distinct_view_lifecycle(spark, tmp_path):
     assert not os.path.exists(rvp + "__dv_d")
 
 
+@pytest.mark.slow
 def test_exact_distinct_companion_gc_on_compaction(spark, tmp_path):
     """Drained value rows (occurrence count netted to 0) are
     physically dropped from the companion at FULL compaction

@@ -864,6 +864,7 @@ def test_real_av_frame_sample(spark):
     assert all(r.frame_md5 != stub0 for r in rows)
 
 
+@pytest.mark.slow
 def test_chunk_dedup_properties(spark):
     """Invariants on random corpora: (1) global kept-chunk count equals
     the number of DISTINCT chunks; (2) every doc survives; (3) a
@@ -941,6 +942,7 @@ def test_dedup_against_corpus(spark):
     assert (out[102].status, out[102].match_id, out[102].jaccard) == ("novel", None, None)
 
 
+@pytest.mark.slow
 def test_dedup_band_index_lifecycle(spark, tmp_path):
     """Persisted band index: build == recomputed signatures, refresh is
     an O(changed) delta upsert (CDC delete drops postings), indexed
@@ -1038,7 +1040,13 @@ def test_dedup_band_index_lifecycle(spark, tmp_path):
     ) == expect3
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+# seed 1 stays in the default run: its delete-only first batch is the
+# regression trigger for the runtime-empty postings write (AQE
+# empty-relation propagation); the other seeds add breadth, not a
+# distinct failure mode
+@pytest.mark.parametrize("seed", [
+    pytest.param(0, marks=pytest.mark.slow), 1,
+    pytest.param(2, marks=pytest.mark.slow)])
 def test_fuzz_dedup_index_refresh_equals_rebuild(spark, tmp_path, seed):
     """Input-modeled fuzz: after a random CDC churn history (inserts,
     text updates, deletes) and a refresh per batch, the incrementally
@@ -1158,6 +1166,7 @@ def test_pca_k_clamped_to_dim():
     assert len(comps) == 4 and len(mean) == 4
 
 
+@pytest.mark.slow
 def test_vector_search_estimator_rank(spark, tmp_path):
     """RaBitQ estimator candidate ranking: lossless when rerank covers
     every candidate, at least as good as Hamming under a tight budget,
@@ -1273,6 +1282,7 @@ def test_refresh_on_pre_estimator_index(spark, tmp_path):
         vector_search(t, q, k=3, rerank=10, rank="estimator")
 
 
+@pytest.mark.slow
 def test_vector_search_multibit_recall(spark, tmp_path):
     """Multi-bit RaBitQ codes (reference total_bits default 7,
     rust/lakesoul-vector/src/rabitq/quantizer.rs): under a tight rerank
@@ -1364,6 +1374,7 @@ def test_multibit_index_incremental_refresh(spark, tmp_path):
     assert (3, 3) in got and (201, 201) in got
 
 
+@pytest.mark.slow
 def test_l2_metric_search_paths(spark, tmp_path):
     """metric='l2' (the reference's DEFAULT metric, rabitq/mod.rs:29,
     vector_index.py:104): brute force ranks by ascending Euclidean

@@ -524,6 +524,7 @@ def test_stateful_sessionize(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_replay_late_data(spark, tmp_path):
     """Event-time correctness under replay: a late event (within the
     watermark delay) arriving batches later lands in its CORRECT
@@ -570,6 +571,7 @@ def test_stateful_sessionize_replay_late_data(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_stateful_first_event_strict_mode(spark, tmp_path):
     """Strict mode holds the candidate for a settle window: a smaller
     order_col delivered in a LATER batch still wins (the fast path, by
@@ -733,6 +735,7 @@ def test_latest_state_stream_tws_engine(spark, tmp_path):
     assert got == [(2, 1, "b", "u")]
 
 
+@pytest.mark.slow
 def test_sessionize_tws_engine(spark, tmp_path):
     """sessionize engine='tws' (transformWithStateInPandas, event-time
     timers) emits the same sessions as the portable engine. Gated on
