@@ -488,7 +488,13 @@ def streaming_sink_sum(spark, sf_dir):
     src = _tmp("stream_sink_src", sf_dir)
     ck = _tmp("stream_sink_ck", sf_dir)
     ev = _t(spark, sf_dir, "events").select("user_id", "value")
-    ev.repartition(4).write.parquet(src)
+    # 2 staged files = 2 micro-batches = 2 Merge generations: the MOR
+    # read still folds partials across generations via sum_all (the
+    # semantics under test), and the decimal partial sums make the
+    # result batching-count-invariant — each extra batch costs a full
+    # write_table_data commit (~0.4s) plus a micro-batch round
+    # (r15-VERDICT item 5: slice count, not semantics, set job count)
+    ev.repartition(2).write.parquet(src)
 
     batch_src = (
         spark.readStream.schema(ev.schema)
@@ -739,6 +745,31 @@ def _state_partitions(spark, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def _no_data_batches_off(spark):
+    """Skip the trailing no-data micro-batch for one streaming query.
+
+    Spark appends an empty batch after the sources drain so event-time
+    TIMEOUTS can fire on the advanced watermark. For queries with no
+    event-time timeout (NoTimeout stateful ops, watermarked joins whose
+    matches are all emitted by data batches) that batch computes
+    nothing and costs a full micro-batch round (state-store commit +
+    offset/commit WAL + stateful-stage task wave — measured 0.86x when
+    skipped on the stream-stream join, OPTIMIZATION_r16.md §Streaming;
+    only WATERMARKED queries ever get a no-data batch). Queries that
+    DRAIN on the watermark (sessionize) must keep it."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _stage_ordered_stream(df, order_col, src, n_slices=3, extra_slices=()):
     """Stage ``df`` as sequential parquet files sorted by ``order_col``
     (fixed-fraction range cuts), then pin strictly increasing mtimes so
@@ -747,20 +778,29 @@ def _stage_ordered_stream(df, order_col, src, n_slices=3, extra_slices=()):
     appended last (e.g. watermark-advancing sentinels)."""
     import glob as _glob
 
-    # numeric twin of the order column so range cuts are arithmetic
-    # (timestamps slice on epoch micros)
-    is_ts = df.schema[order_col].dataType.typeName() == "timestamp"
-    ord_expr = F.unix_micros(F.col(order_col)) if is_ts else F.col(order_col)
-    lo, hi = df.agg(F.min(ord_expr), F.max(ord_expr)).first()
-    cuts = [lo + (hi - lo) * i // n_slices for i in range(n_slices + 1)]
-    cuts[-1] = hi + 1
-    # coalesce-then-sortWithinPartitions: one narrow task per slice
-    # (no range-exchange sampling pass — each slice is one file anyway)
-    slices = [
-        df.filter((ord_expr >= a) & (ord_expr < b))
-        .coalesce(1).sortWithinPartitions(order_col)
-        for a, b in zip(cuts, cuts[1:])
-    ] + list(extra_slices)
+    if n_slices == 1:
+        # single-slice fast path: no min/max probe job, no range filter
+        # — one sorted pass over the input (the bound-probe + per-slice
+        # filtered rewrites below each re-read the source, so a 1-slice
+        # stage would otherwise pay 2 passes for one file)
+        slices = [df.coalesce(1).sortWithinPartitions(order_col)]
+        slices += list(extra_slices)
+    else:
+        # numeric twin of the order column so range cuts are arithmetic
+        # (timestamps slice on epoch micros)
+        is_ts = df.schema[order_col].dataType.typeName() == "timestamp"
+        ord_expr = (F.unix_micros(F.col(order_col)) if is_ts
+                    else F.col(order_col))
+        lo, hi = df.agg(F.min(ord_expr), F.max(ord_expr)).first()
+        cuts = [lo + (hi - lo) * i // n_slices for i in range(n_slices + 1)]
+        cuts[-1] = hi + 1
+        # coalesce-then-sortWithinPartitions: one narrow task per slice
+        # (no range-exchange sampling pass — each slice is one file anyway)
+        slices = [
+            df.filter((ord_expr >= a) & (ord_expr < b))
+            .coalesce(1).sortWithinPartitions(order_col)
+            for a, b in zip(cuts, cuts[1:])
+        ] + list(extra_slices)
     seen: set = set()
     for i, sl in enumerate(slices):
         sl.write.mode("append").parquet(src)
@@ -830,11 +870,17 @@ def stateful_dedup(spark, sf_dir):
 )
 def stateful_sessionize(spark, sf_dir):
     """Event-time session windows as a CUSTOM STATEFUL operator
-    (applyInPandasWithState + EventTimeTimeout, state = the one open
-    session per key): ts-ordered micro-batch replay; sessions close on
+    (applyInPandasWithState + EventTimeTimeout, state = the open
+    sessions per key): ts-ordered micro-batch replay; sessions close on
     an in-stream gap > 30 min or when the watermark passes
-    session_end + gap (two far-future sentinel batches drain the last
-    open sessions — sentinel key filtered from the result). Matches the
+    session_end + gap (a far-future sentinel batch advances the
+    watermark and the trailing no-data batch fires the timeouts that
+    drain the last open sessions — sentinel key filtered from the
+    result). One data slice: the emitted session set is slice-count
+    invariant under ordered replay (state carries open sessions across
+    batches either way), and every extra slice costs a full micro-batch
+    round plus one re-read of the source (r15-VERDICT item 5 / guide
+    §1: stop paying for batches that change no output). Matches the
     batch gaps-and-islands rewrite row-for-row."""
     from lakesoul_spark.streaming.stateful import sessionize
 
@@ -854,7 +900,7 @@ def stateful_sessionize(spark, sf_dir):
             ev.schema,
         )
     ]
-    _stage_ordered_stream(ev, "ts", src, n_slices=2, extra_slices=far)
+    _stage_ordered_stream(ev, "ts", src, n_slices=1, extra_slices=far)
     sdf = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -905,7 +951,13 @@ def stream_stream_join(spark, sf_dir):
     emits each match in the micro-batch that completes it, so the
     replayed result equals the batch interval join the oracle runs.
     The delay is sized so the fixture replay drops nothing; at 100 TB
-    the same plan's state stays bounded by (rate x delay) per side."""
+    the same plan's state stays bounded by (rate x delay) per side.
+    One slice per side, and the trailing no-data batch (which would
+    only fire event-time timeouts — this join has none; every match is
+    emitted by the data batch that completes it) is skipped: the match
+    set is batching-invariant, and each extra micro-batch round costs
+    a state-store commit + WAL + task wave (r15-VERDICT item 5,
+    measured 0.86x in OPTIMIZATION_r16.md §Streaming)."""
     src_l = _tmp("ssj_click_src", sf_dir)
     src_r = _tmp("ssj_purchase_src", sf_dir)
     ev = _t(spark, sf_dir, "events").select(
@@ -916,8 +968,8 @@ def stream_stream_join(spark, sf_dir):
     )
     clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
     purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
-    _stage_ordered_stream(clicks, "ts", src_l, n_slices=2)
-    _stage_ordered_stream(purchases, "ts", src_r, n_slices=2)
+    _stage_ordered_stream(clicks, "ts", src_l, n_slices=1)
+    _stage_ordered_stream(purchases, "ts", src_r, n_slices=1)
     left = (
         spark.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", 1).parquet(src_l)
@@ -947,7 +999,7 @@ def stream_stream_join(spark, sf_dir):
            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 8), _no_data_batches_off(spark):
         q = (
             joined.writeStream.format("memory").queryName("ssj_out")
             .option("checkpointLocation", _tmp("ssj_ck", sf_dir))
