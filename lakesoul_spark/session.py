@@ -99,6 +99,29 @@ def lakesoul_session(
         # heap for N concurrent tasks, not for a thin cluster driver
         .config("spark.driver.memory", os.environ.get("LAKESOUL_DRIVER_MEM", "16g"))
     )
+    # Python-worker shim (pyspark_lakesoul_worker.py next to the
+    # package): skips the per-task re-read of every zip finder's
+    # central directory that pyspark's setup_spark_files triggers via
+    # importlib.invalidate_caches() — measured ~0.35-0.6 s of pure
+    # worker CPU per Python task on CPython 3.11 (the dominant cost of
+    # every streaming stateful micro-batch and small kernel stage; see
+    # the module docstring). Uses Spark's standard
+    # spark.python.worker.module hook and delegates everything to
+    # pyspark.worker.main. Enabled when the module file is present
+    # (worker processes import it via executorEnv PYTHONPATH — on a
+    # real cluster ship it with --py-files instead);
+    # LAKESOUL_WORKER_SHIM=0 disables.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim_path = os.path.join(repo_root, "pyspark_lakesoul_worker.py")
+    if (os.path.exists(shim_path)
+            and os.environ.get("LAKESOUL_WORKER_SHIM", "1") != "0"
+            and "spark.python.worker.module" not in (extra_conf or {})):
+        worker_pp = repo_root
+        inherited = os.environ.get("PYTHONPATH", "")
+        if inherited:
+            worker_pp = worker_pp + os.pathsep + inherited
+        b = (b.config("spark.python.worker.module", "pyspark_lakesoul_worker")
+              .config("spark.executorEnv.PYTHONPATH", worker_pp))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
