@@ -94,32 +94,49 @@ def test_session_wires_worker_module_conf():
     assert os.path.exists(os.path.join(REPO, "pyspark_lakesoul_worker.py"))
 
 
-@pytest.mark.slow
-def test_shim_active_in_live_session(tmp_path):
-    """End-to-end: a pandas-UDF task under lakesoul_session runs with
-    the stamped invalidate installed in the worker process."""
+_LIVE_PROBE = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, sys.argv[1])
     from lakesoul_spark.session import lakesoul_session
+    from pyspark.sql import functions as F
 
     spark = lakesoul_session("shim_probe", master="local[2]",
                              shuffle_partitions=2)
-    try:
-        assert (spark.conf.get("spark.python.worker.module")
-                == "pyspark_lakesoul_worker")
+    assert (spark.conf.get("spark.python.worker.module")
+            == "pyspark_lakesoul_worker")
 
-        from pyspark.sql import functions as F
+    # the UDF returns all-true only when the worker saw the patch
+    @F.pandas_udf("boolean")
+    def is_patched(x):
+        import zipimport
+        import pandas as pd
+        flag = bool(getattr(zipimport.zipimporter,
+                            "_lakesoul_stamped", False))
+        return pd.Series([flag] * len(x))
 
-        # the UDF returns all-true only when the worker saw the patch
-        @F.pandas_udf("boolean")
-        def is_patched(x):
-            import zipimport
-            import pandas as pd
-            flag = bool(getattr(zipimport.zipimporter,
-                                "_lakesoul_stamped", False))
-            return pd.Series([flag] * len(x))
+    n = (spark.range(10).select(is_patched("id").alias("p"))
+         .filter("p").count())
+    assert n == 10, n
+    print("LIVE_SHIM_OK")
+    spark.stop()
+    """
+)
 
-        n_patched = (spark.range(10)
-                     .select(is_patched("id").alias("p"))
-                     .filter("p").count())
-        assert n_patched == 10
-    finally:
-        spark.stop()
+
+@pytest.mark.slow
+def test_shim_active_in_live_session():
+    """End-to-end: a pandas-UDF task under lakesoul_session runs with
+    the stamped invalidate installed in the worker process.
+
+    Runs in a SUBPROCESS with its own JVM: worker-factory confs
+    (spark.python.worker.module, executorEnv) are frozen into the
+    SparkContext at creation, so inside the shared-context test suite
+    a getOrCreate would silently reuse the conftest's plain session
+    and test nothing."""
+    out = subprocess.run(
+        [sys.executable, "-c", _LIVE_PROBE, REPO],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LIVE_SHIM_OK" in out.stdout
